@@ -1,0 +1,165 @@
+"""Deduplication operators (SURVEY.md §2.6 dedup row, §2.9 [C]).
+
+Covers the reference's latest-per-key keyed-table trick (Flink
+``ROW_NUMBER()=1`` dedup over a compacted topic — PK tables at
+terraform/lab-aggregations/main.tf:396,463; cleanup.policy=compact at
+terraform/lab-joins/main.tf:105-107) plus the [C] LLM-pipeline near-dup
+family: MinHash signatures, SimHash, n-gram Jaccard.
+
+Scale notes: every operator here is a single hash-shuffle on the dedup key
+(or LSH band key) — no cross joins, no driver-side collection. MinHash
+signatures are computed with built-in ``xxhash64`` inside whole-stage
+codegen; no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], order_col: str, desc: bool = True
+) -> DataFrame:
+    """Materialize the upsert view of a keyed changelog: latest row per PK.
+
+    Flink reads a PK'd/compacted table as "latest record per key wins"
+    (SURVEY.md §1.1). Batch analog: row_number over (partition by pk order
+    by version desc) = 1. One shuffle on the PK; the output is already
+    hash-partitioned by the key, which downstream keyed joins reuse.
+    """
+    oc = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    w = Window.partitionBy(*keys).orderBy(oc)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def first_per_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Flink's FIRST-row dedup pattern (ROW_NUMBER()=1 ORDER BY rowtime ASC)."""
+    return latest_per_key(df, keys, order_col, desc=False)
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup — hash shuffle on the (hashed) dedup columns."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def char_shingles(df: DataFrame, text_col: str, k: int = 5, out: str = "shingles") -> DataFrame:
+    """Distinct character k-shingles via built-in sequence/transform/substr."""
+    txt = F.col(text_col)
+    n = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))
+    return df.withColumn(
+        out,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(txt, i, F.lit(k)))
+        ),
+    )
+
+
+def minhash_signature(
+    df: DataFrame, shingle_col: str, num_hashes: int = 32, out: str = "minhash"
+) -> DataFrame:
+    """MinHash signature: for seed i, min over shingles of xxhash64(s, i).
+
+    Built-in ``xxhash64`` + ``array_min`` + ``transform`` — whole-stage
+    codegen, zero Python in the loop. At 100 TB this is a pure map stage.
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col(shingle_col), lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out, sig)
+
+
+def lsh_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into bands, hash each band to a
+    bucket, self-join on (band, bucket) to get candidate pairs.
+
+    The self-join is an equi join on the band bucket — a hash shuffle,
+    never a cross join, so it scales with the number of colliding docs,
+    not n².
+    """
+    banded = df.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, sig_col, "bb.band", "bb.bucket")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{sig_col}").alias("sig_a"),
+            F.col(f"b.{sig_col}").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def minhash_jaccard_estimate(pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard from signature agreement fraction."""
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return pairs.withColumn(
+        "jaccard_est", agree.cast("double") / F.size("sig_a").cast("double")
+    )
+
+
+def simhash64(df: DataFrame, token_col: str, out: str = "simhash") -> DataFrame:
+    """64-bit SimHash over a token array, built-ins only.
+
+    For each bit b: sum over tokens of ±1 by bit b of xxhash64(token);
+    bit set if the sum > 0. Expressed as 64 aggregate expressions over the
+    token array (JVM-side). Near-dup = small Hamming distance.
+    """
+    tok = F.col(token_col)
+    expr = F.lit(0).cast("long")
+    for b in range(64):
+        contrib = F.aggregate(
+            tok,
+            F.lit(0).cast("long"),
+            lambda acc, x, b=b: acc
+            + F.when(F.shiftright(F.xxhash64(x), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        expr = expr + F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+    return df.withColumn(out, expr)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,189 @@
+"""Core relational operators [B] (SURVEY.md §2.3): filters, set ops,
+ORDER BY/LIMIT, Top-N, values."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_orderstatus AS status,
+           o_totalprice AS totalprice, o_orderpriority AS priority
+    FROM orders
+    WHERE (o_orderstatus IN ('F', 'P'))
+      AND o_totalprice BETWEEN 50000 AND 300000
+      AND o_orderpriority LIKE '%URGENT%'
+      AND NOT (o_custkey IS NULL)
+      AND (o_orderkey % 2 = 0 OR o_totalprice > 150000)
+    """,
+    doc="WHERE surface: IN/BETWEEN/LIKE/IS NULL/AND/OR/NOT (lab-tables "
+    "SELECT basics, README.md:7). All predicates pushable to parquet.",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(50000, 300000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & ~F.col("o_custkey").isNull()
+        & ((F.col("o_orderkey") % 2 == 0) | (F.col("o_totalprice") > 150000))
+    ).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
+@register(
+    "union_all",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT s_suppkey AS entity_key, s_name AS entity_name, 'supplier' AS kind
+    FROM supplier
+    """,
+    doc="UNION ALL (course-scope set ops).",
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_name").alias("entity_name"),
+            F.lit("customer").alias("kind"),
+        )
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION (distinct) — union + hash dedup shuffle.",
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "intersect_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT (course-scope set ops).",
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "except_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="EXCEPT (course-scope set ops).",
+)
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@register(
+    "order_by_limit",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_totalprice AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    doc="ORDER BY + LIMIT with a unique tiebreaker so the limit set is "
+    "deterministic. Spark executes as TakeOrderedAndProject — no global "
+    "sort materialization at scale.",
+)
+def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("order_id").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "topn_per_group",
+    oracle="""
+    SELECT mktsegment, customer_id, acctbal, rn
+    FROM (
+        SELECT c_mktsegment AS mktsegment, c_custkey AS customer_id,
+               c_acctbal AS acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer
+    ) WHERE rn <= 5
+    """,
+    doc="Top-N per group — the flagship Confluent Flink pattern "
+    "(ROW_NUMBER() ... WHERE rn <= k, SURVEY.md §2.3). One shuffle on the "
+    "group key; rank pushdown keeps per-group state at k rows in "
+    "streaming.",
+)
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_acctbal").alias("acctbal"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "values_constant_relation",
+    oracle="""
+    SELECT CAST(id AS INTEGER) AS id, color, CAST(weight AS DOUBLE) AS weight
+    FROM (VALUES (1, 'red', 10.5), (2, 'green', 20.25), (3, 'blue', 30.125))
+         AS v(id, color, weight)
+    """,
+    doc="VALUES / constant relation (course-scope basics).",
+)
+def values_constant_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        [(1, "red", 10.5), (2, "green", 20.25), (3, "blue", 30.125)],
+        schema="id int, color string, weight double",
+    )

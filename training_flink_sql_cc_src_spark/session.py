@@ -1,0 +1,83 @@
+"""SparkSession + fixture-table management (SURVEY.md §1.2, §3 EP2).
+
+The reference's Schema Registry auto-exposes Kafka topics as Flink tables
+(e.g. ``shoe_customers`` is readable with no in-repo CREATE —
+terraform/lab-aggregations/main.tf:431 vs connector :248-278). Our analog:
+every parquet fixture under a scale-factor dir is registered as a temp view
+at session start, so queries address tables by bare name exactly as the lab
+statements do.
+
+Scale notes: session defaults are tuned for local[32] testing but the knobs
+that matter at 100 TB (AQE, skew-join handling, partition sizing, broadcast
+threshold) are on/explicit so the same code runs unchanged on a cluster —
+only `spark.sql.shuffle.partitions` and memory need re-sizing there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The ten fixture tables (TESTDATA.md) — stand-ins for the lab topics per
+#: FIXTURES.md §3 (shoe_orders→orders, shoe_customers→customer,
+#: shoe_products→part, shoe_clickstream→events, plus [C] documents/embeddings).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "spark-graft", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    UTC session timezone is load-bearing: the DuckDB oracle compares
+    timestamp values and DuckDB timestamps are UTC-naive.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.crossJoin.enabled", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture parquet under ``sf_dir`` as a DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (the Schema-Registry
+    auto-table analog). Returns the DataFrames keyed by table name."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
