@@ -1,1 +1,217 @@
-"""Placeholder — filled in by later milestone."""
+"""Scalar function surface [B] (SURVEY.md §2.7) — the Flink 1.19 built-in
+families the labs draw on (string / datetime / math / conditional / JSON /
+array-map-struct), each as an oracle-paired query.
+
+Everything is a per-row JVM expression inside whole-stage codegen — no
+shuffles, no UDFs; at 100 TB these are pure map stages over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "scalar_string",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           CONCAT(UPPER(c_mktsegment), ':', LOWER(c_name)) AS tag,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           split_part(c_name, '#', 2) AS name_id_str,
+           LENGTH(c_name) AS name_len,
+           REPLACE(c_name, 'Customer', 'Cust') AS short_name,
+           TRIM(CONCAT('  ', c_mktsegment, '  ')) AS trimmed,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           (c_name LIKE 'Customer%') AS is_customer
+    FROM customer
+    """,
+    doc="String family: CONCAT/UPPER/LOWER/SUBSTRING/SPLIT_INDEX("
+    "split_part)/CHAR_LENGTH/REPLACE/TRIM/REGEXP_EXTRACT/LIKE "
+    "(SURVEY.md §2.7 string row).",
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.concat(F.upper("c_mktsegment"), F.lit(":"), F.lower("c_name")).alias("tag"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.substring_index("c_name", "#", -1).alias("name_id_str"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias("trimmed"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.col("c_name").like("Customer%").alias("is_customer"),
+    )
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           EXTRACT(YEAR FROM o_orderdate) AS yr,
+           EXTRACT(MONTH FROM o_orderdate) AS mo,
+           EXTRACT(DAY FROM o_orderdate) AS dy,
+           EXTRACT(HOUR FROM o_orderdate) AS hr,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS INTEGER) + 1 AS dow_sun1,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(FLOOR(EPOCH(DATE_TRUNC('month', o_orderdate))) AS BIGINT)
+               AS month_start_epoch,
+           date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))
+               AS days_since_2024,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)
+               AS due_date
+    FROM orders
+    """,
+    doc="Datetime family: EXTRACT(YEAR/MONTH/DAY/HOUR/DOW), DATE_FORMAT("
+    "strftime), FLOOR-to-month (DATE_TRUNC), TIMESTAMPDIFF(date_diff), "
+    "TIMESTAMPADD (SURVEY.md §2.7 date/time row). DOW normalized to "
+    "Sunday=1 to match Spark's dayofweek.",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.hour("o_orderdate").alias("hr"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("long").alias("month_start_epoch"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_2024"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           ABS(l_discount - 0.05) AS abs_disc,
+           CEIL(l_extendedprice) AS ceil_price,
+           FLOOR(l_extendedprice) AS floor_price,
+           CAST(POWER(l_quantity, 2) AS DOUBLE) AS qty_sq,
+           MOD(l_orderkey, 7) AS key_mod7,
+           GREATEST(l_quantity, 25.0) AS qty_hi,
+           LEAST(l_tax, 0.04) AS tax_lo,
+           SQRT(l_quantity) AS sqrt_qty,
+           SIGN(l_discount - 0.05) AS sign_disc
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    doc="Math family: ABS/CEIL/FLOOR/POWER/MOD/SQRT/SIGN/GREATEST/LEAST "
+    "(SURVEY.md §2.7 math row). ROUND (HALF_UP vs half-even) and LN/LOG10 "
+    "(1-ULP libm drift vs Java Math.log) excluded from the oracle pair — "
+    "covered in tests/test_scalar.py instead.",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.ceil("l_extendedprice").alias("ceil_price"),
+        F.floor("l_extendedprice").alias("floor_price"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_tax"), F.lit(0.04)).alias("tax_lo"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_disc"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           CASE WHEN o_totalprice > 250000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           (CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS is_top_priority
+    FROM orders
+    """,
+    doc="Conditional family: CASE WHEN / COALESCE / NULLIF / IF "
+    "(SURVEY.md §2.7 conditional row).",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.when(F.col("o_totalprice") > 250000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.expr("IF(o_orderpriority LIKE '1%', 1, 0)").alias("is_top_priority"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing
+    FROM events
+    """,
+    doc="JSON family (SURVEY.md §2.7): JSON_VALUE over the events.props "
+    "payload (clickstream-style JSON column). Spark: get_json_object — "
+    "JVM-side Jackson parse, no UDF.",
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@register(
+    "scalar_array_struct",
+    oracle="""
+    SELECT n_nationkey AS nationkey,
+           len([n_name, 'x', 'y']) AS arr_len,
+           [n_name, 'x', 'y'][1] AS arr_first,
+           list_contains([0, 1, 2, n_regionkey], 2) AS has_two,
+           struct_pack(k := n_nationkey, r := n_regionkey).k AS struct_k,
+           CASE n_regionkey WHEN 0 THEN 'AFRICA' WHEN 1 THEN 'AMERICA'
+                ELSE 'OTHER' END AS region_map
+    FROM nation
+    """,
+    doc="Array/Row family (SURVEY.md §2.7): ARRAY constructor, CARDINALITY, "
+    "element access, array membership, ROW construction + field access, "
+    "MAP-style lookup (expressed as element_at over a literal map in "
+    "Spark; CASE in the oracle — same values).",
+)
+def scalar_array_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    region_map = F.create_map(
+        F.lit(0), F.lit("AFRICA"), F.lit(1), F.lit("AMERICA")
+    )
+    return n.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.size(F.array(F.col("n_name"), F.lit("x"), F.lit("y"))).alias("arr_len"),
+        F.array(F.col("n_name"), F.lit("x"), F.lit("y")).getItem(0).alias("arr_first"),
+        F.array_contains(
+            F.array(F.lit(0), F.lit(1), F.lit(2), F.col("n_regionkey")), 2
+        ).alias("has_two"),
+        F.struct(F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("r"))
+        .getField("k")
+        .alias("struct_k"),
+        F.coalesce(F.element_at(region_map, F.col("n_regionkey")), F.lit("OTHER")).alias(
+            "region_map"
+        ),
+    )

@@ -1,1 +1,232 @@
-"""Placeholder — filled in by later milestone."""
+"""Event-time windowing [B] (SURVEY.md §2.4 window TVFs, §2.6; lab-time
+README.md:8 — the watermark DDL S9/S10 at terraform/lab-joins/main.tf:531,564
+is the precondition for every operator here).
+
+Flink window TVFs → Spark: TUMBLE → ``F.window(ts, size)``, HOP →
+``F.window(ts, size, slide)``, SESSION → ``F.session_window``, CUMULATE →
+explicit expansion (no Spark native; explode the growing-window index then
+aggregate — still one shuffle, identical to what Flink's cumulate does
+internally with slice-state).
+
+Window boundaries are emitted as BIGINT epoch seconds so the value hash is
+independent of timestamp type/timezone representation (registry rule).
+
+Scale notes: every query is scan → (map-side expand) → one hash shuffle on
+(window, key) → partial+final agg. Window structs are computed JVM-side in
+whole-stage codegen; nothing here touches Python at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import DSUM_SQL, dsum, t
+
+EPOCH_SQL = "CAST(FLOOR(EPOCH({x})) AS BIGINT)"
+
+
+@register(
+    "window_tumble",
+    oracle=f"""
+    SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {DSUM_SQL.format(x='value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR) — fixed "
+    "1-hour windows per event_type. Spark: F.window(ts, '1 hour'); "
+    "boundaries floor to the hour so both engines bucket identically.",
+)
+def window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_hop",
+    oracle=f"""
+    SELECT ((({EPOCH_SQL.format(x='e.ts')} - k.off) // 3600) * 3600 + k.off)
+               AS window_start,
+           COUNT(*) AS n_events,
+           {DSUM_SQL.format(x='e.value')} AS sum_value
+    FROM events e
+    CROSS JOIN (VALUES (0), (900), (1800), (2700)) AS k(off)
+    GROUP BY 1
+    """,
+    doc="HOP(TABLE events, DESCRIPTOR(ts), slide 15 min, size 1 hour) — "
+    "sliding windows; each event lands in 4 windows. Spark: "
+    "F.window(ts, '1 hour', '15 minutes') expands map-side then one "
+    "shuffle. Oracle expands via a 4-row VALUES cross join: for offset "
+    "k∈{0,900,1800,2700}, the window start is the k-shifted 900s floor — "
+    "the same 4 window starts Spark assigns.",
+)
+def window_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 10 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS session_last,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="SESSION(TABLE events PARTITION BY user_id, DESCRIPTOR(ts), gap 10 "
+    "min). Spark: F.session_window(ts, '10 minutes') — native merging "
+    "session windows (one shuffle on user_id). Oracle: classic gaps-and-"
+    "islands (LAG + running sum). session_last = MAX(ts) floor-epoch; "
+    "Spark's session end is last+gap, so we emit last = end - gap.",
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("last_ts").cast("long").alias("session_last"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "window_cumulate",
+    oracle=f"""
+    SELECT ({EPOCH_SQL.format(x='e.ts')} // 3600) * 3600 AS window_start,
+           ({EPOCH_SQL.format(x='e.ts')} // 3600) * 3600 + k.len AS window_end,
+           COUNT(*) AS n_events,
+           {DSUM_SQL.format(x='e.value')} AS sum_value
+    FROM events e
+    CROSS JOIN (VALUES (900), (1800), (2700), (3600)) AS k(len)
+    WHERE EPOCH(e.ts) - (({EPOCH_SQL.format(x='e.ts')} // 3600) * 3600) < k.len
+    GROUP BY 1, 2
+    """,
+    doc="CUMULATE(TABLE events, DESCRIPTOR(ts), step 15 min, size 1 hour) — "
+    "Flink's growing windows [H,H+15m),[H,H+30m),…,[H,H+1h). No Spark "
+    "native: expand each event into the growing windows that contain it "
+    "(map-side explode, ≤4 rows/event) then aggregate — one shuffle, same "
+    "asymptotics as Flink's slice-based cumulate state.",
+)
+def window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    hour_start = (epoch - epoch % 3600).alias("window_start")
+    sec_into_hour = F.col("ts").cast("double") - (epoch - epoch % 3600).cast("double")
+    expanded = (
+        e.withColumn("window_start", hour_start)
+        .withColumn("sec_into_hour", sec_into_hour)
+        .withColumn("len", F.explode(F.array(*[F.lit(s) for s in (900, 1800, 2700, 3600)])))
+        .filter(F.col("sec_into_hour") < F.col("len"))
+        .withColumn("window_end", F.col("window_start") + F.col("len"))
+    )
+    return expanded.groupBy("window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
+    )
+
+
+@register(
+    "window_over_time_range",
+    oracle=f"""
+    SELECT event_id,
+           user_id,
+           {EPOCH_SQL.format(x='ts')} AS epoch_s,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id ORDER BY {EPOCH_SQL.format(x='ts')}
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h_value
+    FROM events
+    """,
+    doc="OVER aggregation with a time RANGE frame (Flink OVER windows, "
+    "course-scope lab-time): per-user rolling 1-hour sum. Spark: "
+    "Window.partitionBy(user).orderBy(epoch).rangeBetween(-3600, 0). "
+    "RANGE frames include all epoch peers, so the result is deterministic "
+    "under ties in both engines.",
+)
+def window_over_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("epoch_s"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("epoch_s", F.col("ts").cast("long"))
+        .select(
+            "event_id",
+            "user_id",
+            "epoch_s",
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .over(w)
+            .cast("double")
+            .alias("rolling_1h_value"),
+        )
+    )
+
+
+@register(
+    "late_data_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS epoch_s
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+    doc="Watermark late-data semantics in batch (SURVEY.md §4 item 4): the "
+    "final watermark of the S9/S10 zero-delay streams is max(ts); rows "
+    "older than watermark - allowed-lateness (1 h here) are the ones "
+    "streaming would have dropped. Batch analog: scalar-subquery filter; "
+    "the max(ts) aggregate is a tiny broadcast, the filter stays "
+    "pushdown-friendly.",
+)
+def late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    wm = e.agg(F.max("ts").alias("max_ts"))
+    return (
+        e.join(F.broadcast(wm))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 1 HOUR"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("long").alias("epoch_s"),
+        )
+    )
