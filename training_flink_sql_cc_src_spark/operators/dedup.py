@@ -148,15 +148,22 @@ def simhash64(df: DataFrame, token_col: str, out: str = "simhash") -> DataFrame:
     token array (JVM-side). Near-dup = small Hamming distance.
     """
     tok = F.col(token_col)
-    expr = F.lit(0).cast("long")
-    for b in range(64):
-        contrib = F.aggregate(
+
+    def bit_votes(b: int) -> Column:
+        return F.aggregate(
             tok,
             F.lit(0).cast("long"),
-            lambda acc, x, b=b: acc
-            + F.when(F.shiftright(F.xxhash64(x), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, x: acc
+            + F.when(
+                F.shiftright(F.xxhash64(x), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
         )
-        expr = expr + F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+
+    expr = F.lit(0).cast("long")
+    for b in range(64):
+        expr = expr + F.when(
+            bit_votes(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(0)
     return df.withColumn(out, expr)
 
 

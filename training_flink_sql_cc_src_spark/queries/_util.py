@@ -42,6 +42,40 @@ DSUM_SQL = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 DAVG_SQL = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({x})"
 
 
+def dot_col(a: Column, b: Column) -> Column:
+    """Deterministic dot product of two array<float> columns: cast each
+    element to double, multiply, and left-fold the sum in index order
+    (F.aggregate is a sequential fold). Paired with dot_sql, which spells
+    the same left-associated double arithmetic in DuckDB — IEEE doubles
+    make the two bit-identical, so cosine scores are hash-safe.
+    """
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB SQL mirroring dot_col: explicit left-associated 64-term sum
+    (1-indexed list access)."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """cos(a,b) with the deterministic fold; composition order mirrors
+    cosine_sql exactly."""
+    return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
+
+
+def cosine_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"({dot_sql(a, b, dim)} / "
+        f"(SQRT({dot_sql(a, a, dim)}) * SQRT({dot_sql(b, b, dim)})))"
+    )
+
+
 def epoch_s(col: Column | str) -> Column:
     """Timestamp → BIGINT epoch seconds (truncating), for oracle-stable
     window boundaries."""

@@ -1,1 +1,172 @@
-"""Placeholder — filled in by later milestone."""
+"""[C] Deduplication over the documents table (SURVEY.md §2.9): exact
+(hash group-by), blocked n-gram/word-set Jaccard, MinHash+LSH, SimHash.
+
+Scale notes: exact dedup is one hash shuffle on the content hash; the
+Jaccard pass generates candidates with an equi join on a blocking key
+(lang, length band) — work scales with block sizes, never n²; MinHash/LSH
+signatures are computed map-side with built-in xxhash64 (no Python), and
+the band join only shuffles (band, bucket) keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    char_shingles,
+    lsh_band_pairs,
+    minhash_jaccard_estimate,
+    minhash_signature,
+    simhash64,
+)
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup via content-hash group-by (SURVEY.md §2.9 exact "
+    "dedup): one shuffle on md5(text); keeper = min doc_id per group. "
+    "Idempotence is property-tested in tests/test_dedup.py.",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_jaccard_blocked_pairs",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                   list_distinct(string_split(b.text, ' '))))
+                AS DOUBLE)
+           / len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')),
+                                           list_distinct(string_split(b.text, ' ')))))
+               AS jaccard
+    FROM documents a
+    INNER JOIN documents b
+      ON a.lang = b.lang
+     AND (a.n_chars // 100) = (b.n_chars // 100)
+     AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                  list_distinct(string_split(b.text, ' '))))
+               AS DOUBLE)
+          / len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')),
+                                          list_distinct(string_split(b.text, ' ')))))
+          >= 0.6
+    """,
+    doc="Word-set Jaccard near-dup pairs with (lang, length-band) blocking "
+    "(SURVEY.md §2.9 n-gram Jaccard): candidates from an equi join on the "
+    "block key, exact Jaccard via array_intersect/union sizes — integer "
+    "counts, so the score divides identically in both engines.",
+)
+def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_band"),
+        F.array_distinct(F.split("text", " ")).alias("words"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang"),
+        F.col("len_band"),
+        F.col("words").alias("words_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_band").alias("len_band_b"),
+        F.col("words").alias("words_b"),
+    )
+    pairs = a.join(
+        b,
+        (a.lang == b.lang_b) & (a.len_band == b.len_band_b) & (a.id_a < b.id_b),
+    )
+    jac = F.size(F.array_intersect("words_a", "words_b")).cast("double") / F.size(
+        F.array_union("words_a", "words_b")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based signatures are engine-specific; accuracy
+    # vs exact Jaccard is property-tested in tests/test_dedup.py
+    doc="MinHash + LSH near-dup candidates (SURVEY.md §2.9): 5-char "
+    "shingles → 32-hash MinHash signature (xxhash64, codegen) → 8 bands × "
+    "4 rows banding join → candidate pairs with estimated Jaccard ≥ 0.5. "
+    "The scale path for corpus-level dedup: map-side signatures, shuffle "
+    "only on band buckets.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = char_shingles(d, "text", k=5)
+    sig = minhash_signature(sh, "shingles", num_hashes=32)
+    pairs = lsh_band_pairs(sig, "doc_id", "minhash", bands=8, rows_per_band=4)
+    est = minhash_jaccard_estimate(pairs)
+    return est.filter(F.col("jaccard_est") >= 0.5).select(
+        F.col("id_a"), F.col("id_b"), F.col("jaccard_est")
+    )
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=None,  # xxhash64-based; distribution checked in tests
+    doc="SimHash near-dup (SURVEY.md §2.9): 64-bit simhash over word "
+    "tokens (xxhash64 bit votes, codegen), then pairs at Hamming "
+    "distance ≤ 12 among same-(lang, length-band) blocks via bit_count "
+    "of XOR. Map-side sketch + blocked equi join.",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hamming64
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_band"),
+        F.array_distinct(F.split("text", " ")).alias("words"),
+    )
+    s = simhash64(d, "words")
+    a = s.select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        "len_band",
+        F.col("simhash").alias("sim_a"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_band").alias("len_band_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.len_band == b.len_band_b)
+            & (a.id_a < b.id_b),
+        )
+        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= 12)
+        .select("id_a", "id_b", "hamming")
+    )

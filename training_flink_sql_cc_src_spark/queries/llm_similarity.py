@@ -1,1 +1,181 @@
-"""Placeholder — filled in by later milestone."""
+"""[C] Similarity search over the embeddings table (SURVEY.md §2.9):
+brute-force cosine top-k as the exact baseline, random-projection LSH as
+the scale path.
+
+Scale notes (100 TB): the query set is broadcast (a handful of vectors vs
+billions of rows), scoring is a map-only stage over the scan, and top-k per
+query is a shuffle of only `k × n_queries` pre-reduced rows — we pre-filter
+with a per-partition rank so the window shuffle never sees the full corpus.
+The LSH variant hashes each vector to sign-bit buckets map-side; candidate
+generation is an equi join on the bucket key (hash shuffle, no cross join).
+
+Cosine determinism: both engines compute the same left-associated double
+fold (queries/_util.dot_col / dot_sql), so scores are bit-identical and
+rank ties are broken by vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import cosine_col, cosine_sql, t
+
+N_QUERY = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               {cosine_sql('q.embedding', 'v.embedding')} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.embedding', 'v.embedding')} DESC,
+                            v.vec_id
+               ) AS rnk
+        FROM embeddings q
+        INNER JOIN embeddings v ON v.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERY}
+    ) WHERE rnk <= {TOP_K}
+    """,
+    doc="Brute-force cosine top-k nearest neighbors (the exact ANN "
+    "baseline, SURVEY.md §2.9). Query vectors broadcast against the "
+    "corpus; scoring map-side; per-query top-k via window. At 100 TB the "
+    "corpus scan dominates and parallelizes linearly.",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine_col(F.col("q_emb"), F.col("embedding")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "sim_threshold_pairs_blocked",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+           {cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a
+    INNER JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate pairs, blocked by label "
+    "(SURVEY.md §2.9 embedding-cosine near-dup): candidate pairs come from "
+    "an equi join on the blocking key — a hash shuffle that scales with "
+    "block sizes, never an n² cross join.",
+)
+def sim_threshold_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, (a.label == b.label_b) & (a.id_a < b.id_b))
+        .withColumn("cos_sim", cosine_col(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "label", "cos_sim")
+    )
+
+
+def _hyperplanes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-bit LSH (seed fixed so the
+    bucketing is reproducible across runs/executors)."""
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(emb, planes: list[list[float]]):
+    """Sign-bit bucket id of an embedding column: bit i = sign(emb·plane_i).
+    Pure built-in expressions — evaluated JVM-side, map-only."""
+    from ._util import dot_col
+
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot_col(emb, plane) >= 0, 1).otherwise(0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=None,  # LSH bucketing is engine-side; recall vs brute force is
+    # asserted in tests/test_similarity.py
+    doc="Approximate nearest neighbors via random-projection (sign-bit) "
+    "LSH — the scale path for similarity search (SURVEY.md §2.9): "
+    "16 hyperplanes → 2^16 buckets; candidates share the query's bucket "
+    "in at least one of 4 band views (4-bit bands of the signature), "
+    "scored exactly, top-k per query. Bucketing is map-only; candidate "
+    "join is equi on (band, band_bits).",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    sig = e.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    # 4 bands of 4 bits: candidate = shares any band value with the query
+    bands = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("bucket"), b * 4)
+                        .bitwiseAND(F.lit(15))
+                        .alias("band_bits"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.band_bits")
+    q = bands.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("band"),
+        F.col("band_bits"),
+    )
+    cands = (
+        bands.join(F.broadcast(q), ["band", "band_bits"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "vec_id", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.withColumn(
+        "cos_sim", cosine_col(F.col("q_emb"), F.col("embedding"))
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -1,1 +1,154 @@
-"""Placeholder — filled in by later milestone."""
+"""[C] Multimodal columns (SURVEY.md §2.9): text ⋈ embedding join with
+typed metadata, and the binary-payload pipeline (opaque ``binary`` column +
+typed metadata struct, decode/feature-extract as Arrow-batched
+``mapInPandas``).
+
+The container has no image/audio libs, so the decode step is a
+deterministic fake behind ``_decode_payload`` (clearly marked; a real
+decoder drops in without touching the Spark plumbing — schema, batch
+iteration, partitioning are all real and tested).
+
+Scale notes: the doc⋈embedding join is keyed 1:1 (same id domain) — at
+100 TB both sides bucket/shuffle on the id once; binary payloads stay
+opaque until the Arrow batch boundary, so Spark never materializes them
+into Python except inside the vectorized mapInPandas stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import dot_sql, dot_col, t
+
+
+@register(
+    "multimodal_doc_embedding_join",
+    oracle=f"""
+    SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars,
+           e.label AS label,
+           len(e.embedding) AS emb_dim,
+           SQRT({dot_sql('e.embedding', 'e.embedding')}) AS emb_l2_norm,
+           len(string_split(d.text, ' ')) AS n_tokens
+    FROM documents d
+    INNER JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    doc="Multimodal row assembly: documents ⋈ embeddings on id (1:1 keyed "
+    "join), emitting text stats + vector metadata (dim, L2 norm via the "
+    "deterministic double fold). ArrayType(FloatType) is first-class — "
+    "no serialization through Python.",
+)
+def multimodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id, "inner").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("emb_dim"),
+        F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))).alias("emb_l2_norm"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           (octet_length(encode(text)) > 200) AS is_large
+    FROM documents
+    """,
+    doc="Opaque binary column + typed metadata (SURVEY.md §2.9 multimodal "
+    "columns): payload synthesized by UTF-8-encoding text (stand-in for "
+    "real media bytes), metadata = (byte length, media type, size class). "
+    "Binary stays JVM-side; only scalar metadata is computed.",
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        (F.octet_length(payload) > 200).alias("is_large"),
+    )
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """STUB decoder — deterministic fake feature extraction.
+
+    Real media decode (PIL/librosa/ffmpeg) is unavailable in this
+    container; this computes stable pseudo-features from the raw bytes so
+    the full Arrow-batched plumbing is exercised end-to-end. Swap the body
+    for a real decoder to productionize; raise for unmistakably fake
+    media types you don't handle.
+    """
+    if payload is None:
+        raise NotImplementedError("real media decode requires PIL/librosa/ffmpeg")
+    n = len(payload)
+    checksum = sum(payload[:64]) % 997
+    return {
+        "n_bytes": n,
+        "checksum": checksum,
+        "feat_0": float(checksum) / 997.0,
+        "feat_1": float(n % 251) / 251.0,
+    }
+
+
+def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas decode/feature-extract stage: Arrow batches in, typed
+    feature rows out. The UDF boundary is the only Python in the plan."""
+
+    out_schema = (
+        "doc_id long, media_type string, n_bytes long, checksum long, "
+        "feat_0 double, feat_1 double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_decode_payload(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "checksum": [f["checksum"] for f in feats],
+                    "feat_0": [f["feat_0"] for f in feats],
+                    "feat_1": [f["feat_1"] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # decode is a stubbed fake (no media libs in container);
+    # plumbing (schema, batching, determinism) tested in tests/test_multimodal.py
+    doc="Decode / feature-extract over binary payloads via Arrow-batched "
+    "mapInPandas (SURVEY.md §2.9): synthesize payload bytes, partition-"
+    "parallel batch decode (stubbed deterministic fake — see "
+    "_decode_payload), typed feature schema out.",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    )
+    return decode_features(d)
