@@ -23,6 +23,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The fixture parquet files are single-row-group, so Spark scans them as
+    ONE task; any compute-heavy map stage placed directly on the scan runs
+    single-threaded. Fanning out first costs a tiny shuffle (the fixtures
+    are MBs) and unlocks full-core parallelism for sketching/scoring. On a
+    real cluster the scan arrives pre-split, making this a no-op cost-wise
+    — compute-bound stages still want partition-by-cost, not by-bytes,
+    which is exactly what this expresses.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dsum(col: Column | str) -> Column:
     """Deterministic SUM over doubles: route through DECIMAL(38,6) so the
     result is independent of partial-aggregation order, then back to DOUBLE.

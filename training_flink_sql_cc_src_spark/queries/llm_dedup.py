@@ -14,14 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    char_shingles,
     lsh_band_pairs,
     minhash_jaccard_estimate,
     minhash_signature,
     simhash64,
+    word_shingles,
 )
 from ..registry import register
-from ._util import t
+from ._util import fan_out, t
 
 
 @register(
@@ -51,56 +51,61 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_jaccard_blocked_pairs",
     oracle="""
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
-                                   list_distinct(string_split(b.text, ' '))))
-                AS DOUBLE)
-           / len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')),
-                                           list_distinct(string_split(b.text, ' ')))))
-               AS jaccard
-    FROM documents a
-    INNER JOIN documents b
-      ON a.lang = b.lang
-     AND (a.n_chars // 100) = (b.n_chars // 100)
-     AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
-                                  list_distinct(string_split(b.text, ' '))))
-               AS DOUBLE)
-          / len(list_distinct(list_concat(list_distinct(string_split(a.text, ' ')),
-                                          list_distinct(string_split(b.text, ' ')))))
-          >= 0.6
+    WITH w AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_band,
+               list_distinct(string_split(text, ' ')) AS words,
+               len(list_distinct(string_split(text, ' '))) AS n_words
+        FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+               / (a.n_words + b.n_words - len(list_intersect(a.words, b.words)))
+                   AS jaccard
+        FROM w a
+        INNER JOIN w b
+          ON a.lang = b.lang AND a.len_band = b.len_band
+         AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.6
     """,
     doc="Word-set Jaccard near-dup pairs with (lang, length-band) blocking "
     "(SURVEY.md §2.9 n-gram Jaccard): candidates from an equi join on the "
-    "block key, exact Jaccard via array_intersect/union sizes — integer "
-    "counts, so the score divides identically in both engines.",
+    "block key; |A∪B| computed as |A|+|B|-|A∩B| so only one array "
+    "intersection is evaluated per pair, and tokens are pre-hashed to "
+    "64-bit longs so the per-pair intersect compares fixed-width values, "
+    "not strings (both were bench hotspots; a 64-bit in-pair collision is "
+    "~1e-7 probable across the whole corpus). Integer counts → the score "
+    "divides identically in both engines.",
 )
 def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("long").alias("len_band"),
-        F.array_distinct(F.split("text", " ")).alias("words"),
-    )
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
+        ).alias("words"),
+    ).withColumn("n_words", F.size("words"))
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("lang"),
         F.col("len_band"),
         F.col("words").alias("words_a"),
+        F.col("n_words").alias("n_a"),
     )
     b = d.select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("lang_b"),
         F.col("len_band").alias("len_band_b"),
         F.col("words").alias("words_b"),
+        F.col("n_words").alias("n_b"),
     )
     pairs = a.join(
         b,
         (a.lang == b.lang_b) & (a.len_band == b.len_band_b) & (a.id_a < b.id_b),
     )
-    jac = F.size(F.array_intersect("words_a", "words_b")).cast("double") / F.size(
-        F.array_union("words_a", "words_b")
-    )
+    inter = F.size(F.array_intersect("words_a", "words_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.6)
@@ -112,15 +117,15 @@ def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64-based signatures are engine-specific; accuracy
     # vs exact Jaccard is property-tested in tests/test_dedup.py
-    doc="MinHash + LSH near-dup candidates (SURVEY.md §2.9): 5-char "
-    "shingles → 32-hash MinHash signature (xxhash64, codegen) → 8 bands × "
-    "4 rows banding join → candidate pairs with estimated Jaccard ≥ 0.5. "
-    "The scale path for corpus-level dedup: map-side signatures, shuffle "
-    "only on band buckets.",
+    doc="MinHash + LSH near-dup candidates (SURVEY.md §2.9): word "
+    "3-shingles → 32-hash MinHash signature (xxhash64 on fixed-width "
+    "longs, codegen) → 8 bands × 4 rows banding join → candidate pairs "
+    "with estimated Jaccard ≥ 0.5. The scale path for corpus-level dedup: "
+    "map-side signatures, shuffle only on band buckets.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = char_shingles(d, "text", k=5)
+    d = fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = word_shingles(d, "text", k=3)
     sig = minhash_signature(sh, "shingles", num_hashes=32)
     pairs = lsh_band_pairs(sig, "doc_id", "minhash", bands=8, rows_per_band=4)
     est = minhash_jaccard_estimate(pairs)
@@ -140,7 +145,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hamming64
 
-    d = t(spark, sf_dir, "documents").select(
+    d = fan_out(t(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("long").alias("len_band"),

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dot_sql, dot_col, t
+from ._util import dot_col, dot_sql, fan_out, t
 
 
 @register(
@@ -143,7 +143,7 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     "_decode_payload), typed feature schema out.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
+    d = fan_out(t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.when(F.col("doc_id") % 3 == 0, "image/png")
