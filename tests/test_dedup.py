@@ -1,0 +1,93 @@
+"""Property tests for the dedup operator family (SURVEY.md §5: 'dedup
+idempotence' + MinHash accuracy vs exact Jaccard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from training_flink_sql_cc_src_spark.operators.dedup import (
+    exact_dedup,
+    first_per_key,
+    latest_per_key,
+    lsh_band_pairs,
+    minhash_jaccard_estimate,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+    hamming64,
+)
+
+
+def _docs(spark):
+    """Tiny corpus with a known near-dup pair and an exact dup."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    far = "completely different words describing unrelated events entirely elsewhere"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)],
+        "doc_id int, text string",
+    )
+
+
+def test_latest_per_key_picks_max_order(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k int, v int, payload string"
+    )
+    out = {r.k: r.payload for r in latest_per_key(df, ["k"], "v").collect()}
+    assert out == {1: "b", 2: "c"}
+
+
+def test_first_per_key_picks_min_order(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b")], "k int, v int, payload string"
+    )
+    assert first_per_key(df, ["k"], "v").collect()[0].payload == "a"
+
+
+def test_latest_per_key_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k int, v int, payload string"
+    )
+    once = latest_per_key(df, ["k"], "v")
+    twice = latest_per_key(once, ["k"], "v")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_exact_dedup_idempotent_and_complete(spark):
+    df = _docs(spark).select("text")
+    d1 = exact_dedup(df)
+    assert d1.count() == 3  # doc 4 is an exact copy of doc 1
+    assert exact_dedup(d1).count() == 3
+
+
+def test_minhash_estimates_jaccard(spark):
+    d = word_shingles(_docs(spark), "text", k=3)
+    sig = minhash_signature(d, "shingles", num_hashes=64)
+    pairs = lsh_band_pairs(sig, "doc_id", "minhash", bands=16, rows_per_band=4)
+    est = {
+        (r.id_a, r.id_b): r.jaccard_est
+        for r in minhash_jaccard_estimate(pairs).collect()
+    }
+    # exact dup pair must be found with estimate 1.0
+    assert est.get((1, 4)) == 1.0
+    # near-dup pair (one word of 13 changed → shingle jaccard ≈ 0.57) must
+    # be found with a high estimate
+    assert (1, 2) in est and est[(1, 2)] > 0.3
+    # unrelated pair, if banded together at all, estimates low
+    assert est.get((1, 3), 0.0) < 0.2
+
+
+def test_simhash_orders_similarity(spark):
+    d = _docs(spark).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    s = {r.doc_id: r.simhash for r in simhash64(d, "words").collect()}
+    ham = lambda a, b: bin((s[a] ^ s[b]) & (2**64 - 1)).count("1")
+    assert ham(1, 4) == 0  # identical docs → identical simhash
+    assert ham(1, 2) < ham(1, 3)  # near-dup closer than unrelated
+
+
+def test_hamming64_matches_python(spark):
+    df = spark.createDataFrame([(0b1011, 0b0011)], "a long, b long")
+    got = df.select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0].h
+    assert got == 1

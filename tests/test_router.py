@@ -1,0 +1,138 @@
+"""Statement-router tests: the ten attested statements S1–S10 executed
+through the engine's SQL front door on fixture stand-ins (SURVEY.md §2.1,
+§3 EP1/EP3). This is the closest thing to 'running the reference labs'."""
+
+from __future__ import annotations
+
+import pytest
+
+from training_flink_sql_cc_src_spark.plans.router import StatementRouter, _map_type
+from training_flink_sql_cc_src_spark.sources.fixtures import register_fixture_views
+from training_flink_sql_cc_src_spark.streaming.pipeline import PipelineRunner
+
+
+@pytest.fixture()
+def router(spark, sf_small):
+    register_fixture_views(spark, sf_small)
+    return StatementRouter(spark)
+
+
+def test_type_mapping():
+    assert _map_type("STRING") == "string"
+    assert _map_type("TIMESTAMP(3)") == "timestamp"
+    assert _map_type("TIMESTAMP_LTZ(3)") == "timestamp"
+    assert _map_type("DECIMAL(10,2)") == "decimal(10,2)"
+    assert _map_type("ARRAY<INT>") == "array<int>"
+    assert _map_type("ROW<city STRING, zip BIGINT>") == (
+        "struct<city: string, zip: bigint>"
+    )
+
+
+def test_s1_s2_create_insert_upsert(router, spark):
+    # S1 (terraform/lab-aggregations/main.tf:396) re-expressed on customer
+    router.execute(
+        "CREATE TABLE shoe_customers_keyed (customer_id STRING, first_name "
+        "STRING, last_name STRING, email STRING, PRIMARY KEY (customer_id) "
+        "NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS"
+    )
+    meta = router.catalog.get("shoe_customers_keyed")
+    assert meta.primary_key == ["customer_id"]
+    assert meta.buckets == 1
+    assert meta.changelog_mode == "upsert"
+    # S2 (:431): projection+rename INSERT
+    router.execute(
+        "INSERT INTO shoe_customers_keyed SELECT CAST(c_custkey AS STRING), "
+        "c_name, c_mktsegment, c_name FROM customer"
+    )
+    n = spark.table("shoe_customers_keyed").count()
+    assert n == spark.table("customer").count()
+    # re-insert same keys -> upsert keeps count constant (latest wins)
+    router.execute(
+        "INSERT INTO shoe_customers_keyed SELECT CAST(c_custkey AS STRING), "
+        "UPPER(c_name), c_mktsegment, c_name FROM customer"
+    )
+    t = spark.table("shoe_customers_keyed")
+    assert t.count() == n
+    # and the latest version won
+    row = t.filter(t.customer_id == "1").collect()[0]
+    assert row.first_name == row.first_name.upper()
+
+
+def test_s5_retract_mode_prop(router):
+    router.execute(
+        "CREATE TABLE enriched (order_id INT, total DOUBLE) "
+        "DISTRIBUTED INTO 1 BUCKETS WITH ('changelog.mode' = 'retract')"
+    )
+    assert router.catalog.get("enriched").changelog_mode == "retract"
+
+
+def test_s7_alter_modify_retype(router, spark):
+    # S7/S8 (terraform/lab-joins/main.tf:465,498): retype a column
+    router.execute("ALTER TABLE orders MODIFY (`o_orderkey` STRING)")
+    assert dict(spark.table("orders").dtypes)["o_orderkey"] == "string"
+
+
+def test_s9_watermark_registration(router):
+    # S9/S10 (terraform/lab-joins/main.tf:531,564): zero-delay watermark
+    router.execute("ALTER TABLE events MODIFY WATERMARK FOR `ts` AS `ts`")
+    meta = router.catalog.get("events")
+    assert meta.watermark_col == "ts"
+    assert meta.watermark_delay == "0 seconds"
+    router.execute(
+        "ALTER TABLE events MODIFY WATERMARK FOR `ts` AS ts - INTERVAL '5' SECOND"
+    )
+    assert router.catalog.get("events").watermark_delay == "5 seconds"
+
+
+def test_full_lab_dag(spark, sf_small):
+    """EP3: the full S1→S6 depends_on DAG re-expressed on fixtures
+    (terraform/lab-aggregations/main.tf:407-412,442-445,541-544,574-576)."""
+    register_fixture_views(spark, sf_small)
+    p = PipelineRunner(spark)
+    p.add(
+        "s1",
+        "CREATE TABLE t_customers_keyed (customer_id STRING, name STRING, "
+        "segment STRING, PRIMARY KEY (customer_id) NOT ENFORCED) "
+        "DISTRIBUTED INTO 1 BUCKETS",
+    )
+    p.add(
+        "s2",
+        "INSERT INTO t_customers_keyed SELECT CAST(c_custkey AS STRING), "
+        "c_name, c_mktsegment FROM customer",
+        depends_on=["s1"],
+    )
+    p.add(
+        "s3",
+        "CREATE TABLE t_products_keyed (product_id STRING, brand STRING, "
+        "model STRING, sale_price DOUBLE, PRIMARY KEY (product_id) NOT "
+        "ENFORCED) DISTRIBUTED INTO 1 BUCKETS",
+    )
+    p.add(
+        "s4",
+        "INSERT INTO t_products_keyed SELECT CAST(p_partkey AS STRING), "
+        "p_brand, p_name, p_retailprice FROM part",
+        depends_on=["s3"],
+    )
+    p.add(
+        "s5",
+        "CREATE TABLE t_enriched (order_id INT, name STRING, brand STRING, "
+        "sale_price DOUBLE) DISTRIBUTED INTO 1 BUCKETS "
+        "WITH ('changelog.mode' = 'retract')",
+        depends_on=["s2", "s4"],
+    )
+    p.add(
+        "s6",
+        "INSERT INTO t_enriched(order_id, name, brand, sale_price) "
+        "SELECT CAST(l.l_orderkey AS INT), c.name, pr.brand, pr.sale_price "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN t_customers_keyed c ON CAST(o.o_custkey AS STRING) = c.customer_id "
+        "JOIN t_products_keyed pr ON CAST(l.l_partkey AS STRING) = pr.product_id",
+        depends_on=["s2", "s4", "s5"],
+    )
+    order = p.run()
+    assert order.index("s2") > order.index("s1")
+    assert order.index("s6") > order.index("s5")
+    enriched = spark.table("t_enriched")
+    assert enriched.count() == spark.table("lineitem").count()
+    assert enriched.columns == ["order_id", "name", "brand", "sale_price"]

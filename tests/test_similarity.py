@@ -1,0 +1,65 @@
+"""Similarity-search tests: cosine correctness vs numpy, ANN recall vs the
+exact baseline (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from training_flink_sql_cc_src_spark.queries._util import cosine_col
+from training_flink_sql_cc_src_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_cosine_matches_numpy(spark):
+    a = [1.0, 2.0, -3.0, 0.5]
+    b = [-2.0, 0.25, 1.0, 4.0]
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    got = df.select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    av, bv = np.array(a, dtype="float32").astype("float64"), np.array(
+        b, dtype="float32"
+    ).astype("float64")
+    want = float(av @ bv / (math.sqrt(av @ av) * math.sqrt(bv @ bv)))
+    assert abs(got - want) < 1e-12
+
+
+def test_bruteforce_topk_matches_numpy(spark, sf_small):
+    got = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in QUERIES["sim_topk_bruteforce"](spark, sf_small).collect()
+    }
+    tb = pq.read_table(f"{sf_small}/embeddings.parquet").to_pandas()
+    V = np.stack([np.asarray(v, dtype="float32").astype("float64") for v in tb.embedding])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    ids = tb.vec_id.values
+    for q in range(8):
+        qi = int(np.where(ids == q)[0][0])
+        order = sorted(
+            [(S[qi, j], -int(ids[j])) for j in range(len(ids)) if ids[j] != q],
+            reverse=True,
+        )
+        for rnk in range(1, 6):
+            want = -order[rnk - 1][1]
+            assert got[(q, rnk)] == want, f"query {q} rank {rnk}"
+
+
+def test_ann_lsh_recall_floor(spark, sf_small):
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_topk_bruteforce"](spark, sf_small).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_ann_lsh"](spark, sf_small).collect()
+    }
+    recall = len(bf & ann) / len(bf)
+    # unclustered random embeddings: sign-LSH recall is modest by nature;
+    # the floor guards against the bucketing degenerating entirely
+    assert recall >= 0.15, f"recall {recall}"
+    # every ANN hit must carry the exact cosine (scored post-candidate)
+    assert all(x[0] < 8 for x in ann)

@@ -1,0 +1,103 @@
+"""Batch↔stream parity (SURVEY.md §5, M8): the same query function run on
+a readStream replay must produce the batch answer; watermarks drop late
+rows; datagen streams replay deterministically."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from training_flink_sql_cc_src_spark.queries._util import t
+from training_flink_sql_cc_src_spark.sources.datagen import datagen_batch, datagen_stream
+from training_flink_sql_cc_src_spark.streaming.parity import run_stream_over_batch
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_windowed_agg_parity(spark, sf_small):
+    """Tumbling-window count/sum per event_type: streaming complete-mode
+    final state == batch recompute (the dynamic-table reading of S9/S10's
+    windowed lab queries)."""
+    ev = t(spark, sf_small, "events").select("ts", "event_type", "value")
+
+    def transform(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n")
+        )
+
+    batch = transform(ev)
+    stream = run_stream_over_batch(spark, ev, transform, output_mode="complete")
+    assert _rows(batch) == _rows(stream)
+
+
+def test_stateless_projection_parity(spark, sf_small):
+    ev = t(spark, sf_small, "events").select("event_id", "event_type", "value")
+
+    def transform(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            "event_id", (F.col("value") * 2).alias("v2")
+        )
+
+    batch = transform(ev)
+    stream = run_stream_over_batch(spark, ev, transform, output_mode="append")
+    assert _rows(batch) == _rows(stream)
+
+
+def test_watermark_append_emits_closed_windows_with_late_drops(spark, sf_small):
+    """S9/S10 watermark semantics in append mode: a window is emitted only
+    once the watermark passes its end, and rows arriving after that are
+    DROPPED (the zero-delay watermark of the labs). The replay is
+    round-robin (out of ts order), so drops must actually occur — emitted
+    counts may only ever undercount the batch result, never inflate it."""
+    ev = t(spark, sf_small, "events").select("ts", "value")
+
+    def transform(df):
+        return (
+            df.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("long").alias("ws"), "n")
+        )
+
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "n")
+    )
+    stream = run_stream_over_batch(
+        spark, ev, transform, output_mode="append", n_files=4
+    )
+    b = {ws: n for ws, n in _rows(batch)}
+    s = {ws: n for ws, n in _rows(stream)}
+    assert set(s) <= set(b)  # only real windows are emitted
+    assert all(s[ws] <= b[ws] for ws in s)  # late rows drop, never inflate
+    assert len(s) >= len(b) // 2  # the replay actually closed most windows
+    assert any(s[ws] < b[ws] for ws in s)  # out-of-order replay did drop
+
+
+def test_datagen_stream_matches_batch_replay(spark):
+    """The datagen rate-source generators are pure functions of the row
+    index: a drained stream prefix equals the batch replay on the same
+    indices (EP2 connector semantics, deterministically)."""
+    import tempfile, time, uuid
+
+    stream = datagen_stream(spark, "SHOE_ORDERS", rows_per_second=500)
+    sink = f"dg_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(sink).count() < 100:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.table(sink)
+    n = got.count()
+    assert n >= 100
+    ids = [r.order_id for r in got.collect()]
+    replay = datagen_batch(spark, "SHOE_ORDERS", max(ids) + 1)
+    want = {r.order_id: (r.product_id, r.customer_id) for r in replay.collect()}
+    for r in got.collect():
+        assert want[r.order_id] == (r.product_id, r.customer_id)

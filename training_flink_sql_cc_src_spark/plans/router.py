@@ -1,0 +1,255 @@
+"""Statement router — the engine's SQL front door (SURVEY.md §3 EP1).
+
+The reference submits Flink SQL strings over REST (confluent_flink_statement,
+terraform/lab-aggregations/main.tf:380-413); the dialect includes DDL Spark
+SQL cannot parse: ``PRIMARY KEY … NOT ENFORCED``, ``DISTRIBUTED INTO n
+BUCKETS``, ``WITH ('changelog.mode'='retract')`` (S1/S3/S5), ``ALTER TABLE …
+MODIFY (`col` TYPE)`` (S7/S8), ``ALTER TABLE … MODIFY WATERMARK FOR c AS
+expr`` (S9/S10). The router intercepts those, records their semantics into
+the TableCatalog, and delegates everything ANSI to ``spark.sql`` (Catalyst
+does all planning — SURVEY.md §4).
+
+Execution semantics mirror the labs:
+- CREATE TABLE registers schema+PK+buckets+changelog and creates an empty
+  temp view of that schema.
+- INSERT INTO on a PK table is an upsert: new rows are unioned with the
+  existing view under a monotone sequence, then collapsed to
+  latest-row-per-key (the compacted-topic read view, SURVEY.md §1.1) —
+  exactly how Flink materializes S2/S4 into shoe_customers_keyed.
+- INSERT INTO on an append table appends.
+- Bucketed tables are repartitioned on the PK to ``buckets`` partitions at
+  write (``DISTRIBUTED INTO 1 BUCKETS`` → repartition(1, pk)).
+
+At scale the upsert materialization is one hash shuffle on the PK — the
+same partitioning downstream keyed joins reuse.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import latest_per_key
+from .catalog import TableCatalog, TableMeta
+
+#: Flink type → Spark SQL type (SURVEY.md §1.3 table).
+_TYPE_MAP = {
+    "STRING": "string",
+    "VARCHAR": "string",
+    "CHAR": "string",
+    "INT": "int",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "BYTES": "binary",
+    "VARBINARY": "binary",
+}
+
+
+def _map_type(flink_type: str) -> str:
+    ft = flink_type.strip()
+    up = ft.upper()
+    if up.startswith("TIMESTAMP"):  # TIMESTAMP(3), TIMESTAMP_LTZ(3)
+        return "timestamp"
+    if up.startswith("DECIMAL") or up.startswith("NUMERIC"):
+        return ft.lower()
+    if up.startswith("ARRAY<"):
+        return f"array<{_map_type(ft[6:-1])}>"
+    if up.startswith("MAP<"):
+        k, v = ft[4:-1].split(",", 1)
+        return f"map<{_map_type(k)},{_map_type(v)}>"
+    if up.startswith("ROW<"):
+        inner = ft[4:-1]
+        fields = [f.strip().split(None, 1) for f in inner.split(",")]
+        cols = ", ".join(f"{n}: {_map_type(tp)}" for n, tp in fields)
+        return f"struct<{cols}>"
+    return _TYPE_MAP.get(up, ft.lower())
+
+
+_CREATE_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _split_create(sql: str) -> tuple[str, str, str] | None:
+    """(name, body, tail) of a CREATE TABLE, with the body delimited by its
+    paren-BALANCED close (a greedy regex would eat the WITH(...) clause)."""
+    m = _CREATE_HEAD_RE.match(sql)
+    if not m:
+        return None
+    depth, start = 1, m.end()
+    for i in range(start, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return m.group(1), sql[start:i], sql[i + 1 :]
+    return None
+_PK_RE = re.compile(
+    r"PRIMARY\s+KEY\s*\(([^)]*)\)\s*NOT\s+ENFORCED", re.IGNORECASE
+)
+_BUCKETS_RE = re.compile(r"DISTRIBUTED\s+INTO\s+(\d+)\s+BUCKETS", re.IGNORECASE)
+_WITH_RE = re.compile(r"WITH\s*\((?P<props>.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_PROP_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
+_ALTER_MODIFY_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s*\(\s*`?(\w+)`?\s+([^)]+)\)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_WATERMARK_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+WATERMARK\s+FOR\s+`?(\w+)`?\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+class StatementRouter:
+    """Executes reference-dialect SQL statements against a SparkSession.
+
+    >>> router = StatementRouter(spark)
+    >>> router.execute("CREATE TABLE t (id STRING, PRIMARY KEY (id) NOT "
+    ...                "ENFORCED) DISTRIBUTED INTO 1 BUCKETS")
+    >>> router.execute("INSERT INTO t SELECT c_custkey FROM customer")
+    """
+
+    def __init__(self, spark: SparkSession, catalog: TableCatalog | None = None):
+        self.spark = spark
+        self.catalog = catalog or TableCatalog()
+        self._seq = 0
+
+    # ---------------------------------------------------------------- execute
+    def execute(self, sql: str) -> DataFrame | None:
+        sql = sql.strip().rstrip(";")
+        m = _ALTER_WATERMARK_RE.match(sql)
+        if m:
+            return self._alter_watermark(m.group(1), m.group(2), m.group(3))
+        m = _ALTER_MODIFY_COL_RE.match(sql)
+        if m:
+            return self._alter_column(m.group(1), m.group(2), m.group(3))
+        if re.match(r"^\s*CREATE\s+TABLE", sql, re.IGNORECASE):
+            return self._create_table(sql)
+        m = _INSERT_RE.match(sql)
+        if m:
+            return self._insert(m.group(1), m.group(2), m.group(3))
+        return self.spark.sql(sql)
+
+    # ------------------------------------------------------------------- DDL
+    def _create_table(self, sql: str) -> None:
+        parts = _split_create(sql)
+        if parts is None:
+            raise ValueError(f"unparseable CREATE TABLE: {sql[:120]}")
+        name, body, tail = parts
+        meta = TableMeta(name=name)
+        pk = _PK_RE.search(body)
+        if pk:
+            meta.primary_key = [
+                c.strip().strip("`") for c in pk.group(1).split(",")
+            ]
+            meta.changelog_mode = "upsert"
+            body = _PK_RE.sub("", body)
+        bk = _BUCKETS_RE.search(tail)
+        if bk:
+            meta.buckets = int(bk.group(1))
+        w = _WITH_RE.search(tail)
+        if w:
+            meta.props = dict(_PROP_RE.findall(w.group("props")))
+            if meta.props.get("changelog.mode"):
+                meta.changelog_mode = meta.props["changelog.mode"]
+        cols = []
+        for coldef in _split_top_level(body):
+            coldef = coldef.strip().rstrip(",")
+            if not coldef:
+                continue
+            cm = re.match(r"`?(\w+)`?\s+(.+)$", coldef, re.DOTALL)
+            if cm:
+                cols.append((cm.group(1), _map_type(cm.group(2))))
+        ddl = ", ".join(f"{n} {tp}" for n, tp in cols)
+        empty = self.spark.createDataFrame([], schema=ddl)
+        meta.schema = empty.schema
+        empty.createOrReplaceTempView(name)
+        self.catalog.register(meta)
+
+    def _alter_column(self, table: str, col: str, new_type: str) -> None:
+        """S7/S8: retype a column on the source view (cast-at-read,
+        SURVEY.md §1.2 ALTER … MODIFY → withColumn(cast))."""
+        df = self.spark.table(table).withColumn(
+            col, F.col(col).cast(_map_type(new_type))
+        )
+        df.createOrReplaceTempView(table)
+        meta = self.catalog.get_or_create(table)
+        meta.schema = df.schema
+
+    def _alter_watermark(self, table: str, col: str, expr: str) -> None:
+        """S9/S10: record event-time + watermark in the catalog; the
+        streaming layer applies withWatermark(col, delay) on readStream."""
+        meta = self.catalog.get_or_create(table)
+        meta.watermark_col = col
+        meta.watermark_expr = expr.strip().rstrip(";")
+
+    # ------------------------------------------------------------------- DML
+    def _insert(self, table: str, col_list: str | None, select_sql: str) -> None:
+        new_rows = self.spark.sql(select_sql)
+        meta = self.catalog.get_or_create(table)
+        if col_list:
+            names = [c.strip().strip("`") for c in col_list.split(",")]
+            new_rows = new_rows.toDF(*names)
+        elif meta.schema is not None:
+            new_rows = new_rows.toDF(*[f.name for f in meta.schema.fields])
+        self._seq += 1
+        new_rows = new_rows.withColumn("__seq", F.lit(self._seq))
+        try:
+            existing = self.spark.table(table)
+        except Exception:
+            existing = None
+        if existing is not None:
+            if "__seq" not in existing.columns:
+                existing = existing.withColumn("__seq", F.lit(0))
+            combined = existing.unionByName(new_rows)
+        else:
+            combined = new_rows
+        if meta.is_keyed:
+            # upsert: latest row per PK by arrival sequence (compacted-topic
+            # read view, SURVEY.md §1.1) — one hash shuffle on the PK.
+            combined = latest_per_key(
+                combined, keys=meta.primary_key, order_col="__seq"
+            )
+        if meta.buckets:
+            keys = meta.primary_key or [combined.columns[0]]
+            combined = combined.repartition(meta.buckets, *keys)
+        # localCheckpoint: chained INSERTs (EP3 DAG) must read a stable
+        # snapshot, not a self-referential view definition. The __seq column
+        # is dropped from the published view: for keyed tables the collapse
+        # already happened, so only the next INSERT needs ordering (it gets
+        # a strictly higher seq than the republished rows' implicit 0).
+        snapshot = combined.drop("__seq").localCheckpoint(eager=True)
+        snapshot.createOrReplaceTempView(table)
+        if meta.schema is None:
+            meta.schema = snapshot.schema
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a column-definition list on commas not nested in <>/()."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts

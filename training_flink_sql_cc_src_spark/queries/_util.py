@@ -10,17 +10,12 @@ from pyspark.sql import functions as F
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table (column pruning / predicate pushdown reach the
-    parquet scan because this is a plain declarative source).
+    parquet scan because this is a plain declarative source). Delegates to
+    sources.fixtures (which also normalizes events' nanosecond timestamps
+    to DuckDB-identical microseconds)."""
+    from ..sources.fixtures import load_fixture
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; read it as long nanos and truncate to microseconds —
-    bit-identical to how DuckDB reads the same file (TIMESTAMP_NS → µs).
-    """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return load_fixture(spark, sf_dir, name)
 
 
 def fan_out(df: DataFrame) -> DataFrame:

@@ -66,11 +66,13 @@ def get_spark(app_name: str = "spark-graft", cpus: int | None = None) -> SparkSe
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture parquet under ``sf_dir`` as a DataFrame."""
+    from .sources.fixtures import load_fixture
+
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_fixture(spark, sf_dir, name)
     return out
 
 
