@@ -1,0 +1,40 @@
+"""Aggregate-family tests beyond the oracle gate: approx_count_distinct
+accuracy (its oracle is intentionally absent — HLL++ is engine-specific)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from training_flink_sql_cc_src_spark.queries._util import t
+from training_flink_sql_cc_src_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_approx_count_distinct_accuracy(spark, sf_med):
+    approx = {
+        r.returnflag: (r.approx_orders, r.approx_parts)
+        for r in QUERIES["agg_approx_count_distinct"](spark, sf_med).collect()
+    }
+    exact = {
+        r.returnflag: (r.n_orders, r.n_parts)
+        for r in (
+            t(spark, sf_med, "lineitem")
+            .groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(
+                F.countDistinct("l_orderkey").alias("n_orders"),
+                F.countDistinct("l_partkey").alias("n_parts"),
+            )
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag in exact:
+        for a, e in zip(approx[flag], exact[flag]):
+            assert abs(a - e) / e < 0.05, f"{flag}: {a} vs {e}"  # HLL++ rsd
+
+
+def test_rollup_has_grand_total(spark, sf_med):
+    rows = QUERIES["agg_rollup"](spark, sf_med).collect()
+    grand = [r for r in rows if r.returnflag is None and r.linestatus is None]
+    assert len(grand) == 1
+    assert grand[0].n == t(spark, sf_med, "lineitem").count()

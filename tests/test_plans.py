@@ -1,0 +1,73 @@
+"""Physical-plan assertions — the 100 TB design contract made executable
+(SURVEY.md §4; the 'would this survive a 100× scale-up' checklist):
+
+- filters reach the parquet scan (PushedFilters),
+- projections prune the scan (ReadSchema),
+- dimension joins broadcast (no fact shuffle),
+- Top-N uses rank-limit pushdown (WindowGroupLimit — per-group state k),
+- ORDER BY+LIMIT avoids a global sort (TakeOrderedAndProject),
+- aggregates split partial/final (two HashAggregates).
+
+These run on sf0.01 but assert plan SHAPE, which is scale-invariant.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from training_flink_sql_cc_src_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filters_push_down_to_scan(spark, sf_med):
+    plan = _plan(spark, "filter_predicates", sf_med)
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "In(o_orderstatus" in pushed
+    assert "GreaterThanOrEqual(o_totalprice" in pushed
+
+
+def test_projection_prunes_scan(spark, sf_med):
+    plan = _plan(spark, "s2_customers_keyed_projection", sf_med)
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_custkey" in schema_line and "c_nationkey" not in schema_line
+
+
+def test_dim_joins_broadcast(spark, sf_med):
+    plan = _plan(spark, "s6_orders_enriched_join", sf_med)
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + part dims
+
+
+def test_topn_uses_rank_pushdown(spark, sf_med):
+    plan = _plan(spark, "topn_per_group", sf_med)
+    assert "WindowGroupLimit" in plan  # per-group state is O(k), not O(n)
+
+
+def test_order_limit_avoids_global_sort(spark, sf_med):
+    plan = _plan(spark, "order_by_limit", sf_med)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_splits_partial_final(spark, sf_med):
+    plan = _plan(spark, "agg_pricing_summary", sf_med)
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_interval_join_is_hash_not_cross(spark, sf_med):
+    plan = _plan(spark, "join_interval", sf_med)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_pairs_join_is_equi_on_block_key(spark, sf_med):
+    plan = _plan(spark, "dedup_jaccard_blocked_pairs", sf_med)
+    assert "CartesianProduct" not in plan

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..session import ensure_package_shipped
 from ._util import dot_col, dot_sql, fan_out, t
 
 
@@ -143,6 +144,7 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     "_decode_payload), typed feature schema out.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
     d = fan_out(t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),

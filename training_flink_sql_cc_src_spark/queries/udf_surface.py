@@ -1,0 +1,66 @@
+"""UDF/UDTF surface queries (SURVEY.md §2.8): the Spark-native function
+extension points exposed as registry entries — posexplode as the table
+function (UDTF) analog, Arrow-batched pandas UDFs for logic built-ins
+cannot express."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import char_entropy, zscore_grouped
+from ..registry import register
+from ..session import ensure_package_shipped
+from ._util import fan_out, t
+
+
+@register(
+    "udtf_explode_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS pos,
+           string_split(text, ' ')[i + 1] AS token
+    FROM documents, UNNEST(range(len(string_split(text, ' ')))) AS r(i)
+    WHERE doc_id < 50
+    """,
+    doc="UDTF analog (Flink table function → posexplode, SURVEY.md §2.8): "
+    "one row per (doc, position, token). JVM-side generate — no Python.",
+)
+def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    )
+
+
+@register(
+    "pandas_udf_entropy",
+    oracle=None,  # per-row float accumulation order inside the UDF is not
+    # SQL-reproducible; verified against a pure-python reference in
+    # tests/test_udf_surface.py
+    doc="Scalar pandas UDF (Arrow-batched, SURVEY.md §2.8): per-document "
+    "character Shannon entropy — a quality-scoring signal that needs a "
+    "per-row histogram, which built-in expressions cannot form.",
+)
+def pandas_udf_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.select("doc_id", char_entropy(F.col("text")).alias("entropy_bits"))
+
+
+@register(
+    "pandas_grouped_zscore",
+    oracle=None,  # pandas mean/std float order differs from SQL aggregation;
+    # verified against Spark-native window computation in tests
+    doc="Grouped-map applyInPandas (SURVEY.md §2.8): per-lang z-score of "
+    "document length. One shuffle on the group key; group = one Arrow "
+    "batch (bounded groups only — unbounded keys belong in window "
+    "functions).",
+)
+def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    return zscore_grouped(d, "lang", "n_chars")

@@ -75,6 +75,7 @@ def _load_all() -> None:
         relational,
         scalar_fns,
         time_windows,
+        udf_surface,
     )
 
     _LOADED = True

@@ -64,6 +64,36 @@ def get_spark(app_name: str = "spark-graft", cpus: int | None = None) -> SparkSe
     return spark
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to Python workers via addPyFile.
+
+    Any operator that sends Python to executors (pandas UDFs, mapInPandas,
+    applyInPandas) needs the package importable on the WORKER, which is
+    guaranteed neither in local mode with a different driver cwd nor on a
+    real cluster. Zipping the package once per session and registering it
+    with the SparkContext is the standard deployment mechanism — same code
+    path works unchanged on a 1000-executor cluster.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_spark_graft_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="spark_graft_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._spark_graft_pkg_shipped = True
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture parquet under ``sf_dir`` as a DataFrame."""
     from .sources.fixtures import load_fixture
