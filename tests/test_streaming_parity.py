@@ -101,3 +101,69 @@ def test_datagen_stream_matches_batch_replay(spark):
     want = {r.order_id: (r.product_id, r.customer_id) for r in replay.collect()}
     for r in got.collect():
         assert want[r.order_id] == (r.product_id, r.customer_id)
+
+
+def test_stream_stream_interval_join_parity(spark, sf_small):
+    """The lab-joins interval join (S9/S10 watermarks on both sides) run as
+    a native stream-stream join: same results as the batch interval join."""
+    ev = t(spark, sf_small, "events").select("event_id", "user_id", "ts", "event_type")
+
+    def transform(df):
+        p = (
+            df.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        c = (
+            df.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        return p.join(
+            c,
+            (p.user_id == c.c_user_id)
+            & (c.c_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+            & (c.c_ts <= p.p_ts),
+            "inner",
+        ).select("purchase_id", "click_id")
+
+    from training_flink_sql_cc_src_spark.registry import all_queries
+
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in all_queries()["join_interval"](spark, sf_small).collect()
+    }
+    # stream-stream joins need BOTH sides streaming from one source here;
+    # append mode emits matches once the watermark closes them
+    streamed = run_stream_over_batch(
+        spark, ev, transform, output_mode="append", n_files=4
+    )
+    got = {(r.purchase_id, r.click_id) for r in streamed.collect()}
+    assert got <= batch  # no phantom matches
+    assert len(got) >= len(batch) * 0.5  # most matches emitted before drain end
+
+
+def test_streaming_dedup_drop_duplicates(spark, sf_small):
+    """Streaming dedup (SURVEY.md §2.6): dropDuplicates on a key column
+    over a replay keeps exactly one row per key — final state equals the
+    batch distinct."""
+    ev = t(spark, sf_small, "events").select("user_id", "event_type")
+
+    def transform(df):
+        return df.dropDuplicates(["user_id", "event_type"])
+
+    batch = {(r.user_id, r.event_type) for r in ev.distinct().collect()}
+    streamed = run_stream_over_batch(
+        spark, ev, transform, output_mode="append", n_files=4
+    )
+    got = [(r.user_id, r.event_type) for r in streamed.collect()]
+    assert len(got) == len(set(got))  # no duplicates emitted
+    assert set(got) == batch  # exactly the batch-distinct state

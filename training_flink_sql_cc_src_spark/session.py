@@ -52,6 +52,12 @@ def get_spark(app_name: str = "spark-graft", cpus: int | None = None) -> SparkSe
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by shuffle BYTES; compute-heavy stages over small
+        # compressed data (array intersects, sketches) would collapse to
+        # ~1 partition. A small floor keeps parallelism-first targeting
+        # effective; at cluster scale partitions are >>1MB so this floor
+        # never binds.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

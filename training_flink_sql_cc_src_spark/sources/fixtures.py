@@ -18,7 +18,14 @@ from ..session import TABLES
 
 def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. events.ts is TIMESTAMP(NANOS) parquet —
-    read as long nanos, truncate to micros (identical to DuckDB)."""
+    read as long nanos, truncate to micros (identical to DuckDB).
+
+    Session timezone is pinned to UTC here (idempotent): timestamp-derived
+    values (year/date casts, date_trunc) evaluate in session TZ, and the
+    DuckDB oracle is UTC-naive — a non-UTC caller session would shift
+    every date field.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
