@@ -31,14 +31,28 @@ OUTPUT_MODE_FOR_CHANGELOG = {
 
 
 def stream_from_batch(
-    spark: SparkSession, batch_df: DataFrame, n_files: int = 4
+    spark: SparkSession,
+    batch_df: DataFrame,
+    n_files: int = 4,
+    order_by: str | None = None,
 ) -> DataFrame:
     """Replay a batch DataFrame as a bounded file stream: spool to parquet
     in n_files chunks (so several micro-batches fire), then readStream with
     the exact batch schema. maxFilesPerTrigger=1 forces incremental
-    processing, exercising real streaming state merging."""
+    processing, exercising real streaming state merging.
+
+    ``order_by``: spool with range partitioning on that column so files
+    replay in its order (FileStreamSource processes ties-in-modtime by
+    path, and part-file names follow range-partition order) — an in-order
+    event-time replay where the watermark advances monotonically. Without
+    it the replay is round-robin, i.e. heavily out-of-order.
+    """
     spool = tempfile.mkdtemp(prefix=f"sparkgraft-stream-{uuid.uuid4().hex[:8]}-")
-    batch_df.repartition(n_files).write.mode("overwrite").parquet(spool)
+    if order_by is not None:
+        spooled = batch_df.repartitionByRange(n_files, order_by)
+    else:
+        spooled = batch_df.repartition(n_files)
+    spooled.write.mode("overwrite").parquet(spool)
     return (
         spark.readStream.schema(batch_df.schema)
         .option("maxFilesPerTrigger", 1)
@@ -52,15 +66,17 @@ def run_stream_over_batch(
     transform,
     output_mode: str = "complete",
     n_files: int = 4,
+    order_by: str | None = None,
 ) -> DataFrame:
     """Run ``transform(streaming_df)`` over a replay of ``batch_df`` and
     return the fully-drained result as a batch DataFrame (memory sink).
 
     ``output_mode='complete'`` for aggregations (final state ==
     batch-recompute); ``'append'`` for stateless/watermark-closed
-    transforms.
+    transforms. ``order_by`` replays in that column's order (see
+    stream_from_batch).
     """
-    stream = stream_from_batch(spark, batch_df, n_files=n_files)
+    stream = stream_from_batch(spark, batch_df, n_files=n_files, order_by=order_by)
     out = transform(stream)
     sink = f"parity_{uuid.uuid4().hex[:12]}"
     q = (
