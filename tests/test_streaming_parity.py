@@ -137,20 +137,25 @@ def test_stream_stream_interval_join_parity(spark, sf_small):
 
     from training_flink_sql_cc_src_spark.registry import all_queries
 
-    batch = {
-        (r.purchase_id, r.click_id)
-        for r in all_queries()["join_interval"](spark, sf_small).collect()
-    }
+    batch_rows = all_queries()["join_interval"](spark, sf_small).collect()
+    batch = {(r.purchase_id, r.click_id) for r in batch_rows}
     # stream-stream joins need BOTH sides streaming from one source here;
     # append mode emits matches once the watermark closes them. In-order
     # replay (order_by ts) makes the watermark advance monotonically, so
-    # every match except those in the final watermark horizon is emitted.
+    # exactly the matches OUTSIDE the final watermark horizon (1h delay +
+    # 30m join range behind max ts, which never closes) must be emitted.
+    max_epoch = max(r.purchase_epoch for r in batch_rows)
+    must_emit = {
+        (r.purchase_id, r.click_id)
+        for r in batch_rows
+        if r.purchase_epoch < max_epoch - 2 * 3600
+    }
     streamed = run_stream_over_batch(
         spark, ev, transform, output_mode="append", n_files=4, order_by="ts"
     )
     got = {(r.purchase_id, r.click_id) for r in streamed.collect()}
     assert got <= batch  # no phantom matches
-    assert len(got) >= len(batch) * 0.75  # all but the final-horizon matches
+    assert must_emit <= got  # every watermark-closed match is emitted
 
 
 def test_streaming_dedup_drop_duplicates(spark, sf_small):
