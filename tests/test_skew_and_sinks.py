@@ -1,0 +1,77 @@
+"""Skew-handling operators and sink writes: correctness equivalence of the
+salted variants, partition pruning and shuffle-free joins from sinks."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from training_flink_sql_cc_src_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+from training_flink_sql_cc_src_spark.sources.sinks import (
+    write_compacted,
+    write_partitioned,
+)
+
+
+def _skewed_fact(spark, n=20_000):
+    """90% of rows share key 0 (a hot key), the rest spread over 100 keys."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, 0)
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+    )
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = _skewed_fact(spark)
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("label")
+    )
+    plain = fact.join(dim, "k").groupBy("k", "label").count()
+    salted = salted_join(fact, dim, "k", salt_buckets=8).groupBy("k", "label").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_aggregate_matches_count_distinct(spark):
+    fact = _skewed_fact(spark)
+    plain = {
+        r.k: r.n
+        for r in fact.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    salted = {
+        r.k: r.n_distinct_v for r in salted_aggregate(fact, ["k"], "v").collect()
+    }
+    assert plain == salted
+
+
+def test_partitioned_write_prunes(spark, sf_small):
+    from training_flink_sql_cc_src_spark.queries._util import t
+
+    path = tempfile.mkdtemp(prefix=f"sink-{uuid.uuid4().hex[:8]}-")
+    docs = t(spark, sf_small, "documents")
+    write_partitioned(docs, path, ["lang"])
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # filter on the partition column must become directory pruning
+    plan = back.filter(F.col("lang") == "en")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    n_en = back.filter(F.col("lang") == "en").count()
+    assert n_en == docs.filter(F.col("lang") == "en").count()
+
+
+def test_compacted_write_is_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "old"), (1, 2, "new"), (2, 1, "only")], "k int, seq int, val string"
+    )
+    path = tempfile.mkdtemp(prefix=f"compact-{uuid.uuid4().hex[:8]}-")
+    write_compacted(df, path, keys=["k"], order_col="seq")
+    got = {r.k: r.val for r in spark.read.parquet(path).collect()}
+    assert got == {1: "new", 2: "only"}

@@ -190,3 +190,35 @@ def text_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+BPE_ISH_PATTERN = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS bpe_per_word
+    FROM documents
+    """,
+    doc="Token counting with a BPE-ish regex (SURVEY.md north-star: "
+    "'whitespace + a BPE-ish regex'): GPT-2-style pre-tokenizer pattern "
+    "(space-prefixed letter runs / digit runs / punctuation runs — "
+    "restricted to the RE2∩Java-regex common subset so both engines "
+    "tokenize identically), compared against the whitespace count. "
+    "Map-only regex scan in codegen.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+    ws = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        (F.size(bpe).cast("double") / F.size(ws)).alias("bpe_per_word"),
+    )
