@@ -38,3 +38,29 @@ def test_rollup_has_grand_total(spark, sf_med):
     grand = [r for r in rows if r.returnflag is None and r.linestatus is None]
     assert len(grand) == 1
     assert grand[0].n == t(spark, sf_med, "lineitem").count()
+
+
+def test_manual_moments_match_builtin_corr(spark, sf_med):
+    """The moment-sum construction (agg_variance_covar_manual) agrees with
+    Spark's built-in var_pop/covar_pop/corr to float tolerance — the
+    built-ins are the production path when cross-engine bit-equality is
+    not required."""
+    got = {
+        r.returnflag: (r.mean_qty, r.var_pop_qty, r.cov_pop_qty_price)
+        for r in QUERIES["agg_variance_covar_manual"](spark, sf_med).collect()
+    }
+    want = {
+        r.returnflag: (r.m, r.v, r.c)
+        for r in (
+            t(spark, sf_med, "lineitem")
+            .groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(
+                F.avg("l_quantity").alias("m"),
+                F.var_pop("l_quantity").alias("v"),
+                F.covar_pop("l_quantity", "l_extendedprice").alias("c"),
+            )
+        ).collect()
+    }
+    for flag in want:
+        for a, b in zip(got[flag], want[flag]):
+            assert abs(a - b) <= 1e-6 * max(1.0, abs(b)), (flag, a, b)

@@ -174,3 +174,47 @@ def test_streaming_dedup_drop_duplicates(spark, sf_small):
     got = [(r.user_id, r.event_type) for r in streamed.collect()]
     assert len(got) == len(set(got))  # no duplicates emitted
     assert set(got) == batch  # exactly the batch-distinct state
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, sf_small):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals evolved across micro-batches; each key's LAST update equals the
+    batch aggregate."""
+    from training_flink_sql_cc_src_spark.streaming.parity import stream_from_batch
+    from training_flink_sql_cc_src_spark.streaming.stateful import running_totals
+    import uuid
+
+    ev = t(spark, sf_small, "events").select("user_id", "value")
+    stream = stream_from_batch(spark, ev, n_files=4)
+    out = running_totals(stream, "user_id", "value")
+    sink = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    emitted = spark.table(sink).toPandas()
+    # multiple updates per key were emitted (state really evolved)
+    assert (emitted.groupby("user_id").size() > 1).any()
+    # last update per key (max n) must equal the batch aggregate
+    last = emitted.sort_values("n").groupby("user_id").tail(1).set_index("user_id")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("peak"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(last) == len(batch)
+    joined = last.join(batch, lsuffix="_s", rsuffix="_b")
+    assert (joined.n_s == joined.n_b).all()
+    assert (abs(joined.total_s - joined.total_b) < 1e-6).all()
+    assert (joined.peak_s == joined.peak_b).all()

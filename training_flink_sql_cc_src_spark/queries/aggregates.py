@@ -206,3 +206,103 @@ def agg_global_no_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           quantile_disc(o_totalprice, 0.5) AS p50,
+           quantile_disc(o_totalprice, 0.9) AS p90,
+           quantile_disc(o_totalprice, 0.99) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Discrete percentiles (PERCENTILE_DISC WITHIN GROUP — the "
+    "order-statistics surface; Flink 1.19 course-scope analytics). "
+    "Discrete (element-picking) percentiles are exact across engines, "
+    "unlike interpolated PERCENTILE_CONT whose arithmetic drifts.",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__o_pct")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+        FROM __o_pct GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           string_agg(DISTINCT c_nationkey, ',' ORDER BY c_nationkey)
+               AS nations_csv
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="Ordered string aggregation (LISTAGG / string_agg): collect_list "
+    "+ sort + join in Spark — made deterministic by sorting the distinct "
+    "set before concatenation.",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_nationkey")), ","
+            ).alias("nations_csv")
+        )
+    )
+
+
+@register(
+    "agg_variance_covar_manual",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag,
+           sx / n AS mean_qty,
+           sxx / n - (sx / n) * (sx / n) AS var_pop_qty,
+           sxy / n - (sx / n) * (sy / n) AS cov_pop_qty_price
+    FROM (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {DSUM_SQL.format(x='l_quantity')} AS sx,
+               {DSUM_SQL.format(x='l_quantity * l_quantity')} AS sxx,
+               {DSUM_SQL.format(x='l_extendedprice')} AS sy,
+               {DSUM_SQL.format(x='l_extendedprice * l_extendedprice')} AS syy,
+               {DSUM_SQL.format(x='l_quantity * l_extendedprice')} AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+    doc="Population variance and covariance via moment sums (VAR_POP / "
+    "COVAR_POP surface; CORR is the same moments — its extra sqrt/divide "
+    "chain hits FMA-contraction ULP drift cross-engine, so it lives in "
+    "tests/test_aggregates.py instead). Built-in var_pop/covar accumulate "
+    "floats in partition order (non-deterministic cross-engine), so the "
+    "moments go through DECIMAL(38,6) and the final formula is fixed-order "
+    "double arithmetic — bit-identical to the oracle.",
+)
+def agg_variance_covar_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    base = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("sx"),
+        dsum(q * q).alias("sxx"),
+        dsum(p).alias("sy"),
+        dsum(p * p).alias("syy"),
+        dsum(q * p).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return base.select(
+        "returnflag",
+        (sx / n).alias("mean_qty"),
+        (sxx / n - (sx / n) * (sx / n)).alias("var_pop_qty"),
+        (sxy / n - (sx / n) * (sy / n)).alias("cov_pop_qty_price"),
+    )
