@@ -218,3 +218,35 @@ def test_apply_in_pandas_with_state_running_totals(spark, sf_small):
     assert (joined.n_s == joined.n_b).all()
     assert (abs(joined.total_s - joined.total_b) < 1e-6).all()
     assert (joined.peak_s == joined.peak_b).all()
+
+
+def test_foreach_batch_upsert_sink(spark, sf_small):
+    """Streaming upsert sink (foreachBatch merge): replaying per-user
+    events into a PK=user_id table leaves exactly the latest row per user
+    (the S2/S4 streaming materialization of a keyed table)."""
+    import tempfile, uuid
+
+    from training_flink_sql_cc_src_spark.streaming.parity import stream_from_batch
+    from training_flink_sql_cc_src_spark.streaming.upsert_sink import start_upsert_sink
+
+    ev = t(spark, sf_small, "events").select("user_id", "event_id", "value", "ts")
+    path = tempfile.mkdtemp(prefix=f"upsert-{uuid.uuid4().hex[:8]}-") + "/table"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt-{uuid.uuid4().hex[:8]}-")
+    # in-order replay so "latest" is well-defined by event time
+    q = start_upsert_sink(
+        stream_from_batch(spark, ev, n_files=4, order_by="ts"),
+        path,
+        keys=["user_id"],
+        checkpoint=ckpt,
+        order_col="ts",
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(path)
+    assert got.count() == ev.select("user_id").distinct().count()
+    # exact invariant: (batch seq, ts) ordering stores each user's max-ts
+    # event — the event-time upsert view
+    latest_ts = ev.groupBy("user_id").agg(F.max("ts").alias("max_ts"))
+    mismatch = got.join(latest_ts, "user_id").filter(
+        F.col("ts") != F.col("max_ts")
+    )
+    assert mismatch.count() == 0

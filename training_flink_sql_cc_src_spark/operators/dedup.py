@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 
 def latest_per_key(
-    df: DataFrame, keys: list[str], order_col: str, desc: bool = True
+    df: DataFrame, keys: list[str], order_col: str | list[str], desc: bool = True
 ) -> DataFrame:
     """Materialize the upsert view of a keyed changelog: latest row per PK.
 
@@ -27,9 +27,12 @@ def latest_per_key(
     (SURVEY.md §1.1). Batch analog: row_number over (partition by pk order
     by version desc) = 1. One shuffle on the PK; the output is already
     hash-partitioned by the key, which downstream keyed joins reuse.
+    ``order_col`` may be a list for composite ordering (e.g. (batch seq,
+    event time) so in-batch ties resolve by event time).
     """
-    oc = F.col(order_col).desc() if desc else F.col(order_col).asc()
-    w = Window.partitionBy(*keys).orderBy(oc)
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ocs = [F.col(c).desc() if desc else F.col(c).asc() for c in cols]
+    w = Window.partitionBy(*keys).orderBy(*ocs)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -47,12 +47,23 @@ def stream_from_batch(
     event-time replay where the watermark advances monotonically. Without
     it the replay is round-robin, i.e. heavily out-of-order.
     """
+    import glob
+    import os
+    import time
+
     spool = tempfile.mkdtemp(prefix=f"sparkgraft-stream-{uuid.uuid4().hex[:8]}-")
     if order_by is not None:
         spooled = batch_df.repartitionByRange(n_files, order_by)
     else:
         spooled = batch_df.repartition(n_files)
     spooled.write.mode("overwrite").parquet(spool)
+    if order_by is not None:
+        # FileStreamSource replays by (modification time, path); parallel
+        # task completion randomizes mtimes, so stamp them in part-file
+        # order (= range-partition order) to get a true in-order replay
+        base = time.time() - 3600
+        for i, f in enumerate(sorted(glob.glob(os.path.join(spool, "part-*")))):
+            os.utime(f, (base + i, base + i))
     return (
         spark.readStream.schema(batch_df.schema)
         .option("maxFilesPerTrigger", 1)
