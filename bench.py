@@ -29,6 +29,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: workhorses (blocked jaccard dedup, minhash LSH, brute-force ANN, rollup).
 HEADLINE = (
     "s6_orders_enriched_join",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q10_returned_items",
     "agg_pricing_summary",
     "agg_rollup",
     "topn_per_group",

@@ -67,6 +67,7 @@ def _load_all() -> None:
         aggregates,
         analytic,
         attested,
+        composite,
         joins,
         llm_dedup,
         llm_similarity,
