@@ -119,3 +119,42 @@ def analytic_first_last_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("moving_sum_4"),
     )
+
+
+@register(
+    "analytic_distribution",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTH_VALUE(o_orderkey, 2) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_best
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Distribution window functions: NTILE / PERCENT_RANK / CUME_DIST / "
+    "NTH_VALUE (Flink 1.19 analytic set, SURVEY.md §2.5). PERCENT_RANK "
+    "and CUME_DIST are rank/count ratios — single-division doubles, "
+    "hash-exact across engines.",
+)
+def analytic_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_nth = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.nth_value("o_orderkey", 2).over(w_nth).alias("second_best"),
+        )
+    )

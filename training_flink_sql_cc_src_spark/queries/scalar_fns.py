@@ -215,3 +215,44 @@ def scalar_array_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_map"
         ),
     )
+
+
+@register(
+    "scalar_string_extended",
+    oracle="""
+    SELECT n_nationkey AS nationkey,
+           LPAD(n_name, 12, '.') AS padded,
+           RPAD(n_name, 12, '.') AS rpadded,
+           REVERSE(n_name) AS reversed,
+           ASCII(n_name) AS first_code,
+           CHR(65 + n_nationkey % 26) AS letter,
+           REPEAT(SUBSTRING(n_name, 1, 2), 3) AS rep2x3,
+           LEFT(n_name, 3) AS l3,
+           RIGHT(n_name, 3) AS r3,
+           CONTAINS(n_name, 'AN') AS has_an,
+           starts_with(n_name, 'A') AS starts_a,
+           ends_with(n_name, 'A') AS ends_a,
+           INSTR(n_name, 'A') AS a_pos
+    FROM nation
+    """,
+    doc="Extended string family: LPAD/RPAD/REVERSE/ASCII/CHR/REPEAT/"
+    "LEFT/RIGHT/CONTAINS/STARTS_WITH/ENDS_WITH/INSTR (Flink 1.19 "
+    "built-in breadth, SURVEY.md §2.7).",
+)
+def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.lpad("n_name", 12, ".").alias("padded"),
+        F.rpad("n_name", 12, ".").alias("rpadded"),
+        F.reverse("n_name").alias("reversed"),
+        F.ascii("n_name").alias("first_code"),
+        F.chr(F.lit(65) + F.col("n_nationkey") % 26).alias("letter"),
+        F.repeat(F.substring("n_name", 1, 2), 3).alias("rep2x3"),
+        F.substring("n_name", 1, 3).alias("l3"),
+        F.col("n_name").substr(F.length("n_name") - 2, F.lit(3)).alias("r3"),
+        F.contains(F.col("n_name"), F.lit("AN")).alias("has_an"),
+        F.startswith(F.col("n_name"), F.lit("A")).alias("starts_a"),
+        F.endswith(F.col("n_name"), F.lit("A")).alias("ends_a"),
+        F.instr(F.col("n_name"), "A").alias("a_pos"),
+    )
