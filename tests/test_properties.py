@@ -1,0 +1,77 @@
+"""Hypothesis property tests for the custom operators (SURVEY.md §5
+'property-style checks'): latest-per-key and the as-of join checked
+against direct Python references on generated inputs.
+
+One shared Spark-roundtrip budget: hypothesis drives small generated
+datasets (deadline disabled — Spark jobs are slow relative to hypothesis
+defaults, examples capped instead).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from training_flink_sql_cc_src_spark.operators.dedup import latest_per_key
+from training_flink_sql_cc_src_spark.queries.joins import asof_join
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=0, max_value=50),  # version/ts
+        st.integers(min_value=0, max_value=999),  # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=ROWS)
+def test_latest_per_key_property(spark, rows):
+    """latest_per_key == python max-by-(order, stable) per key, for rows
+    with unique (key, version) pairs (ties deduped to keep the reference
+    well-defined)."""
+    seen = {}
+    for k, v, p in rows:
+        seen[(k, v)] = p  # dedupe ties: last writer wins in both references
+    uniq = [(k, v, p) for (k, v), p in seen.items()]
+    df = spark.createDataFrame(uniq, "k int, v int, p int")
+    got = {r.k: (r.v, r.p) for r in latest_per_key(df, ["k"], "v").collect()}
+    want = {}
+    for k, v, p in uniq:
+        if k not in want or v > want[k][0]:
+            want[k] = (v, p)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(0, 99)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_asof_join_property(spark, left, right):
+    """asof_join == python 'latest right payload with ts <= left ts per
+    key' (right deduped on (key, ts) so the reference is unique)."""
+    left = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    rseen = {}
+    for k, ts, p in right:
+        rseen[(k, ts)] = p
+    runiq = [(k, ts, p) for (k, ts), p in rseen.items()]
+    ldf = spark.createDataFrame(left, "lid int, k int, ts int")
+    rdf = spark.createDataFrame(runiq, "k int, ts int, payload int")
+    out = asof_join(
+        ldf, rdf, key="k", left_ts="ts", right_ts="ts", right_payload=["payload"]
+    )
+    got = {r.lid: r.payload for r in out.collect()}
+    want = {}
+    for lid, k, lts in left:
+        cands = [(ts, p) for (kk, ts, p) in runiq if kk == k and ts <= lts]
+        want[lid] = max(cands)[1] if cands else None
+    assert got == want

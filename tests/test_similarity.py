@@ -63,3 +63,19 @@ def test_ann_lsh_recall_floor(spark, sf_small):
     assert recall >= 0.15, f"recall {recall}"
     # every ANN hit must carry the exact cosine (scored post-candidate)
     assert all(x[0] < 8 for x in ann)
+
+
+def test_ann_ivf_recall_floor(spark, sf_small):
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_topk_bruteforce"](spark, sf_small).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_ann_ivf"](spark, sf_small).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    # 2-of-16 probed cells on unclustered vectors: modest recall by nature
+    assert recall >= 0.1, f"recall {recall}"
+    # every query returned a full (or capped-by-candidates) result set
+    assert {q for q, _ in ivf} == set(range(8))

@@ -250,3 +250,24 @@ def test_foreach_batch_upsert_sink(spark, sf_small):
         F.col("ts") != F.col("max_ts")
     )
     assert mismatch.count() == 0
+
+
+def test_session_window_streaming_parity(spark, sf_small):
+    """Merging session windows (F.session_window) in streaming complete
+    mode: final state equals the batch gaps-and-islands result."""
+    ev = t(spark, sf_small, "events").select("ts", "user_id")
+
+    def transform(df):
+        return (
+            df.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("w.start").cast("long").alias("ws"),
+                "n",
+            )
+        )
+
+    batch = transform(ev)
+    stream = run_stream_over_batch(spark, ev, transform, output_mode="complete")
+    assert _rows(batch) == _rows(stream)

@@ -179,3 +179,97 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def _argmax_cell(emb, centroids: list[tuple[int, list[float]]]):
+    """Index of the nearest centroid (max dot product) as a JVM expression:
+    build an array of (score, cell_id) structs and take array_max —
+    struct comparison is lexicographic, so the max-score cell wins."""
+    from ._util import dot_col
+
+    scored = F.array(
+        *[
+            F.struct(
+                dot_col(emb, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    return F.array_max(scored).getField("cell")
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=None,  # centroid choice is engine-side; recall vs brute force
+    # asserted in tests/test_similarity.py
+    doc="Approximate nearest neighbors via IVF (inverted-file) coarse "
+    "quantization — the second scale path beside LSH (SURVEY.md §2.9): "
+    "16 deterministic coarse centroids (every n/16-th vector), each corpus "
+    "vector assigned to its nearest cell map-side (argmax over broadcast "
+    "centroid dot products, JVM-only), queries probe their 2 nearest "
+    "cells, candidates scored exactly, top-k per query. Candidate "
+    "generation is an equi join on cell id — scan cost 2/16 of the corpus "
+    "per query at scale.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    n_cells = 16
+    n_vec = e.count()
+    step = max(n_vec // n_cells, 1)
+    cents = [
+        (i, list(r.embedding))
+        for i, r in enumerate(
+            e.filter(F.col("vec_id") % step == 0)
+            .orderBy("vec_id")
+            .limit(n_cells)
+            .collect()
+        )
+    ]
+    assigned = e.withColumn("cell", _argmax_cell(F.col("embedding"), cents))
+    # queries probe their top-2 cells (explode the 2-best struct array)
+    q = e.filter(F.col("vec_id") < N_QUERY)
+    from ._util import dot_col
+
+    q_scored = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.struct(
+                                dot_col(
+                                    F.col("embedding"),
+                                    F.array(*[F.lit(float(x)) for x in c]),
+                                ).alias("s"),
+                                F.lit(cid).alias("cell"),
+                            )
+                            for cid, c in cents
+                        ]
+                    )
+                )
+            ),
+            1,
+            2,
+        ).alias("probes"),
+    ).select(
+        "query_id", "q_emb", F.explode(F.col("probes").getField("cell")).alias("cell")
+    )
+    cands = (
+        assigned.join(F.broadcast(q_scored), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.withColumn(
+        "cos_sim", cosine_col(F.col("q_emb"), F.col("embedding"))
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -256,3 +256,28 @@ def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.endswith(F.col("n_name"), F.lit("A")).alias("ends_a"),
         F.instr(F.col("n_name"), "A").alias("a_pos"),
     )
+
+
+@register(
+    "scalar_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    """,
+    doc="Typed JSON parsing (Flink JSON_QUERY / structured access, "
+    "SURVEY.md §2.7): from_json with an explicit schema — the "
+    "Spark-idiomatic path when the payload shape is known (one parse, "
+    "typed struct out), vs get_json_object's per-path parse.",
+)
+def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    parsed = e.withColumn("j", F.from_json("props", "k INT"))
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k_parsed"),
+        (F.col("j.k") * 2).alias("k_doubled"),
+        F.col("j.k").isNotNull().alias("has_k"),
+    )
