@@ -75,3 +75,32 @@ def test_compacted_write_is_latest_per_key(spark):
     write_compacted(df, path, keys=["k"], order_col="seq")
     got = {r.k: r.val for r in spark.read.parquet(path).collect()}
     assert got == {1: "new", 2: "only"}
+
+
+def test_bucketed_write_roundtrip(spark, sf_small):
+    """DISTRIBUTED INTO n BUCKETS analog: bucketed managed table writes and
+    reads back; bucket metadata registered in the catalog."""
+    from training_flink_sql_cc_src_spark.queries._util import t
+    from training_flink_sql_cc_src_spark.sources.sinks import write_bucketed
+
+    nation = t(spark, sf_small, "nation")
+    spark.sql("DROP TABLE IF EXISTS nation_bucketed")
+    write_bucketed(nation, "nation_bucketed", ["n_nationkey"], 4)
+    back = spark.table("nation_bucketed")
+    assert back.count() == nation.count()
+    ddl = spark.sql("DESCRIBE EXTENDED nation_bucketed").collect()
+    txt = " ".join(str(r) for r in ddl)
+    assert "Num Buckets" in txt and "4" in txt
+    spark.sql("DROP TABLE nation_bucketed")
+
+
+def test_kafka_writer_builds_without_broker(spark):
+    from training_flink_sql_cc_src_spark.sources.kafka import kafka_writer
+
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS id", "CAST(value AS STRING) AS s")
+    )
+    writer = kafka_writer(stream, "localhost:9092", "out-topic", "/tmp/ckpt-kafka-test")
+    assert writer is not None  # options accepted; start() would need a broker
