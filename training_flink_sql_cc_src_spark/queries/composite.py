@@ -151,3 +151,64 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): date-range filter + "
+    "correlated EXISTS → left-semi join → count by priority. The semi "
+    "join carries no lineitem payload and never duplicates orders.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+           c_mktsegment AS segment
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                                   AS DOUBLE) / COUNT(c_acctbal)
+                       FROM customer)
+    """,
+    doc="Scalar subquery (course-scope SQL surface): customers above the "
+    "global average balance. Spark plans the subquery as a one-row "
+    "broadcast; the mean goes through DECIMAL so the threshold is "
+    "identical in both engines.",
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__cust_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+               c_mktsegment AS segment
+        FROM __cust_sq
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                                       AS DOUBLE) / COUNT(c_acctbal)
+                           FROM __cust_sq)
+        """
+    )

@@ -230,3 +230,105 @@ def late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("long").alias("epoch_s"),
         )
     )
+
+
+@register(
+    "window_join",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS ws,
+               COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), purchases AS (
+        SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS ws,
+               COUNT(*) AS n_purchases,
+               {DSUM_SQL.format(x='value')} AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT c.ws AS window_start, c.n_clicks, p.n_purchases, p.purchase_value
+    FROM clicks c
+    INNER JOIN purchases p ON c.ws = p.ws
+    """,
+    doc="Window join (Flink 1.19 WINDOW JOIN TVF — join two windowed "
+    "aggregates on identical window boundaries; the lab-joins + lab-time "
+    "combination): hourly click counts joined to hourly purchase "
+    "counts/value. Both sides share the (window) partitioning, so the "
+    "join reuses the aggregation shuffle.",
+)
+def window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "n_clicks")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value").alias("purchase_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_purchases",
+            "purchase_value",
+        )
+    )
+    return clicks.join(purchases, "window_start", "inner")
+
+
+@register(
+    "pattern_funnel",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts,
+               event_id
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS view_epoch,
+           CAST(FLOOR(EPOCH(next_ts)) AS BIGINT) AS click_epoch,
+           event_id AS view_event_id
+    FROM seq
+    WHERE event_type = 'view' AND next_type = 'click'
+      AND next_ts <= ts + INTERVAL 1 HOUR
+    """,
+    doc="CEP-style pattern detection (Flink MATCH_RECOGNIZE's simplest "
+    "shape — adjacent view→click within 1 h per user) expressed with "
+    "LEAD over the event sequence: one shuffle on user_id, no state "
+    "machine needed for fixed-length adjacent patterns. Longer patterns "
+    "compose by chaining LEADs or applyInPandasWithState "
+    "(streaming/stateful.py).",
+)
+def pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("next_type") == "click")
+        & (F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    ).select(
+        "user_id",
+        F.col("ts").cast("long").alias("view_epoch"),
+        F.col("next_ts").cast("long").alias("click_epoch"),
+        F.col("event_id").alias("view_event_id"),
+    )
