@@ -306,3 +306,31 @@ def agg_variance_covar_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sxx / n - (sx / n) * (sx / n)).alias("var_pop_qty"),
         (sxy / n - (sx / n) * (sy / n)).alias("cov_pop_qty_price"),
     )
+
+
+@register(
+    "agg_pivot_conditional",
+    oracle=f"""
+    SELECT l_returnflag AS returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
+           {DSUM_SQL.format(x="CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END")}
+               AS qty_f,
+           {DSUM_SQL.format(x="CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END")}
+               AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="PIVOT / conditional aggregation (FILTER clause ↔ Spark "
+    "groupBy().pivot() / count_if): line-status columns pivoted wide per "
+    "returnflag. Expressed as conditional aggregates so the plan is a "
+    "single pass — exactly what Catalyst rewrites pivot() into.",
+)
+def agg_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count_if(F.col("l_linestatus") == "F").alias("n_f"),
+        F.count_if(F.col("l_linestatus") == "O").alias("n_o"),
+        dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)).alias("qty_f"),
+        dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0)).alias("qty_o"),
+    )

@@ -281,3 +281,71 @@ def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("j.k") * 2).alias("k_doubled"),
         F.col("j.k").isNotNull().alias("has_k"),
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS xored,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           bit_count(o_orderkey) AS popcount
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+    doc="Bitwise family (Flink 1.19 bit functions): AND/OR/XOR, shifts, "
+    "popcount — the primitives the sketch operators (SimHash, LSH "
+    "banding) build on.",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("orderkey"),
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@register(
+    "scalar_array_advanced",
+    oracle="""
+    SELECT n_nationkey AS nationkey,
+           list_sort([n_nationkey % 7, n_nationkey % 5, n_nationkey % 3])
+               AS sorted_arr,
+           flatten([[n_nationkey], [n_regionkey, 0]]) AS flat,
+           [n_nationkey, n_regionkey, 0, 1][2:3] AS sliced,
+           list_position([10, 20, 30, n_nationkey], 30) AS pos30,
+           range(0, CAST(n_regionkey AS BIGINT) + 1) AS seq_arr,
+           list_sum(list_transform([1, 2, 3], x -> x * n_regionkey))
+               AS weighted_sum
+    FROM nation
+    """,
+    doc="Advanced array family: array_sort / flatten / slice / "
+    "array_position / sequence / transform+aggregate (SURVEY.md §2.7 "
+    "array row — the higher-order-function surface the dedup sketches "
+    "build on).",
+)
+def scalar_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    k, r = F.col("n_nationkey"), F.col("n_regionkey")
+    return n.select(
+        k.alias("nationkey"),
+        F.array_sort(F.array(k % 7, k % 5, k % 3)).alias("sorted_arr"),
+        F.flatten(F.array(F.array(k), F.array(r, F.lit(0)))).alias("flat"),
+        F.slice(F.array(k, r, F.lit(0), F.lit(1)), 2, 2).alias("sliced"),
+        F.array_position(F.array(F.lit(10), F.lit(20), F.lit(30), k), 30).alias("pos30"),
+        F.sequence(F.lit(0).cast("long"), r.cast("long")).alias("seq_arr"),
+        F.aggregate(
+            F.transform(F.array(F.lit(1), F.lit(2), F.lit(3)), lambda x: x * r),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("weighted_sum"),
+    )
