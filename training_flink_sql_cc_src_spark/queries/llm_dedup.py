@@ -75,17 +75,26 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "64-bit longs so the per-pair intersect compares fixed-width values, "
     "not strings (both were bench hotspots; a 64-bit in-pair collision is "
     "~1e-7 probable across the whole corpus). Integer counts → the score "
-    "divides identically in both engines.",
+    "divides identically in both engines. The tokenized side is persisted "
+    "once (sketch, not text) and pairs are pruned by the size-ratio bound "
+    "J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) — 5·min ≥ 3·max in exact integer "
+    "arithmetic — before any array intersection is evaluated, which is "
+    "result-identical and skips the expensive compare for most candidates.",
 )
 def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 100).cast("long").alias("len_band"),
-        F.transform(
-            F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
-        ).alias("words"),
-    ).withColumn("n_words", F.size("words"))
+    d = (
+        fan_out(t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 100).cast("long").alias("len_band"),
+            F.transform(
+                F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
+            ).alias("words"),
+        )
+        .withColumn("n_words", F.size("words"))
+        .persist()
+    )
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("lang"),
@@ -100,9 +109,13 @@ def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("words").alias("words_b"),
         F.col("n_words").alias("n_b"),
     )
+    size_ok = F.least(a.n_a, b.n_b) * 5 >= F.greatest(a.n_a, b.n_b) * 3
     pairs = a.join(
         b,
-        (a.lang == b.lang_b) & (a.len_band == b.len_band_b) & (a.id_a < b.id_b),
+        (a.lang == b.lang_b)
+        & (a.len_band == b.len_band_b)
+        & (a.id_a < b.id_b)
+        & size_ok,
     )
     inter = F.size(F.array_intersect("words_a", "words_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
