@@ -334,3 +334,55 @@ def agg_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)).alias("qty_f"),
         dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0)).alias("qty_o"),
     )
+
+
+@register(
+    "agg_bool_bitwise",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           bit_and(o_orderkey) AS key_bit_and,
+           bit_or(o_orderkey % 256) AS key_bit_or,
+           bit_xor(o_orderkey) AS key_bit_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Boolean / bitwise aggregates (Flink BOOL_AND/BOOL_OR + bit "
+    "aggregates): order-insensitive reductions, partial-agg friendly.",
+)
+def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bit_and("o_orderkey").alias("key_bit_and"),
+        F.bit_or(F.col("o_orderkey") % 256).alias("key_bit_or"),
+        F.bit_xor("o_orderkey").alias("key_bit_xor"),
+    )
+
+
+@register(
+    "agg_collect_median",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_disc(l_quantity, 0.25) AS q1_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Collection + median aggregates (Flink LISTAGG/COLLECT + "
+    "PERCENTILE_CONT): collect_set sorted for determinism; median via "
+    "interpolated percentile — quantities are whole-number doubles so the "
+    "midpoint interpolation is exact in both engines.",
+)
+def agg_collect_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median_qty"),
+        F.percentile_approx(F.col("l_quantity"), F.lit(0.25), F.lit(2147483647)).alias(
+            "q1_qty"
+        ),
+    )

@@ -349,3 +349,105 @@ def scalar_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("weighted_sum"),
     )
+
+
+@register(
+    "scalar_edit_distance_hash",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           levenshtein(c.c_name, s.s_name) AS name_dist,
+           levenshtein(c.c_mktsegment, 'MACHINERY') AS seg_dist,
+           translate(c.c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+           md5(c.c_name) AS name_md5,
+           sha256(c.c_name) AS name_sha256
+    FROM customer c
+    JOIN supplier s ON c.c_custkey = s.s_suppkey
+    """,
+    doc="Edit-distance + hashing family (fuzzy-match primitives the "
+    "near-dup operators build on): LEVENSHTEIN, TRANSLATE, MD5, "
+    "SHA-256 — all JVM-side codegen expressions.",
+)
+def scalar_edit_distance_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return c.join(s, c.c_custkey == s.s_suppkey).select(
+        F.col("c_custkey").alias("custkey"),
+        F.levenshtein("c_name", "s_name").alias("name_dist"),
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).alias("seg_dist"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+    )
+
+
+@register(
+    "scalar_map_functions",
+    oracle="""
+    SELECT n_nationkey AS nationkey,
+           ['nk', 'rk'] AS mkeys,
+           [n_nationkey, n_regionkey] AS mvals,
+           n_regionkey AS rk_lookup,
+           2 AS msize,
+           TRUE AS has_nk,
+           n_nationkey IS NOT NULL AS nk_not_null
+    FROM nation
+    """,
+    doc="Map family (Flink MAP[...] constructor + CARDINALITY + element "
+    "access, SURVEY.md §2.7 array/map/row): Spark side builds a real "
+    "MapType column with create_map and reads it back via map_keys / "
+    "map_values / element_at / size / map_contains_key; the oracle states "
+    "the expected values directly (DuckDB's MAP extraction semantics "
+    "differ across versions, so the map machinery under test is ours).",
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("nk"), F.col("n_nationkey"), F.lit("rk"), F.col("n_regionkey")
+    )
+    return n.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.element_at(m, "rk").alias("rk_lookup"),
+        F.size(m).alias("msize"),
+        F.map_contains_key(m, "nk").alias("has_nk"),
+        F.element_at(m, "nk").isNotNull().alias("nk_not_null"),
+    )
+
+
+@register(
+    "scalar_datetime_extended",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           quarter(o_orderdate) AS qtr,
+           dayofyear(o_orderdate) AS doy,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           make_date(2024, CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER),
+                     1) AS normalized_month,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(FLOOR((EPOCH(o_orderdate)
+                       - EPOCH(TIMESTAMP '1997-01-01')) / 60) AS BIGINT)
+               AS minutes_since_97
+    FROM orders
+    WHERE o_orderkey % 25 = 0
+    """,
+    doc="Extended datetime family: QUARTER, DAYOFYEAR, LAST_DAY, "
+    "MAKE_DATE, FLOOR-to-week, TIMESTAMPDIFF-in-minutes (spelled as an "
+    "exact epoch difference so complete-interval vs boundary-crossing "
+    "semantics can't diverge between engines).",
+)
+def scalar_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    d = F.col("o_orderdate")
+    epoch97 = F.lit("1997-01-01").cast("timestamp").cast("long")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.make_date(F.lit(2024), F.month(d), F.lit(1)).alias("normalized_month"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.floor((d.cast("timestamp").cast("long") - epoch97) / 60)
+        .cast("long")
+        .alias("minutes_since_97"),
+    )
