@@ -76,6 +76,7 @@ def _load_all() -> None:
         relational,
         scalar_fns,
         time_windows,
+        tpch_more,
         udf_surface,
     )
 
