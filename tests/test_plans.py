@@ -71,3 +71,34 @@ def test_interval_join_is_hash_not_cross(spark, sf_med):
 def test_jaccard_pairs_join_is_equi_on_block_key(spark, sf_med):
     plan = _plan(spark, "dedup_jaccard_blocked_pairs", sf_med)
     assert "CartesianProduct" not in plan
+
+
+def test_q6_predicates_reach_scan(spark, sf_med):
+    plan = _plan(spark, "q6_forecast_revenue", sf_med)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    # single-row result: partial agg on each scan partition, then final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q8_snowflake_dims_all_broadcast(spark, sf_med):
+    plan = _plan(spark, "q8_market_share", sf_med)
+    # part, customer, nation x2, region, supplier — six broadcast dims;
+    # the only shuffle join is lineitem x orders
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelated_no_cartesian(spark, sf_med):
+    plan = _plan(spark, "q21_waiting_supplier", sf_med)
+    assert "CartesianProduct" not in plan
+    # top-n by numwait avoids a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_threshold_join_broadcasts(spark, sf_med):
+    plan = _plan(spark, "q17_small_quantity_revenue", sf_med)
+    # brand-filtered part dim AND the per-part threshold table broadcast;
+    # the fact is never shuffled on a join key
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
