@@ -1,0 +1,113 @@
+"""[C] End-to-end corpus-curation pipeline — the LLM training-data workload
+the north-star extensions exist for (SURVEY.md §2.9), composed as ONE
+dataflow the way the reference chains its lab statements into a DAG
+(terraform/lab-aggregations/main.tf:407-576, SURVEY.md §3 EP3):
+
+    score (quality heuristics) → filter → near-dup removal
+    (leading-shingle fingerprint) → token accounting → corpus rollup.
+
+Every stage is built-in expressions (whole-stage codegen); at 100 TB this
+is a map-only scan, one window shuffle keyed by fingerprint (high
+cardinality — no skew), and one tiny rollup shuffle. The winner-per-
+fingerprint rule is min doc_id, so the result is deterministic and the
+whole pipeline stays oracle-paired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+from .llm_text import STOPWORDS, _STOP_SQL
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               (0.0 + LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                            / 100.0, 1.0) * 0.4
+                    + CAST(len(list_filter(string_split(text, ' '),
+                               x -> list_contains(['{_STOP_SQL}'], x)))
+                           AS DOUBLE)
+                      / len(string_split(text, ' ')) * 0.3
+                    + CAST(len(list_distinct(string_split(text, ' ')))
+                           AS DOUBLE)
+                      / len(string_split(text, ' ')) * 0.3) AS quality_score,
+               md5(array_to_string(
+                   string_split(lower(trim(text)), ' ')[1:5], ' ')) AS fp
+        FROM documents),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp
+                                         ORDER BY doc_id) AS rn
+            FROM scored WHERE quality_score >= 0.38)
+        WHERE rn = 1)
+    SELECT lang, source,
+           COUNT(*) AS kept_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(FLOOR(quality_score * 1000000) AS BIGINT))
+                AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_quality
+    FROM kept
+    GROUP BY lang, source
+    """,
+    doc="Corpus-curation pipeline (quality filter → leading-shingle "
+    "near-dup removal → per-(lang,source) token accounting): the stages "
+    "of text_quality_score, dedup_exact_text and text_lang_source_rollup "
+    "chained into one plan, mirroring the reference's dependent-statement "
+    "DAG (EP3). Winner per fingerprint = min doc_id (deterministic); "
+    "quality formula is the fixed-order double blend, hash-identical "
+    "cross-engine.",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.lit(0.0)
+            + F.least(F.size(toks).cast("double") / 100.0, F.lit(1.0)) * 0.4
+            + (
+                F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+                    "double"
+                )
+                / F.size(toks)
+            )
+            * 0.3
+            + (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)) * 0.3
+        ).alias("quality_score"),
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 5), " "
+            )
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        scored.filter(F.col("quality_score") >= 0.38)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    # avg in exact integer micro-units: floor(q*1e6) is bit-identical in
+    # both engines (double->decimal quantization is NOT — rounding ties on
+    # full-precision doubles resolve differently), and the BIGINT sum is
+    # order-insensitive.
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum(F.floor(F.col("quality_score") * 1000000).cast("long")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+            / 1000000.0
+        ).alias("avg_quality"),
+    )

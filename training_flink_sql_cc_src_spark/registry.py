@@ -70,6 +70,7 @@ def _load_all() -> None:
         composite,
         joins,
         llm_dedup,
+        llm_pipeline,
         llm_similarity,
         llm_text,
         multimodal,
