@@ -31,7 +31,11 @@ HEADLINE = (
     "s6_orders_enriched_join",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q8_market_share",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q21_waiting_supplier",
     "agg_pricing_summary",
     "agg_rollup",
     "topn_per_group",
@@ -46,6 +50,7 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "text_lang_source_rollup",
+    "pipeline_corpus_curation",
 )
 
 

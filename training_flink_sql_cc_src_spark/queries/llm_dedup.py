@@ -119,9 +119,15 @@ def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("words_a", "words_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    # Filter on the exact integer equivalent of J >= 0.6:
+    #   i/(n_a+n_b-i) >= 0.6  <=>  8*i >= 3*(n_a+n_b)   (i, n integers)
+    # The double-division form would be fused into the join condition with
+    # array_intersect evaluated TWICE per candidate pair (numerator and
+    # denominator); this form evaluates it once, and the jaccard projection
+    # below runs only on surviving pairs.
     return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.6)
+        pairs.filter(inter * 8 >= (F.col("n_a") + F.col("n_b")) * 3)
+        .withColumn("jaccard", jac)
         .select("id_a", "id_b", "jaccard")
     )
 

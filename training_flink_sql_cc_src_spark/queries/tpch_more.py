@@ -467,21 +467,34 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    order_stats = li.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
     )
-    l1 = li.filter(F.col("l_returnflag") == "R")
+    # Two hash aggregates replace BOTH countDistincts (which would Expand
+    # the fact 2x before shuffling) AND any window sort: (orderkey,
+    # suppkey) granularity first, then per-order stats. When exactly one
+    # supplier has R-lines (the qualifying case) that supplier is
+    # recovered by MAX over the R-suppliers — no per-row blame join.
+    # numwait = count of R-lineitems = SUM of the blamed pair's r_lines.
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count_if(F.col("l_returnflag") == "R").alias("r_lines")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count_if(F.col("r_lines") > 0).alias("n_r_supp"),
+        F.max(
+            F.when(F.col("r_lines") > 0, F.col("l_suppkey"))
+        ).alias("blame_supp"),
+        F.sum(F.when(F.col("r_lines") > 0, F.col("r_lines")).otherwise(0)).alias(
+            "r_total"
+        ),
+    )
+    cand = per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
     return (
-        l1.join(o, l1.l_orderkey == o.o_orderkey)
-        .join(order_stats, l1.l_orderkey == order_stats.st_orderkey)
-        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        cand.join(o, cand.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), cand.blame_supp == s.s_suppkey)
         .groupBy(F.col("s_name").alias("name"))
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("r_total").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "name")
         .limit(100)
     )
