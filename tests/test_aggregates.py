@@ -64,3 +64,18 @@ def test_manual_moments_match_builtin_corr(spark, sf_med):
     for flag in want:
         for a, b in zip(got[flag], want[flag]):
             assert abs(a - b) <= 1e-6 * max(1.0, abs(b)), (flag, a, b)
+
+
+def test_hll_estimate_within_error(spark, sf_med):
+    """HLL sketch estimates (per-segment and merged-global) must sit within
+    the theoretical error of the exact distinct counts: default lgConfigK=12
+    gives ~1.6% relative standard error; assert 5 sigma."""
+    rows = QUERIES["agg_hll_mergeable_sketch"](spark, sf_med).collect()
+    exact_total = 0
+    for r in rows:
+        assert abs(r.estimate - r.exact_distinct) <= max(
+            5, 0.08 * r.exact_distinct
+        ), (r.segment, r.estimate, r.exact_distinct)
+        exact_total += r.exact_distinct
+    global_est = rows[0].global_estimate
+    assert abs(global_est - exact_total) <= max(5, 0.08 * exact_total)

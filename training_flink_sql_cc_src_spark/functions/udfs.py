@@ -83,3 +83,17 @@ def tokenize_udtf(df: DataFrame, text_col: str, out: str = "token") -> DataFrame
         *df.columns,
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", out),
     )
+
+
+def _median_series(v: pd.Series) -> float:
+    return float(v.median())
+
+
+def median_udaf(col):
+    """Grouped-AGGREGATE pandas UDF (the UDAF leg of SURVEY.md §2.8): a
+    whole pandas Series per group reduces to one scalar, Arrow-batched.
+    Median of whole-number doubles is exact (midpoint of two integers),
+    so unlike most float UDAFs this one is oracle-pairable.
+    """
+    # Series -> scalar type hints make this a grouped-agg UDF
+    return pandas_udf(_median_series, "double")(col)

@@ -386,3 +386,34 @@ def agg_collect_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q1_qty"
         ),
     )
+
+
+@register(
+    "agg_hll_mergeable_sketch",
+    oracle=None,  # HLL register layouts/estimates are engine-specific;
+    # the estimate's error bound vs exact COUNT(DISTINCT) is asserted in
+    # tests/test_aggregates.py::test_hll_estimate_within_error
+    doc="Mergeable HLL sketches (the 100 TB distinct-count pattern): "
+    "per-segment customer sketches built in ONE pass (hll_sketch_agg), "
+    "then re-aggregated WITHOUT rescanning the fact by merging sketches "
+    "(hll_union_agg) — exactly how a cluster computes global distincts "
+    "from per-partition partials. Emits per-segment estimates and the "
+    "merged global estimate.",
+)
+def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    per_seg = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch"),
+        F.count_distinct("c_custkey").alias("exact_distinct"),
+    )
+    merged = per_seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("global_estimate")
+    )
+    return (
+        per_seg.select(
+            "segment",
+            F.hll_sketch_estimate("sketch").alias("estimate"),
+            "exact_distinct",
+        )
+        .join(F.broadcast(merged))
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.udfs import char_entropy, zscore_grouped
+from ..functions.udfs import char_entropy, median_udaf, zscore_grouped
 from ..registry import register
 from ..session import ensure_package_shipped
 from ._util import fan_out, t
@@ -64,3 +64,38 @@ def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.col("n_chars").cast("double").alias("n_chars")
     )
     return zscore_grouped(d, "lang", "n_chars")
+
+
+@register(
+    "pandas_udaf_median",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Grouped-AGGREGATE pandas UDF — the UDAF leg of SURVEY.md §2.8 "
+    "(scalar and grouped-map legs above): pandas median per group, joined "
+    "with a built-in COUNT over the same keys (Spark disallows mixing "
+    "pandas and non-pandas aggregates in one .agg()). Quantities are "
+    "whole-number "
+    "doubles, so the midpoint interpolation is exact and the UDAF is "
+    "oracle-pairable — unusual for float UDAFs. Each group's Series must "
+    "fit one worker's memory; high-cardinality medians belong in "
+    "percentile_approx.",
+)
+def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    li = t(spark, sf_dir, "lineitem")
+    keys = [
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ]
+    medians = li.groupBy(*keys).agg(
+        median_udaf(F.col("l_quantity")).alias("median_qty")
+    )
+    counts = li.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_lines"))
+    return medians.join(F.broadcast(counts), ["returnflag", "linestatus"]).select(
+        "returnflag", "linestatus", "median_qty", "n_lines"
+    )
