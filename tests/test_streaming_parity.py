@@ -271,3 +271,94 @@ def test_session_window_streaming_parity(spark, sf_small):
     batch = transform(ev)
     stream = run_stream_over_batch(spark, ev, transform, output_mode="complete")
     assert _rows(batch) == _rows(stream)
+
+
+def test_drop_duplicates_within_watermark(spark, sf_small):
+    """Streaming dedup with bounded state (the compacted-topic /
+    latest-per-key trick under a watermark): first occurrence of each
+    (user_id, event_type) is kept; re-occurrences are dropped only while
+    the key is inside the watermark horizon — so the streamed result sits
+    between global-distinct and raw counts, never invents keys, and
+    covers every key batch dedup finds."""
+    ev = t(spark, sf_small, "events").select("event_id", "user_id", "ts", "event_type")
+
+    def transform(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    total = ev.count()
+    streamed = run_stream_over_batch(
+        spark, ev, transform, output_mode="append", n_files=4, order_by="ts"
+    ).collect()
+    got_keys = {(r.user_id, r.event_type) for r in streamed}
+    assert got_keys == batch_keys  # no phantom keys, full coverage
+    assert len(batch_keys) <= len(streamed) <= total
+
+
+def test_stream_stream_left_outer_interval_join(spark, sf_small):
+    """Flink's OUTER interval join analog: purchases left-joined to the
+    clicks that preceded them within 30 minutes. Null rows for
+    never-matched purchases are only emittable once the watermark proves
+    no match can arrive — native Structured Streaming semantics; batch
+    left join is the final-state reference."""
+    ev = t(spark, sf_small, "events").select("event_id", "user_id", "ts", "event_type")
+
+    def split(df):
+        p = (
+            df.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        c = (
+            df.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        return p, c
+
+    def cond(p, c):
+        return (
+            (p.user_id == c.c_user_id)
+            & (c.c_ts >= p.p_ts - F.expr("INTERVAL 30 MINUTES"))
+            & (c.c_ts <= p.p_ts)
+        )
+
+    def transform(df):
+        p, c = split(df)
+        return p.join(c, cond(p, c), "left_outer").select(
+            "purchase_id", "click_id", F.unix_timestamp("p_ts").alias("p_epoch")
+        )
+
+    p_b, c_b = split(ev)
+    batch_rows = p_b.join(c_b, cond(p_b, c_b), "left_outer").select(
+        "purchase_id", "click_id", F.unix_timestamp("p_ts").alias("p_epoch")
+    ).collect()
+    batch = {(r.purchase_id, r.click_id) for r in batch_rows}
+    max_epoch = max(r.p_epoch for r in batch_rows)
+    # rows whose join window is provably closed by the final watermark
+    must_emit = {
+        (r.purchase_id, r.click_id)
+        for r in batch_rows
+        if r.p_epoch < max_epoch - 2 * 3600
+    }
+    streamed = run_stream_over_batch(
+        spark, ev, transform, output_mode="append", n_files=4, order_by="ts"
+    ).collect()
+    got = {(r.purchase_id, r.click_id) for r in streamed}
+    assert got <= batch  # no phantom matches / no premature nulls
+    assert must_emit <= got  # closed inner matches AND closed null rows
