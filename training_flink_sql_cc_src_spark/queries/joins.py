@@ -284,3 +284,37 @@ def join_asof_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("purchase_epoch"),
         F.col("click_epoch").alias("last_click_epoch"),
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT p.event_id AS purchase_id, COUNT(*) AS n_errors
+    FROM events p
+    INNER JOIN events e
+      ON e.event_type = 'error'
+     AND e.ts >= p.ts - INTERVAL 10 MINUTE
+     AND e.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    doc="PURE range join (no equi key): errors anywhere in the system "
+    "within 10 minutes before each purchase — the shape that would plan "
+    "as a nested loop. operators/range_join.range_bucket_join derives an "
+    "equi bucket key (width = range span, right row in one bucket, left "
+    "exploded to ≤2) so it executes as a hash shuffle join + exact "
+    "refine. Result-identical to the nested loop; candidates drop from "
+    "|L|x|R| to pairs within ~2 bucket widths.",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import range_bucket_join
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    joined = range_bucket_join(p, e, "p_ts", "e_ts", lower_s=-600, upper_s=0)
+    return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_errors"))
