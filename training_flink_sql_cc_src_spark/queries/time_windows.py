@@ -332,3 +332,73 @@ def pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_ts").cast("long").alias("click_epoch"),
         F.col("event_id").alias("view_event_id"),
     )
+
+
+@register(
+    "pattern_funnel3_sequential",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+          JOIN s USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s.s_ts
+            AND e.ts <= s.s_ts + INTERVAL 24 HOUR
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+          JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+          GROUP BY e.user_id)
+    SELECT s.user_id AS user_id,
+           CAST(FLOOR(EPOCH(s.s_ts)) AS BIGINT) AS signup_epoch,
+           CAST(FLOOR(EPOCH(c.c_ts)) AS BIGINT) AS click_epoch,
+           CAST(FLOOR(EPOCH(p.p_ts)) AS BIGINT) AS purchase_epoch
+    FROM s JOIN c USING (user_id) JOIN p USING (user_id)
+    """,
+    doc="Three-step sequential pattern (MATCH_RECOGNIZE A -> B -> C with "
+    "per-step time bounds — the CEP shape beyond pattern_funnel's "
+    "adjacent pairs): earliest signup, then earliest click within 24h "
+    "AFTER it, then earliest purchase within 24h after THAT. Sequential "
+    "min is deterministic (no tie-break needed) and every stage is a "
+    "keyed aggregate + equi join on user_id — one shuffle key "
+    "throughout, which Catalyst reuses instead of re-exchanging.",
+)
+def pattern_funnel3_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day_us = 24 * 3600 * 1_000_000
+
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("s_ts"))
+            & (F.unix_micros("ts") <= F.unix_micros("s_ts") + day_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"), F.first("s_ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.unix_micros("ts") <= F.unix_micros("c_ts") + day_us)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("p_ts"),
+            F.first("s_ts").alias("s_ts"),
+            F.first("c_ts").alias("c_ts"),
+        )
+    )
+    return p.select(
+        "user_id",
+        F.col("s_ts").cast("long").alias("signup_epoch"),
+        F.col("c_ts").cast("long").alias("click_epoch"),
+        F.col("p_ts").cast("long").alias("purchase_epoch"),
+    )
