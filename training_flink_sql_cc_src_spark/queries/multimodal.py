@@ -154,3 +154,92 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("media_type"),
     )
     return decode_features(d)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_bytes: int = 64,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Frame-sampling stage (video → N frames): one input row fans out to
+    up to ``max_frames`` rows, each carrying a fixed-stride byte slice as
+    the frame payload plus its index and length. The 1→N expansion happens
+    INSIDE the Arrow batch (pandas explode), so Spark sees vectorized
+    batches on both sides — the same plumbing a real ffmpeg keyframe
+    sampler needs; swap the slicing for actual frame extraction to
+    productionize.
+    """
+    out_schema = "doc_id long, frame_idx int, frame_len int, frame binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, frames = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                n = min(max_frames, len(payload) // frame_bytes)
+                for i in range(n):
+                    chunk = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    frames.append(bytes(chunk))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens,
+                 "frame": frames}
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def resize_image(
+    df: DataFrame, payload_col: str = "payload", out_w: int = 32, out_h: int = 32
+) -> DataFrame:
+    """Resize stage (image → fixed raster): STUB — no PIL in this
+    container, so the output raster is a deterministic byte pattern of the
+    correct size (3 bytes/pixel RGB). Schema, batching and the
+    binary-in/binary-out Arrow path are the real plumbing.
+    """
+    out_schema = "doc_id long, out_w int, out_h int, raster binary"
+    raster_len = out_w * out_h * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "raster": [
+                        bytes((p * raster_len)[:raster_len]) if p else b"\0" * raster_len
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT d.doc_id AS doc_id, CAST(r.i AS INTEGER) AS frame_idx,
+           CAST(64 AS INTEGER) AS frame_len
+    FROM documents d,
+         UNNEST(range(LEAST(4, LENGTH(d.text) // 64))) AS r(i)
+    WHERE d.doc_id % 3 = 2
+    """,
+    doc="Frame sampling over binary video payloads (SURVEY.md §2.9 "
+    "multimodal): 1→N row fan-out inside Arrow batches via mapInPandas. "
+    "The stub slices fixed 64-byte strides, so frame count and length "
+    "are derivable from LENGTH(text) — making this multimodal op "
+    "oracle-pairable (frame BYTES are exercised in "
+    "tests/test_scalar_and_multimodal.py, not hashed here).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    videos = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    return frame_sample(videos).select("doc_id", "frame_idx", "frame_len")
