@@ -5,6 +5,7 @@ through the engine's SQL front door on fixture stand-ins (SURVEY.md §2.1,
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from training_flink_sql_cc_src_spark.plans.router import StatementRouter, _map_type
 from training_flink_sql_cc_src_spark.sources.fixtures import register_fixture_views
@@ -136,3 +137,73 @@ def test_full_lab_dag(spark, sf_small):
     enriched = spark.table("t_enriched")
     assert enriched.count() == spark.table("lineitem").count()
     assert enriched.columns == ["order_id", "name", "brand", "sale_price"]
+
+
+def test_tumble_tvf_rewrite(router, spark):
+    """Flink's TUMBLE TVF through the front door == F.window tumble."""
+    got = router.execute(
+        "SELECT window_start, window_end, COUNT(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), "
+        "INTERVAL '10' MINUTES)) GROUP BY window_start, window_end"
+    ).collect()
+    want = (
+        spark.table("events")
+        .groupBy(F.window("ts", "10 minutes"))
+        .count()
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            F.col("count").alias("n"),
+        )
+        .collect()
+    )
+    assert {(r.window_start, r.window_end, r.n) for r in got} == {
+        (r.ws, r.we, r.n) for r in want
+    } and len(got) > 0
+
+
+def test_hop_tvf_rewrite(router, spark):
+    """HOP TVF (slide 5m, size 10m): every row lands in two windows."""
+    got = router.execute(
+        "SELECT window_start, COUNT(*) AS n "
+        "FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts), "
+        "INTERVAL '5' MINUTES, INTERVAL '10' MINUTES)) GROUP BY window_start"
+    ).collect()
+    want = (
+        spark.table("events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .count()
+        .select(F.col("window.start").alias("ws"), F.col("count").alias("n"))
+        .collect()
+    )
+    assert {(r.window_start, r.n) for r in got} == {(r.ws, r.n) for r in want}
+    assert sum(r.n for r in got) == 2 * spark.table("events").count()
+
+
+def test_cumulate_tvf_rewrite(router, spark, sf_small):
+    """CUMULATE TVF (step 15m, max 1h) == the native growing-window
+    expansion (window_cumulate), modulo epoch-vs-timestamp typing."""
+    from training_flink_sql_cc_src_spark.registry import all_queries
+
+    got = router.execute(
+        "SELECT window_start, window_end, COUNT(*) AS n_events "
+        "FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts), "
+        "INTERVAL '15' MINUTES, INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end"
+    ).collect()
+    want = all_queries()["window_cumulate"](spark, sf_small).collect()
+    as_epochs = {
+        (int(r.window_start.timestamp()), int(r.window_end.timestamp()), r.n_events)
+        for r in got
+    }
+    assert as_epochs == {(r.window_start, r.window_end, r.n_events) for r in want}
+
+
+def test_session_tvf_raises(router):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="session_window"):
+        router.execute(
+            "SELECT COUNT(*) FROM TABLE(SESSION(TABLE events, "
+            "DESCRIPTOR(ts), INTERVAL '5' MINUTES)) GROUP BY window_start"
+        )

@@ -78,6 +78,80 @@ _CREATE_HEAD_RE = re.compile(
     re.IGNORECASE,
 )
 
+# ------------------------------------------------------------ window TVFs
+# Flink's windowing TVFs (TUMBLE/HOP/SESSION/CUMULATE over TABLE+DESCRIPTOR
+# — the lab-time / lab-aggregations syntax, SURVEY.md §2.4) are not Spark
+# SQL. The router rewrites them into derived tables producing the same
+# window_start / window_end columns, so the statement runs through
+# spark.sql unchanged otherwise.
+_WINDOW_TVF_RE = re.compile(
+    r"TABLE\s*\(\s*(TUMBLE|HOP|SESSION|CUMULATE)\s*\(\s*"
+    r"(?:DATA\s*=>\s*)?TABLE\s+`?(\w+)`?\s*,\s*"
+    r"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*`?(\w+)`?\s*\)\s*,\s*"
+    r"([^()]*?)\)\s*\)",
+    re.IGNORECASE,
+)
+_INTERVAL_LIT_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE)
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _durations(arg_text: str) -> list[tuple[str, int]]:
+    """Parse every Flink INTERVAL literal into (spark duration, seconds)."""
+    out = []
+    for m in _INTERVAL_LIT_RE.finditer(arg_text):
+        n, unit = int(m.group(1)), m.group(2).lower().rstrip("s")
+        out.append((f"{n} {unit}", n * _UNIT_SECONDS[unit]))
+    return out
+
+
+def rewrite_window_tvfs(sql: str) -> str:
+    """Replace Flink window-TVF calls with Spark-SQL derived tables.
+
+    TUMBLE → per-row window() struct access; HOP → sliding window()
+    (explodes each row into its windows, exactly the TVF semantics);
+    CUMULATE → explode of the growing window ends [start+step … start+max]
+    filtered to those covering the row. SESSION has merge semantics no
+    per-row rewrite can express — use F.session_window (window_session).
+    """
+
+    def repl(m: re.Match) -> str:
+        kind = m.group(1).upper()
+        tbl, ts = m.group(2), m.group(3)
+        durs = _durations(m.group(4))
+        if kind == "TUMBLE":
+            (size, _), = durs
+            w = f"window(`{ts}`, '{size}')"
+            return (
+                f"(SELECT __s.*, {w}.start AS window_start, "
+                f"{w}.end AS window_end FROM {tbl} __s)"
+            )
+        if kind == "HOP":
+            (slide, _), (size, _) = durs  # Flink arg order: slide, size
+            w = f"window(`{ts}`, '{size}', '{slide}')"
+            return (
+                f"(SELECT __s.*, {w}.start AS window_start, "
+                f"{w}.end AS window_end FROM {tbl} __s)"
+            )
+        if kind == "CUMULATE":
+            (step, step_s), (_, max_s) = durs  # Flink arg order: step, max
+            start = (
+                f"timestamp_seconds((CAST(unix_timestamp(`{ts}`) AS BIGINT) "
+                f"DIV {max_s}) * {max_s})"
+            )
+            return (
+                f"(SELECT * FROM (SELECT __s.*, {start} AS window_start, "
+                f"explode(sequence({start} + INTERVAL '{step}', "
+                f"{start} + INTERVAL '{max_s}' SECOND, "
+                f"INTERVAL '{step}')) AS window_end FROM {tbl} __s) __c "
+                f"WHERE __c.window_end > __c.`{ts}`)"
+            )
+        raise NotImplementedError(
+            "SESSION windows merge rows and cannot be a per-row TVF rewrite; "
+            "use F.session_window (see queries/time_windows.window_session)"
+        )
+
+    return _WINDOW_TVF_RE.sub(repl, sql)
+
 
 def _split_create(sql: str) -> tuple[str, str, str] | None:
     """(name, body, tail) of a CREATE TABLE, with the body delimited by its
@@ -130,7 +204,7 @@ class StatementRouter:
 
     # ---------------------------------------------------------------- execute
     def execute(self, sql: str) -> DataFrame | None:
-        sql = sql.strip().rstrip(";")
+        sql = rewrite_window_tvfs(sql.strip().rstrip(";"))
         m = _ALTER_WATERMARK_RE.match(sql)
         if m:
             return self._alter_watermark(m.group(1), m.group(2), m.group(3))
