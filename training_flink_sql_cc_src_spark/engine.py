@@ -1,0 +1,72 @@
+"""Engine facade — the single entry point a user of the reference labs
+switches to (SURVEY.md §3 EP1/EP2/EP3 in one object).
+
+The reference's workflow is: connectors land topics (EP2), Terraform
+submits Flink SQL statements over REST (EP1), and ``depends_on`` chains
+them into a DAG (EP3). The Spark-native equivalent:
+
+    eng = Engine(sf_dir="/root/testdata/sf0.01")   # tables registered
+    eng.sql("ALTER TABLE orders MODIFY WATERMARK FOR `o_orderdate` "
+            "AS o_orderdate")                       # S9-style DDL
+    df = eng.sql("SELECT window_start, COUNT(*) AS n FROM "
+                 "TABLE(TUMBLE(TABLE orders, DESCRIPTOR(o_orderdate), "
+                 "INTERVAL '1' DAY)) GROUP BY window_start")
+    dag = eng.pipeline()                            # EP3 DAG runner
+    dag.add("create_keyed", "CREATE TABLE ...")
+    dag.add("fill", "INSERT INTO ...", depends_on=["create_keyed"])
+    dag.run()
+
+Every statement goes through the StatementRouter (Flink-dialect DDL +
+window TVFs handled, ANSI core delegated to Catalyst); keyed tables read
+back as latest-per-key views via the catalog, exactly the compacted-topic
+semantics of S1-S5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .plans.router import StatementRouter
+from .registry import all_queries
+from .session import get_spark, register_views
+from .streaming.pipeline import PipelineRunner
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        sf_dir: str | None = None,
+        app_name: str = "spark-graft-engine",
+    ):
+        self.spark = spark or get_spark(app_name)
+        if sf_dir is not None:
+            register_views(self.spark, sf_dir)
+        self.sf_dir = sf_dir
+        self.router = StatementRouter(self.spark)
+        self.catalog = self.router.catalog
+
+    # ------------------------------------------------------------------ SQL
+    def sql(self, statement: str) -> DataFrame | None:
+        """Execute one statement in the reference dialect (EP1). DDL
+        returns None; queries return a DataFrame."""
+        return self.router.execute(statement)
+
+    def table(self, name: str) -> DataFrame:
+        """Read a table with its catalog semantics applied (PK'd tables
+        come back as the latest-per-key view — the compacted-topic read)."""
+        return self.spark.table(name)
+
+    # ------------------------------------------------------------------ DAG
+    def pipeline(self) -> PipelineRunner:
+        """A depends_on DAG runner sharing this engine's router (EP3)."""
+        return PipelineRunner(self.spark, self.router)
+
+    # ------------------------------------------------------- named queries
+    def query(self, name: str, sf_dir: str | None = None) -> DataFrame:
+        """Run a registered operator query (SURVEY.md §2 inventory) against
+        ``sf_dir`` (defaults to the fixtures this engine registered)."""
+        d = sf_dir or self.sf_dir
+        if d is None:
+            raise ValueError("no sf_dir: pass one or construct Engine with it")
+        return all_queries()[name](self.spark, d)
