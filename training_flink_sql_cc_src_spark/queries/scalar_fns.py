@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import dsum, t
 
 
 @register(
@@ -450,4 +450,70 @@ def scalar_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((d.cast("timestamp").cast("long") - epoch97) / 60)
         .cast("long")
         .alias("minutes_since_97"),
+    )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           NULLIF(o_orderstatus, 'O') AS s_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'fallback') AS coalesced,
+           (NULLIF(o_orderstatus, 'O') IS DISTINCT FROM
+            NULLIF(o_orderstatus, 'F')) AS distinct_from,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL)
+               AS null_safe_is_null,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL
+                THEN -1 ELSE o_orderkey END AS guarded
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="NULL-semantics family (three-valued logic the course's WHERE/"
+    "CASE lessons rest on; fixtures are NULL-free so NULLIF constructs "
+    "them): IS [NOT] DISTINCT FROM (null-safe compare, Spark <=>), "
+    "COALESCE fallbacks, TRY_CAST to NULL on failure, NULL-guarded CASE.",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    s_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    f_null = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        s_null.alias("s_null"),
+        F.coalesce(s_null, F.lit("fallback")).alias("coalesced"),
+        (~s_null.eqNullSafe(f_null)).alias("distinct_from"),
+        s_null.eqNullSafe(F.lit(None).cast("string")).alias("null_safe_is_null"),
+        F.expr("TRY_CAST(o_orderpriority AS INTEGER)").alias("bad_cast"),
+        F.when(s_null.isNull(), F.lit(-1))
+        .otherwise(F.col("o_orderkey"))
+        .alias("guarded"),
+    )
+
+
+@register(
+    "agg_null_semantics",
+    oracle="""
+    SELECT NULLIF(o_orderstatus, 'O') AS status_nulled,
+           COUNT(*) AS n_rows,
+           COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_price,
+           MIN(NULLIF(o_orderstatus, 'O')) AS min_status
+    FROM orders
+    GROUP BY NULLIF(o_orderstatus, 'O')
+    """,
+    doc="Aggregation under NULLs: GROUP BY a nullable key (the NULL group "
+    "is one real group in both engines), COUNT(*) vs COUNT(col) "
+    "(null-skipping), MIN ignoring NULLs — the exact three-valued rules "
+    "Flink/Calcite and Spark share.",
+)
+def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    nulled = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.groupBy(nulled.alias("status_nulled")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nulled).alias("n_nonnull"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min(nulled).alias("min_status"),
     )
