@@ -517,3 +517,41 @@ def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("sum_price"),
         F.min(nulled).alias("min_status"),
     )
+
+
+@register(
+    "scalar_decimal_arithmetic",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.07 AS
+                DECIMAL(4,2)) AS DECIMAL(24,4)) AS with_tax,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(o_totalprice AS
+                DECIMAL(18,2)) AS DECIMAL(19,2)) AS doubled,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS
+                DECIMAL(18,0)) AS rounded_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2))
+               AS mod_100
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+    doc="DECIMAL(p,s) typed arithmetic (SURVEY.md §1.3 type table — the "
+    "course's money type): cast, scaled multiply, add, ROUND-on-decimal "
+    "(exact, no float rounding-mode divergence — decimals round "
+    "identically in both engines, unlike doubles), and modulo. Every "
+    "result type is pinned with explicit casts so Spark's and DuckDB's "
+    "different default precision-widening rules cannot skew the schema.",
+)
+def scalar_decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        d.alias("price_dec"),
+        (d * F.lit(1.07).cast("decimal(4,2)")).cast("decimal(24,4)").alias(
+            "with_tax"
+        ),
+        (d + d).cast("decimal(19,2)").alias("doubled"),
+        F.round(d, 0).cast("decimal(18,0)").alias("rounded_dec"),
+        (d % 100).cast("decimal(18,2)").alias("mod_100"),
+    )
