@@ -97,8 +97,32 @@ class CompareResult:
     mismatches: list = field(default_factory=list)
 
 
+def _assert_hashable_output(name: str, df) -> None:
+    """The driver canonicalizes via a pandas sort + hash; array/map/struct
+    cells raise ``TypeError: unhashable type`` there (the exact failure that
+    killed agg_collect_median in round 1). Guard the whole class: every
+    ORACLE-PAIRED query must emit only atomic columns — join arrays to
+    strings (F.array_join) before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if bad:
+        raise AssertionError(
+            f"{name}: oracle-paired output has non-hashable column(s) {bad}; "
+            "the driver's hash canonicalizer cannot sort these — emit "
+            "array_join/to_json strings instead"
+        )
+
+
 def compare_one(spark, name: str, spark_fn, oracle: str | None, sf_dir: str) -> CompareResult:
-    spark_pdf = spark_fn(spark, sf_dir).toPandas()
+    spark_df = spark_fn(spark, sf_dir)
+    if oracle is not None:
+        _assert_hashable_output(name, spark_df)
+    spark_pdf = spark_df.toPandas()
     if oracle is None:
         return CompareResult(
             name=name, ok=True, spark_rows=len(spark_pdf), oracle_rows=-1,

@@ -366,21 +366,24 @@ def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_median",
     oracle="""
     SELECT l_returnflag AS returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            quantile_cont(l_quantity, 0.5) AS median_qty,
            quantile_disc(l_quantity, 0.25) AS q1_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
     doc="Collection + median aggregates (Flink LISTAGG/COLLECT + "
-    "PERCENTILE_CONT): collect_set sorted for determinism; median via "
-    "interpolated percentile — quantities are whole-number doubles so the "
-    "midpoint interpolation is exact in both engines.",
+    "PERCENTILE_CONT): collect_set sorted for determinism and joined to a "
+    "string (the driver's hash canonicalizer cannot hash array cells); "
+    "median via interpolated percentile — quantities are whole-number "
+    "doubles so the midpoint interpolation is exact in both engines.",
 )
 def agg_collect_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
         F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median_qty"),
         F.percentile_approx(F.col("l_quantity"), F.lit(0.25), F.lit(2147483647)).alias(
             "q1_qty"

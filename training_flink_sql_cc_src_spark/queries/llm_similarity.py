@@ -117,7 +117,11 @@ def lsh_bucket(emb, planes: list[list[float]]):
 
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        # one array literal per plane (F.lit on the list) keeps the
+        # expression tree ~64x smaller than per-element F.lit chains —
+        # the plan compiles fast even on a cold session (the round-1
+        # driver run stalled on these wide literal trees)
+        plane = F.lit([float(x) for x in p])
         bit = F.when(dot_col(emb, plane) >= 0, 1).otherwise(0).cast("long")
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
@@ -190,7 +194,7 @@ def _argmax_cell(emb, centroids: list[tuple[int, list[float]]]):
     scored = F.array(
         *[
             F.struct(
-                dot_col(emb, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                dot_col(emb, F.lit([float(x) for x in c])).alias("s"),
                 F.lit(cid).alias("cell"),
             )
             for cid, c in centroids
@@ -215,17 +219,16 @@ def _argmax_cell(emb, centroids: list[tuple[int, list[float]]]):
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     n_cells = 16
-    n_vec = e.count()
-    step = max(n_vec // n_cells, 1)
-    cents = [
-        (i, list(r.embedding))
-        for i, r in enumerate(
-            e.filter(F.col("vec_id") % step == 0)
-            .orderBy("vec_id")
-            .limit(n_cells)
-            .collect()
-        )
-    ]
+    # Coarse centroids from a seeded sample + limit: ONE partial scan
+    # (CollectLimit stops early), no count() — at 100 TB the old
+    # count+filter seeding cost two full corpus passes before the real
+    # query. 16 rows driver-side is a bounded collect. orderBy(vec_id) on
+    # the 16-row local result only pins determinism of cell ids.
+    seed_rows = e.sample(fraction=0.2, seed=42).limit(n_cells).collect()
+    if len(seed_rows) < n_cells:  # tiny fixture fallback (sf<=0.001)
+        seed_rows = e.limit(n_cells).collect()
+    seed_rows.sort(key=lambda r: r.vec_id)
+    cents = [(i, list(r.embedding)) for i, r in enumerate(seed_rows)]
     assigned = e.withColumn("cell", _argmax_cell(F.col("embedding"), cents))
     # queries probe their top-2 cells (explode the 2-best struct array)
     q = e.filter(F.col("vec_id") < N_QUERY)
@@ -242,7 +245,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.struct(
                                 dot_col(
                                     F.col("embedding"),
-                                    F.array(*[F.lit(float(x)) for x in c]),
+                                    F.lit([float(x) for x in c]),
                                 ).alias("s"),
                                 F.lit(cid).alias("cell"),
                             )

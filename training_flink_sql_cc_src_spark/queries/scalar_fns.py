@@ -318,12 +318,16 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_advanced",
     oracle="""
     SELECT n_nationkey AS nationkey,
-           list_sort([n_nationkey % 7, n_nationkey % 5, n_nationkey % 3])
-               AS sorted_arr,
-           flatten([[n_nationkey], [n_regionkey, 0]]) AS flat,
-           [n_nationkey, n_regionkey, 0, 1][2:3] AS sliced,
+           array_to_string(
+               list_sort([n_nationkey % 7, n_nationkey % 5, n_nationkey % 3]),
+               ',') AS sorted_arr,
+           array_to_string(flatten([[n_nationkey], [n_regionkey, 0]]), ',')
+               AS flat,
+           array_to_string([n_nationkey, n_regionkey, 0, 1][2:3], ',')
+               AS sliced,
            list_position([10, 20, 30, n_nationkey], 30) AS pos30,
-           range(0, CAST(n_regionkey AS BIGINT) + 1) AS seq_arr,
+           array_to_string(range(0, CAST(n_regionkey AS BIGINT) + 1), ',')
+               AS seq_arr,
            list_sum(list_transform([1, 2, 3], x -> x * n_regionkey))
                AS weighted_sum
     FROM nation
@@ -331,18 +335,22 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Advanced array family: array_sort / flatten / slice / "
     "array_position / sequence / transform+aggregate (SURVEY.md §2.7 "
     "array row — the higher-order-function surface the dedup sketches "
-    "build on).",
+    "build on). Array outputs are string-joined: the driver's hash "
+    "canonicalizer cannot sort list cells.",
 )
 def scalar_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     k, r = F.col("n_nationkey"), F.col("n_regionkey")
+    def sjoin(arr):
+        return F.array_join(arr.cast("array<string>"), ",")
+
     return n.select(
         k.alias("nationkey"),
-        F.array_sort(F.array(k % 7, k % 5, k % 3)).alias("sorted_arr"),
-        F.flatten(F.array(F.array(k), F.array(r, F.lit(0)))).alias("flat"),
-        F.slice(F.array(k, r, F.lit(0), F.lit(1)), 2, 2).alias("sliced"),
+        sjoin(F.array_sort(F.array(k % 7, k % 5, k % 3))).alias("sorted_arr"),
+        sjoin(F.flatten(F.array(F.array(k), F.array(r, F.lit(0))))).alias("flat"),
+        sjoin(F.slice(F.array(k, r, F.lit(0), F.lit(1)), 2, 2)).alias("sliced"),
         F.array_position(F.array(F.lit(10), F.lit(20), F.lit(30), k), 30).alias("pos30"),
-        F.sequence(F.lit(0).cast("long"), r.cast("long")).alias("seq_arr"),
+        sjoin(F.sequence(F.lit(0).cast("long"), r.cast("long"))).alias("seq_arr"),
         F.aggregate(
             F.transform(F.array(F.lit(1), F.lit(2), F.lit(3)), lambda x: x * r),
             F.lit(0),
@@ -384,8 +392,8 @@ def scalar_edit_distance_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map_functions",
     oracle="""
     SELECT n_nationkey AS nationkey,
-           ['nk', 'rk'] AS mkeys,
-           [n_nationkey, n_regionkey] AS mvals,
+           'nk,rk' AS mkeys,
+           array_to_string([n_nationkey, n_regionkey], ',') AS mvals,
            n_regionkey AS rk_lookup,
            2 AS msize,
            TRUE AS has_nk,
@@ -406,8 +414,8 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return n.select(
         F.col("n_nationkey").alias("nationkey"),
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(F.map_values(m).cast("array<string>"), ",").alias("mvals"),
         F.element_at(m, "rk").alias("rk_lookup"),
         F.size(m).alias("msize"),
         F.map_contains_key(m, "nk").alias("has_nk"),
