@@ -102,3 +102,48 @@ def test_q17_threshold_join_broadcasts(spark, sf_med):
     # the fact is never shuffled on a join key
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+# With the auto-broadcast threshold disabled, the ONLY thing that can force
+# a BroadcastHashJoin is an explicit F.broadcast hint — hints override AQE's
+# size logic, so a hint on an SF-scaling relation (customer/part/supplier,
+# or any lineitem-derived aggregate) is a guaranteed OOM at 100x scale.
+# Expected counts below = hints on BOUNDED relations only (nation: 25 rows,
+# region: 5 rows, single-row aggregate singletons, constant query sets).
+_HINTED_BOUNDED = {
+    "s6_orders_enriched_join": 0,
+    "q3_shipping_priority": 0,
+    "q5_region_revenue": 2,  # nation + region
+    "q8_market_share": 3,  # nation x2 + region
+    "q10_returned_items": 1,  # nation
+    "q17_small_quantity_revenue": 0,
+    "q18_large_volume_customer": 0,
+    "q20_excess_shippers": 1,  # filtered nation (semi)
+    "q21_waiting_supplier": 0,
+    "q2_min_cost_supplier": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_HINTED_BOUNDED))
+def test_no_forced_broadcast_on_sf_scaling_tables(spark, name, sf_med):
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES[name](spark, sf_med)
+        # executedPlan (not formatted explain, which lists every operator
+        # twice: once in the tree, once in the details section)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    got = plan.count("BroadcastHashJoin")
+    assert got == _HINTED_BOUNDED[name], (
+        f"{name}: {got} forced broadcasts, expected {_HINTED_BOUNDED[name]} "
+        "(only bounded dims may carry an explicit broadcast hint)"
+    )

@@ -93,8 +93,8 @@ def s6_orders_enriched_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .join(part, li.l_partkey == part.p_partkey, "inner")
         .select(
             F.col("l_orderkey").alias("order_id"),
             F.col("l_linenumber").alias("line_number"),

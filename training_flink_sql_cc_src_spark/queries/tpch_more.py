@@ -51,14 +51,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     )
-    best = pairs.join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey).groupBy(
+    best = pairs.join(s, pairs.l_suppkey == s.s_suppkey).groupBy(
         "l_partkey"
     ).agg(F.max("s_acctbal").alias("best_bal"))
     return (
-        pairs.join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(best), "l_partkey")
+        pairs.join(s, pairs.l_suppkey == s.s_suppkey)
+        .join(best, "l_partkey")
         .filter(F.col("s_acctbal") == F.col("best_bal"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .select(
             F.col("p_partkey").alias("partkey"),
             F.col("p_name").alias("pname"),
@@ -139,11 +139,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -185,9 +185,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * 0.1 * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -224,7 +224,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     val = F.col("l_extendedprice") * F.col("l_quantity")
-    base = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+    base = li.join(s, li.l_suppkey == s.s_suppkey).join(
         F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
     )
     per_part = base.groupBy(F.col("l_partkey").alias("partkey")).agg(
@@ -303,7 +303,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("best_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("name"),
@@ -344,8 +344,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("ptype"),
@@ -376,12 +376,12 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     li = t(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     thresholds = j.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
     )
     return (
-        j.join(F.broadcast(thresholds), j.l_partkey == thresholds.t_partkey)
+        j.join(thresholds, j.l_partkey == thresholds.t_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
@@ -424,14 +424,14 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey")
     )
     heavy = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 300)
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .join(F.broadcast(nations), s.s_nationkey == nations.n_nationkey, "left_semi")
         .select(F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"))
     )
@@ -492,7 +492,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
     return (
         cand.join(o, cand.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), cand.blame_supp == s.s_suppkey)
+        .join(s, cand.blame_supp == s.s_suppkey)
         .groupBy(F.col("s_name").alias("name"))
         .agg(F.sum("r_total").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "name")
