@@ -43,6 +43,13 @@ def range_bucket_join(
     Works in microseconds internally so sub-second timestamps bucket
     exactly; the final refine uses the original timestamp columns.
     """
+    if how != "inner":
+        # The refine predicate is applied as a post-join filter; outer
+        # joins would null-extend unmatched rows that then FAIL the refine
+        # and vanish (silently degrading to inner), and unmatched left
+        # rows are duplicated across their exploded buckets. Outer range
+        # semantics need refine-in-condition + bucket dedup — not offered.
+        raise ValueError("range_bucket_join supports how='inner' only")
     if upper_s <= lower_s:
         raise ValueError("upper_s must exceed lower_s")
     width_us = (upper_s - lower_s) * 1_000_000

@@ -32,7 +32,17 @@ def salted_join(
     becomes (key, salt), splitting a hot key across ``salt_buckets``
     partitions. Dim-side cost: ×salt_buckets rows — use only when dim is
     too big to broadcast but small enough to replicate.
+
+    ``how`` is restricted to joins that preserve each fact row exactly
+    once (inner/left/left_semi/left_anti): the dim side is replicated
+    across all salt buckets, so right/full outer would emit every
+    unmatched dim row ``salt_buckets`` times.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            "salted_join replicates the dim per salt; right/full outer "
+            f"would duplicate unmatched dim rows (got how={how!r})"
+        )
     fact_salted = fact.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)),

@@ -63,11 +63,16 @@ def _map_type(flink_type: str) -> str:
     if up.startswith("ARRAY<"):
         return f"array<{_map_type(ft[6:-1])}>"
     if up.startswith("MAP<"):
-        k, v = ft[4:-1].split(",", 1)
+        # depth-aware split: the key type may itself be composite, so a
+        # naive first-comma split would cut MAP<ROW<a INT, b INT>, INT>
+        # inside the ROW
+        k, v = _split_top_level(ft[4:-1])
         return f"map<{_map_type(k)},{_map_type(v)}>"
     if up.startswith("ROW<"):
         inner = ft[4:-1]
-        fields = [f.strip().split(None, 1) for f in inner.split(",")]
+        fields = [
+            f.strip().split(None, 1) for f in _split_top_level(inner)
+        ]
         cols = ", ".join(f"{n}: {_map_type(tp)}" for n, tp in fields)
         return f"struct<{cols}>"
     return _TYPE_MAP.get(up, ft.lower())
