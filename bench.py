@@ -49,6 +49,8 @@ HEADLINE = (
     "dedup_jaccard_blocked_pairs",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_ann_lsh",
+    "q9_product_type_profit",
     "text_lang_source_rollup",
     "pipeline_corpus_curation",
 )
@@ -75,6 +77,7 @@ def main() -> None:
             min(run_one(spark, queries[name], SF_DIR) for _ in range(2)), 3
         )
     total = round(sum(per_query.values()), 3)
+    _warn_regressions(per_query)
     print(
         json.dumps(
             {
@@ -86,6 +89,30 @@ def main() -> None:
             }
         )
     )
+
+
+def _warn_regressions(per_query: dict[str, float]) -> None:
+    """Per-query ratchet vs the newest BENCH_r*.json (stderr only — the
+    stdout contract is exactly one JSON line). >1.5x on a query that took
+    >0.2 s before is a real plan regression, not timer noise."""
+    import glob
+
+    prior_files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
+    if not prior_files:
+        return
+    try:
+        with open(prior_files[-1]) as fh:
+            prior = json.load(fh).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return
+    for name, now in per_query.items():
+        before = prior.get(name)
+        if before and before > 0.2 and now > 1.5 * before:
+            print(
+                f"bench-regression {name}: {before:.2f}s -> {now:.2f}s "
+                f"({now / before:.1f}x, vs {os.path.basename(prior_files[-1])})",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":

@@ -199,11 +199,106 @@ def test_cumulate_tvf_rewrite(router, spark, sf_small):
     assert as_epochs == {(r.window_start, r.window_end, r.n_events) for r in want}
 
 
-def test_session_tvf_raises(router):
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError, match="session_window"):
-        router.execute(
-            "SELECT COUNT(*) FROM TABLE(SESSION(TABLE events, "
-            "DESCRIPTOR(ts), INTERVAL '5' MINUTES)) GROUP BY window_start"
+def test_session_tvf_rewrite(router, spark):
+    """SESSION TVF (lab-time syntax) == native F.session_window exactly:
+    the router's gaps-and-islands rewrite must agree on every session
+    boundary, including the exact-gap edge (>= gap starts a new session,
+    windows are [start, last+gap))."""
+    got = router.execute(
+        "SELECT user_id, window_start, window_end, COUNT(*) AS n_events "
+        "FROM TABLE(SESSION(TABLE events PARTITION BY user_id, "
+        "DESCRIPTOR(ts), INTERVAL '10' MINUTES)) "
+        "GROUP BY user_id, window_start, window_end"
+    )
+    native = (
+        spark.table("events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
         )
+    )
+    assert got.exceptAll(native).count() == 0
+    assert native.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_session_tvf_no_partition(router, spark):
+    """SESSION without PARTITION BY: one global session stream."""
+    got = router.execute(
+        "SELECT window_start, COUNT(*) AS n FROM TABLE(SESSION("
+        "TABLE events, DESCRIPTOR(ts), INTERVAL '10' MINUTES)) "
+        "GROUP BY window_start"
+    )
+    native = (
+        spark.table("events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"))
+        .count()
+    )
+    assert got.count() == native.count() > 0
+
+
+def test_three_level_namespace(router, spark):
+    """catalog.db.table and bare-name-under-USE address the same table
+    (the reference's sql.current-catalog / sql.current-database props,
+    terraform/lab-aggregations/main.tf:397-400)."""
+    router.execute("SET 'sql.current-catalog' = 'examples'")
+    router.execute("SET 'sql.current-database' = 'marketplace'")
+    router.execute(
+        "CREATE TABLE ns_products (id INT, model STRING, "
+        "PRIMARY KEY (id) NOT ENFORCED)"
+    )
+    router.execute("INSERT INTO ns_products VALUES (1, 'alpha'), (2, 'beta')")
+    bare = router.execute("SELECT * FROM ns_products ORDER BY id").collect()
+    qualified = router.execute(
+        "SELECT * FROM examples.marketplace.ns_products ORDER BY id"
+    ).collect()
+    assert bare == qualified and len(bare) == 2
+    # a second router session addresses it via USE CATALOG / USE
+    other = StatementRouter(spark, catalog=router.catalog)
+    other.execute("USE CATALOG examples")
+    other.execute("USE marketplace")
+    assert other.execute("SELECT COUNT(*) AS n FROM ns_products").collect()[
+        0
+    ].n == 2
+
+
+def test_insert_values_upserts_keyed_table(router, spark):
+    """INSERT INTO … VALUES goes through the same upsert/bucket path as
+    INSERT … SELECT: literal re-inserts of an existing PK replace the row."""
+    router.execute(
+        "CREATE TABLE kv (k STRING, v BIGINT, "
+        "PRIMARY KEY (k) NOT ENFORCED) DISTRIBUTED INTO 1 BUCKETS"
+    )
+    router.execute("INSERT INTO kv VALUES ('a', 1), ('b', 2)")
+    router.execute("INSERT INTO kv VALUES ('a', 99)")
+    rows = {r.k: r.v for r in spark.table("kv").collect()}
+    assert rows == {"a": 99, "b": 2}
+    # literal ints were cast to the declared BIGINT
+    assert dict(spark.table("kv").dtypes)["v"] == "bigint"
+
+
+def test_create_if_not_exists_preserves_data(router, spark):
+    router.execute("CREATE TABLE ine_t (id INT, PRIMARY KEY (id) NOT ENFORCED)")
+    router.execute("INSERT INTO ine_t VALUES (1), (2)")
+    # IF NOT EXISTS on an existing table is a no-op — data survives
+    router.execute("CREATE TABLE IF NOT EXISTS ine_t (id INT)")
+    assert spark.table("ine_t").count() == 2
+    # plain CREATE of an existing table errors (Flink semantics)
+    with pytest.raises(ValueError, match="already exists"):
+        router.execute("CREATE TABLE ine_t (id INT)")
+
+
+def test_nested_composite_types():
+    assert _map_type("ROW<a MAP<STRING, INT>, b INT>") == (
+        "struct<a: map<string,int>, b: int>"
+    )
+    assert _map_type("MAP<STRING, ROW<x INT, y INT>>") == (
+        "map<string,struct<x: int, y: int>>"
+    )
+    assert _map_type("ARRAY<ROW<a INT, b STRING>>") == (
+        "array<struct<a: int, b: string>>"
+    )

@@ -65,6 +65,88 @@ def test_kafka_reader_builds_without_broker(spark):
     assert reader is not None  # options accepted; start() would need a broker
 
 
+def test_avro_schema_binary_roundtrip(spark):
+    """The schema JSON handed to from_avro must be real Avro: parse it
+    with the bundled org.apache.avro library, binary-encode a record
+    through GenericDatumWriter, decode it back, and compare values — the
+    wire round-trip a broker would perform, minus the broker."""
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from training_flink_sql_cc_src_spark.sources.kafka import avro_schema_json
+
+    spark_schema = StructType(
+        [
+            StructField("order_id", LongType(), nullable=False),
+            StructField("status", StringType(), nullable=False),
+        ]
+    )
+    schema_json = avro_schema_json("order_event", spark_schema)
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    assert schema.getName() == "order_event"
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("order_id", 4_200_000_001)  # > int32: exercises the long branch
+    rec.put("status", "SHIPPED")
+    baos = jvm.java.io.ByteArrayOutputStream()
+    enc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, None)
+    jvm.org.apache.avro.generic.GenericDatumWriter(schema).write(rec, enc)
+    enc.flush()
+    wire = baos.toByteArray()
+    assert len(wire) > 0
+    bais = jvm.java.io.ByteArrayInputStream(wire)
+    dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(bais, None)
+    out = jvm.org.apache.avro.generic.GenericDatumReader(schema).read(None, dec)
+    assert out.get("order_id") == 4_200_000_001
+    assert str(out.get("status")) == "SHIPPED"
+
+
+def test_avro_file_roundtrip_with_connector(spark, tmp_path):
+    """Full .avro file round-trip through decode_avro_value's schema path.
+    Runs only where the external spark-avro artifact is on the classpath
+    (it is not bundled with pyspark) — on this container it SKIPS; on a
+    real deployment with --packages org.apache.spark:spark-avro it runs."""
+    import pytest as _pytest
+
+    from training_flink_sql_cc_src_spark.sources.kafka import (
+        avro_schema_json,
+        spark_avro_available,
+    )
+
+    if not spark_avro_available(spark):
+        _pytest.skip("spark-avro connector not on classpath")
+    df = spark.createDataFrame(
+        [(1, "NEW"), (2, "SHIPPED")], "order_id bigint, status string"
+    )
+    path = str(tmp_path / "orders_avro")
+    df.write.format("avro").save(path)
+    back = spark.read.format("avro").load(path)
+    assert {(r.order_id, r.status) for r in back.collect()} == {
+        (1, "NEW"),
+        (2, "SHIPPED"),
+    }
+    # and the from_avro/to_avro expression path with the same schema JSON
+    from pyspark.sql.avro.functions import from_avro, to_avro
+
+    schema_json = avro_schema_json(
+        "order_event",
+        spark.createDataFrame([(1, "NEW")], "order_id bigint, status string")
+        .schema,
+    )
+    encoded = df.select(
+        to_avro(F.struct("order_id", "status")).alias("value")
+    )
+    decoded = encoded.select(from_avro("value", schema_json).alias("v")).select(
+        "v.*"
+    )
+    assert decoded.count() == 2
+
+
 def test_frame_sample_bytes_are_stride_slices(spark):
     """frame_sample's binary output must be the exact byte slices of the
     input payload at 64-byte strides (the contract a real keyframe

@@ -53,9 +53,12 @@ class Engine:
         return self.router.execute(statement)
 
     def table(self, name: str) -> DataFrame:
-        """Read a table with its catalog semantics applied (PK'd tables
-        come back as the latest-per-key view — the compacted-topic read)."""
-        return self.spark.table(name)
+        """Read a table by (possibly namespaced) name. Keyed tables are
+        already collapsed to latest-row-per-key AT WRITE by the router's
+        INSERT path (the compacted-topic read view, SURVEY.md §1.1), so no
+        read-side wrap is applied here — a write that bypasses the router
+        bypasses that guarantee too."""
+        return self.spark.table(self.router._resolve(name))
 
     # ------------------------------------------------------------------ DAG
     def pipeline(self) -> PipelineRunner:

@@ -79,7 +79,7 @@ def _map_type(flink_type: str) -> str:
 
 
 _CREATE_HEAD_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\(",
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?`?(?P<name>\w+)`?\s*\(",
     re.IGNORECASE,
 )
 
@@ -90,10 +90,11 @@ _CREATE_HEAD_RE = re.compile(
 # window_start / window_end columns, so the statement runs through
 # spark.sql unchanged otherwise.
 _WINDOW_TVF_RE = re.compile(
-    r"TABLE\s*\(\s*(TUMBLE|HOP|SESSION|CUMULATE)\s*\(\s*"
-    r"(?:DATA\s*=>\s*)?TABLE\s+`?(\w+)`?\s*,\s*"
-    r"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*`?(\w+)`?\s*\)\s*,\s*"
-    r"([^()]*?)\)\s*\)",
+    r"TABLE\s*\(\s*(?P<kind>TUMBLE|HOP|SESSION|CUMULATE)\s*\(\s*"
+    r"(?:DATA\s*=>\s*)?TABLE\s+`?(?P<tbl>\w+)`?\s*"
+    r"(?:PARTITION\s+BY\s+(?P<pby>.*?))?\s*,\s*"
+    r"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*`?(?P<ts>\w+)`?\s*\)\s*,\s*"
+    r"(?P<args>[^()]*?)\)\s*\)",
     re.IGNORECASE,
 )
 _INTERVAL_LIT_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE)
@@ -115,14 +116,39 @@ def rewrite_window_tvfs(sql: str) -> str:
     TUMBLE → per-row window() struct access; HOP → sliding window()
     (explodes each row into its windows, exactly the TVF semantics);
     CUMULATE → explode of the growing window ends [start+step … start+max]
-    filtered to those covering the row. SESSION has merge semantics no
-    per-row rewrite can express — use F.session_window (window_session).
+    filtered to those covering the row. SESSION merges rows, so it becomes
+    the classic gaps-and-islands rewrite: a LAG-gap flag, a running-sum
+    session id, then per-session min/max window functions — the same plan
+    shape F.session_window produces (one shuffle on the partition keys).
     """
 
     def repl(m: re.Match) -> str:
-        kind = m.group(1).upper()
-        tbl, ts = m.group(2), m.group(3)
-        durs = _durations(m.group(4))
+        kind = m.group("kind").upper()
+        tbl, ts = m.group("tbl"), m.group("ts")
+        durs = _durations(m.group("args"))
+        if kind == "SESSION":
+            (_, gap_s), = durs
+            keys = [
+                k.strip().strip("`")
+                for k in (m.group("pby") or "").split(",")
+                if k.strip()
+            ]
+            part = ", ".join(f"`{k}`" for k in keys)
+            by_keys = f"PARTITION BY {part} " if part else ""
+            lag = f"LAG(`{ts}`) OVER ({by_keys}ORDER BY `{ts}`)"
+            sess = f"PARTITION BY {part + ', ' if part else ''}__sid"
+            gap_us = gap_s * 1_000_000
+            return (
+                f"(SELECT * EXCEPT (__new, __sid), "
+                f"min(`{ts}`) OVER ({sess}) AS window_start, "
+                f"max(`{ts}`) OVER ({sess}) + make_dt_interval(0, 0, 0, "
+                f"{gap_s}) AS window_end "
+                f"FROM (SELECT *, sum(__new) OVER ({by_keys}ORDER BY `{ts}` "
+                f"ROWS UNBOUNDED PRECEDING) AS __sid "
+                f"FROM (SELECT __u.*, CASE WHEN {lag} IS NULL OR "
+                f"unix_micros(`{ts}`) - unix_micros({lag}) >= {gap_us} "
+                f"THEN 1 ELSE 0 END AS __new FROM {tbl} __u) __m) __n)"
+            )
         if kind == "TUMBLE":
             (size, _), = durs
             w = f"window(`{ts}`, '{size}')"
@@ -150,17 +176,15 @@ def rewrite_window_tvfs(sql: str) -> str:
                 f"INTERVAL '{step}')) AS window_end FROM {tbl} __s) __c "
                 f"WHERE __c.window_end > __c.`{ts}`)"
             )
-        raise NotImplementedError(
-            "SESSION windows merge rows and cannot be a per-row TVF rewrite; "
-            "use F.session_window (see queries/time_windows.window_session)"
-        )
+        raise AssertionError(f"unreachable TVF kind {kind}")
 
     return _WINDOW_TVF_RE.sub(repl, sql)
 
 
-def _split_create(sql: str) -> tuple[str, str, str] | None:
-    """(name, body, tail) of a CREATE TABLE, with the body delimited by its
-    paren-BALANCED close (a greedy regex would eat the WITH(...) clause)."""
+def _split_create(sql: str) -> tuple[str, str, str, bool] | None:
+    """(name, body, tail, if_not_exists) of a CREATE TABLE, with the body
+    delimited by its paren-BALANCED close (a greedy regex would eat the
+    WITH(...) clause)."""
     m = _CREATE_HEAD_RE.match(sql)
     if not m:
         return None
@@ -171,7 +195,12 @@ def _split_create(sql: str) -> tuple[str, str, str] | None:
         elif sql[i] == ")":
             depth -= 1
             if depth == 0:
-                return m.group(1), sql[start:i], sql[i + 1 :]
+                return (
+                    m.group("name"),
+                    sql[start:i],
+                    sql[i + 1 :],
+                    m.group("ine") is not None,
+                )
     return None
 _PK_RE = re.compile(
     r"PRIMARY\s+KEY\s*\(([^)]*)\)\s*NOT\s+ENFORCED", re.IGNORECASE
@@ -188,8 +217,29 @@ _ALTER_WATERMARK_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*(SELECT\b.*)$",
+    r"^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*((?:SELECT|VALUES)\b.*)$",
     re.IGNORECASE | re.DOTALL,
+)
+# --------------------------------------------------- namespace statements
+# The reference runs every statement under a three-level namespace: each
+# confluent_flink_statement carries sql.current-catalog (the environment)
+# and sql.current-database (the Kafka cluster) properties
+# (terraform/lab-aggregations/main.tf:397-400). Spark temp views are a
+# flat namespace, so catalog.db.table flattens to catalog__db__table and
+# bare names resolve through the session's current catalog/database.
+_USE_CATALOG_RE = re.compile(r"^\s*USE\s+CATALOG\s+`?([\w-]+)`?\s*$", re.IGNORECASE)
+_USE_DB_RE = re.compile(
+    r"^\s*USE\s+(?:DATABASE\s+)?`?([\w-]+)`?\s*$", re.IGNORECASE
+)
+_SET_PROP_RE = re.compile(
+    r"^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*$", re.IGNORECASE
+)
+# table references directly after a table-position keyword; {1,2} dots =
+# db.table or catalog.db.table (never alias.column, which follows ON/WHERE/
+# SELECT positions, not FROM/JOIN/INTO/TABLE)
+_QUALIFIED_REF_RE = re.compile(
+    r"\b(TABLE|INTO|FROM|JOIN)\s+((?:`?[\w-]+`?\.){1,2}`?\w+`?)",
+    re.IGNORECASE,
 )
 
 
@@ -206,10 +256,74 @@ class StatementRouter:
         self.spark = spark
         self.catalog = catalog or TableCatalog()
         self._seq = 0
+        #: three-level namespace state (sql.current-catalog / -database)
+        self.current_catalog: str | None = None
+        self.current_database: str | None = None
+        self.session_props: dict[str, str] = {}
+
+    # ------------------------------------------------------------- namespace
+    @staticmethod
+    def _flat(parts: list[str]) -> str:
+        """catalog.db.table → catalog__db__table (temp-view-safe chars)."""
+        return "__".join(re.sub(r"\W", "_", p) for p in parts)
+
+    def _canonical(self, ref: str) -> str:
+        """Resolve a possibly-qualified table reference to its flat name."""
+        parts = [p.strip("`") for p in ref.split(".")]
+        if len(parts) == 2:
+            parts = [self.current_catalog or "default"] + parts
+        if len(parts) == 3:
+            return self._flat(parts)
+        return parts[0]
+
+    def _resolve(self, name: str, creating: bool = False) -> str:
+        """Resolve a BARE name through the current namespace. On CREATE the
+        current namespace always prefixes; otherwise prefer whichever of
+        (bare, namespaced) is already registered."""
+        if not (self.current_catalog and self.current_database):
+            return name
+        flat = self._flat([self.current_catalog, self.current_database, name])
+        if creating:
+            return flat
+        if name in self.catalog:
+            return name
+        return flat if flat in self.catalog else name
+
+    def _flatten_qualified(self, sql: str) -> str:
+        return _QUALIFIED_REF_RE.sub(
+            lambda m: f"{m.group(1)} {self._canonical(m.group(2))}", sql
+        )
+
+    def _publish(self, df: DataFrame, canonical: str) -> None:
+        """Register the view under its canonical name AND, for namespaced
+        tables, the bare alias — so `SELECT … FROM t` works under USE and
+        `SELECT … FROM cat.db.t` works always."""
+        df.createOrReplaceTempView(canonical)
+        bare = canonical.rsplit("__", 1)[-1]
+        if bare != canonical:
+            df.createOrReplaceTempView(bare)
 
     # ---------------------------------------------------------------- execute
     def execute(self, sql: str) -> DataFrame | None:
-        sql = rewrite_window_tvfs(sql.strip().rstrip(";"))
+        sql = sql.strip().rstrip(";")
+        m = _USE_CATALOG_RE.match(sql)
+        if m:
+            self.current_catalog = m.group(1)
+            return None
+        m = _SET_PROP_RE.match(sql)
+        if m:
+            key, val = m.group(1), m.group(2)
+            self.session_props[key] = val
+            if key == "sql.current-catalog":
+                self.current_catalog = val
+            elif key == "sql.current-database":
+                self.current_database = val
+            return None
+        m = _USE_DB_RE.match(sql)
+        if m and m.group(1).upper() != "CATALOG":
+            self.current_database = m.group(1)
+            return None
+        sql = rewrite_window_tvfs(self._flatten_qualified(sql))
         m = _ALTER_WATERMARK_RE.match(sql)
         if m:
             return self._alter_watermark(m.group(1), m.group(2), m.group(3))
@@ -228,7 +342,14 @@ class StatementRouter:
         parts = _split_create(sql)
         if parts is None:
             raise ValueError(f"unparseable CREATE TABLE: {sql[:120]}")
-        name, body, tail = parts
+        name, body, tail, if_not_exists = parts
+        name = self._resolve(name, creating=True)
+        if name in self.catalog:
+            # Flink semantics: IF NOT EXISTS is a no-op on an existing
+            # table (it must NOT wipe its data); a plain CREATE errors.
+            if if_not_exists:
+                return None
+            raise ValueError(f"table {name!r} already exists")
         meta = TableMeta(name=name)
         pk = _PK_RE.search(body)
         if pk:
@@ -255,36 +376,55 @@ class StatementRouter:
                 cols.append((cm.group(1), _map_type(cm.group(2))))
         ddl = ", ".join(f"{n} {tp}" for n, tp in cols)
         empty = self.spark.createDataFrame([], schema=ddl)
+        meta.name = name
         meta.schema = empty.schema
-        empty.createOrReplaceTempView(name)
+        self._publish(empty, name)
         self.catalog.register(meta)
 
     def _alter_column(self, table: str, col: str, new_type: str) -> None:
         """S7/S8: retype a column on the source view (cast-at-read,
         SURVEY.md §1.2 ALTER … MODIFY → withColumn(cast))."""
+        table = self._resolve(table)
         df = self.spark.table(table).withColumn(
             col, F.col(col).cast(_map_type(new_type))
         )
-        df.createOrReplaceTempView(table)
+        self._publish(df, table)
         meta = self.catalog.get_or_create(table)
         meta.schema = df.schema
 
     def _alter_watermark(self, table: str, col: str, expr: str) -> None:
         """S9/S10: record event-time + watermark in the catalog; the
         streaming layer applies withWatermark(col, delay) on readStream."""
-        meta = self.catalog.get_or_create(table)
+        meta = self.catalog.get_or_create(self._resolve(table))
         meta.watermark_col = col
         meta.watermark_expr = expr.strip().rstrip(";")
 
     # ------------------------------------------------------------------- DML
     def _insert(self, table: str, col_list: str | None, select_sql: str) -> None:
+        # select_sql is either a SELECT or a literal VALUES row list —
+        # both are Spark SQL queries (VALUES yields col1, col2, …); either
+        # way the keyed-table upsert / bucket semantics below apply.
         new_rows = self.spark.sql(select_sql)
+        table = self._resolve(table)
         meta = self.catalog.get_or_create(table)
         if col_list:
             names = [c.strip().strip("`") for c in col_list.split(",")]
             new_rows = new_rows.toDF(*names)
         elif meta.schema is not None:
             new_rows = new_rows.toDF(*[f.name for f in meta.schema.fields])
+        if meta.schema is not None:
+            # conform literal/query output to the declared schema: cast
+            # every column (VALUES literals type as int/string, not the
+            # declared bigint/decimal) and NULL-fill omitted columns
+            have = set(new_rows.columns)
+            new_rows = new_rows.select(
+                *[
+                    (F.col(f.name) if f.name in have else F.lit(None))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in meta.schema.fields
+                ]
+            )
         self._seq += 1
         new_rows = new_rows.withColumn("__seq", F.lit(self._seq))
         try:
@@ -312,7 +452,7 @@ class StatementRouter:
         # already happened, so only the next INSERT needs ordering (it gets
         # a strictly higher seq than the republished rows' implicit 0).
         snapshot = combined.drop("__seq").localCheckpoint(eager=True)
-        snapshot.createOrReplaceTempView(table)
+        self._publish(snapshot, table)
         if meta.schema is None:
             meta.schema = snapshot.schema
 

@@ -48,6 +48,36 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey AS order_id, o.o_totalprice AS totalprice,
+           c.c_custkey AS customer_id, c.c_name AS name
+    FROM orders o
+    RIGHT JOIN customer c
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000
+    """,
+    doc="RIGHT OUTER JOIN (SURVEY.md §2.3 left/right/full row): the "
+    "mirror of join_left_outer — every customer survives, order columns "
+    "NULL when no qualifying order. Catalyst plans it as the same hash "
+    "join with build/stream sides flipped, so the scale story is "
+    "identical to the left-outer case.",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return o.join(
+        c, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 100000), "right"
+    ).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+    )
+
+
+@register(
     "join_full_outer",
     oracle="""
     SELECT cn.nationkey AS nationkey, cn.n_cust AS n_cust, sn.n_supp AS n_supp

@@ -129,6 +129,49 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_session_sql",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 10 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS session_last,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="SESSION TVF through the SQL front door: the lab-time statement "
+    "syntax TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), gap)) "
+    "is accepted verbatim by the StatementRouter, which rewrites it into "
+    "the gaps-and-islands derived table (LAG gap flag → running-sum "
+    "session id → per-session min/max) — same oracle as window_session. "
+    "Plan: two window functions over one shuffle on user_id, then the "
+    "group-by reuses the same partitioning.",
+)
+def window_session_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__sess_sql_events")
+    return StatementRouter(spark).execute(
+        "SELECT user_id, CAST(window_start AS LONG) AS session_start, "
+        "CAST(MAX(ts) AS LONG) AS session_last, COUNT(*) AS n_events "
+        "FROM TABLE(SESSION(TABLE __sess_sql_events PARTITION BY user_id, "
+        "DESCRIPTOR(ts), INTERVAL '10' MINUTES)) "
+        "GROUP BY user_id, window_start, window_end"
+    )
+
+
+@register(
     "window_cumulate",
     oracle=f"""
     SELECT ({EPOCH_SQL.format(x='e.ts')} // 3600) * 3600 AS window_start,

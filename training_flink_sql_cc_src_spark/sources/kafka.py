@@ -11,8 +11,57 @@ unchanged given ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13``.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: Spark simpleString → Avro primitive (the subset the lab schemas use;
+#: terraform/lab-tables/main.tf:153-183 registers flat records of these).
+_SPARK_TO_AVRO = {
+    "string": "string",
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def avro_schema_json(record_name: str, schema: StructType) -> str:
+    """Avro record schema for a flat Spark schema — the JSON handed to
+    ``from_avro`` (and registered in Schema Registry on a real
+    deployment). Nullable Spark fields become ["null", type] unions,
+    exactly how Confluent's Avro converter emits optional fields."""
+    fields = []
+    for f in schema.fields:
+        avro_t = _SPARK_TO_AVRO.get(f.dataType.simpleString())
+        if avro_t is None:
+            raise ValueError(f"no Avro mapping for {f.dataType.simpleString()}")
+        fields.append(
+            {"name": f.name, "type": ["null", avro_t] if f.nullable else avro_t}
+        )
+    return json.dumps(
+        {"type": "record", "name": record_name, "fields": fields}
+    )
+
+
+def spark_avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro connector is loaded. A functional probe,
+    not Class.forName: Spark's spark-sql jar ships shim classes that
+    exist only to raise AVRO_NOT_LOADED, so presence of the class proves
+    nothing — analyzing a to_avro expression does."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(
+            to_avro(F.struct(F.lit(1).alias("x"))).alias("v")
+        ).schema
+        return True
+    except Exception:
+        return False
 
 
 def kafka_reader(
