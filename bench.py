@@ -102,7 +102,9 @@ def _warn_regressions(per_query: dict[str, float]) -> None:
         return
     try:
         with open(prior_files[-1]) as fh:
-            prior = json.load(fh).get("queries", {})
+            doc = json.load(fh)
+        # the driver wraps bench stdout under "parsed"
+        prior = doc.get("queries") or doc.get("parsed", {}).get("queries", {})
     except (OSError, json.JSONDecodeError):
         return
     for name, now in per_query.items():
