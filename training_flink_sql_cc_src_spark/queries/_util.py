@@ -78,6 +78,16 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
 
 
+def norm_col(a: Column) -> Column:
+    """sqrt(a·a) with the same deterministic fold as cosine_col. Compute
+    it ONCE per side before a similarity join: each candidate row then
+    folds only dot(a,b) instead of three dots — identical doubles, so
+    scores stay bit-identical to cosine_col/cosine_sql, but the per-pair
+    cost drops 3x (the corpus-side norm is amortized over every candidate
+    pair the vector appears in)."""
+    return F.sqrt(dot_col(a, a))
+
+
 def cosine_sql(a: str, b: str, dim: int = 64) -> str:
     return (
         f"({dot_sql(a, b, dim)} / "

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import cosine_col, cosine_sql, t
+from ._util import cosine_sql, dot_col, norm_col, t
 
 N_QUERY = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -50,12 +50,23 @@ TOP_K = 5
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
+    # norms once per side (norm_col): per candidate row only dot(q, v)
+    # folds — bit-identical scores, 3x less per-pair work
+    corpus = e.select(
+        "vec_id", "embedding", norm_col(F.col("embedding")).alias("v_norm")
+    )
     q = e.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_col(F.col("embedding")).alias("q_norm"),
     )
     scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine_col(F.col("q_emb"), F.col("embedding")))
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            dot_col(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("v_norm")),
+        )
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -89,15 +100,21 @@ def sim_threshold_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_a"),
         F.col("label"),
         F.col("embedding").alias("emb_a"),
+        norm_col(F.col("embedding")).alias("norm_a"),
     )
     b = e.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        norm_col(F.col("embedding")).alias("norm_b"),
     )
     return (
         a.join(b, (a.label == b.label_b) & (a.id_a < b.id_b))
-        .withColumn("cos_sim", cosine_col(F.col("emb_a"), F.col("emb_b")))
+        .withColumn(
+            "cos_sim",
+            dot_col(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
         .filter(F.col("cos_sim") >= 0.35)
         .select("id_a", "id_b", "label", "cos_sim")
     )
@@ -141,11 +158,14 @@ def lsh_bucket(emb, planes: list[list[float]]):
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
-    sig = e.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    sig = e.withColumn("bucket", lsh_bucket(F.col("embedding"), planes)).withColumn(
+        "v_norm", norm_col(F.col("embedding"))
+    )
     # 4 bands of 4 bits: candidate = shares any band value with the query
     bands = sig.select(
         "vec_id",
         "embedding",
+        "v_norm",
         F.explode(
             F.array(
                 *[
@@ -159,22 +179,32 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", "embedding", "bb.band", "bb.band_bits")
+    ).select("vec_id", "embedding", "v_norm", "bb.band", "bb.band_bits")
     q = bands.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
         F.col("band"),
         F.col("band_bits"),
     )
-    cands = (
+    # Score BEFORE deduplicating: a pair matching in k bands appears k
+    # times, but cosine is a cheap map-side JVM expression, while
+    # dropDuplicates on un-scored candidates would shuffle the 64-float
+    # embedding arrays. Scoring first means the dedup (groupBy = map-side
+    # partial agg) shuffles only narrow (query_id, neighbor_id, cos)
+    # rows — at 100 TB that's the difference between shuffling vectors
+    # and shuffling scalars.
+    scored = (
         bands.join(F.broadcast(q), ["band", "band_bits"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_emb", "vec_id", "embedding")
-        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn(
+            "cos_sim",
+            dot_col(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("v_norm")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
-    scored = cands.withColumn(
-        "cos_sim", cosine_col(F.col("q_emb"), F.col("embedding"))
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -229,7 +259,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_rows = e.limit(n_cells).collect()
     seed_rows.sort(key=lambda r: r.vec_id)
     cents = [(i, list(r.embedding)) for i, r in enumerate(seed_rows)]
-    assigned = e.withColumn("cell", _argmax_cell(F.col("embedding"), cents))
+    assigned = e.withColumn(
+        "cell", _argmax_cell(F.col("embedding"), cents)
+    ).withColumn("v_norm", norm_col(F.col("embedding")))
     # queries probe their top-2 cells (explode the 2-best struct array)
     q = e.filter(F.col("vec_id") < N_QUERY)
     from ._util import dot_col
@@ -237,6 +269,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_scored = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        norm_col(F.col("embedding")).alias("q_norm"),
         F.slice(
             F.reverse(
                 F.array_sort(
@@ -258,16 +291,25 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("probes"),
     ).select(
-        "query_id", "q_emb", F.explode(F.col("probes").getField("cell")).alias("cell")
+        "query_id",
+        "q_emb",
+        "q_norm",
+        F.explode(F.col("probes").getField("cell")).alias("cell"),
     )
-    cands = (
+    # score before dedup: the 2-probe expansion can emit a pair once per
+    # probed cell; dedup AFTER scoring shuffles narrow scalar rows with a
+    # map-side partial max instead of shuffling embedding arrays
+    scored = (
         assigned.join(F.broadcast(q_scored), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn(
+            "cos_sim",
+            dot_col(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("v_norm")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
-    scored = cands.withColumn(
-        "cos_sim", cosine_col(F.col("q_emb"), F.col("embedding"))
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
