@@ -302,3 +302,31 @@ def test_nested_composite_types():
     assert _map_type("ARRAY<ROW<a INT, b STRING>>") == (
         "array<struct<a: int, b: string>>"
     )
+
+
+def test_ctas_show_describe(router, spark):
+    """CTAS + SHOW TABLES + DESCRIBE — the lab's exploration workflow."""
+    router.execute(
+        "CREATE TABLE big_orders WITH ('changelog.mode' = 'append') AS "
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 200000"
+    )
+    n = spark.table("big_orders").count()
+    want = spark.table("orders").filter(F.col("o_totalprice") > 200000).count()
+    assert n == want
+    meta = router.catalog.get("big_orders")
+    assert meta.changelog_mode == "append"
+    assert meta.schema is not None and len(meta.schema.fields) == 2
+    shown = {r.table_name for r in router.execute("SHOW TABLES").collect()}
+    assert "big_orders" in shown
+    desc = {r.col_name: r for r in router.execute("DESCRIBE big_orders").collect()}
+    assert desc["o_totalprice"].data_type == "double"
+    # DESCRIBE surfaces PK + watermark markers from the Flink-side catalog
+    router.execute(
+        "CREATE TABLE desc_keyed (id STRING, ts TIMESTAMP(3), "
+        "PRIMARY KEY (id) NOT ENFORCED)"
+    )
+    router.execute("ALTER TABLE desc_keyed MODIFY WATERMARK FOR `ts` AS `ts`")
+    d2 = {r.col_name: r for r in router.execute("DESCRIBE desc_keyed").collect()}
+    assert d2["id"].primary_key and not d2["id"].watermark
+    assert d2["ts"].watermark and not d2["ts"].primary_key

@@ -362,3 +362,60 @@ def test_stream_stream_left_outer_interval_join(spark, sf_small):
     got = {(r.purchase_id, r.click_id) for r in streamed}
     assert got <= batch  # no phantom matches / no premature nulls
     assert must_emit <= got  # closed inner matches AND closed null rows
+
+
+def test_tvf_statement_streams_through_engine(spark, sf_small):
+    """A lab-dialect TUMBLE TVF statement runs as a CONTINUOUS query via
+    Engine.sql_stream (the reference's execution model: every statement is
+    a streaming job): final streamed state == the same statement executed
+    in batch through the same front door."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select("ts", "event_type", "value")
+    eng = Engine(spark)
+    stmt = (
+        "SELECT window_start, event_type, COUNT(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE events_tvf_stream, DESCRIPTOR(ts), "
+        "INTERVAL '1' HOUR)) GROUP BY window_start, event_type"
+    )
+    ev.createOrReplaceTempView("events_tvf_stream")
+    batch = eng.sql(stmt)
+    stream = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"events_tvf_stream": s}),
+        output_mode="complete",
+    )
+    assert _rows(batch) == _rows(stream) and batch.count() > 0
+
+
+def test_tvf_statement_streams_update_mode_upsert_sink(spark, sf_small):
+    """HOP TVF statement in UPDATE mode — the Flink upsert-sink analog
+    (OUTPUT_MODE_FOR_CHANGELOG['upsert']): each micro-batch re-emits
+    changed windows; collapsing the update stream to latest-per-window
+    (max of a monotone count) must equal the batch answer. (Append mode
+    needs the native F.window groupBy path: extracting window_start as a
+    plain SQL column strips Spark's event-time metadata — covered by
+    test_watermark_append_emits_closed_windows_with_late_drops.)"""
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select("ts", "event_type", "value")
+    eng = Engine(spark)
+    stmt = (
+        "SELECT window_start, COUNT(*) AS n "
+        "FROM TABLE(HOP(TABLE events_hop_stream, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTES, INTERVAL '1' HOUR)) GROUP BY window_start"
+    )
+    ev.createOrReplaceTempView("events_hop_stream")
+    batch = {tuple(r) for r in eng.sql(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"events_hop_stream": s}),
+        output_mode="update",
+        order_by="ts",
+    )
+    final = (
+        streamed.groupBy("window_start").agg(F.max("n").alias("n")).collect()
+    )
+    assert {tuple(r) for r in final} == batch and batch

@@ -52,6 +52,33 @@ class Engine:
         returns None; queries return a DataFrame."""
         return self.router.execute(statement)
 
+    def sql_stream(
+        self, statement: str, sources: dict[str, DataFrame]
+    ) -> DataFrame:
+        """Run a reference-dialect statement as a CONTINUOUS query — the
+        reference's actual execution model (every Flink statement is a
+        streaming job). ``sources`` maps table names to streaming
+        DataFrames (``spark.readStream...``); each is registered as a view
+        with its catalog watermark applied (the S9/S10 ``MODIFY
+        WATERMARK`` DDL recorded by ``sql()``), then the statement is
+        rewritten (window TVFs, namespace) and planned by Catalyst as a
+        streaming query. TUMBLE/HOP/CUMULATE statements stream; the
+        SESSION rewrite uses window functions, which Structured Streaming
+        rejects — use F.session_window for streaming sessionization
+        (tests/test_streaming_parity.py::test_session_window_streaming_parity).
+        """
+        from .plans.router import rewrite_window_tvfs
+
+        for name, sdf in sources.items():
+            meta = self.catalog.get(self.router._resolve(name))
+            if meta is not None and meta.watermark_col:
+                sdf = sdf.withWatermark(meta.watermark_col, meta.watermark_delay)
+            sdf.createOrReplaceTempView(name)
+        rewritten = rewrite_window_tvfs(
+            self.router._flatten_qualified(statement.strip().rstrip(";"))
+        )
+        return self.spark.sql(rewritten)
+
     def table(self, name: str) -> DataFrame:
         """Read a table by (possibly namespaced) name. Keyed tables are
         already collapsed to latest-row-per-key AT WRITE by the router's

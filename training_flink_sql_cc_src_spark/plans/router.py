@@ -241,6 +241,15 @@ _QUALIFIED_REF_RE = re.compile(
     r"\b(TABLE|INTO|FROM|JOIN)\s+((?:`?[\w-]+`?\.){1,2}`?\w+`?)",
     re.IGNORECASE,
 )
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?`?(\w+)`?\s*$", re.IGNORECASE
+)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*"
+    r"(?:WITH\s*\((?P<props>[^)]*)\)\s*)?AS\s+(?P<query>(?:SELECT|VALUES)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class StatementRouter:
@@ -323,7 +332,20 @@ class StatementRouter:
         if m and m.group(1).upper() != "CATALOG":
             self.current_database = m.group(1)
             return None
+        m = _SHOW_TABLES_RE.match(sql)
+        if m:
+            return self.spark.createDataFrame(
+                [(n,) for n in self.catalog.names()], "table_name string"
+            )
         sql = rewrite_window_tvfs(self._flatten_qualified(sql))
+        m = _DESCRIBE_RE.match(sql)
+        if m:
+            return self._describe(self._resolve(m.group(1)))
+        m = _CTAS_RE.match(sql)
+        if m:
+            return self._create_table_as(
+                m.group(1), m.group("props"), m.group("query")
+            )
         m = _ALTER_WATERMARK_RE.match(sql)
         if m:
             return self._alter_watermark(m.group(1), m.group(2), m.group(3))
@@ -380,6 +402,47 @@ class StatementRouter:
         meta.schema = empty.schema
         self._publish(empty, name)
         self.catalog.register(meta)
+
+    def _create_table_as(
+        self, name: str, props: str | None, query: str
+    ) -> None:
+        """CTAS: schema and data come from the query; WITH props (e.g.
+        changelog.mode) still register in the catalog."""
+        name = self._resolve(name, creating=True)
+        meta = self.catalog.get_or_create(name)
+        if props:
+            meta.props = dict(_PROP_RE.findall(props))
+            if meta.props.get("changelog.mode"):
+                meta.changelog_mode = meta.props["changelog.mode"]
+        df = self.spark.sql(query).localCheckpoint(eager=True)
+        meta.schema = df.schema
+        self._publish(df, name)
+
+    def _describe(self, table: str) -> DataFrame:
+        """DESCRIBE with the catalog's Flink-side annotations: column
+        types plus primary-key and watermark markers (the info the lab's
+        ``DESCRIBE`` / Confluent UI surfaces)."""
+        meta = self.catalog.get(table)
+        schema = (
+            meta.schema
+            if meta is not None and meta.schema is not None
+            else self.spark.table(table).schema
+        )
+        pk = set(meta.primary_key) if meta is not None else set()
+        rows = [
+            (
+                f.name,
+                f.dataType.simpleString(),
+                f.name in pk,
+                bool(meta and meta.watermark_col == f.name),
+            )
+            for f in schema.fields
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "col_name string, data_type string, primary_key boolean, "
+            "watermark boolean",
+        )
 
     def _alter_column(self, table: str, col: str, new_type: str) -> None:
         """S7/S8: retype a column on the source view (cast-at-read,
