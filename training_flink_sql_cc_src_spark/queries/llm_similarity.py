@@ -127,21 +127,34 @@ def _hyperplanes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_bucket(emb, planes: list[list[float]]):
-    """Sign-bit bucket id of an embedding column: bit i = sign(emb·plane_i).
-    Pure built-in expressions — evaluated JVM-side, map-only."""
-    from ._util import dot_col
+def _dot_plane(plane, emb):
+    """dot(plane literal element, embedding column) — the fold used inside
+    transform() lambdas (plane elements are already double)."""
+    return F.aggregate(
+        F.zip_with(plane, emb, lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        # one array literal per plane (F.lit on the list) keeps the
-        # expression tree ~64x smaller than per-element F.lit chains —
-        # the plan compiles fast even on a cold session (the round-1
-        # driver run stalled on these wide literal trees)
-        plane = F.lit([float(x) for x in p])
-        bit = F.when(dot_col(emb, plane) >= 0, 1).otherwise(0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+
+def lsh_bucket(emb, planes: list[list[float]]):
+    """Sign-bit bucket id of an embedding column: one bit per hyperplane
+    (ordered fold: bucket = Σ bit_i shifted). ONE nested array literal +
+    two higher-order functions — the whole 16-plane signature is a tiny
+    expression tree (the round-1 per-plane literal chains made Catalyst
+    analysis itself the bottleneck on cold sessions), still JVM-side and
+    map-only."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(_dot_plane(p, emb) >= 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    # in-order fold: acc*2 + bit (bit order within the id is arbitrary as
+    # long as band extraction slices the same 16 bits — it does)
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
 
 
 @register(
@@ -215,22 +228,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _argmax_cell(emb, centroids: list[tuple[int, list[float]]]):
-    """Index of the nearest centroid (max dot product) as a JVM expression:
-    build an array of (score, cell_id) structs and take array_max —
-    struct comparison is lexicographic, so the max-score cell wins."""
-    from ._util import dot_col
+def _cell_scores(emb, centroids: list[tuple[int, list[float]]]):
+    """Per-cell dot products as ONE transform over a nested centroid
+    literal (cell id == array index) — small tree, map-only."""
+    cent_lit = F.lit([[float(x) for x in c] for _, c in centroids])
+    return F.transform(cent_lit, lambda c: _dot_plane(c, emb))
 
-    scored = F.array(
-        *[
-            F.struct(
-                dot_col(emb, F.lit([float(x) for x in c])).alias("s"),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, c in centroids
-        ]
-    )
-    return F.array_max(scored).getField("cell")
+
+def _argmax_cell(emb, centroids: list[tuple[int, list[float]]]):
+    """Index of the nearest centroid (max dot product) as a JVM
+    expression; ties resolve to the lowest cell id (array_position finds
+    the first match)."""
+    scores = _cell_scores(emb, centroids)
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
 @register(
@@ -264,32 +274,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("v_norm", norm_col(F.col("embedding")))
     # queries probe their top-2 cells (explode the 2-best struct array)
     q = e.filter(F.col("vec_id") < N_QUERY)
-    from ._util import dot_col
-
+    scores = _cell_scores(F.col("embedding"), cents)
+    scored_cells = F.transform(
+        scores, lambda s, i: F.struct(s.alias("s"), i.alias("cell"))
+    )
     q_scored = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         norm_col(F.col("embedding")).alias("q_norm"),
-        F.slice(
-            F.reverse(
-                F.array_sort(
-                    F.array(
-                        *[
-                            F.struct(
-                                dot_col(
-                                    F.col("embedding"),
-                                    F.lit([float(x) for x in c]),
-                                ).alias("s"),
-                                F.lit(cid).alias("cell"),
-                            )
-                            for cid, c in cents
-                        ]
-                    )
-                )
-            ),
-            1,
-            2,
-        ).alias("probes"),
+        F.slice(F.reverse(F.array_sort(scored_cells)), 1, 2).alias("probes"),
     ).select(
         "query_id",
         "q_emb",
