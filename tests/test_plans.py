@@ -147,3 +147,16 @@ def test_no_forced_broadcast_on_sf_scaling_tables(spark, name, sf_med):
         f"{name}: {got} forced broadcasts, expected {_HINTED_BOUNDED[name]} "
         "(only bounded dims may carry an explicit broadcast hint)"
     )
+
+
+def test_ppjoin_no_cartesian(spark, sf_med):
+    """PPJoin candidate generation must stay an equi join on prefix
+    tokens — never a nested-loop/cartesian pair enumeration."""
+    plan = (
+        QUERIES["dedup_jaccard_ppjoin"](spark, sf_med)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

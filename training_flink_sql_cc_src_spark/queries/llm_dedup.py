@@ -10,7 +10,7 @@ the band join only shuffles (band, bucket) keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -127,6 +127,109 @@ def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below runs only on surviving pairs.
     return (
         pairs.filter(inter * 8 >= (F.col("n_a") + F.col("n_b")) * 3)
+        .withColumn("jaccard", jac)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register(
+    "dedup_jaccard_ppjoin",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_distinct(string_split(text, ' ')) AS words,
+               len(list_distinct(string_split(text, ' '))) AS n_words
+        FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+               / (a.n_words + b.n_words - len(list_intersect(a.words, b.words)))
+                   AS jaccard
+        FROM w a
+        INNER JOIN w b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.6
+    """,
+    doc="ALL-pairs word-set Jaccard >= 0.6 via PPJoin prefix filtering "
+    "(SURVEY.md §2.9 n-gram Jaccard, the no-blocking-key scale path; "
+    "cf. the SSJoin/PPJoin literature): tokens ranked by global document "
+    "frequency (rare first); any pair with J >= t and the size-ratio "
+    "bound satisfied must share a token within each side's first "
+    "|x| - ceil(t*|x|) + 1 rare-ordered tokens, so candidate generation "
+    "is an equi self-join on PREFIX tokens only — rare tokens make tiny "
+    "buckets, which is what bounds the join at corpus scale where a "
+    "single blocking key would not. The oracle is the full quadratic "
+    "Jaccard (ground truth), so parity proves the filter is LOSSLESS. "
+    "Candidates are verified with one array_intersect in exact integer "
+    "arithmetic (8i >= 3(n_a+n_b) <=> J >= 0.6).",
+)
+def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    thr_num, thr_den = 3, 5  # t = 0.6 as an exact fraction
+    d = (
+        fan_out(t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
+            ).alias("words"),
+        )
+        .withColumn("n", F.size("words"))
+        .persist()
+    )
+    # global token rarity (document frequency); ties broken by token value
+    freq = (
+        d.select(F.explode("words").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tok = d.select("doc_id", "n", F.explode("words").alias("tok")).join(
+        freq, "tok"
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    # prefix length |x| - ceil(t|x|) + 1 (t = 3/5; integer ceil via
+    # floor-div — plain / would be double division and truncate the
+    # prefix, silently dropping true pairs)
+    ceil_tn = F.floor(
+        (F.col("n") * thr_num + thr_den - 1) / thr_den
+    ).cast("int")
+    prefix = tok.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= F.col("n") - ceil_tn + 1
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "tok"
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"), "tok"
+    )
+    cand = (
+        pa.join(pb, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size-ratio bound (required for prefix losslessness):
+            # J >= 0.6 => 5*min(|x|,|y|) >= 3*max(|x|,|y|)
+            & (
+                F.least("n_a", "n_b") * thr_den
+                >= F.greatest("n_a", "n_b") * thr_num
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    av = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("words").alias("words_a"),
+        F.col("n").alias("n_a"),
+    )
+    bv = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("words").alias("words_b"),
+        F.col("n").alias("n_b"),
+    )
+    verified = cand.join(av, "id_a").join(bv, "id_b")
+    inter = F.size(F.array_intersect("words_a", "words_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        verified.filter(inter * 8 >= (F.col("n_a") + F.col("n_b")) * 3)
         .withColumn("jaccard", jac)
         .select("id_a", "id_b", "jaccard")
     )
