@@ -140,6 +140,45 @@ def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_nulls_first_last",
+    oracle="""
+    SELECT seg, custkey, rnk_nl FROM (
+        SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+               c_custkey AS custkey,
+               ROW_NUMBER() OVER (
+                   ORDER BY NULLIF(c_mktsegment, 'BUILDING') DESC NULLS LAST,
+                            c_custkey ASC
+               ) AS rnk_nl
+        FROM customer
+    ) ORDER BY seg ASC NULLS FIRST, custkey ASC
+    LIMIT 600
+    """,
+    doc="Explicit NULLS FIRST/LAST ordering (Flink follows the SQL "
+    "standard's explicit placement; engines DISAGREE on defaults — Spark "
+    "ASC puts nulls first, DuckDB last — so every cross-engine ORDER BY "
+    "with nullable keys must spell placement). The LIMIT makes the "
+    "asc_nulls_first order decide WHICH rows survive, and rnk_nl encodes "
+    "the desc_nulls_last order in values, so the driver's hash verifies "
+    "both placements. Global ORDER BY + LIMIT plans as "
+    "TakeOrderedAndProject (no full sort at scale); the global "
+    "ROW_NUMBER is the semantics-coverage part, not a scale pattern.",
+)
+def order_nulls_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.col("c_custkey").alias("custkey"),
+    )
+    w = Window.orderBy(F.col("seg").desc_nulls_last(), F.col("custkey").asc())
+    return (
+        c.withColumn("rnk_nl", F.row_number().over(w))
+        .orderBy(F.col("seg").asc_nulls_first(), F.col("custkey").asc())
+        .limit(600)
+    )
+
+
+@register(
     "topn_per_group",
     oracle="""
     SELECT mktsegment, customer_id, acctbal, rn
