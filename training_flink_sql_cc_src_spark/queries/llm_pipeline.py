@@ -111,3 +111,50 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("avg_quality"),
     )
+
+
+@register(
+    "pipeline_neardup_prune",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_distinct(string_split(text, ' ')) AS words,
+               len(list_distinct(string_split(text, ' '))) AS n
+        FROM documents
+    ), dup_b AS (
+        SELECT DISTINCT b.doc_id AS id_b
+        FROM w a INNER JOIN w b ON a.doc_id < b.doc_id
+        WHERE 8 * len(list_intersect(a.words, b.words)) >= 3 * (a.n + b.n)
+    )
+    SELECT d.lang AS lang, COUNT(*) AS n_docs,
+           SUM(d.n_chars) AS total_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM dup_b)
+    GROUP BY d.lang
+    """,
+    doc="Near-duplicate-aware curation: PPJoin exact Jaccard pairs "
+    "(dedup_jaccard_ppjoin, prefix-filtered — never all-pairs) feed a "
+    "keep-lowest-doc_id prune (every id_b of a J>=0.6 pair drops), then "
+    "the surviving corpus rolls up per language. The oracle recomputes "
+    "the prune from the full quadratic ground truth, so the driver hash "
+    "verifies the END-TO-END pipeline, not just the pair list. Plan: "
+    "prefix equi-join + left-anti + one tiny rollup shuffle; integer "
+    "sums, no floating-point aggregation.",
+)
+def pipeline_neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_dedup import dedup_jaccard_ppjoin
+
+    docs = t(spark, sf_dir, "documents")
+    dup_b = (
+        dedup_jaccard_ppjoin(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.join(dup_b, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
