@@ -330,3 +330,30 @@ def test_ctas_show_describe(router, spark):
     d2 = {r.col_name: r for r in router.execute("DESCRIBE desc_keyed").collect()}
     assert d2["id"].primary_key and not d2["id"].watermark
     assert d2["ts"].watermark and not d2["ts"].primary_key
+
+
+def test_temporal_join_requires_versioned_contract(router, spark):
+    """FOR SYSTEM_TIME AS OF demands PRIMARY KEY + WATERMARK on the
+    versioned side (Flink's contract) — the router refuses otherwise,
+    and rewrites to the validity-interval join when satisfied."""
+    spark.table("events").select("user_id", "ts", "value").createOrReplaceTempView(
+        "rates_v"
+    )
+    with pytest.raises(ValueError, match="PRIMARY KEY \\+ WATERMARK"):
+        router.execute(
+            "SELECT o.user_id FROM events o "
+            "JOIN rates_v FOR SYSTEM_TIME AS OF o.ts AS r "
+            "ON o.user_id = r.user_id"
+        )
+    meta = router.catalog.get_or_create("rates_v")
+    meta.primary_key = ["user_id"]
+    router.execute("ALTER TABLE rates_v MODIFY WATERMARK FOR `ts` AS `ts`")
+    out = router.execute(
+        "SELECT o.event_id, o.ts, r.value AS rate_value FROM events o "
+        "INNER JOIN rates_v FOR SYSTEM_TIME AS OF o.ts AS r "
+        "ON o.user_id = r.user_id AND r.ts <= o.ts"
+    )
+    n = out.count()
+    assert n > 0
+    # each left row matches at most one version
+    assert n <= spark.table("events").count()

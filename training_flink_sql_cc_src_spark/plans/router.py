@@ -242,6 +242,19 @@ _QUALIFIED_REF_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+# Flink temporal join: JOIN versioned FOR SYSTEM_TIME AS OF l.ts AS v ON …
+# (lab-joins; the versioned side must carry PRIMARY KEY + WATERMARK DDL,
+# exactly Flink's temporal-table requirements — both live in TableCatalog).
+# The ON-clause capture stops at the next clause keyword: one temporal
+# join per FROM level, equi conjuncts in ON — the lab statement shape.
+_TEMPORAL_JOIN_RE = re.compile(
+    r"(?P<how>\b(?:INNER\s+|LEFT\s+(?:OUTER\s+)?)?JOIN)\s+`?(?P<tbl>\w+)`?\s+"
+    r"FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<tref>`?\w+`?\.`?\w+`?)\s+"
+    r"(?:AS\s+)?`?(?P<alias>\w+)`?\s+ON\s+(?P<cond>.*?)"
+    r"(?=\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|\bHAVING\b|\bUNION\b|"
+    r"\bINNER\b|\bLEFT\b|\bRIGHT\b|\bFULL\b|\bJOIN\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
 _DESCRIBE_RE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?`?(\w+)`?\s*$", re.IGNORECASE
 )
@@ -303,6 +316,38 @@ class StatementRouter:
             lambda m: f"{m.group(1)} {self._canonical(m.group(2))}", sql
         )
 
+    def _rewrite_temporal_joins(self, sql: str) -> str:
+        """``JOIN v FOR SYSTEM_TIME AS OF l.ts`` → validity-interval join:
+        the versioned table gains ``__vend`` = LEAD(version_ts) per PK, and
+        the join condition adds ``l.ts ∈ [version_ts, __vend)`` — the
+        latest version at-or-before l.ts, as one equi join + range refine
+        (never a correlated subquery; linear at scale). PK and version
+        time come from the catalog (PRIMARY KEY + WATERMARK DDL), which is
+        precisely Flink's versioned-table contract."""
+
+        def repl(m: re.Match) -> str:
+            name = self._resolve(m.group("tbl"))
+            meta = self.catalog.get(name)
+            if meta is None or not meta.primary_key or not meta.watermark_col:
+                raise ValueError(
+                    f"temporal join needs PRIMARY KEY + WATERMARK on "
+                    f"{m.group('tbl')!r} (Flink versioned-table contract)"
+                )
+            pk = ", ".join(f"`{k}`" for k in meta.primary_key)
+            wm = meta.watermark_col
+            a, tref = m.group("alias"), m.group("tref")
+            derived = (
+                f"(SELECT __v.*, LEAD(`{wm}`) OVER (PARTITION BY {pk} "
+                f"ORDER BY `{wm}`) AS __vend FROM {name} __v)"
+            )
+            return (
+                f"{m.group('how')} {derived} {a} ON ({m.group('cond').strip()}) "
+                f"AND {tref} >= {a}.`{wm}` "
+                f"AND ({a}.__vend IS NULL OR {tref} < {a}.__vend) "
+            )
+
+        return _TEMPORAL_JOIN_RE.sub(repl, sql)
+
     def _publish(self, df: DataFrame, canonical: str) -> None:
         """Register the view under its canonical name AND, for namespaced
         tables, the bare alias — so `SELECT … FROM t` works under USE and
@@ -338,6 +383,8 @@ class StatementRouter:
                 [(n,) for n in self.catalog.names()], "table_name string"
             )
         sql = rewrite_window_tvfs(self._flatten_qualified(sql))
+        if "SYSTEM_TIME" in sql.upper():
+            sql = self._rewrite_temporal_joins(sql)
         m = _DESCRIBE_RE.match(sql)
         if m:
             return self._describe(self._resolve(m.group(1)))

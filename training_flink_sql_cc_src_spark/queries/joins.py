@@ -279,6 +279,50 @@ def asof_join(
 
 
 @register(
+    "join_temporal_sql",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           CAST(FLOOR(EPOCH(p.ts)) AS BIGINT) AS purchase_epoch,
+           (SELECT CAST(FLOOR(EPOCH(MAX(c.ts))) AS BIGINT) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS last_click_epoch
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="FOR SYSTEM_TIME AS OF through the SQL front door: the router "
+    "rewrites the Flink temporal-join syntax into a validity-interval "
+    "join (LEAD(version_ts) per PK bounds each version's lifetime) using "
+    "the catalog's PRIMARY KEY + WATERMARK — Flink's versioned-table "
+    "contract verbatim. Same answer as join_asof_temporal (one equi join "
+    "+ range refine; linear at scale), same oracle.",
+)
+def join_temporal_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    ev = t(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("__tj_purchases")
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    ).createOrReplaceTempView("__tj_clicks_versioned")
+    r = StatementRouter(spark)
+    meta = r.catalog.get_or_create("__tj_clicks_versioned")
+    meta.primary_key = ["user_id"]  # S1-style PK'd dim
+    r.execute(
+        "ALTER TABLE __tj_clicks_versioned MODIFY WATERMARK FOR `ts` AS `ts`"
+    )
+    return r.execute(
+        "SELECT p.event_id AS purchase_id, p.user_id AS user_id, "
+        "CAST(p.ts AS LONG) AS purchase_epoch, "
+        "CAST(c.ts AS LONG) AS last_click_epoch "
+        "FROM __tj_purchases p "
+        "LEFT JOIN __tj_clicks_versioned FOR SYSTEM_TIME AS OF p.ts AS c "
+        "ON p.user_id = c.user_id"
+    )
+
+
+@register(
     "join_asof_temporal",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id AS user_id,
