@@ -357,3 +357,17 @@ def test_temporal_join_requires_versioned_contract(router, spark):
     assert n > 0
     # each left row matches at most one version
     assert n <= spark.table("events").count()
+
+
+def test_cross_join_unnest_rewrite(router, spark):
+    """Flink's CROSS JOIN UNNEST(arr) AS a(x) == LATERAL VIEW explode:
+    same Generate operator, map-side expansion."""
+    out = router.execute(
+        "SELECT o_orderkey, tag FROM (SELECT o_orderkey, "
+        "split(o_orderpriority, '-') AS tags FROM orders) "
+        "CROSS JOIN UNNEST(tags) AS t (tag)"
+    )
+    rows = out.collect()
+    n_orders = spark.table("orders").count()
+    assert len(rows) >= n_orders  # every order expands to >= 1 tag
+    assert {type(r.tag) for r in rows} == {str}

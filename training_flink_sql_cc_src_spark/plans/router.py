@@ -242,6 +242,28 @@ _QUALIFIED_REF_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+# Flink collection expansion: CROSS JOIN UNNEST(expr) AS a (c1[, c2]).
+# Spark spells the same operator LATERAL VIEW explode — a pure syntax map
+# (both plan as Generate; map-side, no join).
+_UNNEST_RE = re.compile(
+    r"CROSS\s+JOIN\s+UNNEST\s*\((?P<expr>[^()]*(?:\([^()]*\)[^()]*)*)\)\s*"
+    r"AS\s+`?(?P<alias>\w+)`?\s*\(\s*(?P<cols>[^)]*)\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_unnest(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        cols = ", ".join(
+            c.strip().strip("`") for c in m.group("cols").split(",")
+        )
+        # explode covers both forms: array → one column, map → (key, value)
+        return (
+            f"LATERAL VIEW explode({m.group('expr').strip()}) "
+            f"{m.group('alias')} AS {cols}"
+        )
+
+    return _UNNEST_RE.sub(repl, sql)
 # Flink temporal join: JOIN versioned FOR SYSTEM_TIME AS OF l.ts AS v ON …
 # (lab-joins; the versioned side must carry PRIMARY KEY + WATERMARK DDL,
 # exactly Flink's temporal-table requirements — both live in TableCatalog).
@@ -383,6 +405,8 @@ class StatementRouter:
                 [(n,) for n in self.catalog.names()], "table_name string"
             )
         sql = rewrite_window_tvfs(self._flatten_qualified(sql))
+        if "UNNEST" in sql.upper():
+            sql = _rewrite_unnest(sql)
         if "SYSTEM_TIME" in sql.upper():
             sql = self._rewrite_temporal_joins(sql)
         m = _DESCRIBE_RE.match(sql)

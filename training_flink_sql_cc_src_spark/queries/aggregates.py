@@ -169,6 +169,40 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+               AS grouping_level,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="GROUPING()/GROUPING_ID over CUBE (Flink exposes both to tell "
+    "subtotal rows from genuine NULL keys — the standard-SQL disambiguator "
+    "that HAVING/filters on rollups need). DuckDB lacks GROUPING_ID, so "
+    "the grouping_level column spells the identical bit math from "
+    "GROUPING() in both engines.",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_gid")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT)
+                   AS grouping_level,
+               COUNT(*) AS n
+        FROM __li_gid
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """
+    )
+
+
+@register(
     "agg_approx_count_distinct",
     oracle=None,  # approximate by construction — HLL++ vs DuckDB's approx differ
     doc="approx_count_distinct (HLL++) — streaming-friendly distinct "
