@@ -90,6 +90,11 @@ def _driver_order(names) -> list[str]:
         for n in names
         if n not in _DRIVER_VERIFIED_R01 and n not in _DRIVER_SKIPPED_R01
     ]
+    # oracle-paired entries first within the fresh batch: a green
+    # hash-match row is stronger evidence than a rows-only row, so if the
+    # driver's per-run budget truncates, it truncates the weaker checks
+    oracled = {k for k in _REGISTRY if _REGISTRY[k].oracle is not None}
+    fresh.sort(key=lambda n: n not in oracled)
     skipped = [n for n in _DRIVER_SKIPPED_R01 if n in names]
     verified = [n for n in names if n in _DRIVER_VERIFIED_R01]
     return fresh + skipped + verified
