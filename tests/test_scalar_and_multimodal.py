@@ -171,3 +171,35 @@ def test_resize_raster_shape(spark):
     df = spark.createDataFrame([(1, bytearray(b"xyz"))], "doc_id long, payload binary")
     r = resize_image(df, out_w=8, out_h=4).collect()[0]
     assert (r.out_w, r.out_h, len(bytes(r.raster))) == (8, 4, 8 * 4 * 3)
+
+
+def test_media_header_codecs_roundtrip():
+    """functions/media.py builders emit spec-valid files; the parser
+    recovers the header fields and rejects garbage (pure stdlib —
+    CRC-checked PNG chunks, marker-scanned JPEG, RIFF-walked WAV)."""
+    from training_flink_sql_cc_src_spark.functions.media import (
+        jpeg_bytes,
+        parse_media_header,
+        png_bytes,
+        wav_bytes,
+    )
+
+    p = parse_media_header(png_bytes(33, 47))
+    assert (p["container"], p["width"], p["height"], p["bit_depth"]) == (
+        "png", 33, 47, 8,
+    )
+    j = parse_media_header(jpeg_bytes(640, 480))
+    assert (j["container"], j["width"], j["height"], j["channels"]) == (
+        "jpeg", 640, 480, 3,
+    )
+    w = parse_media_header(wav_bytes(16000, 2, 16))
+    assert (w["container"], w["channels"], w["sample_rate"], w["bit_depth"]) == (
+        "wav", 2, 16000, 16,
+    )
+    assert parse_media_header(b"garbage")["container"] == "unknown"
+    assert parse_media_header(None)["container"] == "unknown"
+    # corrupt the PNG CRC: header must be rejected, not half-parsed
+    bad = bytearray(png_bytes(10, 10))
+    bad[-10] ^= 0xFF  # flip a bit inside the IHDR CRC region
+    corrupted = bytes(bad[:29] + b"\x00\x00\x00\x00" + bad[33:])
+    assert parse_media_header(corrupted)["width"] is None

@@ -3,10 +3,14 @@ typed metadata, and the binary-payload pipeline (opaque ``binary`` column +
 typed metadata struct, decode/feature-extract as Arrow-batched
 ``mapInPandas``).
 
-The container has no image/audio libs, so the decode step is a
-deterministic fake behind ``_decode_payload`` (clearly marked; a real
-decoder drops in without touching the Spark plumbing — schema, batch
-iteration, partitioning are all real and tested).
+Container-METADATA decode is REAL: ``functions/media.py`` parses PNG
+IHDR / JPEG SOF / WAV fmt headers with pure stdlib (CRC-checked), and
+``multimodal_header_decode`` oracle-verifies the byte-level
+encode→shuffle→decode round trip. Only PIXEL/SAMPLE decode (PIL/librosa/
+ffmpeg — absent in this container) remains a deterministic fake behind
+``_decode_payload`` (clearly marked; a real decoder drops in without
+touching the Spark plumbing — schema, batch iteration, partitioning are
+all real and tested).
 
 Scale notes: the doc⋈embedding join is keyed 1:1 (same id domain) — at
 100 TB both sides bucket/shuffle on the id once; binary payloads stay
@@ -243,3 +247,83 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     )
     return frame_sample(videos).select("doc_id", "frame_idx", "frame_len")
+
+
+@register(
+    "multimodal_header_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                ELSE 'jpeg' END AS container,
+           CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 64
+                WHEN 2 THEN 32 + doc_id % 128 ELSE NULL END AS width,
+           CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 64
+                WHEN 2 THEN 32 + (doc_id * 5) % 128 ELSE NULL END AS height,
+           CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 2
+                WHEN 2 THEN 3 ELSE NULL END AS channels,
+           CASE doc_id % 3 WHEN 1 THEN 8000 + (doc_id % 8) * 1000
+                ELSE NULL END AS sample_rate,
+           CASE doc_id % 3 WHEN 1 THEN 16 ELSE 8 END AS bit_depth
+    FROM documents
+    """,
+    doc="REAL container-metadata decode over binary payloads "
+    "(functions/media.py — pure-stdlib PNG IHDR / JPEG SOF / WAV fmt "
+    "codecs, no media libs): payloads are built as spec-valid files whose "
+    "dimensions derive from doc_id, shuffled as a first-class binary "
+    "column, then PARSED back in an Arrow-batched mapInPandas stage; the "
+    "oracle recomputes the encoded metadata arithmetically, so the driver "
+    "hash verifies the byte-level encode→shuffle→decode round trip. The "
+    "same parser reads real PNG/JPEG/WAV files unchanged — only pixel/"
+    "sample decode (PIL/ffmpeg) remains stubbed in _decode_payload.",
+)
+def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = fan_out(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from training_flink_sql_cc_src_spark.functions.media import (
+            jpeg_bytes,
+            png_bytes,
+            wav_bytes,
+        )
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 == 0:
+                    payloads.append(png_bytes(16 + did % 64, 16 + (did * 7) % 64))
+                elif did % 3 == 1:
+                    payloads.append(
+                        wav_bytes(8000 + (did % 8) * 1000, 1 + did % 2, 16)
+                    )
+                else:
+                    payloads.append(
+                        jpeg_bytes(32 + did % 128, 32 + (did * 5) % 128)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
+        8, "doc_id"
+    )
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from training_flink_sql_cc_src_spark.functions.media import (
+            parse_media_header,
+        )
+
+        for pdf in it:
+            metas = [parse_media_header(bytes(p)) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"].values}
+            out["container"] = [m["container"] for m in metas]
+            for k in ("width", "height", "channels", "sample_rate", "bit_depth"):
+                out[k] = pd.array([m[k] for m in metas], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return built.mapInPandas(
+        parse,
+        "doc_id long, container string, width long, height long, "
+        "channels long, sample_rate long, bit_depth long",
+    )
