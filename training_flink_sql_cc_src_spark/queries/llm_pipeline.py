@@ -158,3 +158,93 @@ def pipeline_neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "pipeline_data_mixture",
+    oracle="""
+    WITH sampled AS (
+        SELECT doc_id, lang, source, n_chars,
+               (doc_id * 2654435761) % 1000 AS coin,
+               CASE WHEN source IN ('src0','src1','src2','src3')
+                    THEN 900 ELSE 300 END AS rate
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM sampled WHERE coin < rate
+    GROUP BY source
+    """,
+    doc="Deterministic data-mixture sampling (the training-data mixing "
+    "step: up/down-weight sources to a target blend): per-source keep "
+    "rates applied via a multiplicative-hash coin on doc_id — seedless, "
+    "reproducible on any engine (the Knuth constant 2654435761 spells "
+    "identical integer arithmetic in Spark and DuckDB), map-only, no "
+    "sampling state. The driver hash checks the EXACT sampled set, not "
+    "just counts. At 100 TB: a scan-side filter (pushed predicates on "
+    "coin arithmetic) plus one rollup shuffle.",
+)
+def pipeline_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    coin = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    rate = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3"), 900
+    ).otherwise(300)
+    return (
+        d.filter(coin < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "pipeline_sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), offs AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+        FROM toks
+    )
+    SELECT lang, start_off // 512 AS bin_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+           MIN(doc_id) AS first_doc
+    FROM offs
+    GROUP BY lang, start_off // 512
+    """,
+    doc="Sequence packing for training batches (offset-contiguous "
+    "chunking: each document belongs to the 512-token bin containing its "
+    "start offset — the streaming-friendly packing rule, a prefix sum "
+    "rather than a sequential greedy recurrence). Per-language running "
+    "sum over doc_id order = ONE window shuffle on lang; the rollup "
+    "reuses the same partitioning. Deterministic, oracle-paired — the "
+    "hash pins every bin assignment.",
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = d.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        offs.groupBy(
+            "lang", F.floor(F.col("start_off") / 512).alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
