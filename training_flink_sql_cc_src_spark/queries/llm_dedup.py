@@ -196,11 +196,20 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r") <= F.col("n") - ceil_tn + 1
     )
     pa = prefix.select(
-        F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"), "tok"
+        F.col("doc_id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("r").alias("r_a"),
+        "tok",
     )
     pb = prefix.select(
-        F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"), "tok"
+        F.col("doc_id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("r").alias("r_b"),
+        "tok",
     )
+    # required overlap for J >= t: alpha = ceil(t/(1+t) * (|x|+|y|)) =
+    # ceil(3(|x|+|y|)/8) for t = 3/5 — exact integer ceil
+    alpha = F.floor(((F.col("n_a") + F.col("n_b")) * 3 + 7) / 8)
     cand = (
         pa.join(pb, "tok")
         .filter(
@@ -210,6 +219,19 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.least("n_a", "n_b") * thr_den
                 >= F.greatest("n_a", "n_b") * thr_num
+            )
+            # PPJoin positional filter: tokens are rank-ordered the same
+            # way on both sides, so a pair first meeting at prefix ranks
+            # (r_a, r_b) can overlap at most 1 + min(n_a-r_a, n_b-r_b)
+            # more tokens — below alpha it can never reach J >= t. This
+            # prunes BEFORE the distinct/verify shuffle, which is where a
+            # dense (small-vocabulary) corpus otherwise explodes.
+            & (
+                1
+                + F.least(
+                    F.col("n_a") - F.col("r_a"), F.col("n_b") - F.col("r_b")
+                )
+                >= alpha
             )
         )
         .select("id_a", "id_b")
