@@ -179,3 +179,52 @@ def s1_upsert_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name"),
         F.col("c_acctbal").alias("acctbal"),
     )
+
+
+@register(
+    "s1_router_upsert_aggregate",
+    oracle="""
+    WITH latest AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 500.0
+                    ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT c_mktsegment AS segment, COUNT(*) AS n,
+           CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM latest
+    GROUP BY c_mktsegment
+    """,
+    doc="Dynamic-table materialization END-TO-END through the SQL front "
+    "door: CREATE keyed table + two INSERTs (the second upserts a subset "
+    "with changed balances) through StatementRouter — the S1/S2 "
+    "compacted-topic lifecycle — then a downstream aggregate over the "
+    "published latest-per-key view. The oracle computes the final state "
+    "directly (second write wins per PK), so the driver hash verifies "
+    "the router's upsert collapse, not just a hand-built window. The "
+    "upsert is one hash shuffle on the PK; the bucketed publish "
+    "(DISTRIBUTED INTO 4 BUCKETS) pre-partitions exactly how a keyed "
+    "downstream join would want it.",
+)
+def s1_router_upsert_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "customer").createOrReplaceTempView("__ru_customer")
+    r = StatementRouter(spark)
+    r.execute(
+        "CREATE TABLE __ru_bal (custkey BIGINT, segment STRING, bal DOUBLE, "
+        "PRIMARY KEY (custkey) NOT ENFORCED) DISTRIBUTED INTO 4 BUCKETS"
+    )
+    r.execute(
+        "INSERT INTO __ru_bal SELECT c_custkey, c_mktsegment, c_acctbal "
+        "FROM __ru_customer"
+    )
+    r.execute(
+        "INSERT INTO __ru_bal SELECT c_custkey, c_mktsegment, "
+        "c_acctbal + 500.0 FROM __ru_customer WHERE c_custkey % 4 = 0"
+    )
+    return r.execute(
+        "SELECT segment, COUNT(*) AS n, "
+        "CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal "
+        "FROM __ru_bal GROUP BY segment"
+    )
