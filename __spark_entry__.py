@@ -19,7 +19,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
     S6 re-expressed (terraform/lab-aggregations/main.tf:563): fact table
-    enriched by two broadcast dimension joins.
+    enriched by two dimension joins (AQE picks broadcast at small SF).
     """
     from training_flink_sql_cc_src_spark.queries.attested import (
         s6_orders_enriched_join,
