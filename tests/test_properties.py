@@ -75,3 +75,41 @@ def test_asof_join_property(spark, left, right):
         cands = [(ts, p) for (kk, ts, p) in runiq if kk == k and ts <= lts]
         want[lid] = max(cands)[1] if cands else None
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.sets(st.integers(0, 11), min_size=1, max_size=9),  # dense vocab
+        min_size=2,
+        max_size=14,
+    ),
+    thr=st.sampled_from([(1, 2), (3, 5), (4, 5)]),
+)
+def test_ppjoin_matches_bruteforce(spark, docs, thr):
+    """ppjoin_pairs (prefix + positional + size filters) == quadratic
+    brute-force Jaccard, for every threshold — the filters must be
+    lossless and introduce no false positives, including on tiny dense
+    vocabularies where every prefix bucket collides."""
+    from training_flink_sql_cc_src_spark.operators.ppjoin import ppjoin_pairs
+
+    num, den = thr
+    rows = [(i, sorted(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, words array<int>")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_pairs(
+            df, "doc_id", "words", thr_num=num, thr_den=den
+        ).collect()
+    }
+    want = {}
+    for i, a in enumerate(docs):
+        for j, b in enumerate(docs):
+            if i < j:
+                inter = len(a & b)
+                jac = inter / (len(a) + len(b) - inter)
+                if inter * (num + den) >= (len(a) + len(b)) * num:
+                    want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12

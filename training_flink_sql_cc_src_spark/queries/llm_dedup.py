@@ -164,97 +164,16 @@ def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic (8i >= 3(n_a+n_b) <=> J >= 0.6).",
 )
 def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    thr_num, thr_den = 3, 5  # t = 0.6 as an exact fraction
-    d = (
-        fan_out(t(spark, sf_dir, "documents"))
-        .select(
-            "doc_id",
-            F.transform(
-                F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
-            ).alias("words"),
-        )
-        .withColumn("n", F.size("words"))
-        .persist()
+    from ..operators.ppjoin import ppjoin_pairs
+
+    d = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda w: F.xxhash64(w)
+        ).alias("words"),
     )
-    # global token rarity (document frequency); ties broken by token value
-    freq = (
-        d.select(F.explode("words").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    tok = d.select("doc_id", "n", F.explode("words").alias("tok")).join(
-        freq, "tok"
-    )
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    # prefix length |x| - ceil(t|x|) + 1 (t = 3/5; integer ceil via
-    # floor-div — plain / would be double division and truncate the
-    # prefix, silently dropping true pairs)
-    ceil_tn = F.floor(
-        (F.col("n") * thr_num + thr_den - 1) / thr_den
-    ).cast("int")
-    prefix = tok.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= F.col("n") - ceil_tn + 1
-    )
-    pa = prefix.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("n").alias("n_a"),
-        F.col("r").alias("r_a"),
-        "tok",
-    )
-    pb = prefix.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("n").alias("n_b"),
-        F.col("r").alias("r_b"),
-        "tok",
-    )
-    # required overlap for J >= t: alpha = ceil(t/(1+t) * (|x|+|y|)) =
-    # ceil(3(|x|+|y|)/8) for t = 3/5 — exact integer ceil
-    alpha = F.floor(((F.col("n_a") + F.col("n_b")) * 3 + 7) / 8)
-    cand = (
-        pa.join(pb, "tok")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            # size-ratio bound (required for prefix losslessness):
-            # J >= 0.6 => 5*min(|x|,|y|) >= 3*max(|x|,|y|)
-            & (
-                F.least("n_a", "n_b") * thr_den
-                >= F.greatest("n_a", "n_b") * thr_num
-            )
-            # PPJoin positional filter: tokens are rank-ordered the same
-            # way on both sides, so a pair first meeting at prefix ranks
-            # (r_a, r_b) can overlap at most 1 + min(n_a-r_a, n_b-r_b)
-            # more tokens — below alpha it can never reach J >= t. This
-            # prunes BEFORE the distinct/verify shuffle, which is where a
-            # dense (small-vocabulary) corpus otherwise explodes.
-            & (
-                1
-                + F.least(
-                    F.col("n_a") - F.col("r_a"), F.col("n_b") - F.col("r_b")
-                )
-                >= alpha
-            )
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    av = d.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("words").alias("words_a"),
-        F.col("n").alias("n_a"),
-    )
-    bv = d.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("words").alias("words_b"),
-        F.col("n").alias("n_b"),
-    )
-    verified = cand.join(av, "id_a").join(bv, "id_b")
-    inter = F.size(F.array_intersect("words_a", "words_b"))
-    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
-    return (
-        verified.filter(inter * 8 >= (F.col("n_a") + F.col("n_b")) * 3)
-        .withColumn("jaccard", jac)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return ppjoin_pairs(d, id_col="doc_id", tokens_col="words",
+                        thr_num=3, thr_den=5)
 
 
 @register(
