@@ -113,3 +113,43 @@ def test_ppjoin_matches_bruteforce(spark, docs, thr):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lts=st.lists(st.integers(0, 3600), min_size=1, max_size=15),
+    rts=st.lists(st.integers(0, 3600), min_size=1, max_size=15),
+    bounds=st.tuples(st.integers(-900, 880), st.integers(20, 900)),
+)
+def test_range_bucket_join_matches_bruteforce(spark, lts, rts, bounds):
+    """range_bucket_join == brute-force range scan for arbitrary bounds
+    and timestamps — the bucket explode must produce every qualifying
+    pair exactly once (the right row's bucket is unique)."""
+    from pyspark.sql import functions as F
+
+    from training_flink_sql_cc_src_spark.operators.range_join import (
+        range_bucket_join,
+    )
+
+    lo, width = bounds
+    hi = lo + width
+    # build timestamps from epoch offsets for exactness
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lts)], "lid int, off int"
+    ).select("lid", F.timestamp_seconds(F.col("off") + 1_700_000_000).alias("lts"))
+    right = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(rts)], "rid int, off int"
+    ).select("rid", F.timestamp_seconds(F.col("off") + 1_700_000_000).alias("rts"))
+    got = {
+        (r.lid, r.rid)
+        for r in range_bucket_join(
+            left, right, "lts", "rts", lo, hi
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, lt in enumerate(lts)
+        for j, rt in enumerate(rts)
+        if lt + lo <= rt <= lt + hi
+    }
+    assert got == want
