@@ -203,3 +203,16 @@ def test_media_header_codecs_roundtrip():
     bad[-10] ^= 0xFF  # flip a bit inside the IHDR CRC region
     corrupted = bytes(bad[:29] + b"\x00\x00\x00\x00" + bad[33:])
     assert parse_media_header(corrupted)["width"] is None
+
+
+def test_initcap_overlay_unit(spark):
+    """INITCAP/OVERLAY are Flink built-ins with no DuckDB equivalent —
+    unit-tested here instead of oracle-paired
+    (scalar_string_datetime_extras covers the rest of the stragglers)."""
+    df = spark.createDataFrame([("hello spark world", "abcdef")], "s string, t string")
+    r = df.select(
+        F.initcap("s").alias("ic"),
+        F.overlay("t", F.lit("XY"), F.lit(2), F.lit(3)).alias("ov"),
+    ).collect()[0]
+    assert r.ic == "Hello Spark World"
+    assert r.ov == "aXYef"

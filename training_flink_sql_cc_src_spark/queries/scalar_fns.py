@@ -563,3 +563,41 @@ def scalar_decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 0).cast("decimal(18,0)").alias("rounded_dec"),
         (d % 100).cast("decimal(18,2)").alias("mod_100"),
     )
+
+
+@register(
+    "scalar_string_datetime_extras",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+           position('the' in text) AS the_pos,
+           ltrim(lang) AS l_trimmed, rtrim(source) AS r_trimmed,
+           to_base64(encode(lang)) AS lang_b64,
+           lower(hex(encode(source))) AS source_hex,
+           length(text) - length(replace(text, ' ', '')) + 1 AS word_count
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+    doc="String-function stragglers from the Flink built-in surface "
+    "(regexp_replace-all, POSITION/LOCATE, LTRIM/RTRIM, TO_BASE64, HEX, "
+    "replace-based token counting). All JVM built-ins; hex case is pinned "
+    "with lower() since the engines disagree on hex digit case. INITCAP/"
+    "OVERLAY exist in Spark but have no DuckDB equivalent — they stay "
+    "unit-tested instead of oracle-paired.",
+)
+def scalar_string_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+        F.locate("the", F.col("text")).alias("the_pos"),
+        F.ltrim("lang").alias("l_trimmed"),
+        F.rtrim("source").alias("r_trimmed"),
+        F.base64(F.encode("lang", "UTF-8")).alias("lang_b64"),
+        F.lower(F.hex(F.encode("source", "UTF-8"))).alias("source_hex"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("word_count"),
+    )
