@@ -226,3 +226,66 @@ def values_constant_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(1, "red", 10.5), (2, "green", 20.25), (3, "blue", 30.125)],
         schema="id int, color string, weight double",
     )
+
+
+@register(
+    "topn_with_ties",
+    oracle="""
+    SELECT priority, order_id, totalprice, rnk FROM (
+        SELECT o_orderpriority AS priority, o_orderkey AS order_id,
+               FLOOR(o_totalprice / 10000) * 10000 AS totalprice,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY FLOOR(o_totalprice / 10000) * 10000
+                                DESC) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+    doc="RANK-based Top-N WITH TIES (the second Flink Top-N flavor beside "
+    "row_number: ties at the cut all survive, so group sizes vary). Price "
+    "is FLOOR-bucketed to 10k so real ties exist in the fixture (floor is "
+    "rounding-mode-free — ROUND on doubles is excluded from oracle pairs "
+    "by the repo determinism rules). Same WindowGroupLimit rank pushdown "
+    "as row_number Top-N — per-group state stays k rows plus ties.",
+)
+def topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucketed = F.floor(F.col("o_totalprice") / 10000) * 10000
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("order_id"),
+        bucketed.alias("totalprice"),
+    )
+    w = Window.partitionBy("priority").orderBy(F.col("totalprice").desc())
+    return o.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 3)
+
+
+@register(
+    "dedup_first_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS first_event, ts AS first_ts FROM (
+        SELECT user_id, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Deduplication keeping the FIRST row per key (the other half of "
+    "the Flink dedup pattern beside latest-per-key; course-scope "
+    "'earliest event per user'). Same single shuffle on the key; "
+    "event_id tiebreak pins determinism for equal timestamps.",
+)
+def dedup_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    # operators.dedup.first_per_key orders by one column; equal-ts ties
+    # need the event_id tiebreak, so compose the window directly
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
