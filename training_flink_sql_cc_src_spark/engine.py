@@ -87,6 +87,11 @@ class Engine:
         bypasses that guarantee too."""
         return self.spark.table(self.router._resolve(name))
 
+    def run_script(self, script: str) -> list[DataFrame | None]:
+        """Replay a multi-statement lab script (semicolon-separated, '--'
+        comments) through the front door, in order."""
+        return self.router.execute_script(script)
+
     # ------------------------------------------------------------------ DAG
     def pipeline(self) -> PipelineRunner:
         """A depends_on DAG runner sharing this engine's router (EP3)."""

@@ -382,6 +382,17 @@ class StatementRouter:
     # ---------------------------------------------------------------- execute
     def execute(self, sql: str) -> DataFrame | None:
         sql = sql.strip().rstrip(";")
+        m = re.match(r"^\s*EXPLAIN\s+(.*)$", sql, re.IGNORECASE | re.DOTALL)
+        if m and not _SET_PROP_RE.match(sql):
+            # rewrite the inner statement through the same dialect passes
+            # (TVFs, namespace, temporal joins, UNNEST), then let Spark's
+            # native EXPLAIN print the plan for the rewritten query
+            inner = rewrite_window_tvfs(self._flatten_qualified(m.group(1)))
+            if "UNNEST" in inner.upper():
+                inner = _rewrite_unnest(inner)
+            if "SYSTEM_TIME" in inner.upper():
+                inner = self._rewrite_temporal_joins(inner)
+            return self.spark.sql(f"EXPLAIN {inner}")
         m = _USE_CATALOG_RE.match(sql)
         if m:
             self.current_catalog = m.group(1)
@@ -429,6 +440,12 @@ class StatementRouter:
         if m:
             return self._insert(m.group(1), m.group(2), m.group(3))
         return self.spark.sql(sql)
+
+    def execute_script(self, script: str) -> list[DataFrame | None]:
+        """Run a multi-statement SQL script (a lab .sql file): statements
+        split on semicolons outside quotes/backticks, executed in order.
+        Returns per-statement results (None for DDL)."""
+        return [self.execute(s) for s in _split_statements(script)]
 
     # ------------------------------------------------------------------- DDL
     def _create_table(self, sql: str) -> None:
@@ -589,6 +606,39 @@ class StatementRouter:
         self._publish(snapshot, table)
         if meta.schema is None:
             meta.schema = snapshot.schema
+
+
+def _split_statements(script: str) -> list[str]:
+    """Split a SQL script on semicolons not inside '...'/"..."/`...` or
+    line comments (-- to end of line)."""
+    out, cur, quote, i = [], [], None, 0
+    while i < len(script):
+        ch = script[i]
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+            cur.append(ch)
+        elif ch == "-" and script[i : i + 2] == "--":
+            nl = script.find("\n", i)
+            i = len(script) if nl < 0 else nl
+            continue
+        elif ch == ";":
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 def _split_top_level(s: str) -> list[str]:
