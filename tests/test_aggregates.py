@@ -79,3 +79,34 @@ def test_hll_estimate_within_error(spark, sf_med):
         exact_total += r.exact_distinct
     global_est = rows[0].global_estimate
     assert abs(global_est - exact_total) <= max(5, 0.08 * exact_total)
+
+
+def test_quantile_sketch_merge_rank_error(spark, sf_small):
+    """Merged-sketch median per lang must land within the exact p40–p60
+    band (sketch rank error is 1/K = ~3% of mass; 10% band = slack for
+    the per-segment percentile_approx error on tiny segments)."""
+    from training_flink_sql_cc_src_spark.queries._util import t
+    from training_flink_sql_cc_src_spark.registry import all_queries
+
+    got = {
+        r.lang: r.q50
+        for r in all_queries()["agg_quantile_sketch_merge"](
+            spark, sf_small
+        ).collect()
+    }
+    d = t(spark, sf_small, "documents")
+    import pyspark.sql.functions as F
+
+    bands = {
+        r.lang: (r.lo, r.hi)
+        for r in d.groupBy("lang")
+        .agg(
+            F.percentile(F.col("n_chars"), F.lit(0.4)).alias("lo"),
+            F.percentile(F.col("n_chars"), F.lit(0.6)).alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(bands) and got
+    for lang, v in got.items():
+        lo, hi = bands[lang]
+        assert lo <= v <= hi, f"{lang}: {v} outside [{lo}, {hi}]"

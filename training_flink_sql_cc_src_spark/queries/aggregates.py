@@ -458,3 +458,24 @@ def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(merged))
     )
+
+
+@register(
+    "agg_quantile_sketch_merge",
+    oracle=None,  # sketch points are engine-internal; rank-error bound vs
+    # the exact percentile is asserted in
+    # tests/test_aggregates.py::test_quantile_sketch_merge_rank_error
+    doc="Mergeable quantile sketches (operators/quantiles.py — the "
+    "percentile analog of the HLL pattern): per-(lang, source) summaries "
+    "of K=32 evenly-spaced quantile points built in ONE aggregate pass, "
+    "then medians per lang answered from the STORED sketches (explode + "
+    "weighted cumulative rank), never re-reading the raw rows. Rank "
+    "error <= 1/K of the mass regardless of segment-size skew. At 100 TB "
+    "this is how any-date-range p50/p95 queries run from kilobytes.",
+)
+def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import merge_quantile_sketches, quantile_sketch
+
+    d = t(spark, sf_dir, "documents")
+    sketches = quantile_sketch(d, ["lang", "source"], "n_chars", k=32)
+    return merge_quantile_sketches(sketches, ["lang"], 0.5)
