@@ -140,12 +140,32 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # decode is a stubbed fake (no media libs in container);
-    # plumbing (schema, batching, determinism) tested in tests/test_multimodal.py
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                    WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+               strlen(text) AS n_bytes,
+               CAST(COALESCE(list_sum(list_transform(
+                       range(1, least(64, length(text)) + 1),
+                       i -> ord(substr(text, i, 1)))), 0) % 997
+                    AS BIGINT) AS checksum
+        FROM documents
+    )
+    SELECT doc_id, media_type, n_bytes, checksum,
+           CAST(checksum AS DOUBLE) / 997.0 AS feat_0,
+           CAST(n_bytes % 251 AS DOUBLE) / 251.0 AS feat_1
+    FROM f
+    """,
     doc="Decode / feature-extract over binary payloads via Arrow-batched "
-    "mapInPandas (SURVEY.md §2.9): synthesize payload bytes, partition-"
-    "parallel batch decode (stubbed deterministic fake — see "
-    "_decode_payload), typed feature schema out.",
+    "mapInPandas (SURVEY.md §2.9). Pixel decode is the documented stub "
+    "(_decode_payload, no media libs in container), but the stub's "
+    "features are pure integer arithmetic on the payload bytes — so the "
+    "oracle recomputes them (byte sums over the ASCII fixture text) and "
+    "the driver hash verifies the WHOLE Arrow path end-to-end: encode to "
+    "binary, batch through mapInPandas, per-byte Python arithmetic, "
+    "typed schema out. A real decoder swaps in without touching any of "
+    "that plumbing.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_shipped(spark)
