@@ -104,3 +104,37 @@ def test_kafka_writer_builds_without_broker(spark):
     )
     writer = kafka_writer(stream, "localhost:9092", "out-topic", "/tmp/ckpt-kafka-test")
     assert writer is not None  # options accepted; start() would need a broker
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_small):
+    """The SCALE.md §2 claim, proven: two tables bucketed on the join key
+    (write_bucketed = the DISTRIBUTED INTO n BUCKETS analog) join with NO
+    shuffle exchange — the co-located fact⋈fact pattern that makes the
+    orderkey joins exchange-free on a real deployment."""
+    from training_flink_sql_cc_src_spark.queries._util import t
+    from training_flink_sql_cc_src_spark.sources.sinks import write_bucketed
+
+    li = t(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = t(spark, sf_small, "orders").select("o_orderkey", "o_orderdate")
+    write_bucketed(li, "bkt_lineitem", ["l_orderkey"], 4)
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "bkt_orders",
+        ["l_orderkey"],
+        4,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_lineitem").join(
+            spark.table("bkt_orders"), "l_orderkey"
+        )
+        assert j.count() == li.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located read
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
