@@ -486,3 +486,28 @@ def test_stream_stream_full_outer_interval_join(spark, sf_small):
     # unmatched rows from BOTH sides made it out with nulls
     assert any(c is None for (_, c) in got)
     assert any(p is None for (p, _) in got)
+
+
+def test_cumulate_tvf_statement_streams(spark, sf_small):
+    """CUMULATE TVF statement as a continuous query (complete mode): the
+    explode-based rewrite is stateless row expansion + windowed agg, so
+    streaming final state == the batch answer exactly."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select("ts", "value")
+    eng = Engine(spark)
+    stmt = (
+        "SELECT window_start, window_end, COUNT(*) AS n "
+        "FROM TABLE(CUMULATE(TABLE events_cml_stream, DESCRIPTOR(ts), "
+        "INTERVAL '15' MINUTES, INTERVAL '1' HOUR)) "
+        "GROUP BY window_start, window_end"
+    )
+    ev.createOrReplaceTempView("events_cml_stream")
+    batch = eng.sql(stmt)
+    stream = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"events_cml_stream": s}),
+        output_mode="complete",
+    )
+    assert _rows(batch) == _rows(stream) and batch.count() > 0
