@@ -248,3 +248,55 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "pipeline_context_chunking",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id, s AS chunk_start,
+           array_to_string(words[s : least(s + 63, len(words))], ' ')
+               AS chunk_text,
+           least(s + 63, len(words)) - s + 1 AS n_tokens
+    FROM w, UNNEST(range(1, len(words) + 1, 48)) AS t(s)
+    """,
+    doc="Context-window chunking (the sequence-prep step before packing: "
+    "long documents split into 64-token chunks with 16-token overlap, "
+    "stride 48). Map-side explode of the chunk-start sequence + "
+    "array slice — each row fans out to ceil(n/48) chunks with NO "
+    "shuffle; at 100 TB this is a pure scan-side transform. The chunk "
+    "text itself is hash-verified, so tokenization, stride arithmetic "
+    "and the tail-chunk boundary all match the oracle exactly.",
+)
+def pipeline_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    n = F.size("words")
+    return (
+        d.withColumn(
+            "chunk_start",
+            F.explode(F.sequence(F.lit(1), n, F.lit(48))),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.array_join(
+                F.slice(
+                    F.col("words"),
+                    F.col("chunk_start"),
+                    F.least(
+                        F.lit(64), n - F.col("chunk_start") + 1
+                    ),
+                ),
+                " ",
+            ).alias("chunk_text"),
+            (
+                F.least(F.col("chunk_start") + 63, n.cast("long"))
+                - F.col("chunk_start")
+                + 1
+            ).alias("n_tokens"),
+        )
+    )
