@@ -402,3 +402,12 @@ def test_execute_script_multi_statement(router, spark):
     assert [(r.id, r.note) for r in rows] == [("a", "updated"), ("b", "x;y")] or [
         (r.id, r.note) for r in rows
     ] == [("a", "updated"), ("b", "z")]
+
+
+def test_match_recognize_guard(router):
+    with pytest.raises(NotImplementedError, match="pattern_funnel"):
+        router.execute(
+            "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id "
+            "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A B) DEFINE "
+            "A AS A.event_type = 'view', B AS B.event_type = 'purchase')"
+        )

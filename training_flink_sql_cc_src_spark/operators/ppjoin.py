@@ -1,6 +1,6 @@
 """PPJoin — exact all-pairs set-similarity join with prefix + positional
-filtering (the SSJoin/PPJoin literature; cf. PAPERS.md set-similarity
-entries).
+filtering (the published SSJoin/PPJoin technique: Xiao et al.,
+"Efficient Similarity Joins for Near Duplicate Detection", WWW 2008).
 
 Finds every pair with Jaccard(tokens_a, tokens_b) >= t WITHOUT a blocking
 key and WITHOUT the quadratic pair space: tokens are ranked by global

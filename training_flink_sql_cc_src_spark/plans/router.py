@@ -415,6 +415,16 @@ class StatementRouter:
             return self.spark.createDataFrame(
                 [(n,) for n in self.catalog.names()], "table_name string"
             )
+        if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
+            # Spark SQL has no row-pattern matching; rather than a cryptic
+            # parse error, point at the engine's CEP equivalents
+            raise NotImplementedError(
+                "MATCH_RECOGNIZE is not available in Spark SQL; express "
+                "row patterns with the sequential-window approach in "
+                "queries/time_windows.pattern_funnel / "
+                "pattern_funnel3_sequential, or applyInPandasWithState "
+                "for arbitrary state machines (streaming/stateful.py)"
+            )
         sql = rewrite_window_tvfs(self._flatten_qualified(sql))
         if "UNNEST" in sql.upper():
             sql = _rewrite_unnest(sql)
