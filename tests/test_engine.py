@@ -58,3 +58,12 @@ def test_lab_dag_through_engine(spark, sf_small):
 def test_named_query_through_engine(spark, sf_small):
     eng = Engine(spark=spark, sf_dir=sf_small)
     assert eng.query("q6_forecast_revenue").collect()[0].revenue is not None
+
+
+def test_list_queries_inventory(spark):
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    inv = Engine(spark).list_queries()
+    assert len(inv) >= 120
+    assert "s6_orders_enriched_join" in inv
+    assert all(isinstance(v, str) for v in inv.values())

@@ -98,6 +98,17 @@ class Engine:
         return PipelineRunner(self.spark, self.router)
 
     # ------------------------------------------------------- named queries
+    def list_queries(self) -> dict[str, str]:
+        """Registered operator names → one-line docs (the SURVEY.md §2
+        inventory a reference user browses to find the equivalent)."""
+        from .registry import _load_all, _REGISTRY
+
+        _load_all()
+        return {
+            k: (e.doc or "").split(". ")[0][:120]
+            for k, e in sorted(_REGISTRY.items())
+        }
+
     def query(self, name: str, sf_dir: str | None = None) -> DataFrame:
         """Run a registered operator query (SURVEY.md §2 inventory) against
         ``sf_dir`` (defaults to the fixtures this engine registered)."""
