@@ -445,3 +445,36 @@ def pattern_funnel3_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_ts").cast("long").alias("click_epoch"),
         F.col("p_ts").cast("long").alias("purchase_epoch"),
     )
+
+
+@register(
+    "window_distinct_users",
+    oracle=f"""
+    SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS window_start,
+           event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="COUNT(DISTINCT) inside tumbling windows — the windowed-distinct "
+    "pattern (unique visitors per hour) that motivates HLL at scale "
+    "(agg_hll_mergeable_sketch is the approximate drop-in). Catalyst "
+    "expands the distinct into a two-stage aggregate keyed by (window, "
+    "type, user): both shuffles carry pre-deduplicated keys.",
+)
+def window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_users",
+            "n_events",
+        )
+    )
