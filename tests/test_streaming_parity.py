@@ -511,3 +511,30 @@ def test_cumulate_tvf_statement_streams(spark, sf_small):
         output_mode="complete",
     )
     assert _rows(batch) == _rows(stream) and batch.count() > 0
+
+
+def test_stream_static_dim_join_parity(spark, sf_small):
+    """The streaming reading of the S1/S3 temporal join (SURVEY.md §2.3):
+    a stream joined to a STATIC keyed dim is re-evaluated against the
+    dim's current snapshot each micro-batch — with a stable dim, final
+    state equals the batch join exactly."""
+    ev = t(spark, sf_small, "events").select("event_id", "user_id", "value")
+    dim = (
+        t(spark, sf_small, "customer")
+        .select(
+            (F.col("c_custkey") % 50).alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .dropDuplicates(["user_id"])
+    )
+
+    def transform(df):
+        return df.join(F.broadcast(dim), "user_id", "left").select(
+            "event_id", "segment"
+        )
+
+    batch = transform(ev)
+    streamed = run_stream_over_batch(
+        spark, ev, transform, output_mode="append", n_files=4
+    )
+    assert _rows(batch) == _rows(streamed)
