@@ -300,3 +300,80 @@ def pipeline_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+    ), tg AS (
+        SELECT doc_id, lang, UNNEST(list_transform(
+                   range(1, greatest(len(words) - 2, 0) + 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS trigram
+        FROM w
+    ), eval_tg AS (
+        SELECT DISTINCT trigram FROM tg WHERE doc_id < 50
+    ), contaminated AS (
+        SELECT DISTINCT t.doc_id FROM tg t
+        INNER JOIN eval_tg e ON t.trigram = e.trigram
+        WHERE t.doc_id >= 50
+    )
+    SELECT d.lang AS lang,
+           COUNT(*) AS n_train,
+           COUNT(*) FILTER (WHERE c.doc_id IS NOT NULL) AS n_contaminated
+    FROM documents d
+    LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id >= 50
+    GROUP BY d.lang
+    """,
+    doc="Decontamination (benchmark-overlap removal — the training-data "
+    "step that strips eval leakage): docs with id < 50 stand in for the "
+    "held-out eval set; a training doc is contaminated if it shares ANY "
+    "word 3-gram with it. Trigrams are a map-side transform over the "
+    "token array; the overlap check is a semi join on the (distinct, "
+    "small) eval trigram set — at 100 TB that set broadcasts and the "
+    "whole check is scan-side, never doc x doc. Per-language "
+    "contamination rates are hash-verified end-to-end.",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("words")
+    )
+    n = F.size("words")
+    tg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                n >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("words", i),
+                        F.element_at("words", i + 1),
+                        F.element_at("words", i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("trigram"),
+    )
+    eval_tg = tg.filter(F.col("doc_id") < 50).select("trigram").distinct()
+    train = d.filter(F.col("doc_id") >= 50)
+    contaminated = (
+        tg.filter(F.col("doc_id") >= 50)
+        .join(eval_tg, "trigram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce("is_cont", F.lit(0))).alias("n_contaminated"),
+        )
+    )
