@@ -222,3 +222,93 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws).alias("n_ws_tokens"),
         (F.size(bpe).cast("double") / F.size(ws)).alias("bpe_per_word"),
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, lang,
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1]) AS bigrams
+        FROM documents
+    ), r AS (
+        SELECT doc_id, lang, len(bigrams) AS n_bg,
+               len(list_distinct(bigrams)) AS n_distinct
+        FROM g WHERE len(bigrams) > 0
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE 4 * (n_bg - n_distinct) > n_bg)
+               AS n_repetitive
+    FROM r GROUP BY lang
+    """,
+    doc="Intra-document repetition filter (the Gopher/MassiveText-style "
+    "quality rule: flag documents whose repeated-2-gram fraction exceeds "
+    "25%). Bigrams are a map-side transform over the token array, the "
+    "ratio an exact integer comparison (4*(n - distinct) > n — no float "
+    "threshold), and the rollup one tiny shuffle. Scan-side at any "
+    "scale; per-language counts hash-verified.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("words")
+    )
+    n = F.size("words")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("words", i), F.element_at("words", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    r = d.select(
+        "lang",
+        F.size(bigrams).alias("n_bg"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct"),
+    ).filter(F.col("n_bg") > 0)
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (
+                4 * (F.col("n_bg") - F.col("n_distinct")) > F.col("n_bg")
+            ).cast("long")
+        ).alias("n_repetitive"),
+    )
+
+
+@register(
+    "text_vocabulary_topk",
+    oracle="""
+    SELECT lang, token, n, rnk FROM (
+        SELECT lang, token, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY COUNT(*) DESC, token ASC) AS rnk
+        FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY lang, token
+    ) WHERE rnk <= 10
+    """,
+    doc="Vocabulary extraction: top-10 tokens per language by frequency "
+    "(the tokenizer-training prestep). Explode -> count (partial agg "
+    "combines map-side, so the shuffle carries (lang, token) partial "
+    "counts, not token instances) -> rank pushdown Top-N. Token-name "
+    "tiebreak pins determinism for equal counts.",
+)
+def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
