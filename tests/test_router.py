@@ -411,3 +411,15 @@ def test_match_recognize_guard(router):
             "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A B) DEFINE "
             "A AS A.event_type = 'view', B AS B.event_type = 'purchase')"
         )
+
+
+def test_string_literals_survive_rewrites(router, spark):
+    """Dialect rewrites must never alter string-literal CONTENTS: a
+    literal that looks like a qualified reference or TVF text passes
+    through byte-identical."""
+    row = router.execute(
+        "SELECT 'FROM a.b.c' AS s1, 'CROSS JOIN UNNEST(x) AS t (y)' AS s2, "
+        "COUNT(*) AS n FROM events GROUP BY 1, 2"
+    ).collect()[0]
+    assert row.s1 == "FROM a.b.c"
+    assert row.s2 == "CROSS JOIN UNNEST(x) AS t (y)"

@@ -67,16 +67,12 @@ class Engine:
         rejects — use F.session_window for streaming sessionization
         (tests/test_streaming_parity.py::test_session_window_streaming_parity).
         """
-        from .plans.router import rewrite_window_tvfs
-
         for name, sdf in sources.items():
             meta = self.catalog.get(self.router._resolve(name))
             if meta is not None and meta.watermark_col:
                 sdf = sdf.withWatermark(meta.watermark_col, meta.watermark_delay)
             sdf.createOrReplaceTempView(name)
-        rewritten = rewrite_window_tvfs(
-            self.router._flatten_qualified(statement.strip().rstrip(";"))
-        )
+        rewritten = self.router._rewrite_dialect(statement.strip().rstrip(";"))
         return self.spark.sql(rewritten)
 
     def table(self, name: str) -> DataFrame:

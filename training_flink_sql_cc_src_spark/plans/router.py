@@ -338,6 +338,24 @@ class StatementRouter:
             lambda m: f"{m.group(1)} {self._canonical(m.group(2))}", sql
         )
 
+    def _rewrite_dialect(self, sql: str) -> str:
+        """All regex-based dialect passes (namespace flatten, window TVFs,
+        UNNEST, temporal joins) over a statement. String literals are
+        MASKED around the passes that could otherwise rewrite their
+        contents — a literal like 'FROM a.b.c' must never be flattened.
+        The window-TVF pass runs unmasked because it must parse its
+        INTERVAL '...' arguments (its own grammar is too constrained to
+        touch free-text literals)."""
+        masked, parts = _mask_literals(sql)
+        masked = self._flatten_qualified(masked)
+        out = rewrite_window_tvfs(_unmask_literals(masked, parts))
+        masked, parts = _mask_literals(out)
+        if "UNNEST" in masked.upper():
+            masked = _rewrite_unnest(masked)
+        if "SYSTEM_TIME" in masked.upper():
+            masked = self._rewrite_temporal_joins(masked)
+        return _unmask_literals(masked, parts)
+
     def _rewrite_temporal_joins(self, sql: str) -> str:
         """``JOIN v FOR SYSTEM_TIME AS OF l.ts`` → validity-interval join:
         the versioned table gains ``__vend`` = LEAD(version_ts) per PK, and
@@ -425,11 +443,7 @@ class StatementRouter:
                 "pattern_funnel3_sequential, or applyInPandasWithState "
                 "for arbitrary state machines (streaming/stateful.py)"
             )
-        sql = rewrite_window_tvfs(self._flatten_qualified(sql))
-        if "UNNEST" in sql.upper():
-            sql = _rewrite_unnest(sql)
-        if "SYSTEM_TIME" in sql.upper():
-            sql = self._rewrite_temporal_joins(sql)
+        sql = self._rewrite_dialect(sql)
         m = _DESCRIBE_RE.match(sql)
         if m:
             return self._describe(self._resolve(m.group(1)))
@@ -616,6 +630,22 @@ class StatementRouter:
         self._publish(snapshot, table)
         if meta.schema is None:
             meta.schema = snapshot.schema
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace '...'-quoted literals (with '' escapes) by placeholders so
+    regex rewrites cannot touch their contents."""
+    parts: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        parts.append(m.group(0))
+        return f"\x00{len(parts) - 1}\x00"
+
+    return re.sub(r"'(?:[^']|'')*'", repl, sql), parts
+
+
+def _unmask_literals(sql: str, parts: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: parts[int(m.group(1))], sql)
 
 
 def _split_statements(script: str) -> list[str]:
