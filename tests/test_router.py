@@ -423,3 +423,28 @@ def test_string_literals_survive_rewrites(router, spark):
     ).collect()[0]
     assert row.s1 == "FROM a.b.c"
     assert row.s2 == "CROSS JOIN UNNEST(x) AS t (y)"
+
+
+def test_show_create_table_roundtrips(router, spark):
+    """SHOW CREATE TABLE reconstructs DDL a fresh router ACCEPTS — the
+    export/recreate loop a lab user needs. The regenerated table carries
+    the same PK, buckets, and changelog mode."""
+    router.execute(
+        "CREATE TABLE sct_t (id STRING, ts TIMESTAMP(3), amount DOUBLE, "
+        "PRIMARY KEY (id) NOT ENFORCED) DISTRIBUTED INTO 2 BUCKETS "
+        "WITH ('changelog.mode' = 'upsert')"
+    )
+    router.execute("ALTER TABLE sct_t MODIFY WATERMARK FOR `ts` AS `ts`")
+    ddl = router.execute("SHOW CREATE TABLE sct_t").collect()[0].create_statement
+    assert "PRIMARY KEY (`id`) NOT ENFORCED" in ddl
+    assert "DISTRIBUTED INTO 2 BUCKETS" in ddl
+    assert "'changelog.mode' = 'upsert'" in ddl
+    assert "MODIFY WATERMARK FOR `ts`" in ddl
+    # round trip: a fresh router executes the reconstructed script
+    other = StatementRouter(spark)
+    for stmt in ddl.replace("`sct_t`", "sct_t2").split(";"):
+        other.execute(stmt)
+    m2 = other.catalog.get("sct_t2")
+    assert m2.primary_key == ["id"]
+    assert m2.buckets == 2
+    assert m2.watermark_col == "ts"

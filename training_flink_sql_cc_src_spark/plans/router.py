@@ -242,6 +242,24 @@ _QUALIFIED_REF_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*$", re.IGNORECASE
+)
+#: Spark simpleString → Flink DDL type (inverse of _TYPE_MAP for the
+#: types the labs use; unlisted types round-trip as-is, uppercased)
+_TYPE_UNMAP = {
+    "string": "STRING",
+    "int": "INT",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "binary": "BYTES",
+    "timestamp": "TIMESTAMP(3)",
+}
 # Flink collection expansion: CROSS JOIN UNNEST(expr) AS a (c1[, c2]).
 # Spark spells the same operator LATERAL VIEW explode — a pure syntax map
 # (both plan as Generate; map-side, no join).
@@ -444,6 +462,9 @@ class StatementRouter:
                 "for arbitrary state machines (streaming/stateful.py)"
             )
         sql = self._rewrite_dialect(sql)
+        m = _SHOW_CREATE_RE.match(sql)
+        if m:
+            return self._show_create(self._resolve(m.group(1)))
         m = _DESCRIBE_RE.match(sql)
         if m:
             return self._describe(self._resolve(m.group(1)))
@@ -555,6 +576,39 @@ class StatementRouter:
             "col_name string, data_type string, primary_key boolean, "
             "watermark boolean",
         )
+
+    def _show_create(self, table: str) -> DataFrame:
+        """SHOW CREATE TABLE: reconstruct the Flink-dialect DDL from the
+        catalog (PK, buckets, WITH props, watermark) — the statement a
+        lab user would need to recreate the table elsewhere."""
+        meta = self.catalog.get(table)
+        schema = (
+            meta.schema
+            if meta is not None and meta.schema is not None
+            else self.spark.table(table).schema
+        )
+        cols = ", ".join(
+            f"`{f.name}` {_TYPE_UNMAP.get(f.dataType.simpleString(), f.dataType.simpleString().upper())}"
+            for f in schema.fields
+        )
+        parts = [cols]
+        if meta is not None and meta.primary_key:
+            pk = ", ".join(f"`{k}`" for k in meta.primary_key)
+            parts.append(f"PRIMARY KEY ({pk}) NOT ENFORCED")
+        ddl = f"CREATE TABLE `{table}` ({', '.join(parts)})"
+        if meta is not None and meta.buckets:
+            ddl += f" DISTRIBUTED INTO {meta.buckets} BUCKETS"
+        if meta is not None and meta.props:
+            props = ", ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(meta.props.items())
+            )
+            ddl += f" WITH ({props})"
+        if meta is not None and meta.watermark_col:
+            ddl += (
+                f"; ALTER TABLE `{table}` MODIFY WATERMARK FOR "
+                f"`{meta.watermark_col}` AS {meta.watermark_expr}"
+            )
+        return self.spark.createDataFrame([(ddl,)], "create_statement string")
 
     def _alter_column(self, table: str, col: str, new_type: str) -> None:
         """S7/S8: retype a column on the source view (cast-at-read,
