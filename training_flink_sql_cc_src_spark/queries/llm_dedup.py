@@ -238,3 +238,88 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 12)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_band,
+               list_distinct(string_split(text, ' ')) AS words,
+               len(list_distinct(string_split(text, ' '))) AS n_words
+        FROM documents
+    ), edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM w a INNER JOIN w b
+          ON a.lang = b.lang AND a.len_band = b.len_band
+         AND a.doc_id < b.doc_id
+        WHERE 8 * len(list_intersect(a.words, b.words))
+              >= 3 * (a.n_words + b.n_words)
+    ), und AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges
+    ), reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT u.dst AS node, r.label
+        FROM reach r JOIN und u ON r.node = u.src
+        WHERE r.label < u.dst
+    )
+    SELECT label AS component, COUNT(DISTINCT node) AS n_docs,
+           MIN(node) AS keeper
+    FROM (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+    GROUP BY label
+    """,
+    doc="Connected components over the near-dup pair graph — the "
+    "transitive-closure step that turns pair lists into DEDUP CLUSTERS "
+    "(A~B, B~C => one keeper for {A,B,C}; pairwise pruning alone would "
+    "keep A and C). Spark side: Pregel-style min-label propagation — "
+    "each iteration is one edge join + min-aggregate, labels "
+    "checkpointed per round, loop ends at fixpoint (bounded by graph "
+    "diameter; the driver only compares a changed-row COUNT — no data "
+    "collect). The same loop is how GraphX/GraphFrames do CC at cluster "
+    "scale. Oracle: recursive-CTE reachability in DuckDB — a genuinely "
+    "iterative algorithm, still hash-verified.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dedup_jaccard_blocked_pairs(spark, sf_dir).select("id_a", "id_b")
+    und = edges.unionByName(
+        edges.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter cap; fixpoint usually in < 6 rounds
+        neigh = (
+            und.join(labels, und.id_a == labels.doc_id)
+            .groupBy(F.col("id_b").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keeper"),
+    )
