@@ -36,10 +36,10 @@ def main() -> None:
     try:
         sys.path.insert(0, ".")
         from training_flink_sql_cc_src_spark.registry import (
-            _DRIVER_VERIFIED_R01,
+            _DRIVER_VERIFIED,
         )
 
-        verified |= set(_DRIVER_VERIFIED_R01)
+        verified |= set(_DRIVER_VERIFIED)
     except Exception:
         pass
     names = textwrap.fill(

@@ -44,18 +44,28 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
-    """Canonical python value for cross-engine comparison."""
+    """Canonical python value for cross-engine comparison.
+
+    TYPE-PRESERVING for numerics (round-3 tightening): the driver's hash
+    canonicalizer formats ``1000`` / ``1000.0`` / ``Decimal('1000')``
+    differently, so a Spark BIGINT column paired with a DuckDB DOUBLE oracle
+    hash-mismatches even when every value is equal.  Round 2 shipped seven
+    driver-red queries that were green here precisely because this function
+    coerced int→float and Decimal→float.  Numerics now carry a type tag
+    (``b``/``i``/``f``/``dec``) so int ≠ float ≠ Decimal in the comparison —
+    queries must pin ONE explicit type per output column on BOTH engine
+    sides (``.cast("double")`` / ``CAST(... AS DOUBLE)``)."""
     if v is None:
         return None
     if isinstance(v, (bool, np.bool_)):
-        return bool(v)
+        return ("b", bool(v))
     if isinstance(v, (int, np.integer)):
-        return float(v)
+        return ("i", int(v))
     if isinstance(v, (float, np.floating)):
         f = float(v)
-        return None if math.isnan(f) else f
+        return None if math.isnan(f) else ("f", f)
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return ("dec", str(v))
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
         if pd.isna(v):
             return None

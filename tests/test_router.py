@@ -266,6 +266,28 @@ def test_three_level_namespace(router, spark):
     ].n == 2
 
 
+def test_dunder_table_name_publishes_no_bare_alias(router, spark):
+    """A NON-namespaced table whose own name contains "__" must publish
+    only itself: the old _publish split the canonical name on "__" and
+    would register `ru_bal` as a second view, silently clobbering any
+    unrelated view of that name in the shared session (ADVICE round 2)."""
+    spark.range(1).selectExpr("id AS marker").createOrReplaceTempView(
+        "ru_bal"
+    )
+    router.execute("CREATE TABLE __ru_bal (k INT, PRIMARY KEY (k) NOT ENFORCED)")
+    router.execute("INSERT INTO __ru_bal VALUES (7)")
+    # the unrelated bare view is untouched
+    assert spark.table("ru_bal").columns == ["marker"]
+    assert spark.table("__ru_bal").count() == 1
+    # namespaced tables still publish their bare alias (tracked, not parsed)
+    router.execute("SET 'sql.current-catalog' = 'c1'")
+    router.execute("SET 'sql.current-database' = 'd1'")
+    router.execute("CREATE TABLE alias_t (k INT, PRIMARY KEY (k) NOT ENFORCED)")
+    router.execute("INSERT INTO alias_t VALUES (3)")
+    assert spark.table("alias_t").count() == 1
+    assert spark.table("c1__d1__alias_t").count() == 1
+
+
 def test_insert_values_upserts_keyed_table(router, spark):
     """INSERT INTO … VALUES goes through the same upsert/bucket path as
     INSERT … SELECT: literal re-inserts of an existing PK replace the row."""

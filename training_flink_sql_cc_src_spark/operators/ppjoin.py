@@ -106,11 +106,19 @@ def ppjoin_pairs(
     verified = cand.join(av, "id_a").join(bv, "id_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
-    return (
+    out = (
         verified.filter(
             inter * (thr_num + thr_den)
             >= (F.col("n_a") + F.col("n_b")) * thr_num
         )
         .withColumn("jaccard", jac)
         .select("id_a", "id_b", "jaccard")
+        # materialize BEFORE unpersisting the tokenized input: the result
+        # is a bounded above-threshold pair set, and eager checkpoint lets
+        # us release the persisted blocks immediately instead of leaking
+        # them into executor storage for the life of the session (the
+        # registry driver runs 100+ queries in one SparkSession).
+        .localCheckpoint(eager=True)
     )
+    d.unpersist()
+    return out

@@ -322,6 +322,12 @@ class StatementRouter:
         self.current_catalog: str | None = None
         self.current_database: str | None = None
         self.session_props: dict[str, str] = {}
+        #: canonical (flattened) name → bare alias, recorded ONLY when a
+        #: name is actually produced by _flat under an active namespace.
+        #: _publish consults this instead of string-splitting on "__", so a
+        #: user table whose own name contains "__" (e.g. __ru_bal) can
+        #: never clobber an unrelated bare view (ADVICE round 2).
+        self._namespaced: dict[str, str] = {}
 
     # ------------------------------------------------------------- namespace
     @staticmethod
@@ -335,7 +341,9 @@ class StatementRouter:
         if len(parts) == 2:
             parts = [self.current_catalog or "default"] + parts
         if len(parts) == 3:
-            return self._flat(parts)
+            flat = self._flat(parts)
+            self._namespaced[flat] = re.sub(r"\W", "_", parts[-1])
+            return flat
         return parts[0]
 
     def _resolve(self, name: str, creating: bool = False) -> str:
@@ -345,6 +353,7 @@ class StatementRouter:
         if not (self.current_catalog and self.current_database):
             return name
         flat = self._flat([self.current_catalog, self.current_database, name])
+        self._namespaced[flat] = re.sub(r"\W", "_", name)
         if creating:
             return flat
         if name in self.catalog:
@@ -394,9 +403,17 @@ class StatementRouter:
             pk = ", ".join(f"`{k}`" for k in meta.primary_key)
             wm = meta.watermark_col
             a, tref = m.group("alias"), m.group("tref")
+            # ORDER BY needs a total order: two versions with an identical
+            # version timestamp would otherwise get a nondeterministic LEAD
+            # (one row's validity interval collapses arbitrarily). The
+            # xxhash64-of-row tiebreak pins which duplicate wins — the
+            # earlier-ordered copy gets an empty [wm, wm) interval (so
+            # exact-duplicate versions dedup for free) and tref == wm ties
+            # resolve the same way on every run (ADVICE round 2).
             derived = (
                 f"(SELECT __v.*, LEAD(`{wm}`) OVER (PARTITION BY {pk} "
-                f"ORDER BY `{wm}`) AS __vend FROM {name} __v)"
+                f"ORDER BY `{wm}`, xxhash64(to_json(struct(*)))) AS __vend "
+                f"FROM {name} __v)"
             )
             return (
                 f"{m.group('how')} {derived} {a} ON ({m.group('cond').strip()}) "
@@ -409,10 +426,13 @@ class StatementRouter:
     def _publish(self, df: DataFrame, canonical: str) -> None:
         """Register the view under its canonical name AND, for namespaced
         tables, the bare alias — so `SELECT … FROM t` works under USE and
-        `SELECT … FROM cat.db.t` works always."""
+        `SELECT … FROM cat.db.t` works always. The bare alias comes from
+        the _namespaced map (recorded at _flat time), never from parsing
+        the canonical string: a non-namespaced table named `a__b` (or
+        `__ru_bal`) publishes only itself."""
         df.createOrReplaceTempView(canonical)
-        bare = canonical.rsplit("__", 1)[-1]
-        if bare != canonical:
+        bare = self._namespaced.get(canonical)
+        if bare and bare != canonical:
             df.createOrReplaceTempView(bare)
 
     # ---------------------------------------------------------------- execute

@@ -8,7 +8,7 @@ Catalyst still does map-side partial aggregation on the decimal.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -410,20 +410,29 @@ def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "PERCENTILE_CONT): collect_set sorted for determinism and joined to a "
     "string (the driver's hash canonicalizer cannot hash array cells); "
     "median via interpolated percentile — quantities are whole-number "
-    "doubles so the midpoint interpolation is exact in both engines.",
+    "doubles so the midpoint interpolation is exact in both engines. The "
+    "discrete quartile is computed EXACTLY via window rank (value at "
+    "0-based index floor((n-1)*q), DuckDB quantile_disc's definition) "
+    "instead of percentile_approx, whose rank error exceeds one row once "
+    "a group passes the accuracy bound (~1M rows at accuracy=1e6, i.e. "
+    "lineitem SF ≳ 0.5) — exact at every SF, one extra same-key shuffle "
+    "that the groupBy then reuses.",
 )
 def agg_collect_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    grp = Window.partitionBy("l_returnflag")
+    ranked = li.withColumn(
+        "__rn", F.row_number().over(grp.orderBy("l_quantity"))
+    ).withColumn("__n", F.count(F.lit(1)).over(grp))
+    q1_target = F.floor((F.col("__n") - 1) * F.lit(0.25)) + 1
+    return ranked.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
             "statuses"
         ),
         F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median_qty"),
-        # accuracy 10^6 → rank error < 1 row up to ~1M rows/group, i.e.
-        # exact discrete percentile at every test SF; the previous 2^31
-        # accuracy made QuantileSummaries compression itself the cost
-        # (multi-second per group) for zero extra precision
-        F.percentile_approx(F.col("l_quantity"), F.lit(0.25), F.lit(1000000)).alias(
+        F.min(F.when(F.col("__rn") == q1_target, F.col("l_quantity"))).alias(
             "q1_qty"
         ),
     )

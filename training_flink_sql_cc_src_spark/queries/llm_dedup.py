@@ -10,6 +10,8 @@ the band join only shuffles (band, bucket) keys.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -294,6 +296,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(20):  # diameter cap; fixpoint usually in < 6 rounds
         neigh = (
             und.join(labels, und.id_a == labels.doc_id)
@@ -318,7 +321,19 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # changed == 0 is the only correctness exit; a graph with diameter
+        # > 20 would silently return wrong (non-fixpoint) components, so
+        # make the cap loud instead of silent (ADVICE round 2)
+        warnings.warn(
+            "dedup_connected_components: min-label propagation hit the "
+            "20-iteration diameter cap before converging — component "
+            "labels may not be at fixpoint; raise the cap for graphs "
+            "with longer chains",
+            stacklevel=2,
+        )
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("keeper"),

@@ -127,7 +127,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE 8 * len(list_intersect(a.words, b.words)) >= 3 * (a.n + b.n)
     )
     SELECT d.lang AS lang, COUNT(*) AS n_docs,
-           SUM(d.n_chars) AS total_chars
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT id_b FROM dup_b)
     GROUP BY d.lang
@@ -170,7 +170,8 @@ def pipeline_neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 900 ELSE 300 END AS rate
         FROM documents
     )
-    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM sampled WHERE coin < rate
     GROUP BY source
     """,
@@ -212,8 +213,8 @@ def pipeline_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
         FROM toks
     )
-    SELECT lang, start_off // 512 AS bin_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+    SELECT lang, CAST(start_off // 512 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            MIN(doc_id) AS first_doc
     FROM offs
     GROUP BY lang, start_off // 512

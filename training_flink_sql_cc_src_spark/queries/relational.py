@@ -233,7 +233,8 @@ def values_constant_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT priority, order_id, totalprice, rnk FROM (
         SELECT o_orderpriority AS priority, o_orderkey AS order_id,
-               FLOOR(o_totalprice / 10000) * 10000 AS totalprice,
+               CAST(FLOOR(o_totalprice / 10000) * 10000 AS BIGINT)
+                   AS totalprice,
                RANK() OVER (PARTITION BY o_orderpriority
                             ORDER BY FLOOR(o_totalprice / 10000) * 10000
                                 DESC) AS rnk

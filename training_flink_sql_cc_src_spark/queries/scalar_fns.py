@@ -94,14 +94,14 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
            ABS(l_discount - 0.05) AS abs_disc,
-           CEIL(l_extendedprice) AS ceil_price,
-           FLOOR(l_extendedprice) AS floor_price,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
            CAST(POWER(l_quantity, 2) AS DOUBLE) AS qty_sq,
            MOD(l_orderkey, 7) AS key_mod7,
            GREATEST(l_quantity, 25.0) AS qty_hi,
            LEAST(l_tax, 0.04) AS tax_lo,
            SQRT(l_quantity) AS sqrt_qty,
-           SIGN(l_discount - 0.05) AS sign_disc
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sign_disc
     FROM lineitem
     WHERE l_orderkey % 100 = 0
     """,
@@ -328,8 +328,8 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_position([10, 20, 30, n_nationkey], 30) AS pos30,
            array_to_string(range(0, CAST(n_regionkey AS BIGINT) + 1), ',')
                AS seq_arr,
-           list_sum(list_transform([1, 2, 3], x -> x * n_regionkey))
-               AS weighted_sum
+           CAST(list_sum(list_transform([1, 2, 3], x -> x * n_regionkey))
+               AS BIGINT) AS weighted_sum
     FROM nation
     """,
     doc="Advanced array family: array_sort / flatten / slice / "
@@ -531,37 +531,39 @@ def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_decimal_arithmetic",
     oracle="""
     SELECT o_orderkey AS orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.07 AS
-                DECIMAL(4,2)) AS DECIMAL(24,4)) AS with_tax,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(o_totalprice AS
-                DECIMAL(18,2)) AS DECIMAL(19,2)) AS doubled,
-           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS
-                DECIMAL(18,0)) AS rounded_dec,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2))
-               AS mod_100
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.07 AS
+                DECIMAL(4,2)) AS DECIMAL(24,4)) AS DOUBLE) AS with_tax,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(o_totalprice AS
+                DECIMAL(18,2)) AS DECIMAL(19,2)) AS DOUBLE) AS doubled,
+           CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS
+                DECIMAL(18,0)) AS DOUBLE) AS rounded_dec,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2))
+               AS DOUBLE) AS mod_100
     FROM orders
     WHERE o_orderkey % 20 = 0
     """,
     doc="DECIMAL(p,s) typed arithmetic (SURVEY.md §1.3 type table — the "
     "course's money type): cast, scaled multiply, add, ROUND-on-decimal "
     "(exact, no float rounding-mode divergence — decimals round "
-    "identically in both engines, unlike doubles), and modulo. Every "
-    "result type is pinned with explicit casts so Spark's and DuckDB's "
-    "different default precision-widening rules cannot skew the schema.",
+    "identically in both engines, unlike doubles), and modulo. All "
+    "arithmetic runs in pinned DECIMAL precision; the FINAL output is cast "
+    "to DOUBLE on both engine sides because the driver's hash canonicalizer "
+    "distinguishes Decimal from float (pandas fetches DuckDB decimals as "
+    "float64, so emitting Spark Decimal objects can never hash-match — the "
+    "round-2 driver-red root cause).",
 )
 def scalar_decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
     d = F.col("o_totalprice").cast("decimal(18,2)")
     return o.select(
         F.col("o_orderkey").alias("orderkey"),
-        d.alias("price_dec"),
-        (d * F.lit(1.07).cast("decimal(4,2)")).cast("decimal(24,4)").alias(
-            "with_tax"
-        ),
-        (d + d).cast("decimal(19,2)").alias("doubled"),
-        F.round(d, 0).cast("decimal(18,0)").alias("rounded_dec"),
-        (d % 100).cast("decimal(18,2)").alias("mod_100"),
+        d.cast("double").alias("price_dec"),
+        (d * F.lit(1.07).cast("decimal(4,2)")).cast("decimal(24,4)")
+        .cast("double").alias("with_tax"),
+        (d + d).cast("decimal(19,2)").cast("double").alias("doubled"),
+        F.round(d, 0).cast("decimal(18,0)").cast("double").alias("rounded_dec"),
+        (d % 100).cast("decimal(18,2)").cast("double").alias("mod_100"),
     )
 
 

@@ -45,37 +45,58 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-# Names with a FINAL driver-recorded row in CORRECTNESS_r01.json (green or
-# declared rows-only). The round-1 driver run recorded only the first ~50
-# registry entries in iteration order, so round 2 front-loads the queries
-# that still lack driver evidence and pushes these to the back. Rotate per
-# round until every entry has a green driver row.
-_DRIVER_VERIFIED_R01 = frozenset({
-    "agg_pricing_summary", "agg_count_distinct", "agg_having", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_approx_count_distinct",
-    "agg_global_no_groupby", "agg_percentile_disc", "agg_string_agg",
-    "agg_variance_covar_manual", "agg_pivot_conditional", "agg_bool_bitwise",
-    "agg_hll_mergeable_sketch", "analytic_ranking", "analytic_offset",
-    "analytic_first_last_frames", "analytic_distribution",
-    "s2_customers_keyed_projection", "s4_products_keyed_projection",
-    "s6_orders_enriched_join", "s7_schema_evolution_cast",
-    "s1_upsert_latest_per_key", "q3_shipping_priority", "q5_region_revenue",
-    "q10_returned_items", "q4_order_priority", "scalar_subquery_above_avg",
-    "q7_nation_volume", "q12_priority_by_linestatus", "q14_promo_revenue",
+# Names with a green driver row in CORRECTNESS_r01.json ∪ r02.json
+# (hash-match, or a declared rows-only row that ran without error) —
+# regenerated each round by scripts/update_driver_verified.py. The driver
+# records only the first ~50 registry entries in iteration order, so each
+# round front-loads the queries that still lack driver evidence and pushes
+# these to the back. Round 3: 39 fresh entries remain (32 never
+# driver-touched — the whole window/time + similarity families, Q2/Q6/Q8/
+# Q9/Q11/Q13/Q15-17/Q20/Q21, UDF surface — plus the 7 round-2 dtype reds,
+# re-queued after pinning output types on both engine sides), all inside
+# the 50-slot window with 11 re-verification slots to spare.
+_DRIVER_VERIFIED = frozenset({
+    "agg_approx_count_distinct", "agg_bool_bitwise", "agg_collect_median",
+    "agg_count_distinct", "agg_cube", "agg_global_no_groupby",
+    "agg_grouping_id", "agg_grouping_sets", "agg_having",
+    "agg_hll_mergeable_sketch", "agg_null_semantics", "agg_percentile_disc",
+    "agg_pivot_conditional", "agg_pricing_summary", "agg_rollup",
+    "agg_string_agg", "agg_variance_covar_manual", "analytic_distribution",
+    "analytic_first_last_frames", "analytic_offset", "analytic_ranking",
+    "dedup_connected_components", "dedup_exact_text",
+    "dedup_first_event_per_user", "dedup_jaccard_blocked_pairs",
+    "dedup_jaccard_ppjoin", "dedup_minhash_lsh", "dedup_simhash_hamming",
+    "except_keys", "filter_predicates", "intersect_keys", "join_anti",
+    "join_asof_temporal", "join_full_outer", "join_interval",
+    "join_left_outer", "join_range_bucketed", "join_right_outer",
+    "join_semi", "join_temporal_sql", "join_theta_band",
+    "multimodal_binary_metadata", "multimodal_decode_features",
+    "multimodal_doc_embedding_join", "multimodal_frame_sample",
+    "multimodal_header_decode", "order_by_limit", "order_nulls_first_last",
+    "pipeline_context_chunking", "pipeline_decontaminate",
+    "q10_returned_items", "q12_priority_by_linestatus", "q14_promo_revenue",
     "q18_large_volume_customer", "q19_disjunctive_predicates",
-    "q22_dormant_accounts", "join_left_outer", "join_full_outer",
-    "join_semi", "join_anti", "join_theta_band", "join_interval",
-    "join_asof_temporal", "join_range_bucketed", "dedup_exact_text",
-    "dedup_jaccard_blocked_pairs", "dedup_minhash_lsh",
-    "dedup_simhash_hamming", "text_token_stats", "text_quality_score",
-    "text_langid_heuristic",
+    "q22_dormant_accounts", "q3_shipping_priority", "q4_order_priority",
+    "q5_region_revenue", "q7_nation_volume", "s1_router_upsert_aggregate",
+    "s1_upsert_latest_per_key", "s2_customers_keyed_projection",
+    "s4_products_keyed_projection", "s6_orders_enriched_join",
+    "s7_schema_evolution_cast", "scalar_array_struct", "scalar_bitwise",
+    "scalar_conditional", "scalar_datetime", "scalar_datetime_extended",
+    "scalar_edit_distance_hash", "scalar_json", "scalar_json_struct",
+    "scalar_map_functions", "scalar_null_semantics", "scalar_string",
+    "scalar_string_datetime_extras", "scalar_string_extended",
+    "scalar_subquery_above_avg", "text_bpe_token_count", "text_fingerprint",
+    "text_lang_source_rollup", "text_langid_heuristic",
+    "text_quality_score", "text_repetition_filter", "text_token_stats",
+    "text_vocabulary_topk", "topn_per_group", "union_all", "union_distinct",
+    "values_constant_relation",
 })
 
-# Queries the round-1 driver attempted but never recorded (heaviest cold
-# plans: persist in the pipeline, wide literal expression trees in the
-# similarity family). They go after the never-attempted batch so a
-# per-query stall cannot starve the rest of the run.
-_DRIVER_SKIPPED_R01 = (
+# Heaviest cold plans (persist in the pipeline, wide literal expression
+# trees in the similarity family). They run AFTER the rest of the fresh
+# batch so a per-query stall cannot starve the smaller checks — but still
+# inside the driver's 50-slot window this round (fresh batch is 39).
+_DRIVER_HEAVY_TAIL = (
     "pipeline_corpus_curation",
     "sim_topk_bruteforce",
     "sim_threshold_pairs_blocked",
@@ -88,16 +109,16 @@ def _driver_order(names) -> list[str]:
     fresh = [
         n
         for n in names
-        if n not in _DRIVER_VERIFIED_R01 and n not in _DRIVER_SKIPPED_R01
+        if n not in _DRIVER_VERIFIED and n not in _DRIVER_HEAVY_TAIL
     ]
     # oracle-paired entries first within the fresh batch: a green
     # hash-match row is stronger evidence than a rows-only row, so if the
     # driver's per-run budget truncates, it truncates the weaker checks
     oracled = {k for k in _REGISTRY if _REGISTRY[k].oracle is not None}
     fresh.sort(key=lambda n: n not in oracled)
-    skipped = [n for n in _DRIVER_SKIPPED_R01 if n in names]
-    verified = [n for n in names if n in _DRIVER_VERIFIED_R01]
-    return fresh + skipped + verified
+    heavy = [n for n in _DRIVER_HEAVY_TAIL if n in names]
+    verified = [n for n in names if n in _DRIVER_VERIFIED]
+    return fresh + heavy + verified
 
 
 def all_queries() -> dict[str, SparkQuery]:
