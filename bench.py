@@ -7,10 +7,23 @@ Each query is forced end-to-end with a noop sink (full materialization on
 executors, no driver collect). One warm-up run of the flagship query
 amortizes JVM/codegen startup out of the numbers, mirroring steady-state
 throughput on a cluster.
+
+Sampling is ROUND-ROBIN (round-3 contention fix): the whole suite runs
+SPARK_GRAFT_BENCH_SWEEPS (default 3) full passes and each query keeps its
+minimum across passes. Round 2 ran 3 consecutive samples per query, so a
+minutes-long host burst captured ALL samples of one query and recorded a
+16x phantom regression (agg_pricing_summary 14.7 s vs ~2 s on a quiet
+host); with interleaved passes a burst must span the entire suite to
+poison any single query's minimum. Queries still >1.5x their best prior
+round after the sweeps get up to 2 extra samples (contention self-heal),
+then a stderr warning if the regression persists — a real plan problem,
+not timer noise. scripts/bench_gate.py turns those warnings into a
+round-close failure unless explicitly acknowledged.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -23,6 +36,7 @@ from training_flink_sql_cc_src_spark.registry import all_queries
 from training_flink_sql_cc_src_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SWEEPS = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "3"))
 
 #: Headline queries: the attested flagship join, the heavy agg, each window
 #: kind, the hard custom operators (as-of, cumulate), and the [C] pipeline
@@ -62,6 +76,27 @@ def run_one(spark, fn, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def best_prior() -> dict[str, float]:
+    """Per-query MINIMUM across every recorded BENCH_r*.json — the
+    best-known time is the ratchet reference. Comparing only to the
+    newest record would let one contended round (r2's 14.7 s
+    agg_pricing_summary) permanently loosen the bar."""
+    best: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps bench stdout under "parsed"
+        prior = doc.get("queries") or doc.get("parsed", {}).get("queries", {})
+        for name, sec in prior.items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                best[name] = min(best.get(name, float("inf")), float(sec))
+    return best
+
+
 def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else -1.0
@@ -69,17 +104,30 @@ def main() -> None:
     queries = all_queries()
     # warm-up: JVM + codegen + parquet footer caches
     run_one(spark, queries["s6_orders_enriched_join"], SF_DIR)
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        # best-of-3: the first run of a heavy query pays one-time JIT /
-        # codegen compilation that a long-running cluster job amortizes,
-        # and this host has multi-second scheduling-jitter bursts that can
-        # cover two consecutive runs — a third sample rejects them
-        per_query[name] = round(
-            min(run_one(spark, queries[name], SF_DIR) for _ in range(3)), 3
-        )
+    per_query: dict[str, float] = {n: float("inf") for n in HEADLINE}
+    for _sweep in range(SWEEPS):
+        for name in HEADLINE:
+            per_query[name] = min(
+                per_query[name], run_one(spark, queries[name], SF_DIR)
+            )
+    # contention self-heal: a regression that survives interleaved sweeps
+    # gets two more interleaved samples before we believe it
+    prior = best_prior()
+    for _retry in range(2):
+        flagged = [
+            n
+            for n in HEADLINE
+            if prior.get(n, 0) > 0.2 and per_query[n] > 1.5 * prior[n]
+        ]
+        if not flagged:
+            break
+        for name in flagged:
+            per_query[name] = min(
+                per_query[name], run_one(spark, queries[name], SF_DIR)
+            )
+    per_query = {n: round(s, 3) for n, s in per_query.items()}
     total = round(sum(per_query.values()), 3)
-    _warn_regressions(per_query)
+    _warn_regressions(per_query, prior)
     print(
         json.dumps(
             {
@@ -93,28 +141,16 @@ def main() -> None:
     )
 
 
-def _warn_regressions(per_query: dict[str, float]) -> None:
-    """Per-query ratchet vs the newest BENCH_r*.json (stderr only — the
-    stdout contract is exactly one JSON line). >1.5x on a query that took
-    >0.2 s before is a real plan regression, not timer noise."""
-    import glob
-
-    prior_files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
-    if not prior_files:
-        return
-    try:
-        with open(prior_files[-1]) as fh:
-            doc = json.load(fh)
-        # the driver wraps bench stdout under "parsed"
-        prior = doc.get("queries") or doc.get("parsed", {}).get("queries", {})
-    except (OSError, json.JSONDecodeError):
-        return
+def _warn_regressions(per_query: dict[str, float], prior: dict[str, float]) -> None:
+    """Per-query ratchet vs the best recorded BENCH_r*.json time (stderr
+    only — the stdout contract is exactly one JSON line). >1.5x on a query
+    that took >0.2 s before is a real plan regression, not timer noise."""
     for name, now in per_query.items():
         before = prior.get(name)
         if before and before > 0.2 and now > 1.5 * before:
             print(
-                f"bench-regression {name}: {before:.2f}s -> {now:.2f}s "
-                f"({now / before:.1f}x, vs {os.path.basename(prior_files[-1])})",
+                f"bench-regression {name}: best-prior {before:.2f}s -> "
+                f"{now:.2f}s ({now / before:.1f}x)",
                 file=sys.stderr,
             )
 
