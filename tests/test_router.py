@@ -426,11 +426,24 @@ def test_execute_script_multi_statement(router, spark):
     ] == [("a", "updated"), ("b", "z")]
 
 
+def test_match_recognize_adjacent_subset_lowers(router):
+    """The adjacent-sequence subset now executes through the LEAD-chain
+    lowering (plans/match_recognize.py) instead of raising."""
+    df = router.execute(
+        "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id "
+        "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A B) DEFINE "
+        "A AS A.event_type = 'view', B AS B.event_type = 'purchase')"
+    )
+    assert df.columns == ["user_id", "a_ts"]
+    df.collect()  # executes without error
+
+
 def test_match_recognize_guard(router):
+    # general CEP (quantifiers) still raises the instructive error
     with pytest.raises(NotImplementedError, match="pattern_funnel"):
         router.execute(
             "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id "
-            "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A B) DEFINE "
+            "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A+ B) DEFINE "
             "A AS A.event_type = 'view', B AS B.event_type = 'purchase')"
         )
 

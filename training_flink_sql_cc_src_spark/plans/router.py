@@ -472,15 +472,27 @@ class StatementRouter:
                 [(n,) for n in self.catalog.names()], "table_name string"
             )
         if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
-            # Spark SQL has no row-pattern matching; rather than a cryptic
-            # parse error, point at the engine's CEP equivalents
-            raise NotImplementedError(
-                "MATCH_RECOGNIZE is not available in Spark SQL; express "
-                "row patterns with the sequential-window approach in "
-                "queries/time_windows.pattern_funnel / "
-                "pattern_funnel3_sequential, or applyInPandasWithState "
-                "for arbitrary state machines (streaming/stateful.py)"
+            # Spark SQL has no native row-pattern matching. The adjacent-
+            # sequence subset (plain PATTERN (A B ...), current-row DEFINEs)
+            # lowers to the LEAD-chain plan (plans/match_recognize.py);
+            # general CEP raises with pointers at the engine's equivalents.
+            from .match_recognize import (
+                UnsupportedPatternError,
+                rewrite_match_recognize,
             )
+
+            try:
+                rewritten = rewrite_match_recognize(self.spark, sql)
+            except UnsupportedPatternError as exc:
+                raise NotImplementedError(
+                    f"{exc} — beyond this subset, express row patterns "
+                    "with the sequential-window approach in "
+                    "queries/time_windows.pattern_funnel / "
+                    "pattern_funnel3_sequential, or applyInPandasWithState "
+                    "for arbitrary state machines (streaming/stateful.py)"
+                ) from exc
+            if rewritten is not None:
+                sql = rewritten
         sql = self._rewrite_dialect(sql)
         m = _SHOW_CREATE_RE.match(sql)
         if m:

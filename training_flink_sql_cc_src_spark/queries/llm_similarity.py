@@ -30,6 +30,12 @@ TOP_K = 5
 @register(
     "sim_topk_bruteforce",
     oracle=f"""
+    -- query side pre-filtered in a CTE so the planner can never defer the
+    -- 8-row restriction past the inequality join: the pair space is
+    -- N_QUERY x n (linear in corpus), not n^2, at every scale factor
+    WITH q AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY}
+    )
     SELECT query_id, neighbor_id, cos_sim, rnk FROM (
         SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
                {cosine_sql('q.embedding', 'v.embedding')} AS cos_sim,
@@ -38,9 +44,8 @@ TOP_K = 5
                    ORDER BY {cosine_sql('q.embedding', 'v.embedding')} DESC,
                             v.vec_id
                ) AS rnk
-        FROM embeddings q
+        FROM q
         INNER JOIN embeddings v ON v.vec_id <> q.vec_id
-        WHERE q.vec_id < {N_QUERY}
     ) WHERE rnk <= {TOP_K}
     """,
     doc="Brute-force cosine top-k nearest neighbors (the exact ANN "

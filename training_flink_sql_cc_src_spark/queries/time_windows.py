@@ -448,6 +448,64 @@ def pattern_funnel3_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_match_recognize",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS view_epoch,
+           CAST(FLOOR(EPOCH(next_ts)) AS BIGINT) AS click_epoch,
+           event_id AS view_event_id
+    FROM seq
+    WHERE event_type = 'view' AND next_type = 'click'
+      AND next_ts <= ts + INTERVAL 1 HOUR
+    """,
+    doc="MATCH_RECOGNIZE through the SQL front door: a lab-style Flink "
+    "CEP statement (PATTERN (A B) WITHIN 1h, DEFINE on event_type, "
+    "AFTER MATCH SKIP PAST LAST ROW) is accepted verbatim by the "
+    "StatementRouter, which lowers the adjacent-sequence subset to the "
+    "LEAD-chain plan (plans/match_recognize.py — one shuffle on user_id; "
+    "SKIP PAST LAST ROW is exact here because the view/click predicates "
+    "are provably disjoint, so matches can never share rows). Unlike "
+    "pattern_funnel the pattern input is the UNFILTERED event stream — "
+    "adjacency over all events per user, exactly MATCH_RECOGNIZE "
+    "semantics.",
+)
+def pattern_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(view_ts AS LONG) AS view_epoch,
+               CAST(click_ts AS LONG) AS click_epoch,
+               view_event_id
+        FROM __mr_events
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS view_ts,
+                     B.ts AS click_ts,
+                     A.event_id AS view_event_id
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click'
+        ) AS m
+        """
+    )
+
+
+@register(
     "window_distinct_users",
     oracle=f"""
     SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS window_start,

@@ -45,23 +45,22 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-# Names with a green driver row in CORRECTNESS_r01.json ∪ r02.json
-# (hash-match, or a declared rows-only row that ran without error) —
-# regenerated each round by scripts/update_driver_verified.py. The driver
-# records only the first ~50 registry entries in iteration order, so each
-# round front-loads the queries that still lack driver evidence and pushes
-# these to the back. Round 3: 39 fresh entries remain (32 never
-# driver-touched — the whole window/time + similarity families, Q2/Q6/Q8/
-# Q9/Q11/Q13/Q15-17/Q20/Q21, UDF surface — plus the 7 round-2 dtype reds,
-# re-queued after pinning output types on both engine sides), all inside
-# the 50-slot window with 11 re-verification slots to spare.
+# Names with a green driver row in CORRECTNESS_r01 ∪ r02 ∪ r03 (hash-match,
+# or a rows-only row that ran without error) — regenerated each round by
+# scripts/update_driver_verified.py. The driver records only the first ~50
+# registry entries in iteration order, so each round front-loads queries
+# that still lack driver evidence and pushes these to the back. Round 4:
+# 11 fresh entries remain — the window/time + pattern family, all errored
+# in r3 on the events.parquet encoding change (fixed in sources/fixtures.py)
+# — leaving ~34 re-verification slots inside the 50-slot window.
 _DRIVER_VERIFIED = frozenset({
     "agg_approx_count_distinct", "agg_bool_bitwise", "agg_collect_median",
     "agg_count_distinct", "agg_cube", "agg_global_no_groupby",
     "agg_grouping_id", "agg_grouping_sets", "agg_having",
     "agg_hll_mergeable_sketch", "agg_null_semantics", "agg_percentile_disc",
-    "agg_pivot_conditional", "agg_pricing_summary", "agg_rollup",
-    "agg_string_agg", "agg_variance_covar_manual", "analytic_distribution",
+    "agg_pivot_conditional", "agg_pricing_summary",
+    "agg_quantile_sketch_merge", "agg_rollup", "agg_string_agg",
+    "agg_variance_covar_manual", "analytic_distribution",
     "analytic_first_last_frames", "analytic_offset", "analytic_ranking",
     "dedup_connected_components", "dedup_exact_text",
     "dedup_first_event_per_user", "dedup_jaccard_blocked_pairs",
@@ -73,22 +72,34 @@ _DRIVER_VERIFIED = frozenset({
     "multimodal_binary_metadata", "multimodal_decode_features",
     "multimodal_doc_embedding_join", "multimodal_frame_sample",
     "multimodal_header_decode", "order_by_limit", "order_nulls_first_last",
-    "pipeline_context_chunking", "pipeline_decontaminate",
-    "q10_returned_items", "q12_priority_by_linestatus", "q14_promo_revenue",
-    "q18_large_volume_customer", "q19_disjunctive_predicates",
-    "q22_dormant_accounts", "q3_shipping_priority", "q4_order_priority",
-    "q5_region_revenue", "q7_nation_volume", "s1_router_upsert_aggregate",
+    "pandas_grouped_zscore", "pandas_udaf_median", "pandas_udf_entropy",
+    "pipeline_context_chunking", "pipeline_corpus_curation",
+    "pipeline_data_mixture", "pipeline_decontaminate",
+    "pipeline_neardup_prune", "pipeline_sequence_packing",
+    "q10_returned_items", "q11_important_stock",
+    "q12_priority_by_linestatus", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_predicates", "q20_excess_shippers",
+    "q21_waiting_supplier", "q22_dormant_accounts", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_type_profit", "s1_router_upsert_aggregate",
     "s1_upsert_latest_per_key", "s2_customers_keyed_projection",
     "s4_products_keyed_projection", "s6_orders_enriched_join",
-    "s7_schema_evolution_cast", "scalar_array_struct", "scalar_bitwise",
-    "scalar_conditional", "scalar_datetime", "scalar_datetime_extended",
-    "scalar_edit_distance_hash", "scalar_json", "scalar_json_struct",
-    "scalar_map_functions", "scalar_null_semantics", "scalar_string",
+    "s7_schema_evolution_cast", "scalar_array_advanced",
+    "scalar_array_struct", "scalar_bitwise", "scalar_conditional",
+    "scalar_datetime", "scalar_datetime_extended",
+    "scalar_decimal_arithmetic", "scalar_edit_distance_hash", "scalar_json",
+    "scalar_json_struct", "scalar_map_functions", "scalar_math",
+    "scalar_null_semantics", "scalar_string",
     "scalar_string_datetime_extras", "scalar_string_extended",
-    "scalar_subquery_above_avg", "text_bpe_token_count", "text_fingerprint",
-    "text_lang_source_rollup", "text_langid_heuristic",
-    "text_quality_score", "text_repetition_filter", "text_token_stats",
-    "text_vocabulary_topk", "topn_per_group", "union_all", "union_distinct",
+    "scalar_subquery_above_avg", "sim_ann_ivf", "sim_ann_lsh",
+    "sim_threshold_pairs_blocked", "sim_topk_bruteforce",
+    "text_bpe_token_count", "text_fingerprint", "text_lang_source_rollup",
+    "text_langid_heuristic", "text_quality_score", "text_repetition_filter",
+    "text_token_stats", "text_vocabulary_topk", "topn_per_group",
+    "topn_with_ties", "udtf_explode_tokens", "union_all", "union_distinct",
     "values_constant_relation",
 })
 
