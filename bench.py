@@ -89,8 +89,9 @@ def best_prior() -> dict[str, float]:
                 doc = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        # the driver wraps bench stdout under "parsed"
-        prior = doc.get("queries") or doc.get("parsed", {}).get("queries", {})
+        # the driver wraps bench stdout under "parsed" (null when the
+        # round's bench crashed, e.g. BENCH_r03 — treat as no record)
+        prior = doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
         for name, sec in prior.items():
             if isinstance(sec, (int, float)) and sec > 0:
                 best[name] = min(best.get(name, float("inf")), float(sec))

@@ -110,3 +110,44 @@ def test_quantile_sketch_merge_rank_error(spark, sf_small):
     for lang, v in got.items():
         lo, hi = bands[lang]
         assert lo <= v <= hi, f"{lang}: {v} outside [{lo}, {hi}]"
+
+
+def test_heavy_hitters_merge_bounds(spark, sf_small):
+    """Sketch-merged top users: (1) every returned estimate satisfies
+    est <= true_count <= est + max_missed against exact counts; (2) with
+    K large enough that no segment truncates, the merge recovers the
+    exact global top-10."""
+    import pyspark.sql.functions as F
+
+    from training_flink_sql_cc_src_spark.operators.heavy_hitters import (
+        heavy_hitter_sketch,
+        merge_heavy_hitter_sketches,
+    )
+    from training_flink_sql_cc_src_spark.queries._util import t
+    from training_flink_sql_cc_src_spark.registry import all_queries
+
+    ev = t(spark, sf_small, "events")
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+
+    got = all_queries()["agg_heavy_hitters_merge"](spark, sf_small).collect()
+    assert len(got) == 10
+    ests = [r.est for r in got]
+    assert ests == sorted(ests, reverse=True)
+    for r in got:
+        true = exact[r.user_id]
+        assert r.est <= true <= r.est + r.max_missed, (
+            f"user {r.user_id}: est={r.est} missed={r.max_missed} true={true}"
+        )
+
+    # exact recovery at K >= distinct items per segment
+    big_k = heavy_hitter_sketch(ev, ["event_type"], "user_id", k=10**6)
+    merged = {
+        r.item: (r.est, r.max_missed)
+        for r in merge_heavy_hitter_sketches(big_k, [], top=10).collect()
+    }
+    want_top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert {u: c for u, c in want_top} == {u: e for u, (e, _) in merged.items()}
+    assert all(m == 0 for _, m in merged.values())

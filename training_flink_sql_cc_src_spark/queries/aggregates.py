@@ -488,3 +488,33 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     sketches = quantile_sketch(d, ["lang", "source"], "n_chars", k=32)
     return merge_quantile_sketches(sketches, ["lang"], 0.5)
+
+
+@register(
+    "agg_heavy_hitters_merge",
+    oracle=None,  # truncated per-segment summaries are sketch-internal;
+    # the est <= true <= est + max_missed sandwich and exact-at-large-K
+    # recovery are asserted in
+    # tests/test_aggregates.py::test_heavy_hitters_merge_bounds
+    doc="Mergeable heavy-hitters sketches (operators/heavy_hitters.py — "
+    "the frequent-items analog of the HLL/quantile pattern): per-"
+    "event_type top-K=16 user frequency tables built in one pass, then "
+    "the global top-10 users answered from the STORED summaries "
+    "(explode + re-sum), never re-reading the events. Each answer "
+    "carries est (lower bound) and max_missed (sum of the kth counts of "
+    "segments that did not report the item) so est <= true <= est + "
+    "max_missed — callers can certify exact top items from sketches "
+    "alone. At 100 TB this is how any-date-range 'top domains' queries "
+    "run from kilobytes.",
+)
+def agg_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavy_hitters import (
+        heavy_hitter_sketch,
+        merge_heavy_hitter_sketches,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    sketches = heavy_hitter_sketch(ev, ["event_type"], "user_id", k=16)
+    return merge_heavy_hitter_sketches(sketches, [], top=10).select(
+        F.col("item").alias("user_id"), "est", "max_missed"
+    )

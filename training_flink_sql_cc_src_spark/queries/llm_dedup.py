@@ -338,3 +338,67 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("keeper"),
     )
+
+
+@register(
+    "dedup_ngram_span_exact",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS words
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, lang,
+               array_to_string(words[s : s + 7], ' ') AS span
+        FROM w, UNNEST(range(1, GREATEST(len(words) - 6, 1))) AS t(s)
+    ), dup AS (
+        SELECT span FROM sh GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT lang,
+           COUNT(DISTINCT span) AS n_dup_spans,
+           COUNT(DISTINCT doc_id) AS n_docs_affected
+    FROM sh WHERE span IN (SELECT span FROM dup)
+    GROUP BY lang
+    """,
+    doc="Exact duplicate-span detection (the substring-dedup shape of "
+    "'Deduplicating Training Data Makes Language Models Better', Lee et "
+    "al. 2021, at 8-gram granularity): every 8-token span appearing in "
+    ">=2 documents is a duplicated span; rollup counts spans and "
+    "affected docs per language. Plan: map-side shingle explode + "
+    "per-doc distinct, ONE hash shuffle on span (high cardinality, no "
+    "skew) for the cross-doc count, semi join back, tiny rollup. Never "
+    "pairwise: work scales with total shingles, not docs^2 — exactly "
+    "the suffix-array-free approximation that survives 100 TB.",
+)
+def dedup_ngram_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("words")
+    )
+    n = F.size("words")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                n >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), n - 7),
+                    lambda i: F.concat_ws(" ", F.slice("words", i, 8)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("span"),
+    ).distinct()
+    dup = (
+        sh.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    return (
+        sh.join(dup, "span", "left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("span").alias("n_dup_spans"),
+            F.count_distinct("doc_id").alias("n_docs_affected"),
+        )
+    )

@@ -378,3 +378,110 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("is_cont", F.lit(0))).alias("n_contaminated"),
         )
     )
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 1000000, doc_id
+               ) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked
+    WHERE rnk <= CAST(CEIL(n_lang * 0.2) AS BIGINT)
+    """,
+    doc="Exact stratified sampling (the per-language 20% sample a "
+    "mixture-balancing step draws): rank docs per language by a "
+    "multiplicative-hash coin (seedless, engine-identical integer "
+    "arithmetic) and keep the first ceil(0.2*n) of each stratum — exact "
+    "proportions per stratum, unlike Bernoulli sampling's variance. The "
+    "driver hash checks the EXACT sampled set. Plan: one window shuffle "
+    "on lang; the per-stratum count rides the same window. At 100 TB "
+    "swap ROW_NUMBER for a per-stratum rank histogram if a single "
+    "stratum outgrows a partition — the hash-coin ordering is unchanged.",
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    coin = (F.col("doc_id") * F.lit(2654435761)) % 1000000
+    w = Window.partitionBy("lang").orderBy(coin.asc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(wn).alias("n_lang"),
+    )
+    return ranked.filter(
+        F.col("rnk") <= F.ceil(F.col("n_lang") * 0.2).cast("long")
+    ).select("doc_id", "lang", "rnk")
+
+
+@register(
+    "pipeline_train_val_split",
+    oracle="""
+    SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test split (80/10/10) via the "
+    "multiplicative-hash coin on doc_id — assignment is a pure function "
+    "of the key, so re-running the pipeline (or running it on another "
+    "engine) never migrates a document between splits; no RNG state, no "
+    "split manifest to store. Map-only assignment + one rollup shuffle.",
+)
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    coin = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(coin < 80, "train").when(coin < 90, "val").otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "pipeline_deterministic_shuffle",
+    oracle="""
+    SELECT doc_id, lang, CAST(pos AS BIGINT) AS pos FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   ORDER BY (doc_id * 2654435761) % 1048576, doc_id
+               ) AS pos
+        FROM documents
+    ) WHERE pos <= 100
+    """,
+    doc="Deterministic global shuffle order for training (the epoch-"
+    "shuffle step: a reproducible total order decorrelated from insert "
+    "order, here the first 100 positions): order by the multiplicative-"
+    "hash coin and take the prefix. Spark plan is orderBy().limit(k) -> "
+    "TakeOrderedAndProject — each partition keeps only its local top-k "
+    "(a map-side heap, no global sort materialized), then the driver "
+    "merges k*n_partitions rows; position numbering runs over the tiny "
+    "k-row result. At 100 TB a FULL shuffle export would instead use "
+    "repartitionByRange(coin) + sortWithinPartitions — same ordering "
+    "key, no single-point merge; this query pins the prefix semantics.",
+)
+def pipeline_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    coin = ((F.col("doc_id") * F.lit(2654435761)) % 1048576).alias("__coin")
+    top = d.select("doc_id", "lang", coin).orderBy("__coin", "doc_id").limit(100)
+    w = Window.orderBy("__coin", "doc_id")
+    return top.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("pos")
+    )

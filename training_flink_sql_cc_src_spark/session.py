@@ -59,6 +59,13 @@ def get_spark(app_name: str = "spark-graft", cpus: int | None = None) -> SparkSe
         # never binds.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The fixture files are tens of MB; the 128m default would scan
+        # each as 1-4 tasks no matter how many row groups exist. 4m splits
+        # the re-laid-out fixtures (sources/fixtures._splittable_path)
+        # across the full core count. Cluster deployments reading TB-scale
+        # inputs should keep the default (or size to HDFS block).
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
