@@ -160,3 +160,29 @@ def test_ppjoin_no_cartesian(spark, sf_med):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_deterministic_shuffle_uses_take_ordered(spark, sf_med):
+    """The epoch-shuffle prefix must plan as TakeOrderedAndProject (each
+    partition keeps a local top-k heap), never a global Sort of the
+    corpus."""
+    plan = _plan(spark, "pipeline_deterministic_shuffle", sf_med)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_span_dedup_no_cartesian(spark, sf_med):
+    """Duplicate-span detection must stay shingle-keyed: no cartesian or
+    broadcast-nested-loop pair generation anywhere in the plan."""
+    plan = _plan(spark, "dedup_ngram_span_exact", sf_med)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_single_window_shuffle(spark, sf_med):
+    """Rank and per-stratum count must share ONE hash exchange on lang —
+    a second exchange would mean the two windows repartitioned twice."""
+    import re
+
+    plan = _plan(spark, "pipeline_stratified_sample", sf_med)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
