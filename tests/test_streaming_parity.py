@@ -538,3 +538,58 @@ def test_stream_static_dim_join_parity(spark, sf_small):
         spark, ev, transform, output_mode="append", n_files=4
     )
     assert _rows(batch) == _rows(streamed)
+
+
+def test_adjacent_pattern_stream_matches_batch_match_recognize(spark, sf_small):
+    """Streaming CEP leg: the per-key stateful adjacent-pattern matcher
+    (applyInPandasWithState, state = last event per key) over an in-order
+    replay finds EXACTLY the matches of the batch MATCH_RECOGNIZE
+    lowering — including pairs whose A and B land in different
+    micro-batches, which a per-batch LEAD would drop."""
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+    from training_flink_sql_cc_src_spark.streaming.stateful import (
+        adjacent_pattern_stream,
+    )
+
+    ev = t(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: adjacent_pattern_stream(
+            s,
+            "user_id",
+            "ts",
+            "event_type",
+            "view",
+            "click",
+            within_seconds=3600,
+            tiebreak_col="event_id",
+        ),
+        output_mode="append",
+        n_files=8,
+        order_by="ts",
+    )
+    got = {
+        (r.user_id, r.first_ts, r.second_ts) for r in streamed.collect()
+    }
+    ev.createOrReplaceTempView("__cep_events")
+    batch = StatementRouter(spark).execute(
+        """
+        SELECT user_id, first_ts, second_ts FROM __cep_events
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS first_ts, B.ts AS second_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click'
+        )
+        """
+    )
+    want = {(r.user_id, r.first_ts, r.second_ts) for r in batch.collect()}
+    assert got == want and want
