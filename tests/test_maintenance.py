@@ -1,0 +1,86 @@
+"""Compaction + clustering maintenance (operators/maintenance.py): the
+small-files rewrite must preserve rows exactly, hit the file-count
+target, and clustering must produce (near-)disjoint per-file ranges the
+scan planner can skip on."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from training_flink_sql_cc_src_spark.operators.maintenance import (
+    compact_table,
+    file_range_stats,
+    overlap_fraction,
+)
+from training_flink_sql_cc_src_spark.queries._util import t
+
+
+@pytest.fixture(scope="module")
+def fragmented(spark, tmp_path_factory):
+    """The events fixture written as 64 randomly-placed small files —
+    the layout a micro-batch ingest degrades into."""
+    sf_small = "/root/testdata/sf0.001"
+    path = str(tmp_path_factory.mktemp("frag") / "events_frag")
+    ev = t(spark, sf_small, "events")
+    # shuffle rows so every small file spans the full ts range
+    ev.repartition(64, "event_id").write.mode("overwrite").parquet(path)
+    return path, ev
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, fragmented):
+    frag_path, ev = fragmented
+    out = os.path.join(tempfile.mkdtemp(), "events_compact")
+    n = compact_table(spark, frag_path, out, target_file_mb=1)
+    assert n < 64
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    assert sorted(got.columns) == sorted(
+        spark.read.parquet(frag_path).columns
+    )
+    a = {tuple(r) for r in got.select("event_id", "user_id").collect()}
+    b = {tuple(r) for r in ev.select("event_id", "user_id").collect()}
+    assert a == b
+
+
+def test_clustering_makes_ranges_disjoint(spark, fragmented):
+    frag_path, _ev = fragmented
+    # fragmented layout: every file spans ~the whole ts range
+    frag_ranges = file_range_stats(frag_path, "ts")
+    assert overlap_fraction(frag_ranges) > 0.9
+
+    out = os.path.join(tempfile.mkdtemp(), "events_clustered")
+    # tiny target so several files exist and disjointness is non-trivial
+    df = spark.read.parquet(frag_path)
+    df.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(out)
+    ranges = file_range_stats(out, "ts")
+    assert len(ranges) >= 4
+    # range clustering: overlap only possibly at file boundaries
+    assert overlap_fraction(ranges) <= 0.1
+
+
+def test_clustered_filter_prunes_row_groups(spark, fragmented):
+    """A selective ts-range filter over the clustered layout must return
+    identical rows to the fragmented layout (pruning is a pure
+    optimization), and the filter must be pushed to the scan."""
+    frag_path, _ev = fragmented
+    out = os.path.join(tempfile.mkdtemp(), "events_clustered2")
+    compact_table(spark, frag_path, out, target_file_mb=1, cluster_by=["ts"])
+    lo = "2024-01-01 01:00:00"
+    hi = "2024-12-31 23:00:00"
+    frag = spark.read.parquet(frag_path).filter(F.col("ts") < hi).filter(
+        F.col("ts") > lo
+    )
+    clus = spark.read.parquet(out).filter(F.col("ts") < hi).filter(
+        F.col("ts") > lo
+    )
+    assert {r.event_id for r in clus.collect()} == {
+        r.event_id for r in frag.collect()
+    }
+    plan = clus._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts)" in plan or "GreaterThan(ts" in plan

@@ -1,0 +1,114 @@
+"""Table-maintenance operators: compaction + clustering (SCALE.md §1).
+
+A streaming ingest (the reference's Kafka-connector world) lands many
+small files; a 100 TB table touched by micro-batch writers degrades into
+millions of them, and scan cost becomes task-scheduling cost. The two
+standard maintenance moves, expressed Spark-native:
+
+- **Compaction** (`compact_table`): rewrite a fragmented parquet table
+  into ~target-size files. Pure repartition + write — the OPTIMIZE of
+  Delta/Iceberg without the table format.
+- **Clustering** (`compact_table(cluster_by=...)`): range-partition by a
+  clustering key and sort within files, so per-file/row-group min-max
+  stats become DISJOINT ranges and any engine's predicate pushdown
+  (Spark row-group skipping, DuckDB zone maps) prunes whole files for
+  selective range filters — the data-skipping layout that turns a
+  100 TB time-range query into a read of the few files covering it.
+
+`file_range_stats` exposes the per-file min/max a maintenance job uses
+to verify layout quality (and that tests assert on).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def compact_table(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    target_file_mb: int = 128,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Rewrite ``input_path`` (parquet dir or file) into ``output_path``
+    with ~``target_file_mb`` files, optionally range-clustered + sorted
+    on ``cluster_by``. Returns the number of output files.
+
+    Sizing uses the INPUT's on-disk bytes (already-compressed parquet →
+    a faithful estimate of output size). Range partitioning samples the
+    key distribution, so skew in the clustering key yields balanced
+    files anyway — the property that matters at 100 TB, where a naive
+    hash-on-day layout would put 10% of the table in one file.
+    """
+    df = spark.read.parquet(input_path)
+    n_files = max(1, math.ceil(_dir_bytes(input_path) / (target_file_mb << 20)))
+    if cluster_by:
+        out = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(output_path)
+    written = [
+        f
+        for f in os.listdir(output_path)
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+    return len([f for f in written if not f.endswith(".crc")])
+
+
+def file_range_stats(path: str, column: str) -> list[tuple[str, object, object]]:
+    """Per-file (file, min, max) of ``column`` from parquet footer
+    metadata — no data read. This is what a maintenance job (or a
+    metadata-pruning scan planner) inspects to measure clustering
+    quality: disjoint ranges = perfect skipping."""
+    import pyarrow.parquet as pq
+
+    out = []
+    files = (
+        [os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            out.append((os.path.basename(f), min(mins), max(maxs)))
+    return out
+
+
+def overlap_fraction(ranges: list[tuple[str, object, object]]) -> float:
+    """Fraction of file pairs whose [min, max] ranges overlap — 0.0 for a
+    perfectly clustered layout, ~1.0 for random placement. The quality
+    metric a maintenance scheduler thresholds on."""
+    n = len(ranges)
+    if n < 2:
+        return 0.0
+    overlaps = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            _, lo_i, hi_i = ranges[i]
+            _, lo_j, hi_j = ranges[j]
+            if lo_i <= hi_j and lo_j <= hi_i:
+                overlaps += 1
+    return overlaps / (n * (n - 1) / 2)

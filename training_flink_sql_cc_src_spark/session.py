@@ -66,6 +66,11 @@ def get_spark(app_name: str = "spark-graft", cpus: int | None = None) -> SparkSe
         # inputs should keep the default (or size to HDFS block).
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # INT96 (the legacy default) writes NO min/max column statistics,
+        # silently disabling row-group/file skipping on event-time — the
+        # predicate 100 TB streaming tables filter on most. MICROS emits
+        # stats and is the non-deprecated representation.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
