@@ -45,68 +45,165 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-# Names with a green driver row in CORRECTNESS_r01 ∪ r02 ∪ r03 (hash-match,
+# Round of the most recent green driver row per registry name (hash-match,
 # or a rows-only row that ran without error) — regenerated each round by
-# scripts/update_driver_verified.py. The driver records only the first ~50
-# registry entries in iteration order, so each round front-loads queries
-# that still lack driver evidence and pushes these to the back. Round 4:
-# 11 fresh entries remain — the window/time + pattern family, all errored
-# in r3 on the events.parquet encoding change (fixed in sources/fixtures.py)
-# — leaving ~34 re-verification slots inside the 50-slot window.
-_DRIVER_VERIFIED = frozenset({
-    "agg_approx_count_distinct", "agg_bool_bitwise", "agg_collect_median",
-    "agg_count_distinct", "agg_cube", "agg_global_no_groupby",
-    "agg_grouping_id", "agg_grouping_sets", "agg_having",
-    "agg_hll_mergeable_sketch", "agg_null_semantics", "agg_percentile_disc",
-    "agg_pivot_conditional", "agg_pricing_summary",
-    "agg_quantile_sketch_merge", "agg_rollup", "agg_string_agg",
-    "agg_variance_covar_manual", "analytic_distribution",
-    "analytic_first_last_frames", "analytic_offset", "analytic_ranking",
-    "dedup_connected_components", "dedup_exact_text",
-    "dedup_first_event_per_user", "dedup_jaccard_blocked_pairs",
-    "dedup_jaccard_ppjoin", "dedup_minhash_lsh", "dedup_simhash_hamming",
-    "except_keys", "filter_predicates", "intersect_keys", "join_anti",
-    "join_asof_temporal", "join_full_outer", "join_interval",
-    "join_left_outer", "join_range_bucketed", "join_right_outer",
-    "join_semi", "join_temporal_sql", "join_theta_band",
-    "multimodal_binary_metadata", "multimodal_decode_features",
-    "multimodal_doc_embedding_join", "multimodal_frame_sample",
-    "multimodal_header_decode", "order_by_limit", "order_nulls_first_last",
-    "pandas_grouped_zscore", "pandas_udaf_median", "pandas_udf_entropy",
-    "pipeline_context_chunking", "pipeline_corpus_curation",
-    "pipeline_data_mixture", "pipeline_decontaminate",
-    "pipeline_neardup_prune", "pipeline_sequence_packing",
-    "q10_returned_items", "q11_important_stock",
-    "q12_priority_by_linestatus", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q19_disjunctive_predicates", "q20_excess_shippers",
-    "q21_waiting_supplier", "q22_dormant_accounts", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_type_profit", "s1_router_upsert_aggregate",
-    "s1_upsert_latest_per_key", "s2_customers_keyed_projection",
-    "s4_products_keyed_projection", "s6_orders_enriched_join",
-    "s7_schema_evolution_cast", "scalar_array_advanced",
-    "scalar_array_struct", "scalar_bitwise", "scalar_conditional",
-    "scalar_datetime", "scalar_datetime_extended",
-    "scalar_decimal_arithmetic", "scalar_edit_distance_hash", "scalar_json",
-    "scalar_json_struct", "scalar_map_functions", "scalar_math",
-    "scalar_null_semantics", "scalar_string",
-    "scalar_string_datetime_extras", "scalar_string_extended",
-    "scalar_subquery_above_avg", "sim_ann_ivf", "sim_ann_lsh",
-    "sim_threshold_pairs_blocked", "sim_topk_bruteforce",
-    "text_bpe_token_count", "text_fingerprint", "text_lang_source_rollup",
-    "text_langid_heuristic", "text_quality_score", "text_repetition_filter",
-    "text_token_stats", "text_vocabulary_topk", "topn_per_group",
-    "topn_with_ties", "udtf_explode_tokens", "union_all", "union_distinct",
-    "values_constant_relation",
-})
+# ``python scripts/update_driver_verified.py CORRECTNESS_r0*.json``.
+#
+# Why a round number and not a set: the driver records only the first ~50
+# registry entries in iteration order, AND /root/testdata is regenerated
+# between rounds — so a green row is evidence against that round's data
+# only (the round-3 events.parquet encoding change silently invalidated
+# every window/time green from rounds 1-2). _driver_order therefore
+# front-loads names with no driver evidence at all, then cycles the
+# verified tail OLDEST evidence first, so all entries get re-checked
+# against the current data every ~3 rounds.
+_DRIVER_LAST_GREEN = {
+    "agg_approx_count_distinct": 4,
+    "agg_bool_bitwise": 4,
+    "agg_collect_median": 4,
+    "agg_count_distinct": 4,
+    "agg_cube": 4,
+    "agg_global_no_groupby": 4,
+    "agg_grouping_id": 4,
+    "agg_grouping_sets": 4,
+    "agg_having": 4,
+    "agg_heavy_hitters_merge": 4,
+    "agg_hll_mergeable_sketch": 4,
+    "agg_null_semantics": 2,
+    "agg_percentile_disc": 4,
+    "agg_pivot_conditional": 4,
+    "agg_pricing_summary": 4,
+    "agg_quantile_sketch_merge": 4,
+    "agg_rollup": 4,
+    "agg_string_agg": 4,
+    "agg_variance_covar_manual": 4,
+    "analytic_distribution": 4,
+    "analytic_first_last_frames": 4,
+    "analytic_offset": 4,
+    "analytic_ranking": 4,
+    "dedup_connected_components": 2,
+    "dedup_exact_text": 1,
+    "dedup_first_event_per_user": 2,
+    "dedup_jaccard_blocked_pairs": 1,
+    "dedup_jaccard_ppjoin": 2,
+    "dedup_minhash_lsh": 1,
+    "dedup_ngram_span_exact": 4,
+    "dedup_simhash_hamming": 1,
+    "except_keys": 2,
+    "filter_predicates": 2,
+    "intersect_keys": 2,
+    "join_anti": 1,
+    "join_asof_temporal": 1,
+    "join_full_outer": 1,
+    "join_interval": 1,
+    "join_left_outer": 1,
+    "join_range_bucketed": 1,
+    "join_right_outer": 2,
+    "join_semi": 1,
+    "join_temporal_sql": 2,
+    "join_theta_band": 1,
+    "late_data_filter": 4,
+    "multimodal_binary_metadata": 2,
+    "multimodal_decode_features": 2,
+    "multimodal_doc_embedding_join": 2,
+    "multimodal_frame_sample": 2,
+    "multimodal_header_decode": 2,
+    "order_by_limit": 2,
+    "order_nulls_first_last": 2,
+    "pandas_grouped_zscore": 3,
+    "pandas_udaf_median": 3,
+    "pandas_udf_entropy": 3,
+    "pattern_funnel": 4,
+    "pattern_funnel3_sequential": 4,
+    "pattern_match_recognize": 4,
+    "pipeline_context_chunking": 2,
+    "pipeline_corpus_curation": 4,
+    "pipeline_data_mixture": 3,
+    "pipeline_decontaminate": 2,
+    "pipeline_deterministic_shuffle": 4,
+    "pipeline_neardup_prune": 3,
+    "pipeline_sequence_packing": 3,
+    "pipeline_stratified_sample": 4,
+    "pipeline_train_val_split": 4,
+    "q10_returned_items": 1,
+    "q11_important_stock": 3,
+    "q12_priority_by_linestatus": 1,
+    "q13_customer_distribution": 3,
+    "q14_promo_revenue": 1,
+    "q15_top_supplier": 3,
+    "q16_supplier_part_counts": 3,
+    "q17_small_quantity_revenue": 3,
+    "q18_large_volume_customer": 1,
+    "q19_disjunctive_predicates": 1,
+    "q20_excess_shippers": 3,
+    "q21_waiting_supplier": 3,
+    "q22_dormant_accounts": 1,
+    "q2_min_cost_supplier": 3,
+    "q3_shipping_priority": 4,
+    "q4_order_priority": 1,
+    "q5_region_revenue": 1,
+    "q6_forecast_revenue": 3,
+    "q7_nation_volume": 1,
+    "q8_market_share": 3,
+    "q9_product_type_profit": 3,
+    "s1_router_upsert_aggregate": 4,
+    "s1_upsert_latest_per_key": 4,
+    "s2_customers_keyed_projection": 4,
+    "s4_products_keyed_projection": 4,
+    "s6_orders_enriched_join": 4,
+    "s7_schema_evolution_cast": 4,
+    "scalar_array_advanced": 3,
+    "scalar_array_struct": 2,
+    "scalar_bitwise": 2,
+    "scalar_conditional": 2,
+    "scalar_datetime": 2,
+    "scalar_datetime_extended": 2,
+    "scalar_decimal_arithmetic": 3,
+    "scalar_edit_distance_hash": 2,
+    "scalar_json": 2,
+    "scalar_json_struct": 2,
+    "scalar_map_functions": 2,
+    "scalar_math": 3,
+    "scalar_null_semantics": 2,
+    "scalar_string": 2,
+    "scalar_string_datetime_extras": 2,
+    "scalar_string_extended": 2,
+    "scalar_subquery_above_avg": 1,
+    "sim_ann_ivf": 4,
+    "sim_ann_lsh": 4,
+    "sim_threshold_pairs_blocked": 4,
+    "sim_topk_bruteforce": 4,
+    "text_bpe_token_count": 2,
+    "text_fingerprint": 2,
+    "text_lang_source_rollup": 2,
+    "text_langid_heuristic": 1,
+    "text_quality_score": 1,
+    "text_repetition_filter": 2,
+    "text_token_stats": 1,
+    "text_vocabulary_topk": 2,
+    "topn_per_group": 2,
+    "topn_with_ties": 3,
+    "udtf_explode_tokens": 3,
+    "union_all": 2,
+    "union_distinct": 2,
+    "values_constant_relation": 2,
+    "window_cumulate": 4,
+    "window_distinct_users": 4,
+    "window_hop": 4,
+    "window_join": 4,
+    "window_over_time_range": 4,
+    "window_session": 4,
+    "window_session_sql": 4,
+    "window_tumble": 4,
+}
+
+_DRIVER_VERIFIED = frozenset(_DRIVER_LAST_GREEN)
 
 # Heaviest cold plans (persist in the pipeline, wide literal expression
-# trees in the similarity family). They run AFTER the rest of the fresh
-# batch so a per-query stall cannot starve the smaller checks — but still
-# inside the driver's 50-slot window this round (fresh batch is 39).
+# trees in the similarity family). Within the FRESH (never-driver-checked)
+# batch they run last so a per-query stall cannot starve smaller checks;
+# once verified they rotate with everyone else (their last-green round
+# already orders them).
 _DRIVER_HEAVY_TAIL = (
     "pipeline_corpus_curation",
     "sim_topk_bruteforce",
@@ -127,9 +224,18 @@ def _driver_order(names) -> list[str]:
     # driver's per-run budget truncates, it truncates the weaker checks
     oracled = {k for k in _REGISTRY if _REGISTRY[k].oracle is not None}
     fresh.sort(key=lambda n: n not in oracled)
-    heavy = [n for n in _DRIVER_HEAVY_TAIL if n in names]
-    verified = [n for n in names if n in _DRIVER_VERIFIED]
-    return fresh + heavy + verified
+    fresh_heavy = [
+        n for n in _DRIVER_HEAVY_TAIL if n in names and n not in _DRIVER_VERIFIED
+    ]
+    # Verified tail: oldest driver evidence first (ascending last-green
+    # round, name as tiebreak for determinism), so the ~45 re-verification
+    # slots behind the fresh batch cycle through every entry as the
+    # testdata regenerates underneath us.
+    verified = sorted(
+        (n for n in names if n in _DRIVER_VERIFIED),
+        key=lambda n: (_DRIVER_LAST_GREEN[n], n),
+    )
+    return fresh + fresh_heavy + verified
 
 
 def all_queries() -> dict[str, SparkQuery]:
