@@ -132,6 +132,172 @@ def test_three_step_lowering_matches_lead_chain(spark, sf_small):
     assert got.count() > 0 or want.count() == 0
 
 
+def test_measure_var_not_in_pattern_rejected():
+    with pytest.raises(UnsupportedPatternError, match="not in PATTERN"):
+        parse_match_recognize(
+            _mr(BASE.replace("B.ts AS b_ts", "Z.ts AS b_ts"))
+        )
+
+
+def test_order_by_desc_rejected_asc_stripped():
+    with pytest.raises(UnsupportedPatternError, match="DESC"):
+        parse_match_recognize(_mr(BASE.replace("ORDER BY ts,", "ORDER BY ts DESC,")))
+    spec = parse_match_recognize(
+        _mr(BASE.replace("ORDER BY ts, event_id", "ORDER BY ts ASC, event_id"))
+    )
+    assert spec.order_by == ["ts", "event_id"]
+
+
+def test_foreign_qualifier_rejected():
+    # X is neither a pattern variable nor the defining variable: reject at
+    # parse time instead of a cryptic cannot-resolve later
+    with pytest.raises(UnsupportedPatternError, match="other than its own"):
+        parse_match_recognize(
+            _mr(BASE.replace("B AS B.event_type = 'click'",
+                             "B AS X.event_type = 'click'"))
+        )
+
+
+def test_unqualified_define_refs_bind_to_own_row(spark):
+    """``B AS value > 2`` must evaluate ``value`` on B's row (Flink
+    semantics), not the pattern-start row — the silent-wrong-answer bug
+    the round-4 advice flagged."""
+    rows = [
+        # user 1: A-row value=10 (passes >5), B-row value=7 (passes >2)
+        (1, 1, 10.0), (1, 2, 7.0),
+        # user 2: A-row value=10, B-row value=1 — B fails IF evaluated on
+        # its own row; would pass if (wrongly) evaluated on the start row
+        (2, 1, 10.0), (2, 2, 1.0),
+    ]
+    spark.createDataFrame(rows, "user_id int, ts int, value double") \
+        .createOrReplaceTempView("__mr_uq")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_v, b_v FROM __mr_uq
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES A.value AS a_v, B.value AS b_v
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS value > 5, B AS value > 2
+        )
+        """
+    ).collect()
+    assert [(r.user_id, r.a_v, r.b_v) for r in sorted(got)] == [(1, 10.0, 7.0)]
+
+
+def test_quantifier_parse_and_guards():
+    q = BASE.replace("PATTERN (A B)", "PATTERN (A{1,3} B)").replace(
+        "SKIP PAST LAST ROW", "SKIP TO NEXT ROW"
+    )
+    spec = parse_match_recognize(_mr(q))
+    assert spec.quant == ("A", 1, 3) and spec.pattern == ["A", "B"]
+    # exact-count form
+    spec2 = parse_match_recognize(
+        _mr(q.replace("PATTERN (A{1,3} B)", "PATTERN (A{2} B)"))
+    )
+    assert spec2.quant == ("A", 2, 2)
+    # SKIP PAST LAST ROW + quantifier needs a real NFA
+    with pytest.raises(UnsupportedPatternError, match="SKIP TO NEXT ROW"):
+        parse_match_recognize(
+            _mr(BASE.replace("PATTERN (A B)", "PATTERN (A{1,3} B)"))
+        )
+    # {0,m} and inverted/over-wide bounds are out of the lowered range
+    for bad in ("A{0,3}", "A{3,2}", "A{1,9}"):
+        with pytest.raises(UnsupportedPatternError, match="bounds"):
+            parse_match_recognize(
+                _mr(q.replace("PATTERN (A{1,3} B)", f"PATTERN ({bad} B)"))
+            )
+    # at most one quantified variable
+    with pytest.raises(UnsupportedPatternError, match="multiple quantified"):
+        parse_match_recognize(
+            _mr(q.replace("PATTERN (A{1,3} B)", "PATTERN (A{1,3} B{1,2})"))
+        )
+
+
+def test_quantifier_greedy_and_backtracking(spark):
+    """PATTERN (A{1,3} B): greedy picks the LONGEST variant per start row;
+    the WITHIN bound can force backtracking to a shorter variant."""
+    rows = [
+        # user 1: click click purchase — start@1 greedily maps TWO clicks
+        # (last A = ts 2); start@2 maps one click
+        (1, 1, "click"), (1, 2, "click"), (1, 3, "purchase"),
+        # user 2: click view purchase — adjacency broken, no match
+        (2, 1, "click"), (2, 2, "view"), (2, 3, "purchase"),
+        # user 3: three clicks then purchase beyond any WITHIN bound we
+        # don't set here — plain greedy takes all three (start@1),
+        # two (start@2), one (start@3)
+        (3, 1, "click"), (3, 2, "click"), (3, 3, "click"), (3, 4, "purchase"),
+    ]
+    spark.createDataFrame(rows, "user_id int, seq int, event_type string") \
+        .createOrReplaceTempView("__mr_greedy")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, last_a, b_seq FROM __mr_greedy
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS last_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,3} B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        """
+    ).collect()
+    assert sorted((r.user_id, r.last_a, r.b_seq) for r in got) == [
+        (1, 2, 3),  # greedy: both clicks, last A = seq 2
+        (1, 2, 3),  # start@2: one click (same last A/B row)
+        (3, 3, 4), (3, 3, 4), (3, 3, 4),
+    ]
+
+
+def test_quantifier_within_backtracks(spark):
+    """Greedy 3-click variant violates WITHIN; the 2-click variant (later
+    start) still matches — the when-chain must fall through per start."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [  # clicks at 0, 90, 100 min; purchase at 110 min
+        (1, at(0), "click"), (1, at(90), "click"),
+        (1, at(100), "click"), (1, at(110), "purchase"),
+    ]
+    spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string") \
+        .createOrReplaceTempView("__mr_within")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, CAST(last_a AS LONG) AS la, CAST(b_ts AS LONG) AS b
+        FROM __mr_within
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES A.ts AS last_a, B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,3} B)
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        """
+    ).collect()
+    # start@0min: even the 1-click variant's B (110min) violates WITHIN 1h
+    # → no match; start@90: clicks 90,100 + purchase 110 all within 1h of
+    # 90 → greedy 2-click match; start@100: 1-click match
+    epoch = lambda m: int((t0 + dt.timedelta(minutes=m)).timestamp())
+    assert sorted((r.user_id, r.la, r.b) for r in got) == [
+        (1, epoch(100), epoch(110)),
+        (1, epoch(100), epoch(110)),
+    ]
+
+
 def test_unsupported_raises_instructive_router_error(spark):
     spark.range(1).selectExpr(
         "CAST(id AS STRING) AS event_type", "id AS user_id", "id AS ts"

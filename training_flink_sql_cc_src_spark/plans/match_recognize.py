@@ -6,18 +6,26 @@ it. Spark SQL has no MATCH_RECOGNIZE, so the router lowers the
 *adjacent-sequence subset* — the funnel shape the labs teach — to the same
 LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
 
-  supported:   PATTERN (A B), (A B C), … — plain variable sequences,
-               DEFINE on current-row predicates only (``A AS A.col = lit``),
-               MEASURES of ``Var.col AS alias``, ONE ROW PER MATCH,
+  supported:   PATTERN (A B), (A B C), … — plain variable sequences —
+               plus at most one BOUNDED quantifier ``A{n}`` / ``A{n,m}``
+               (1 <= n <= m <= 8), lowered as the union of fixed-length
+               variants with greedy (longest-match-per-start-row,
+               Flink-default) selection; DEFINE on current-row predicates
+               (``A AS A.col = lit`` or bare column refs, which bind to
+               the defining variable's row per Flink semantics), MEASURES
+               of ``Var.col AS alias`` (a quantified variable's measure =
+               its LAST mapped row, the Flink default), ONE ROW PER MATCH,
                AFTER MATCH SKIP TO NEXT ROW (always), SKIP PAST LAST ROW
-               (when variable predicates are provably pairwise disjoint —
-               equality on one shared column with distinct literals — so
-               matches can never share rows and greedy skipping equals
-               keep-everything), optional WITHIN INTERVAL bound.
-  unsupported: quantifiers (A+, B*, {n}), alternation, PREV/NEXT/FIRST/
-               LAST navigation, ALL ROWS PER MATCH — these need a real NFA;
-               the router raises the instructive error pointing at
-               pattern_funnel / applyInPandasWithState instead.
+               (unquantified patterns only, when variable predicates are
+               provably pairwise disjoint — equality on one shared column
+               with distinct literals — so matches can never share rows
+               and greedy skipping equals keep-everything), optional
+               WITHIN INTERVAL bound.
+  unsupported: unbounded quantifiers (A+, B*, {0,m}), alternation,
+               PREV/NEXT/FIRST/LAST navigation, ALL ROWS PER MATCH —
+               these need a real NFA; the router raises the instructive
+               error pointing at pattern_funnel / applyInPandasWithState
+               instead.
 
 Lowering: one Window partitionBy(PARTITION BY).orderBy(ORDER BY); row i
 binds variable k via LEAD(struct(cols), k); the match predicate is the
@@ -76,6 +84,9 @@ class MatchRecognizeSpec:
     within_seconds: int | None
     span: tuple[int, int]  # [start, end) of "FROM tbl MATCH_RECOGNIZE(...)"
     out_alias: str | None
+    # bounded quantifier: (var, lo, hi) when the pattern contains exactly
+    # one ``VAR{n}`` / ``VAR{n,m}`` item (n>=1); None for plain sequences
+    quant: tuple[str, int, int] | None = None
 
 
 def _split_commas(s: str) -> list[str]:
@@ -145,14 +156,38 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         raise UnsupportedPatternError("ALL ROWS PER MATCH is not supported")
 
     pattern_text = m.group("pattern")
-    if re.search(r"[+*?{|]", pattern_text):
+    if re.search(r"[+*?|]", pattern_text):
         raise UnsupportedPatternError(
-            f"PATTERN ({pattern_text}) uses quantifiers/alternation — only "
-            "plain adjacent sequences (A B), (A B C), ... are lowered; use "
-            "queries/time_windows.pattern_funnel3_sequential or "
-            "streaming/stateful.applyInPandasWithState for general CEP"
+            f"PATTERN ({pattern_text}) uses unbounded quantifiers/"
+            "alternation — only adjacent sequences (A B C ...) with at "
+            "most one BOUNDED quantifier (A{n} / A{n,m}, n>=1) are "
+            "lowered; use queries/time_windows.pattern_funnel3_sequential "
+            "or streaming/stateful.applyInPandasWithState for general CEP"
         )
-    pattern = pattern_text.split()
+    pattern: list[str] = []
+    quant: tuple[str, int, int] | None = None
+    for item in pattern_text.split():
+        qm = re.fullmatch(r"(?P<var>\w+)(?:\{(?P<lo>\d+)(?:,(?P<hi>\d+))?\})?", item)
+        if qm is None:
+            raise UnsupportedPatternError(
+                f"PATTERN item {item!r} unparseable (VAR or VAR{{n}} or "
+                "VAR{n,m} expected)"
+            )
+        if qm.group("lo") is not None:
+            lo = int(qm.group("lo"))
+            hi = int(qm.group("hi")) if qm.group("hi") is not None else lo
+            if quant is not None:
+                raise UnsupportedPatternError(
+                    f"PATTERN ({pattern_text}) has multiple quantified "
+                    "variables — only one bounded quantifier is lowered"
+                )
+            if lo < 1 or hi < lo or hi > 8:
+                raise UnsupportedPatternError(
+                    f"quantifier bounds {{{lo},{hi}}} outside the lowered "
+                    "range (1 <= n <= m <= 8; {0,m} needs a real NFA)"
+                )
+            quant = (qm.group("var"), lo, hi)
+        pattern.append(qm.group("var"))
     if len(pattern) < 2 or len(pattern) != len(set(pattern)):
         raise UnsupportedPatternError(
             f"PATTERN ({pattern_text}) must be 2+ distinct variables"
@@ -166,6 +201,12 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                 f"MEASURES item {item!r} outside the subset (only "
                 "Var.col AS alias; FIRST/LAST/aggregates need a real NFA)"
             )
+        if mm.group("var") not in pattern:
+            raise UnsupportedPatternError(
+                f"MEASURES item {item!r} references variable "
+                f"{mm.group('var')!r} which is not in PATTERN "
+                f"({' '.join(pattern)})"
+            )
         measures.append((mm.group("var"), mm.group("col"), mm.group("alias")))
 
     defines: dict[str, str] = {}
@@ -174,13 +215,14 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if dm is None:
             raise UnsupportedPatternError(f"DEFINE item {item!r} unparseable")
         var, pred = dm.group("var"), dm.group("pred").strip()
-        foreign = set(re.findall(r"\b(\w+)\.", pred)) - {var}
-        if foreign & set(pattern) or re.search(
+        foreign = set(re.findall(r"\b(\w+)\s*\.", pred)) - {var}
+        if foreign or re.search(
             r"\b(PREV|NEXT|FIRST|LAST)\s*\(", pred, re.IGNORECASE
         ):
             raise UnsupportedPatternError(
-                f"DEFINE for {var} references other pattern rows "
-                f"({item!r}) — only current-row predicates are lowered"
+                f"DEFINE for {var} references rows other than its own "
+                f"({item!r}) — only current-row predicates (qualified as "
+                f"{var}.col or bare column names) are lowered"
             )
         defines[var] = pred
     missing = [v for v in pattern if v not in defines]
@@ -200,10 +242,24 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             raise UnsupportedPatternError(f"WITHIN unit {unit!r} unsupported")
         within_seconds = int(m.group("within_n")) * _UNIT_SECONDS[unit]
 
+    order_by = []
+    for item in m.group("oby").split(","):
+        col = item.strip().strip("`")
+        dm = re.match(r"^(.*?)\s+(ASC|DESC)$", col, re.IGNORECASE)
+        if dm:
+            if dm.group(2).upper() == "DESC":
+                raise UnsupportedPatternError(
+                    "ORDER BY ... DESC is not supported — Flink "
+                    "MATCH_RECOGNIZE requires an ascending time-attribute "
+                    "primary order; drop DESC or pre-sort via a view"
+                )
+            col = dm.group(1).strip().strip("`")
+        order_by.append(col)
+
     spec = MatchRecognizeSpec(
         table=head.group("tbl"),
         partition_by=[c.strip().strip("`") for c in m.group("pby").split(",")],
-        order_by=[c.strip().strip("`") for c in m.group("oby").split(",")],
+        order_by=order_by,
         measures=measures,
         pattern=pattern,
         defines=defines,
@@ -211,8 +267,17 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         within_seconds=within_seconds,
         span=(head.start(), end),
         out_alias=out_alias,
+        quant=quant,
     )
-    if skip_past_last and not _provably_disjoint(spec):
+    if quant is not None and skip_past_last:
+        raise UnsupportedPatternError(
+            "AFTER MATCH SKIP PAST LAST ROW with a quantified variable "
+            "needs a real NFA (greedy skipping interacts with the variant "
+            "length); specify AFTER MATCH SKIP TO NEXT ROW — every start "
+            "row then yields its greedy (longest) match, which the "
+            "union-of-fixed-length-LEAD-chains lowering computes exactly"
+        )
+    if quant is None and skip_past_last and not _provably_disjoint(spec):
         raise UnsupportedPatternError(
             "AFTER MATCH SKIP PAST LAST ROW is only lowered when the "
             "DEFINE predicates are provably pairwise disjoint (each "
@@ -242,49 +307,122 @@ def _provably_disjoint(spec: MatchRecognizeSpec) -> bool:
     return len(cols) == 1 and len(lits) == len(set(lits))
 
 
+def _qualify_bare_refs(pred: str, var: str, columns: list[str]) -> str:
+    """Rewrite bare column identifiers in a DEFINE predicate to ``var.col``.
+
+    Flink semantics: an unqualified column reference in DEFINE binds to the
+    row of the variable being defined — NOT the pattern-start row. Without
+    this rewrite, ``B AS value > 2`` at offset 1 would silently evaluate
+    ``value`` on the A row (the module's "never a silent wrong answer"
+    contract forbids exactly that). String literals are left untouched;
+    identifiers are only rewritten when they name a source column and are
+    not already qualified or a function call."""
+    colset = {c.lower() for c in columns}
+
+    def sub(mm: re.Match) -> str:
+        ident = mm.group(1)
+        return f"{var}.{ident}" if ident.lower() in colset else ident
+
+    parts = re.split(r"('(?:[^']|'')*')", pred)  # odd indices = literals
+    for i in range(0, len(parts), 2):
+        parts[i] = re.sub(
+            r"(?<![\w.`])([A-Za-z_]\w*)\b(?!\s*[.(])", sub, parts[i]
+        )
+    return "".join(parts)
+
+
+def _pred_at_offset(pred: str, var: str, k: int, cols: list[str]) -> str:
+    """Rewrite a DEFINE predicate to evaluate at LEAD offset ``k``."""
+    pred = _qualify_bare_refs(pred, var, cols)
+    return re.sub(
+        rf"\b{re.escape(var)}\.(\w+)\b",
+        (lambda mm: mm.group(1) if k == 0 else f"__mr_s{k}.{mm.group(1)}"),
+        pred,
+    )
+
+
 def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     """Build the LEAD-chain DataFrame for an adjacent-sequence pattern.
 
-    Output columns: PARTITION BY keys + measure aliases."""
+    Output columns: PARTITION BY keys + measure aliases.
+
+    Plain sequences bind variable k to LEAD offset k. A bounded
+    quantifier (``A{n,m} B``) expands into the m-n+1 fixed-length
+    variants; greedy (Flink-default) semantics pick the LONGEST variant
+    that matches at each start row, evaluated as one descending
+    ``F.when`` chain over the shared LEAD columns — still a single
+    window pass / one shuffle on the partition key."""
     df = spark.table(spec.table)
     cols = df.columns
     w = Window.partitionBy(*spec.partition_by).orderBy(*spec.order_by)
+
+    if spec.quant is None:
+        variants = [spec.pattern]
+    else:
+        qvar, lo, hi = spec.quant
+        qi = spec.pattern.index(qvar)
+        # longest first: the when-chain below makes greedy = first match
+        variants = [
+            spec.pattern[:qi] + [qvar] * c + spec.pattern[qi + 1 :]
+            for c in range(hi, lo - 1, -1)
+        ]
+    max_len = max(len(v) for v in variants)
+
     out = df
     # one struct-valued LEAD per pattern offset: a single window pass
     # computes every future-row binding (Catalyst collapses the k leads
     # into one WindowExec over one shuffle)
-    for k in range(1, len(spec.pattern)):
+    for k in range(1, max_len):
         out = out.withColumn(f"__mr_s{k}", F.lead(F.struct(*cols), k).over(w))
 
-    def ref(var: str, col: str) -> str:
-        k = spec.pattern.index(var)
-        return col if k == 0 else f"__mr_s{k}.{col}"
+    def variant_cond(vs: list[str]):
+        cond = None
+        for k, var in enumerate(vs):
+            parts = []
+            if k > 0:
+                parts.append(F.col(f"__mr_s{k}").isNotNull())
+            parts.append(F.expr(_pred_at_offset(spec.defines[var], var, k, cols)))
+            for p in parts:
+                cond = p if cond is None else cond & p
+        if spec.within_seconds is not None:
+            last = len(vs) - 1
+            ts0, tsn = spec.order_by[0], f"__mr_s{last}.{spec.order_by[0]}"
+            cond = cond & (
+                F.col(tsn)
+                <= F.col(ts0) + F.expr(f"INTERVAL {spec.within_seconds} SECOND")
+            )
+        return cond
 
-    conds = []
-    for k, var in enumerate(spec.pattern):
-        pred = spec.defines[var]
-        pred = re.sub(
-            rf"\b{re.escape(var)}\.(\w+)\b",
-            (lambda mm, kk=k: mm.group(1) if kk == 0 else f"__mr_s{kk}.{mm.group(1)}"),
-            pred,
+    # matched variant length per start row (longest/greedy first); rows
+    # matching no variant are filtered out
+    len_expr = None
+    for vs in variants:
+        c = variant_cond(vs)
+        len_expr = (
+            F.when(c, F.lit(len(vs)))
+            if len_expr is None
+            else len_expr.when(c, F.lit(len(vs)))
         )
-        conds.append(F.expr(pred))
-        if k > 0:
-            conds.append(F.col(f"__mr_s{k}").isNotNull())
-    if spec.within_seconds is not None:
-        last = len(spec.pattern) - 1
-        ts0, tsn = spec.order_by[0], f"__mr_s{last}.{spec.order_by[0]}"
-        conds.append(
-            F.col(tsn)
-            <= F.col(ts0) + F.expr(f"INTERVAL {spec.within_seconds} SECOND")
-        )
+    matched = out.withColumn("__mr_len", len_expr).filter(
+        F.col("__mr_len").isNotNull()
+    )
 
-    matched = out
-    for c in conds:
-        matched = matched.filter(c)
-    select = [F.col(c) for c in spec.partition_by] + [
-        F.col(ref(var, col)).alias(alias) for var, col, alias in spec.measures
-    ]
+    def ref_at(var: str, col: str, vs: list[str]):
+        # Flink: Var.col on a multiply-mapped variable = LAST mapped row
+        k = len(vs) - 1 - vs[::-1].index(var)
+        return F.col(col) if k == 0 else F.col(f"__mr_s{k}.{col}")
+
+    select = [F.col(pc) for pc in spec.partition_by]
+    for var, col, alias in spec.measures:
+        expr = None
+        for vs in variants:
+            v = ref_at(var, col, vs)
+            expr = (
+                F.when(F.col("__mr_len") == len(vs), v)
+                if expr is None
+                else expr.when(F.col("__mr_len") == len(vs), v)
+            )
+        select.append(expr.alias(alias))
     return matched.select(*select)
 
 

@@ -506,6 +506,85 @@ def pattern_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_match_recognize_quant",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(ts, 1) OVER w AS s1,
+               LEAD(event_id, 1) OVER w AS i1,
+               LEAD(event_type, 2) OVER w AS t2,
+               LEAD(ts, 2) OVER w AS s2,
+               LEAD(event_id, 2) OVER w AS i2,
+               LEAD(event_type, 3) OVER w AS t3,
+               LEAD(ts, 3) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+        SELECT *,
+               CASE
+                 WHEN event_type = 'click' AND t1 = 'click' AND t2 = 'click'
+                      AND t3 = 'purchase' AND s3 <= ts + INTERVAL 2 HOUR
+                 THEN 4
+                 WHEN event_type = 'click' AND t1 = 'click'
+                      AND t2 = 'purchase' AND s2 <= ts + INTERVAL 2 HOUR
+                 THEN 3
+                 WHEN event_type = 'click'
+                      AND t1 = 'purchase' AND s1 <= ts + INTERVAL 2 HOUR
+                 THEN 2
+               END AS mlen
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(CASE mlen WHEN 4 THEN s2 WHEN 3 THEN s1
+                            ELSE ts END)) AS BIGINT) AS last_click_epoch,
+           CASE mlen WHEN 4 THEN i2 WHEN 3 THEN i1
+                ELSE event_id END AS last_click_id,
+           CAST(FLOOR(EPOCH(CASE mlen WHEN 4 THEN s3 WHEN 3 THEN s2
+                            ELSE s1 END)) AS BIGINT) AS purchase_epoch
+    FROM m WHERE mlen IS NOT NULL
+    """,
+    doc="MATCH_RECOGNIZE with a BOUNDED quantifier through the SQL front "
+    "door: PATTERN (A{1,3} B) — one-to-three adjacent clicks then a "
+    "purchase, WITHIN 2 hours, AFTER MATCH SKIP TO NEXT ROW. The "
+    "lowering (plans/match_recognize.py) expands the quantifier into "
+    "its three fixed-length variants over ONE shared LEAD chain and "
+    "picks the longest match per start row via a descending when-chain "
+    "— greedy Flink-default semantics, including backtracking to a "
+    "shorter variant when only that one meets the WITHIN bound. "
+    "Measures on the quantified variable bind to its LAST mapped row "
+    "(Flink default). Still a single window pass / one shuffle on "
+    "user_id; the oracle replays the identical variant CASE in DuckDB.",
+)
+def pattern_match_recognize_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_q")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(last_click_ts AS LONG) AS last_click_epoch,
+               last_click_id,
+               CAST(purchase_ts AS LONG) AS purchase_epoch
+        FROM __mr_events_q
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS last_click_ts,
+                     A.event_id AS last_click_id,
+                     B.ts AS purchase_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,3} B)
+            WITHIN INTERVAL '2' HOUR
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        ) AS m
+        """
+    )
+
+
+@register(
     "window_distinct_users",
     oracle=f"""
     SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS window_start,
