@@ -64,6 +64,69 @@ def test_clustering_makes_ranges_disjoint(spark, fragmented):
     assert overlap_fraction(ranges) <= 0.1
 
 
+def test_overlap_fraction_sweep_matches_naive_and_scales():
+    """The O(n log n) sweep must agree exactly with the definitional
+    O(n²) pair loop, and stay fast at file counts where the naive loop
+    would be unusable (>2k synthetic ranges)."""
+    import random
+    import time
+
+    rng = random.Random(7)
+
+    def naive(ranges):
+        n = len(ranges)
+        if n < 2:
+            return 0.0
+        ov = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                _, lo_i, hi_i = ranges[i]
+                _, lo_j, hi_j = ranges[j]
+                if lo_i <= hi_j and lo_j <= hi_i:
+                    ov += 1
+        return ov / (n * (n - 1) / 2)
+
+    # random, disjoint, identical, and touching-boundary layouts
+    for mk in (
+        lambda i: (rng.uniform(0, 100), rng.uniform(0, 30)),
+        lambda i: (i * 10.0, 5.0),
+        lambda i: (0.0, 1.0),
+        lambda i: (float(i), 1.0),  # hi_i == lo_{i+1}: inclusive overlap
+    ):
+        ranges = []
+        for i in range(300):
+            lo, width = mk(i)
+            ranges.append((f"f{i}", lo, lo + width))
+        assert overlap_fraction(ranges) == pytest.approx(naive(ranges))
+
+    big = []
+    for i in range(5000):
+        lo = rng.uniform(0, 1000)
+        big.append((f"f{i}", lo, lo + rng.uniform(0, 50)))
+    start = time.monotonic()
+    frac = overlap_fraction(big)
+    assert time.monotonic() - start < 1.0
+    assert 0.0 < frac < 1.0
+    assert overlap_fraction([]) == 0.0
+    assert overlap_fraction([("f", 0, 1)]) == 0.0
+
+
+def test_compact_single_file_input(spark):
+    """compact_table accepts a plain .parquet FILE: sizing must use the
+    file's bytes (not 0), so a small target still yields multiple output
+    files."""
+    single = "/root/testdata/sf0.01/events.parquet"
+    sz_mb = os.path.getsize(single) / (1 << 20)
+    assert sz_mb > 0.1  # precondition: big enough to split at 0.1 MB
+    out = os.path.join(tempfile.mkdtemp(), "events_from_file")
+    # target well under the input size → more than one output file
+    n = compact_table(spark, single, out, target_file_mb=1)
+    import math
+
+    assert n == max(1, math.ceil(sz_mb / 1))
+    assert spark.read.parquet(out).count() == spark.read.parquet(single).count()
+
+
 def test_clustered_filter_prunes_row_groups(spark, fragmented):
     """A selective ts-range filter over the clustered layout must return
     identical rows to the fragmented layout (pruning is a pure

@@ -33,10 +33,13 @@ def heavy_hitter_sketch(
 ) -> DataFrame:
     """One summary row per segment: ``items`` = array of struct(item,
     cnt) for the K most frequent items (count desc, item asc tie-break),
-    ``kth_cnt`` = the K-th (smallest kept) count — the per-segment bound
-    on what truncation can hide — and ``seg_rows`` = segment row count.
-    Two aggregations, both keyed by segment (+item) — partial map-side
-    combine applies to each."""
+    ``kth_cnt`` = the bound on what truncation can hide — the K-th
+    (smallest kept) count when the segment was truncated, 0 when it had
+    fewer than K distinct items (nothing was dropped, so nothing can be
+    hidden and merged counts over such segments are EXACT) — and
+    ``kept_rows`` = the sum of kept counts (= segment row count whenever
+    kth_cnt = 0). Two aggregations, both keyed by segment (+item) —
+    partial map-side combine applies to each."""
     counts = df.groupBy(*segment_cols, F.col(item_col).alias("item")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -50,7 +53,10 @@ def heavy_hitter_sketch(
         F.array_sort(
             F.collect_list(F.struct("item", "cnt"))
         ).alias("items"),
-        F.min("cnt").alias("kth_cnt"),
+        F.when(F.count(F.lit(1)) < k, F.lit(0))
+        .otherwise(F.min("cnt"))
+        .cast("long")
+        .alias("kth_cnt"),
         F.sum("cnt").alias("kept_rows"),
     )
 

@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _dir_bytes(path: str) -> int:
+    # single-file input (compact_table accepts "parquet dir or file"):
+    # os.walk would yield nothing and size it to 0 → always 1 output file
+    if os.path.isfile(path):
+        return os.path.getsize(path)
     total = 0
     for dirpath, _dirs, files in os.walk(path):
         for f in files:
@@ -100,15 +104,22 @@ def file_range_stats(path: str, column: str) -> list[tuple[str, object, object]]
 def overlap_fraction(ranges: list[tuple[str, object, object]]) -> float:
     """Fraction of file pairs whose [min, max] ranges overlap — 0.0 for a
     perfectly clustered layout, ~1.0 for random placement. The quality
-    metric a maintenance scheduler thresholds on."""
+    metric a maintenance scheduler thresholds on.
+
+    Exact in O(n log n) via a sweep in min-order (NOT the naive O(n²)
+    pair loop): processing intervals by ascending lo, every previously
+    seen interval j already satisfies lo_j <= lo_i <= hi_i, so the pair
+    overlaps iff hi_j >= lo_i — a bisect over the sorted his of processed
+    intervals. Usable as-is at real file counts (millions of footers)."""
+    from bisect import bisect_left, insort
+
     n = len(ranges)
     if n < 2:
         return 0.0
+    intervals = sorted((lo, hi) for _, lo, hi in ranges)
+    his: list = []
     overlaps = 0
-    for i in range(n):
-        for j in range(i + 1, n):
-            _, lo_i, hi_i = ranges[i]
-            _, lo_j, hi_j = ranges[j]
-            if lo_i <= hi_j and lo_j <= hi_i:
-                overlaps += 1
+    for lo, hi in intervals:
+        overlaps += len(his) - bisect_left(his, lo)
+        insort(his, hi)
     return overlaps / (n * (n - 1) / 2)

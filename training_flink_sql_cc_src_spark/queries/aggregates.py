@@ -518,3 +518,38 @@ def agg_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_heavy_hitter_sketches(sketches, [], top=10).select(
         F.col("item").alias("user_id"), "est", "max_missed"
     )
+
+
+@register(
+    "agg_heavy_hitters_merge_exact",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS est,
+           CAST(0 AS BIGINT) AS max_missed
+    FROM documents
+    GROUP BY lang
+    ORDER BY est DESC, lang ASC
+    LIMIT 5
+    """,
+    doc="Heavy-hitters merge on its EXACT subset, oracle-paired: when a "
+    "segment holds fewer than K distinct items nothing is truncated, the "
+    "sketch stores every (item, count) pair with kth_cnt = 0, and the "
+    "merged estimates are provably exact with max_missed = 0. Here each "
+    "of the 20 per-source sketches of lang frequencies (5 distinct "
+    "langs < K = 8) is untruncated, so the sketch-merge answer must "
+    "hash-match a plain GROUP BY lang over the raw documents — the "
+    "DuckDB oracle the rows-only agg_heavy_hitters_merge entry cannot "
+    "have. Same two-phase plan as the general case (segment sketch "
+    "shuffle, then explode + re-agg over stored summaries).",
+)
+def agg_heavy_hitters_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavy_hitters import (
+        heavy_hitter_sketch,
+        merge_heavy_hitter_sketches,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    sketches = heavy_hitter_sketch(d, ["source"], "lang", k=8)
+    return merge_heavy_hitter_sketches(sketches, [], top=5).select(
+        F.col("item").alias("lang"), "est", "max_missed"
+    )
