@@ -513,6 +513,35 @@ def test_cumulate_tvf_statement_streams(spark, sf_small):
     assert _rows(batch) == _rows(stream) and batch.count() > 0
 
 
+def test_session_tvf_statement_streams(spark, sf_small):
+    """The lab-time SESSION TVF statement as a CONTINUOUS query: the
+    batch path lowers SESSION via gaps-and-islands (window functions,
+    which streaming rejects); sql_stream swaps in the native
+    session_window grouping. Final streamed state (complete mode) must
+    equal the batch answer through the same front door — including the
+    window_end = last event + gap convention."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select("ts", "user_id", "value")
+    eng = Engine(spark)
+    stmt = (
+        "SELECT user_id, window_start, window_end, COUNT(*) AS n "
+        "FROM TABLE(SESSION(TABLE events_sess_stream PARTITION BY user_id, "
+        "DESCRIPTOR(ts), INTERVAL '10' MINUTES)) "
+        "GROUP BY user_id, window_start, window_end"
+    )
+    ev.createOrReplaceTempView("events_sess_stream")
+    batch = eng.sql(stmt)
+    stream = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"events_sess_stream": s}),
+        output_mode="complete",
+        order_by="ts",
+    )
+    assert _rows(batch) == _rows(stream) and batch.count() > 0
+
+
 def test_stream_static_dim_join_parity(spark, sf_small):
     """The streaming reading of the S1/S3 temporal join (SURVEY.md §2.3):
     a stream joined to a STATIC keyed dim is re-evaluated against the

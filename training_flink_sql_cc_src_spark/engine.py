@@ -62,17 +62,25 @@ class Engine:
         with its catalog watermark applied (the S9/S10 ``MODIFY
         WATERMARK`` DDL recorded by ``sql()``), then the statement is
         rewritten (window TVFs, namespace) and planned by Catalyst as a
-        streaming query. TUMBLE/HOP/CUMULATE statements stream; the
-        SESSION rewrite uses window functions, which Structured Streaming
-        rejects — use F.session_window for streaming sessionization
-        (tests/test_streaming_parity.py::test_session_window_streaming_parity).
+        streaming query. All four window TVFs stream: TUMBLE/HOP/CUMULATE
+        through the shared batch rewrite, SESSION through the native
+        ``session_window`` lowering (the batch gaps-and-islands rewrite
+        uses LAG/running-sum window functions, which Structured Streaming
+        rejects — ``rewrite_session_tvf_streaming`` swaps in the
+        streaming-capable grouping with identical session semantics).
         """
+        from .plans.router import rewrite_session_tvf_streaming
+
         for name, sdf in sources.items():
             meta = self.catalog.get(self.router._resolve(name))
             if meta is not None and meta.watermark_col:
                 sdf = sdf.withWatermark(meta.watermark_col, meta.watermark_delay)
             sdf.createOrReplaceTempView(name)
-        rewritten = self.router._rewrite_dialect(statement.strip().rstrip(";"))
+        stmt = statement.strip().rstrip(";")
+        streaming_session = rewrite_session_tvf_streaming(stmt)
+        if streaming_session is not None:
+            stmt = streaming_session
+        rewritten = self.router._rewrite_dialect(stmt)
         return self.spark.sql(rewritten)
 
     def table(self, name: str) -> DataFrame:

@@ -181,6 +181,96 @@ def rewrite_window_tvfs(sql: str) -> str:
     return _WINDOW_TVF_RE.sub(repl, sql)
 
 
+def _split_select_items(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def rewrite_session_tvf_streaming(sql: str) -> str | None:
+    """Rewrite a SESSION window-TVF statement to native ``session_window``
+    grouping — the STREAMING-capable lowering.
+
+    The batch SESSION rewrite (gaps-and-islands in ``rewrite_window_tvfs``)
+    uses LAG + running-sum window functions, which Structured Streaming
+    rejects; Spark's native ``session_window`` aggregation is the
+    streaming path and produces identical sessions (start = first event,
+    end = last event + gap — the green window_session ≡
+    window_session_sql parity pair proves the equivalence in batch).
+
+    Handles the canonical lab shape
+    ``SELECT ... FROM TABLE(SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts),
+    INTERVAL '..')) GROUP BY ..`` by substituting the TVF with the bare
+    table, swapping window_start/window_end for session_window.start/end
+    in the select list, and replacing them in GROUP BY with the
+    session_window(ts, gap) grouping expression. Returns None when the
+    statement has no SESSION TVF; raises ValueError for statements outside
+    the canonical shape (instructive, never a silent wrong answer)."""
+    m = _WINDOW_TVF_RE.search(sql)
+    if m is None or m.group("kind").upper() != "SESSION":
+        return None
+    tbl, ts = m.group("tbl"), m.group("ts")
+    (gap, _), = _durations(m.group("args"))
+    pby = [
+        k.strip().strip("`")
+        for k in (m.group("pby") or "").split(",")
+        if k.strip()
+    ]
+    sw = f"session_window(`{ts}`, '{gap}')"
+    out = sql[: m.start()] + f"`{tbl}`" + sql[m.end() :]
+
+    gm = re.search(
+        r"GROUP\s+BY\s+(?P<items>.+?)(?=\s+HAVING\b|\s+ORDER\b|\s+LIMIT\b|$)",
+        out,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if gm is None:
+        raise ValueError(
+            "streaming SESSION TVF requires an aggregating statement "
+            "(GROUP BY over window_start/window_end) — the session merge "
+            "IS the aggregation"
+        )
+    g_items = _split_select_items(gm.group("items"))
+    kept = [
+        i
+        for i in g_items
+        if i.strip("`").lower() not in ("window_start", "window_end")
+    ]
+    missing = [k for k in pby if k not in {i.strip("`") for i in kept}]
+    if missing:
+        raise ValueError(
+            f"SESSION PARTITION BY keys {missing} must appear in GROUP BY "
+            "for the streaming session_window lowering (sessions merge per "
+            "grouping key)"
+        )
+    out = out[: gm.start("items")] + ", ".join([sw] + kept) + out[gm.end("items") :]
+
+    sm = re.match(r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s", out, re.IGNORECASE | re.DOTALL)
+    if sm is None:
+        raise ValueError("streaming SESSION TVF: cannot locate SELECT list")
+    new_items = []
+    for it in _split_select_items(sm.group("sel")):
+        if re.fullmatch(r"`?window_start`?", it, re.IGNORECASE):
+            new_items.append("session_window.start AS window_start")
+        elif re.fullmatch(r"`?window_end`?", it, re.IGNORECASE):
+            new_items.append("session_window.end AS window_end")
+        else:
+            it = re.sub(r"\bwindow_start\b", "session_window.start", it)
+            it = re.sub(r"\bwindow_end\b", "session_window.end", it)
+            new_items.append(it)
+    return out[: sm.start("sel")] + ", ".join(new_items) + out[sm.end("sel") :]
+
+
 def _split_create(sql: str) -> tuple[str, str, str, bool] | None:
     """(name, body, tail, if_not_exists) of a CREATE TABLE, with the body
     delimited by its paren-BALANCED close (a greedy regex would eat the
