@@ -153,3 +153,63 @@ def test_range_bucket_join_matches_bruteforce(spark, lts, rts, bounds):
         if lt + lo <= rt <= lt + hi
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    n_strata=st.integers(min_value=1, max_value=4),
+    fraction=st.sampled_from([0.1, 0.2, 0.5, 0.9]),
+    coin_mod=st.sampled_from([7, 1000]),  # 7 => heavy coin ties: the
+    # cutoff bucket must be split by key order exactly like the window
+)
+def test_stratified_threshold_matches_window_version(
+    spark, keys, n_strata, fraction, coin_mod
+):
+    """stratified_sample_threshold (histogram + cutoff, the 100 TB path)
+    must select the IDENTICAL row set as the window-rank formulation, for
+    any stratum skew, fraction, and coin-tie density."""
+    from training_flink_sql_cc_src_spark.queries.llm_pipeline import (
+        stratified_sample_threshold,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(k, f"s{k % n_strata}") for k in keys]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    got = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample_threshold(
+            df, "lang", "doc_id", fraction, coin_mod=coin_mod
+        ).collect()
+    }
+
+    coin = (F.col("doc_id") * F.lit(2654435761)) % coin_mod
+    w = Window.partitionBy("lang").orderBy(coin.asc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("lang")
+    want_df = (
+        df.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rnk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rnk") <= F.ceil(F.col("n") * fraction).cast("long"))
+    )
+    want = {(r.doc_id, r.lang) for r in want_df.collect()}
+    assert got == want
+    # exact per-stratum proportions: ceil(fraction * n) rows per stratum
+    import math
+    from collections import Counter
+
+    per = Counter(lang for _, lang in want)
+    got_per = Counter(lang for _, lang in got)
+    n_per = Counter(lang for _, lang in rows)
+    for lang, n in n_per.items():
+        assert got_per[lang] == per[lang] == math.ceil(fraction * n)

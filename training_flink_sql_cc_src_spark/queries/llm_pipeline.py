@@ -422,6 +422,107 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "rnk")
 
 
+def stratified_sample_threshold(
+    df,
+    stratum_col: str,
+    key_col: str,
+    fraction: float,
+    coin_mod: int = 1_000_000,
+):
+    """Scale path for exact stratified sampling — the histogram fallback
+    pipeline_stratified_sample's docstring promises for when one stratum
+    outgrows a partition.
+
+    The window version sorts EVERY row of a stratum in one partition
+    (Window.partitionBy(stratum).orderBy(coin)); at 100 TB a billion-row
+    language would serialize through a single task. This variant selects
+    the SAME rows without ever sorting a stratum:
+
+    1. histogram: count rows per (stratum, coin) — one shuffle with
+       map-side combine, output bounded by |strata| x coin_mod, not rows;
+    2. per-stratum cumulative counts over the (small) histogram find the
+       cutoff coin where the running count first reaches
+       k = ceil(fraction * n): everything below the cutoff is in the
+       sample, plus the ``need`` smallest keys inside the cutoff's tie
+       bucket (exactly the (coin, key) order the window version ranks by);
+    3. broadcast the one-row-per-stratum cutoffs back and filter
+       map-side; only the tie bucket (rows at one coin value) is ranked,
+       a partition-sized window regardless of stratum size.
+
+    Returns the sampled (key, stratum) rows — provably the identical SET
+    the window version keeps (tests/test_properties.py asserts equality).
+    """
+    coin = (F.col(key_col) * F.lit(2654435761)) % coin_mod
+    d = df.select(key_col, stratum_col).withColumn("__coin", coin)
+
+    hist = d.groupBy(stratum_col, "__coin").agg(F.count(F.lit(1)).alias("cnt"))
+    wl = Window.partitionBy(stratum_col).orderBy("__coin")
+    wn = Window.partitionBy(stratum_col)
+    hist = hist.select(
+        stratum_col,
+        "__coin",
+        "cnt",
+        F.sum("cnt").over(wl).alias("cum"),
+        F.ceil(F.sum("cnt").over(wn) * F.lit(fraction)).cast("long").alias("k"),
+    )
+    cuts = (
+        hist.filter(F.col("cum") >= F.col("k"))
+        .groupBy(stratum_col)
+        .agg(F.min_by(F.struct("__coin", "cnt", "cum", "k"), "__coin").alias("s"))
+        .select(
+            stratum_col,
+            F.col("s.__coin").alias("__cut"),
+            (F.col("s.k") - (F.col("s.cum") - F.col("s.cnt"))).alias("__need"),
+        )
+    )
+
+    dd = d.join(F.broadcast(cuts), stratum_col)
+    below = dd.filter(F.col("__coin") < F.col("__cut"))
+    tie = dd.filter(F.col("__coin") == F.col("__cut"))
+    wt = Window.partitionBy(stratum_col).orderBy(key_col)
+    tie_kept = tie.withColumn("__r", F.row_number().over(wt)).filter(
+        F.col("__r") <= F.col("__need")
+    )
+    return below.select(key_col, stratum_col).unionByName(
+        tie_kept.select(key_col, stratum_col)
+    )
+
+
+@register(
+    "pipeline_stratified_sample_scalable",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 1000000, doc_id
+               ) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents
+    )
+    SELECT doc_id, lang
+    FROM ranked
+    WHERE rnk <= CAST(CEIL(n_lang * 0.2) AS BIGINT)
+    """,
+    doc="The 100 TB path for exact stratified sampling "
+    "(stratified_sample_threshold): instead of ranking every row of a "
+    "stratum through one window partition, build a per-(stratum, coin) "
+    "histogram (one map-combined shuffle bounded by |strata| x 1e6 "
+    "cells), find each stratum's cutoff coin from the histogram's "
+    "cumulative counts, broadcast the one-row-per-stratum cutoffs back, "
+    "and filter map-side — only the single tie bucket at the cutoff is "
+    "ever ranked. Selects provably the SAME rows as "
+    "pipeline_stratified_sample (same (coin, doc_id) order, exact "
+    "ceil(0.2 * n) per stratum), which is why the oracle is the window "
+    "formulation — the driver hash-check proves the equivalence.",
+)
+def pipeline_stratified_sample_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return stratified_sample_threshold(d, "lang", "doc_id", 0.2).select(
+        "doc_id", "lang"
+    )
+
+
 @register(
     "pipeline_train_val_split",
     oracle="""
