@@ -82,11 +82,62 @@ def test_cross_row_define_rejected():
         )
 
 
-def test_all_rows_per_match_rejected():
+def test_all_rows_per_match_parses_and_guards():
+    spec = parse_match_recognize(
+        _mr(BASE.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH"))
+    )
+    assert spec.all_rows
+    # ALL ROWS + quantifier needs a real NFA
     with pytest.raises(UnsupportedPatternError, match="ALL ROWS"):
         parse_match_recognize(
-            _mr(BASE.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH"))
+            _mr(
+                BASE.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+                .replace("PATTERN (A B)", "PATTERN (A{1,2} B)")
+                .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+            )
         )
+    with pytest.raises(UnsupportedPatternError, match="UNMATCHED"):
+        parse_match_recognize(
+            _mr(
+                BASE.replace(
+                    "ONE ROW PER MATCH",
+                    "ALL ROWS PER MATCH WITH UNMATCHED ROWS",
+                )
+            )
+        )
+
+
+def test_all_rows_per_match_emits_each_matched_row(spark):
+    """ALL ROWS PER MATCH: every matched input row comes out, with
+    RUNNING measure semantics (B.v is NULL on the A row) and
+    CLASSIFIER() naming each row's variable."""
+    rows = [
+        (1, 1, "view", 10.0), (1, 2, "click", 20.0),  # match at seq 1-2
+        (1, 3, "view", 30.0),                          # dangling A: no B
+        (2, 1, "click", 40.0),                         # no match
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_allrows")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, seq, cls, a_v, b_v FROM __mr_allrows
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.v AS a_v, B.v AS b_v, CLASSIFIER() AS cls
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click'
+        )
+        """
+    ).collect()
+    assert sorted((r.user_id, r.seq, r.cls, r.a_v, r.b_v) for r in got) == [
+        (1, 1, "A", 10.0, None),   # running: B not yet matched
+        (1, 2, "B", 10.0, 20.0),
+    ]
 
 
 def test_three_step_lowering_matches_lead_chain(spark, sf_small):

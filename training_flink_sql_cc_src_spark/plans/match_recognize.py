@@ -14,7 +14,10 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                (``A AS A.col = lit`` or bare column refs, which bind to
                the defining variable's row per Flink semantics), MEASURES
                of ``Var.col AS alias`` (a quantified variable's measure =
-               its LAST mapped row, the Flink default), ONE ROW PER MATCH,
+               its LAST mapped row, the Flink default) and
+               ``CLASSIFIER() AS alias``, ONE ROW PER MATCH, ALL ROWS PER
+               MATCH (unquantified patterns; running-measure semantics —
+               a measure on a not-yet-reached variable is NULL),
                AFTER MATCH SKIP TO NEXT ROW (always), SKIP PAST LAST ROW
                (unquantified patterns only, when variable predicates are
                provably pairwise disjoint — equality on one shared column
@@ -22,10 +25,10 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                and greedy skipping equals keep-everything), optional
                WITHIN INTERVAL bound.
   unsupported: unbounded quantifiers (A+, B*, {0,m}), alternation,
-               PREV/NEXT/FIRST/LAST navigation, ALL ROWS PER MATCH —
-               these need a real NFA; the router raises the instructive
-               error pointing at pattern_funnel / applyInPandasWithState
-               instead.
+               PREV/NEXT/FIRST/LAST navigation, ALL ROWS PER MATCH with
+               a quantifier or WITH UNMATCHED ROWS — these need a real
+               NFA; the router raises the instructive error pointing at
+               pattern_funnel / applyInPandasWithState instead.
 
 Lowering: one Window partitionBy(PARTITION BY).orderBy(ORDER BY); row i
 binds variable k via LEAD(struct(cols), k); the match predicate is the
@@ -55,7 +58,7 @@ _CLAUSES_RE = re.compile(
     r"PARTITION\s+BY\s+(?P<pby>.+?)\s+"
     r"ORDER\s+BY\s+(?P<oby>.+?)\s+"
     r"MEASURES\s+(?P<measures>.+?)\s+"
-    r"(?:ONE\s+ROW\s+PER\s+MATCH\s+)?"
+    r"(?:(?P<rows_mode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
     r"(?:AFTER\s+MATCH\s+(?P<skip>SKIP\s+PAST\s+LAST\s+ROW|"
     r"SKIP\s+TO\s+NEXT\s+ROW)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>[^)]*?)\s*\)\s*"
@@ -66,6 +69,11 @@ _CLAUSES_RE = re.compile(
 _MEASURE_RE = re.compile(
     r"^(?P<var>\w+)\.(?P<col>\w+)\s+AS\s+(?P<alias>\w+)$", re.IGNORECASE
 )
+_CLASSIFIER_RE = re.compile(
+    r"^CLASSIFIER\s*\(\s*\)\s+AS\s+(?P<alias>\w+)$", re.IGNORECASE
+)
+# sentinel var for CLASSIFIER() measures (not a column reference)
+CLASSIFIER = "__classifier__"
 _DEFINE_RE = re.compile(r"^(?P<var>\w+)\s+AS\s+(?P<pred>.+)$", re.IGNORECASE | re.DOTALL)
 _EQ_LIT_RE = re.compile(
     r"^\s*\w+\.(?P<col>\w+)\s*=\s*(?P<lit>'[^']*'|[0-9.]+)\s*$"
@@ -87,6 +95,9 @@ class MatchRecognizeSpec:
     # bounded quantifier: (var, lo, hi) when the pattern contains exactly
     # one ``VAR{n}`` / ``VAR{n,m}`` item (n>=1); None for plain sequences
     quant: tuple[str, int, int] | None = None
+    # ALL ROWS PER MATCH: emit every matched input row (running-measure
+    # semantics) instead of one summary row per match
+    all_rows: bool = False
 
 
 def _split_commas(s: str) -> list[str]:
@@ -150,10 +161,17 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         raise UnsupportedPatternError(
             "MATCH_RECOGNIZE clause outside the supported subset (need "
             "PARTITION BY / ORDER BY / MEASURES / PATTERN / DEFINE, in "
-            "that order; ALL ROWS PER MATCH is not supported)"
+            "that order)"
         )
-    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE):
-        raise UnsupportedPatternError("ALL ROWS PER MATCH is not supported")
+    all_rows = bool(
+        m.group("rows_mode")
+        and m.group("rows_mode").upper().startswith("ALL")
+    )
+    if re.search(r"WITH\s+UNMATCHED\s+ROWS", body, re.IGNORECASE):
+        raise UnsupportedPatternError(
+            "ALL ROWS PER MATCH WITH UNMATCHED ROWS is not supported — "
+            "only matched rows are emitted"
+        )
 
     pattern_text = m.group("pattern")
     if re.search(r"[+*?|]", pattern_text):
@@ -195,11 +213,16 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
 
     measures = []
     for item in _split_commas(m.group("measures")):
+        cm = _CLASSIFIER_RE.match(item)
+        if cm is not None:
+            measures.append((CLASSIFIER, "", cm.group("alias")))
+            continue
         mm = _MEASURE_RE.match(item)
         if mm is None:
             raise UnsupportedPatternError(
                 f"MEASURES item {item!r} outside the subset (only "
-                "Var.col AS alias; FIRST/LAST/aggregates need a real NFA)"
+                "Var.col AS alias or CLASSIFIER() AS alias; FIRST/LAST/"
+                "aggregates need a real NFA)"
             )
         if mm.group("var") not in pattern:
             raise UnsupportedPatternError(
@@ -268,7 +291,15 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         span=(head.start(), end),
         out_alias=out_alias,
         quant=quant,
+        all_rows=all_rows,
     )
+    if all_rows and quant is not None:
+        raise UnsupportedPatternError(
+            "ALL ROWS PER MATCH with a quantified variable is not lowered "
+            "(running-measure semantics over a variable-length mapping "
+            "need a real NFA); use ONE ROW PER MATCH with the quantifier, "
+            "or an unquantified pattern with ALL ROWS"
+        )
     if quant is not None and skip_past_last:
         raise UnsupportedPatternError(
             "AFTER MATCH SKIP PAST LAST ROW with a quantified variable "
@@ -412,11 +443,48 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         k = len(vs) - 1 - vs[::-1].index(var)
         return F.col(col) if k == 0 else F.col(f"__mr_s{k}.{col}")
 
+    if spec.all_rows:
+        # ALL ROWS PER MATCH: one output row per matched INPUT row —
+        # explode the match's offsets and pick each offset's bound row
+        # from the shared LEAD structs. Measures use RUNNING semantics
+        # (the Flink default): a measure on a variable not yet reached at
+        # this offset is NULL; CLASSIFIER() names this row's variable.
+        # Quantifiers are rejected at parse, so there is ONE variant.
+        vs = spec.pattern
+        length = len(vs)
+        rows = matched.withColumn(
+            "__mr_k", F.explode(F.sequence(F.lit(0), F.lit(length - 1)))
+        )
+
+        def col_at_k(col: str):
+            expr = F.when(F.col("__mr_k") == 0, F.col(col))
+            for k in range(1, length):
+                expr = expr.when(F.col("__mr_k") == k, F.col(f"__mr_s{k}.{col}"))
+            return expr
+
+        select = [col_at_k(c).alias(c) for c in cols]
+        cls = None
+        for k, var in enumerate(vs):
+            cls = (
+                F.when(F.col("__mr_k") == k, F.lit(var))
+                if cls is None
+                else cls.when(F.col("__mr_k") == k, F.lit(var))
+            )
+        for var, col, alias in spec.measures:
+            if var == CLASSIFIER:
+                select.append(cls.alias(alias))
+                continue
+            voff = vs.index(var)
+            base = F.col(col) if voff == 0 else F.col(f"__mr_s{voff}.{col}")
+            select.append(F.when(F.col("__mr_k") >= voff, base).alias(alias))
+        return rows.select(*select)
+
     select = [F.col(pc) for pc in spec.partition_by]
     for var, col, alias in spec.measures:
         expr = None
         for vs in variants:
-            v = ref_at(var, col, vs)
+            # CLASSIFIER() under ONE ROW PER MATCH = the last row's variable
+            v = F.lit(vs[-1]) if var == CLASSIFIER else ref_at(var, col, vs)
             expr = (
                 F.when(F.col("__mr_len") == len(vs), v)
                 if expr is None

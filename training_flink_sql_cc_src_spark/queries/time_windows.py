@@ -506,6 +506,77 @@ def pattern_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_match_recognize_all_rows",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(ts) OVER w AS next_ts,
+               LEAD(event_id) OVER w AS next_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+        SELECT * FROM seq
+        WHERE event_type = 'view' AND next_type = 'click'
+          AND next_ts <= ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS row_epoch,
+           event_id AS row_event_id,
+           'A' AS cls,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS view_epoch,
+           CAST(NULL AS BIGINT) AS click_epoch
+    FROM m
+    UNION ALL
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(next_ts)) AS BIGINT),
+           next_id,
+           'B',
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT),
+           CAST(FLOOR(EPOCH(next_ts)) AS BIGINT)
+    FROM m
+    """,
+    doc="MATCH_RECOGNIZE with ALL ROWS PER MATCH through the SQL front "
+    "door: the same view→click WITHIN-1h pattern as "
+    "pattern_match_recognize, but emitting EVERY matched input row with "
+    "RUNNING measure semantics (click_epoch is NULL on the A row — the "
+    "variable is not yet matched) and CLASSIFIER() naming each row's "
+    "variable. Lowered as the LEAD-chain match plus an offset explode "
+    "picking each row's columns from the shared structs — still one "
+    "shuffle on user_id. The oracle replays the per-offset rows as a "
+    "two-branch UNION ALL in DuckDB.",
+)
+def pattern_match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_ar")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(ts AS LONG) AS row_epoch,
+               event_id AS row_event_id,
+               cls,
+               CAST(view_ts AS LONG) AS view_epoch,
+               CAST(click_ts AS LONG) AS click_epoch
+        FROM __mr_events_ar
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS view_ts,
+                     B.ts AS click_ts,
+                     CLASSIFIER() AS cls
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click'
+        ) AS m
+        """
+    )
+
+
+@register(
     "pattern_match_recognize_quant",
     oracle="""
     WITH seq AS (
