@@ -349,6 +349,59 @@ def test_quantifier_within_backtracks(spark):
     ]
 
 
+def test_prev_navigation_and_implicit_define(spark):
+    """PREV(B.col) in DEFINE resolves to the physically preceding row of
+    the adjacent sequence (here the A row); a variable without a DEFINE
+    matches any row (Flink's implicit TRUE)."""
+    rows = [
+        (1, 1, 5.0), (1, 2, 9.0),   # rising pair: match at start 1
+        (2, 1, 5.0), (2, 2, 3.0),   # falling: no match
+    ]
+    spark.createDataFrame(rows, "user_id int, seq int, value double") \
+        .createOrReplaceTempView("__mr_prev")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_v, b_v FROM __mr_prev
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.value AS a_v, B.value AS b_v
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE B AS B.value > PREV(B.value)
+        )
+        """
+    ).collect()
+    assert sorted((r.user_id, r.a_v, r.b_v) for r in got) == [(1, 5.0, 9.0)]
+
+
+def test_prev_guards():
+    base = BASE.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+    # PREV over another variable needs an NFA
+    with pytest.raises(UnsupportedPatternError, match="another variable"):
+        parse_match_recognize(
+            _mr(base.replace("B AS B.event_type = 'click'",
+                             "B AS B.value > PREV(A.value)"))
+        )
+    # malformed PREV (bare column) rejected at parse, not at F.expr
+    with pytest.raises(UnsupportedPatternError, match="form"):
+        parse_match_recognize(
+            _mr(base.replace("B AS B.event_type = 'click'",
+                             "B AS B.value > PREV(value)"))
+        )
+    # PREV reaching before the match start raises at lower time
+    spec = parse_match_recognize(
+        _mr(base.replace("A AS A.event_type = 'view'",
+                         "A AS A.value > PREV(A.value)"))
+    )
+    from training_flink_sql_cc_src_spark.plans.match_recognize import (
+        _pred_at_offset,
+    )
+    with pytest.raises(UnsupportedPatternError, match="before the match"):
+        _pred_at_offset(spec.defines["A"], "A", 0, ["value"])
+
+
 def test_unsupported_raises_instructive_router_error(spark):
     spark.range(1).selectExpr(
         "CAST(id AS STRING) AS event_type", "id AS user_id", "id AS ts"

@@ -12,7 +12,11 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                variants with greedy (longest-match-per-start-row,
                Flink-default) selection; DEFINE on current-row predicates
                (``A AS A.col = lit`` or bare column refs, which bind to
-               the defining variable's row per Flink semantics), MEASURES
+               the defining variable's row per Flink semantics; implicit
+               always-true for variables without a DEFINE) with
+               ``PREV(ownvar.col[, n])`` navigation — a fixed earlier
+               offset of the adjacent sequence, raising when it reaches
+               before the match start — MEASURES
                of ``Var.col AS alias`` (a quantified variable's measure =
                its LAST mapped row, the Flink default) and
                ``CLASSIFIER() AS alias``, ONE ROW PER MATCH, ALL ROWS PER
@@ -25,10 +29,11 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                and greedy skipping equals keep-everything), optional
                WITHIN INTERVAL bound.
   unsupported: unbounded quantifiers (A+, B*, {0,m}), alternation,
-               PREV/NEXT/FIRST/LAST navigation, ALL ROWS PER MATCH with
-               a quantifier or WITH UNMATCHED ROWS — these need a real
-               NFA; the router raises the instructive error pointing at
-               pattern_funnel / applyInPandasWithState instead.
+               NEXT/FIRST/LAST navigation, PREV over another variable or
+               past the match start, ALL ROWS PER MATCH with a quantifier
+               or WITH UNMATCHED ROWS — these need a real NFA; the router
+               raises the instructive error pointing at pattern_funnel /
+               applyInPandasWithState instead.
 
 Lowering: one Window partitionBy(PARTITION BY).orderBy(ORDER BY); row i
 binds variable k via LEAD(struct(cols), k); the match predicate is the
@@ -75,6 +80,10 @@ _CLASSIFIER_RE = re.compile(
 # sentinel var for CLASSIFIER() measures (not a column reference)
 CLASSIFIER = "__classifier__"
 _DEFINE_RE = re.compile(r"^(?P<var>\w+)\s+AS\s+(?P<pred>.+)$", re.IGNORECASE | re.DOTALL)
+_PREV_RE = re.compile(
+    r"\bPREV\s*\(\s*(?P<pvar>\w+)\.(?P<pcol>\w+)\s*(?:,\s*(?P<n>\d+))?\s*\)",
+    re.IGNORECASE,
+)
 _EQ_LIT_RE = re.compile(
     r"^\s*\w+\.(?P<col>\w+)\s*=\s*(?P<lit>'[^']*'|[0-9.]+)\s*$"
 )
@@ -238,22 +247,39 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if dm is None:
             raise UnsupportedPatternError(f"DEFINE item {item!r} unparseable")
         var, pred = dm.group("var"), dm.group("pred").strip()
-        foreign = set(re.findall(r"\b(\w+)\s*\.", pred)) - {var}
+        # PREV(ownvar.col[, n]) navigates to a fixed earlier offset in the
+        # adjacent sequence — resolved per variant in _pred_at_offset.
+        # NEXT/FIRST/LAST (and PREV over another variable) need an NFA.
+        prev_hits = list(_PREV_RE.finditer(pred))
+        for nm in prev_hits:
+            if nm.group("pvar") != var:
+                raise UnsupportedPatternError(
+                    f"DEFINE for {var}: PREV over another variable "
+                    f"({nm.group(0)!r}) is not lowered — PREV must "
+                    f"navigate from the defining variable ({var}.col)"
+                )
+        if len(prev_hits) != len(
+            re.findall(r"\bPREV\s*\(", pred, re.IGNORECASE)
+        ):
+            raise UnsupportedPatternError(
+                f"DEFINE for {var}: PREV must take the form "
+                f"PREV({var}.col) or PREV({var}.col, n)"
+            )
+        stripped = _PREV_RE.sub("", pred)
+        foreign = set(re.findall(r"\b(\w+)\s*\.", stripped)) - {var}
         if foreign or re.search(
-            r"\b(PREV|NEXT|FIRST|LAST)\s*\(", pred, re.IGNORECASE
+            r"\b(NEXT|FIRST|LAST)\s*\(", pred, re.IGNORECASE
         ):
             raise UnsupportedPatternError(
                 f"DEFINE for {var} references rows other than its own "
                 f"({item!r}) — only current-row predicates (qualified as "
-                f"{var}.col or bare column names) are lowered"
+                f"{var}.col or bare column names) and PREV({var}.col[, n]) "
+                "are lowered"
             )
         defines[var] = pred
-    missing = [v for v in pattern if v not in defines]
-    if missing:
-        raise UnsupportedPatternError(
-            f"PATTERN variables {missing} lack DEFINE clauses (implicit "
-            "always-true variables are not supported)"
-        )
+    # Flink: a pattern variable without a DEFINE clause matches any row
+    for v in pattern:
+        defines.setdefault(v, "TRUE")
 
     skip = (m.group("skip") or "SKIP PAST LAST ROW").upper()
     skip_past_last = "PAST" in skip
@@ -363,8 +389,31 @@ def _qualify_bare_refs(pred: str, var: str, columns: list[str]) -> str:
 
 
 def _pred_at_offset(pred: str, var: str, k: int, cols: list[str]) -> str:
-    """Rewrite a DEFINE predicate to evaluate at LEAD offset ``k``."""
+    """Rewrite a DEFINE predicate to evaluate at LEAD offset ``k``.
+
+    PREV(var.col, n) resolves first — to the column at offset ``k - n``
+    (physically the n-th preceding row, since the lowered sequences are
+    adjacent); reaching before the match start needs LAG state the chain
+    does not carry, so it raises rather than silently comparing against
+    the wrong row."""
+
+    def prev_sub(mm: re.Match) -> str:
+        n = int(mm.group("n") or 1)
+        kk = k - n
+        if kk < 0:
+            raise UnsupportedPatternError(
+                f"PREV({mm.group('pvar')}.{mm.group('pcol')}, {n}) at "
+                f"pattern offset {k} reaches before the match start — "
+                "only offsets inside the matched sequence are lowered"
+            )
+        return (
+            mm.group("pcol") if kk == 0 else f"__mr_s{kk}.{mm.group('pcol')}"
+        )
+
+    # qualify BEFORE resolving PREV: a PREV that lands on offset 0 emits a
+    # bare column name, which must not be re-qualified back to offset k
     pred = _qualify_bare_refs(pred, var, cols)
+    pred = _PREV_RE.sub(prev_sub, pred)
     return re.sub(
         rf"\b{re.escape(var)}\.(\w+)\b",
         (lambda mm: mm.group(1) if k == 0 else f"__mr_s{k}.{mm.group(1)}"),

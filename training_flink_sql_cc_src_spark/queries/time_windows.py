@@ -506,6 +506,65 @@ def pattern_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_match_recognize_prev",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, value, event_type,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(ts) OVER w AS next_ts,
+               LEAD(value) OVER w AS next_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS view_epoch,
+           value AS view_value,
+           next_value AS click_value
+    FROM seq
+    WHERE event_type = 'view' AND next_type = 'click'
+      AND next_value > value
+      AND next_ts <= ts + INTERVAL 1 HOUR
+    """,
+    doc="MATCH_RECOGNIZE with PREV() row navigation through the SQL "
+    "front door: view then click WITHIN 1h where the click's value "
+    "EXCEEDS the preceding row's (DEFINE B AS ... AND B.value > "
+    "PREV(B.value)) — the rising-pair CEP shape. In the adjacent-"
+    "sequence lowering PREV(X.col, n) is a fixed offset (k - n) on the "
+    "shared LEAD chain, resolved per variant; reaching before the match "
+    "start raises instead of silently comparing the wrong row. Same "
+    "single-window-shuffle plan; the oracle replays the offset algebra "
+    "in DuckDB.",
+)
+def pattern_match_recognize_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_pv")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(view_ts AS LONG) AS view_epoch,
+               view_value,
+               click_value
+        FROM __mr_events_pv
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS view_ts,
+                     A.value AS view_value,
+                     B.value AS click_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click'
+                          AND B.value > PREV(B.value)
+        ) AS m
+        """
+    )
+
+
+@register(
     "pattern_match_recognize_all_rows",
     oracle="""
     WITH seq AS (
