@@ -569,6 +569,58 @@ def test_stream_static_dim_join_parity(spark, sf_small):
     assert _rows(batch) == _rows(streamed)
 
 
+def test_sequence_pattern_stream_matches_batch_three_step(spark, sf_small):
+    """Generalized streaming CEP leg (state = last L-1 events per key):
+    a 3-step adjacent sequence over an in-order replay finds exactly the
+    batch MATCH_RECOGNIZE (A B C) matches, including sequences split
+    across micro-batch boundaries."""
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+    from training_flink_sql_cc_src_spark.streaming.stateful import (
+        sequence_pattern_stream,
+    )
+
+    ev = t(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: sequence_pattern_stream(
+            s,
+            "user_id",
+            "ts",
+            "event_type",
+            ["view", "click", "purchase"],
+            within_seconds=7 * 86400,
+            tiebreak_col="event_id",
+        ),
+        output_mode="append",
+        n_files=8,
+        order_by="ts",
+    )
+    got = {(r.user_id, r.ts_1, r.ts_2, r.ts_3) for r in streamed.collect()}
+    ev.createOrReplaceTempView("__cep3_events")
+    batch = StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_ts, b_ts, c_ts FROM __cep3_events
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, B.ts AS b_ts, C.ts AS c_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B C)
+            WITHIN INTERVAL '7' DAY
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click',
+                   C AS C.event_type = 'purchase'
+        )
+        """
+    )
+    want = {(r.user_id, r.a_ts, r.b_ts, r.c_ts) for r in batch.collect()}
+    assert got == want and want
+
+
 def test_adjacent_pattern_stream_matches_batch_match_recognize(spark, sf_small):
     """Streaming CEP leg: the per-key stateful adjacent-pattern matcher
     (applyInPandasWithState, state = last event per key) over an in-order

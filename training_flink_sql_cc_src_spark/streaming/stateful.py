@@ -57,6 +57,93 @@ def running_totals(
     )
 
 
+def sequence_pattern_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    types: list[str],
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming matcher for an adjacent sequence of ANY fixed length —
+    the continuous-query leg of the generalized MATCH_RECOGNIZE lowering
+    (plans/match_recognize.py): PATTERN (T1 T2 ... TL) where row i's
+    ``type_col`` equals ``types[i]``, all L events adjacent in the key's
+    sequence, optionally first→last within ``within_seconds``.
+
+    State per key is the last L-1 (type, ts) events — a fixed-width
+    sliding window (Flink CEP's partial-match state for a linear pattern),
+    O(distinct keys × (L-1)) total, spread across executors. Matches
+    spanning micro-batch boundaries are found; AFTER MATCH SKIP TO NEXT
+    ROW semantics (every start row can match, like the batch lowering
+    with overlapping patterns allowed).
+
+    Requires per-key event-time-ordered delivery (replay fixtures with
+    ``order_by=ts``); ``tiebreak_col`` aligns equal-ts ordering with the
+    batch lowering's ORDER BY. Emits (key, ts_1 .. ts_L) per match."""
+    length = len(types)
+    if length < 2:
+        raise ValueError("sequence pattern needs at least 2 steps")
+    hist = length - 1
+    out_schema = f"{key_col} long, " + ", ".join(
+        f"ts_{i + 1} timestamp" for i in range(length)
+    )
+    state_schema = ", ".join(
+        f"t{i} string, s{i} timestamp" for i in range(1, hist + 1)
+    )
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        window: list[tuple] = []
+        if state.exists:
+            vals = state.get
+            window = [
+                (vals[2 * i], vals[2 * i + 1])
+                for i in range(hist)
+                if vals[2 * i] is not None
+            ]
+        matches: list[list] = []
+        for pdf in batches:
+            sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(sort_cols)
+            for row in pdf.itertuples(index=False):
+                cur = (getattr(row, type_col), getattr(row, ts_col))
+                seq = window + [cur]
+                if len(seq) == length and all(
+                    t == want for (t, _), want in zip(seq, types)
+                ):
+                    if (
+                        within_seconds is None
+                        or (seq[-1][1] - seq[0][1]).total_seconds()
+                        <= within_seconds
+                    ):
+                        matches.append([s for _, s in seq])
+                window = seq[-hist:]
+        flat: list = []
+        for tname, ts in window:
+            flat += [tname, ts]
+        while len(flat) < 2 * hist:  # pad oldest slots when history short
+            flat = [None, None] + flat
+        state.update(tuple(flat))
+        if matches:
+            data = {key_col: [key[0]] * len(matches)}
+            for i in range(length):
+                data[f"ts_{i + 1}"] = [m[i] for m in matches]
+            yield pd.DataFrame(data)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def adjacent_pattern_stream(
     stream_df: DataFrame,
     key_col: str,
