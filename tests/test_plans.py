@@ -186,3 +186,55 @@ def test_stratified_sample_single_window_shuffle(spark, sf_med):
     plan = _plan(spark, "pipeline_stratified_sample", sf_med)
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan
+
+
+def test_match_recognize_quant_single_window_exchange(spark, sf_med):
+    """The bounded-quantifier lowering shares ONE LEAD chain (one window
+    exchange on the partition key) across all variants — a per-variant
+    window would multiply the shuffle by m-n+1."""
+    import re
+
+    plan = _plan(spark, "pattern_match_recognize_quant", sf_med)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_match_recognize_all_rows_single_window_exchange(spark, sf_med):
+    """ALL ROWS PER MATCH adds only a generator (offset explode) on top
+    of the match plan — still exactly one exchange, no join."""
+    import re
+
+    plan = _plan(spark, "pattern_match_recognize_all_rows", sf_med)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "Generate" in plan  # the offset explode
+
+
+def test_stratified_scalable_broadcasts_cutoffs(spark, sf_med):
+    """The histogram variant must broadcast the one-row-per-stratum
+    cutoffs back to the base data (map-side filter), never shuffle the
+    corpus on a join key, and never enumerate pairs."""
+    plan = _plan(spark, "pipeline_stratified_sample_scalable", sf_med)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no SortMergeJoin of the base documents against anything
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_exact_two_phase_agg(spark, sf_med):
+    """Sketch build + merge = keyed aggregations with map-side partials
+    throughout; no cartesian, no global sort of the raw rows."""
+    plan = _plan(spark, "agg_heavy_hitters_merge_exact", sf_med)
+    assert plan.count("HashAggregate") >= 4  # partial+final x two phases
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_no_fact_shuffle_join(spark, sf_med):
+    """After the aggregation-reuse rewrite the only exchanges are the
+    per-orderkey aggregate and the top-100 ordering; orders and customer
+    join via broadcast of the filtered side — the fact tables are never
+    shuffled on a join key."""
+    plan = _plan(spark, "q18_large_volume_customer", sf_med)
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
