@@ -376,6 +376,42 @@ def test_prev_navigation_and_implicit_define(spark):
     assert sorted((r.user_id, r.a_v, r.b_v) for r in got) == [(1, 5.0, 9.0)]
 
 
+def test_match_number_and_final_measures(spark):
+    """MATCH_NUMBER() numbers matches sequentially per partition;
+    FINAL Var.col under ALL ROWS PER MATCH emits the complete match's
+    value on every row (vs RUNNING's NULL-until-reached)."""
+    rows = [
+        (1, 1, "view", 1.0), (1, 2, "click", 2.0),   # match 1
+        (1, 3, "view", 3.0), (1, 4, "click", 4.0),   # match 2
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_mn")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, seq, mn, b_run, b_fin FROM __mr_mn
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES MATCH_NUMBER() AS mn,
+                     RUNNING B.v AS b_run,
+                     FINAL B.v AS b_fin
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click'
+        )
+        """
+    ).collect()
+    assert sorted((r.user_id, r.seq, r.mn, r.b_run, r.b_fin) for r in got) == [
+        (1, 1, 1, None, 2.0),  # A row of match 1: RUNNING null, FINAL 2.0
+        (1, 2, 1, 2.0, 2.0),
+        (1, 3, 2, None, 4.0),
+        (1, 4, 2, 4.0, 4.0),
+    ]
+
+
 def test_prev_guards():
     base = BASE.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
     # PREV over another variable needs an NFA

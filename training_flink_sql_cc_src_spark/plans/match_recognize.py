@@ -18,8 +18,14 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                offset of the adjacent sequence, raising when it reaches
                before the match start — MEASURES
                of ``Var.col AS alias`` (a quantified variable's measure =
-               its LAST mapped row, the Flink default) and
-               ``CLASSIFIER() AS alias``, ONE ROW PER MATCH, ALL ROWS PER
+               its LAST mapped row, the Flink default), optionally
+               prefixed RUNNING/FINAL (ALL ROWS: RUNNING is NULL until
+               the variable's row is reached, FINAL shows the complete
+               match's value on every row), ``CLASSIFIER() AS alias``
+               and ``MATCH_NUMBER() AS alias`` (sequential per
+               partition, ranked over the matched subset on the same
+               window partitioning — no extra exchange), ONE ROW PER
+               MATCH, ALL ROWS PER
                MATCH (unquantified patterns; running-measure semantics —
                a measure on a not-yet-reached variable is NULL),
                AFTER MATCH SKIP TO NEXT ROW (always), SKIP PAST LAST ROW
@@ -47,6 +53,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from dataclasses import field as dataclasses_field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -72,13 +79,18 @@ _CLAUSES_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MEASURE_RE = re.compile(
-    r"^(?P<var>\w+)\.(?P<col>\w+)\s+AS\s+(?P<alias>\w+)$", re.IGNORECASE
+    r"^(?:(?P<mode>RUNNING|FINAL)\s+)?(?P<var>\w+)\.(?P<col>\w+)\s+AS\s+(?P<alias>\w+)$",
+    re.IGNORECASE,
 )
 _CLASSIFIER_RE = re.compile(
     r"^CLASSIFIER\s*\(\s*\)\s+AS\s+(?P<alias>\w+)$", re.IGNORECASE
 )
-# sentinel var for CLASSIFIER() measures (not a column reference)
+_MATCH_NUMBER_RE = re.compile(
+    r"^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(?P<alias>\w+)$", re.IGNORECASE
+)
+# sentinel vars for CLASSIFIER() / MATCH_NUMBER() measures (not column refs)
 CLASSIFIER = "__classifier__"
+MATCH_NUMBER = "__match_number__"
 _DEFINE_RE = re.compile(r"^(?P<var>\w+)\s+AS\s+(?P<pred>.+)$", re.IGNORECASE | re.DOTALL)
 _PREV_RE = re.compile(
     r"\bPREV\s*\(\s*(?P<pvar>\w+)\.(?P<pcol>\w+)\s*(?:,\s*(?P<n>\d+))?\s*\)",
@@ -107,6 +119,9 @@ class MatchRecognizeSpec:
     # ALL ROWS PER MATCH: emit every matched input row (running-measure
     # semantics) instead of one summary row per match
     all_rows: bool = False
+    # explicit RUNNING/FINAL per measure alias (default: RUNNING under
+    # ALL ROWS, FINAL under ONE ROW — the Flink defaults)
+    measure_modes: dict[str, str] = dataclasses_field(default_factory=dict)
 
 
 def _split_commas(s: str) -> list[str]:
@@ -221,17 +236,23 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         )
 
     measures = []
+    measure_modes: dict[str, str] = {}
     for item in _split_commas(m.group("measures")):
         cm = _CLASSIFIER_RE.match(item)
         if cm is not None:
             measures.append((CLASSIFIER, "", cm.group("alias")))
             continue
+        nm = _MATCH_NUMBER_RE.match(item)
+        if nm is not None:
+            measures.append((MATCH_NUMBER, "", nm.group("alias")))
+            continue
         mm = _MEASURE_RE.match(item)
         if mm is None:
             raise UnsupportedPatternError(
                 f"MEASURES item {item!r} outside the subset (only "
-                "Var.col AS alias or CLASSIFIER() AS alias; FIRST/LAST/"
-                "aggregates need a real NFA)"
+                "[RUNNING|FINAL] Var.col AS alias, CLASSIFIER() AS alias, "
+                "or MATCH_NUMBER() AS alias; FIRST/LAST/aggregates need a "
+                "real NFA)"
             )
         if mm.group("var") not in pattern:
             raise UnsupportedPatternError(
@@ -240,6 +261,8 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                 f"({' '.join(pattern)})"
             )
         measures.append((mm.group("var"), mm.group("col"), mm.group("alias")))
+        if mm.group("mode"):
+            measure_modes[mm.group("alias")] = mm.group("mode").upper()
 
     defines: dict[str, str] = {}
     for item in _split_commas(m.group("define")):
@@ -318,6 +341,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         out_alias=out_alias,
         quant=quant,
         all_rows=all_rows,
+        measure_modes=measure_modes,
     )
     if all_rows and quant is not None:
         raise UnsupportedPatternError(
@@ -486,6 +510,13 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     matched = out.withColumn("__mr_len", len_expr).filter(
         F.col("__mr_len").isNotNull()
     )
+    if any(var == MATCH_NUMBER for var, _, _ in spec.measures):
+        # Flink MATCH_NUMBER(): sequential per partition in match order.
+        # Matches are keyed by their start row, so ordering matched rows
+        # by the pattern ORDER BY gives the NFA's numbering; the window
+        # reuses the LEAD chain's partitioning (no second exchange) and
+        # ranks only the matched subset.
+        matched = matched.withColumn("__mr_mn", F.row_number().over(w))
 
     def ref_at(var: str, col: str, vs: list[str]):
         # Flink: Var.col on a multiply-mapped variable = LAST mapped row
@@ -523,13 +554,26 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             if var == CLASSIFIER:
                 select.append(cls.alias(alias))
                 continue
+            if var == MATCH_NUMBER:
+                select.append(F.col("__mr_mn").alias(alias))
+                continue
             voff = vs.index(var)
             base = F.col(col) if voff == 0 else F.col(f"__mr_s{voff}.{col}")
-            select.append(F.when(F.col("__mr_k") >= voff, base).alias(alias))
+            if spec.measure_modes.get(alias) == "FINAL":
+                # FINAL: the complete match's value on every row
+                select.append(base.alias(alias))
+            else:  # RUNNING (Flink default under ALL ROWS): NULL until
+                # the variable's row is reached
+                select.append(
+                    F.when(F.col("__mr_k") >= voff, base).alias(alias)
+                )
         return rows.select(*select)
 
     select = [F.col(pc) for pc in spec.partition_by]
     for var, col, alias in spec.measures:
+        if var == MATCH_NUMBER:
+            select.append(F.col("__mr_mn").alias(alias))
+            continue
         expr = None
         for vs in variants:
             # CLASSIFIER() under ONE ROW PER MATCH = the last row's variable
