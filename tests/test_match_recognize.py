@@ -412,6 +412,70 @@ def test_match_number_and_final_measures(spark):
     ]
 
 
+def test_alternation_group(spark):
+    """PATTERN (A (B|C)): one alternation group lowers as variant
+    expansion; leftmost alternative wins when both match (Flink's
+    declaration-order preference); the unchosen variable's measure is
+    NULL."""
+    spec = parse_match_recognize(
+        _mr(
+            BASE.replace("PATTERN (A B)", "PATTERN (A (B|C))")
+            .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+            .replace(
+                "DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'",
+                "DEFINE A AS A.event_type = 'view', "
+                "B AS B.event_type = 'click', C AS C.event_type = 'error'",
+            )
+        )
+    )
+    assert spec.positions == [["A"], ["B", "C"]]
+
+    rows = [
+        (1, 1, "start", 9.0), (1, 2, "both", 5.0),   # B and C both true → B
+        (2, 1, "start", 9.0), (2, 2, "conly", 0.5),  # only C true
+        (3, 1, "start", 9.0), (3, 2, "none", -1.0),  # neither → no match
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_alt")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, cls, b_v, c_v FROM __mr_alt
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES CLASSIFIER() AS cls, B.v AS b_v, C.v AS c_v
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A (B|C))
+            DEFINE A AS A.event_type = 'start',
+                   B AS B.v > 1,
+                   C AS C.v > 0
+        )
+        """
+    ).collect()
+    assert sorted((r.user_id, r.cls, r.b_v, r.c_v) for r in got) == [
+        (1, "B", 5.0, None),   # leftmost preference, C measures NULL
+        (2, "C", None, 0.5),
+    ]
+    # quantifier + alternation in one pattern needs a real NFA
+    with pytest.raises(UnsupportedPatternError, match="real NFA"):
+        parse_match_recognize(
+            _mr(
+                BASE.replace("PATTERN (A B)", "PATTERN (A{1,2} (B|C))")
+                .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+            )
+        )
+    # multiple alternation groups rejected
+    with pytest.raises(UnsupportedPatternError, match="multiple alternation"):
+        parse_match_recognize(
+            _mr(
+                BASE.replace("PATTERN (A B)", "PATTERN ((A|D) (B|C))")
+                .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+            )
+        )
+
+
 def test_prev_guards():
     base = BASE.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
     # PREV over another variable needs an NFA

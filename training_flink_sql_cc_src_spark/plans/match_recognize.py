@@ -10,7 +10,10 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                plus at most one BOUNDED quantifier ``A{n}`` / ``A{n,m}``
                (1 <= n <= m <= 8), lowered as the union of fixed-length
                variants with greedy (longest-match-per-start-row,
-               Flink-default) selection; DEFINE on current-row predicates
+               Flink-default) selection, OR one alternation group
+               ``(X|Y)`` (variants in declaration order — leftmost
+               alternative preferred, the unchosen variable's measures
+               NULL); DEFINE on current-row predicates
                (``A AS A.col = lit`` or bare column refs, which bind to
                the defining variable's row per Flink semantics; implicit
                always-true for variables without a DEFINE) with
@@ -34,12 +37,13 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                with distinct literals — so matches can never share rows
                and greedy skipping equals keep-everything), optional
                WITHIN INTERVAL bound.
-  unsupported: unbounded quantifiers (A+, B*, {0,m}), alternation,
-               NEXT/FIRST/LAST navigation, PREV over another variable or
-               past the match start, ALL ROWS PER MATCH with a quantifier
-               or WITH UNMATCHED ROWS — these need a real NFA; the router
-               raises the instructive error pointing at pattern_funnel /
-               applyInPandasWithState instead.
+  unsupported: unbounded quantifiers (A+, B*, {0,m}), multiple
+               alternation groups, a quantifier AND an alternation
+               together, NEXT/FIRST/LAST navigation, PREV over another
+               variable or past the match start, ALL ROWS PER MATCH with
+               a quantifier or WITH UNMATCHED ROWS — these need a real
+               NFA; the router raises the instructive error pointing at
+               pattern_funnel / applyInPandasWithState instead.
 
 Lowering: one Window partitionBy(PARTITION BY).orderBy(ORDER BY); row i
 binds variable k via LEAD(struct(cols), k); the match predicate is the
@@ -73,7 +77,7 @@ _CLAUSES_RE = re.compile(
     r"(?:(?P<rows_mode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
     r"(?:AFTER\s+MATCH\s+(?P<skip>SKIP\s+PAST\s+LAST\s+ROW|"
     r"SKIP\s+TO\s+NEXT\s+ROW)\s+)?"
-    r"PATTERN\s*\(\s*(?P<pattern>[^)]*?)\s*\)\s*"
+    r"PATTERN\s*\(\s*(?P<pattern>(?:[^()]|\([^()]*\))*?)\s*\)\s*"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<within_n>\d+)'\s+(?P<within_unit>\w+)\s+)?"
     r"DEFINE\s+(?P<define>.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -107,7 +111,7 @@ class MatchRecognizeSpec:
     partition_by: list[str]
     order_by: list[str]
     measures: list[tuple[str, str, str]]  # (var, col, alias)
-    pattern: list[str]  # variable sequence
+    pattern: list[str]  # flat variable list (membership / quant lookups)
     defines: dict[str, str]  # var -> raw predicate text
     skip_past_last: bool
     within_seconds: int | None
@@ -122,6 +126,9 @@ class MatchRecognizeSpec:
     # explicit RUNNING/FINAL per measure alias (default: RUNNING under
     # ALL ROWS, FINAL under ONE ROW — the Flink defaults)
     measure_modes: dict[str, str] = dataclasses_field(default_factory=dict)
+    # per sequence position: the alternative variables that may bind it
+    # (singleton lists except for one optional (X|Y) alternation group)
+    positions: list[list[str]] = dataclasses_field(default_factory=list)
 
 
 def _split_commas(s: str) -> list[str]:
@@ -198,41 +205,74 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         )
 
     pattern_text = m.group("pattern")
-    if re.search(r"[+*?|]", pattern_text):
+    if re.search(r"[+*?]", pattern_text):
         raise UnsupportedPatternError(
-            f"PATTERN ({pattern_text}) uses unbounded quantifiers/"
-            "alternation — only adjacent sequences (A B C ...) with at "
-            "most one BOUNDED quantifier (A{n} / A{n,m}, n>=1) are "
-            "lowered; use queries/time_windows.pattern_funnel3_sequential "
-            "or streaming/stateful.applyInPandasWithState for general CEP"
+            f"PATTERN ({pattern_text}) uses unbounded quantifiers — only "
+            "adjacent sequences (A B C ...) with at most one BOUNDED "
+            "quantifier (A{n} / A{n,m}, n>=1) or one alternation group "
+            "((B|C)) are lowered; use "
+            "queries/time_windows.pattern_funnel3_sequential or "
+            "streaming/stateful.applyInPandasWithState for general CEP"
         )
-    pattern: list[str] = []
+    positions: list[list[str]] = []  # per sequence position: alternatives
+    pattern: list[str] = []  # flat variable list (for membership checks)
     quant: tuple[str, int, int] | None = None
-    for item in pattern_text.split():
-        qm = re.fullmatch(r"(?P<var>\w+)(?:\{(?P<lo>\d+)(?:,(?P<hi>\d+))?\})?", item)
-        if qm is None:
+    alt_seen = False
+    tok_re = re.compile(
+        r"\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
+        r"|(?P<var>\w+)(?:\{(?P<lo>\d+)(?:,(?P<hi>\d+))?\})?"
+    )
+    idx = 0
+    while idx < len(pattern_text):
+        if pattern_text[idx].isspace():
+            idx += 1
+            continue
+        tm = tok_re.match(pattern_text, idx)
+        if tm is None:
             raise UnsupportedPatternError(
-                f"PATTERN item {item!r} unparseable (VAR or VAR{{n}} or "
-                "VAR{n,m} expected)"
+                f"PATTERN item at {pattern_text[idx:]!r} unparseable "
+                "(VAR, VAR{n}, VAR{n,m}, or an (X|Y) alternation group "
+                "expected)"
             )
-        if qm.group("lo") is not None:
-            lo = int(qm.group("lo"))
-            hi = int(qm.group("hi")) if qm.group("hi") is not None else lo
-            if quant is not None:
+        if tm.group("alts"):
+            if alt_seen:
                 raise UnsupportedPatternError(
-                    f"PATTERN ({pattern_text}) has multiple quantified "
-                    "variables — only one bounded quantifier is lowered"
+                    f"PATTERN ({pattern_text}) has multiple alternation "
+                    "groups — only one is lowered"
                 )
-            if lo < 1 or hi < lo or hi > 8:
-                raise UnsupportedPatternError(
-                    f"quantifier bounds {{{lo},{hi}}} outside the lowered "
-                    "range (1 <= n <= m <= 8; {0,m} needs a real NFA)"
-                )
-            quant = (qm.group("var"), lo, hi)
-        pattern.append(qm.group("var"))
-    if len(pattern) < 2 or len(pattern) != len(set(pattern)):
+            alt_seen = True
+            alts = [a.strip() for a in tm.group("alts").split("|")]
+            positions.append(alts)
+            pattern.extend(alts)
+        else:
+            var = tm.group("var")
+            if tm.group("lo") is not None:
+                lo = int(tm.group("lo"))
+                hi = int(tm.group("hi")) if tm.group("hi") is not None else lo
+                if quant is not None:
+                    raise UnsupportedPatternError(
+                        f"PATTERN ({pattern_text}) has multiple quantified "
+                        "variables — only one bounded quantifier is lowered"
+                    )
+                if lo < 1 or hi < lo or hi > 8:
+                    raise UnsupportedPatternError(
+                        f"quantifier bounds {{{lo},{hi}}} outside the "
+                        "lowered range (1 <= n <= m <= 8; {0,m} needs a "
+                        "real NFA)"
+                    )
+                quant = (var, lo, hi)
+            positions.append([var])
+            pattern.append(var)
+        idx = tm.end()
+    if quant is not None and alt_seen:
         raise UnsupportedPatternError(
-            f"PATTERN ({pattern_text}) must be 2+ distinct variables"
+            "a bounded quantifier and an alternation group in one PATTERN "
+            "need a real NFA — use one or the other"
+        )
+    if len(positions) < 2 or len(pattern) != len(set(pattern)):
+        raise UnsupportedPatternError(
+            f"PATTERN ({pattern_text}) must be a sequence of 2+ positions "
+            "with globally distinct variables"
         )
 
     measures = []
@@ -342,6 +382,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         quant=quant,
         all_rows=all_rows,
         measure_modes=measure_modes,
+        positions=positions,
     )
     if all_rows and quant is not None:
         raise UnsupportedPatternError(
@@ -460,9 +501,8 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     cols = df.columns
     w = Window.partitionBy(*spec.partition_by).orderBy(*spec.order_by)
 
-    if spec.quant is None:
-        variants = [spec.pattern]
-    else:
+    positions = spec.positions or [[v] for v in spec.pattern]
+    if spec.quant is not None:
         qvar, lo, hi = spec.quant
         qi = spec.pattern.index(qvar)
         # longest first: the when-chain below makes greedy = first match
@@ -470,6 +510,13 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             spec.pattern[:qi] + [qvar] * c + spec.pattern[qi + 1 :]
             for c in range(hi, lo - 1, -1)
         ]
+    else:
+        # expand the (single) alternation group, leftmost alternative
+        # first — Flink tries alternatives in declaration order, and the
+        # when-chain preserves that preference
+        variants = [[]]
+        for alts in positions:
+            variants = [v + [a] for v in variants for a in alts]
     max_len = max(len(v) for v in variants)
 
     out = df
@@ -497,18 +544,17 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             )
         return cond
 
-    # matched variant length per start row (longest/greedy first); rows
-    # matching no variant are filtered out
-    len_expr = None
-    for vs in variants:
+    # matched VARIANT INDEX per start row (variants listed in preference
+    # order: longest first for greedy quantifiers, leftmost alternative
+    # first for alternation); rows matching no variant are filtered out
+    idx_expr = None
+    for i, vs in enumerate(variants):
         c = variant_cond(vs)
-        len_expr = (
-            F.when(c, F.lit(len(vs)))
-            if len_expr is None
-            else len_expr.when(c, F.lit(len(vs)))
+        idx_expr = (
+            F.when(c, F.lit(i)) if idx_expr is None else idx_expr.when(c, F.lit(i))
         )
-    matched = out.withColumn("__mr_len", len_expr).filter(
-        F.col("__mr_len").isNotNull()
+    matched = out.withColumn("__mr_vi", idx_expr).filter(
+        F.col("__mr_vi").isNotNull()
     )
     if any(var == MATCH_NUMBER for var, _, _ in spec.measures):
         # Flink MATCH_NUMBER(): sequential per partition in match order.
@@ -519,9 +565,29 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         matched = matched.withColumn("__mr_mn", F.row_number().over(w))
 
     def ref_at(var: str, col: str, vs: list[str]):
-        # Flink: Var.col on a multiply-mapped variable = LAST mapped row
+        # Flink: Var.col on a multiply-mapped variable = LAST mapped row;
+        # a variable that did not participate in this variant (the other
+        # alternative of an (X|Y) group) measures as NULL
+        if var not in vs:
+            return F.lit(None)
         k = len(vs) - 1 - vs[::-1].index(var)
         return F.col(col) if k == 0 else F.col(f"__mr_s{k}.{col}")
+
+    def per_variant(value_of):
+        """when-chain over the matched variant index: value_of(vs) gives
+        the measure expression for variant vs (single-variant patterns
+        collapse to the bare expression — no CASE in the plan)."""
+        if len(variants) == 1:
+            return value_of(variants[0])
+        expr = None
+        for i, vs in enumerate(variants):
+            v = value_of(vs)
+            expr = (
+                F.when(F.col("__mr_vi") == i, v)
+                if expr is None
+                else expr.when(F.col("__mr_vi") == i, v)
+            )
+        return expr
 
     if spec.all_rows:
         # ALL ROWS PER MATCH: one output row per matched INPUT row —
@@ -529,9 +595,10 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         # from the shared LEAD structs. Measures use RUNNING semantics
         # (the Flink default): a measure on a variable not yet reached at
         # this offset is NULL; CLASSIFIER() names this row's variable.
-        # Quantifiers are rejected at parse, so there is ONE variant.
-        vs = spec.pattern
-        length = len(vs)
+        # Quantifiers are rejected at parse, so every variant has the
+        # same length (= number of positions); only the variable BOUND at
+        # an offset differs across alternation variants.
+        length = len(positions)
         rows = matched.withColumn(
             "__mr_k", F.explode(F.sequence(F.lit(0), F.lit(length - 1)))
         )
@@ -543,30 +610,40 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             return expr
 
         select = [col_at_k(c).alias(c) for c in cols]
-        cls = None
-        for k, var in enumerate(vs):
-            cls = (
-                F.when(F.col("__mr_k") == k, F.lit(var))
-                if cls is None
-                else cls.when(F.col("__mr_k") == k, F.lit(var))
-            )
+
+        def cls_of(vs: list[str]):
+            expr = None
+            for k, var in enumerate(vs):
+                expr = (
+                    F.when(F.col("__mr_k") == k, F.lit(var))
+                    if expr is None
+                    else expr.when(F.col("__mr_k") == k, F.lit(var))
+                )
+            return expr
+
         for var, col, alias in spec.measures:
             if var == CLASSIFIER:
-                select.append(cls.alias(alias))
+                select.append(per_variant(cls_of).alias(alias))
                 continue
             if var == MATCH_NUMBER:
                 select.append(F.col("__mr_mn").alias(alias))
                 continue
-            voff = vs.index(var)
-            base = F.col(col) if voff == 0 else F.col(f"__mr_s{voff}.{col}")
-            if spec.measure_modes.get(alias) == "FINAL":
-                # FINAL: the complete match's value on every row
-                select.append(base.alias(alias))
-            else:  # RUNNING (Flink default under ALL ROWS): NULL until
-                # the variable's row is reached
-                select.append(
-                    F.when(F.col("__mr_k") >= voff, base).alias(alias)
+
+            def running_of(vs: list[str], var=var, col=col, alias=alias):
+                if var not in vs:
+                    return F.lit(None)
+                voff = vs.index(var)
+                base = (
+                    F.col(col) if voff == 0 else F.col(f"__mr_s{voff}.{col}")
                 )
+                if spec.measure_modes.get(alias) == "FINAL":
+                    # FINAL: the complete match's value on every row
+                    return base
+                # RUNNING (Flink default under ALL ROWS): NULL until the
+                # variable's row is reached
+                return F.when(F.col("__mr_k") >= voff, base)
+
+            select.append(per_variant(running_of).alias(alias))
         return rows.select(*select)
 
     select = [F.col(pc) for pc in spec.partition_by]
@@ -574,16 +651,12 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         if var == MATCH_NUMBER:
             select.append(F.col("__mr_mn").alias(alias))
             continue
-        expr = None
-        for vs in variants:
+
+        def value_of(vs: list[str], var=var, col=col):
             # CLASSIFIER() under ONE ROW PER MATCH = the last row's variable
-            v = F.lit(vs[-1]) if var == CLASSIFIER else ref_at(var, col, vs)
-            expr = (
-                F.when(F.col("__mr_len") == len(vs), v)
-                if expr is None
-                else expr.when(F.col("__mr_len") == len(vs), v)
-            )
-        select.append(expr.alias(alias))
+            return F.lit(vs[-1]) if var == CLASSIFIER else ref_at(var, col, vs)
+
+        select.append(per_variant(value_of).alias(alias))
     return matched.select(*select)
 
 

@@ -506,6 +506,68 @@ def pattern_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_match_recognize_alt",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS view_epoch,
+           CASE WHEN next_type = 'click'
+                THEN CAST(FLOOR(EPOCH(next_ts)) AS BIGINT) END AS click_epoch,
+           CASE WHEN next_type = 'error'
+                THEN CAST(FLOOR(EPOCH(next_ts)) AS BIGINT) END AS error_epoch,
+           CASE WHEN next_type = 'click' THEN 'B' ELSE 'C' END AS cls
+    FROM seq
+    WHERE event_type = 'view' AND next_type IN ('click', 'error')
+      AND next_ts <= ts + INTERVAL 1 HOUR
+    """,
+    doc="MATCH_RECOGNIZE with an ALTERNATION group through the SQL front "
+    "door: PATTERN (A (B|C)) — a view followed by a click OR an error "
+    "WITHIN 1h (the outcome-branching funnel shape). The lowering "
+    "expands the group into its variants over ONE shared LEAD chain, "
+    "leftmost alternative preferred (Flink's declaration order); the "
+    "unchosen variable's measure is NULL and CLASSIFIER() reports which "
+    "branch matched. SKIP PAST LAST ROW is exact here (view/click/error "
+    "are pairwise-disjoint literals). Single window shuffle on user_id; "
+    "the oracle replays the branch CASE in DuckDB.",
+)
+def pattern_match_recognize_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_alt")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(view_ts AS LONG) AS view_epoch,
+               CAST(click_ts AS LONG) AS click_epoch,
+               CAST(error_ts AS LONG) AS error_epoch,
+               cls
+        FROM __mr_events_alt
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS view_ts,
+                     B.ts AS click_ts,
+                     C.ts AS error_ts,
+                     CLASSIFIER() AS cls
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A (B|C))
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click',
+                   C AS C.event_type = 'error'
+        ) AS m
+        """
+    )
+
+
+@register(
     "pattern_match_recognize_prev",
     oracle="""
     WITH seq AS (
