@@ -52,8 +52,20 @@ def test_no_match_recognize_returns_none():
 
 
 def test_quantifiers_rejected():
+    # A* (zero-or-more) stays out of the subset; A+ with disjoint DEFINEs
+    # is now lowered (test_plus_run_pattern)
     with pytest.raises(UnsupportedPatternError, match="quantifiers"):
-        parse_match_recognize(_mr(BASE.replace("PATTERN (A B)", "PATTERN (A+ B)")))
+        parse_match_recognize(_mr(BASE.replace("PATTERN (A B)", "PATTERN (A* B)")))
+    # A+ with NON-disjoint DEFINEs still needs an NFA (backtracking)
+    with pytest.raises(UnsupportedPatternError, match="disjoint"):
+        parse_match_recognize(
+            _mr(
+                BASE.replace("PATTERN (A B)", "PATTERN (A+ B)").replace(
+                    "DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'",
+                    "DEFINE A AS A.value > 1, B AS B.value > 0",
+                )
+            )
+        )
 
 
 def test_skip_past_last_needs_disjoint_predicates():
@@ -476,6 +488,44 @@ def test_alternation_group(spark):
         )
 
 
+def test_plus_run_pattern(spark):
+    """PATTERN (A+ B) with disjoint DEFINEs: greedy consumes the maximal
+    consecutive A-run, then the next row must be B. SKIP TO NEXT ROW
+    emits one match per A-row of a qualifying run (A.v = run END, the
+    last-mapped-row default); SKIP PAST LAST ROW keeps only the run-head
+    start. An interrupted run does not match."""
+    rows = [
+        (1, 1, "click", 1.0), (1, 2, "click", 2.0), (1, 3, "purchase", 9.0),
+        (2, 1, "click", 1.0), (2, 2, "view", 0.0),
+        (2, 3, "click", 3.0), (2, 4, "purchase", 8.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_plus")
+    q = """
+        SELECT user_id, last_a, b_seq FROM __mr_plus
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS last_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH {skip}
+            PATTERN (A+ B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+    """
+    got = StatementRouter(spark).execute(q.format(skip="SKIP TO NEXT ROW")).collect()
+    assert sorted((r.user_id, r.last_a, r.b_seq) for r in got) == [
+        (1, 2, 3), (1, 2, 3),   # starts at seq 1 and 2, same run end
+        (2, 3, 4),              # the run at seq 1 is broken by 'view'
+    ]
+    got2 = StatementRouter(spark).execute(q.format(skip="SKIP PAST LAST ROW")).collect()
+    assert sorted((r.user_id, r.last_a, r.b_seq) for r in got2) == [
+        (1, 2, 3), (2, 3, 4),   # run-head starts only
+    ]
+
+
 def test_prev_guards():
     base = BASE.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
     # PREV over another variable needs an NFA
@@ -514,7 +564,7 @@ def test_unsupported_raises_instructive_router_error(spark):
                 PARTITION BY user_id
                 ORDER BY ts
                 MEASURES A.ts AS a_ts
-                PATTERN (A+ B)
+                PATTERN (A* B)
                 DEFINE A AS A.event_type = 'x', B AS B.event_type = 'y'
             )
             """

@@ -10,7 +10,11 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                plus at most one BOUNDED quantifier ``A{n}`` / ``A{n,m}``
                (1 <= n <= m <= 8), lowered as the union of fixed-length
                variants with greedy (longest-match-per-start-row,
-               Flink-default) selection, OR one alternation group
+               Flink-default) selection, OR the unbounded run shape
+               ``A+ B`` (exact gaps-and-islands lowering when the two
+               DEFINEs are provably disjoint — no NFA needed because
+               backtracking provably cannot help), OR one alternation
+               group
                ``(X|Y)`` (variants in declaration order — leftmost
                alternative preferred, the unchosen variable's measures
                NULL); DEFINE on current-row predicates
@@ -37,7 +41,8 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                with distinct literals — so matches can never share rows
                and greedy skipping equals keep-everything), optional
                WITHIN INTERVAL bound.
-  unsupported: unbounded quantifiers (A+, B*, {0,m}), multiple
+  unsupported: unbounded quantifiers beyond the disjoint (A+ B) shape
+               (A*, {0,m}, A+ with overlapping DEFINEs), multiple
                alternation groups, a quantifier AND an alternation
                together, NEXT/FIRST/LAST navigation, PREV over another
                variable or past the match start, ALL ROWS PER MATCH with
@@ -129,6 +134,9 @@ class MatchRecognizeSpec:
     # per sequence position: the alternative variables that may bind it
     # (singleton lists except for one optional (X|Y) alternation group)
     positions: list[list[str]] = dataclasses_field(default_factory=list)
+    # PATTERN (A+ B): (run_var, next_var) — unbounded maximal-run shape,
+    # lowered via gaps-and-islands (requires provably disjoint DEFINEs)
+    plus: tuple[str, str] | None = None
 
 
 def _split_commas(s: str) -> list[str]:
@@ -205,12 +213,22 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         )
 
     pattern_text = m.group("pattern")
-    if re.search(r"[+*?]", pattern_text):
+    plus: tuple[str, str] | None = None
+    pm = re.fullmatch(r"(?P<a>\w+)\+\s+(?P<b>\w+)", pattern_text.strip())
+    if pm is not None:
+        # PATTERN (A+ B): the unbounded-run shape, lowered exactly via
+        # gaps-and-islands WHEN the two predicates are provably disjoint
+        # (checked after DEFINE parsing — backtracking to a shorter A-run
+        # can then never succeed, because the row after a shorter run
+        # satisfies A and a row cannot satisfy both A and B)
+        plus = (pm.group("a"), pm.group("b"))
+    elif re.search(r"[+*?]", pattern_text):
         raise UnsupportedPatternError(
             f"PATTERN ({pattern_text}) uses unbounded quantifiers — only "
             "adjacent sequences (A B C ...) with at most one BOUNDED "
-            "quantifier (A{n} / A{n,m}, n>=1) or one alternation group "
-            "((B|C)) are lowered; use "
+            "quantifier (A{n} / A{n,m}, n>=1), one alternation group "
+            "((B|C)), or the two-variable run shape (A+ B) with provably "
+            "disjoint DEFINEs are lowered; use "
             "queries/time_windows.pattern_funnel3_sequential or "
             "streaming/stateful.applyInPandasWithState for general CEP"
         )
@@ -218,11 +236,14 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
     pattern: list[str] = []  # flat variable list (for membership checks)
     quant: tuple[str, int, int] | None = None
     alt_seen = False
+    if plus is not None:
+        pattern = list(plus)
+        positions = [[plus[0]], [plus[1]]]
     tok_re = re.compile(
         r"\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
         r"|(?P<var>\w+)(?:\{(?P<lo>\d+)(?:,(?P<hi>\d+))?\})?"
     )
-    idx = 0
+    idx = 0 if plus is None else len(pattern_text)
     while idx < len(pattern_text):
         if pattern_text[idx].isspace():
             idx += 1
@@ -383,7 +404,27 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         all_rows=all_rows,
         measure_modes=measure_modes,
         positions=positions,
+        plus=plus,
     )
+    if plus is not None:
+        if not _provably_disjoint(spec):
+            raise UnsupportedPatternError(
+                "PATTERN (A+ B) is lowered only when the two DEFINEs are "
+                "provably disjoint (each an equality on one shared column "
+                "with distinct literals): disjointness is what makes the "
+                "maximal-run (gaps-and-islands) rewrite exact — otherwise "
+                "greedy backtracking needs a real NFA"
+            )
+        if all_rows:
+            raise UnsupportedPatternError(
+                "ALL ROWS PER MATCH with an unbounded run (A+ B) is not "
+                "lowered — use ONE ROW PER MATCH"
+            )
+        if any(_PREV_RE.search(p) for p in spec.defines.values()):
+            raise UnsupportedPatternError(
+                "PREV() inside PATTERN (A+ B) DEFINEs is not lowered (the "
+                "run variable's offsets are unbounded)"
+            )
     if all_rows and quant is not None:
         raise UnsupportedPatternError(
             "ALL ROWS PER MATCH with a quantified variable is not lowered "
@@ -486,6 +527,102 @@ def _pred_at_offset(pred: str, var: str, k: int, cols: list[str]) -> str:
     )
 
 
+def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
+    """PATTERN (A+ B) via gaps-and-islands — the exact lowering of the
+    unbounded maximal-run shape for provably-disjoint DEFINEs.
+
+    Greedy semantics: a match starting at an A-row consumes its entire
+    consecutive A-run (disjointness guarantees no shorter run can succeed
+    where the maximal one fails: the row after a shorter run satisfies A,
+    and a row cannot satisfy both A and B), then requires the row after
+    the run to satisfy B. SKIP TO NEXT ROW emits one match per A-row of a
+    qualifying run; SKIP PAST LAST ROW keeps only the run-head start.
+    A.col measures the LAST mapped A row (run end), the Flink default.
+
+    Plan: one LEAD/LAG window pass on the partition key assigns run ids
+    (running sum of run-starts) and each row's next-row struct; a second
+    window over (partition, run) broadcasts the run END's info to every
+    run row — two exchanges total, state O(1) per row, no join, no NFA."""
+    a_var, b_var = spec.plus
+    df = spark.table(spec.table)
+    cols = df.columns
+    w = Window.partitionBy(*spec.partition_by).orderBy(*spec.order_by)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    a_here = F.expr(_pred_at_offset(spec.defines[a_var], a_var, 0, cols))
+    out = (
+        df.withColumn("__a", F.coalesce(a_here, F.lit(False)))
+        .withColumn("__prev_a", F.lag("__a").over(w))
+        .withColumn("__mr_s1", F.lead(F.struct(*cols)).over(w))
+    )
+    next_a = F.col("__mr_s1").isNotNull() & F.coalesce(
+        F.expr(_pred_at_offset(spec.defines[a_var], a_var, 1, cols)),
+        F.lit(False),
+    )
+    next_b = F.col("__mr_s1").isNotNull() & F.coalesce(
+        F.expr(_pred_at_offset(spec.defines[b_var], b_var, 1, cols)),
+        F.lit(False),
+    )
+    out = (
+        out.withColumn("__end", F.col("__a") & ~next_a)
+        .withColumn("__next_b", next_b)
+        .withColumn(
+            "__isl",
+            F.sum(
+                F.when(
+                    F.col("__a") & ~F.coalesce(F.col("__prev_a"), F.lit(False)),
+                    1,
+                ).otherwise(0)
+            ).over(w_run),
+        )
+    )
+    wi = (
+        Window.partitionBy(*spec.partition_by, "__isl")
+        .orderBy(*spec.order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    end_info = F.last(
+        F.when(
+            F.col("__end"),
+            F.struct(
+                *[F.col(c) for c in cols],
+                F.col("__mr_s1").alias("__nx"),
+                F.col("__next_b").alias("__nb"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(wi)
+    out = out.withColumn("__endinfo", end_info)
+
+    start_ok = F.col("__a")
+    if spec.skip_past_last:
+        # disjoint DEFINEs → runs never share rows; greedy skipping keeps
+        # exactly the run-head start of each qualifying run
+        start_ok = start_ok & ~F.coalesce(F.col("__prev_a"), F.lit(False))
+    cond = start_ok & F.col("__endinfo").isNotNull() & F.col("__endinfo.__nb")
+    if spec.within_seconds is not None:
+        ts0 = spec.order_by[0]
+        cond = cond & (
+            F.col(f"__endinfo.__nx.{ts0}")
+            <= F.col(ts0) + F.expr(f"INTERVAL {spec.within_seconds} SECOND")
+        )
+    matched = out.filter(cond)
+    if any(var == MATCH_NUMBER for var, _, _ in spec.measures):
+        matched = matched.withColumn("__mr_mn", F.row_number().over(w))
+
+    select = [F.col(pc) for pc in spec.partition_by]
+    for var, col, alias in spec.measures:
+        if var == MATCH_NUMBER:
+            select.append(F.col("__mr_mn").alias(alias))
+        elif var == CLASSIFIER:
+            select.append(F.lit(b_var).alias(alias))
+        elif var == a_var:  # Flink: last mapped row of the run
+            select.append(F.col(f"__endinfo.{col}").alias(alias))
+        else:
+            select.append(F.col(f"__endinfo.__nx.{col}").alias(alias))
+    return matched.select(*select)
+
+
 def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     """Build the LEAD-chain DataFrame for an adjacent-sequence pattern.
 
@@ -496,7 +633,10 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     variants; greedy (Flink-default) semantics pick the LONGEST variant
     that matches at each start row, evaluated as one descending
     ``F.when`` chain over the shared LEAD columns — still a single
-    window pass / one shuffle on the partition key."""
+    window pass / one shuffle on the partition key. The unbounded run
+    shape (``A+ B``) dispatches to the gaps-and-islands lowering."""
+    if spec.plus is not None:
+        return _lower_plus(spark, spec)
     df = spark.table(spec.table)
     cols = df.columns
     w = Window.partitionBy(*spec.partition_by).orderBy(*spec.order_by)

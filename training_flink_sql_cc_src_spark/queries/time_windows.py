@@ -506,6 +506,78 @@ def pattern_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_match_recognize_plus",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id, ts, event_id,
+               event_type = 'click' AS a,
+               LAG(event_type = 'click') OVER w AS prev_a,
+               LEAD(event_type = 'click') OVER w AS next_a,
+               LEAD(event_type = 'purchase') OVER w AS next_b,
+               LEAD(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+        SELECT *, SUM(CASE WHEN a AND NOT COALESCE(prev_a, FALSE)
+                           THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS g
+        FROM flags
+    ), ends AS (
+        SELECT user_id, g,
+               MAX(ts) AS last_a_ts,
+               BOOL_OR(NOT COALESCE(next_a, FALSE)
+                       AND COALESCE(next_b, FALSE)) AS b_ok,
+               MAX(CASE WHEN NOT COALESCE(next_a, FALSE)
+                        THEN next_ts END) AS b_ts
+        FROM isl WHERE a GROUP BY user_id, g
+    )
+    SELECT i.user_id,
+           CAST(FLOOR(EPOCH(e.last_a_ts)) AS BIGINT) AS last_click_epoch,
+           CAST(FLOOR(EPOCH(e.b_ts)) AS BIGINT) AS purchase_epoch
+    FROM isl i JOIN ends e ON i.user_id = e.user_id AND i.g = e.g
+    WHERE i.a AND e.b_ok AND e.b_ts <= i.ts + INTERVAL 2 HOUR
+    """,
+    doc="MATCH_RECOGNIZE with an UNBOUNDED quantifier — PATTERN "
+    "(A+ B): any run of consecutive clicks ending in a purchase, "
+    "WITHIN 2h of each start row. Lowered exactly (no NFA) via "
+    "gaps-and-islands because the click/purchase DEFINEs are provably "
+    "disjoint: greedy backtracking can never succeed where the "
+    "maximal-run match fails, so run id = running sum of run starts, "
+    "the run END's next-row info is window-broadcast to every run row, "
+    "and SKIP TO NEXT ROW emits one match per A-row "
+    "(plans/match_recognize._lower_plus — two exchanges, O(1) state "
+    "per row at any run length). A.ts measures the run END (Flink's "
+    "last-mapped-row default). The oracle replays the same islands in "
+    "DuckDB.",
+)
+def pattern_match_recognize_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_pl")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(last_click_ts AS LONG) AS last_click_epoch,
+               CAST(purchase_ts AS LONG) AS purchase_epoch
+        FROM __mr_events_pl
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS last_click_ts,
+                     B.ts AS purchase_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A+ B)
+            WITHIN INTERVAL '2' HOUR
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        ) AS m
+        """
+    )
+
+
+@register(
     "pattern_match_recognize_alt",
     oracle="""
     WITH seq AS (
