@@ -439,11 +439,13 @@ def test_match_recognize_adjacent_subset_lowers(router):
 
 
 def test_match_recognize_guard(router):
-    # general CEP (quantifiers) still raises the instructive error
+    # general CEP (zero-or-more quantifiers) still raises the instructive
+    # error; A+ with disjoint DEFINEs is lowered since round 5
+    # (tests/test_match_recognize.py::test_plus_run_pattern)
     with pytest.raises(NotImplementedError, match="pattern_funnel"):
         router.execute(
             "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id "
-            "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A+ B) DEFINE "
+            "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A* B) DEFINE "
             "A AS A.event_type = 'view', B AS B.event_type = 'purchase')"
         )
 
