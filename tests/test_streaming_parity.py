@@ -621,6 +621,58 @@ def test_sequence_pattern_stream_matches_batch_three_step(spark, sf_small):
     assert got == want and want
 
 
+def test_run_pattern_stream_matches_batch_plus(spark, sf_small):
+    """Streaming leg of PATTERN (A+ B) under SKIP PAST LAST ROW: the
+    O(1)-state run matcher over an in-order replay equals the batch
+    gaps-and-islands lowering, including runs split across micro-batch
+    boundaries."""
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+    from training_flink_sql_cc_src_spark.streaming.stateful import (
+        run_pattern_stream,
+    )
+
+    ev = t(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: run_pattern_stream(
+            s,
+            "user_id",
+            "ts",
+            "event_type",
+            "click",
+            "purchase",
+            within_seconds=7 * 86400,
+            tiebreak_col="event_id",
+        ),
+        output_mode="append",
+        n_files=8,
+        order_by="ts",
+    )
+    got = {(r.user_id, r.last_ts, r.end_ts) for r in streamed.collect()}
+    ev.createOrReplaceTempView("__cep_plus_events")
+    batch = StatementRouter(spark).execute(
+        """
+        SELECT user_id, last_a, b_ts FROM __cep_plus_events
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS last_a, B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            WITHIN INTERVAL '7' DAY
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        """
+    )
+    want = {(r.user_id, r.last_a, r.b_ts) for r in batch.collect()}
+    assert got == want and want
+
+
 def test_adjacent_pattern_stream_matches_batch_match_recognize(spark, sf_small):
     """Streaming CEP leg: the per-key stateful adjacent-pattern matcher
     (applyInPandasWithState, state = last event per key) over an in-order

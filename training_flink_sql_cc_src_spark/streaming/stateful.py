@@ -144,6 +144,84 @@ def sequence_pattern_stream(
     )
 
 
+def run_pattern_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    run_type: str,
+    end_type: str,
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming matcher for PATTERN (A+ B) — the unbounded maximal-run
+    shape (continuous leg of plans/match_recognize._lower_plus) under
+    AFTER MATCH SKIP PAST LAST ROW semantics: one match per maximal
+    consecutive run of ``run_type`` rows immediately followed by an
+    ``end_type`` row, with the optional WITHIN bound measured from the
+    run's FIRST row (the match start).
+
+    State per key is O(1) — (in_run, run_start_ts, last_run_ts) — at ANY
+    run length, exactly Flink CEP's partial-match state for a linear
+    greedy pattern with disjoint predicates. Runs spanning micro-batch
+    boundaries are matched. Emits (key, first_ts, last_ts, end_ts)."""
+    out_schema = (
+        f"{key_col} long, first_ts timestamp, last_ts timestamp, "
+        "end_ts timestamp"
+    )
+    state_schema = "in_run boolean, run_start timestamp, run_last timestamp"
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        in_run, run_start, run_last = (
+            state.get if state.exists else (False, None, None)
+        )
+        firsts, lasts, ends = [], [], []
+        for pdf in batches:
+            sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(sort_cols)
+            for row in pdf.itertuples(index=False):
+                cur_type = getattr(row, type_col)
+                cur_ts = getattr(row, ts_col)
+                if cur_type == run_type:
+                    if not in_run:
+                        in_run, run_start = True, cur_ts
+                    run_last = cur_ts
+                elif in_run and cur_type == end_type:
+                    if (
+                        within_seconds is None
+                        or (cur_ts - run_start).total_seconds()
+                        <= within_seconds
+                    ):
+                        firsts.append(run_start)
+                        lasts.append(run_last)
+                        ends.append(cur_ts)
+                    in_run = False
+                else:
+                    in_run = False
+        state.update((in_run, run_start, run_last))
+        if firsts:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(firsts),
+                    "first_ts": firsts,
+                    "last_ts": lasts,
+                    "end_ts": ends,
+                }
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def adjacent_pattern_stream(
     stream_df: DataFrame,
     key_col: str,
