@@ -238,3 +238,30 @@ def test_q18_no_fact_shuffle_join(spark, sf_med):
     plan = _plan(spark, "q18_large_volume_customer", sf_med)
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_match_recognize_alt_prev_single_exchange(spark, sf_med):
+    """Alternation and PREV lowerings still ride ONE window exchange —
+    the variant CASE and offset rewrites are expression-level only."""
+    import re
+
+    for name in ("pattern_match_recognize_alt", "pattern_match_recognize_prev"):
+        plan = _plan(spark, name, sf_med)
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges == 1, (name, plan)
+        assert "CartesianProduct" not in plan
+
+
+def test_match_recognize_plus_single_exchange_no_join(spark, sf_med):
+    """The gaps-and-islands A+ B lowering rides ONE exchange: the run-id
+    window clusters by (partition key, run id), which the partition-key
+    hash partitioning already satisfies (subset rule), so Spark inserts
+    no second shuffle. Never joins or pairs — O(1) state per row at any
+    run length."""
+    import re
+
+    plan = _plan(spark, "pattern_match_recognize_plus", sf_med)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan

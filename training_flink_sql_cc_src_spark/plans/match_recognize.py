@@ -542,7 +542,9 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     Plan: one LEAD/LAG window pass on the partition key assigns run ids
     (running sum of run-starts) and each row's next-row struct; a second
     window over (partition, run) broadcasts the run END's info to every
-    run row — two exchanges total, state O(1) per row, no join, no NFA."""
+    run row. The second window's clustering is a superset of the first's
+    hash partitioning, so Spark inserts NO second exchange — one shuffle
+    total, state O(1) per row, no join, no NFA."""
     a_var, b_var = spec.plus
     df = spark.table(spec.table)
     cols = df.columns

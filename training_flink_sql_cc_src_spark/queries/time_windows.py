@@ -546,8 +546,9 @@ def pattern_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "maximal-run match fails, so run id = running sum of run starts, "
     "the run END's next-row info is window-broadcast to every run row, "
     "and SKIP TO NEXT ROW emits one match per A-row "
-    "(plans/match_recognize._lower_plus — two exchanges, O(1) state "
-    "per row at any run length). A.ts measures the run END (Flink's "
+    "(plans/match_recognize._lower_plus — ONE exchange: the run-id "
+    "window's clustering is satisfied by the partition-key hash, O(1) "
+    "state per row at any run length). A.ts measures the run END (Flink's "
     "last-mapped-row default). The oracle replays the same islands in "
     "DuckDB.",
 )
