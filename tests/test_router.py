@@ -485,3 +485,30 @@ def test_show_create_table_roundtrips(router, spark):
     assert m2.primary_key == ["id"]
     assert m2.buckets == 2
     assert m2.watermark_col == "ts"
+
+
+def test_explain_match_recognize(router, spark):
+    """EXPLAIN over a MATCH_RECOGNIZE statement lowers the pattern first,
+    so the user sees the actual LEAD-chain plan instead of a parse
+    error."""
+    spark.range(10).selectExpr(
+        "id AS user_id", "CAST(id AS TIMESTAMP) AS ts",
+        "CASE WHEN id % 2 = 0 THEN 'view' ELSE 'click' END AS event_type"
+    ).createOrReplaceTempView("__mr_explain_t")
+    out = router.execute(
+        """
+        EXPLAIN SELECT user_id, a_ts FROM __mr_explain_t
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES A.ts AS a_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click'
+        )
+        """
+    )
+    text = out.collect()[0][0]
+    assert "__mr_lowered" in text or "Window" in text

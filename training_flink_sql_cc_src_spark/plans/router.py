@@ -531,9 +531,16 @@ class StatementRouter:
         m = re.match(r"^\s*EXPLAIN\s+(.*)$", sql, re.IGNORECASE | re.DOTALL)
         if m and not _SET_PROP_RE.match(sql):
             # rewrite the inner statement through the same dialect passes
-            # (TVFs, namespace, temporal joins, UNNEST), then let Spark's
-            # native EXPLAIN print the plan for the rewritten query
-            inner = rewrite_window_tvfs(self._flatten_qualified(m.group(1)))
+            # (MATCH_RECOGNIZE, TVFs, namespace, temporal joins, UNNEST),
+            # then let Spark's native EXPLAIN print the rewritten plan
+            inner = m.group(1)
+            if re.search(r"\bMATCH_RECOGNIZE\b", inner, re.IGNORECASE):
+                from .match_recognize import rewrite_match_recognize
+
+                rewritten = rewrite_match_recognize(self.spark, inner)
+                if rewritten is not None:
+                    inner = rewritten
+            inner = rewrite_window_tvfs(self._flatten_qualified(inner))
             if "UNNEST" in inner.upper():
                 inner = _rewrite_unnest(inner)
             if "SYSTEM_TIME" in inner.upper():
