@@ -265,3 +265,18 @@ def test_match_recognize_plus_single_exchange_no_join(spark, sf_med):
     assert n_exchanges == 1, plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_quota_cap_uses_window_group_limit(spark, sf_med):
+    """The per-stratum cap must plan as WindowGroupLimit (map-side O(K)
+    state per group before the shuffle), never a full per-stratum sort."""
+    plan = _plan(spark, "pipeline_quota_cap", sf_med)
+    assert "WindowGroupLimit" in plan
+
+
+def test_incremental_dedup_no_cartesian_single_key(spark, sf_med):
+    """Anti join and keeper groupBy both key on the content hash; no
+    cartesian, no nested-loop."""
+    plan = _plan(spark, "pipeline_incremental_dedup", sf_med)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

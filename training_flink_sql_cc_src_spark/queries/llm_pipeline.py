@@ -524,6 +524,78 @@ def pipeline_stratified_sample_scalable(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @register(
+    "pipeline_incremental_dedup",
+    oracle="""
+    WITH c AS (
+        SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ), n AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes_in_batch
+    FROM n WHERE h NOT IN (SELECT h FROM c)
+    GROUP BY h
+    """,
+    doc="Incremental exact dedup — the continual-ingestion workflow: a "
+    "NEW batch (odd doc_ids) is deduplicated against the EXISTING "
+    "corpus (even doc_ids) via an anti join on content hash, then "
+    "within-batch duplicates collapse to the min-doc_id keeper with "
+    "their multiplicity. At 100 TB the corpus side is the stored "
+    "fingerprint table (hash only, not text) and both the anti join and "
+    "the keeper groupBy shuffle on the same hash key — one exchange "
+    "reused, no re-read of historic text.",
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    corpus = d.filter(F.col("doc_id") % 2 == 0).select("h")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    return (
+        new.join(corpus, "h", "left_anti")
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dupes_in_batch"),
+        )
+        .select("doc_id", "n_dupes_in_batch")
+    )
+
+
+@register(
+    "pipeline_quota_cap",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY (doc_id * 2654435761) % 1000000, doc_id
+               ) AS rnk
+        FROM documents
+    ) WHERE rnk <= 5
+    """,
+    doc="Per-(lang, source) quota capping — the mixture-balancing step "
+    "that bounds any one domain's contribution: keep at most K=5 docs "
+    "per stratum, chosen by the deterministic hash-coin order (same "
+    "coin as the sampling/split operators, so caps compose with them "
+    "reproducibly). Spark plans the rank filter as WindowGroupLimit: "
+    "each map task keeps only its local top-K per group BEFORE the "
+    "shuffle, so per-stratum state is O(K) at any corpus size — the cap "
+    "is what makes this safe where a fraction-based sample is not.",
+)
+def pipeline_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    coin = (F.col("doc_id") * F.lit(2654435761)) % 1000000
+    w = Window.partitionBy("lang", "source").orderBy(
+        coin.asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
     "pipeline_train_val_split",
     oracle="""
     SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
