@@ -108,15 +108,60 @@ def test_all_rows_per_match_parses_and_guards():
                 .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
             )
         )
-    with pytest.raises(UnsupportedPatternError, match="UNMATCHED"):
+    # WITH UNMATCHED ROWS parses under ALL ROWS; requires it otherwise
+    spec2 = parse_match_recognize(
+        _mr(
+            BASE.replace(
+                "ONE ROW PER MATCH", "ALL ROWS PER MATCH WITH UNMATCHED ROWS"
+            )
+        )
+    )
+    assert spec2.all_rows and spec2.with_unmatched
+    with pytest.raises(UnsupportedPatternError, match="requires ALL ROWS"):
         parse_match_recognize(
             _mr(
                 BASE.replace(
                     "ONE ROW PER MATCH",
-                    "ALL ROWS PER MATCH WITH UNMATCHED ROWS",
+                    "ONE ROW PER MATCH WITH UNMATCHED ROWS",
                 )
             )
         )
+
+
+def test_all_rows_with_unmatched(spark):
+    """WITH UNMATCHED ROWS: rows covered by no match emit once with NULL
+    measures; matched rows keep their per-match output."""
+    rows = [
+        (1, 1, "view", 1.0), (1, 2, "click", 2.0),  # match covers 1-2
+        (1, 3, "other", 3.0),                        # unmatched
+        (2, 1, "click", 4.0),                        # unmatched
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_unm")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, seq, cls, a_v FROM __mr_unm
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.v AS a_v, CLASSIFIER() AS cls
+            ALL ROWS PER MATCH WITH UNMATCHED ROWS
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click'
+        )
+        """
+    ).collect()
+    assert sorted(
+        (r.user_id, r.seq, r.cls, r.a_v) for r in got
+    ) == [
+        (1, 1, "A", 1.0),
+        (1, 2, "B", 1.0),
+        (1, 3, None, None),
+        (2, 1, None, None),
+    ]
 
 
 def test_all_rows_per_match_emits_each_matched_row(spark):

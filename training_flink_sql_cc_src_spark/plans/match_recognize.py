@@ -35,6 +35,9 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                MATCH, ALL ROWS PER
                MATCH (unquantified patterns; running-measure semantics —
                a measure on a not-yet-reached variable is NULL),
+               optionally WITH UNMATCHED ROWS (uncovered rows emit once
+               with NULL measures; coverage via L-1 LAGs of the matched
+               index on the same window — no extra exchange),
                AFTER MATCH SKIP TO NEXT ROW (always), SKIP PAST LAST ROW
                (unquantified patterns only, when variable predicates are
                provably pairwise disjoint — equality on one shared column
@@ -46,7 +49,7 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                alternation groups, a quantifier AND an alternation
                together, NEXT/FIRST/LAST navigation, PREV over another
                variable or past the match start, ALL ROWS PER MATCH with
-               a quantifier or WITH UNMATCHED ROWS — these need a real
+               a quantifier — these need a real
                NFA; the router raises the instructive error pointing at
                pattern_funnel / applyInPandasWithState instead.
 
@@ -79,7 +82,8 @@ _CLAUSES_RE = re.compile(
     r"PARTITION\s+BY\s+(?P<pby>.+?)\s+"
     r"ORDER\s+BY\s+(?P<oby>.+?)\s+"
     r"MEASURES\s+(?P<measures>.+?)\s+"
-    r"(?:(?P<rows_mode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
+    r"(?:(?P<rows_mode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+"
+    r"(?:WITH\s+UNMATCHED\s+ROWS\s+)?)?"
     r"(?:AFTER\s+MATCH\s+(?P<skip>SKIP\s+PAST\s+LAST\s+ROW|"
     r"SKIP\s+TO\s+NEXT\s+ROW)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>(?:[^()]|\([^()]*\))*?)\s*\)\s*"
@@ -137,6 +141,9 @@ class MatchRecognizeSpec:
     # PATTERN (A+ B): (run_var, next_var) — unbounded maximal-run shape,
     # lowered via gaps-and-islands (requires provably disjoint DEFINEs)
     plus: tuple[str, str] | None = None
+    # ALL ROWS PER MATCH WITH UNMATCHED ROWS: also emit rows covered by
+    # NO match, once, with NULL measures
+    with_unmatched: bool = False
 
 
 def _split_commas(s: str) -> list[str]:
@@ -206,10 +213,12 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         m.group("rows_mode")
         and m.group("rows_mode").upper().startswith("ALL")
     )
-    if re.search(r"WITH\s+UNMATCHED\s+ROWS", body, re.IGNORECASE):
+    with_unmatched = bool(
+        re.search(r"WITH\s+UNMATCHED\s+ROWS", body, re.IGNORECASE)
+    )
+    if with_unmatched and not all_rows:
         raise UnsupportedPatternError(
-            "ALL ROWS PER MATCH WITH UNMATCHED ROWS is not supported — "
-            "only matched rows are emitted"
+            "WITH UNMATCHED ROWS requires ALL ROWS PER MATCH"
         )
 
     pattern_text = m.group("pattern")
@@ -405,6 +414,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         measure_modes=measure_modes,
         positions=positions,
         plus=plus,
+        with_unmatched=with_unmatched,
     )
     if plus is not None:
         if not _provably_disjoint(spec):
@@ -695,9 +705,8 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         idx_expr = (
             F.when(c, F.lit(i)) if idx_expr is None else idx_expr.when(c, F.lit(i))
         )
-    matched = out.withColumn("__mr_vi", idx_expr).filter(
-        F.col("__mr_vi").isNotNull()
-    )
+    indexed = out.withColumn("__mr_vi", idx_expr)
+    matched = indexed.filter(F.col("__mr_vi").isNotNull())
     if any(var == MATCH_NUMBER for var, _, _ in spec.measures):
         # Flink MATCH_NUMBER(): sequential per partition in match order.
         # Matches are keyed by their start row, so ordering matched rows
@@ -786,7 +795,28 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
                 return F.when(F.col("__mr_k") >= voff, base)
 
             select.append(per_variant(running_of).alias(alias))
-        return rows.select(*select)
+        matched_rows = rows.select(*select)
+        if not spec.with_unmatched:
+            return matched_rows
+        # WITH UNMATCHED ROWS: a row at window position p participates in
+        # SOME match iff a match starts at p or at one of the L-1 rows
+        # before it — i.e. any of LAG(__mr_vi, j), j in 0..L-1, is
+        # non-null. The LAGs ride the same window partitioning (no extra
+        # exchange); uncovered rows emit ONCE with NULL measures.
+        cov = F.col("__mr_vi").isNotNull()
+        for j in range(1, length):
+            cov = cov | F.lag("__mr_vi", j).over(w).isNotNull()
+        types = dict(matched_rows.dtypes)
+        um_select = [F.col(c) for c in cols] + [
+            F.lit(None).cast(types[alias]).alias(alias)
+            for _, _, alias in spec.measures
+        ]
+        unmatched_rows = (
+            indexed.withColumn("__mr_cov", cov)
+            .filter(~F.col("__mr_cov"))
+            .select(*um_select)
+        )
+        return matched_rows.unionByName(unmatched_rows)
 
     select = [F.col(pc) for pc in spec.partition_by]
     for var, col, alias in spec.measures:

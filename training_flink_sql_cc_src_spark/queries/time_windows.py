@@ -771,6 +771,74 @@ def pattern_match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "pattern_match_recognize_unmatched",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               LEAD(event_type) OVER w AS nt,
+               LEAD(ts) OVER w AS nts,
+               LEAD(event_id) OVER w AS nid,
+               LAG(event_type) OVER w AS pt,
+               LAG(ts) OVER w AS pts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+        SELECT * FROM seq
+        WHERE event_type = 'view' AND nt = 'click'
+          AND nts <= ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id, event_id AS row_event_id, 'A' AS cls,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS view_epoch
+    FROM m
+    UNION ALL
+    SELECT user_id, nid, 'B', CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+    FROM m
+    UNION ALL
+    SELECT user_id, event_id, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM seq
+    WHERE NOT COALESCE(event_type = 'view' AND nt = 'click'
+               AND nts <= ts + INTERVAL 1 HOUR, FALSE)
+      AND NOT COALESCE(event_type = 'click' AND pt = 'view'
+               AND ts <= pts + INTERVAL 1 HOUR, FALSE)
+    """,
+    doc="ALL ROWS PER MATCH WITH UNMATCHED ROWS: every event comes back "
+    "— rows of a view→click match with their running measures and "
+    "CLASSIFIER(), every other row once with NULLs (the audit-trail "
+    "reading of CEP output). Coverage is computed with L-1 LAGs of the "
+    "matched-variant index over the SAME window partitioning (no extra "
+    "exchange) — a row is unmatched iff no match starts at it or at the "
+    "L-1 rows before it. The oracle replays matched rows as the "
+    "two-branch UNION ALL plus the complementary unmatched scan.",
+)
+def pattern_match_recognize_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_um")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               event_id AS row_event_id,
+               cls,
+               CAST(view_ts AS LONG) AS view_epoch
+        FROM __mr_events_um
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS view_ts,
+                     CLASSIFIER() AS cls
+            ALL ROWS PER MATCH WITH UNMATCHED ROWS
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click'
+        ) AS m
+        """
+    )
+
+
+@register(
     "pattern_match_recognize_quant",
     oracle="""
     WITH seq AS (
