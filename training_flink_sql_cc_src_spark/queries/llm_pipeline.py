@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import t
+from ._util import dsum, t
 from .llm_text import STOPWORDS, _STOP_SQL
 
 
@@ -520,6 +520,46 @@ def pipeline_stratified_sample_scalable(spark: SparkSession, sf_dir: str) -> Dat
     d = t(spark, sf_dir, "documents")
     return stratified_sample_threshold(d, "lang", "doc_id", 0.2).select(
         "doc_id", "lang"
+    )
+
+
+@register(
+    "pipeline_column_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(text) AS text_nulls,
+           COUNT(*) - COUNT(lang) AS lang_nulls,
+           COUNT(DISTINCT lang) AS lang_distinct,
+           COUNT(DISTINCT source) AS source_distinct,
+           CAST(MIN(n_chars) AS BIGINT) AS n_chars_min,
+           CAST(MAX(n_chars) AS BIGINT) AS n_chars_max,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS n_chars_sum,
+           CAST(SUM(CAST(LENGTH(text) AS DECIMAL(38,6))) AS DOUBLE)
+               AS text_len_sum
+    FROM documents
+    """,
+    doc="Single-pass column profiler — the data-quality summary every "
+    "ingest batch runs before entering the corpus: row count, per-column "
+    "null counts, distinct counts for the low-cardinality dimensions, "
+    "numeric min/max/sum, and total text length, all in ONE aggregation "
+    "over one scan. At 100 TB the exact COUNT(DISTINCT)s are the only "
+    "multi-pass risk (Catalyst expands them); swap in "
+    "approx_count_distinct (agg_hll_mergeable_sketch is the stored-"
+    "summary variant) when the profiled column is high-cardinality.",
+)
+def pipeline_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return d.agg(
+        n.alias("n_rows"),
+        (n - F.count("text")).alias("text_nulls"),
+        (n - F.count("lang")).alias("lang_nulls"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        dsum("n_chars").alias("n_chars_sum"),
+        dsum(F.length("text")).alias("text_len_sum"),
     )
 
 
