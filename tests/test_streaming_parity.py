@@ -621,6 +621,46 @@ def test_sequence_pattern_stream_matches_batch_three_step(spark, sf_small):
     assert got == want and want
 
 
+def test_match_recognize_statement_streams_through_engine(spark, sf_small):
+    """The SAME MATCH_RECOGNIZE statement runs in batch (LEAD-chain
+    lowering) and as a continuous query (sql_stream routes the canonical
+    eq-literal shape to the stateful sequence matcher) with identical
+    results — the reference's every-statement-is-a-streaming-job model."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    eng = Engine(spark)
+    stmt = """
+        SELECT user_id, CAST(a_ts AS LONG) AS a_e, CAST(b_ts AS LONG) AS b_e
+        FROM events_mr_stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click'
+        )
+    """
+    ev.createOrReplaceTempView("events_mr_stream")
+    batch = {tuple(r) for r in eng.sql(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"events_mr_stream": s}),
+        output_mode="append",
+        n_files=8,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+
+
 def test_run_pattern_stream_matches_batch_plus(spark, sf_small):
     """Streaming leg of PATTERN (A+ B) under SKIP PAST LAST ROW: the
     O(1)-state run matcher over an in-order replay equals the batch

@@ -68,20 +68,127 @@ class Engine:
         uses LAG/running-sum window functions, which Structured Streaming
         rejects — ``rewrite_session_tvf_streaming`` swaps in the
         streaming-capable grouping with identical session semantics).
+        MATCH_RECOGNIZE statements in the canonical eq-literal shape also
+        stream: ``_match_recognize_stream`` routes them to the stateful
+        per-key matchers (streaming/stateful.py) and rewrites the outer
+        query over the matched stream.
         """
         from .plans.router import rewrite_session_tvf_streaming
 
+        watermarked: dict[str, DataFrame] = {}
         for name, sdf in sources.items():
             meta = self.catalog.get(self.router._resolve(name))
             if meta is not None and meta.watermark_col:
                 sdf = sdf.withWatermark(meta.watermark_col, meta.watermark_delay)
             sdf.createOrReplaceTempView(name)
+            watermarked[name] = sdf
         stmt = statement.strip().rstrip(";")
+        mr = self._match_recognize_stream(stmt, watermarked)
+        if mr is not None:
+            stmt = mr
         streaming_session = rewrite_session_tvf_streaming(stmt)
         if streaming_session is not None:
             stmt = streaming_session
         rewritten = self.router._rewrite_dialect(stmt)
         return self.spark.sql(rewritten)
+
+    def _match_recognize_stream(
+        self, stmt: str, sources: dict[str, DataFrame]
+    ) -> str | None:
+        """Lower a MATCH_RECOGNIZE statement for CONTINUOUS execution.
+
+        The batch lowering uses LEAD window functions, which Structured
+        Streaming rejects; the streaming leg instead keys per-partition
+        state (streaming/stateful.py — Flink CEP's model). Supported
+        continuously: the canonical lab shape — plain adjacent sequence
+        (or the A+ B run shape), every DEFINE an equality literal on ONE
+        shared column, a single PARTITION BY key, MEASURES of
+        ``Var.<order column>`` only. The matched stream is registered as
+        a view and the outer statement rewritten to read it. Returns None
+        when the statement has no MATCH_RECOGNIZE; raises the instructive
+        error for shapes only the batch path lowers."""
+        from .plans.match_recognize import (
+            UnsupportedPatternError,
+            _eq_literal,
+            parse_match_recognize,
+        )
+        from .streaming.stateful import (
+            run_pattern_stream,
+            sequence_pattern_stream,
+        )
+
+        spec = parse_match_recognize(stmt)
+        if spec is None:
+            return None
+
+        def unsupported(why: str):
+            return NotImplementedError(
+                f"MATCH_RECOGNIZE over a stream: {why} — the streaming leg "
+                "supports plain adjacent sequences (or A+ B) with "
+                "equality-literal DEFINEs on one shared column, one "
+                "PARTITION BY key, and MEASURES of Var.<order column>; "
+                "run the statement in batch (Engine.sql) or use "
+                "streaming/stateful.py directly for custom state machines"
+            )
+
+        if spec.quant is not None or spec.all_rows:
+            raise unsupported("quantifiers / ALL ROWS PER MATCH")
+        if any(len(p) > 1 for p in spec.positions):
+            raise unsupported("alternation groups")
+        if len(spec.partition_by) != 1:
+            raise unsupported("multiple PARTITION BY keys")
+        eqs = [_eq_literal(spec.defines[v]) for v in spec.pattern]
+        if any(e is None for e in eqs) or len({c for c, _ in eqs}) != 1:
+            raise unsupported(
+                "DEFINEs must be equality literals on one shared column"
+            )
+        type_col = eqs[0][0]
+        types = [lit.strip("'") for _, lit in eqs]
+        ts_col = spec.order_by[0]
+        tiebreak = spec.order_by[1] if len(spec.order_by) > 1 else None
+        key = spec.partition_by[0]
+
+        sdf = sources.get(spec.table)
+        if sdf is None:
+            raise unsupported(f"pattern input {spec.table!r} not in sources")
+
+        if spec.plus is not None:
+            if not spec.skip_past_last:
+                raise unsupported(
+                    "A+ B with SKIP TO NEXT ROW (per-start emission needs "
+                    "unbounded per-key state; SKIP PAST LAST ROW streams "
+                    "with O(1) state)"
+                )
+            matched = run_pattern_stream(
+                sdf, key, ts_col, type_col, types[0], types[1],
+                within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
+            )
+            # last mapped A row = last_ts; B row = end_ts
+            pos_col = {spec.plus[0]: "last_ts", spec.plus[1]: "end_ts"}
+        else:
+            matched = sequence_pattern_stream(
+                sdf, key, ts_col, type_col, types,
+                within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
+            )
+            pos_col = {
+                var: f"ts_{i + 1}" for i, var in enumerate(spec.pattern)
+            }
+
+        from pyspark.sql import functions as F
+
+        select = [F.col(key)]
+        for var, col, alias in spec.measures:
+            if var not in pos_col or col != ts_col:
+                raise unsupported(
+                    f"measure {var}.{col} (only Var.{ts_col} is carried "
+                    "through the streaming state)"
+                )
+            select.append(F.col(pos_col[var]).alias(alias))
+        view = f"__mr_stream_{abs(hash(stmt)) % 10_000_000}"
+        matched.select(*select).createOrReplaceTempView(view)
+        start, end = spec.span
+        alias_sql = f" AS {spec.out_alias}" if spec.out_alias else ""
+        return f"{stmt[:start]}FROM {view}{alias_sql}{stmt[end:]}"
 
     def table(self, name: str) -> DataFrame:
         """Read a table by (possibly namespaced) name. Keyed tables are
