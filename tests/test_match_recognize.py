@@ -571,6 +571,86 @@ def test_plus_run_pattern(spark):
     ]
 
 
+def test_first_last_measures(spark):
+    """FIRST(Var.col)/LAST(Var.col) on a quantified variable navigate to
+    the first/last mapped row (bare Var.col = LAST, the Flink default);
+    on A+ B, FIRST(A) is the match start."""
+    rows = [(1, 1, "click"), (1, 2, "click"), (1, 3, "purchase")]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_fl")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, fa, la, ba FROM __mr_fl
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS fa, LAST(A.seq) AS la, A.seq AS ba
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,2} B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        """
+    ).collect()
+    # start@1: greedy 2 clicks -> FIRST=1, LAST=bare=2; start@2: 1 click
+    assert sorted((r.user_id, r.fa, r.la, r.ba) for r in got) == [
+        (1, 1, 2, 2), (1, 2, 2, 2),
+    ]
+    got2 = StatementRouter(spark).execute(
+        """
+        SELECT user_id, fa, la, b_seq FROM __mr_fl
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS fa, LAST(A.seq) AS la, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        """
+    ).collect()
+    assert sorted((r.user_id, r.fa, r.la, r.b_seq) for r in got2) == [
+        (1, 1, 2, 3), (1, 2, 2, 3),
+    ]
+
+
+def test_min_run_pattern(spark):
+    """PATTERN (A{2,} B): like A+ B but the start must have at least 2
+    A-rows remaining in its run — starts too close to the run end drop."""
+    rows = [
+        (1, 1, "click"), (1, 2, "click"), (1, 3, "click"), (1, 4, "purchase"),
+        (2, 1, "click"), (2, 2, "purchase"),  # run of 1: no match
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_minrun")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, last_a, b_seq FROM __mr_minrun
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS last_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{2,} B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+        """
+    ).collect()
+    # user 1: starts at seq 1 (3 A's) and seq 2 (2 A's) qualify; the
+    # start at seq 3 has only 1 A remaining -> dropped; user 2's run of
+    # one click cannot satisfy {2,}
+    assert sorted((r.user_id, r.last_a, r.b_seq) for r in got) == [
+        (1, 3, 4), (1, 3, 4),
+    ]
+
+
 def test_prev_guards():
     base = BASE.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
     # PREV over another variable needs an NFA

@@ -153,6 +153,12 @@ class Engine:
             raise unsupported(f"pattern input {spec.table!r} not in sources")
 
         if spec.plus is not None:
+            if spec.plus[2] > 1:
+                raise unsupported(
+                    "A{n,} minimum-run bounds (the streaming matcher "
+                    "tracks O(1) state; run length bounds need a counter "
+                    "— use the batch path)"
+                )
             if not spec.skip_past_last:
                 raise unsupported(
                     "A+ B with SKIP TO NEXT ROW (per-start emission needs "

@@ -11,9 +11,11 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                (1 <= n <= m <= 8), lowered as the union of fixed-length
                variants with greedy (longest-match-per-start-row,
                Flink-default) selection, OR the unbounded run shape
-               ``A+ B`` (exact gaps-and-islands lowering when the two
-               DEFINEs are provably disjoint — no NFA needed because
-               backtracking provably cannot help), OR one alternation
+               ``A+ B`` / ``A{n,} B`` (exact gaps-and-islands lowering
+               when the two DEFINEs are provably disjoint — no NFA
+               needed because backtracking provably cannot help; {n,}
+               additionally requires n run rows from each start), OR one
+               alternation
                group
                ``(X|Y)`` (variants in declaration order — leftmost
                alternative preferred, the unchosen variable's measures
@@ -25,7 +27,9 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                offset of the adjacent sequence, raising when it reaches
                before the match start — MEASURES
                of ``Var.col AS alias`` (a quantified variable's measure =
-               its LAST mapped row, the Flink default), optionally
+               its LAST mapped row, the Flink default) and
+               ``FIRST(Var.col)`` / ``LAST(Var.col)`` navigation to the
+               first/last mapped row, optionally
                prefixed RUNNING/FINAL (ALL ROWS: RUNNING is NULL until
                the variable's row is reached, FINAL shows the complete
                match's value on every row), ``CLASSIFIER() AS alias``
@@ -44,13 +48,13 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                with distinct literals — so matches can never share rows
                and greedy skipping equals keep-everything), optional
                WITHIN INTERVAL bound.
-  unsupported: unbounded quantifiers beyond the disjoint (A+ B) shape
-               (A*, {0,m}, A+ with overlapping DEFINEs), multiple
-               alternation groups, a quantifier AND an alternation
-               together, NEXT/FIRST/LAST navigation, PREV over another
-               variable or past the match start, ALL ROWS PER MATCH with
-               a quantifier — these need a real
-               NFA; the router raises the instructive error pointing at
+  unsupported: unbounded quantifiers beyond the disjoint run shape
+               (A*, {0,m}, overlapping-DEFINE A+), multiple alternation
+               groups, a quantifier AND an alternation together,
+               NEXT/FIRST/LAST inside DEFINE, PREV over another variable
+               or past the match start, measure aggregates, ALL ROWS PER
+               MATCH with a quantifier — these need a real NFA; the
+               router raises the instructive error pointing at
                pattern_funnel / applyInPandasWithState instead.
 
 Lowering: one Window partitionBy(PARTITION BY).orderBy(ORDER BY); row i
@@ -92,7 +96,10 @@ _CLAUSES_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MEASURE_RE = re.compile(
-    r"^(?:(?P<mode>RUNNING|FINAL)\s+)?(?P<var>\w+)\.(?P<col>\w+)\s+AS\s+(?P<alias>\w+)$",
+    r"^(?:(?P<mode>RUNNING|FINAL)\s+)?"
+    r"(?:(?P<nav>FIRST|LAST)\s*\(\s*(?P<nvar>\w+)\.(?P<ncol>\w+)\s*\)"
+    r"|(?P<var>\w+)\.(?P<col>\w+))"
+    r"\s+AS\s+(?P<alias>\w+)$",
     re.IGNORECASE,
 )
 _CLASSIFIER_RE = re.compile(
@@ -138,12 +145,16 @@ class MatchRecognizeSpec:
     # per sequence position: the alternative variables that may bind it
     # (singleton lists except for one optional (X|Y) alternation group)
     positions: list[list[str]] = dataclasses_field(default_factory=list)
-    # PATTERN (A+ B): (run_var, next_var) — unbounded maximal-run shape,
-    # lowered via gaps-and-islands (requires provably disjoint DEFINEs)
-    plus: tuple[str, str] | None = None
+    # PATTERN (A+ B) / (A{n,} B): (run_var, next_var, min_run) —
+    # unbounded maximal-run shape, lowered via gaps-and-islands
+    # (requires provably disjoint DEFINEs)
+    plus: tuple[str, str, int] | None = None
     # ALL ROWS PER MATCH WITH UNMATCHED ROWS: also emit rows covered by
     # NO match, once, with NULL measures
     with_unmatched: bool = False
+    # FIRST/LAST navigation per measure alias (default: LAST, the Flink
+    # bare-Var.col behavior on multiply-mapped variables)
+    measure_nav: dict[str, str] = dataclasses_field(default_factory=dict)
 
 
 def _split_commas(s: str) -> list[str]:
@@ -222,15 +233,26 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         )
 
     pattern_text = m.group("pattern")
-    plus: tuple[str, str] | None = None
-    pm = re.fullmatch(r"(?P<a>\w+)\+\s+(?P<b>\w+)", pattern_text.strip())
+    plus: tuple[str, str, int] | None = None
+    pm = re.fullmatch(
+        r"(?P<a>\w+)(?:\+|\{(?P<lo>\d+),\})\s+(?P<b>\w+)",
+        pattern_text.strip(),
+    )
     if pm is not None:
-        # PATTERN (A+ B): the unbounded-run shape, lowered exactly via
-        # gaps-and-islands WHEN the two predicates are provably disjoint
-        # (checked after DEFINE parsing — backtracking to a shorter A-run
-        # can then never succeed, because the row after a shorter run
-        # satisfies A and a row cannot satisfy both A and B)
-        plus = (pm.group("a"), pm.group("b"))
+        # PATTERN (A+ B) / (A{n,} B): the unbounded-run shape, lowered
+        # exactly via gaps-and-islands WHEN the two predicates are
+        # provably disjoint (checked after DEFINE parsing — backtracking
+        # to a shorter A-run can then never succeed, because the row
+        # after a shorter run satisfies A and a row cannot satisfy both
+        # A and B). The {n,} form additionally requires at least n A-rows
+        # between the start and the run end.
+        lo = int(pm.group("lo") or 1)
+        if lo < 1:
+            raise UnsupportedPatternError(
+                "A{0,} (zero-or-more) needs a real NFA — minimum run "
+                "length must be >= 1"
+            )
+        plus = (pm.group("a"), pm.group("b"), lo)
     elif re.search(r"[+*?]", pattern_text):
         raise UnsupportedPatternError(
             f"PATTERN ({pattern_text}) uses unbounded quantifiers — only "
@@ -246,7 +268,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
     quant: tuple[str, int, int] | None = None
     alt_seen = False
     if plus is not None:
-        pattern = list(plus)
+        pattern = [plus[0], plus[1]]
         positions = [[plus[0]], [plus[1]]]
     tok_re = re.compile(
         r"\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
@@ -307,6 +329,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
 
     measures = []
     measure_modes: dict[str, str] = {}
+    measure_nav: dict[str, str] = {}
     for item in _split_commas(m.group("measures")):
         cm = _CLASSIFIER_RE.match(item)
         if cm is not None:
@@ -320,19 +343,23 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if mm is None:
             raise UnsupportedPatternError(
                 f"MEASURES item {item!r} outside the subset (only "
-                "[RUNNING|FINAL] Var.col AS alias, CLASSIFIER() AS alias, "
-                "or MATCH_NUMBER() AS alias; FIRST/LAST/aggregates need a "
-                "real NFA)"
+                "[RUNNING|FINAL] Var.col / FIRST(Var.col) / LAST(Var.col) "
+                "AS alias, CLASSIFIER() AS alias, or MATCH_NUMBER() AS "
+                "alias; aggregates need a real NFA)"
             )
-        if mm.group("var") not in pattern:
+        mvar = mm.group("nvar") or mm.group("var")
+        mcol = mm.group("ncol") or mm.group("col")
+        if mvar not in pattern:
             raise UnsupportedPatternError(
                 f"MEASURES item {item!r} references variable "
-                f"{mm.group('var')!r} which is not in PATTERN "
+                f"{mvar!r} which is not in PATTERN "
                 f"({' '.join(pattern)})"
             )
-        measures.append((mm.group("var"), mm.group("col"), mm.group("alias")))
+        measures.append((mvar, mcol, mm.group("alias")))
         if mm.group("mode"):
             measure_modes[mm.group("alias")] = mm.group("mode").upper()
+        if mm.group("nav"):
+            measure_nav[mm.group("alias")] = mm.group("nav").upper()
 
     defines: dict[str, str] = {}
     for item in _split_commas(m.group("define")):
@@ -415,6 +442,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         positions=positions,
         plus=plus,
         with_unmatched=with_unmatched,
+        measure_nav=measure_nav,
     )
     if plus is not None:
         if not _provably_disjoint(spec):
@@ -555,7 +583,7 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     run row. The second window's clustering is a superset of the first's
     hash partitioning, so Spark inserts NO second exchange — one shuffle
     total, state O(1) per row, no join, no NFA."""
-    a_var, b_var = spec.plus
+    a_var, b_var, min_run = spec.plus
     df = spark.table(spec.table)
     cols = df.columns
     w = Window.partitionBy(*spec.partition_by).orderBy(*spec.order_by)
@@ -606,12 +634,28 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     ).over(wi)
     out = out.withColumn("__endinfo", end_info)
 
+    if min_run > 1:
+        # A{n,}: at least n A-rows from this start to the run end — a
+        # suffix count over the island partition (same clustering as the
+        # end-info window, no extra exchange)
+        wi_rem = (
+            Window.partitionBy(*spec.partition_by, "__isl")
+            .orderBy(*spec.order_by)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        out = out.withColumn(
+            "__mr_rem",
+            F.count(F.when(F.col("__a"), F.lit(1))).over(wi_rem),
+        )
+
     start_ok = F.col("__a")
     if spec.skip_past_last:
         # disjoint DEFINEs → runs never share rows; greedy skipping keeps
         # exactly the run-head start of each qualifying run
         start_ok = start_ok & ~F.coalesce(F.col("__prev_a"), F.lit(False))
     cond = start_ok & F.col("__endinfo").isNotNull() & F.col("__endinfo.__nb")
+    if min_run > 1:
+        cond = cond & (F.col("__mr_rem") >= min_run)
     if spec.within_seconds is not None:
         ts0 = spec.order_by[0]
         cond = cond & (
@@ -628,8 +672,12 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             select.append(F.col("__mr_mn").alias(alias))
         elif var == CLASSIFIER:
             select.append(F.lit(b_var).alias(alias))
-        elif var == a_var:  # Flink: last mapped row of the run
-            select.append(F.col(f"__endinfo.{col}").alias(alias))
+        elif var == a_var:
+            if spec.measure_nav.get(alias) == "FIRST":
+                # FIRST(A.col): the match start — the current row itself
+                select.append(F.col(col).alias(alias))
+            else:  # bare A.col / LAST(A.col): the run END (Flink default)
+                select.append(F.col(f"__endinfo.{col}").alias(alias))
         else:
             select.append(F.col(f"__endinfo.__nx.{col}").alias(alias))
     return matched.select(*select)
@@ -715,13 +763,17 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         # ranks only the matched subset.
         matched = matched.withColumn("__mr_mn", F.row_number().over(w))
 
-    def ref_at(var: str, col: str, vs: list[str]):
-        # Flink: Var.col on a multiply-mapped variable = LAST mapped row;
-        # a variable that did not participate in this variant (the other
-        # alternative of an (X|Y) group) measures as NULL
+    def ref_at(var: str, col: str, vs: list[str], nav: str = "LAST"):
+        # Flink: bare Var.col on a multiply-mapped variable = LAST mapped
+        # row; FIRST(Var.col) = first mapped row. A variable that did not
+        # participate in this variant (the other alternative of an (X|Y)
+        # group) measures as NULL
         if var not in vs:
             return F.lit(None)
-        k = len(vs) - 1 - vs[::-1].index(var)
+        if nav == "FIRST":
+            k = vs.index(var)
+        else:
+            k = len(vs) - 1 - vs[::-1].index(var)
         return F.col(col) if k == 0 else F.col(f"__mr_s{k}.{col}")
 
     def per_variant(value_of):
@@ -824,9 +876,11 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             select.append(F.col("__mr_mn").alias(alias))
             continue
 
-        def value_of(vs: list[str], var=var, col=col):
+        def value_of(vs: list[str], var=var, col=col, alias=alias):
             # CLASSIFIER() under ONE ROW PER MATCH = the last row's variable
-            return F.lit(vs[-1]) if var == CLASSIFIER else ref_at(var, col, vs)
+            if var == CLASSIFIER:
+                return F.lit(vs[-1])
+            return ref_at(var, col, vs, spec.measure_nav.get(alias, "LAST"))
 
         select.append(per_variant(value_of).alias(alias))
     return matched.select(*select)
