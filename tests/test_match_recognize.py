@@ -694,3 +694,73 @@ def test_unsupported_raises_instructive_router_error(spark):
             )
             """
         )
+
+
+# ---------------------------------------------------------------- property
+# Adversarial check of the variant/island lowerings against a direct
+# Python reference on random sequences (single partition, adjacency and
+# greedy/backtracking semantics exercised at every boundary).
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+TYPES = st.lists(st.sampled_from(["a", "b", "x"]), min_size=2, max_size=18)
+
+
+def _ref_quant(types, lo, hi):
+    """Greedy A{lo,hi} B per start row (longest variant first)."""
+    out = []
+    n = len(types)
+    for s in range(n):
+        for c in range(hi, lo - 1, -1):
+            if s + c >= n:
+                continue
+            if all(types[s + i] == "a" for i in range(c)) and types[s + c] == "b":
+                out.append((s + c - 1, s + c))  # (last A pos, B pos)
+                break
+    return sorted(out)
+
+
+def _ref_plus(types, min_run=1):
+    """Maximal-run A+/A{n,} B per start row."""
+    out = []
+    n = len(types)
+    for s in range(n):
+        if types[s] != "a":
+            continue
+        e = s
+        while e + 1 < n and types[e + 1] == "a":
+            e += 1
+        if e + 1 < n and types[e + 1] == "b" and (e - s + 1) >= min_run:
+            out.append((e, e + 1))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(types=TYPES, shape=st.sampled_from(["quant", "plus", "minrun"]))
+def test_lowering_matches_python_reference(spark, types, shape):
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_prop")
+    pattern, ref = {
+        "quant": ("A{1,3} B", lambda: _ref_quant(types, 1, 3)),
+        "plus": ("A+ B", lambda: _ref_plus(types, 1)),
+        "minrun": ("A{2,} B", lambda: _ref_plus(types, 2)),
+    }[shape]
+    got = StatementRouter(spark).execute(
+        f"""
+        SELECT last_a, b_seq FROM __mr_prop
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS last_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN ({pattern})
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'b'
+        )
+        """
+    ).collect()
+    assert sorted((r.last_a, r.b_seq) for r in got) == ref()
