@@ -766,3 +766,36 @@ def test_adjacent_pattern_stream_matches_batch_match_recognize(spark, sf_small):
     )
     want = {(r.user_id, r.first_ts, r.second_ts) for r in batch.collect()}
     assert got == want and want
+
+
+def test_tumble_tvf_statement_streams_append_mode(spark, sf_small):
+    """TUMBLE TVF statement in APPEND mode — the production sink mode:
+    the native-window streaming rewrite keeps event-time metadata, so a
+    watermarked statement emits each closed window exactly once. With an
+    in-order replay the emitted windows carry exact batch counts; only
+    the never-closing tail may be missing."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select("ts", "value")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE events_app_stream MODIFY WATERMARK FOR `ts` AS `ts`")
+    stmt = (
+        "SELECT window_start, COUNT(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE events_app_stream, DESCRIPTOR(ts), "
+        "INTERVAL '1' HOUR)) GROUP BY window_start"
+    )
+    ev.createOrReplaceTempView("events_app_stream")
+    batch = {r.window_start: r.n for r in eng.sql(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"events_app_stream": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = {r.window_start: r.n for r in streamed.collect()}
+    assert set(got) <= set(batch)
+    assert all(got[w] == batch[w] for w in got)  # in-order: exact counts
+    assert len(got) >= len(batch) - 2  # only the open tail may be missing
+    assert len(got) > 0

@@ -198,35 +198,53 @@ def _split_select_items(s: str) -> list[str]:
 
 
 def rewrite_session_tvf_streaming(sql: str) -> str | None:
-    """Rewrite a SESSION window-TVF statement to native ``session_window``
-    grouping — the STREAMING-capable lowering.
+    """Rewrite a SESSION/TUMBLE/HOP window-TVF statement to NATIVE window
+    grouping — the STREAMING-capable lowering (append-mode capable).
 
-    The batch SESSION rewrite (gaps-and-islands in ``rewrite_window_tvfs``)
-    uses LAG + running-sum window functions, which Structured Streaming
-    rejects; Spark's native ``session_window`` aggregation is the
-    streaming path and produces identical sessions (start = first event,
-    end = last event + gap — the green window_session ≡
-    window_session_sql parity pair proves the equivalence in batch).
+    The batch rewrites extract window_start as a plain column, which
+    strips Spark's event-time metadata: append mode is then rejected and
+    SESSION's gaps-and-islands LAG rewrite fails outright. Grouping by
+    the native ``window(ts, size[, slide])`` / ``session_window(ts, gap)``
+    expressions instead keeps the event-time column intact, so watermarked
+    statements emit closed windows in APPEND mode — the production sink
+    mode — with identical results (the green window_* ≡ window_*_sql
+    parity pairs prove batch equivalence; CUMULATE has no native form and
+    keeps the explode rewrite, update/complete modes).
 
     Handles the canonical lab shape
-    ``SELECT ... FROM TABLE(SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts),
+    ``SELECT ... FROM TABLE(<TVF>(TABLE t [PARTITION BY k], DESCRIPTOR(ts),
     INTERVAL '..')) GROUP BY ..`` by substituting the TVF with the bare
-    table, swapping window_start/window_end for session_window.start/end
-    in the select list, and replacing them in GROUP BY with the
-    session_window(ts, gap) grouping expression. Returns None when the
-    statement has no SESSION TVF; raises ValueError for statements outside
-    the canonical shape (instructive, never a silent wrong answer)."""
+    table, swapping window_start/window_end for <struct>.start/end in the
+    select list, and replacing them in GROUP BY with the native grouping
+    expression. Returns None when the statement has no rewritable TVF;
+    raises ValueError for statements outside the canonical shape
+    (instructive, never a silent wrong answer)."""
     m = _WINDOW_TVF_RE.search(sql)
-    if m is None or m.group("kind").upper() != "SESSION":
+    if m is None:
         return None
+    kind = m.group("kind").upper()
     tbl, ts = m.group("tbl"), m.group("ts")
-    (gap, _), = _durations(m.group("args"))
+    durs = _durations(m.group("args"))
+    if kind == "SESSION":
+        (gap, _), = durs
+        sw = f"session_window(`{ts}`, '{gap}')"
+        struct = "session_window"
+    elif kind == "TUMBLE":
+        (size, _), = durs
+        sw = f"window(`{ts}`, '{size}')"
+        struct = "window"
+    elif kind == "HOP":
+        (slide, _), (size, _) = durs  # Flink arg order: slide, size
+        sw = f"window(`{ts}`, '{size}', '{slide}')"
+        struct = "window"
+    else:  # CUMULATE: the explode-based batch rewrite streams as-is
+        # (update/complete modes; the expansion is stateless row fan-out)
+        return None
     pby = [
         k.strip().strip("`")
         for k in (m.group("pby") or "").split(",")
         if k.strip()
     ]
-    sw = f"session_window(`{ts}`, '{gap}')"
     out = sql[: m.start()] + f"`{tbl}`" + sql[m.end() :]
 
     gm = re.search(
@@ -236,9 +254,9 @@ def rewrite_session_tvf_streaming(sql: str) -> str | None:
     )
     if gm is None:
         raise ValueError(
-            "streaming SESSION TVF requires an aggregating statement "
-            "(GROUP BY over window_start/window_end) — the session merge "
-            "IS the aggregation"
+            f"streaming {kind} TVF requires an aggregating statement "
+            "(GROUP BY over window_start/window_end) — the windowed "
+            "aggregation IS the streaming operator"
         )
     g_items = _split_select_items(gm.group("items"))
     kept = [
@@ -249,24 +267,24 @@ def rewrite_session_tvf_streaming(sql: str) -> str | None:
     missing = [k for k in pby if k not in {i.strip("`") for i in kept}]
     if missing:
         raise ValueError(
-            f"SESSION PARTITION BY keys {missing} must appear in GROUP BY "
-            "for the streaming session_window lowering (sessions merge per "
+            f"{kind} PARTITION BY keys {missing} must appear in GROUP BY "
+            "for the streaming native-window lowering (windows merge per "
             "grouping key)"
         )
     out = out[: gm.start("items")] + ", ".join([sw] + kept) + out[gm.end("items") :]
 
     sm = re.match(r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s", out, re.IGNORECASE | re.DOTALL)
     if sm is None:
-        raise ValueError("streaming SESSION TVF: cannot locate SELECT list")
+        raise ValueError(f"streaming {kind} TVF: cannot locate SELECT list")
     new_items = []
     for it in _split_select_items(sm.group("sel")):
         if re.fullmatch(r"`?window_start`?", it, re.IGNORECASE):
-            new_items.append("session_window.start AS window_start")
+            new_items.append(f"{struct}.start AS window_start")
         elif re.fullmatch(r"`?window_end`?", it, re.IGNORECASE):
-            new_items.append("session_window.end AS window_end")
+            new_items.append(f"{struct}.end AS window_end")
         else:
-            it = re.sub(r"\bwindow_start\b", "session_window.start", it)
-            it = re.sub(r"\bwindow_end\b", "session_window.end", it)
+            it = re.sub(r"\bwindow_start\b", f"{struct}.start", it)
+            it = re.sub(r"\bwindow_end\b", f"{struct}.end", it)
             new_items.append(it)
     return out[: sm.start("sel")] + ", ".join(new_items) + out[sm.end("sel") :]
 
