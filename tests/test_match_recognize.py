@@ -651,6 +651,51 @@ def test_min_run_pattern(spark):
     ]
 
 
+def test_aggregate_measures(spark):
+    """COUNT/SUM/AVG/MIN/MAX over a mapped variable: per-variant
+    expressions for bounded quantifiers, suffix-window aggregates for the
+    unbounded run shape."""
+    rows = [
+        (1, 1, "click", 10.0), (1, 2, "click", 30.0), (1, 3, "purchase", 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_agg")
+    body = """
+        SELECT user_id, n_a, sum_v, avg_v, min_v, max_v FROM __mr_agg
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES COUNT(A.*) AS n_a, SUM(A.v) AS sum_v, AVG(A.v) AS avg_v,
+                     MIN(A.v) AS min_v, MAX(A.v) AS max_v
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN ({pat})
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+    """
+    for pat in ("A{1,3} B", "A+ B"):
+        got = StatementRouter(spark).execute(body.format(pat=pat)).collect()
+        # start@1: A maps seq 1,2 -> count 2, sum 40, avg 20, min 10, max 30
+        # start@2: A maps seq 2   -> count 1, sum 30, avg 30, min 30, max 30
+        assert sorted(
+            (r.user_id, r.n_a, r.sum_v, r.avg_v, r.min_v, r.max_v)
+            for r in got
+        ) == [
+            (1, 1, 30.0, 30.0, 30.0, 30.0),
+            (1, 2, 40.0, 20.0, 10.0, 30.0),
+        ], pat
+    # aggregates under ALL ROWS (running) stay guarded
+    with pytest.raises(UnsupportedPatternError, match="aggregate"):
+        parse_match_recognize(
+            _mr(
+                BASE.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+                .replace("A.ts AS a_ts", "SUM(A.ts) AS a_ts")
+            )
+        )
+
+
 def test_prev_guards():
     base = BASE.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
     # PREV over another variable needs an NFA

@@ -184,7 +184,7 @@ class Engine:
 
         select = [F.col(key)]
         for var, col, alias in spec.measures:
-            if var not in pos_col or col != ts_col:
+            if var not in pos_col or col != ts_col or alias in spec.measure_agg:
                 raise unsupported(
                     f"measure {var}.{col} (only Var.{ts_col} is carried "
                     "through the streaming state)"

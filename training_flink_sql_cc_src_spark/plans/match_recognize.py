@@ -35,7 +35,12 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                match's value on every row), ``CLASSIFIER() AS alias``
                and ``MATCH_NUMBER() AS alias`` (sequential per
                partition, ranked over the matched subset on the same
-               window partitioning — no extra exchange), ONE ROW PER
+               window partitioning — no extra exchange), aggregate
+               measures ``COUNT/SUM/AVG/MIN/MAX(Var.col)`` /
+               ``COUNT(Var.*)`` over the variable's mapped rows
+               (per-variant expressions for bounded shapes,
+               suffix-window aggregates over the run id for A+/A{n,} —
+               ONE ROW PER MATCH only), ONE ROW PER
                MATCH, ALL ROWS PER
                MATCH (unquantified patterns; running-measure semantics —
                a measure on a not-yet-reached variable is NULL),
@@ -52,8 +57,9 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                (A*, {0,m}, overlapping-DEFINE A+), multiple alternation
                groups, a quantifier AND an alternation together,
                NEXT/FIRST/LAST inside DEFINE, PREV over another variable
-               or past the match start, measure aggregates, ALL ROWS PER
-               MATCH with a quantifier — these need a real NFA; the
+               or past the match start, aggregate measures under ALL
+               ROWS (running aggregates), ALL ROWS PER MATCH with a
+               quantifier — these need a real NFA; the
                router raises the instructive error pointing at
                pattern_funnel / applyInPandasWithState instead.
 
@@ -108,6 +114,11 @@ _CLASSIFIER_RE = re.compile(
 _MATCH_NUMBER_RE = re.compile(
     r"^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(?P<alias>\w+)$", re.IGNORECASE
 )
+_AGG_MEASURE_RE = re.compile(
+    r"^(?P<fn>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<var>\w+)\.(?P<col>\w+|\*)\s*\)"
+    r"\s+AS\s+(?P<alias>\w+)$",
+    re.IGNORECASE,
+)
 # sentinel vars for CLASSIFIER() / MATCH_NUMBER() measures (not column refs)
 CLASSIFIER = "__classifier__"
 MATCH_NUMBER = "__match_number__"
@@ -155,6 +166,9 @@ class MatchRecognizeSpec:
     # FIRST/LAST navigation per measure alias (default: LAST, the Flink
     # bare-Var.col behavior on multiply-mapped variables)
     measure_nav: dict[str, str] = dataclasses_field(default_factory=dict)
+    # COUNT/SUM/AVG/MIN/MAX per measure alias — aggregate over the
+    # variable's mapped rows (ONE ROW PER MATCH only)
+    measure_agg: dict[str, str] = dataclasses_field(default_factory=dict)
 
 
 def _split_commas(s: str) -> list[str]:
@@ -330,6 +344,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
     measures = []
     measure_modes: dict[str, str] = {}
     measure_nav: dict[str, str] = {}
+    measure_agg: dict[str, str] = {}
     for item in _split_commas(m.group("measures")):
         cm = _CLASSIFIER_RE.match(item)
         if cm is not None:
@@ -338,6 +353,26 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         nm = _MATCH_NUMBER_RE.match(item)
         if nm is not None:
             measures.append((MATCH_NUMBER, "", nm.group("alias")))
+            continue
+        am = _AGG_MEASURE_RE.match(item)
+        if am is not None:
+            fn = am.group("fn").upper()
+            if am.group("col") == "*" and fn != "COUNT":
+                raise UnsupportedPatternError(
+                    f"MEASURES item {item!r}: only COUNT accepts Var.*"
+                )
+            if am.group("var") not in pattern:
+                raise UnsupportedPatternError(
+                    f"MEASURES item {item!r} references variable "
+                    f"{am.group('var')!r} which is not in PATTERN"
+                )
+            if all_rows:
+                raise UnsupportedPatternError(
+                    "aggregate MEASURES under ALL ROWS PER MATCH (running "
+                    "aggregates) need a real NFA — use ONE ROW PER MATCH"
+                )
+            measures.append((am.group("var"), am.group("col"), am.group("alias")))
+            measure_agg[am.group("alias")] = fn
             continue
         mm = _MEASURE_RE.match(item)
         if mm is None:
@@ -443,6 +478,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         plus=plus,
         with_unmatched=with_unmatched,
         measure_nav=measure_nav,
+        measure_agg=measure_agg,
     )
     if plus is not None:
         if not _provably_disjoint(spec):
@@ -634,19 +670,33 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     ).over(wi)
     out = out.withColumn("__endinfo", end_info)
 
-    if min_run > 1:
-        # A{n,}: at least n A-rows from this start to the run end — a
-        # suffix count over the island partition (same clustering as the
-        # end-info window, no extra exchange)
+    run_aggs = [
+        (alias, spec.measure_agg[alias], var, col)
+        for var, col, alias in spec.measures
+        if alias in spec.measure_agg and var == a_var
+    ]
+    if min_run > 1 or run_aggs:
+        # suffix frame over the island partition (same clustering as the
+        # end-info window, no extra exchange): counts/sums of the run's
+        # A-rows from this start to the run end
         wi_rem = (
             Window.partitionBy(*spec.partition_by, "__isl")
             .orderBy(*spec.order_by)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        out = out.withColumn(
-            "__mr_rem",
-            F.count(F.when(F.col("__a"), F.lit(1))).over(wi_rem),
-        )
+        if min_run > 1:
+            out = out.withColumn(
+                "__mr_rem",
+                F.count(F.when(F.col("__a"), F.lit(1))).over(wi_rem),
+            )
+        _AGG_FNS = {"COUNT": F.count, "SUM": F.sum, "AVG": F.avg,
+                    "MIN": F.min, "MAX": F.max}
+        for alias, fn, _var, col in run_aggs:
+            arg = F.lit(1) if col == "*" else F.col(col)
+            out = out.withColumn(
+                f"__agg_{alias}",
+                _AGG_FNS[fn](F.when(F.col("__a"), arg)).over(wi_rem),
+            )
 
     start_ok = F.col("__a")
     if spec.skip_past_last:
@@ -672,6 +722,17 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             select.append(F.col("__mr_mn").alias(alias))
         elif var == CLASSIFIER:
             select.append(F.lit(b_var).alias(alias))
+        elif alias in spec.measure_agg:
+            if var == a_var:  # precomputed suffix aggregate over the run
+                select.append(F.col(f"__agg_{alias}").alias(alias))
+            else:  # B maps exactly one row: the aggregate degenerates
+                fn = spec.measure_agg[alias]
+                if fn == "COUNT":
+                    select.append(F.lit(1).cast("long").alias(alias))
+                else:
+                    select.append(
+                        F.col(f"__endinfo.__nx.{col}").alias(alias)
+                    )
         elif var == a_var:
             if spec.measure_nav.get(alias) == "FIRST":
                 # FIRST(A.col): the match start — the current row itself
@@ -880,6 +941,29 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             # CLASSIFIER() under ONE ROW PER MATCH = the last row's variable
             if var == CLASSIFIER:
                 return F.lit(vs[-1])
+            fn = spec.measure_agg.get(alias)
+            if fn is not None:
+                # aggregate over the variable's mapped offsets in this
+                # variant — a fixed, small expression per variant
+                offs = [k for k, v in enumerate(vs) if v == var]
+                if not offs:
+                    return (
+                        F.lit(0).cast("long") if fn == "COUNT" else F.lit(None)
+                    )
+                if fn == "COUNT":
+                    return F.lit(len(offs)).cast("long")
+                refs = [
+                    F.col(col) if k == 0 else F.col(f"__mr_s{k}.{col}")
+                    for k in offs
+                ]
+                if fn in ("SUM", "AVG"):
+                    e = refs[0]
+                    for r in refs[1:]:
+                        e = e + r
+                    return e / F.lit(len(refs)) if fn == "AVG" else e
+                if fn == "MIN":
+                    return F.least(*refs) if len(refs) > 1 else refs[0]
+                return F.greatest(*refs) if len(refs) > 1 else refs[0]
             return ref_at(var, col, vs, spec.measure_nav.get(alias, "LAST"))
 
         select.append(per_variant(value_of).alias(alias))

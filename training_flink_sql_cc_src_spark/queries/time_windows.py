@@ -579,6 +579,75 @@ def pattern_match_recognize_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_match_recognize_agg",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id, ts, event_id, value,
+               event_type = 'click' AS a,
+               LAG(event_type = 'click') OVER w AS prev_a,
+               LEAD(event_type = 'click') OVER w AS next_a,
+               LEAD(event_type = 'purchase') OVER w AS next_b,
+               LEAD(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+        SELECT *, SUM(CASE WHEN a AND NOT COALESCE(prev_a, FALSE)
+                           THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS g
+        FROM flags
+    ), runs AS (
+        SELECT user_id, g,
+               COUNT(*) AS n_clicks,
+               MIN(value) AS min_click_value,
+               MAX(value) AS max_click_value,
+               MAX(CASE WHEN NOT COALESCE(next_a, FALSE)
+                        THEN next_ts END) AS b_ts,
+               BOOL_OR(NOT COALESCE(next_a, FALSE)
+                       AND COALESCE(next_b, FALSE)) AS b_ok
+        FROM isl WHERE a GROUP BY user_id, g
+    )
+    SELECT user_id, n_clicks, min_click_value, max_click_value,
+           CAST(FLOOR(EPOCH(b_ts)) AS BIGINT) AS purchase_epoch
+    FROM runs WHERE b_ok
+    """,
+    doc="Aggregate MEASURES over a mapped run — COUNT(A.*) / MIN(A.value) "
+    "/ MAX(A.value) on PATTERN (A+ B) under SKIP PAST LAST ROW: per "
+    "click-run-ending-in-purchase, how many clicks and their value "
+    "range. The lowering precomputes suffix-window aggregates over the "
+    "run id partition (same clustering as the end-info window — no "
+    "extra exchange, O(1) state per row at any run length); the oracle "
+    "replays the per-island GROUP BY in DuckDB. Exact-comparable "
+    "aggregates only (COUNT/MIN/MAX) so the hash check is "
+    "addition-order-independent; SUM/AVG are unit-tested.",
+)
+def pattern_match_recognize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_agg")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, n_clicks, min_click_value, max_click_value,
+               CAST(purchase_ts AS LONG) AS purchase_epoch
+        FROM __mr_events_agg
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(A.*) AS n_clicks,
+                     MIN(A.value) AS min_click_value,
+                     MAX(A.value) AS max_click_value,
+                     B.ts AS purchase_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        ) AS m
+        """
+    )
+
+
+@register(
     "pattern_match_recognize_alt",
     oracle="""
     WITH seq AS (
