@@ -94,3 +94,40 @@ def test_big_topn_keeps_rank_pushdown(spark, big_li):
     assert q.count() == 3 * 5 or q.count() == len(
         [r.l_returnflag for r in q.select("l_returnflag").distinct().collect()]
     ) * 5
+
+
+def test_big_match_recognize_scales_linearly(spark, sf_med):
+    """CEP under data growth: replicating events 8x across disjoint user
+    spaces must scale the match count exactly 8x (matches are per-user,
+    replication-invariant) and keep the single-window-exchange plan."""
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    ev = t(spark, sf_med, "events")
+    big = ev
+    for i in range(1, REPL):
+        big = big.unionByName(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+        )
+    stmt = """
+        SELECT user_id, CAST(a_ts AS LONG) AS a_e FROM {tbl}
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click'
+        )
+    """
+    ev.createOrReplaceTempView("__mr_scale_base")
+    big.createOrReplaceTempView("__mr_scale_big")
+    r = StatementRouter(spark)
+    n_base = r.execute(stmt.format(tbl="__mr_scale_base")).count()
+    big_df = r.execute(stmt.format(tbl="__mr_scale_big"))
+    assert big_df.count() == n_base * REPL and n_base > 0
+    plan = big_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 2
+    assert "CartesianProduct" not in plan
