@@ -280,3 +280,10 @@ def test_incremental_dedup_no_cartesian_single_key(spark, sf_med):
     plan = _plan(spark, "pipeline_incremental_dedup", sf_med)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_dedup_uses_group_limit(spark, sf_med):
+    """Window dedup (rn = 1) must keep one row per (window, user) on the
+    map side (WindowGroupLimit) before the exchange."""
+    plan = _plan(spark, "window_dedup_first", sf_med)
+    assert "WindowGroupLimit" in plan

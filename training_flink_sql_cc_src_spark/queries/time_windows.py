@@ -579,6 +579,96 @@ def pattern_match_recognize_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_topn",
+    oracle=f"""
+    WITH w AS (
+        SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type) AS rnk
+        FROM w
+    ) WHERE rnk <= 3
+    """,
+    doc="Flink Window Top-N (the windowing-TVF chapter's flagship "
+    "composition): top 3 event types per hour by event count — a "
+    "windowed aggregate feeding a per-window rank filter. Spark lowers "
+    "the rank filter to WindowGroupLimit over the (already tiny) "
+    "aggregate; the windowed aggregate itself is the only data-sized "
+    "shuffle. Ties broken by event_type for cross-engine determinism.",
+)
+def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    rk = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )
+
+
+@register(
+    "window_dedup_first",
+    oracle=f"""
+    SELECT window_start, user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS first_ts_epoch,
+           event_id AS first_event_id
+    FROM (
+        SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS window_start,
+               user_id, ts, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ({EPOCH_SQL.format(x='ts')} // 3600), user_id
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Flink Window Deduplication: the FIRST event per (hour, user) — "
+    "ROW_NUMBER() = 1 over the window/key partition, the per-window "
+    "variant of the keyed dedup the compacted-topic lab teaches. One "
+    "shuffle on (window, user); Spark's WindowGroupLimit keeps map-side "
+    "state at one row per group before the exchange. Tie-broken by "
+    "event_id so both engines pick the identical row.",
+)
+def window_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour").start.cast("long").alias("window_start"),
+        "user_id",
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("window_start", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "window_start",
+            "user_id",
+            F.col("ts").cast("long").alias("first_ts_epoch"),
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+@register(
     "pattern_match_recognize_agg",
     oracle="""
     WITH flags AS (
