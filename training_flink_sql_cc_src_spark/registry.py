@@ -68,8 +68,9 @@ _DRIVER_LAST_GREEN = {
     "agg_grouping_sets": 4,
     "agg_having": 4,
     "agg_heavy_hitters_merge": 4,
+    "agg_heavy_hitters_merge_exact": 5,
     "agg_hll_mergeable_sketch": 4,
-    "agg_null_semantics": 2,
+    "agg_null_semantics": 5,
     "agg_percentile_disc": 4,
     "agg_pivot_conditional": 4,
     "agg_pricing_summary": 4,
@@ -81,30 +82,30 @@ _DRIVER_LAST_GREEN = {
     "analytic_first_last_frames": 4,
     "analytic_offset": 4,
     "analytic_ranking": 4,
-    "dedup_connected_components": 2,
-    "dedup_exact_text": 1,
-    "dedup_first_event_per_user": 2,
-    "dedup_jaccard_blocked_pairs": 1,
-    "dedup_jaccard_ppjoin": 2,
-    "dedup_minhash_lsh": 1,
+    "dedup_connected_components": 5,
+    "dedup_exact_text": 5,
+    "dedup_first_event_per_user": 5,
+    "dedup_jaccard_blocked_pairs": 5,
+    "dedup_jaccard_ppjoin": 5,
+    "dedup_minhash_lsh": 5,
     "dedup_ngram_span_exact": 4,
-    "dedup_simhash_hamming": 1,
-    "except_keys": 2,
-    "filter_predicates": 2,
-    "intersect_keys": 2,
-    "join_anti": 1,
-    "join_asof_temporal": 1,
-    "join_full_outer": 1,
-    "join_interval": 1,
-    "join_left_outer": 1,
-    "join_range_bucketed": 1,
-    "join_right_outer": 2,
-    "join_semi": 1,
-    "join_temporal_sql": 2,
-    "join_theta_band": 1,
+    "dedup_simhash_hamming": 5,
+    "except_keys": 5,
+    "filter_predicates": 5,
+    "intersect_keys": 5,
+    "join_anti": 5,
+    "join_asof_temporal": 5,
+    "join_full_outer": 5,
+    "join_interval": 5,
+    "join_left_outer": 5,
+    "join_range_bucketed": 5,
+    "join_right_outer": 5,
+    "join_semi": 5,
+    "join_temporal_sql": 5,
+    "join_theta_band": 5,
     "late_data_filter": 4,
-    "multimodal_binary_metadata": 2,
-    "multimodal_decode_features": 2,
+    "multimodal_binary_metadata": 5,
+    "multimodal_decode_features": 5,
     "multimodal_doc_embedding_join": 2,
     "multimodal_frame_sample": 2,
     "multimodal_header_decode": 2,
@@ -116,34 +117,45 @@ _DRIVER_LAST_GREEN = {
     "pattern_funnel": 4,
     "pattern_funnel3_sequential": 4,
     "pattern_match_recognize": 4,
+    "pattern_match_recognize_agg": 5,
+    "pattern_match_recognize_all_rows": 5,
+    "pattern_match_recognize_alt": 5,
+    "pattern_match_recognize_plus": 5,
+    "pattern_match_recognize_prev": 5,
+    "pattern_match_recognize_quant": 5,
+    "pattern_match_recognize_unmatched": 5,
+    "pipeline_column_profile": 5,
     "pipeline_context_chunking": 2,
     "pipeline_corpus_curation": 4,
     "pipeline_data_mixture": 3,
     "pipeline_decontaminate": 2,
     "pipeline_deterministic_shuffle": 4,
+    "pipeline_incremental_dedup": 5,
     "pipeline_neardup_prune": 3,
+    "pipeline_quota_cap": 5,
     "pipeline_sequence_packing": 3,
     "pipeline_stratified_sample": 4,
+    "pipeline_stratified_sample_scalable": 5,
     "pipeline_train_val_split": 4,
-    "q10_returned_items": 1,
+    "q10_returned_items": 5,
     "q11_important_stock": 3,
-    "q12_priority_by_linestatus": 1,
+    "q12_priority_by_linestatus": 5,
     "q13_customer_distribution": 3,
-    "q14_promo_revenue": 1,
+    "q14_promo_revenue": 5,
     "q15_top_supplier": 3,
     "q16_supplier_part_counts": 3,
     "q17_small_quantity_revenue": 3,
-    "q18_large_volume_customer": 1,
-    "q19_disjunctive_predicates": 1,
+    "q18_large_volume_customer": 5,
+    "q19_disjunctive_predicates": 5,
     "q20_excess_shippers": 3,
     "q21_waiting_supplier": 3,
-    "q22_dormant_accounts": 1,
+    "q22_dormant_accounts": 5,
     "q2_min_cost_supplier": 3,
     "q3_shipping_priority": 4,
-    "q4_order_priority": 1,
-    "q5_region_revenue": 1,
+    "q4_order_priority": 5,
+    "q5_region_revenue": 5,
     "q6_forecast_revenue": 3,
-    "q7_nation_volume": 1,
+    "q7_nation_volume": 5,
     "q8_market_share": 3,
     "q9_product_type_profit": 3,
     "s1_router_upsert_aggregate": 4,
@@ -168,7 +180,7 @@ _DRIVER_LAST_GREEN = {
     "scalar_string": 2,
     "scalar_string_datetime_extras": 2,
     "scalar_string_extended": 2,
-    "scalar_subquery_above_avg": 1,
+    "scalar_subquery_above_avg": 5,
     "sim_ann_ivf": 4,
     "sim_ann_lsh": 4,
     "sim_threshold_pairs_blocked": 4,
@@ -176,10 +188,10 @@ _DRIVER_LAST_GREEN = {
     "text_bpe_token_count": 2,
     "text_fingerprint": 2,
     "text_lang_source_rollup": 2,
-    "text_langid_heuristic": 1,
-    "text_quality_score": 1,
+    "text_langid_heuristic": 5,
+    "text_quality_score": 5,
     "text_repetition_filter": 2,
-    "text_token_stats": 1,
+    "text_token_stats": 5,
     "text_vocabulary_topk": 2,
     "topn_per_group": 2,
     "topn_with_ties": 3,
@@ -188,12 +200,14 @@ _DRIVER_LAST_GREEN = {
     "union_distinct": 2,
     "values_constant_relation": 2,
     "window_cumulate": 4,
+    "window_dedup_first": 5,
     "window_distinct_users": 4,
     "window_hop": 4,
     "window_join": 4,
     "window_over_time_range": 4,
     "window_session": 4,
     "window_session_sql": 4,
+    "window_topn": 5,
     "window_tumble": 4,
 }
 
