@@ -94,6 +94,12 @@ def test_q21_decorrelated_no_cartesian(spark, sf_med):
     assert "CartesianProduct" not in plan
     # top-n by numwait avoids a global sort
     assert "TakeOrderedAndProject" in plan
+    # one-pass shape: min/max distinctness, so no countDistinct Expand and
+    # exactly two aggregate stages (per-order, per-name) x (partial, final)
+    assert "Expand" not in plan
+    # tree-form node count ("HashAggregate (n)"); formatted explain also
+    # repeats each node in the details section
+    assert plan.count("HashAggregate (") == 4
 
 
 def test_q17_threshold_join_broadcasts(spark, sf_med):

@@ -459,10 +459,13 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q21 shape (the sole-blame supplier; l_returnflag='R' stands "
     "in for the late-delivery receipt/commit comparison): the "
     "double-correlated EXISTS + NOT EXISTS de-correlates into ONE "
-    "per-order aggregate — distinct-supplier count > 1 and "
-    "distinct-R-supplier count = 1 — replacing two correlated self-joins "
-    "with a single extra shuffle over the fact. Ties impossible at the "
-    "LIMIT boundary (name is unique per group).",
+    "per-order aggregate over the fact. Distinctness is decided by the "
+    "min/max trick — distinct-supplier count > 1 iff min(suppkey) != "
+    "max(suppkey), and exactly-one distinct R-supplier iff min(R-suppkey) "
+    "= max(R-suppkey) with any R line present — so the fact is shuffled "
+    "ONCE at order granularity with full map-side partial aggregation, "
+    "no countDistinct Expand and no second aggregate stage. Ties "
+    "impossible at the LIMIT boundary (name is unique per group).",
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
@@ -470,26 +473,24 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
-    # Two hash aggregates replace BOTH countDistincts (which would Expand
-    # the fact 2x before shuffling) AND any window sort: (orderkey,
-    # suppkey) granularity first, then per-order stats. When exactly one
-    # supplier has R-lines (the qualifying case) that supplier is
-    # recovered by MAX over the R-suppliers — no per-row blame join.
-    # numwait = count of R-lineitems = SUM of the blamed pair's r_lines.
-    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.count_if(F.col("l_returnflag") == "R").alias("r_lines")
+    # One hash aggregate over lineitem: min/max pairs stand in for the
+    # two countDistincts (which would Expand the fact 2x before the
+    # shuffle). When exactly one supplier has R-lines (the qualifying
+    # case) that supplier IS min_r_supp, and every R-lineitem belongs to
+    # it, so numwait contribution = r_lines directly.
+    is_r = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+        F.min(F.when(is_r, F.col("l_suppkey"))).alias("min_r_supp"),
+        F.max(F.when(is_r, F.col("l_suppkey"))).alias("max_r_supp"),
+        F.count_if(is_r).alias("r_total"),
     )
-    per_order = pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.count_if(F.col("r_lines") > 0).alias("n_r_supp"),
-        F.max(
-            F.when(F.col("r_lines") > 0, F.col("l_suppkey"))
-        ).alias("blame_supp"),
-        F.sum(F.when(F.col("r_lines") > 0, F.col("r_lines")).otherwise(0)).alias(
-            "r_total"
-        ),
-    )
-    cand = per_order.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+    cand = per_order.filter(
+        (F.col("min_supp") != F.col("max_supp"))
+        & (F.col("r_total") > 0)
+        & (F.col("min_r_supp") == F.col("max_r_supp"))
+    ).withColumnRenamed("min_r_supp", "blame_supp")
     return (
         cand.join(o, cand.l_orderkey == o.o_orderkey)
         .join(s, cand.blame_supp == s.s_suppkey)
