@@ -293,3 +293,11 @@ def test_window_dedup_uses_group_limit(spark, sf_med):
     map side (WindowGroupLimit) before the exchange."""
     plan = _plan(spark, "window_dedup_first", sf_med)
     assert "WindowGroupLimit" in plan
+
+
+def test_window_topn_uses_group_limit(spark, sf_med):
+    """Window Top-N (rnk <= 3) must push the rank filter to
+    WindowGroupLimit: O(k) map-side state per window, never a full
+    per-window sort of the aggregate."""
+    plan = _plan(spark, "window_topn", sf_med)
+    assert "WindowGroupLimit" in plan
