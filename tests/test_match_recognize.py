@@ -571,6 +571,40 @@ def test_plus_run_pattern(spark):
     ]
 
 
+def test_plus_skip_past_within_prunes_timed_out_head(spark):
+    """A+ B with SKIP PAST LAST ROW + WITHIN: when the maximal run's HEAD
+    start violates the WITHIN bound, Flink prunes that timed-out partial
+    match and still emits the match from the earliest later start in the
+    run that satisfies WITHIN — the run must not silently vanish."""
+    rows = [
+        (1, "2024-01-01 00:00:00", "click", 1),
+        (1, "2024-01-01 00:30:00", "click", 2),
+        (1, "2024-01-01 00:40:00", "purchase", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts_s string, event_type string, seq int"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "seq")
+    df.createOrReplaceTempView("__mr_plus_within")
+    q = """
+        SELECT user_id, first_a, b_seq FROM __mr_plus_within
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES FIRST(A.seq) AS first_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            WITHIN INTERVAL '20' MINUTE
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+    """
+    got = StatementRouter(spark).execute(q).collect()
+    # head start (00:00) -> B at 00:40 violates WITHIN 20min; the start at
+    # 00:30 is inside the bound and must be the emitted match
+    assert [(r.user_id, r.first_a, r.b_seq) for r in got] == [(1, 2, 3)]
+
+
 def test_first_last_measures(spark):
     """FIRST(Var.col)/LAST(Var.col) on a quantified variable navigate to
     the first/last mapped row (bare Var.col = LAST, the Flink default);
@@ -694,6 +728,59 @@ def test_aggregate_measures(spark):
                 .replace("A.ts AS a_ts", "SUM(A.ts) AS a_ts")
             )
         )
+
+
+def test_aggregate_measures_null_semantics(spark):
+    """SQL aggregate NULL semantics on BOTH lowering paths: NULL mapped
+    values are skipped (not propagated), COUNT(Var.col) counts non-NULL
+    only, AVG divides by the non-NULL count — so the bounded-variant
+    expression path agrees with the A+ path's native window aggregates."""
+    rows = [
+        (1, 1, "click", 10.0), (1, 2, "click", None),
+        (1, 3, "click", 30.0), (1, 4, "purchase", 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_agg_null")
+    body = """
+        SELECT user_id, n_star, n_v, sum_v, avg_v, n_b FROM __mr_agg_null
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES COUNT(A.*) AS n_star, COUNT(A.v) AS n_v,
+                     SUM(A.v) AS sum_v, AVG(A.v) AS avg_v,
+                     COUNT(B.v) AS n_b
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN ({pat})
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        )
+    """
+    # start@1 maps A=seq 1,2,3: COUNT(*)=3, COUNT(v)=2 (one NULL),
+    # SUM=40 (not NULL), AVG=20 (sum/non-null-count, not /3)
+    expect = [
+        (1, 1, 1, 30.0, 30.0, 1),          # start@3
+        (1, 2, 1, 30.0, 30.0, 1),          # start@2 (v NULL at seq 2)
+        (1, 3, 2, 40.0, 20.0, 1),          # start@1
+    ]
+    for pat in ("A{1,3} B", "A+ B"):
+        got = StatementRouter(spark).execute(body.format(pat=pat)).collect()
+        assert sorted(
+            (r.user_id, r.n_star, r.n_v, r.sum_v, r.avg_v, r.n_b)
+            for r in got
+        ) == expect, pat
+    # all mapped values NULL: SUM/AVG -> NULL, COUNT(col) -> 0
+    rows2 = [(1, 1, "click", None), (1, 2, "purchase", None)]
+    spark.createDataFrame(
+        rows2, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_agg_null")
+    for pat in ("A{1,3} B", "A+ B"):
+        got = StatementRouter(spark).execute(body.format(pat=pat)).collect()
+        assert [
+            (r.user_id, r.n_star, r.n_v, r.sum_v, r.avg_v, r.n_b)
+            for r in got
+        ] == [(1, 1, 0, None, None, 0)], pat
 
 
 def test_prev_guards():

@@ -389,6 +389,30 @@ def test_tvf_statement_streams_through_engine(spark, sf_small):
     assert _rows(batch) == _rows(stream) and batch.count() > 0
 
 
+def test_tvf_non_aggregating_select_streams(spark, sf_small):
+    """A TUMBLE TVF select WITHOUT GROUP BY is a stateless window
+    assignment — append-mode safe; the streaming router must fall through
+    to the batch TVF rewrite instead of rejecting it."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select("ts", "event_type", "value")
+    eng = Engine(spark)
+    stmt = (
+        "SELECT window_start, event_type, value "
+        "FROM TABLE(TUMBLE(TABLE events_tvf_sel_stream, DESCRIPTOR(ts), "
+        "INTERVAL '1' HOUR))"
+    )
+    ev.createOrReplaceTempView("events_tvf_sel_stream")
+    batch = eng.sql(stmt)
+    stream = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"events_tvf_sel_stream": s}),
+        output_mode="append",
+    )
+    assert _rows(batch) == _rows(stream) and batch.count() > 0
+
+
 def test_tvf_statement_streams_update_mode_upsert_sink(spark, sf_small):
     """HOP TVF statement in UPDATE mode — the Flink upsert-sink analog
     (OUTPUT_MODE_FOR_CHANGELOG['upsert']): each micro-batch re-emits
@@ -659,6 +683,56 @@ def test_match_recognize_statement_streams_through_engine(spark, sf_small):
     )
     got = {tuple(r) for r in streamed.collect()}
     assert got == batch and batch
+
+
+def test_stream_match_recognize_type_guards(spark, sf_small):
+    """The streaming MATCH_RECOGNIZE leg must reject shapes its stateful
+    matchers would silently mis-handle: numeric DEFINE literals (state is
+    compared as strings — zero matches), a non-STRING define column, and
+    a non-BIGINT partition key (the state schema hardcodes long)."""
+    import pytest
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    eng = Engine(spark)
+    tmpl = """
+        SELECT user_id, a_ts FROM events_mr_guard
+        MATCH_RECOGNIZE (
+            PARTITION BY {key}
+            ORDER BY ts
+            MEASURES A.ts AS a_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.{col} = {lit_a},
+                   B AS B.{col} = {lit_b}
+        )
+    """
+    # numeric literal over a numeric column
+    num = ev.withColumn("code", ev.user_id % 3)
+    with pytest.raises(NotImplementedError, match="quoted strings"):
+        eng.sql_stream(
+            tmpl.format(key="user_id", col="code", lit_a="1", lit_b="2"),
+            {"events_mr_guard": num},
+        )
+    # quoted literals but a non-string column
+    with pytest.raises(NotImplementedError, match="quoted strings"):
+        eng.sql_stream(
+            tmpl.format(key="user_id", col="code", lit_a="'1'", lit_b="'2'"),
+            {"events_mr_guard": num},
+        )
+    # non-bigint partition key
+    keyed = ev.withColumn("skey", ev.user_id.cast("string"))
+    with pytest.raises(NotImplementedError, match="BIGINT"):
+        eng.sql_stream(
+            tmpl.format(
+                key="skey", col="event_type", lit_a="'view'", lit_b="'click'"
+            ),
+            {"events_mr_guard": keyed},
+        )
 
 
 def test_run_pattern_stream_matches_batch_plus(spark, sf_small):

@@ -152,6 +152,26 @@ class Engine:
         if sdf is None:
             raise unsupported(f"pattern input {spec.table!r} not in sources")
 
+        # The stateful matchers compare DEFINE literals as Python strings
+        # and hardcode '<key> long' in their state/output schemas — a
+        # numeric type column would silently match nothing and a non-long
+        # key would break the output schema. Validate both up front.
+        dtypes = dict(sdf.dtypes)
+        if any(
+            not (lit.startswith("'") and lit.endswith("'")) for _, lit in eqs
+        ) or dtypes.get(type_col) != "string":
+            raise unsupported(
+                f"DEFINE literals must be quoted strings over a STRING "
+                f"column ({type_col!r} is {dtypes.get(type_col)!r}; the "
+                "streaming matchers carry state as strings)"
+            )
+        if dtypes.get(key) != "bigint":
+            raise unsupported(
+                f"PARTITION BY key must be BIGINT ({key!r} is "
+                f"{dtypes.get(key)!r}; the streaming state schema keys by "
+                "long)"
+            )
+
         if spec.plus is not None:
             if spec.plus[2] > 1:
                 raise unsupported(

@@ -698,12 +698,11 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                 _AGG_FNS[fn](F.when(F.col("__a"), arg)).over(wi_rem),
             )
 
-    start_ok = F.col("__a")
-    if spec.skip_past_last:
-        # disjoint DEFINEs → runs never share rows; greedy skipping keeps
-        # exactly the run-head start of each qualifying run
-        start_ok = start_ok & ~F.coalesce(F.col("__prev_a"), F.lit(False))
-    cond = start_ok & F.col("__endinfo").isNotNull() & F.col("__endinfo.__nb")
+    cond = (
+        F.col("__a")
+        & F.col("__endinfo").isNotNull()
+        & F.col("__endinfo.__nb")
+    )
     if min_run > 1:
         cond = cond & (F.col("__mr_rem") >= min_run)
     if spec.within_seconds is not None:
@@ -712,6 +711,29 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             F.col(f"__endinfo.__nx.{ts0}")
             <= F.col(ts0) + F.expr(f"INTERVAL {spec.within_seconds} SECOND")
         )
+    if spec.skip_past_last:
+        # disjoint DEFINEs → runs never share rows, so greedy skipping
+        # emits at most one match per run — from the EARLIEST start that
+        # satisfies every condition (incl. WITHIN: Flink prunes a
+        # timed-out partial match and restarts from the next A-row, so a
+        # run whose head violates WITHIN still matches from the first
+        # start inside the bound). Earliest-candidate = candidate with no
+        # preceding candidate in the same island — one more window over
+        # the island clustering, no extra exchange.
+        w_prev_cand = (
+            Window.partitionBy(*spec.partition_by, "__isl")
+            .orderBy(*spec.order_by)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = out.withColumn("__cand", cond).withColumn(
+            "__first_cand",
+            F.col("__cand")
+            & (
+                F.count(F.when(F.col("__cand"), F.lit(1))).over(w_prev_cand)
+                == 0
+            ),
+        )
+        cond = F.col("__first_cand")
     matched = out.filter(cond)
     if any(var == MATCH_NUMBER for var, _, _ in spec.measures):
         matched = matched.withColumn("__mr_mn", F.row_number().over(w))
@@ -728,7 +750,15 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             else:  # B maps exactly one row: the aggregate degenerates
                 fn = spec.measure_agg[alias]
                 if fn == "COUNT":
-                    select.append(F.lit(1).cast("long").alias(alias))
+                    # COUNT(B.*) = 1; COUNT(B.col) counts non-NULL values
+                    one = (
+                        F.lit(1).cast("long")
+                        if col == "*"
+                        else F.col(f"__endinfo.__nx.{col}")
+                        .isNotNull()
+                        .cast("long")
+                    )
+                    select.append(one.alias(alias))
                 else:
                     select.append(
                         F.col(f"__endinfo.__nx.{col}").alias(alias)
@@ -950,17 +980,28 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
                     return (
                         F.lit(0).cast("long") if fn == "COUNT" else F.lit(None)
                     )
-                if fn == "COUNT":
+                if fn == "COUNT" and col == "*":
                     return F.lit(len(offs)).cast("long")
                 refs = [
                     F.col(col) if k == 0 else F.col(f"__mr_s{k}.{col}")
                     for k in offs
                 ]
+                # SQL aggregate NULL semantics (matching both Flink and
+                # the A+ path's native window aggs): NULL inputs are
+                # skipped, not propagated; all-NULL input -> NULL
+                # (COUNT -> 0); AVG divides by the NON-NULL count.
+                nn_count = refs[0].isNotNull().cast("long")
+                for r in refs[1:]:
+                    nn_count = nn_count + r.isNotNull().cast("long")
+                if fn == "COUNT":
+                    return nn_count
                 if fn in ("SUM", "AVG"):
-                    e = refs[0]
+                    e = F.coalesce(refs[0], F.lit(0))
                     for r in refs[1:]:
-                        e = e + r
-                    return e / F.lit(len(refs)) if fn == "AVG" else e
+                        e = e + F.coalesce(r, F.lit(0))
+                    e = F.when(nn_count > 0, e)
+                    return e / nn_count if fn == "AVG" else e
+                # least/greatest skip NULLs natively (NULL only if all are)
                 if fn == "MIN":
                     return F.least(*refs) if len(refs) > 1 else refs[0]
                 return F.greatest(*refs) if len(refs) > 1 else refs[0]

@@ -253,10 +253,15 @@ def rewrite_session_tvf_streaming(sql: str) -> str | None:
         re.IGNORECASE | re.DOTALL,
     )
     if gm is None:
+        if kind in ("TUMBLE", "HOP"):
+            # non-aggregating window assignment is a stateless projection
+            # (append-mode safe): fall through to the batch TVF rewrite,
+            # which streams as-is
+            return None
         raise ValueError(
             f"streaming {kind} TVF requires an aggregating statement "
-            "(GROUP BY over window_start/window_end) — the windowed "
-            "aggregation IS the streaming operator"
+            "(GROUP BY over window_start/window_end) — SESSION windows "
+            "only exist through merge-per-key aggregation"
         )
     g_items = _split_select_items(gm.group("items"))
     kept = [
