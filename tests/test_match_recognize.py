@@ -56,16 +56,22 @@ def test_quantifiers_rejected():
     # is now lowered (test_plus_run_pattern)
     with pytest.raises(UnsupportedPatternError, match="quantifiers"):
         parse_match_recognize(_mr(BASE.replace("PATTERN (A B)", "PATTERN (A* B)")))
-    # A+ with NON-disjoint DEFINEs still needs an NFA (backtracking)
-    with pytest.raises(UnsupportedPatternError, match="disjoint"):
-        parse_match_recognize(
-            _mr(
-                BASE.replace("PATTERN (A B)", "PATTERN (A+ B)").replace(
-                    "DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'",
-                    "DEFINE A AS A.value > 1, B AS B.value > 0",
-                )
+    # A+ with NON-disjoint DEFINEs parses and flags the overlap path
+    # (lowered by the applyInPandas matcher — test_overlap_lowering_*)
+    spec = parse_match_recognize(
+        _mr(
+            BASE.replace("PATTERN (A B)", "PATTERN (A+ B)").replace(
+                "DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'",
+                "DEFINE A AS A.value > 1, B AS B.value > 0",
             )
         )
+    )
+    assert spec.plus is not None and spec.plus_overlap
+    # ...while disjoint eq-literal DEFINEs keep the windowed lowering
+    spec2 = parse_match_recognize(
+        _mr(BASE.replace("PATTERN (A B)", "PATTERN (A+ B)"))
+    )
+    assert spec2.plus is not None and not spec2.plus_overlap
 
 
 def test_skip_past_last_needs_disjoint_predicates():
@@ -866,6 +872,138 @@ def _ref_plus(types, min_run=1):
         if e + 1 < n and types[e + 1] == "b" and (e - s + 1) >= min_run:
             out.append((e, e + 1))
     return sorted(out)
+
+
+def test_overlap_within_bound(spark):
+    """Overlapping A+ B with WITHIN: the greedy end is the largest B-row
+    inside BOTH the A-run and the time horizon; under SKIP PAST LAST ROW
+    a timed-out head start falls through to the next qualifying start."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 25.0, 1),   # A
+        (1, "2024-01-01 00:05:00", 150.0, 2),  # A+B
+        (1, "2024-01-01 00:50:00", 130.0, 3),  # A+B (outside 30m of seq1)
+        (1, "2024-01-01 00:55:00", 5.0, 4),    # neither
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, ts_s string, v double, seq int"
+    ).selectExpr(
+        "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "v", "seq"
+    ).createOrReplaceTempView("__mr_ov_within")
+    q = """
+        SELECT first_a, b_seq FROM __mr_ov_within
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES FIRST(A.seq) AS first_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH {skip}
+            PATTERN (A+ B)
+            WITHIN INTERVAL '30' MINUTE
+            DEFINE A AS A.v > 20, B AS B.v > 100
+        )
+    """
+    got = StatementRouter(spark).execute(
+        q.format(skip="SKIP TO NEXT ROW")
+    ).collect()
+    # start@1: horizon 00:30 caps the end at seq2 (seq3 is greedy-largest
+    # but outside); start@2: seq3 inside 30m of 00:05? no (00:50 > 00:35)
+    # -> no B after seq2 within horizon... seq2 itself cannot be its own
+    # end (k > i), so start@2 has no match. start@3: no B after it.
+    assert sorted((r.first_a, r.b_seq) for r in got) == [(1, 2)]
+    got2 = StatementRouter(spark).execute(
+        q.format(skip="SKIP PAST LAST ROW")
+    ).collect()
+    assert sorted((r.first_a, r.b_seq) for r in got2) == [(1, 2)]
+
+
+def _ref_overlap_nfa(vals, a_fn, b_fn, skip_past, min_run=1):
+    """Direct greedy-backtracking NFA for PATTERN (A+ B) — the textbook
+    recursion (prefer extending A, backtrack to the latest possible B),
+    deliberately independent of the lowering's max-k closed form."""
+    n = len(vals)
+
+    def match_from(s):
+        if not a_fn(vals[s]):
+            return None
+
+        def dfs(i, na):
+            if i >= n:
+                return None
+            if a_fn(vals[i]):  # greedy: extend the run first
+                r = dfs(i + 1, na + 1)
+                if r is not None:
+                    return r
+            if b_fn(vals[i]) and na >= min_run:  # backtrack: close here
+                return i
+            return None
+
+        return dfs(s + 1, 1)
+
+    out = []
+    if skip_past:
+        s = 0
+        while s < n:
+            k = match_from(s)
+            if k is not None:
+                out.append((s, k))
+                s = k + 1
+            else:
+                s += 1
+    else:
+        for s in range(n):
+            k = match_from(s)
+            if k is not None:
+                out.append((s, k))
+    return sorted(out)
+
+
+_OVERLAP_PREDS = [
+    # (A sql, B sql, A py, B py): B subset of A, and partial overlap
+    ("A.v >= 2", "B.v >= 4", lambda v: v >= 2, lambda v: v >= 4),
+    ("A.v % 2 = 0", "B.v >= 3", lambda v: v % 2 == 0, lambda v: v >= 3),
+]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(0, 5), min_size=2, max_size=16),
+    pred=st.sampled_from([0, 1]),
+    skip_past=st.booleans(),
+    min_run=st.sampled_from([1, 2]),
+)
+def test_overlap_lowering_matches_nfa_reference(
+    spark, vals, pred, skip_past, min_run
+):
+    """The applyInPandas overlap matcher == a direct backtracking NFA, for
+    predicates where a row may satisfy A only, B only, both, or neither,
+    under both AFTER MATCH modes and A+ / A{2,} run bounds."""
+    a_sql, b_sql, a_py, b_py = _OVERLAP_PREDS[pred]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, v int"
+    ).createOrReplaceTempView("__mr_ovprop")
+    skip = "SKIP PAST LAST ROW" if skip_past else "SKIP TO NEXT ROW"
+    pat = "A+ B" if min_run == 1 else "A{%d,} B" % min_run
+    got = StatementRouter(spark).execute(
+        f"""
+        SELECT first_a, b_seq, n_a FROM __mr_ovprop
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, B.seq AS b_seq,
+                     COUNT(A.*) AS n_a
+            ONE ROW PER MATCH
+            AFTER MATCH {skip}
+            PATTERN ({pat})
+            DEFINE A AS {a_sql}, B AS {b_sql}
+        )
+        """
+    ).collect()
+    want = [
+        (s, k, k - s)
+        for s, k in _ref_overlap_nfa(vals, a_py, b_py, skip_past, min_run)
+    ]
+    assert sorted((r.first_a, r.b_seq, r.n_a) for r in got) == want
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))

@@ -273,6 +273,21 @@ def test_match_recognize_plus_single_exchange_no_join(spark, sf_med):
     assert "Join" not in plan
 
 
+def test_match_recognize_overlap_single_exchange_arrow(spark, sf_med):
+    """The overlapping-DEFINE A+ B matcher is ONE shuffle on the
+    partition key feeding an Arrow-batched FlatMapGroupsInPandas (the
+    Flink keyed-CEP plan shape); predicates are evaluated JVM-side
+    before the exchange, and nothing joins or pairs."""
+    import re
+
+    plan = _plan(spark, "pattern_match_recognize_overlap", sf_med)
+    assert "FlatMapGroupsInPandas" in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
 def test_quota_cap_uses_window_group_limit(spark, sf_med):
     """The per-stratum cap must plan as WindowGroupLimit (map-side O(K)
     state per group before the shuffle), never a full per-stratum sort."""

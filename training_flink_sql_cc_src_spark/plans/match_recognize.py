@@ -11,10 +11,13 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                (1 <= n <= m <= 8), lowered as the union of fixed-length
                variants with greedy (longest-match-per-start-row,
                Flink-default) selection, OR the unbounded run shape
-               ``A+ B`` / ``A{n,} B`` (exact gaps-and-islands lowering
-               when the two DEFINEs are provably disjoint — no NFA
-               needed because backtracking provably cannot help; {n,}
-               additionally requires n run rows from each start), OR one
+               ``A+ B`` / ``A{n,} B`` (disjoint DEFINEs: exact
+               gaps-and-islands lowering — no NFA needed because
+               backtracking provably cannot help; OVERLAPPING DEFINEs —
+               a row may satisfy both variables — dispatch to the
+               per-key Arrow-batched greedy matcher _lower_plus_overlap
+               with true backtracking semantics and both AFTER MATCH
+               modes; {n,} requires n run rows from each start), OR one
                alternation
                group
                ``(X|Y)`` (variants in declaration order — leftmost
@@ -48,13 +51,14 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                with NULL measures; coverage via L-1 LAGs of the matched
                index on the same window — no extra exchange),
                AFTER MATCH SKIP TO NEXT ROW (always), SKIP PAST LAST ROW
-               (unquantified patterns only, when variable predicates are
-               provably pairwise disjoint — equality on one shared column
-               with distinct literals — so matches can never share rows
-               and greedy skipping equals keep-everything), optional
+               (plain sequences: only with provably pairwise-disjoint
+               predicates — equality on one shared column with distinct
+               literals — so matches can never share rows and greedy
+               skipping equals keep-everything; A+/A{n,} runs: any
+               DEFINEs, the run lowerings skip natively), optional
                WITHIN INTERVAL bound.
-  unsupported: unbounded quantifiers beyond the disjoint run shape
-               (A*, {0,m}, overlapping-DEFINE A+), multiple alternation
+  unsupported: unbounded quantifiers beyond the run shape
+               (A*, {0,m}), multiple alternation
                groups, a quantifier AND an alternation together,
                NEXT/FIRST/LAST inside DEFINE, PREV over another variable
                or past the match start, aggregate measures under ALL
@@ -158,8 +162,12 @@ class MatchRecognizeSpec:
     positions: list[list[str]] = dataclasses_field(default_factory=list)
     # PATTERN (A+ B) / (A{n,} B): (run_var, next_var, min_run) —
     # unbounded maximal-run shape, lowered via gaps-and-islands
-    # (requires provably disjoint DEFINEs)
+    # (disjoint DEFINEs) or the applyInPandas greedy matcher (overlapping)
     plus: tuple[str, str, int] | None = None
+    # True when the A+ B DEFINEs are NOT provably disjoint — a row may
+    # satisfy both variables, so greedy backtracking matters and the
+    # lowering dispatches to the per-key Arrow-batched matcher
+    plus_overlap: bool = False
     # ALL ROWS PER MATCH WITH UNMATCHED ROWS: also emit rows covered by
     # NO match, once, with NULL measures
     with_unmatched: bool = False
@@ -253,13 +261,13 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         pattern_text.strip(),
     )
     if pm is not None:
-        # PATTERN (A+ B) / (A{n,} B): the unbounded-run shape, lowered
-        # exactly via gaps-and-islands WHEN the two predicates are
-        # provably disjoint (checked after DEFINE parsing — backtracking
-        # to a shorter A-run can then never succeed, because the row
-        # after a shorter run satisfies A and a row cannot satisfy both
-        # A and B). The {n,} form additionally requires at least n A-rows
-        # between the start and the run end.
+        # PATTERN (A+ B) / (A{n,} B): the unbounded-run shape. Disjoint
+        # predicates lower exactly via gaps-and-islands (backtracking to
+        # a shorter A-run can never succeed — the row after a shorter
+        # run satisfies A and a row cannot satisfy both A and B);
+        # overlapping predicates dispatch to the per-key greedy matcher
+        # (plus_overlap, set after DEFINE parsing). The {n,} form
+        # additionally requires at least n A-rows from each start.
         lo = int(pm.group("lo") or 1)
         if lo < 1:
             raise UnsupportedPatternError(
@@ -272,8 +280,8 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             f"PATTERN ({pattern_text}) uses unbounded quantifiers — only "
             "adjacent sequences (A B C ...) with at most one BOUNDED "
             "quantifier (A{n} / A{n,m}, n>=1), one alternation group "
-            "((B|C)), or the two-variable run shape (A+ B) with provably "
-            "disjoint DEFINEs are lowered; use "
+            "((B|C)), or the two-variable run shape (A+ B / A{n,} B, "
+            "any DEFINEs) are lowered; use "
             "queries/time_windows.pattern_funnel3_sequential or "
             "streaming/stateful.applyInPandasWithState for general CEP"
         )
@@ -481,14 +489,10 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         measure_agg=measure_agg,
     )
     if plus is not None:
-        if not _provably_disjoint(spec):
-            raise UnsupportedPatternError(
-                "PATTERN (A+ B) is lowered only when the two DEFINEs are "
-                "provably disjoint (each an equality on one shared column "
-                "with distinct literals): disjointness is what makes the "
-                "maximal-run (gaps-and-islands) rewrite exact — otherwise "
-                "greedy backtracking needs a real NFA"
-            )
+        # overlapping DEFINEs (a row may satisfy both variables) switch
+        # the lowering from gaps-and-islands to the per-key greedy
+        # matcher — same semantics, NFA-capable backtracking
+        spec.plus_overlap = not _provably_disjoint(spec)
         if all_rows:
             raise UnsupportedPatternError(
                 "ALL ROWS PER MATCH with an unbounded run (A+ B) is not "
@@ -514,7 +518,12 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             "row then yields its greedy (longest) match, which the "
             "union-of-fixed-length-LEAD-chains lowering computes exactly"
         )
-    if quant is None and skip_past_last and not _provably_disjoint(spec):
+    if (
+        quant is None
+        and plus is None  # the overlap matcher does true greedy skipping
+        and skip_past_last
+        and not _provably_disjoint(spec)
+    ):
         raise UnsupportedPatternError(
             "AFTER MATCH SKIP PAST LAST ROW is only lowered when the "
             "DEFINE predicates are provably pairwise disjoint (each "
@@ -774,6 +783,202 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     return matched.select(*select)
 
 
+def _lower_plus_overlap(
+    spark: SparkSession, spec: MatchRecognizeSpec
+) -> DataFrame:
+    """PATTERN (A+ B) with OVERLAPPING DEFINEs — the NFA-requiring run
+    shape, lowered as an Arrow-batched ``applyInPandas`` greedy matcher
+    per PARTITION BY key (the same keyed-state model Flink's CEP operator
+    shuffles by; reference scope: Flink 1.19 MATCH_RECOGNIZE, which the
+    training course includes though the labs' attested statements don't
+    use it).
+
+    Greedy backtracking collapses to a closed form: the match starting at
+    row i extends A over the maximal A-satisfying run [i..m]; when the
+    run dies (first non-A row, end of data, or the WITHIN horizon) the
+    NFA backtracks to the LATEST branch point — so the match end is
+    simply the largest k in (i, m+1] with B(k) true and ts_k inside the
+    WITHIN bound (rows i..k-1 all satisfy A because k-1 <= m). Each
+    partition is decided in one vectorized pass: next-non-A and
+    latest-B-so-far prefix arrays give every start's match end in O(1).
+
+    AFTER MATCH SKIP TO NEXT ROW emits every start's greedy match;
+    SKIP PAST LAST ROW walks starts sequentially, resuming after each
+    emitted match end — true greedy skipping, which the window lowerings
+    cannot express for overlapping predicates.
+
+    Predicate evaluation stays JVM-side: ``__a`` / ``__b`` are computed
+    as Catalyst expressions before the single shuffle on the partition
+    key; Python sees only booleans, the order columns, and the measured
+    columns. State per group is the group itself — the same per-key
+    memory contract as Flink CEP with an unbounded pattern.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a_var, b_var, min_run = spec.plus
+    df = spark.table(spec.table)
+    cols = df.columns
+    a_pred = F.expr(_pred_at_offset(spec.defines[a_var], a_var, 0, cols))
+    b_pred = F.expr(_pred_at_offset(spec.defines[b_var], b_var, 0, cols))
+    src = df.withColumn("__a", F.coalesce(a_pred, F.lit(False))).withColumn(
+        "__b", F.coalesce(b_pred, F.lit(False))
+    )
+
+    order_cols = list(spec.order_by)
+    ts0 = order_cols[0]
+    within = spec.within_seconds
+    if within is not None and dict(df.dtypes).get(ts0) != "timestamp":
+        raise UnsupportedPatternError(
+            f"WITHIN requires a TIMESTAMP ORDER BY column ({ts0!r} is "
+            f"{dict(df.dtypes).get(ts0)!r})"
+        )
+
+    # ---- output schema: partition keys + measure aliases ----
+    src_fields = {f.name: f for f in df.schema.fields}
+    out_fields = [src_fields[pc] for pc in spec.partition_by]
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for var, col, alias in spec.measures:
+        if var == MATCH_NUMBER:
+            dt: T.DataType = T.LongType()
+        elif var == CLASSIFIER:
+            dt = T.StringType()
+        elif alias in spec.measure_agg:
+            fn = spec.measure_agg[alias]
+            if fn == "COUNT":
+                dt = T.LongType()
+            elif fn == "AVG":
+                dt = T.DoubleType()
+            elif fn == "SUM":
+                srct = src_fields[col].dataType
+                dt = T.LongType() if isinstance(srct, integral) else srct
+            else:
+                dt = src_fields[col].dataType
+        else:
+            dt = src_fields[col].dataType
+        out_fields.append(T.StructField(alias, dt, True))
+    out_schema = T.StructType(out_fields)
+
+    measures = list(spec.measures)
+    measure_agg = dict(spec.measure_agg)
+    measure_nav = dict(spec.measure_nav)
+    pby = list(spec.partition_by)
+    skip_past = spec.skip_past_last
+    # Arrow hands integer columns WITH nulls to pandas as float64; any
+    # integral output field must be coerced back before the return trip
+    target_long = {
+        f.name
+        for f in out_fields[len(pby):]
+        if isinstance(f.dataType, integral)
+    }
+
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(pdf)
+        a = pdf["__a"].to_numpy(dtype=bool)
+        b = pdf["__b"].to_numpy(dtype=bool)
+        # nf[i] = first index >= i failing A (n if the run reaches the end)
+        nf = np.empty(n + 1, dtype=np.int64)
+        nf[n] = n
+        for i in range(n - 1, -1, -1):
+            nf[i] = i if not a[i] else nf[i + 1]
+        # prev_b[j] = latest index <= j with B true (-1 if none)
+        prev_b = np.maximum.accumulate(
+            np.where(b, np.arange(n, dtype=np.int64), -1)
+        ) if n else np.empty(0, dtype=np.int64)
+        if within is not None:
+            ts = pdf[ts0].to_numpy()  # datetime64[ns], sorted
+            horizon = ts + np.timedelta64(int(within), "s")
+
+        def greedy_end(i: int) -> int:
+            # largest k in (i, nf[i]] with B(k) and ts_k inside WITHIN
+            k0 = min(nf[i], n - 1)
+            if within is not None:
+                k0 = min(
+                    k0, int(np.searchsorted(ts, horizon[i], side="right")) - 1
+                )
+            if k0 <= i:
+                return -1
+            k = int(prev_b[k0])
+            if k <= i or k - i < min_run:
+                return -1
+            return k
+
+        starts: list[int] = []
+        ends: list[int] = []
+        if skip_past:
+            i = 0
+            while i < n:
+                k = greedy_end(i) if a[i] else -1
+                if k >= 0:
+                    starts.append(i)
+                    ends.append(k)
+                    i = k + 1
+                else:
+                    i += 1
+        else:
+            for i in range(n):
+                if a[i]:
+                    k = greedy_end(i)
+                    if k >= 0:
+                        starts.append(i)
+                        ends.append(k)
+
+        out: dict[str, list] = {pc: [] for pc in pby}
+        for _, _, alias in measures:
+            out[alias] = []
+        for mn, (i, k) in enumerate(zip(starts, ends), start=1):
+            for pc in pby:
+                out[pc].append(pdf[pc].iloc[0])
+            for var, col, alias in measures:
+                if var == MATCH_NUMBER:
+                    v = mn
+                elif var == CLASSIFIER:
+                    v = b_var  # ONE ROW PER MATCH: the last row's variable
+                elif alias in measure_agg:
+                    fn = measure_agg[alias]
+                    if var == a_var:
+                        vals = pdf[col].iloc[i:k] if col != "*" else None
+                    else:
+                        vals = pdf[col].iloc[k : k + 1] if col != "*" else None
+                    if col == "*":
+                        v = (k - i) if var == a_var else 1
+                    elif fn == "COUNT":
+                        v = int(vals.count())
+                    elif fn == "SUM":
+                        v = vals.sum(min_count=1)
+                        v = None if pd.isna(v) else v
+                    elif fn == "AVG":
+                        v = vals.mean()
+                        v = None if pd.isna(v) else float(v)
+                    elif fn == "MIN":
+                        v = vals.min()
+                        v = None if pd.isna(v) else v
+                    else:
+                        v = vals.max()
+                        v = None if pd.isna(v) else v
+                elif var == a_var:
+                    row = i if measure_nav.get(alias) == "FIRST" else k - 1
+                    v = pdf[col].iloc[row]
+                else:  # B maps exactly the end row
+                    v = pdf[col].iloc[k]
+                try:
+                    if v is not None and pd.isna(v):
+                        v = None
+                except (TypeError, ValueError):
+                    pass  # non-scalar (never NaN-able) measure value
+                if v is not None and alias in target_long:
+                    v = int(v)
+                out[alias].append(v)
+        names = pby + [alias for _, _, alias in measures]
+        return pd.DataFrame({c: out[c] for c in names}, columns=names)
+
+    return src.groupBy(*pby).applyInPandas(match_group, schema=out_schema)
+
+
 def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     """Build the LEAD-chain DataFrame for an adjacent-sequence pattern.
 
@@ -787,6 +992,8 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     window pass / one shuffle on the partition key. The unbounded run
     shape (``A+ B``) dispatches to the gaps-and-islands lowering."""
     if spec.plus is not None:
+        if spec.plus_overlap:
+            return _lower_plus_overlap(spark, spec)
         return _lower_plus(spark, spec)
     df = spark.table(spec.table)
     cols = df.columns

@@ -506,6 +506,74 @@ def pattern_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_match_recognize_overlap",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               value > 20 AS a, value > 110 AS b,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ext AS (
+        SELECT *,
+               MIN(CASE WHEN NOT a THEN rn END) OVER
+                 (PARTITION BY user_id ORDER BY rn
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nf,
+               MAX(CASE WHEN b THEN rn END) OVER
+                 (PARTITION BY user_id ORDER BY rn
+                  ROWS UNBOUNDED PRECEDING) AS pb,
+               MAX(rn) OVER (PARTITION BY user_id) AS maxrn
+        FROM base
+    ), starts AS (
+        SELECT user_id, rn, event_id,
+               LEAST(COALESCE(nf, maxrn + 1), maxrn) AS kcap
+        FROM ext WHERE a
+    ), matches AS (
+        SELECT s.user_id, s.rn AS srn, s.event_id AS start_event, c.pb AS k
+        FROM starts s JOIN ext c ON c.user_id = s.user_id AND c.rn = s.kcap
+        WHERE c.pb IS NOT NULL AND c.pb > s.rn
+    )
+    SELECT m.user_id, m.start_event, e.event_id AS end_event,
+           CAST(m.k - m.srn AS BIGINT) AS n_a
+    FROM matches m JOIN ext e ON e.user_id = m.user_id AND e.rn = m.k
+    """,
+    doc="MATCH_RECOGNIZE with OVERLAPPING DEFINEs — PATTERN (A+ B) where "
+    "B (value > 110) implies A (value > 20), so a row can satisfy both "
+    "variables and greedy backtracking matters: the first NFA-requiring "
+    "CEP shape. Lowered via the per-key Arrow-batched matcher "
+    "(plans/match_recognize._lower_plus_overlap): greedy A+ dies at the "
+    "first non-A row and backtracks to the LATEST possible B, so each "
+    "start's match end is the largest B-row k inside (start, run_end+1] "
+    "— one shuffle on user_id (Flink CEP's keyed-state model), "
+    "predicates evaluated JVM-side, Python sees booleans only. The "
+    "DuckDB oracle re-derives the same closed form with window "
+    "functions (next-non-A / latest-B prefix arrays + an rn equi-join).",
+)
+def pattern_match_recognize_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_ov")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, start_event, end_event, n_a FROM __mr_events_ov
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.event_id) AS start_event,
+                     B.event_id AS end_event,
+                     COUNT(A.*) AS n_a
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.value > 20, B AS B.value > 110
+        ) AS m
+        """
+    )
+
+
+@register(
     "pattern_match_recognize_plus",
     oracle="""
     WITH flags AS (
