@@ -200,6 +200,189 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_lsh_exact",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ws) - 2),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+        FROM w WHERE len(ws) >= 3
+    ), sig AS (
+        SELECT doc_id,
+            list_min(list_transform(shingles, x -> md5(x || '#0'))) AS h0,
+            list_min(list_transform(shingles, x -> md5(x || '#1'))) AS h1,
+            list_min(list_transform(shingles, x -> md5(x || '#2'))) AS h2,
+            list_min(list_transform(shingles, x -> md5(x || '#3'))) AS h3,
+            list_min(list_transform(shingles, x -> md5(x || '#4'))) AS h4,
+            list_min(list_transform(shingles, x -> md5(x || '#5'))) AS h5,
+            list_min(list_transform(shingles, x -> md5(x || '#6'))) AS h6,
+            list_min(list_transform(shingles, x -> md5(x || '#7'))) AS h7
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, h0 || h1 AS b0, h2 || h3 AS b1,
+               h4 || h5 AS b2, h6 || h7 AS b3
+        FROM sig
+    )
+    SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM banded a JOIN banded b ON a.b3 = b.b3 AND a.doc_id < b.doc_id
+    )
+    """,
+    doc="MinHash + LSH with a PORTABLE hash (md5), hash-match verified "
+    "end-to-end: word 3-shingles -> 8 per-seed signatures (lexicographic "
+    "min of md5(shingle#seed) — min over a multiset equals min over the "
+    "set, so no distinct pass) -> 4 bands x 2 rows -> band-bucket equi "
+    "self-join -> distinct candidate pairs. Same banding/bucketing "
+    "machinery as dedup_minhash_lsh (which keeps xxhash64 for speed, "
+    "rows-only); this variant trades hash throughput for an oracle that "
+    "DuckDB reproduces bit-for-bit, closing the round-5 gap where the "
+    "LSH family had no hash-matched entry. Scale shape unchanged: "
+    "map-side signatures, shuffle only on band keys, never all-pairs.",
+)
+def dedup_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+        .withColumn("ws", F.split("text", " "))
+        .filter(F.size("ws") >= 3)
+    )
+    sh = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("ws", i),
+                F.element_at("ws", i + 1),
+                F.element_at("ws", i + 2),
+            ),
+        ).alias("shingles"),
+    )
+    def _seed_hash(s: int):
+        # closure factory, NOT a default arg: pyspark reads the lambda's
+        # arity, and a (x, s=s) signature would be mistaken for the
+        # two-argument (element, index) transform form
+        return lambda x: F.md5(F.concat(x, F.lit(f"#{s}")))
+
+    sig = sh.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("shingles", _seed_hash(s))).alias(f"h{s}")
+            for s in range(8)
+        ],
+    )
+    banded = sig.select(
+        "doc_id",
+        *[
+            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(f"b{b}")
+            for b in range(4)
+        ],
+    )
+    cands = None
+    for b in range(4):
+        a = banded.select(F.col("doc_id").alias("id_a"), F.col(f"b{b}"))
+        bb = banded.select(
+            F.col("doc_id").alias("id_b"), F.col(f"b{b}").alias("bb")
+        )
+        pair = a.join(
+            bb, (a[f"b{b}"] == bb.bb) & (a.id_a < bb.id_b)
+        ).select("id_a", "id_b")
+        cands = pair if cands is None else cands.unionByName(pair)
+    return cands.distinct()
+
+
+@register(
+    "dedup_simhash_hamming_exact",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_band,
+               list_transform(list_distinct(string_split(text, ' ')),
+                              x -> md5(x)) AS mds
+        FROM documents
+    ), sig AS (
+        SELECT doc_id, lang, len_band,
+               {bits} AS sim16
+        FROM w
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim16, b.sim16)) AS hamming
+    FROM sig a
+    JOIN sig b ON a.lang = b.lang AND a.len_band = b.len_band
+              AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim16, b.sim16)) <= 3
+    """.format(
+        bits=" + ".join(
+            "(CASE WHEN list_sum(list_transform(mds, m -> CASE WHEN "
+            f"substr(m, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << j} ELSE 0 END)::BIGINT"
+            for j in range(16)
+        )
+    ),
+    doc="SimHash near-dup with a PORTABLE sketch, hash-match verified: "
+    "16-bit simhash where bit j votes on the j-th hex nibble's high bit "
+    "of each distinct word's md5 (a pure substring compare — no hex "
+    "parsing, identical lexicographic semantics in Spark and DuckDB), "
+    "then pairs at Hamming <= 3 within (lang, length-band) blocks via "
+    "bit_count(xor). Companion to dedup_simhash_hamming (xxhash64 "
+    "64-bit, rows-only): same map-side-sketch + blocked-equi-join "
+    "scale shape, oracle reproducible bit-for-bit.",
+)
+def dedup_simhash_hamming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_band"),
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda w: F.md5(w)
+        ).alias("mds"),
+    )
+    def _vote(j: int):
+        # closure factory (see _seed_hash): a j=j default would change
+        # the lambda's arity pyspark dispatches on
+        return lambda acc, m: acc + F.when(
+            F.substring(m, j + 1, 1) >= "8", 1
+        ).otherwise(-1)
+
+    sim = None
+    for j in range(16):
+        vote = F.aggregate("mds", F.lit(0), _vote(j))
+        bit = F.when(vote > 0, F.lit(1 << j)).otherwise(0).cast("long")
+        sim = bit if sim is None else sim + bit
+    s = d.select("doc_id", "lang", "len_band", sim.alias("sim16"))
+    a = s.select(
+        F.col("doc_id").alias("id_a"), "lang", "len_band",
+        F.col("sim16").alias("sim_a"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("len_band").alias("len_band_b"), F.col("sim16").alias("sim_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.len_band == b.len_band_b)
+            & (a.id_a < b.id_b),
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@register(
     "dedup_simhash_hamming",
     oracle=None,  # xxhash64-based; distribution checked in tests
     doc="SimHash near-dup (SURVEY.md §2.9): 64-bit simhash over word "
