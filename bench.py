@@ -67,6 +67,9 @@ HEADLINE = (
     "q9_product_type_profit",
     "text_lang_source_rollup",
     "pipeline_corpus_curation",
+    "pattern_match_recognize_plus",
+    "window_topn",
+    "pipeline_stratified_sample_scalable",
 )
 
 

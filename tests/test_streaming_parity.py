@@ -873,3 +873,69 @@ def test_tumble_tvf_statement_streams_append_mode(spark, sf_small):
     assert all(got[w] == batch[w] for w in got)  # in-order: exact counts
     assert len(got) >= len(batch) - 2  # only the open tail may be missing
     assert len(got) > 0
+
+
+def test_window_topn_streaming_parity(spark, sf_small):
+    """Continuous Window Top-N (chained event-time aggregations, append
+    mode) == the batch window_topn registry query on the closed windows:
+    an in-order replay closes every window except the tail, and each
+    closed window's top-3 rows match the batch ROW_NUMBER result exactly
+    (same count-DESC/key-ASC ordering)."""
+    from training_flink_sql_cc_src_spark.queries.time_windows import window_topn
+    from training_flink_sql_cc_src_spark.streaming.window_rank import (
+        window_topn_stream,
+    )
+
+    ev = t(spark, sf_small, "events").select("ts", "event_type")
+    batch = {}
+    for r in window_topn(spark, sf_small).collect():
+        batch.setdefault(r.window_start, []).append(
+            (r.event_type, r.n_events, r.rnk)
+        )
+    streamed = run_stream_over_batch(
+        spark, ev, window_topn_stream, output_mode="append",
+        n_files=4, order_by="ts",
+    )
+    got = {}
+    for r in streamed.collect():
+        got.setdefault(r.window_start, []).append(
+            (r.event_type, r.n_events, r.rnk)
+        )
+    assert set(got) <= set(batch)
+    assert len(got) >= len(batch) - 2  # only the open tail may be missing
+    assert len(got) > 0
+    for w in got:  # per closed window: exact top-3, exact ranks
+        assert sorted(got[w]) == sorted(batch[w])
+
+
+def test_window_dedup_streaming_parity(spark, sf_small):
+    """Continuous Window Deduplication (min_by aggregation, append mode)
+    == the batch window_dedup_first registry query on closed windows —
+    the first (ts, event_id) row per (hour, user) survives incremental
+    micro-batch merging."""
+    from training_flink_sql_cc_src_spark.queries.time_windows import (
+        window_dedup_first,
+    )
+    from training_flink_sql_cc_src_spark.streaming.window_rank import (
+        window_dedup_stream,
+    )
+
+    ev = t(spark, sf_small, "events").select("ts", "user_id", "event_id")
+    batch = {
+        (r.window_start, r.user_id): (r.first_ts_epoch, r.first_event_id)
+        for r in window_dedup_first(spark, sf_small).collect()
+    }
+    streamed = run_stream_over_batch(
+        spark, ev, window_dedup_stream, output_mode="append",
+        n_files=4, order_by="ts",
+    )
+    got = {
+        (r.window_start, r.user_id): (r.first_ts_epoch, r.first_event_id)
+        for r in streamed.collect()
+    }
+    assert set(got) <= set(batch)
+    assert all(got[k] == batch[k] for k in got)
+    assert len(got) > 0
+    closed = {w for w, _ in got}
+    full = {w for w, _ in batch}
+    assert len(closed) >= len(full) - 2
