@@ -52,10 +52,18 @@ def test_no_match_recognize_returns_none():
 
 
 def test_quantifiers_rejected():
-    # A* (zero-or-more) stays out of the subset; A+ with disjoint DEFINEs
-    # is now lowered (test_plus_run_pattern)
+    # A* mid-sequence (not the two-variable run shape) stays out of the
+    # subset; A* B and A+ B are lowered (test_plus_run_pattern / _star_)
     with pytest.raises(UnsupportedPatternError, match="quantifiers"):
-        parse_match_recognize(_mr(BASE.replace("PATTERN (A B)", "PATTERN (A* B)")))
+        parse_match_recognize(
+            _mr(BASE.replace("PATTERN (A B)", "PATTERN (A* B C)"))
+        )
+    # A* B routes to the greedy matcher (zero-min run) even with
+    # disjoint DEFINEs — the islands rewrite cannot key an empty run
+    spec0 = parse_match_recognize(
+        _mr(BASE.replace("PATTERN (A B)", "PATTERN (A* B)"))
+    )
+    assert spec0.plus == ("A", "B", 0) and spec0.plus_overlap
     # A+ with NON-disjoint DEFINEs parses and flags the overlap path
     # (lowered by the applyInPandas matcher — test_overlap_lowering_*)
     spec = parse_match_recognize(
@@ -105,15 +113,15 @@ def test_all_rows_per_match_parses_and_guards():
         _mr(BASE.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH"))
     )
     assert spec.all_rows
-    # ALL ROWS + quantifier needs a real NFA
-    with pytest.raises(UnsupportedPatternError, match="ALL ROWS"):
-        parse_match_recognize(
-            _mr(
-                BASE.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
-                .replace("PATTERN (A B)", "PATTERN (A{1,2} B)")
-                .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
-            )
+    # ALL ROWS + quantifier parses (variable-length explode lowering)
+    spec_q = parse_match_recognize(
+        _mr(
+            BASE.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+            .replace("PATTERN (A B)", "PATTERN (A{1,2} B)")
+            .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
         )
+    )
+    assert spec_q.all_rows and spec_q.quants == {"A": (1, 2)}
     # WITH UNMATCHED ROWS parses under ALL ROWS; requires it otherwise
     spec2 = parse_match_recognize(
         _mr(
@@ -318,16 +326,45 @@ def test_quantifier_parse_and_guards():
         parse_match_recognize(
             _mr(BASE.replace("PATTERN (A B)", "PATTERN (A{1,3} B)"))
         )
-    # {0,m} and inverted/over-wide bounds are out of the lowered range
-    for bad in ("A{0,3}", "A{3,2}", "A{1,9}"):
+    # {0,m} parses (zero-length variant); A? sugars to {0,1}
+    spec0 = parse_match_recognize(
+        _mr(q.replace("PATTERN (A{1,3} B)", "PATTERN (A{0,3} B)"))
+    )
+    assert spec0.quants == {"A": (0, 3)}
+    spec_opt = parse_match_recognize(
+        _mr(q.replace("PATTERN (A{1,3} B)", "PATTERN (A? B)"))
+    )
+    assert spec_opt.quants == {"A": (0, 1)}
+    # inverted/over-wide bounds are out of the lowered range
+    for bad in ("A{3,2}", "A{1,9}", "A{0,0}"):
         with pytest.raises(UnsupportedPatternError, match="bounds"):
             parse_match_recognize(
                 _mr(q.replace("PATTERN (A{1,3} B)", f"PATTERN ({bad} B)"))
             )
-    # at most one quantified variable
-    with pytest.raises(UnsupportedPatternError, match="multiple quantified"):
+    # multiple quantified variables compose (cross-product variants)
+    spec_multi = parse_match_recognize(
+        _mr(q.replace("PATTERN (A{1,3} B)", "PATTERN (A{1,3} B{1,2})"))
+    )
+    assert spec_multi.quants == {"A": (1, 3), "B": (1, 2)}
+    # ...but the expansion product is capped
+    with pytest.raises(UnsupportedPatternError, match="variants"):
         parse_match_recognize(
-            _mr(q.replace("PATTERN (A{1,3} B)", "PATTERN (A{1,3} B{1,2})"))
+            _mr(
+                q.replace(
+                    "PATTERN (A{1,3} B)", "PATTERN (A{1,8} B{1,8} C{1,8})"
+                ).replace(
+                    "DEFINE A AS A.event_type = 'view', "
+                    "B AS B.event_type = 'click'",
+                    "DEFINE A AS A.event_type = 'view', "
+                    "B AS B.event_type = 'click', "
+                    "C AS C.event_type = 'buy'",
+                )
+            )
+        )
+    # an all-optional pattern can match empty -> rejected
+    with pytest.raises(UnsupportedPatternError, match="EMPTY"):
+        parse_match_recognize(
+            _mr(q.replace("PATTERN (A{1,3} B)", "PATTERN (A? B{0,2})"))
         )
 
 
@@ -521,22 +558,23 @@ def test_alternation_group(spark):
         (1, "B", 5.0, None),   # leftmost preference, C measures NULL
         (2, "C", None, 0.5),
     ]
-    # quantifier + alternation in one pattern needs a real NFA
-    with pytest.raises(UnsupportedPatternError, match="real NFA"):
-        parse_match_recognize(
-            _mr(
-                BASE.replace("PATTERN (A B)", "PATTERN (A{1,2} (B|C))")
-                .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
-            )
+    # quantifier + alternation compose (cross-product variants)
+    spec_qa = parse_match_recognize(
+        _mr(
+            BASE.replace("PATTERN (A B)", "PATTERN (A{1,2} (B|C))")
+            .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
         )
-    # multiple alternation groups rejected
-    with pytest.raises(UnsupportedPatternError, match="multiple alternation"):
-        parse_match_recognize(
-            _mr(
-                BASE.replace("PATTERN (A B)", "PATTERN ((A|D) (B|C))")
-                .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
-            )
+    )
+    assert spec_qa.quants == {"A": (1, 2)}
+    assert spec_qa.positions == [["A"], ["B", "C"]]
+    # multiple alternation groups compose too
+    spec_aa = parse_match_recognize(
+        _mr(
+            BASE.replace("PATTERN (A B)", "PATTERN ((A|D) (B|C))")
+            .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
         )
+    )
+    assert spec_aa.positions == [["A", "D"], ["B", "C"]]
 
 
 def test_plus_run_pattern(spark):
@@ -827,8 +865,9 @@ def test_unsupported_raises_instructive_router_error(spark):
                 PARTITION BY user_id
                 ORDER BY ts
                 MEASURES A.ts AS a_ts
-                PATTERN (A* B)
-                DEFINE A AS A.event_type = 'x', B AS B.event_type = 'y'
+                PATTERN (A* B C)
+                DEFINE A AS A.event_type = 'x', B AS B.event_type = 'y',
+                       C AS C.event_type = 'z'
             )
             """
         )
@@ -923,9 +962,6 @@ def _ref_overlap_nfa(vals, a_fn, b_fn, skip_past, min_run=1):
     n = len(vals)
 
     def match_from(s):
-        if not a_fn(vals[s]):
-            return None
-
         def dfs(i, na):
             if i >= n:
                 return None
@@ -937,7 +973,10 @@ def _ref_overlap_nfa(vals, a_fn, b_fn, skip_past, min_run=1):
                 return i
             return None
 
-        return dfs(s + 1, 1)
+        k = dfs(s + 1, 1) if a_fn(vals[s]) else None
+        if k is None and min_run == 0 and b_fn(vals[s]):
+            k = s  # A* / A{0,}: the empty run, B at the start row itself
+        return k
 
     out = []
     if skip_past:
@@ -969,21 +1008,21 @@ _OVERLAP_PREDS = [
     vals=st.lists(st.integers(0, 5), min_size=2, max_size=16),
     pred=st.sampled_from([0, 1]),
     skip_past=st.booleans(),
-    min_run=st.sampled_from([1, 2]),
+    min_run=st.sampled_from([0, 1, 2]),
 )
 def test_overlap_lowering_matches_nfa_reference(
     spark, vals, pred, skip_past, min_run
 ):
     """The applyInPandas overlap matcher == a direct backtracking NFA, for
     predicates where a row may satisfy A only, B only, both, or neither,
-    under both AFTER MATCH modes and A+ / A{2,} run bounds."""
+    under both AFTER MATCH modes and A* / A+ / A{2,} run bounds."""
     a_sql, b_sql, a_py, b_py = _OVERLAP_PREDS[pred]
     rows = [(1, i, v) for i, v in enumerate(vals)]
     spark.createDataFrame(
         rows, "user_id int, seq int, v int"
     ).createOrReplaceTempView("__mr_ovprop")
     skip = "SKIP PAST LAST ROW" if skip_past else "SKIP TO NEXT ROW"
-    pat = "A+ B" if min_run == 1 else "A{%d,} B" % min_run
+    pat = {0: "A* B", 1: "A+ B"}.get(min_run, "A{%d,} B" % min_run)
     got = StatementRouter(spark).execute(
         f"""
         SELECT first_a, b_seq, n_a FROM __mr_ovprop
@@ -1000,10 +1039,13 @@ def test_overlap_lowering_matches_nfa_reference(
         """
     ).collect()
     want = [
-        (s, k, k - s)
+        (None if k == s else s, k, k - s)
         for s, k in _ref_overlap_nfa(vals, a_py, b_py, skip_past, min_run)
     ]
-    assert sorted((r.first_a, r.b_seq, r.n_a) for r in got) == want
+    assert (
+        sorted(((r.first_a, r.b_seq, r.n_a) for r in got), key=str)
+        == sorted(want, key=str)
+    )
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
@@ -1034,3 +1076,284 @@ def test_lowering_matches_python_reference(spark, types, shape):
         """
     ).collect()
     assert sorted((r.last_a, r.b_seq) for r in got) == ref()
+
+
+def test_optional_variable(spark):
+    """PATTERN (A? B): the optional variable maps one row when possible
+    (greedy), else zero; its measures are NULL for the zero-length
+    variant. A bare 'b' row is a full match."""
+    rows = [
+        (1, 1, "a", 1.0), (1, 2, "b", 2.0),  # start@1: [A B]; start@2: [B]
+        (2, 1, "b", 3.0),                     # zero-A match
+        (3, 1, "a", 4.0),                     # no B -> no match
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_opt")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_seq, b_seq, n_a FROM __mr_opt
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, B.seq AS b_seq, COUNT(A.*) AS n_a
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A? B)
+            DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+        )
+        """
+    ).collect()
+    assert sorted(
+        ((r.user_id, r.a_seq, r.b_seq, r.n_a) for r in got), key=str
+    ) == sorted([(1, None, 2, 0), (1, 1, 2, 1), (2, None, 1, 0)], key=str)
+
+
+def test_zero_bounded_quantifier(spark):
+    """PATTERN (A{0,2} B): greedy takes the longest A-prefix up to 2;
+    starts with zero A rows match a bare B."""
+    rows = [
+        (1, 1, "a", 0.0), (1, 2, "a", 0.0), (1, 3, "a", 0.0),
+        (1, 4, "b", 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_zb")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT first_a, b_seq, n_a FROM __mr_zb
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, B.seq AS b_seq,
+                     COUNT(A.*) AS n_a
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{0,2} B)
+            DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+        )
+        """
+    ).collect()
+    # start@1: a a a b -> needs A{0,2} adjacent to B: rows 1..2 then row 3
+    # is 'a' not 'b' -> variant [A A B] fails at start 1 (row3!=b), variant
+    # [A B] fails (row2!=b)... only starts 2 (A A B), 3 (A B), 4 (B) match
+    assert sorted(((r.first_a, r.b_seq, r.n_a) for r in got), key=str) == sorted(
+        [(2, 4, 2), (3, 4, 1), (None, 4, 0)], key=str
+    )
+
+
+def test_multiple_alternation_groups(spark):
+    """PATTERN ((A|D) (B|C)): two alternation groups cross-multiply into
+    four variants; earlier positions dominate preference and the
+    unchosen variables' measures are NULL."""
+    rows = [
+        (1, 1, "d", 1.0), (1, 2, "c", 2.0),
+        (2, 1, "a", 3.0), (2, 2, "b", 4.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_malt")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_seq, d_seq, b_seq, c_seq FROM __mr_malt
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, D.seq AS d_seq,
+                     B.seq AS b_seq, C.seq AS c_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN ((A|D) (B|C))
+            DEFINE A AS A.event_type = 'a', D AS D.event_type = 'd',
+                   B AS B.event_type = 'b', C AS C.event_type = 'c'
+        )
+        """
+    ).collect()
+    assert sorted(
+        (r.user_id, r.a_seq, r.d_seq, r.b_seq, r.c_seq) for r in got
+    ) == [(1, None, 1, None, 2), (2, 1, None, 2, None)]
+
+
+def test_quantifier_with_alternation(spark):
+    """PATTERN (A{1,2} (B|C)): a quantifier and an alternation compose;
+    greedy run length dominates (earlier position), then leftmost
+    alternative."""
+    rows = [
+        (1, 1, "a", 0.0), (1, 2, "a", 0.0), (1, 3, "c", 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_qalt")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT first_a, n_a, cls FROM __mr_qalt
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, COUNT(A.*) AS n_a,
+                     CLASSIFIER() AS cls
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,2} (B|C))
+            DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b',
+                   C AS C.event_type = 'c'
+        )
+        """
+    ).collect()
+    assert sorted((r.first_a, r.n_a, r.cls) for r in got) == [
+        (1, 2, "C"),  # greedy 2 a's then c
+        (2, 1, "C"),
+    ]
+
+
+def test_all_rows_with_quantifier(spark):
+    """ALL ROWS PER MATCH with A{1,2} B: each match emits its OWN
+    variant's number of rows; CLASSIFIER names the per-row variable and
+    a RUNNING measure on the quantified variable tracks its last mapped
+    row so far."""
+    rows = [
+        (1, 1, "a", 10.0), (1, 2, "a", 20.0), (1, 3, "b", 30.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_arq")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, seq, cls, run_a FROM __mr_arq
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES CLASSIFIER() AS cls, RUNNING A.v AS run_a
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,2} B)
+            DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+        )
+        """
+    ).collect()
+    # start@1 greedy [A A B] -> 3 rows; start@2 [A B] -> 2 rows
+    assert sorted((r.seq, r.cls, r.run_a) for r in got) == [
+        (1, "A", 10.0),
+        (2, "A", 20.0),  # start@1 row 2: last mapped A so far = 20
+        (2, "A", 20.0),  # start@2 row 1
+        (3, "B", 20.0),  # start@1 B row: A's final value carried
+        (3, "B", 20.0),
+    ]
+
+
+def test_star_run_pattern(spark):
+    """PATTERN (A* B): zero-or-more run — every B row matches (empty run
+    fallback, A measures NULL); runs of A ending in B match greedily."""
+    rows = [
+        (1, 1, "a", 0.0), (1, 2, "a", 0.0), (1, 3, "b", 0.0),
+        (1, 4, "b", 0.0), (1, 5, "x", 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_star")
+    q = """
+        SELECT first_a, b_seq, n_a FROM __mr_star
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, B.seq AS b_seq,
+                     COUNT(A.*) AS n_a
+            ONE ROW PER MATCH
+            AFTER MATCH {skip}
+            PATTERN (A* B)
+            DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+        )
+    """
+    got = StatementRouter(spark).execute(
+        q.format(skip="SKIP TO NEXT ROW")
+    ).collect()
+    # starts: 1 (aa b), 2 (a b), 3 (zero-A b), 4 (zero-A b)
+    assert sorted(
+        ((r.first_a, r.b_seq, r.n_a) for r in got), key=str
+    ) == sorted([(1, 3, 2), (2, 3, 1), (None, 3, 0), (None, 4, 0)], key=str)
+    got2 = StatementRouter(spark).execute(
+        q.format(skip="SKIP PAST LAST ROW")
+    ).collect()
+    # greedy scan: rows 1-3 consumed; row 4 is a standalone zero-A match
+    assert sorted(
+        ((r.first_a, r.b_seq, r.n_a) for r in got2), key=str
+    ) == sorted([(1, 3, 2), (None, 4, 0)], key=str)
+
+
+# generic variant-expansion reference: first variant (in Flink preference
+# order) whose predicates hold on adjacent rows starting at s, per start
+_VARIANT_SHAPES = {
+    # pattern, variants in preference order (as type-letter sequences),
+    # SQL exprs for (start_seq, end_seq) over the per-var measures
+    "opt": ("A? B", ["ab", "b"], "COALESCE(fa, sb)", "sb"),
+    "zero2": ("A{0,2} B", ["aab", "ab", "b"], "COALESCE(fa, sb)", "sb"),
+    "multi_alt": (
+        "(A|D) (B|C)",
+        ["ab", "ac", "db", "dc"],
+        "COALESCE(fa, fd)",
+        "COALESCE(sb, sc)",
+    ),
+    "quant_alt": (
+        "A{1,2} (B|C)",
+        ["aab", "aac", "ab", "ac"],
+        "fa",
+        "COALESCE(sb, sc)",
+    ),
+    "two_quant": ("A{1,2} B{1,2}", ["aabb", "aab", "abb", "ab"], "fa", "sb"),
+}
+
+
+def _ref_variant_matches(types, variants):
+    out = []
+    n = len(types)
+    for s in range(n):
+        for vs in variants:
+            if s + len(vs) > n:
+                continue
+            if all(types[s + i] == ch for i, ch in enumerate(vs)):
+                out.append((s, s + len(vs) - 1))
+                break
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    types=st.lists(st.sampled_from(["a", "b", "c", "d", "x"]),
+                   min_size=2, max_size=14),
+    shape=st.sampled_from(sorted(_VARIANT_SHAPES)),
+)
+def test_variant_shapes_match_python_reference(spark, types, shape):
+    """Optional variables, zero-bounded quantifiers, multiple alternation
+    groups, quantifier+alternation, and two quantifiers all lower to the
+    same (start,end) match set as a direct first-preferred-variant
+    reference on random sequences."""
+    pattern, variants, start_sql, end_sql = _VARIANT_SHAPES[shape]
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_vprop")
+    pat_vars = sorted({ch.upper() for ch in "".join(variants)})
+    measures = ", ".join(
+        f"FIRST({v}.seq) AS f{v.lower()}, LAST({v}.seq) AS s{v.lower()}"
+        for v in pat_vars
+    )
+    defines = ", ".join(
+        f"{v} AS {v}.event_type = '{v.lower()}'" for v in pat_vars
+    )
+    got = StatementRouter(spark).execute(
+        f"""
+        SELECT {start_sql} AS s, {end_sql} AS e FROM __mr_vprop
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES {measures}
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN ({pattern})
+            DEFINE {defines}
+        )
+        """
+    ).collect()
+    assert sorted((r.s, r.e) for r in got) == _ref_variant_matches(
+        types, variants
+    )

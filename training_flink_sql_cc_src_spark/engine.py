@@ -173,11 +173,11 @@ class Engine:
             )
 
         if spec.plus is not None:
-            if spec.plus[2] > 1:
+            if spec.plus[2] != 1:
                 raise unsupported(
-                    "A{n,} minimum-run bounds (the streaming matcher "
-                    "tracks O(1) state; run length bounds need a counter "
-                    "— use the batch path)"
+                    "A{n,} / A* run bounds (the streaming matcher tracks "
+                    "O(1) state assuming a plain A+ run — use the batch "
+                    "path)"
                 )
             if not spec.skip_past_last:
                 raise unsupported(

@@ -7,22 +7,26 @@ it. Spark SQL has no MATCH_RECOGNIZE, so the router lowers the
 LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
 
   supported:   PATTERN (A B), (A B C), … — plain variable sequences —
-               plus at most one BOUNDED quantifier ``A{n}`` / ``A{n,m}``
-               (1 <= n <= m <= 8), lowered as the union of fixed-length
-               variants with greedy (longest-match-per-start-row,
-               Flink-default) selection, OR the unbounded run shape
-               ``A+ B`` / ``A{n,} B`` (disjoint DEFINEs: exact
-               gaps-and-islands lowering — no NFA needed because
-               backtracking provably cannot help; OVERLAPPING DEFINEs —
-               a row may satisfy both variables — dispatch to the
-               per-key Arrow-batched greedy matcher _lower_plus_overlap
-               with true backtracking semantics and both AFTER MATCH
-               modes; {n,} requires n run rows from each start), OR one
-               alternation
-               group
-               ``(X|Y)`` (variants in declaration order — leftmost
-               alternative preferred, the unchosen variable's measures
-               NULL); DEFINE on current-row predicates
+               with any mix of BOUNDED quantifiers ``A{n}`` / ``A{n,m}``
+               / ``A?`` (0 <= n <= m <= 8, so optional and zero-or-up-to
+               variables included) and alternation groups ``(X|Y)``,
+               lowered as the cross-product union of fixed-length
+               LEAD-chain variants in Flink's regex preference order
+               (earlier positions dominate; quantifiers greedy-longest
+               first, alternatives in declaration order; capped at 64
+               variants / 12 rows, and the pattern must not be able to
+               match an empty sequence), OR the unbounded run shape
+               ``A+ B`` / ``A{n,} B`` / ``A* B`` (disjoint DEFINEs with
+               min run >= 1: exact gaps-and-islands lowering — no NFA
+               needed because backtracking provably cannot help;
+               OVERLAPPING DEFINEs — a row may satisfy both variables —
+               and any zero-min run dispatch to the per-key
+               Arrow-batched greedy matcher _lower_plus_overlap with
+               true backtracking semantics and both AFTER MATCH modes;
+               {n,} requires n run rows from each start, A*'s empty run
+               falls back to the bare B row); an unchosen alternation
+               variable's (or zero-length variable's) measures are
+               NULL; DEFINE on current-row predicates
                (``A AS A.col = lit`` or bare column refs, which bind to
                the defining variable's row per Flink semantics; implicit
                always-true for variables without a DEFINE) with
@@ -45,11 +49,15 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                suffix-window aggregates over the run id for A+/A{n,} —
                ONE ROW PER MATCH only), ONE ROW PER
                MATCH, ALL ROWS PER
-               MATCH (unquantified patterns; running-measure semantics —
-               a measure on a not-yet-reached variable is NULL),
+               MATCH (incl. quantified/optional patterns — each match
+               explodes to its own variant's length; running-measure
+               semantics — a measure on a not-yet-reached variable is
+               NULL, a multiply-mapped variable reads its last mapped
+               row at-or-before the current one),
                optionally WITH UNMATCHED ROWS (uncovered rows emit once
-               with NULL measures; coverage via L-1 LAGs of the matched
-               index on the same window — no extra exchange),
+               with NULL measures; coverage via max_len-1 LAGs of the
+               matched index on the same window, length-aware for
+               variable-length variants — no extra exchange),
                AFTER MATCH SKIP TO NEXT ROW (always), SKIP PAST LAST ROW
                (plain sequences: only with provably pairwise-disjoint
                predicates — equality on one shared column with distinct
@@ -57,15 +65,14 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                skipping equals keep-everything; A+/A{n,} runs: any
                DEFINEs, the run lowerings skip natively), optional
                WITHIN INTERVAL bound.
-  unsupported: unbounded quantifiers beyond the run shape
-               (A*, {0,m}), multiple alternation
-               groups, a quantifier AND an alternation together,
-               NEXT/FIRST/LAST inside DEFINE, PREV over another variable
-               or past the match start, aggregate measures under ALL
-               ROWS (running aggregates), ALL ROWS PER MATCH with a
-               quantifier — these need a real NFA; the
-               router raises the instructive error pointing at
-               pattern_funnel / applyInPandasWithState instead.
+  unsupported: unbounded quantifiers beyond the two-variable run shape
+               (e.g. A* mid-sequence), patterns past the 64-variant /
+               12-row expansion cap, NEXT/FIRST/LAST inside DEFINE, PREV over
+               another variable or past the match start, aggregate
+               measures under ALL ROWS (running aggregates) — these
+               need a real (unbounded) NFA; the router raises the
+               instructive error pointing at pattern_funnel /
+               applyInPandasWithState instead.
 
 Lowering: one Window partitionBy(PARTITION BY).orderBy(ORDER BY); row i
 binds variable k via LEAD(struct(cols), k); the match predicate is the
@@ -148,9 +155,15 @@ class MatchRecognizeSpec:
     within_seconds: int | None
     span: tuple[int, int]  # [start, end) of "FROM tbl MATCH_RECOGNIZE(...)"
     out_alias: str | None
-    # bounded quantifier: (var, lo, hi) when the pattern contains exactly
-    # one ``VAR{n}`` / ``VAR{n,m}`` item (n>=1); None for plain sequences
+    # first bounded quantifier: (var, lo, hi) — kept for the guards and
+    # the streaming leg's shape checks; ``quants`` holds every one
     quant: tuple[str, int, int] | None = None
+    # every bounded quantifier: var -> (lo, hi), 0 <= lo <= hi <= 8
+    # (``VAR?`` parses as {0,1}); the lowering expands the per-position
+    # cross product of lengths/alternatives into fixed-length variants
+    quants: dict[str, tuple[int, int]] = dataclasses_field(
+        default_factory=dict
+    )
     # ALL ROWS PER MATCH: emit every matched input row (running-measure
     # semantics) instead of one summary row per match
     all_rows: bool = False
@@ -257,44 +270,43 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
     pattern_text = m.group("pattern")
     plus: tuple[str, str, int] | None = None
     pm = re.fullmatch(
-        r"(?P<a>\w+)(?:\+|\{(?P<lo>\d+),\})\s+(?P<b>\w+)",
+        r"(?P<a>\w+)(?:(?P<star>[+*])|\{(?P<lo>\d+),\})\s+(?P<b>\w+)",
         pattern_text.strip(),
     )
     if pm is not None:
-        # PATTERN (A+ B) / (A{n,} B): the unbounded-run shape. Disjoint
-        # predicates lower exactly via gaps-and-islands (backtracking to
-        # a shorter A-run can never succeed — the row after a shorter
-        # run satisfies A and a row cannot satisfy both A and B);
-        # overlapping predicates dispatch to the per-key greedy matcher
-        # (plus_overlap, set after DEFINE parsing). The {n,} form
-        # additionally requires at least n A-rows from each start.
-        lo = int(pm.group("lo") or 1)
-        if lo < 1:
-            raise UnsupportedPatternError(
-                "A{0,} (zero-or-more) needs a real NFA — minimum run "
-                "length must be >= 1"
-            )
+        # PATTERN (A+ B) / (A* B) / (A{n,} B): the unbounded-run shape.
+        # Disjoint predicates with min run >= 1 lower exactly via
+        # gaps-and-islands (backtracking to a shorter A-run can never
+        # succeed — the row after a shorter run satisfies A and a row
+        # cannot satisfy both A and B); overlapping predicates — and any
+        # zero-min run (A* / A{0,}), where a match may contain no A row
+        # at all — dispatch to the per-key greedy matcher (plus_overlap,
+        # set after DEFINE parsing). The {n,} form additionally requires
+        # at least n A-rows from each start.
+        if pm.group("star") is not None:
+            lo = 1 if pm.group("star") == "+" else 0
+        else:
+            lo = int(pm.group("lo"))
         plus = (pm.group("a"), pm.group("b"), lo)
-    elif re.search(r"[+*?]", pattern_text):
+    elif re.search(r"[+*]", pattern_text):
         raise UnsupportedPatternError(
             f"PATTERN ({pattern_text}) uses unbounded quantifiers — only "
-            "adjacent sequences (A B C ...) with at most one BOUNDED "
-            "quantifier (A{n} / A{n,m}, n>=1), one alternation group "
-            "((B|C)), or the two-variable run shape (A+ B / A{n,} B, "
-            "any DEFINEs) are lowered; use "
+            "adjacent sequences (A B C ...) with BOUNDED quantifiers "
+            "(A{n} / A{n,m} / A?, n>=0), alternation groups ((B|C)), or "
+            "the two-variable run shape (A+ B / A* B / A{n,} B, any "
+            "DEFINEs) are lowered; use "
             "queries/time_windows.pattern_funnel3_sequential or "
             "streaming/stateful.applyInPandasWithState for general CEP"
         )
     positions: list[list[str]] = []  # per sequence position: alternatives
     pattern: list[str] = []  # flat variable list (for membership checks)
-    quant: tuple[str, int, int] | None = None
-    alt_seen = False
+    quants: dict[str, tuple[int, int]] = {}
     if plus is not None:
         pattern = [plus[0], plus[1]]
         positions = [[plus[0]], [plus[1]]]
     tok_re = re.compile(
         r"\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
-        r"|(?P<var>\w+)(?:\{(?P<lo>\d+)(?:,(?P<hi>\d+))?\})?"
+        r"|(?P<var>\w+)(?:\{(?P<lo>\d+)(?:,(?P<hi>\d+))?\}|(?P<opt>\?))?"
     )
     idx = 0 if plus is None else len(pattern_text)
     while idx < len(pattern_text):
@@ -305,44 +317,65 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if tm is None:
             raise UnsupportedPatternError(
                 f"PATTERN item at {pattern_text[idx:]!r} unparseable "
-                "(VAR, VAR{n}, VAR{n,m}, or an (X|Y) alternation group "
-                "expected)"
+                "(VAR, VAR{n}, VAR{n,m}, VAR?, or an (X|Y) alternation "
+                "group expected)"
             )
         if tm.group("alts"):
-            if alt_seen:
-                raise UnsupportedPatternError(
-                    f"PATTERN ({pattern_text}) has multiple alternation "
-                    "groups — only one is lowered"
-                )
-            alt_seen = True
             alts = [a.strip() for a in tm.group("alts").split("|")]
             positions.append(alts)
             pattern.extend(alts)
         else:
             var = tm.group("var")
-            if tm.group("lo") is not None:
+            if tm.group("opt") is not None:
+                quants[var] = (0, 1)  # VAR? == VAR{0,1}
+            elif tm.group("lo") is not None:
                 lo = int(tm.group("lo"))
                 hi = int(tm.group("hi")) if tm.group("hi") is not None else lo
-                if quant is not None:
-                    raise UnsupportedPatternError(
-                        f"PATTERN ({pattern_text}) has multiple quantified "
-                        "variables — only one bounded quantifier is lowered"
-                    )
-                if lo < 1 or hi < lo or hi > 8:
+                if lo < 0 or hi < max(lo, 1) or hi > 8:
                     raise UnsupportedPatternError(
                         f"quantifier bounds {{{lo},{hi}}} outside the "
-                        "lowered range (1 <= n <= m <= 8; {0,m} needs a "
-                        "real NFA)"
+                        "lowered range (0 <= n <= m <= 8, m >= 1)"
                     )
-                quant = (var, lo, hi)
+                quants[var] = (lo, hi)
             positions.append([var])
             pattern.append(var)
         idx = tm.end()
-    if quant is not None and alt_seen:
-        raise UnsupportedPatternError(
-            "a bounded quantifier and an alternation group in one PATTERN "
-            "need a real NFA — use one or the other"
-        )
+    quant = (
+        next((v, *quants[v]) for v in pattern if v in quants)
+        if quants and plus is None
+        else None
+    )
+    if plus is None:
+        # the lowering unions one fixed-length LEAD-chain variant per
+        # combination of alternation choices x quantifier lengths; cap
+        # the product (and the LEAD-chain depth) so the when-chains stay
+        # plan-sized
+        n_variants, max_len, min_len = 1, 0, 0
+        for alts in positions:
+            v = alts[0]
+            if len(alts) == 1 and v in quants:
+                lo, hi = quants[v]
+                n_variants *= hi - lo + 1
+                max_len += hi
+                min_len += lo
+            else:
+                n_variants *= len(alts)
+                max_len += 1
+                min_len += 1
+        if n_variants > 64 or max_len > 12:
+            raise UnsupportedPatternError(
+                f"PATTERN ({pattern_text}) expands to {n_variants} "
+                f"variants of up to {max_len} rows — beyond the lowered "
+                "bound (64 variants / 12 rows); use "
+                "streaming/stateful.applyInPandasWithState for patterns "
+                "this wide"
+            )
+        if min_len < 1:
+            raise UnsupportedPatternError(
+                f"PATTERN ({pattern_text}) can match an EMPTY sequence "
+                "(every position optional) — at least one position must "
+                "be required"
+            )
     if len(positions) < 2 or len(pattern) != len(set(pattern)):
         raise UnsupportedPatternError(
             f"PATTERN ({pattern_text}) must be a sequence of 2+ positions "
@@ -480,6 +513,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         span=(head.start(), end),
         out_alias=out_alias,
         quant=quant,
+        quants=quants if plus is None else {},
         all_rows=all_rows,
         measure_modes=measure_modes,
         positions=positions,
@@ -491,8 +525,10 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
     if plus is not None:
         # overlapping DEFINEs (a row may satisfy both variables) switch
         # the lowering from gaps-and-islands to the per-key greedy
-        # matcher — same semantics, NFA-capable backtracking
-        spec.plus_overlap = not _provably_disjoint(spec)
+        # matcher — same semantics, NFA-capable backtracking. A zero-min
+        # run (A* / A{0,}) always takes the matcher: a match may contain
+        # no A row at all, which the islands rewrite cannot key.
+        spec.plus_overlap = plus[2] == 0 or not _provably_disjoint(spec)
         if all_rows:
             raise UnsupportedPatternError(
                 "ALL ROWS PER MATCH with an unbounded run (A+ B) is not "
@@ -503,13 +539,6 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                 "PREV() inside PATTERN (A+ B) DEFINEs is not lowered (the "
                 "run variable's offsets are unbounded)"
             )
-    if all_rows and quant is not None:
-        raise UnsupportedPatternError(
-            "ALL ROWS PER MATCH with a quantified variable is not lowered "
-            "(running-measure semantics over a variable-length mapping "
-            "need a real NFA); use ONE ROW PER MATCH with the quantifier, "
-            "or an unquantified pattern with ALL ROWS"
-        )
     if quant is not None and skip_past_last:
         raise UnsupportedPatternError(
             "AFTER MATCH SKIP PAST LAST ROW with a quantified variable "
@@ -907,12 +936,21 @@ def _lower_plus_overlap(
                 return -1
             return k
 
+        def match_at(i: int) -> int:
+            # greedy: prefer a run with >= 1 A row; a zero-min pattern
+            # (A* / A{0,}) backtracks to the empty run — the start row
+            # itself must then satisfy B
+            k = greedy_end(i) if a[i] else -1
+            if k < 0 and min_run == 0 and b[i]:
+                k = i
+            return k
+
         starts: list[int] = []
         ends: list[int] = []
         if skip_past:
             i = 0
             while i < n:
-                k = greedy_end(i) if a[i] else -1
+                k = match_at(i)
                 if k >= 0:
                     starts.append(i)
                     ends.append(k)
@@ -921,11 +959,10 @@ def _lower_plus_overlap(
                     i += 1
         else:
             for i in range(n):
-                if a[i]:
-                    k = greedy_end(i)
-                    if k >= 0:
-                        starts.append(i)
-                        ends.append(k)
+                k = match_at(i)
+                if k >= 0:
+                    starts.append(i)
+                    ends.append(k)
 
         out: dict[str, list] = {pc: [] for pc in pby}
         for _, _, alias in measures:
@@ -961,8 +998,11 @@ def _lower_plus_overlap(
                         v = vals.max()
                         v = None if pd.isna(v) else v
                 elif var == a_var:
-                    row = i if measure_nav.get(alias) == "FIRST" else k - 1
-                    v = pdf[col].iloc[row]
+                    if k == i:  # zero-A match (A* / A{0,}): no mapped row
+                        v = None
+                    else:
+                        row = i if measure_nav.get(alias) == "FIRST" else k - 1
+                        v = pdf[col].iloc[row]
                 else:  # B maps exactly the end row
                     v = pdf[col].iloc[k]
                 try:
@@ -1000,21 +1040,22 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     w = Window.partitionBy(*spec.partition_by).orderBy(*spec.order_by)
 
     positions = spec.positions or [[v] for v in spec.pattern]
-    if spec.quant is not None:
-        qvar, lo, hi = spec.quant
-        qi = spec.pattern.index(qvar)
-        # longest first: the when-chain below makes greedy = first match
-        variants = [
-            spec.pattern[:qi] + [qvar] * c + spec.pattern[qi + 1 :]
-            for c in range(hi, lo - 1, -1)
-        ]
-    else:
-        # expand the (single) alternation group, leftmost alternative
-        # first — Flink tries alternatives in declaration order, and the
-        # when-chain preserves that preference
-        variants = [[]]
-        for alts in positions:
-            variants = [v + [a] for v in variants for a in alts]
+    # Per-position choices: a quantified variable contributes its run
+    # lengths LONGEST FIRST (greedy), an alternation group its
+    # alternatives in declaration order (leftmost preferred). The cross
+    # product enumerates every fixed-length variant in Flink's regex
+    # preference order — earlier positions dominate, the rightmost
+    # position varies fastest — and the when-chain below makes
+    # first-matching-variant = preferred variant. Parse caps the product
+    # at 64 variants / 12 rows.
+    variants: list[list[str]] = [[]]
+    for alts in positions:
+        if len(alts) == 1 and alts[0] in spec.quants:
+            lo, hi = spec.quants[alts[0]]
+            choices = [[alts[0]] * c for c in range(hi, lo - 1, -1)]
+        else:
+            choices = [[a] for a in alts]
+        variants = [v + c for v in variants for c in choices]
     max_len = max(len(v) for v in variants)
 
     out = df
@@ -1033,8 +1074,10 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             parts.append(F.expr(_pred_at_offset(spec.defines[var], var, k, cols)))
             for p in parts:
                 cond = p if cond is None else cond & p
-        if spec.within_seconds is not None:
-            last = len(vs) - 1
+        last = len(vs) - 1
+        if spec.within_seconds is not None and last > 0:
+            # a single-row variant (all other positions at length 0)
+            # satisfies any WITHIN bound trivially
             ts0, tsn = spec.order_by[0], f"__mr_s{last}.{spec.order_by[0]}"
             cond = cond & (
                 F.col(tsn)
@@ -1090,23 +1133,35 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             )
         return expr
 
+    lens = [len(v) for v in variants]
     if spec.all_rows:
         # ALL ROWS PER MATCH: one output row per matched INPUT row —
         # explode the match's offsets and pick each offset's bound row
         # from the shared LEAD structs. Measures use RUNNING semantics
         # (the Flink default): a measure on a variable not yet reached at
         # this offset is NULL; CLASSIFIER() names this row's variable.
-        # Quantifiers are rejected at parse, so every variant has the
-        # same length (= number of positions); only the variable BOUND at
-        # an offset differs across alternation variants.
-        length = len(positions)
-        rows = matched.withColumn(
-            "__mr_k", F.explode(F.sequence(F.lit(0), F.lit(length - 1)))
-        )
+        # Variants may differ in LENGTH (quantifiers / optional
+        # variables): each match explodes to its OWN variant's length,
+        # looked up from a literal array by the matched variant index.
+        if len(set(lens)) == 1:
+            rows = matched.withColumn(
+                "__mr_k", F.explode(F.sequence(F.lit(0), F.lit(lens[0] - 1)))
+            )
+        else:
+            len_arr = F.array(*[F.lit(n) for n in lens])
+            rows = matched.withColumn(
+                "__mr_k",
+                F.explode(
+                    F.sequence(
+                        F.lit(0),
+                        F.element_at(len_arr, F.col("__mr_vi") + 1) - 1,
+                    )
+                ),
+            )
 
         def col_at_k(col: str):
             expr = F.when(F.col("__mr_k") == 0, F.col(col))
-            for k in range(1, length):
+            for k in range(1, max_len):
                 expr = expr.when(F.col("__mr_k") == k, F.col(f"__mr_s{k}.{col}"))
             return expr
 
@@ -1133,29 +1188,53 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             def running_of(vs: list[str], var=var, col=col, alias=alias):
                 if var not in vs:
                     return F.lit(None)
-                voff = vs.index(var)
-                base = (
-                    F.col(col) if voff == 0 else F.col(f"__mr_s{voff}.{col}")
-                )
+                offs = [k for k, v in enumerate(vs) if v == var]
+
+                def at(k):
+                    return F.col(col) if k == 0 else F.col(f"__mr_s{k}.{col}")
+
+                nav = spec.measure_nav.get(alias, "LAST")
                 if spec.measure_modes.get(alias) == "FINAL":
                     # FINAL: the complete match's value on every row
-                    return base
+                    # (FIRST nav -> first mapped row, else last mapped)
+                    return at(offs[0] if nav == "FIRST" else offs[-1])
                 # RUNNING (Flink default under ALL ROWS): NULL until the
-                # variable's row is reached
-                return F.when(F.col("__mr_k") >= voff, base)
+                # variable's row is reached. A multiply-mapped variable
+                # (quantifier) reads its LAST mapped row at-or-before the
+                # current offset — a descending when-chain over its
+                # offsets; FIRST nav pins the first mapped row once seen.
+                if nav == "FIRST":
+                    return F.when(F.col("__mr_k") >= offs[0], at(offs[0]))
+                expr = None
+                for k in reversed(offs):
+                    c = F.col("__mr_k") >= k
+                    expr = (
+                        F.when(c, at(k)) if expr is None else expr.when(c, at(k))
+                    )
+                return expr
 
             select.append(per_variant(running_of).alias(alias))
         matched_rows = rows.select(*select)
         if not spec.with_unmatched:
             return matched_rows
         # WITH UNMATCHED ROWS: a row at window position p participates in
-        # SOME match iff a match starts at p or at one of the L-1 rows
-        # before it — i.e. any of LAG(__mr_vi, j), j in 0..L-1, is
-        # non-null. The LAGs ride the same window partitioning (no extra
-        # exchange); uncovered rows emit ONCE with NULL measures.
+        # SOME match iff a match starts at p or at one of the up-to
+        # max_len-1 rows before it AND that match is long enough to reach
+        # p — LAG(__mr_vi, j) non-null with variant length > j. The LAGs
+        # ride the same window partitioning (no extra exchange);
+        # uncovered rows emit ONCE with NULL measures.
         cov = F.col("__mr_vi").isNotNull()
-        for j in range(1, length):
-            cov = cov | F.lag("__mr_vi", j).over(w).isNotNull()
+        uniform = len(set(lens)) == 1
+        cov_len_arr = F.array(*[F.lit(n) for n in lens])
+        for j in range(1, max_len):
+            lag_vi = F.lag("__mr_vi", j).over(w)
+            if uniform:
+                cov = cov | lag_vi.isNotNull()
+            else:
+                cov = cov | (
+                    lag_vi.isNotNull()
+                    & (F.element_at(cov_len_arr, lag_vi + 1) > j)
+                )
         types = dict(matched_rows.dtypes)
         um_select = [F.col(c) for c in cols] + [
             F.lit(None).cast(types[alias]).alias(alias)
