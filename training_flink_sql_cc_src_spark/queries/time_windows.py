@@ -1175,3 +1175,262 @@ def window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "pattern_match_recognize_opt",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               LAG(event_type) OVER w AS p1,
+               LAG(ts) OVER w AS ps1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CASE WHEN p1 = 'view'
+                THEN {EPOCH_SQL.format(x='ps1')} END AS view_epoch,
+           {EPOCH_SQL.format(x='ts')} AS purchase_epoch,
+           CAST(CASE WHEN p1 = 'view' THEN 1 ELSE 0 END AS BIGINT) AS n_view
+    FROM seq WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, CAST(NULL AS BIGINT), {EPOCH_SQL.format(x='ts')},
+           CAST(0 AS BIGINT)
+    FROM seq WHERE event_type = 'purchase' AND p1 = 'view'
+    """,
+    doc="MATCH_RECOGNIZE with an OPTIONAL variable: PATTERN (A? B) — an "
+    "optionally view-preceded purchase, AFTER MATCH SKIP TO NEXT ROW. "
+    "A? sugars to A{0,1}: the lowering unions the [A B] and [B] "
+    "LEAD-chain variants (greedy prefers the longer), so every purchase "
+    "row emits the zero-length-A match and a view-then-purchase start "
+    "additionally emits the mapped-A match with its measures bound "
+    "(plans/match_recognize.py per-position cross product). Still ONE "
+    "window pass / one shuffle on user_id. The oracle replays both "
+    "variants with a LAG in DuckDB: purchases emit once (plus once "
+    "more, with the A measures NULL, when the preceding row is a view "
+    "— that start row's own zero-A match).",
+)
+def pattern_match_recognize_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_opt")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(view_ts AS LONG) AS view_epoch,
+               CAST(purchase_ts AS LONG) AS purchase_epoch,
+               n_view
+        FROM __mr_events_opt
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS view_ts, B.ts AS purchase_ts,
+                     COUNT(A.*) AS n_view
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A? B)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'purchase'
+        ) AS m
+        """
+    )
+
+
+@register(
+    "pattern_match_recognize_multi_alt",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               LEAD(event_type) OVER w AS t1,
+               LEAD(ts) OVER w AS s1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CASE WHEN event_type = 'view'
+                THEN {EPOCH_SQL.format(x='ts')} END AS view_epoch,
+           CASE WHEN event_type = 'click'
+                THEN {EPOCH_SQL.format(x='ts')} END AS click_epoch,
+           {EPOCH_SQL.format(x='s1')} AS outcome_epoch,
+           CASE WHEN t1 = 'purchase' THEN 'B' ELSE 'C' END AS cls
+    FROM seq
+    WHERE event_type IN ('view', 'click')
+      AND t1 IN ('purchase', 'error')
+    """,
+    doc="MATCH_RECOGNIZE with MULTIPLE alternation groups: PATTERN "
+    "((A|D) (B|C)) — a view or click immediately followed by a purchase "
+    "or error, AFTER MATCH SKIP TO NEXT ROW. The lowering cross-"
+    "multiplies the groups into four LEAD-chain variants (leftmost "
+    "alternative preferred per position); the unchosen variable's "
+    "measures are NULL and CLASSIFIER() names the matched end variable. "
+    "ONE window pass / one shuffle on user_id; the oracle replays the "
+    "IN-list equivalent in DuckDB.",
+)
+def pattern_match_recognize_multi_alt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_malt")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(view_ts AS LONG) AS view_epoch,
+               CAST(click_ts AS LONG) AS click_epoch,
+               CAST(COALESCE(purchase_ts, error_ts) AS LONG)
+                   AS outcome_epoch,
+               cls
+        FROM __mr_events_malt
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS view_ts, D.ts AS click_ts,
+                     B.ts AS purchase_ts, C.ts AS error_ts,
+                     CLASSIFIER() AS cls
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN ((A|D) (B|C))
+            DEFINE A AS A.event_type = 'view',
+                   D AS D.event_type = 'click',
+                   B AS B.event_type = 'purchase',
+                   C AS C.event_type = 'error'
+        ) AS m
+        """
+    )
+
+
+@register(
+    "pattern_match_recognize_star",
+    oracle=f"""
+    WITH flags AS (
+        SELECT user_id, ts, event_id, event_type,
+               event_type = 'click' AS a,
+               LAG(event_type = 'click') OVER w AS prev_a,
+               LEAD(event_type = 'click') OVER w AS next_a,
+               LEAD(event_type = 'signup') OVER w AS next_b,
+               LEAD(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+        SELECT *, SUM(CASE WHEN a AND NOT COALESCE(prev_a, FALSE)
+                           THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS g
+        FROM flags
+    ), ends AS (
+        SELECT user_id, g,
+               BOOL_OR(NOT COALESCE(next_a, FALSE)
+                       AND COALESCE(next_b, FALSE)) AS b_ok,
+               MAX(CASE WHEN NOT COALESCE(next_a, FALSE)
+                        THEN next_ts END) AS b_ts
+        FROM isl WHERE a GROUP BY user_id, g
+    )
+    SELECT i.user_id,
+           {EPOCH_SQL.format(x='i.ts')} AS first_click_epoch,
+           {EPOCH_SQL.format(x='e.b_ts')} AS signup_epoch
+    FROM isl i JOIN ends e ON i.user_id = e.user_id AND i.g = e.g
+    WHERE i.a AND e.b_ok
+    UNION ALL
+    SELECT user_id, CAST(NULL AS BIGINT), {EPOCH_SQL.format(x='ts')}
+    FROM events WHERE event_type = 'signup'
+    """,
+    doc="MATCH_RECOGNIZE with a ZERO-OR-MORE run: PATTERN (A* B) — any "
+    "(possibly empty) run of consecutive clicks ending in a signup, "
+    "AFTER MATCH SKIP TO NEXT ROW. Zero-min runs route to the per-key "
+    "Arrow-batched greedy matcher (plans/match_recognize."
+    "_lower_plus_overlap): each click of a qualifying run starts a "
+    "match (FIRST(A) = itself), and EVERY signup row additionally "
+    "emits the empty-run match with NULL A-measures — the A* "
+    "backtracking fallback. Predicates are evaluated JVM-side before "
+    "the single shuffle on user_id; Python state is one group pass. "
+    "The oracle replays the click-run islands plus the bare signups in "
+    "DuckDB.",
+)
+def pattern_match_recognize_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_star")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(first_click_ts AS LONG) AS first_click_epoch,
+               CAST(signup_ts AS LONG) AS signup_epoch
+        FROM __mr_events_star
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.ts) AS first_click_ts,
+                     B.ts AS signup_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A* B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'signup'
+        ) AS m
+        """
+    )
+
+
+@register(
+    "pattern_match_recognize_all_rows_quant",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(ts, 1) OVER w AS s1,
+               LEAD(event_type, 2) OVER w AS t2,
+               LEAD(ts, 2) OVER w AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+        SELECT *,
+               CASE
+                 WHEN event_type = 'click' AND t1 = 'click'
+                      AND t2 = 'purchase' THEN 3
+                 WHEN event_type = 'click' AND t1 = 'purchase' THEN 2
+               END AS mlen
+        FROM seq
+    ), x AS (
+        SELECT m.*, k FROM m
+        CROSS JOIN UNNEST(generate_series(0, 2)) AS u(k)
+        WHERE mlen IS NOT NULL AND k < mlen
+    )
+    SELECT user_id,
+           {EPOCH_SQL.format(x="CASE k WHEN 0 THEN ts WHEN 1 THEN s1 ELSE s2 END")}
+               AS row_epoch,
+           CASE WHEN k = mlen - 1 THEN 'B' ELSE 'A' END AS cls
+    FROM x
+    """,
+    doc="ALL ROWS PER MATCH with a QUANTIFIED pattern: PATTERN (A{1,2} "
+    "B) — one or two clicks then a purchase, every matched input row "
+    "emitted, AFTER MATCH SKIP TO NEXT ROW. Each match explodes to its "
+    "OWN variant's length (the greedy 3-row variant where it applies, "
+    "else 2), looked up from a literal length array by the matched "
+    "variant index; CLASSIFIER() names each row's variable. One window "
+    "pass + a rows-per-match explode — no second exchange. The oracle "
+    "replays the greedy CASE and a bounded UNNEST in DuckDB.",
+)
+def pattern_match_recognize_all_rows_quant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_arq")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, CAST(ts AS LONG) AS row_epoch, cls
+        FROM __mr_events_arq
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES CLASSIFIER() AS cls
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,2} B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        ) AS m
+        """
+    )
