@@ -764,14 +764,14 @@ def test_aggregate_measures(spark):
             (1, 1, 30.0, 30.0, 30.0, 30.0),
             (1, 2, 40.0, 20.0, 10.0, 30.0),
         ], pat
-    # aggregates under ALL ROWS (running) stay guarded
-    with pytest.raises(UnsupportedPatternError, match="aggregate"):
-        parse_match_recognize(
-            _mr(
-                BASE.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
-                .replace("A.ts AS a_ts", "SUM(A.ts) AS a_ts")
-            )
+    # aggregates under ALL ROWS parse (running prefix aggregates)
+    spec_ra = parse_match_recognize(
+        _mr(
+            BASE.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+            .replace("A.ts AS a_ts", "SUM(A.ts) AS a_ts")
         )
+    )
+    assert spec_ra.all_rows and spec_ra.measure_agg == {"a_ts": "SUM"}
 
 
 def test_aggregate_measures_null_semantics(spark):
@@ -1357,3 +1357,40 @@ def test_variant_shapes_match_python_reference(spark, types, shape):
     assert sorted((r.s, r.e) for r in got) == _ref_variant_matches(
         types, variants
     )
+
+
+def test_running_aggregates_all_rows(spark):
+    """Aggregate MEASURES under ALL ROWS PER MATCH: RUNNING (default)
+    aggregates the variable's mapped rows at-or-before each output row;
+    FINAL shows the whole match's aggregate on every row."""
+    rows = [
+        (1, 1, "a", 10.0), (1, 2, "a", 20.0), (1, 3, "b", 5.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_ragg")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT seq, n_a, sum_a, fin_sum, max_a FROM __mr_ragg
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES COUNT(A.*) AS n_a,
+                     RUNNING SUM(A.v) AS sum_a,
+                     FINAL SUM(A.v) AS fin_sum,
+                     MAX(A.v) AS max_a
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,2} B)
+            DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+        )
+        """
+    ).collect()
+    # start@1 greedy [A A B]; start@2 [A B]
+    assert sorted((r.seq, r.n_a, r.sum_a, r.fin_sum, r.max_a) for r in got) == [
+        (1, 1, 10.0, 30.0, 10.0),   # match 1 row 1: one A so far
+        (2, 1, 20.0, 20.0, 20.0),   # match 2 row 1
+        (2, 2, 30.0, 30.0, 20.0),   # match 1 row 2: both A's
+        (3, 1, 20.0, 20.0, 20.0),   # match 2 B row: final A aggregate
+        (3, 2, 30.0, 30.0, 20.0),   # match 1 B row
+    ]

@@ -46,9 +46,10 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                measures ``COUNT/SUM/AVG/MIN/MAX(Var.col)`` /
                ``COUNT(Var.*)`` over the variable's mapped rows
                (per-variant expressions for bounded shapes,
-               suffix-window aggregates over the run id for A+/A{n,} —
-               ONE ROW PER MATCH only), ONE ROW PER
-               MATCH, ALL ROWS PER
+               suffix-window aggregates over the run id for A+/A{n,};
+               under ALL ROWS they are RUNNING prefix aggregates by
+               default, FINAL on request — bounded shapes only), ONE ROW
+               PER MATCH, ALL ROWS PER
                MATCH (incl. quantified/optional patterns — each match
                explodes to its own variant's length; running-measure
                semantics — a measure on a not-yet-reached variable is
@@ -69,8 +70,8 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                (e.g. A* mid-sequence), patterns past the 64-variant /
                12-row expansion cap, NEXT/FIRST/LAST inside DEFINE, PREV over
                another variable or past the match start, aggregate
-               measures under ALL ROWS (running aggregates) — these
-               need a real (unbounded) NFA; the router raises the
+               measures under ALL ROWS for the unbounded run shape —
+               these need a real (unbounded) NFA; the router raises the
                instructive error pointing at pattern_funnel /
                applyInPandasWithState instead.
 
@@ -126,7 +127,8 @@ _MATCH_NUMBER_RE = re.compile(
     r"^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(?P<alias>\w+)$", re.IGNORECASE
 )
 _AGG_MEASURE_RE = re.compile(
-    r"^(?P<fn>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<var>\w+)\.(?P<col>\w+|\*)\s*\)"
+    r"^(?:(?P<mode>RUNNING|FINAL)\s+)?"
+    r"(?P<fn>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<var>\w+)\.(?P<col>\w+|\*)\s*\)"
     r"\s+AS\s+(?P<alias>\w+)$",
     re.IGNORECASE,
 )
@@ -188,7 +190,7 @@ class MatchRecognizeSpec:
     # bare-Var.col behavior on multiply-mapped variables)
     measure_nav: dict[str, str] = dataclasses_field(default_factory=dict)
     # COUNT/SUM/AVG/MIN/MAX per measure alias — aggregate over the
-    # variable's mapped rows (ONE ROW PER MATCH only)
+    # variable's mapped rows (RUNNING prefix aggregates under ALL ROWS)
     measure_agg: dict[str, str] = dataclasses_field(default_factory=dict)
 
 
@@ -407,13 +409,10 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                     f"MEASURES item {item!r} references variable "
                     f"{am.group('var')!r} which is not in PATTERN"
                 )
-            if all_rows:
-                raise UnsupportedPatternError(
-                    "aggregate MEASURES under ALL ROWS PER MATCH (running "
-                    "aggregates) need a real NFA — use ONE ROW PER MATCH"
-                )
             measures.append((am.group("var"), am.group("col"), am.group("alias")))
             measure_agg[am.group("alias")] = fn
+            if am.group("mode"):
+                measure_modes[am.group("alias")] = am.group("mode").upper()
             continue
         mm = _MEASURE_RE.match(item)
         if mm is None:
@@ -421,7 +420,8 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                 f"MEASURES item {item!r} outside the subset (only "
                 "[RUNNING|FINAL] Var.col / FIRST(Var.col) / LAST(Var.col) "
                 "AS alias, CLASSIFIER() AS alias, or MATCH_NUMBER() AS "
-                "alias; aggregates need a real NFA)"
+                "alias, or [RUNNING|FINAL] COUNT/SUM/AVG/MIN/MAX"
+                "(Var.col) AS alias)"
             )
         mvar = mm.group("nvar") or mm.group("var")
         mcol = mm.group("ncol") or mm.group("col")
@@ -1019,6 +1019,31 @@ def _lower_plus_overlap(
     return src.groupBy(*pby).applyInPandas(match_group, schema=out_schema)
 
 
+def _agg_over_refs(fn: str, refs: list, star_count: int | None = None):
+    """Aggregate expression over a fixed list of per-offset column refs
+    with SQL NULL semantics (NULL inputs skipped, all-NULL -> NULL,
+    COUNT -> 0, AVG divides by the non-NULL count — matching both Flink
+    and the A+ path's native window aggs). ``star_count``: COUNT(Var.*)
+    counts mapped rows as a literal."""
+    if star_count is not None:
+        return F.lit(star_count).cast("long")
+    nn_count = refs[0].isNotNull().cast("long")
+    for r in refs[1:]:
+        nn_count = nn_count + r.isNotNull().cast("long")
+    if fn == "COUNT":
+        return nn_count
+    if fn in ("SUM", "AVG"):
+        e = F.coalesce(refs[0], F.lit(0))
+        for r in refs[1:]:
+            e = e + F.coalesce(r, F.lit(0))
+        e = F.when(nn_count > 0, e)
+        return e / nn_count if fn == "AVG" else e
+    # least/greatest skip NULLs natively (NULL only if all are)
+    if fn == "MIN":
+        return F.least(*refs) if len(refs) > 1 else refs[0]
+    return F.greatest(*refs) if len(refs) > 1 else refs[0]
+
+
 def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     """Build the LEAD-chain DataFrame for an adjacent-sequence pattern.
 
@@ -1184,6 +1209,52 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             if var == MATCH_NUMBER:
                 select.append(F.col("__mr_mn").alias(alias))
                 continue
+            if alias in spec.measure_agg:
+                # RUNNING aggregate (the Flink default under ALL ROWS):
+                # at offset k, aggregate the variable's mapped rows
+                # at-or-before k — a descending when-chain of PREFIX
+                # aggregates over the shared LEAD refs; FINAL shows the
+                # complete match's aggregate on every row
+                fn = spec.measure_agg[alias]
+
+                def agg_of(vs: list[str], var=var, col=col,
+                           alias=alias, fn=fn):
+                    offs = [k for k, v in enumerate(vs) if v == var]
+                    empty = (
+                        F.lit(0).cast("long") if fn == "COUNT" else F.lit(None)
+                    )
+                    if not offs:
+                        return empty
+                    star = col == "*"
+
+                    def at(k):
+                        return (
+                            F.col(col) if k == 0 else F.col(f"__mr_s{k}.{col}")
+                        )
+
+                    if spec.measure_modes.get(alias, "RUNNING") == "FINAL":
+                        return _agg_over_refs(
+                            fn,
+                            [at(o) for o in offs],
+                            len(offs) if star else None,
+                        )
+                    expr = None
+                    for j in range(len(offs) - 1, -1, -1):
+                        cond = F.col("__mr_k") >= offs[j]
+                        val = _agg_over_refs(
+                            fn,
+                            [at(o) for o in offs[: j + 1]],
+                            (j + 1) if star else None,
+                        )
+                        expr = (
+                            F.when(cond, val)
+                            if expr is None
+                            else expr.when(cond, val)
+                        )
+                    return expr.otherwise(empty)
+
+                select.append(per_variant(agg_of).alias(alias))
+                continue
 
             def running_of(vs: list[str], var=var, col=col, alias=alias):
                 if var not in vs:
@@ -1266,31 +1337,13 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
                     return (
                         F.lit(0).cast("long") if fn == "COUNT" else F.lit(None)
                     )
-                if fn == "COUNT" and col == "*":
-                    return F.lit(len(offs)).cast("long")
                 refs = [
                     F.col(col) if k == 0 else F.col(f"__mr_s{k}.{col}")
                     for k in offs
                 ]
-                # SQL aggregate NULL semantics (matching both Flink and
-                # the A+ path's native window aggs): NULL inputs are
-                # skipped, not propagated; all-NULL input -> NULL
-                # (COUNT -> 0); AVG divides by the NON-NULL count.
-                nn_count = refs[0].isNotNull().cast("long")
-                for r in refs[1:]:
-                    nn_count = nn_count + r.isNotNull().cast("long")
-                if fn == "COUNT":
-                    return nn_count
-                if fn in ("SUM", "AVG"):
-                    e = F.coalesce(refs[0], F.lit(0))
-                    for r in refs[1:]:
-                        e = e + F.coalesce(r, F.lit(0))
-                    e = F.when(nn_count > 0, e)
-                    return e / nn_count if fn == "AVG" else e
-                # least/greatest skip NULLs natively (NULL only if all are)
-                if fn == "MIN":
-                    return F.least(*refs) if len(refs) > 1 else refs[0]
-                return F.greatest(*refs) if len(refs) > 1 else refs[0]
+                return _agg_over_refs(
+                    fn, refs, len(offs) if col == "*" else None
+                )
             return ref_at(var, col, vs, spec.measure_nav.get(alias, "LAST"))
 
         select.append(per_variant(value_of).alias(alias))
