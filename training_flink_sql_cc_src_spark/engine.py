@@ -71,7 +71,10 @@ class Engine:
         MATCH_RECOGNIZE statements in the canonical eq-literal shape also
         stream: ``_match_recognize_stream`` routes them to the stateful
         per-key matchers (streaming/stateful.py) and rewrites the outer
-        query over the matched stream.
+        query over the matched stream. Flink's Window Top-N statement
+        (nested ROW_NUMBER over a TUMBLE/HOP TVF aggregate, WHERE rn <=
+        N) streams through ``_window_topn_stream`` — a chained windowed
+        aggregation with an array_sort rank filter, append mode.
         """
         from .plans.router import rewrite_session_tvf_streaming
 
@@ -86,11 +89,161 @@ class Engine:
         mr = self._match_recognize_stream(stmt, watermarked)
         if mr is not None:
             stmt = mr
+        topn = self._window_topn_stream(stmt)
+        if topn is not None:
+            return topn
         streaming_session = rewrite_session_tvf_streaming(stmt)
         if streaming_session is not None:
             stmt = streaming_session
         rewritten = self.router._rewrite_dialect(stmt)
         return self.spark.sql(rewritten)
+
+    def _window_topn_stream(self, stmt: str) -> DataFrame | None:
+        """Lower Flink's Window Top-N statement for CONTINUOUS execution.
+
+        The canonical shape (windowing-TVF chapter):
+
+            SELECT ... FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY window_start, window_end [, keys]
+                  ORDER BY <col> DESC) AS rn
+              FROM (<TUMBLE/HOP TVF aggregate>)
+            ) WHERE rn <= N
+
+        Structured Streaming rejects the ROW_NUMBER window function, so
+        the rank filter is re-expressed with streaming-legal operators:
+        the inner TVF aggregate takes the native-window rewrite (its
+        ``window`` struct keeps event-time metadata), a CHAINED
+        aggregation per window collects the (neg-order, values) structs
+        (Spark 3.4+ multiple-stateful-operator support), and
+        ``array_sort`` + ``slice`` + ``posexplode`` emit the top N rows
+        with their ranks — append mode, exactly once per closed window,
+        identical ordering to ROW_NUMBER (order DESC, remaining columns
+        ASC as the deterministic tiebreak). Returns None when the
+        statement is not this shape. 100 TB: the inner aggregate is the
+        only data-sized shuffle; the re-aggregation moves one scalar
+        row per (window, key) and its state is bounded by the rank-key
+        domain."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from .plans.router import (
+            _WINDOW_TVF_RE,
+            rewrite_session_tvf_streaming,
+        )
+
+        om = _re.match(
+            r"^\s*SELECT\s+(?P<outer>.+?)\s+FROM\s*\(", stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if om is None:
+            return None
+
+        def balanced_close(s: str, open_idx: int) -> int:
+            depth = 0
+            for i in range(open_idx, len(s)):
+                if s[i] == "(":
+                    depth += 1
+                elif s[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return i
+            return -1
+
+        mid_open = om.end() - 1
+        mid_close = balanced_close(stmt, mid_open)
+        if mid_close < 0:
+            return None
+        mid = stmt[mid_open + 1 : mid_close].strip()
+        rm = _re.match(
+            r"^SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*"
+            r"PARTITION\s+BY\s+(?P<pby>.+?)\s+"
+            r"ORDER\s+BY\s+(?P<ocol>`?\w+`?)\s+DESC\s*\)\s+"
+            r"AS\s+(?P<rn>\w+)\s+FROM\s*\(",
+            mid,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if rm is None:
+            return None
+        inner_open = rm.end() - 1
+        inner_close = balanced_close(mid, inner_open)
+        if inner_close < 0:
+            return None
+        inner = mid[inner_open + 1 : inner_close].strip()
+        if _re.match(r"^\s*(?:AS\s+)?\w*\s*$", mid[inner_close + 1 :]) is None:
+            return None
+        rn = rm.group("rn")
+        wm = _re.match(
+            r"^\s*(?:AS\s+\w+\s+)?WHERE\s+`?" + _re.escape(rn)
+            + r"`?\s*<=\s*(?P<n>\d+)\s*$",
+            stmt[mid_close + 1 :],
+            _re.IGNORECASE,
+        )
+        if wm is None:
+            return None
+        n = int(wm.group("n"))
+
+        tvf = _WINDOW_TVF_RE.search(inner)
+        if tvf is None or tvf.group("kind").upper() not in ("TUMBLE", "HOP"):
+            return None  # SESSION merges / CUMULATE has no native struct
+        inner_sql = rewrite_session_tvf_streaming(inner)
+        if inner_sql is None:
+            return None
+        # also project the GROUPING struct itself — the chained
+        # aggregation groups on it to keep event-time metadata
+        inner_sql = _re.sub(
+            r"^\s*SELECT\s+", "SELECT window AS __w, ", inner_sql,
+            count=1, flags=_re.IGNORECASE,
+        )
+        inner_df = self.spark.sql(self.router._rewrite_dialect(inner_sql))
+
+        pby = [
+            k.strip().strip("`").lower()
+            for k in rm.group("pby").split(",")
+            if k.strip()
+        ]
+        extras = [k for k in pby if k not in ("window_start", "window_end")]
+        ocol = rm.group("ocol").strip("`")
+        inner_cols = [c for c in inner_df.columns if c != "__w"]
+        val_cols = [
+            c
+            for c in inner_cols
+            if c not in ("window_start", "window_end") and c not in extras
+        ]
+        # sort struct: negated rank column first (DESC), remaining value
+        # columns in select order as the deterministic tiebreak
+        fields = [F.negate(F.col(ocol)).alias("__neg")] + [
+            F.col(c) for c in val_cols if c != ocol
+        ] + [F.col(ocol)]
+        per_w = inner_df.groupBy("__w", *extras).agg(
+            F.collect_list(F.struct(*fields)).alias("__xs")
+        )
+        exploded = per_w.select(
+            "__w",
+            *extras,
+            F.posexplode(F.slice(F.array_sort("__xs"), 1, n)).alias(
+                "__pos", "__x"
+            ),
+        )
+        select = []
+        for c in inner_cols:
+            if c == "window_start":
+                select.append(F.col("__w.start").alias(c))
+            elif c == "window_end":
+                select.append(F.col("__w.end").alias(c))
+            elif c in extras:
+                select.append(F.col(c))
+            else:
+                select.append(F.col(f"__x.{c}").alias(c))
+        select.append((F.col("__pos") + 1).cast("int").alias(rn))
+        view = f"__wtopn_stream_{abs(hash(stmt)) % 10_000_000}"
+        exploded.select(*select).createOrReplaceTempView(view)
+        return self.spark.sql(
+            self.router._rewrite_dialect(
+                f"SELECT {om.group('outer')} FROM {view}"
+            )
+        )
 
     def _match_recognize_stream(
         self, stmt: str, sources: dict[str, DataFrame]
