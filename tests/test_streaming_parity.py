@@ -990,3 +990,46 @@ def test_window_topn_sql_statement_streams(spark, sf_small):
         # the rank-determining count multiset (deterministic either way)
         assert sorted(got[w]) == sorted(batch[w])
         assert sorted(ranks[w]) == list(range(1, len(ranks[w]) + 1))
+
+
+def test_window_dedup_sql_statement_streams(spark, sf_small):
+    """Flink's Window Deduplication SQL statement (nested ROW_NUMBER
+    ORDER BY ts ASC over a TUMBLE TVF, rn = 1) runs CONTINUOUSLY: the
+    rank layer lowers to one windowed min_by keyed by the order struct,
+    append mode, matching the batch front door on closed windows."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select("ts", "user_id", "event_id")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE ev_dd_stream MODIFY WATERMARK FOR `ts` AS `ts`")
+    stmt = """
+        SELECT window_start, user_id, event_id FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY window_start, window_end, user_id
+              ORDER BY ts, event_id) AS rn
+          FROM TABLE(TUMBLE(TABLE ev_dd_stream, DESCRIPTOR(ts),
+                            INTERVAL '1' HOUR))
+        ) WHERE rn = 1
+    """
+    ev.createOrReplaceTempView("ev_dd_stream")
+    batch = {
+        (r.window_start, r.user_id): r.event_id
+        for r in eng.sql(stmt).collect()
+    }
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"ev_dd_stream": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = {
+        (r.window_start, r.user_id): r.event_id
+        for r in streamed.collect()
+    }
+    assert set(got) <= set(batch)
+    assert all(got[k] == batch[k] for k in got)
+    assert len(got) > 0
+    closed = {w for w, _ in got}
+    assert len(closed) >= len({w for w, _ in batch}) - 2

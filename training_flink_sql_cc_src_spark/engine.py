@@ -92,6 +92,9 @@ class Engine:
         topn = self._window_topn_stream(stmt)
         if topn is not None:
             return topn
+        dedup = self._window_dedup_stream(stmt)
+        if dedup is not None:
+            return dedup
         streaming_session = rewrite_session_tvf_streaming(stmt)
         if streaming_session is not None:
             stmt = streaming_session
@@ -368,6 +371,101 @@ class Engine:
         start, end = spec.span
         alias_sql = f" AS {spec.out_alias}" if spec.out_alias else ""
         return f"{stmt[:start]}FROM {view}{alias_sql}{stmt[end:]}"
+
+    def _window_dedup_stream(self, stmt: str) -> DataFrame | None:
+        """Lower Flink's Window Deduplication statement for CONTINUOUS
+        execution.
+
+        The canonical shape (windowing-TVF chapter):
+
+            SELECT ... FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY window_start, window_end [, keys]
+                  ORDER BY <col> [ASC] [, <col> [ASC]]) AS rn
+              FROM TABLE(TUMBLE/HOP(TABLE t, DESCRIPTOR(ts), ...))
+            ) WHERE rn = 1
+
+        ROW_NUMBER is streaming-illegal; the first-row-per-(window, key)
+        semantics re-express as ONE windowed ``min_by`` aggregation
+        keyed by the order-column struct — merged incrementally across
+        micro-batches, emitted once on window close (append mode).
+        Returns None when the statement is not this shape. 100 TB: one
+        data-sized shuffle, O(1) state per (window, key)."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from .plans.router import _WINDOW_TVF_RE, _durations
+
+        om = _re.match(
+            r"^\s*SELECT\s+(?P<outer>.+?)\s+FROM\s*\(\s*"
+            r"SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*"
+            r"PARTITION\s+BY\s+(?P<pby>.+?)\s+"
+            r"ORDER\s+BY\s+(?P<oby>[^)]+?)\s*\)\s+AS\s+(?P<rn>\w+)\s+"
+            r"FROM\s+(?P<tvf>TABLE\s*\()",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if om is None:
+            return None
+        tvf = _WINDOW_TVF_RE.search(stmt, om.start("tvf"))
+        if tvf is None or tvf.group("kind").upper() not in ("TUMBLE", "HOP"):
+            return None
+        rn = om.group("rn")
+        tail = _re.match(
+            r"^\s*(?:AS\s+\w+\s+)?\)\s*(?:AS\s+\w+\s+)?"
+            r"WHERE\s+`?" + _re.escape(rn) + r"`?\s*(?:=\s*1|<=\s*1)\s*$",
+            stmt[tvf.end() :],
+            _re.IGNORECASE,
+        )
+        if tail is None:
+            return None
+        order_cols = []
+        for item in om.group("oby").split(","):
+            c = item.strip().strip("`")
+            dm = _re.match(r"^(.*?)\s+(ASC|DESC)$", c, _re.IGNORECASE)
+            if dm:
+                if dm.group(2).upper() == "DESC":
+                    return None  # last-row dedup: keep the loud fallback
+                c = dm.group(1).strip().strip("`")
+            order_cols.append(c)
+        pby = [
+            k.strip().strip("`").lower()
+            for k in om.group("pby").split(",")
+            if k.strip()
+        ]
+        extras = [k for k in pby if k not in ("window_start", "window_end")]
+
+        ts_col = tvf.group("ts")
+        durs = _durations(tvf.group("args"))
+        if tvf.group("kind").upper() == "TUMBLE":
+            (size, _), = durs
+            win = F.window(ts_col, size)
+        else:
+            (slide, _), (size, _) = durs  # Flink arg order: slide, size
+            win = F.window(ts_col, size, slide)
+        src = self.spark.table(tvf.group("tbl"))
+        cols = src.columns
+        order = F.struct(*[F.col(c) for c in order_cols])
+        first = src.groupBy(win.alias("__w"), *extras).agg(
+            F.min_by(F.struct(*cols), order).alias("__r")
+        )
+        select = [
+            F.col(c) if c in extras else F.col(f"__r.{c}").alias(c)
+            for c in cols
+        ]
+        select += [
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            F.lit(1).cast("int").alias(rn),
+        ]
+        view = f"__wdedup_stream_{abs(hash(stmt)) % 10_000_000}"
+        first.select(*select).createOrReplaceTempView(view)
+        return self.spark.sql(
+            self.router._rewrite_dialect(
+                f"SELECT {om.group('outer')} FROM {view}"
+            )
+        )
 
     def table(self, name: str) -> DataFrame:
         """Read a table by (possibly namespaced) name. Keyed tables are
