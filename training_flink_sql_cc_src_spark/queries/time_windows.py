@@ -1434,3 +1434,99 @@ def pattern_match_recognize_all_rows_quant(
         ) AS m
         """
     )
+
+
+@register(
+    "window_topn_sql",
+    oracle=f"""
+    WITH w AS (
+        SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type) AS rnk
+        FROM w
+    ) WHERE rnk <= 3
+    """,
+    doc="Flink's Window Top-N through the SQL FRONT DOOR: the canonical "
+    "nested statement — ROW_NUMBER over a TUMBLE TVF aggregate, WHERE "
+    "rnk <= 3 — accepted verbatim by the StatementRouter. The TVF "
+    "rewrite turns the inner table into a window()-derived table and "
+    "Catalyst plans the rank filter as WindowGroupLimit over the "
+    "already-aggregated rows; same oracle as window_topn. The identical "
+    "statement also runs CONTINUOUSLY through Engine.sql_stream "
+    "(chained-aggregation rewrite, append on window close — "
+    "tests/test_streaming_parity.py).",
+)
+def window_topn_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__topn_sql_events")
+    return StatementRouter(spark).execute(
+        """
+        SELECT CAST(window_start AS LONG) AS window_start, event_type,
+               n_events, CAST(rnk AS LONG) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY window_start, window_end
+              ORDER BY n_events DESC, event_type) AS rnk
+          FROM (
+            SELECT window_start, window_end, event_type,
+                   COUNT(*) AS n_events
+            FROM TABLE(TUMBLE(TABLE __topn_sql_events, DESCRIPTOR(ts),
+                              INTERVAL '1' HOUR))
+            GROUP BY window_start, window_end, event_type
+          )
+        ) WHERE rnk <= 3
+        """
+    )
+
+
+@register(
+    "window_dedup_sql",
+    oracle=f"""
+    SELECT window_start, user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS first_ts_epoch,
+           event_id AS first_event_id
+    FROM (
+        SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS window_start,
+               user_id, ts, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ({EPOCH_SQL.format(x='ts')} // 3600), user_id
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Flink's Window Deduplication through the SQL FRONT DOOR: "
+    "ROW_NUMBER ORDER BY ts over the raw TUMBLE TVF rows, WHERE rn = 1 "
+    "— accepted verbatim by the StatementRouter, planned as "
+    "WindowGroupLimit (one row of map-side state per (window, user) "
+    "before the exchange); same oracle as window_dedup_first. The "
+    "identical statement also runs CONTINUOUSLY through "
+    "Engine.sql_stream (single windowed min_by, append on window "
+    "close).",
+)
+def window_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__dedup_sql_events")
+    return StatementRouter(spark).execute(
+        """
+        SELECT CAST(window_start AS LONG) AS window_start, user_id,
+               CAST(ts AS LONG) AS first_ts_epoch,
+               event_id AS first_event_id
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY window_start, window_end, user_id
+              ORDER BY ts, event_id) AS rn
+          FROM TABLE(TUMBLE(TABLE __dedup_sql_events, DESCRIPTOR(ts),
+                            INTERVAL '1' HOUR))
+        ) WHERE rn = 1
+        """
+    )
