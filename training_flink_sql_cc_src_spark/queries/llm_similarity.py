@@ -316,3 +316,159 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------- PQ / ADC
+M_SUB = 8        # subspaces (dim 64 -> 8 dims each)
+K_CODES = 16     # codes per subspace (4-bit)
+REFINE = 4       # rerank the top REFINE*TOP_K ADC candidates exactly
+
+
+def _pq_codebooks(seed_rows) -> list[list[list[float]]]:
+    """codebooks[m][k] = k-th code vector of subspace m, taken from the
+    deterministic seed sample's m-th subvectors (production would run a
+    few Lloyd iterations per subspace on the same sample; the seeded
+    pick keeps the operator deterministic and the driver work bounded —
+    the plan shape is identical either way)."""
+    dim_sub = len(seed_rows[0].embedding) // M_SUB
+    return [
+        [
+            [float(x) for x in r.embedding[m * dim_sub : (m + 1) * dim_sub]]
+            for r in seed_rows[:K_CODES]
+        ]
+        for m in range(M_SUB)
+    ]
+
+
+def _pq_encode(emb, codebooks):
+    """8 x 4-bit code array per vector, JVM-only: per subspace, argmin
+    L2 distance to the 16 broadcast code literals. 128 small dot
+    products per row, all inside whole-stage codegen."""
+    dim_sub = len(codebooks[0][0])
+    codes = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(emb, m * dim_sub + 1, dim_sub)
+        book_lit = F.lit([[float(x) for x in c] for c in book])
+        dists = F.transform(
+            book_lit,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+@register(
+    "sim_ann_pq",
+    oracle=None,  # codebook choice is engine-side; recall vs brute force
+    # asserted in tests/test_similarity.py
+    doc="Approximate nearest neighbors via PRODUCT QUANTIZATION with "
+    "asymmetric distance (ADC) — the memory-bandwidth scale path beside "
+    "LSH and IVF (SURVEY.md §2.9; Jegou et al. 2011, PAPERS.md): each "
+    "64-dim vector compresses map-side to 8 x 4-bit codes (argmin-L2 "
+    "against 16 broadcast codes per subspace) plus its true norm — 8 "
+    "bytes + 8 scan bytes instead of 256, a 16x bandwidth cut at 100 "
+    "TB. Queries precompute 8x16 dot-product lookup tables driver-side "
+    "(1 KB per query, broadcast); the approximate inner product is 8 "
+    "table lookups per candidate, scored map-side over the NARROW codes "
+    "relation. The top 4k ADC candidates per query (scalar-row shuffle "
+    "only) are reranked EXACTLY against the full vectors via a "
+    "broadcast candidate semi-join — candidates-sized, not "
+    "corpus-sized. Deterministic: seeded codebook sample, "
+    "first-match argmin ties, exact rerank ordered by (score, vec_id).",
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    seed_rows = e.sample(fraction=0.2, seed=7).limit(K_CODES).collect()
+    if len(seed_rows) < K_CODES:  # tiny fixture fallback (sf<=0.001)
+        seed_rows = e.limit(K_CODES).collect()
+    seed_rows.sort(key=lambda r: r.vec_id)
+    books = _pq_codebooks(seed_rows)
+    dim_sub = len(books[0][0])
+
+    # corpus -> (vec_id, codes[8], v_norm): the stored PQ representation
+    encoded = e.select(
+        "vec_id",
+        _pq_encode(F.col("embedding"), books).alias("codes"),
+        norm_col(F.col("embedding")).alias("v_norm"),
+    )
+
+    # query LUTs driver-side: lut[m][k] = dot(q_sub_m, code_mk) — 8x16
+    # doubles per query, shipped as one literal column on 8 rows
+    q_rows = e.filter(F.col("vec_id") < N_QUERY).collect()
+    lut_rows = []
+    for r in q_rows:
+        q = [float(x) for x in r.embedding]
+        qn = float(np.sqrt(sum(x * x for x in q)))
+        lut = [
+            [
+                float(sum(a * b for a, b in zip(
+                    q[m * dim_sub : (m + 1) * dim_sub], code)))
+                for code in books[m]
+            ]
+            for m in range(M_SUB)
+        ]
+        lut_rows.append((r.vec_id, lut, qn))
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>, q_norm double"
+    )
+
+    # ADC scoring: 8 lookups per candidate over the narrow codes relation
+    approx_ip = F.aggregate(
+        F.zip_with(
+            F.col("lut"),
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.join(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (approx_ip / (F.col("q_norm") * F.col("v_norm"))).alias("approx"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id")
+    )
+    cands = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= REFINE * TOP_K)
+        .select("query_id", "vec_id")
+    )
+
+    # exact rerank: candidates (tiny) broadcast against the full vectors
+    qv = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_col(F.col("embedding")).alias("q_norm"),
+    )
+    exact = (
+        e.join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos_sim",
+            dot_col(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * norm_col(F.col("embedding"))),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
