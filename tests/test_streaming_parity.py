@@ -1033,3 +1033,34 @@ def test_window_dedup_sql_statement_streams(spark, sf_small):
     assert len(got) > 0
     closed = {w for w, _ in got}
     assert len(closed) >= len({w for w, _ in batch}) - 2
+
+
+def test_window_join_streaming_parity(spark, sf_small):
+    """Continuous Window Join: two windowed aggregates joined on their
+    event-time window structs (chained stateful operators) == the batch
+    window_join registry query on closed windows, append mode."""
+    from training_flink_sql_cc_src_spark.registry import all_queries
+    from training_flink_sql_cc_src_spark.streaming.window_rank import (
+        window_join_stream,
+    )
+
+    ev = t(spark, sf_small, "events").select("ts", "event_type", "value")
+    batch = {
+        r.window_start: (r.n_clicks, r.n_purchases, float(r.purchase_value))
+        for r in all_queries()["window_join"](spark, sf_small).collect()
+    }
+    streamed = run_stream_over_batch(
+        spark, ev, window_join_stream, output_mode="append",
+        n_files=4, order_by="ts",
+    )
+    got = {
+        r.window_start: (r.n_clicks, r.n_purchases, round(r.purchase_value, 6))
+        for r in streamed.collect()
+    }
+    assert set(got) <= set(batch)
+    assert len(got) >= len(batch) - 2
+    assert len(got) > 0
+    for w in got:
+        b = batch[w]
+        assert got[w][0] == b[0] and got[w][1] == b[1]
+        assert abs(got[w][2] - float(b[2])) < 1e-6

@@ -1,4 +1,5 @@
-"""Streaming legs for Flink's Window Top-N and Window Deduplication
+"""Streaming legs for Flink's Window Top-N, Window Deduplication and
+Window Join
 (reference course scope: the windowing-TVF chapter's rank/dedup
 compositions; the lab statements S1-S10 stream every query, so the
 window-rank operators need a continuous form too).
@@ -100,4 +101,41 @@ def window_dedup_stream(
             F.col(f"first.{ts_col}").cast("long").alias("first_ts_epoch"),
             F.col(f"first.{tiebreak_col}").alias("first_event_id"),
         )
+    )
+
+
+def window_join_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Continuous Window Join (Flink's WINDOW JOIN TVF): two windowed
+    aggregates over the same stream joined on IDENTICAL window
+    boundaries — hourly click counts x hourly purchase counts/value,
+    matching the batch ``window_join`` registry query. Spark 3.4+'s
+    multiple-stateful-operator support lets the stream-stream join key
+    on the event-time window structs directly, so both aggregates AND
+    the join close on the same watermark, append mode. 100 TB: each
+    side's aggregate is its only data-sized shuffle; the join moves one
+    scalar row per (window, side)."""
+    wm = sdf.withWatermark(ts_col, watermark_delay)
+    clicks = (
+        wm.filter(F.col("event_type") == "click")
+        .groupBy(F.window(ts_col, size).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        wm.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window(ts_col, size).alias("w2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value").alias("purchase_value"),
+        )
+    )
+    return clicks.join(purchases, clicks["w"] == purchases["w2"], "inner").select(
+        F.col("w.start").cast("long").alias("window_start"),
+        "n_clicks",
+        "n_purchases",
+        "purchase_value",
     )
