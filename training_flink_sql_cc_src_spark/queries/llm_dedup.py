@@ -585,3 +585,113 @@ def dedup_ngram_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("doc_id").alias("n_docs_affected"),
         )
     )
+
+
+@register(
+    "pipeline_incremental_near_dedup",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ws) - 2),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+        FROM w WHERE len(ws) >= 3
+    ), sig AS (
+        SELECT doc_id,
+            list_min(list_transform(shingles, x -> md5(x || '#0'))) AS h0,
+            list_min(list_transform(shingles, x -> md5(x || '#1'))) AS h1,
+            list_min(list_transform(shingles, x -> md5(x || '#2'))) AS h2,
+            list_min(list_transform(shingles, x -> md5(x || '#3'))) AS h3,
+            list_min(list_transform(shingles, x -> md5(x || '#4'))) AS h4,
+            list_min(list_transform(shingles, x -> md5(x || '#5'))) AS h5,
+            list_min(list_transform(shingles, x -> md5(x || '#6'))) AS h6,
+            list_min(list_transform(shingles, x -> md5(x || '#7'))) AS h7
+        FROM sig_src
+    ), banded AS (
+        SELECT doc_id, h0 || h1 AS b0, h2 || h3 AS b1,
+               h4 || h5 AS b2, h6 || h7 AS b3
+        FROM sig
+    )
+    SELECT n.doc_id FROM banded n
+    WHERE n.doc_id % 2 = 1
+      AND NOT EXISTS (
+        SELECT 1 FROM banded h
+        WHERE h.doc_id % 2 = 0
+          AND (h.b0 = n.b0 OR h.b1 = n.b1 OR h.b2 = n.b2 OR h.b3 = n.b3)
+      )
+    """.replace("FROM sig_src", "FROM sh"),
+    doc="INCREMENTAL near-dedup: a new document batch (odd doc_ids) "
+    "pruned against the STORED MinHash signatures of the historical "
+    "corpus (even doc_ids) — the production shape where yesterday's "
+    "corpus is never re-shingled, only its banded signature table is "
+    "read. Portable md5 signatures (4 bands x 2 rows, as "
+    "dedup_minhash_lsh_exact); both sides melt to (doc_id, band, key) "
+    "long format so candidate detection is ONE semi join on the "
+    "composite band key — one shuffle regardless of band count — and "
+    "survivors are the new docs with no band collision (left anti on "
+    "doc_id). Shingle-able docs only (>= 3 words), matching the "
+    "signature table's domain. The oracle replays the banding and the "
+    "OR-EXISTS prune in DuckDB.",
+)
+def pipeline_incremental_near_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+        .withColumn("ws", F.split("text", " "))
+        .filter(F.size("ws") >= 3)
+    )
+    sh = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("ws", i),
+                F.element_at("ws", i + 1),
+                F.element_at("ws", i + 2),
+            ),
+        ).alias("shingles"),
+    )
+
+    def _seed_hash(s: int):
+        return lambda x: F.md5(F.concat(x, F.lit(f"#{s}")))
+
+    sig = sh.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("shingles", _seed_hash(s))).alias(f"h{s}")
+            for s in range(8)
+        ],
+    )
+    # long format: (doc_id, band, key) — the stored signature-table layout
+    long = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    hist = long.filter(F.col("doc_id") % 2 == 0)
+    new = long.filter(F.col("doc_id") % 2 == 1)
+    collided = (
+        new.join(hist, ["band", "key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        new.select("doc_id")
+        .distinct()
+        .join(collided, "doc_id", "left_anti")
+        .select("doc_id")
+    )
