@@ -147,3 +147,70 @@ def test_clustered_filter_prunes_row_groups(spark, fragmented):
     }
     plan = clus._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(ts)" in plan or "GreaterThan(ts" in plan
+
+
+def test_zorder_narrows_ranges_on_both_columns(spark, fragmented):
+    """Z-order clustering (Morton-interleaved buckets): per-file spans
+    shrink on BOTH z-ordered columns simultaneously — the multi-column
+    data-skipping property a single-column range clustering cannot give
+    (clustering on user_id alone leaves event_id ranges full-width)."""
+    from training_flink_sql_cc_src_spark.operators.maintenance import (
+        zorder_value,
+    )
+
+    frag_path, _ev = fragmented
+    out = os.path.join(tempfile.mkdtemp(), "events_zorder")
+    df = spark.read.parquet(frag_path)
+    # 8 files so per-dimension narrowing is non-trivial (the tiny fixture
+    # compacts to one file under a byte target — same setup as the range-
+    # clustering test above)
+    (
+        df.withColumn("__z", zorder_value(df, ["user_id", "event_id"]))
+        .repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+    def mean_span_frac(path, col):
+        ranges = file_range_stats(path, col)
+        lo = min(r[1] for r in ranges)
+        hi = max(r[2] for r in ranges)
+        span = (hi - lo) or 1
+        return sum((r[2] - r[1]) / span for r in ranges) / len(ranges)
+
+    # fragmented baseline: every file spans ~the full range of both cols
+    base_user = mean_span_frac(frag_path, "user_id")
+    base_eid = mean_span_frac(frag_path, "event_id")
+    assert base_user > 0.8 and base_eid > 0.8
+    # z-ordered: both dimensions narrowed at once
+    z_user = mean_span_frac(out, "user_id")
+    z_eid = mean_span_frac(out, "event_id")
+    assert z_user < 0.65 * base_user, z_user
+    assert z_eid < 0.65 * base_eid, z_eid
+    # rows preserved end-to-end through the compact_table entry point too
+    out2 = os.path.join(tempfile.mkdtemp(), "events_zorder_ct")
+    compact_table(
+        spark, frag_path, out2, target_file_mb=1,
+        zorder_by=["user_id", "event_id"],
+    )
+    assert spark.read.parquet(out2).count() == df.count()
+
+
+def test_zorder_guards(spark, fragmented):
+    frag_path, _ev = fragmented
+    df = spark.read.parquet(frag_path)
+    from training_flink_sql_cc_src_spark.operators.maintenance import (
+        zorder_value,
+    )
+
+    with pytest.raises(ValueError, match=">= 2"):
+        zorder_value(df, ["user_id"])
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_value(df, ["user_id", "value", "event_id"], bits=32)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_table(
+            spark, frag_path, "/tmp/never", cluster_by=["ts"],
+            zorder_by=["user_id", "value"],
+        )

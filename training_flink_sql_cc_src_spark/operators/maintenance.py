@@ -8,6 +8,10 @@ standard maintenance moves, expressed Spark-native:
 - **Compaction** (`compact_table`): rewrite a fragmented parquet table
   into ~target-size files. Pure repartition + write — the OPTIMIZE of
   Delta/Iceberg without the table format.
+- **Z-ordering** (`compact_table(zorder_by=...)`): Morton-interleave the
+  bucket bits of 2+ columns so per-file min-max ranges narrow on EVERY
+  participating dimension at once — multi-column data skipping, the
+  OPTIMIZE ZORDER of Delta/Iceberg.
 - **Clustering** (`compact_table(cluster_by=...)`): range-partition by a
   clustering key and sort within files, so per-file/row-group min-max
   stats become DISJOINT ranges and any engine's predicate pushdown
@@ -24,7 +28,8 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _dir_bytes(path: str) -> int:
@@ -40,16 +45,62 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def zorder_value(
+    df: DataFrame, columns: list[str], bits: int = 12
+) -> Column:
+    """Z-order (Morton) value over 2+ numeric columns, JVM-only: each
+    column is quantized to ``bits`` uniform buckets between its min and
+    max (ONE tiny aggregate collect for the bounds), then the bucket
+    bits are interleaved — files sorted by this value are clustered in
+    EVERY participating dimension at once, the multi-column data-
+    skipping layout of Delta/Iceberg OPTIMIZE ZORDER. Uniform buckets
+    assume roughly uniform columns; for heavy skew, pre-bucket with
+    approxQuantile cutoffs and interleave the bucket ids the same way
+    (the interleave below is bucket-source-agnostic)."""
+    if len(columns) < 2:
+        raise ValueError("zorder needs >= 2 columns (use cluster_by for 1)")
+    if len(columns) * bits > 62:
+        raise ValueError(f"{len(columns)} cols x {bits} bits overflows long")
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in columns],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in columns],
+    ).collect()[0]
+    n_buckets = 1 << bits
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(columns):
+        lo = float(bounds[f"lo_{c}"])
+        hi = float(bounds[f"hi_{c}"])
+        span = (hi - lo) or 1.0
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+                    * F.lit(n_buckets)).cast("long"),
+        )
+        for b in range(bits):
+            # bit b of this column's bucket -> interleaved position
+            pos = b * len(columns) + ci
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)), pos
+                )
+            )
+    return z
+
+
 def compact_table(
     spark: SparkSession,
     input_path: str,
     output_path: str,
     target_file_mb: int = 128,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite ``input_path`` (parquet dir or file) into ``output_path``
     with ~``target_file_mb`` files, optionally range-clustered + sorted
-    on ``cluster_by``. Returns the number of output files.
+    on ``cluster_by``, or multi-dimensionally clustered on ``zorder_by``
+    (Morton-interleaved buckets — narrows per-file ranges on EVERY
+    z-ordered column simultaneously). Returns the number of output
+    files.
 
     Sizing uses the INPUT's on-disk bytes (already-compressed parquet →
     a faithful estimate of output size). Range partitioning samples the
@@ -57,9 +108,18 @@ def compact_table(
     files anyway — the property that matters at 100 TB, where a naive
     hash-on-day layout would put 10% of the table in one file.
     """
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     df = spark.read.parquet(input_path)
     n_files = max(1, math.ceil(_dir_bytes(input_path) / (target_file_mb << 20)))
-    if cluster_by:
+    if zorder_by:
+        out = (
+            df.withColumn("__z", zorder_value(df, zorder_by))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif cluster_by:
         out = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
             *cluster_by
         )

@@ -224,6 +224,8 @@ _DRIVER_HEAVY_TAIL = (
     "sim_threshold_pairs_blocked",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_ann_pq",
+    "pipeline_incremental_near_dedup",  # 8x md5 per shingle, both engines
 )
 
 
