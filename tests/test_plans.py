@@ -316,3 +316,28 @@ def test_window_topn_uses_group_limit(spark, sf_med):
     per-window sort of the aggregate."""
     plan = _plan(spark, "window_topn", sf_med)
     assert "WindowGroupLimit" in plan
+
+
+def test_incremental_near_dedup_single_semi_join(spark, sf_med):
+    """Incremental near-dedup: candidate detection must be ONE semi join
+    on the composite (band, key) — never a cartesian, never a per-band
+    join union."""
+    plan = _plan(spark, "pipeline_incremental_near_dedup", sf_med)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join type: LeftSemi") == 1
+    assert plan.count("Join type: LeftAnti") == 1
+
+
+def test_pq_candidates_broadcast_and_rerank_broadcast(spark, sf_med):
+    """PQ-ADC: the 8-row LUT relation and the candidate id set must both
+    broadcast — the corpus is never shuffled for scoring, and the exact
+    rerank joins candidate-sized relations, not corpus-sized."""
+    plan = _plan(spark, "sim_ann_pq", sf_med)
+    assert "CartesianProduct" not in plan
+    # LUT x codes scoring is an intentional broadcast nested loop over
+    # the 8-row LUT side; the rerank joins are broadcast hash joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    # candidate/rank shuffles carry scalar rows only: no shuffle of the
+    # embedding column before the rank filter
+    assert "SortMergeJoin" not in plan
