@@ -96,14 +96,29 @@ def test_skip_past_last_needs_disjoint_predicates():
     assert not spec.skip_past_last
 
 
-def test_cross_row_define_rejected():
-    with pytest.raises(UnsupportedPatternError, match="current-row"):
+def test_cross_row_define_parses_and_run_shape_guards():
+    # cross-variable refs parse for bounded patterns (B sees A's last
+    # matched row — test_cross_variable_define_* exercise the semantics)
+    spec = parse_match_recognize(
+        _mr(
+            BASE.replace(
+                "B AS B.event_type = 'click'",
+                "B AS B.ts > A.ts",
+            ).replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+        )
+    )
+    assert spec.defines["B"] == "B.ts > A.ts"
+    # ...but stay rejected inside the unbounded run shape (the islands /
+    # greedy matchers need self-contained predicates)
+    with pytest.raises(UnsupportedPatternError, match="run shape"):
         parse_match_recognize(
             _mr(
-                BASE.replace(
+                BASE.replace("PATTERN (A B)", "PATTERN (A+ B)")
+                .replace(
                     "B AS B.event_type = 'click'",
                     "B AS B.ts > A.ts",
                 )
+                .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
             )
         )
 
@@ -273,7 +288,7 @@ def test_order_by_desc_rejected_asc_stripped():
 def test_foreign_qualifier_rejected():
     # X is neither a pattern variable nor the defining variable: reject at
     # parse time instead of a cryptic cannot-resolve later
-    with pytest.raises(UnsupportedPatternError, match="other than its own"):
+    with pytest.raises(UnsupportedPatternError, match="outside the pattern"):
         parse_match_recognize(
             _mr(BASE.replace("B AS B.event_type = 'click'",
                              "B AS X.event_type = 'click'"))
@@ -1394,3 +1409,95 @@ def test_running_aggregates_all_rows(spark):
         (3, 1, 20.0, 20.0, 20.0),   # match 2 B row: final A aggregate
         (3, 2, 30.0, 30.0, 20.0),   # match 1 B row
     ]
+
+
+def test_cross_variable_define_price_increase(spark):
+    """The classic CEP shape: B AS B.v > A.v — the other variable's
+    reference resolves to its last already-matched row. With a
+    quantified A, each variant resolves A to ITS last mapped offset."""
+    rows = [
+        (1, 1, "a", 10.0), (1, 2, "b", 15.0),   # rise -> match
+        (2, 1, "a", 10.0), (2, 2, "b", 5.0),    # fall -> no match
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_xvar")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_v, b_v FROM __mr_xvar
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.v AS a_v, B.v AS b_v
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'b' AND B.v > A.v
+        )
+        """
+    ).collect()
+    assert sorted((r.user_id, r.a_v, r.b_v) for r in got) == [(1, 10.0, 15.0)]
+
+
+def test_cross_variable_define_quantified_last_mapped(spark):
+    """B AS B.v > A.v with A{1,2}: A resolves to the LAST mapped A row
+    of each variant — the 2-A variant compares against the second A."""
+    rows = [
+        # a(10) a(20) b(15): [A A B] fails (15 < 20) but backtracking to
+        # [A B] from start@2 succeeds (15 < 20? no!) — start@2 compares
+        # b(15) > a(20): fails; start@1 variant [A B] -> b-row is a(20):
+        # not 'b'. So only the rising pair below matches.
+        (1, 1, "a", 10.0), (1, 2, "a", 20.0), (1, 3, "b", 15.0),
+        (2, 1, "a", 10.0), (2, 2, "a", 12.0), (2, 3, "b", 30.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_xvq")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, n_a, last_a_v, b_v FROM __mr_xvq
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES COUNT(A.*) AS n_a, A.v AS last_a_v, B.v AS b_v
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,2} B)
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'b' AND B.v > A.v
+        )
+        """
+    ).collect()
+    # user 2: start@1 greedy [A A B]: 30 > 12 ✓ (A = last mapped = seq2);
+    # start@2 [A B]: 30 > 12 ✓
+    assert sorted((r.user_id, r.n_a, r.last_a_v, r.b_v) for r in got) == [
+        (2, 1, 12.0, 30.0),
+        (2, 2, 12.0, 30.0),
+    ]
+
+
+def test_cross_variable_define_not_yet_matched_is_null(spark):
+    """A DEFINE referencing a variable that appears LATER in the pattern
+    sees NULL (no already-matched row) — the predicate is false, so the
+    pattern matches nothing, matching Flink's NFA behavior."""
+    rows = [(1, 1, "a", 1.0), (1, 2, "b", 2.0)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_xnull")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id FROM __mr_xnull
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'a' AND A.v < B.v,
+                   B AS B.event_type = 'b'
+        )
+        """
+    ).collect()
+    assert got == []

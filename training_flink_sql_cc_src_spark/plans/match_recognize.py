@@ -29,7 +29,11 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                NULL; DEFINE on current-row predicates
                (``A AS A.col = lit`` or bare column refs, which bind to
                the defining variable's row per Flink semantics; implicit
-               always-true for variables without a DEFINE) with
+               always-true for variables without a DEFINE) — including
+               CROSS-VARIABLE references (``B AS B.price > A.price``,
+               bounded patterns: X.col resolves per variant to X's last
+               row matched before the current offset, NULL if not yet
+               matched, the Flink already-matched-rows semantics) — with
                ``PREV(ownvar.col[, n])`` navigation — a fixed earlier
                offset of the adjacent sequence, raising when it reaches
                before the match start — MEASURES
@@ -69,7 +73,8 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
   unsupported: unbounded quantifiers beyond the two-variable run shape
                (e.g. A* mid-sequence), patterns past the 64-variant /
                12-row expansion cap, NEXT/FIRST/LAST inside DEFINE, PREV over
-               another variable or past the match start, aggregate
+               another variable or past the match start, cross-variable
+               DEFINEs inside the unbounded run shape, aggregate
                measures under ALL ROWS for the unbounded run shape —
                these need a real (unbounded) NFA; the router raises the
                instructive error pointing at pattern_funnel /
@@ -463,14 +468,24 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             )
         stripped = _PREV_RE.sub("", pred)
         foreign = set(re.findall(r"\b(\w+)\s*\.", stripped)) - {var}
-        if foreign or re.search(
+        unknown = foreign - set(pattern)
+        if unknown or re.search(
             r"\b(NEXT|FIRST|LAST)\s*\(", pred, re.IGNORECASE
         ):
             raise UnsupportedPatternError(
-                f"DEFINE for {var} references rows other than its own "
-                f"({item!r}) — only current-row predicates (qualified as "
-                f"{var}.col or bare column names) and PREV({var}.col[, n]) "
-                "are lowered"
+                f"DEFINE for {var} references rows outside the pattern "
+                f"({item!r}) — current-row predicates (qualified as "
+                f"{var}.col or bare column names), PREV({var}.col[, n]), "
+                "and references to OTHER pattern variables' last matched "
+                "row (X.col) are lowered; NEXT/FIRST/LAST navigation is "
+                "not"
+            )
+        if foreign and plus is not None:
+            raise UnsupportedPatternError(
+                f"DEFINE for {var} references another pattern variable "
+                f"({item!r}) inside the unbounded run shape — the run "
+                "lowerings need self-contained predicates; use a bounded "
+                "quantifier (A{n,m} B) instead"
             )
         defines[var] = pred
     # Flink: a pattern variable without a DEFINE clause matches any row
@@ -606,14 +621,24 @@ def _qualify_bare_refs(pred: str, var: str, columns: list[str]) -> str:
     return "".join(parts)
 
 
-def _pred_at_offset(pred: str, var: str, k: int, cols: list[str]) -> str:
+def _pred_at_offset(
+    pred: str, var: str, k: int, cols: list[str],
+    vs: list[str] | None = None,
+) -> str:
     """Rewrite a DEFINE predicate to evaluate at LEAD offset ``k``.
 
     PREV(var.col, n) resolves first — to the column at offset ``k - n``
     (physically the n-th preceding row, since the lowered sequences are
     adjacent); reaching before the match start needs LAG state the chain
     does not carry, so it raises rather than silently comparing against
-    the wrong row."""
+    the wrong row.
+
+    ``vs`` (the fixed variant being evaluated) enables CROSS-VARIABLE
+    references: ``X.col`` for another pattern variable X resolves to
+    X's LAST row matched BEFORE offset k in this variant (the Flink
+    DEFINE semantics — references see only already-matched rows); a
+    variable with no mapped row yet evaluates to NULL, making the
+    comparison false, exactly as Flink's NFA would."""
 
     def prev_sub(mm: re.Match) -> str:
         n = int(mm.group("n") or 1)
@@ -632,11 +657,30 @@ def _pred_at_offset(pred: str, var: str, k: int, cols: list[str]) -> str:
     # bare column name, which must not be re-qualified back to offset k
     pred = _qualify_bare_refs(pred, var, cols)
     pred = _PREV_RE.sub(prev_sub, pred)
-    return re.sub(
+    pred = re.sub(
         rf"\b{re.escape(var)}\.(\w+)\b",
         (lambda mm: mm.group(1) if k == 0 else f"__mr_s{k}.{mm.group(1)}"),
         pred,
     )
+    for other in set(vs or ()) - {var}:
+        if not re.search(rf"\b{re.escape(other)}\.", pred):
+            continue
+        offs = [j for j, v in enumerate(vs[:k]) if v == other]
+        if offs:
+            m = offs[-1]  # last already-matched row of the other variable
+            pred = re.sub(
+                rf"\b{re.escape(other)}\.(\w+)\b",
+                (
+                    lambda mm, m=m: mm.group(1)
+                    if m == 0
+                    else f"__mr_s{m}.{mm.group(1)}"
+                ),
+                pred,
+            )
+        else:
+            # not yet matched at this offset: the reference is NULL
+            pred = re.sub(rf"\b{re.escape(other)}\.(\w+)\b", "NULL", pred)
+    return pred
 
 
 def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
@@ -1096,7 +1140,9 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             parts = []
             if k > 0:
                 parts.append(F.col(f"__mr_s{k}").isNotNull())
-            parts.append(F.expr(_pred_at_offset(spec.defines[var], var, k, cols)))
+            parts.append(
+                F.expr(_pred_at_offset(spec.defines[var], var, k, cols, vs))
+            )
             for p in parts:
                 cond = p if cond is None else cond & p
         last = len(vs) - 1

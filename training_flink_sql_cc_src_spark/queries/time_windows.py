@@ -1530,3 +1530,61 @@ def window_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
         """
     )
+
+
+@register(
+    "pattern_match_recognize_crossvar",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_type, value,
+               LAG(event_type) OVER w AS p_type,
+               LAG(value) OVER w AS p_value,
+               LAG(ts) OVER w AS p_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           {EPOCH_SQL.format(x='p_ts')} AS click_epoch,
+           p_value AS click_value,
+           {EPOCH_SQL.format(x='ts')} AS purchase_epoch,
+           value AS purchase_value
+    FROM seq
+    WHERE event_type = 'purchase' AND p_type = 'click'
+      AND value > p_value
+    """,
+    doc="MATCH_RECOGNIZE with a CROSS-VARIABLE DEFINE — the classic CEP "
+    "shape (Flink docs' price-increase pattern): PATTERN (A B), B "
+    "defined as a purchase whose value EXCEEDS the preceding click's "
+    "(B.value > A.value). The lowering resolves the other variable's "
+    "reference to its last already-matched row per variant "
+    "(plans/match_recognize._pred_at_offset with variant context); "
+    "still one window pass / one shuffle on user_id. The oracle "
+    "replays the LAG comparison in DuckDB.",
+)
+def pattern_match_recognize_crossvar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_xv")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(click_ts AS LONG) AS click_epoch,
+               click_value,
+               CAST(purchase_ts AS LONG) AS purchase_epoch,
+               purchase_value
+        FROM __mr_events_xv
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS click_ts, A.value AS click_value,
+                     B.ts AS purchase_ts, B.value AS purchase_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase' AND B.value > A.value
+        ) AS m
+        """
+    )
