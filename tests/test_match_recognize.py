@@ -1501,3 +1501,28 @@ def test_cross_variable_define_not_yet_matched_is_null(spark):
         """
     ).collect()
     assert got == []
+
+
+def test_define_string_literal_with_variable_prefix_survives(spark):
+    """A string literal that LOOKS like a variable reference ('A.x')
+    must pass through the offset rewrites untouched."""
+    rows = [(1, 1, "a", 1.0), (1, 2, "A.x", 2.0)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_lit")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, b_seq FROM __mr_lit
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'A.x'
+        )
+        """
+    ).collect()
+    assert [(r.user_id, r.b_seq) for r in got] == [(1, 2)]

@@ -653,34 +653,38 @@ def _pred_at_offset(
             mm.group("pcol") if kk == 0 else f"__mr_s{kk}.{mm.group('pcol')}"
         )
 
+    def at_offset(m: int):
+        # qualified ref -> the struct column bound at variant offset m
+        return (
+            lambda mm: mm.group(1) if m == 0 else f"__mr_s{m}.{mm.group(1)}"
+        )
+
     # qualify BEFORE resolving PREV: a PREV that lands on offset 0 emits a
-    # bare column name, which must not be re-qualified back to offset k
+    # bare column name, which must not be re-qualified back to offset k.
+    # All offset rewrites run on NON-LITERAL segments only — a string
+    # literal containing "A.x" must survive untouched.
     pred = _qualify_bare_refs(pred, var, cols)
-    pred = _PREV_RE.sub(prev_sub, pred)
-    pred = re.sub(
-        rf"\b{re.escape(var)}\.(\w+)\b",
-        (lambda mm: mm.group(1) if k == 0 else f"__mr_s{k}.{mm.group(1)}"),
-        pred,
-    )
-    for other in set(vs or ()) - {var}:
-        if not re.search(rf"\b{re.escape(other)}\.", pred):
-            continue
-        offs = [j for j, v in enumerate(vs[:k]) if v == other]
-        if offs:
-            m = offs[-1]  # last already-matched row of the other variable
-            pred = re.sub(
-                rf"\b{re.escape(other)}\.(\w+)\b",
-                (
-                    lambda mm, m=m: mm.group(1)
-                    if m == 0
-                    else f"__mr_s{m}.{mm.group(1)}"
-                ),
-                pred,
-            )
-        else:
-            # not yet matched at this offset: the reference is NULL
-            pred = re.sub(rf"\b{re.escape(other)}\.(\w+)\b", "NULL", pred)
-    return pred
+    parts = re.split(r"('(?:[^']|'')*')", pred)  # odd indices = literals
+    for i in range(0, len(parts), 2):
+        seg = _PREV_RE.sub(prev_sub, parts[i])
+        seg = re.sub(rf"\b{re.escape(var)}\.(\w+)\b", at_offset(k), seg)
+        for other in set(vs or ()) - {var}:
+            if not re.search(rf"\b{re.escape(other)}\.", seg):
+                continue
+            offs = [j for j, v in enumerate(vs[:k]) if v == other]
+            if offs:
+                # last already-matched row of the other variable (Flink
+                # DEFINE references see only rows matched so far)
+                seg = re.sub(
+                    rf"\b{re.escape(other)}\.(\w+)\b",
+                    at_offset(offs[-1]),
+                    seg,
+                )
+            else:
+                # not yet matched at this offset: the reference is NULL
+                seg = re.sub(rf"\b{re.escape(other)}\.(\w+)\b", "NULL", seg)
+        parts[i] = seg
+    return "".join(parts)
 
 
 def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
