@@ -1064,3 +1064,49 @@ def test_window_join_streaming_parity(spark, sf_small):
         b = batch[w]
         assert got[w][0] == b[0] and got[w][1] == b[1]
         assert abs(got[w][2] - float(b[2])) < 1e-6
+
+
+def test_window_topn_sql_streams_with_extra_partition_key(spark, sf_small):
+    """Window Top-N SQL with an EXTRA partition key beyond the window
+    (top event per (hour, user)): the chained-aggregation rewrite keys
+    the re-aggregation on (window, user) and per-group ranks match the
+    batch front door."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select("ts", "user_id", "event_type")
+    eng = Engine(spark)
+    eng.sql("ALTER TABLE ev_topnk_stream MODIFY WATERMARK FOR `ts` AS `ts`")
+    stmt = """
+        SELECT window_start, user_id, event_type, n, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY window_start, window_end, user_id
+              ORDER BY n DESC) AS rn
+          FROM (
+            SELECT window_start, window_end, user_id, event_type,
+                   COUNT(*) AS n
+            FROM TABLE(TUMBLE(TABLE ev_topnk_stream, DESCRIPTOR(ts),
+                              INTERVAL '6' HOUR))
+            GROUP BY window_start, window_end, user_id, event_type
+          )
+        ) WHERE rn <= 1
+    """
+    ev.createOrReplaceTempView("ev_topnk_stream")
+    batch = {}
+    for r in eng.sql(stmt).collect():
+        batch.setdefault((r.window_start, r.user_id), []).append(r.n)
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"ev_topnk_stream": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = {}
+    for r in streamed.collect():
+        assert r.rn == 1
+        got.setdefault((r.window_start, r.user_id), []).append(r.n)
+    assert set(got) <= set(batch)
+    assert len(got) > 0
+    for k in got:  # top-1 count per (window, user) matches exactly
+        assert sorted(got[k]) == sorted(batch[k])
