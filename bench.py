@@ -70,6 +70,7 @@ HEADLINE = (
     "pattern_match_recognize_plus",
     "window_topn",
     "pipeline_stratified_sample_scalable",
+    "sim_ann_pq",
 )
 
 
