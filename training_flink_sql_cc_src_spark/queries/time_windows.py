@@ -1588,3 +1588,99 @@ def pattern_match_recognize_crossvar(
         ) AS m
         """
     )
+
+
+def _vshape_oracle() -> str:
+    """DuckDB replay of PATTERN (S D{1,3} U{1,3}) greedy matching: LEAD
+    chains of down/up flags, variants tested in Flink preference order
+    (earlier position dominates: d descending, then u descending)."""
+    def cond(d: int, u: int) -> str:
+        downs = " AND ".join(f"dn{j}" for j in range(1, d + 1))
+        ups = " AND ".join(f"up{j}" for j in range(d + 1, d + u + 1))
+        return f"({downs} AND {ups})"
+
+    variants = [(d, u) for d in (3, 2, 1) for u in (3, 2, 1)]
+    mlen = "CASE\n" + "\n".join(
+        f"  WHEN {cond(d, u)} THEN {d * 10 + u}" for d, u in variants
+    ) + "\n END"
+    bottom = "CASE mv " + " ".join(
+        f"WHEN {d * 10 + u} THEN v{d}" for d, u in variants
+    ) + " END"
+    end = "CASE mv " + " ".join(
+        f"WHEN {d * 10 + u} THEN v{d + u}" for d, u in variants
+    ) + " END"
+    leads = ",\n".join(
+        [f"    LEAD(value, {j}) OVER w AS v{j}" for j in range(1, 7)]
+    )
+    flags = ",\n".join(
+        [
+            f"    LEAD(value, {j}) OVER w < "
+            f"{'value' if j == 1 else f'LEAD(value, {j - 1}) OVER w'} AS dn{j}"
+            for j in range(1, 4)
+        ]
+        + [
+            f"    LEAD(value, {j}) OVER w > LEAD(value, {j - 1}) OVER w "
+            f"AS up{j}"
+            for j in range(2, 7)
+        ]
+    )
+    return f"""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+{leads},
+{flags}
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+        SELECT *, {mlen} AS mv FROM seq
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS start_epoch,
+           value AS start_value,
+           {bottom} AS bottom_value,
+           {end} AS end_value,
+           CAST(mv // 10 AS BIGINT) AS n_down,
+           CAST(mv % 10 AS BIGINT) AS n_up
+    FROM m WHERE mv IS NOT NULL
+    """
+
+
+@register(
+    "pattern_match_recognize_vshape",
+    oracle=_vshape_oracle(),
+    doc="The Flink documentation's flagship CEP example — the V-shape "
+    "(price dip) pattern — bounded: PATTERN (S D{1,3} U{1,3}), D "
+    "defined by PREV navigation (value < PREV(value)), U rising, S any "
+    "row (implicit TRUE), AFTER MATCH SKIP TO NEXT ROW. Exercises TWO "
+    "quantifiers in one pattern (9 cross-product variants, greedy "
+    "d-then-u preference), PREV inside quantified DEFINEs, and FIRST/"
+    "LAST measures across them — all over ONE shared LEAD chain / one "
+    "shuffle on user_id. The oracle replays the greedy variant CASE "
+    "with down/up LEAD flags in DuckDB.",
+)
+def pattern_match_recognize_vshape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_vs")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(start_ts AS LONG) AS start_epoch,
+               start_value, bottom_value, end_value, n_down, n_up
+        FROM __mr_events_vs
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES S.ts AS start_ts, S.value AS start_value,
+                     D.value AS bottom_value, U.value AS end_value,
+                     COUNT(D.*) AS n_down, COUNT(U.*) AS n_up
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (S D{1,3} U{1,3})
+            DEFINE D AS D.value < PREV(D.value),
+                   U AS U.value > PREV(U.value)
+        ) AS m
+        """
+    )
