@@ -1526,3 +1526,80 @@ def test_define_string_literal_with_variable_prefix_survives(spark):
         """
     ).collect()
     assert [(r.user_id, r.b_seq) for r in got] == [(1, 2)]
+
+
+def test_define_first_navigation_cross_variable(spark):
+    """U AS U.v > FIRST(D.v): DEFINE navigation to another variable's
+    FIRST mapped row — recovery must exceed the value at the start of
+    the dip, not just the previous row."""
+    rows = [
+        # dip 10 -> 6 -> 4, recovery 12 (> FIRST(D)=6? FIRST(D.v) is the
+        # first D row's value = 6; 12 > 6 ✓)
+        (1, 1, "x", 10.0), (1, 2, "x", 6.0), (1, 3, "x", 4.0),
+        (1, 4, "x", 5.0),
+        # dip 10 -> 6, "recovery" 5.5: rises from 4? no — user 2 below
+        (2, 1, "x", 10.0), (2, 2, "x", 6.0), (2, 3, "x", 4.0),
+        (2, 4, "x", 4.5),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_navx")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, start_v, n_down, end_v FROM __mr_navx
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES S.v AS start_v, COUNT(D.*) AS n_down, U.v AS end_v
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (S D{1,2} U)
+            DEFINE D AS D.v < PREV(D.v),
+                   U AS U.v > FIRST(D.v)
+        )
+        """
+    ).collect()
+    # user 1: start@1 greedy D={6,4}, U=5.0 > FIRST(D)=6? no ->
+    #   backtrack D={6}, U must be row 3 (4.0 > 6? no) -> start@1 fails?
+    #   greedy variants: (S D D U): U=5.0 > 6? no; (S D U): U=4.0>6? no.
+    #   start@2: S=6, D={4}, U=5.0 > 4? FIRST(D)=4 -> 5>4 yes -> match.
+    # user 2: start@2: S=6, D={4}, U=4.5 > 4 -> match.
+    assert sorted((r.user_id, r.start_v, r.n_down, r.end_v) for r in got) == [
+        (1, 6.0, 1, 5.0),
+        (2, 6.0, 1, 4.5),
+    ]
+
+
+def test_define_first_navigation_own_variable(spark):
+    """A AS A.v < FIRST(A.v) * 2: a quantified variable bounding its own
+    run by its FIRST mapped row — the first A row trivially satisfies
+    it (FIRST(A.v) = its own value)."""
+    rows = [
+        (1, 1, "a", 10.0), (1, 2, "a", 15.0), (1, 3, "a", 30.0),
+        (1, 4, "b", 1.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string, v double"
+    ).createOrReplaceTempView("__mr_navown")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT first_a, n_a, b_seq FROM __mr_navown
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, COUNT(A.*) AS n_a,
+                     B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,3} B)
+            DEFINE A AS A.event_type = 'a' AND A.v < FIRST(A.v) * 2,
+                   B AS B.event_type = 'b'
+        )
+        """
+    ).collect()
+    # start@1: A={10,15} (30 >= 10*2 breaks the run at len 3... variant
+    # [A A A B]: third A fails (30 < 20? no); [A A B]: rows 1,2 pass but
+    # B must be row 3 ('a') -> fails; [A B]: B=row2 'a' fails. start@2:
+    # [A A B]: A={15,30}: 30 < 30? no; [A B]: B=row3 'a' no. start@3:
+    # [A B]: A=30 (trivially < 60), B=row4 'b' ✓.
+    assert sorted((r.first_a, r.n_a, r.b_seq) for r in got) == [(3, 1, 4)]

@@ -36,7 +36,10 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                matched, the Flink already-matched-rows semantics) — with
                ``PREV(ownvar.col[, n])`` navigation — a fixed earlier
                offset of the adjacent sequence, raising when it reaches
-               before the match start — MEASURES
+               before the match start — and ``FIRST/LAST(X.col[, n])``
+               navigation over mapped-so-far rows inside DEFINE (own
+               variable includes the current row; out-of-range -> NULL)
+               — MEASURES
                of ``Var.col AS alias`` (a quantified variable's measure =
                its LAST mapped row, the Flink default) and
                ``FIRST(Var.col)`` / ``LAST(Var.col)`` navigation to the
@@ -72,9 +75,10 @@ LEAD-over-ordered-partition machinery as queries/time_windows.pattern_funnel:
                WITHIN INTERVAL bound.
   unsupported: unbounded quantifiers beyond the two-variable run shape
                (e.g. A* mid-sequence), patterns past the 64-variant /
-               12-row expansion cap, NEXT/FIRST/LAST inside DEFINE, PREV over
+               12-row expansion cap, NEXT inside DEFINE, PREV over
                another variable or past the match start, cross-variable
-               DEFINEs inside the unbounded run shape, aggregate
+               or FIRST/LAST DEFINEs inside the unbounded run shape,
+               aggregate
                measures under ALL ROWS for the unbounded run shape —
                these need a real (unbounded) NFA; the router raises the
                instructive error pointing at pattern_funnel /
@@ -143,6 +147,13 @@ MATCH_NUMBER = "__match_number__"
 _DEFINE_RE = re.compile(r"^(?P<var>\w+)\s+AS\s+(?P<pred>.+)$", re.IGNORECASE | re.DOTALL)
 _PREV_RE = re.compile(
     r"\bPREV\s*\(\s*(?P<pvar>\w+)\.(?P<pcol>\w+)\s*(?:,\s*(?P<n>\d+))?\s*\)",
+    re.IGNORECASE,
+)
+# FIRST/LAST(X.col[, n]) inside DEFINE: logical navigation over X's
+# mapped-so-far rows — resolved per variant in _pred_at_offset
+_NAV_DEF_RE = re.compile(
+    r"\b(?P<nav>FIRST|LAST)\s*\(\s*(?P<nvar>\w+)\.(?P<ncol>\w+)\s*"
+    r"(?:,\s*(?P<n>\d+))?\s*\)",
     re.IGNORECASE,
 )
 _EQ_LIT_RE = re.compile(
@@ -469,21 +480,21 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         stripped = _PREV_RE.sub("", pred)
         foreign = set(re.findall(r"\b(\w+)\s*\.", stripped)) - {var}
         unknown = foreign - set(pattern)
-        if unknown or re.search(
-            r"\b(NEXT|FIRST|LAST)\s*\(", pred, re.IGNORECASE
-        ):
+        if unknown or re.search(r"\bNEXT\s*\(", pred, re.IGNORECASE):
             raise UnsupportedPatternError(
                 f"DEFINE for {var} references rows outside the pattern "
                 f"({item!r}) — current-row predicates (qualified as "
                 f"{var}.col or bare column names), PREV({var}.col[, n]), "
-                "and references to OTHER pattern variables' last matched "
-                "row (X.col) are lowered; NEXT/FIRST/LAST navigation is "
-                "not"
+                "FIRST/LAST(X.col[, n]) over mapped rows, and references "
+                "to other pattern variables' last matched row (X.col) "
+                "are lowered; NEXT navigation is not"
             )
-        if foreign and plus is not None:
+        has_nav = bool(_NAV_DEF_RE.search(pred))
+        if (foreign or has_nav) and plus is not None:
             raise UnsupportedPatternError(
                 f"DEFINE for {var} references another pattern variable "
-                f"({item!r}) inside the unbounded run shape — the run "
+                f"or uses FIRST/LAST navigation ({item!r}) inside the "
+                "unbounded run shape — the run "
                 "lowerings need self-contained predicates; use a bounded "
                 "quantifier (A{n,m} B) instead"
             )
@@ -663,10 +674,29 @@ def _pred_at_offset(
     # bare column name, which must not be re-qualified back to offset k.
     # All offset rewrites run on NON-LITERAL segments only — a string
     # literal containing "A.x" must survive untouched.
+    def nav_sub(mm: re.Match) -> str:
+        # FIRST/LAST(X.col[, n]): logical navigation over X's mapped-
+        # so-far rows in this variant (own variable includes the current
+        # row; others see only rows strictly before offset k). Out-of-
+        # range navigation is NULL — the Flink unmatched-reference value.
+        nvar = mm.group("nvar")
+        n = int(mm.group("n") or 0)
+        upto = k + 1 if nvar == var else k
+        offs = [j for j, v in enumerate((vs or [])[:upto]) if v == nvar]
+        if nvar == var and not vs:
+            offs = [k]  # plain sequences: the variable's own row
+        if len(offs) <= n:
+            return "NULL"
+        m = offs[n] if mm.group("nav").upper() == "FIRST" else offs[-1 - n]
+        return (
+            mm.group("ncol") if m == 0 else f"__mr_s{m}.{mm.group('ncol')}"
+        )
+
     pred = _qualify_bare_refs(pred, var, cols)
     parts = re.split(r"('(?:[^']|'')*')", pred)  # odd indices = literals
     for i in range(0, len(parts), 2):
-        seg = _PREV_RE.sub(prev_sub, parts[i])
+        seg = _NAV_DEF_RE.sub(nav_sub, parts[i])
+        seg = _PREV_RE.sub(prev_sub, seg)
         seg = re.sub(rf"\b{re.escape(var)}\.(\w+)\b", at_offset(k), seg)
         for other in set(vs or ()) - {var}:
             if not re.search(rf"\b{re.escape(other)}\.", seg):
