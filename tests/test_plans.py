@@ -341,3 +341,26 @@ def test_pq_candidates_broadcast_and_rerank_broadcast(spark, sf_med):
     # candidate/rank shuffles carry scalar rows only: no shuffle of the
     # embedding column before the rank filter
     assert "SortMergeJoin" not in plan
+
+
+def test_match_recognize_vshape_single_window_exchange(spark, sf_med):
+    """TWO quantifiers (9 cross-product variants) with PREV in both
+    DEFINEs still ride ONE LEAD chain / one window exchange — the
+    variant union is a when-chain, never a plan multiplier."""
+    import re
+
+    plan = _plan(spark, "pattern_match_recognize_vshape", sf_med)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_match_recognize_crossvar_single_window_exchange(spark, sf_med):
+    """Cross-variable DEFINE references resolve to offsets of the SAME
+    LEAD chain — no join, no extra exchange."""
+    import re
+
+    plan = _plan(spark, "pattern_match_recognize_crossvar", sf_med)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan
