@@ -439,14 +439,15 @@ def test_match_recognize_adjacent_subset_lowers(router):
 
 
 def test_match_recognize_guard(router):
-    # general CEP (zero-or-more quantifiers) still raises the instructive
-    # error; A+ with disjoint DEFINEs is lowered since round 5
-    # (tests/test_match_recognize.py::test_plus_run_pattern)
+    # general CEP (mid-sequence unbounded quantifiers) still raises the
+    # instructive error; A+ B / A* B two-variable runs are lowered
+    # (tests/test_match_recognize.py::test_plus_run_pattern / _star_)
     with pytest.raises(NotImplementedError, match="pattern_funnel"):
         router.execute(
             "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id "
-            "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A* B) DEFINE "
-            "A AS A.event_type = 'view', B AS B.event_type = 'purchase')"
+            "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A* B C) DEFINE "
+            "A AS A.event_type = 'view', B AS B.event_type = 'purchase', "
+            "C AS C.event_type = 'error')"
         )
 
 
@@ -512,3 +513,36 @@ def test_explain_match_recognize(router, spark):
     )
     text = out.collect()[0][0]
     assert "__mr_lowered" in text or "Window" in text
+
+
+def test_tvf_window_time_column(spark):
+    """Flink window TVFs also emit window_time = window_end - 1ms (the
+    window's event-time attribute); all four TVF rewrites expose it."""
+    import datetime
+
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    rows = [(1, "2024-01-01 00:10:00"), (1, "2024-01-01 00:40:00")]
+    spark.createDataFrame(rows, "k int, ts_s string").selectExpr(
+        "k", "CAST(ts_s AS TIMESTAMP) AS ts"
+    ).createOrReplaceTempView("__wt_events")
+    r = StatementRouter(spark)
+    for tvf in (
+        "TUMBLE(TABLE __wt_events, DESCRIPTOR(ts), INTERVAL '1' HOUR)",
+        "HOP(TABLE __wt_events, DESCRIPTOR(ts), INTERVAL '30' MINUTES, "
+        "INTERVAL '1' HOUR)",
+        "CUMULATE(TABLE __wt_events, DESCRIPTOR(ts), "
+        "INTERVAL '30' MINUTES, INTERVAL '1' HOUR)",
+        "SESSION(TABLE __wt_events PARTITION BY k, DESCRIPTOR(ts), "
+        "INTERVAL '10' MINUTES)",
+    ):
+        got = r.execute(
+            f"SELECT window_start, window_end, window_time, COUNT(*) AS n "
+            f"FROM TABLE({tvf}) "
+            f"GROUP BY window_start, window_end, window_time"
+        ).collect()
+        assert got, tvf
+        for row in got:
+            assert row.window_time == row.window_end - datetime.timedelta(
+                milliseconds=1
+            ), tvf

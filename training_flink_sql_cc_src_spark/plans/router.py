@@ -142,7 +142,9 @@ def rewrite_window_tvfs(sql: str) -> str:
                 f"(SELECT * EXCEPT (__new, __sid), "
                 f"min(`{ts}`) OVER ({sess}) AS window_start, "
                 f"max(`{ts}`) OVER ({sess}) + make_dt_interval(0, 0, 0, "
-                f"{gap_s}) AS window_end "
+                f"{gap_s}) AS window_end, "
+                f"max(`{ts}`) OVER ({sess}) + make_dt_interval(0, 0, 0, "
+                f"{gap_s}) - INTERVAL 1 MILLISECOND AS window_time "
                 f"FROM (SELECT *, sum(__new) OVER ({by_keys}ORDER BY `{ts}` "
                 f"ROWS UNBOUNDED PRECEDING) AS __sid "
                 f"FROM (SELECT __u.*, CASE WHEN {lag} IS NULL OR "
@@ -154,14 +156,16 @@ def rewrite_window_tvfs(sql: str) -> str:
             w = f"window(`{ts}`, '{size}')"
             return (
                 f"(SELECT __s.*, {w}.start AS window_start, "
-                f"{w}.end AS window_end FROM {tbl} __s)"
+                f"{w}.end AS window_end, {w}.end - INTERVAL 1 "
+                f"MILLISECOND AS window_time FROM {tbl} __s)"
             )
         if kind == "HOP":
             (slide, _), (size, _) = durs  # Flink arg order: slide, size
             w = f"window(`{ts}`, '{size}', '{slide}')"
             return (
                 f"(SELECT __s.*, {w}.start AS window_start, "
-                f"{w}.end AS window_end FROM {tbl} __s)"
+                f"{w}.end AS window_end, {w}.end - INTERVAL 1 "
+                f"MILLISECOND AS window_time FROM {tbl} __s)"
             )
         if kind == "CUMULATE":
             (step, step_s), (_, max_s) = durs  # Flink arg order: step, max
@@ -170,7 +174,9 @@ def rewrite_window_tvfs(sql: str) -> str:
                 f"DIV {max_s}) * {max_s})"
             )
             return (
-                f"(SELECT * FROM (SELECT __s.*, {start} AS window_start, "
+                f"(SELECT __c.*, __c.window_end - INTERVAL 1 "
+                f"MILLISECOND AS window_time "
+                f"FROM (SELECT __s.*, {start} AS window_start, "
                 f"explode(sequence({start} + INTERVAL '{step}', "
                 f"{start} + INTERVAL '{max_s}' SECOND, "
                 f"INTERVAL '{step}')) AS window_end FROM {tbl} __s) __c "
@@ -267,7 +273,8 @@ def rewrite_session_tvf_streaming(sql: str) -> str | None:
     kept = [
         i
         for i in g_items
-        if i.strip("`").lower() not in ("window_start", "window_end")
+        if i.strip("`").lower()
+        not in ("window_start", "window_end", "window_time")
     ]
     missing = [k for k in pby if k not in {i.strip("`") for i in kept}]
     if missing:
@@ -287,9 +294,18 @@ def rewrite_session_tvf_streaming(sql: str) -> str | None:
             new_items.append(f"{struct}.start AS window_start")
         elif re.fullmatch(r"`?window_end`?", it, re.IGNORECASE):
             new_items.append(f"{struct}.end AS window_end")
+        elif re.fullmatch(r"`?window_time`?", it, re.IGNORECASE):
+            new_items.append(
+                f"{struct}.end - INTERVAL 1 MILLISECOND AS window_time"
+            )
         else:
             it = re.sub(r"\bwindow_start\b", f"{struct}.start", it)
             it = re.sub(r"\bwindow_end\b", f"{struct}.end", it)
+            it = re.sub(
+                r"\bwindow_time\b",
+                f"{struct}.end - INTERVAL 1 MILLISECOND",
+                it,
+            )
             new_items.append(it)
     return out[: sm.start("sel")] + ", ".join(new_items) + out[sm.end("sel") :]
 
