@@ -698,3 +698,54 @@ def pipeline_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFram
     return top.select(
         "doc_id", "lang", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+@register(
+    "pipeline_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wc AS (
+        SELECT w, COUNT(*) AS c FROM words WHERE len(w) >= 2 GROUP BY w
+    ), pairs AS (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> substr(w, i, 2))) AS pair, c
+        FROM wc
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM pairs
+    GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+    """,
+    doc="Distributed BPE pair counting — the inner loop of tokenizer "
+    "training (Sennrich et al. 2016), which at 100 TB is exactly a "
+    "corpus-scale aggregation problem: count each adjacent character "
+    "pair weighted by word frequency, return the top merges. Two "
+    "shuffles total: the word-frequency aggregate (so each distinct "
+    "word's pairs are enumerated ONCE, not per occurrence — the "
+    "map-side win that makes this feasible on web-scale corpora), then "
+    "the pair aggregate; top-50 via TakeOrderedAndProject, ties broken "
+    "by pair for cross-engine determinism. The oracle replays the same "
+    "two aggregates in DuckDB.",
+)
+def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )
