@@ -1684,3 +1684,70 @@ def pattern_match_recognize_vshape(
         ) AS m
         """
     )
+
+
+@register(
+    "pattern_match_recognize_nav",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               LEAD(value, 1) OVER w AS v1,
+               LEAD(value, 2) OVER w AS v2,
+               LEAD(value, 3) OVER w AS v3,
+               LEAD(ts, 3) OVER w AS s3,
+               LEAD(ts, 2) OVER w AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+        SELECT *,
+               CASE
+                 WHEN v1 < value AND v2 < v1 AND v3 > v1 THEN 2
+                 WHEN v1 < value AND v2 > v1 THEN 1
+               END AS n_down
+        FROM seq
+    )
+    SELECT user_id,
+           {EPOCH_SQL.format(x='ts')} AS start_epoch,
+           value AS start_value,
+           CAST(n_down AS BIGINT) AS n_down,
+           CASE n_down WHEN 2 THEN v3 ELSE v2 END AS recovery_value,
+           {EPOCH_SQL.format(x='CASE n_down WHEN 2 THEN s3 ELSE s2 END')}
+               AS recovery_epoch
+    FROM m WHERE n_down IS NOT NULL
+    """,
+    doc="FIRST() navigation INSIDE DEFINE: PATTERN (S D{1,2} U) where "
+    "the recovery row must exceed the FIRST down row's value "
+    "(U.value > FIRST(D.value)) — the dip-recovery condition PREV alone "
+    "cannot express. The lowering resolves FIRST/LAST over the "
+    "variant's mapped-so-far offsets (plans/match_recognize FIRST/LAST "
+    "resolution); one LEAD chain, one shuffle. The oracle replays the "
+    "greedy two-variant CASE in DuckDB (FIRST(D) is the first down "
+    "row = v1 in both variants).",
+)
+def pattern_match_recognize_nav(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_nav")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id,
+               CAST(start_ts AS LONG) AS start_epoch,
+               start_value, n_down, recovery_value,
+               CAST(recovery_ts AS LONG) AS recovery_epoch
+        FROM __mr_events_nav
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES S.ts AS start_ts, S.value AS start_value,
+                     COUNT(D.*) AS n_down,
+                     U.value AS recovery_value, U.ts AS recovery_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (S D{1,2} U)
+            DEFINE D AS D.value < PREV(D.value),
+                   U AS U.value > FIRST(D.value)
+        ) AS m
+        """
+    )
