@@ -82,18 +82,24 @@ def test_quantifiers_rejected():
     assert spec2.plus is not None and not spec2.plus_overlap
 
 
-def test_skip_past_last_needs_disjoint_predicates():
+def test_skip_past_last_nondisjoint_takes_selection_pass():
     body = BASE.replace(
         "DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'",
         "DEFINE A AS A.value > 1, B AS B.value > 2",
     )
-    with pytest.raises(UnsupportedPatternError, match="disjoint"):
-        parse_match_recognize(_mr(body))
-    # same predicates are fine under SKIP TO NEXT ROW (overlap allowed)
+    # non-disjoint DEFINEs + SKIP PAST LAST ROW: candidates may overlap,
+    # so the lowering adds the per-key greedy selection pass
+    spec_sp = parse_match_recognize(_mr(body))
+    assert spec_sp.skip_past_last and spec_sp.skip_filter
+    # same predicates under SKIP TO NEXT ROW: overlap allowed, no filter
     spec = parse_match_recognize(
         _mr(body.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW"))
     )
-    assert not spec.skip_past_last
+    assert not spec.skip_past_last and not spec.skip_filter
+    # disjoint eq-literal DEFINEs + no quantifier: matches cannot
+    # overlap — the LEAD rewrite stays filter-free
+    spec_dj = parse_match_recognize(_mr(BASE))
+    assert spec_dj.skip_past_last and not spec_dj.skip_filter
 
 
 def test_cross_row_define_parses_and_run_shape_guards():
@@ -336,11 +342,12 @@ def test_quantifier_parse_and_guards():
         _mr(q.replace("PATTERN (A{1,3} B)", "PATTERN (A{2} B)"))
     )
     assert spec2.quant == ("A", 2, 2)
-    # SKIP PAST LAST ROW + quantifier needs a real NFA
-    with pytest.raises(UnsupportedPatternError, match="SKIP TO NEXT ROW"):
-        parse_match_recognize(
-            _mr(BASE.replace("PATTERN (A B)", "PATTERN (A{1,3} B)"))
-        )
+    # SKIP PAST LAST ROW + quantifier routes through the candidate
+    # selection pass (overlapping per-start greedy matches)
+    spec_sp = parse_match_recognize(
+        _mr(BASE.replace("PATTERN (A B)", "PATTERN (A{1,3} B)"))
+    )
+    assert spec_sp.skip_filter and spec_sp.skip_past_last
     # {0,m} parses (zero-length variant); A? sugars to {0,1}
     spec0 = parse_match_recognize(
         _mr(q.replace("PATTERN (A{1,3} B)", "PATTERN (A{0,3} B)"))
@@ -1091,6 +1098,89 @@ def test_lowering_matches_python_reference(spark, types, shape):
         """
     ).collect()
     assert sorted((r.last_a, r.b_seq) for r in got) == ref()
+
+
+def _ref_skip_walk(cands: dict[int, int]) -> list[tuple[int, int]]:
+    """NFA skip-past walk over per-start greedy candidates: explore
+    starts ascending, emit a start's match, resume after its end."""
+    out, last_end = [], -1
+    for s in sorted(cands):
+        if s > last_end:
+            out.append((s, cands[s]))
+            last_end = cands[s]
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(types=TYPES)
+def test_skip_past_quantifier_matches_reference(spark, types):
+    """SKIP PAST LAST ROW + A{1,3} B == greedy candidates (longest
+    variant per start) filtered by the sequential NFA walk."""
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_spq")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT first_a, b_seq FROM __mr_spq
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A{1,3} B)
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'b'
+        )
+        """
+    ).collect()
+    n = len(types)
+    cands: dict[int, int] = {}
+    for s in range(n):
+        for c in range(3, 0, -1):
+            if (
+                s + c < n
+                and all(types[s + i] == "a" for i in range(c))
+                and types[s + c] == "b"
+            ):
+                cands[s] = s + c
+                break
+    want = _ref_skip_walk(cands)
+    assert sorted((r.first_a, r.b_seq) for r in got) == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(st.integers(0, 5), min_size=2, max_size=16))
+def test_skip_past_nondisjoint_matches_reference(spark, vals):
+    """SKIP PAST LAST ROW + non-disjoint fixed-length A B (a row may
+    satisfy both): candidate at s iff v[s]>=2 and v[s+1]>=4, then the
+    sequential walk drops candidates starting inside an emitted match."""
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, v int"
+    ).createOrReplaceTempView("__mr_spn")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT a_seq, b_seq FROM __mr_spn
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.v >= 2, B AS B.v >= 4
+        )
+        """
+    ).collect()
+    cands = {
+        s: s + 1
+        for s in range(len(vals) - 1)
+        if vals[s] >= 2 and vals[s + 1] >= 4
+    }
+    want = _ref_skip_walk(cands)
+    assert sorted((r.a_seq, r.b_seq) for r in got) == want
 
 
 def test_optional_variable(spark):

@@ -205,6 +205,12 @@ class MatchRecognizeSpec:
     # FIRST/LAST navigation per measure alias (default: LAST, the Flink
     # bare-Var.col behavior on multiply-mapped variables)
     measure_nav: dict[str, str] = dataclasses_field(default_factory=dict)
+    # AFTER MATCH SKIP PAST LAST ROW where per-start greedy matches may
+    # OVERLAP (quantifiers, or non-disjoint DEFINEs): the lowering keeps
+    # every start's greedy candidate, then a per-key sequential pass over
+    # the (tiny) candidate set keeps the leftmost non-overlapping chain —
+    # the NFA's skip semantics, without guarding the combination away
+    skip_filter: bool = False
     # COUNT/SUM/AVG/MIN/MAX per measure alias — aggregate over the
     # variable's mapped rows (RUNNING prefix aggregates under ALL ROWS)
     measure_agg: dict[str, str] = dataclasses_field(default_factory=dict)
@@ -565,28 +571,18 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                 "PREV() inside PATTERN (A+ B) DEFINEs is not lowered (the "
                 "run variable's offsets are unbounded)"
             )
-    if quant is not None and skip_past_last:
-        raise UnsupportedPatternError(
-            "AFTER MATCH SKIP PAST LAST ROW with a quantified variable "
-            "needs a real NFA (greedy skipping interacts with the variant "
-            "length); specify AFTER MATCH SKIP TO NEXT ROW — every start "
-            "row then yields its greedy (longest) match, which the "
-            "union-of-fixed-length-LEAD-chains lowering computes exactly"
-        )
     if (
-        quant is None
-        and plus is None  # the overlap matcher does true greedy skipping
+        plus is None
         and skip_past_last
-        and not _provably_disjoint(spec)
+        and (bool(spec.quants) or not _provably_disjoint(spec))
     ):
-        raise UnsupportedPatternError(
-            "AFTER MATCH SKIP PAST LAST ROW is only lowered when the "
-            "DEFINE predicates are provably pairwise disjoint (each "
-            "variable an equality on one shared column with distinct "
-            "literals), so matches cannot overlap and the LEAD rewrite is "
-            "exact; use AFTER MATCH SKIP TO NEXT ROW for overlapping "
-            "patterns, or applyInPandasWithState for true greedy skipping"
-        )
+        # Per-start greedy matches may overlap (a quantifier lets a match
+        # start inside another's run; non-disjoint DEFINEs let one row
+        # open two matches). The LEAD-chain lowering still computes every
+        # start's greedy match exactly; the NFA's skip-past semantics are
+        # then a sequential leftmost-non-overlapping selection, applied
+        # over the candidate set in lower_match_recognize.
+        spec.skip_filter = True
     return spec
 
 
@@ -1122,6 +1118,57 @@ def _agg_over_refs(fn: str, refs: list, star_count: int | None = None):
     return F.greatest(*refs) if len(refs) > 1 else refs[0]
 
 
+def _skip_past_selection(
+    matched: DataFrame, spec: MatchRecognizeSpec, lens: list[int], df: DataFrame
+) -> DataFrame:
+    """AFTER MATCH SKIP PAST LAST ROW when per-start greedy candidates can
+    overlap (quantified variables or non-disjoint DEFINEs).
+
+    The LEAD-chain lowering computes every start row's greedy match
+    exactly, independent of the skip mode (DEFINEs cannot reference prior
+    matches, so skipping only decides WHICH starts are explored). The
+    NFA's skip-past behavior is therefore a sequential leftmost
+    non-overlapping selection over the candidates: walk starts in window
+    order, emit a candidate whose start lies past the previous emitted
+    match's end, resume after that end.
+
+    Scale: the sequential pass sees ONLY scalar candidate tuples
+    (partition keys, start position, variant length) — the full-width
+    rows with their LEAD structs never leave the JVM. Selection returns
+    the kept start positions, semi-joined back on (keys, position); both
+    sides are already partitioned by the pattern's PARTITION BY key.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pby = list(spec.partition_by)
+    len_arr = F.array(*[F.lit(n) for n in lens])
+    cand = matched.select(
+        *pby,
+        F.col("__mr_rn"),
+        F.element_at(len_arr, F.col("__mr_vi") + 1).alias("__mr_len"),
+    )
+    sel_schema = T.StructType(
+        [df.schema[pc] for pc in pby]
+        + [T.StructField("__mr_rn", T.IntegerType(), False)]
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__mr_rn")
+        keep: list[int] = []
+        last_end = -1
+        for rn, ln in zip(pdf["__mr_rn"], pdf["__mr_len"]):
+            if rn > last_end:
+                keep.append(int(rn))
+                last_end = int(rn) + int(ln) - 1
+        out = {pc: [pdf[pc].iloc[0]] * len(keep) for pc in pby}
+        out["__mr_rn"] = keep
+        return pd.DataFrame(out, columns=pby + ["__mr_rn"])
+
+    selected = cand.groupBy(*pby).applyInPandas(pick, schema=sel_schema)
+    return matched.join(selected, on=pby + ["__mr_rn"], how="left_semi")
+
+
 def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     """Build the LEAD-chain DataFrame for an adjacent-sequence pattern.
 
@@ -1167,6 +1214,11 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     # into one WindowExec over one shuffle)
     for k in range(1, max_len):
         out = out.withColumn(f"__mr_s{k}", F.lead(F.struct(*cols), k).over(w))
+    if spec.skip_filter:
+        # window position of each candidate start — rides the same
+        # window pass as the LEADs (no extra exchange); the skip-past
+        # selection and unmatched-coverage join key off it
+        out = out.withColumn("__mr_rn", F.row_number().over(w))
 
     def variant_cond(vs: list[str]):
         cond = None
@@ -1201,6 +1253,9 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         )
     indexed = out.withColumn("__mr_vi", idx_expr)
     matched = indexed.filter(F.col("__mr_vi").isNotNull())
+    lens = [len(v) for v in variants]
+    if spec.skip_filter:
+        matched = _skip_past_selection(matched, spec, lens, df)
     if any(var == MATCH_NUMBER for var, _, _ in spec.measures):
         # Flink MATCH_NUMBER(): sequential per partition in match order.
         # Matches are keyed by their start row, so ordering matched rows
@@ -1238,7 +1293,6 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             )
         return expr
 
-    lens = [len(v) for v in variants]
     if spec.all_rows:
         # ALL ROWS PER MATCH: one output row per matched INPUT row —
         # explode the match's offsets and pick each offset's bound row
@@ -1374,9 +1428,35 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         # p — LAG(__mr_vi, j) non-null with variant length > j. The LAGs
         # ride the same window partitioning (no extra exchange);
         # uncovered rows emit ONCE with NULL measures.
+        types = dict(matched_rows.dtypes)
+        um_select = [F.col(c) for c in cols] + [
+            F.lit(None).cast(types[alias]).alias(alias)
+            for _, _, alias in spec.measures
+        ]
+        cov_len_arr = F.array(*[F.lit(n) for n in lens])
+        if spec.skip_filter:
+            # skip-past dropped some candidate starts, so lag-based
+            # coverage over `indexed` would overcount: derive coverage
+            # from the SELECTED matches' position spans instead
+            covered = matched.select(
+                *spec.partition_by,
+                F.explode(
+                    F.sequence(
+                        F.col("__mr_rn"),
+                        F.col("__mr_rn")
+                        + F.element_at(cov_len_arr, F.col("__mr_vi") + 1)
+                        - 1,
+                    )
+                ).alias("__mr_rn"),
+            )
+            unmatched_rows = indexed.join(
+                covered,
+                on=list(spec.partition_by) + ["__mr_rn"],
+                how="left_anti",
+            ).select(*um_select)
+            return matched_rows.unionByName(unmatched_rows)
         cov = F.col("__mr_vi").isNotNull()
         uniform = len(set(lens)) == 1
-        cov_len_arr = F.array(*[F.lit(n) for n in lens])
         for j in range(1, max_len):
             lag_vi = F.lag("__mr_vi", j).over(w)
             if uniform:
@@ -1386,11 +1466,6 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
                     lag_vi.isNotNull()
                     & (F.element_at(cov_len_arr, lag_vi + 1) > j)
                 )
-        types = dict(matched_rows.dtypes)
-        um_select = [F.col(c) for c in cols] + [
-            F.lit(None).cast(types[alias]).alias(alias)
-            for _, _, alias in spec.measures
-        ]
         unmatched_rows = (
             indexed.withColumn("__mr_cov", cov)
             .filter(~F.col("__mr_cov"))

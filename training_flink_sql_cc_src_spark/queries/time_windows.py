@@ -1751,3 +1751,86 @@ def pattern_match_recognize_nav(
         ) AS m
         """
     )
+
+
+@register(
+    "pattern_match_recognize_skip_past",
+    oracle="""
+    WITH RECURSIVE leads AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER w AS rn,
+               event_type = 'click' AS a0,
+               COALESCE(LEAD(event_type, 1) OVER w = 'click', FALSE) AS a1,
+               COALESCE(LEAD(event_type, 2) OVER w = 'click', FALSE) AS a2,
+               COALESCE(LEAD(event_type, 1) OVER w = 'purchase', FALSE) AS b1,
+               COALESCE(LEAD(event_type, 2) OVER w = 'purchase', FALSE) AS b2,
+               COALESCE(LEAD(event_type, 3) OVER w = 'purchase', FALSE) AS b3,
+               LEAD(event_id, 1) OVER w AS e1,
+               LEAD(event_id, 2) OVER w AS e2,
+               LEAD(event_id, 3) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), cand AS (
+        SELECT user_id, rn, first_click, mlen,
+               CASE mlen WHEN 4 THEN e3 WHEN 3 THEN e2 ELSE e1 END
+                   AS purchase_event,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS idx
+        FROM (
+            SELECT user_id, rn, event_id AS first_click, e1, e2, e3,
+                   CASE WHEN a0 AND a1 AND a2 AND b3 THEN 4
+                        WHEN a0 AND a1 AND b2 THEN 3
+                        WHEN a0 AND b1 THEN 2 END AS mlen
+            FROM leads
+        ) WHERE mlen IS NOT NULL
+    ), walk AS (
+        SELECT user_id, idx, rn, first_click, mlen, purchase_event,
+               TRUE AS kept, rn + mlen - 1 AS last_end
+        FROM cand WHERE idx = 1
+        UNION ALL
+        SELECT c.user_id, c.idx, c.rn, c.first_click, c.mlen,
+               c.purchase_event,
+               c.rn > w.last_end AS kept,
+               CASE WHEN c.rn > w.last_end THEN c.rn + c.mlen - 1
+                    ELSE w.last_end END AS last_end
+        FROM walk w JOIN cand c
+          ON c.user_id = w.user_id AND c.idx = w.idx + 1
+    )
+    SELECT user_id, first_click,
+           CAST(mlen - 1 AS BIGINT) AS n_clicks, purchase_event
+    FROM walk WHERE kept
+    """,
+    doc="AFTER MATCH SKIP PAST LAST ROW with a QUANTIFIED variable — "
+    "PATTERN (A{1,3} B): greedy candidates from different starts can "
+    "overlap (a match may start inside another's click run), so the "
+    "LEAD-chain lowering keeps every start's greedy match and a per-key "
+    "sequential pass over the scalar candidate tuples keeps the "
+    "leftmost non-overlapping chain — the NFA's skip-past walk "
+    "(plans/match_recognize._skip_past_selection: candidates only, "
+    "full-width rows never leave the JVM; semi join back on the window "
+    "position). The oracle computes the same greedy candidates with "
+    "LEADs and replays the sequential selection as a recursive CTE.",
+)
+def pattern_match_recognize_skip_past(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_sp")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, first_click, n_clicks, purchase_event
+        FROM __mr_events_sp
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.event_id) AS first_click,
+                     COUNT(A.*) AS n_clicks,
+                     B.event_id AS purchase_event
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A{1,3} B)
+            DEFINE A AS A.event_type = 'click',
+                   B AS B.event_type = 'purchase'
+        ) AS m
+        """
+    )
