@@ -1693,3 +1693,96 @@ def test_define_first_navigation_own_variable(spark):
     # [A A B]: A={15,30}: 30 < 30? no; [A B]: B=row3 'a' no. start@3:
     # [A B]: A=30 (trivially < 60), B=row4 'b' ✓.
     assert sorted((r.first_a, r.n_a, r.b_seq) for r in got) == [(3, 1, 4)]
+
+
+def test_all_rows_per_match_unbounded_run(spark):
+    """ALL ROWS over PATTERN (A+ B) with overlapping DEFINEs: every
+    matched input row emits with RUNNING measures (CLASSIFIER, running
+    COUNT(A.*), B.v NULL until the closing row); SKIP PAST LAST ROW
+    resumes after each match end."""
+    vals = [25.0, 150.0, 130.0, 5.0, 30.0, 120.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, v double"
+    ).createOrReplaceTempView("__mr_arp")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT seq, cls, mn, run_a, b_v FROM __mr_arp
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn,
+                     COUNT(A.*) AS run_a, B.v AS b_v
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.v > 20, B AS B.v > 100
+        )
+        """
+    ).collect()
+    assert sorted((r.seq, r.cls, r.mn, r.run_a, r.b_v) for r in got) == [
+        (0, "A", 1, 1, None),
+        (1, "A", 1, 2, None),
+        (2, "B", 1, 2, 130.0),
+        (4, "A", 2, 1, None),
+        (5, "B", 2, 1, 120.0),
+    ]
+
+
+def test_prev_inside_unbounded_run(spark):
+    """PREV() in A+ B DEFINEs (falling run, recovery tick): lowered as
+    physical-row lags before the per-key matcher — greedy backtracking
+    picks the latest recovery row inside each falling run."""
+    vals = [10.0, 8.0, 6.0, 9.0, 12.0, 11.0, 13.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, v double"
+    ).createOrReplaceTempView("__mr_prun")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT first_d, last_d, up_seq FROM __mr_prun
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_d, A.seq AS last_d,
+                     B.seq AS up_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.v < PREV(A.v), B AS B.v > PREV(B.v)
+        )
+        """
+    ).collect()
+    assert sorted((r.first_d, r.last_d, r.up_seq) for r in got) == [
+        (1, 2, 3),
+        (2, 2, 3),
+        (5, 5, 6),
+    ]
+
+
+def test_all_rows_run_with_unmatched(spark):
+    """ALL ROWS ... WITH UNMATCHED ROWS over A+ B: rows covered by no
+    selected match emit once with NULL measures."""
+    vals = [25.0, 150.0, 130.0, 5.0, 30.0, 120.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, v double"
+    ).createOrReplaceTempView("__mr_arpu")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT seq, cls FROM __mr_arpu
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES CLASSIFIER() AS cls
+            ALL ROWS PER MATCH WITH UNMATCHED ROWS
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.v > 20, B AS B.v > 100
+        )
+        """
+    ).collect()
+    assert sorted(((r.seq, r.cls) for r in got), key=str) == sorted(
+        [(0, "A"), (1, "A"), (2, "B"), (3, None), (4, "A"), (5, "B")],
+        key=str,
+    )

@@ -560,17 +560,17 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         # matcher — same semantics, NFA-capable backtracking. A zero-min
         # run (A* / A{0,}) always takes the matcher: a match may contain
         # no A row at all, which the islands rewrite cannot key.
-        spec.plus_overlap = plus[2] == 0 or not _provably_disjoint(spec)
-        if all_rows:
-            raise UnsupportedPatternError(
-                "ALL ROWS PER MATCH with an unbounded run (A+ B) is not "
-                "lowered — use ONE ROW PER MATCH"
-            )
+        spec.plus_overlap = (
+            plus[2] == 0 or all_rows or not _provably_disjoint(spec)
+        )
+        # ALL ROWS with an unbounded run always takes the per-key matcher
+        # (the islands rewrite summarizes runs, it cannot emit their rows)
         if any(_PREV_RE.search(p) for p in spec.defines.values()):
-            raise UnsupportedPatternError(
-                "PREV() inside PATTERN (A+ B) DEFINEs is not lowered (the "
-                "run variable's offsets are unbounded)"
-            )
+            # PREV navigates PHYSICAL partition rows, so it lowers as a
+            # window lag precomputed before the per-key matcher's
+            # booleans; a PREV predicate is never an eq-literal, so
+            # _provably_disjoint already routed to the matcher
+            assert spec.plus_overlap
     if (
         plus is None
         and skip_past_last
@@ -923,9 +923,20 @@ def _lower_plus_overlap(
     a_var, b_var, min_run = spec.plus
     df = spark.table(spec.table)
     cols = df.columns
-    a_pred = F.expr(_pred_at_offset(spec.defines[a_var], a_var, 0, cols))
-    b_pred = F.expr(_pred_at_offset(spec.defines[b_var], b_var, 0, cols))
-    src = df.withColumn("__a", F.coalesce(a_pred, F.lit(False))).withColumn(
+    a_text, need_a = _rewrite_prev_to_lag(spec.defines[a_var], a_var)
+    b_text, need_b = _rewrite_prev_to_lag(spec.defines[b_var], b_var)
+    src0 = df
+    if need_a | need_b:
+        lag_w = Window.partitionBy(*spec.partition_by).orderBy(
+            *spec.order_by
+        )
+        for col, nlag in sorted(need_a | need_b):
+            src0 = src0.withColumn(
+                f"__mr_prev_{col}_{nlag}", F.lag(col, nlag).over(lag_w)
+            )
+    a_pred = F.expr(_pred_at_offset(a_text, a_var, 0, cols))
+    b_pred = F.expr(_pred_at_offset(b_text, b_var, 0, cols))
+    src = src0.withColumn("__a", F.coalesce(a_pred, F.lit(False))).withColumn(
         "__b", F.coalesce(b_pred, F.lit(False))
     )
 
@@ -938,9 +949,13 @@ def _lower_plus_overlap(
             f"{dict(df.dtypes).get(ts0)!r})"
         )
 
-    # ---- output schema: partition keys + measure aliases ----
+    # ---- output schema: partition keys + measure aliases (ONE ROW),
+    # or every input column + measure aliases (ALL ROWS) ----
     src_fields = {f.name: f for f in df.schema.fields}
-    out_fields = [src_fields[pc] for pc in spec.partition_by]
+    if spec.all_rows:
+        out_fields = [src_fields[c] for c in cols]
+    else:
+        out_fields = [src_fields[pc] for pc in spec.partition_by]
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     for var, col, alias in spec.measures:
         if var == MATCH_NUMBER:
@@ -966,13 +981,26 @@ def _lower_plus_overlap(
     measures = list(spec.measures)
     measure_agg = dict(spec.measure_agg)
     measure_nav = dict(spec.measure_nav)
+    measure_modes = dict(spec.measure_modes)
     pby = list(spec.partition_by)
     skip_past = spec.skip_past_last
+    all_rows = spec.all_rows
+    with_unmatched = spec.with_unmatched
+    src_cols = list(cols)
+    src_long = {
+        c
+        for c in src_cols
+        if isinstance(
+            src_fields[c].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        )
+    }
+    n_head = len(src_cols) if all_rows else len(pby)
     # Arrow hands integer columns WITH nulls to pandas as float64; any
-    # integral output field must be coerced back before the return trip
+    # integral measure field must be coerced back before the return trip
     target_long = {
         f.name
-        for f in out_fields[len(pby):]
+        for f in out_fields[n_head:]
         if isinstance(f.dataType, integral)
     }
 
@@ -1037,6 +1065,108 @@ def _lower_plus_overlap(
                 if k >= 0:
                     starts.append(i)
                     ends.append(k)
+
+        def clean(v, alias):
+            try:
+                if v is not None and pd.isna(v):
+                    v = None
+            except (TypeError, ValueError):
+                pass  # non-scalar (never NaN-able) measure value
+            if v is not None and alias in target_long:
+                v = int(v)
+            return v
+
+        if all_rows:
+            # ALL ROWS PER MATCH: one output row per matched input row,
+            # RUNNING measure semantics (the Flink default) — rows i..k-1
+            # are the A-run, row k is B (a zero-run A* match is just row
+            # k). FINAL shows the finished match's value on every row.
+            # Source columns are emitted by SLICING pdf (dtypes survive —
+            # a list-built frame would default empty/NaN columns to
+            # float64 and break the Arrow return cast for timestamps).
+            idxs: list[int] = []
+            out_ar: dict[str, list] = {
+                alias: [] for _, _, alias in measures
+            }
+            covered = np.zeros(n, dtype=bool)
+            for mn, (i, k) in enumerate(zip(starts, ends), start=1):
+                covered[i : k + 1] = True
+                idxs.extend(range(i, k + 1))
+                for j in range(i, k + 1):
+                    is_b = j == k
+                    for var, col, alias in measures:
+                        final = (
+                            measure_modes.get(alias, "RUNNING") == "FINAL"
+                        )
+                        if var == MATCH_NUMBER:
+                            v = mn
+                        elif var == CLASSIFIER:
+                            v = b_var if is_b else a_var
+                        elif alias in measure_agg:
+                            fn = measure_agg[alias]
+                            if var == a_var:
+                                hi = k if final else min(j + 1, k)
+                                vals = (
+                                    pdf[col].iloc[i:hi]
+                                    if col != "*"
+                                    else None
+                                )
+                                cnt = hi - i
+                            else:
+                                seen = final or is_b
+                                vals = (
+                                    pdf[col].iloc[k : k + 1]
+                                    if col != "*" and seen
+                                    else (None if col == "*" else pdf[col].iloc[0:0])
+                                )
+                                cnt = 1 if seen else 0
+                            if col == "*":
+                                v = cnt
+                            elif fn == "COUNT":
+                                v = int(vals.count())
+                            elif fn == "SUM":
+                                v = vals.sum(min_count=1)
+                                v = None if pd.isna(v) else v
+                            elif fn == "AVG":
+                                v = vals.mean()
+                                v = None if pd.isna(v) else float(v)
+                            elif fn == "MIN":
+                                v = vals.min()
+                                v = None if pd.isna(v) else v
+                            else:
+                                v = vals.max()
+                                v = None if pd.isna(v) else v
+                        elif var == a_var:
+                            # last (or FIRST) A row at-or-before j; the
+                            # zero-run match has no A row at all
+                            last_a = k - 1 if (final or is_b) else j
+                            if last_a < i:
+                                v = None
+                            elif measure_nav.get(alias) == "FIRST":
+                                v = pdf[col].iloc[i]
+                            else:
+                                v = pdf[col].iloc[last_a]
+                        else:  # B.col: NULL until the end row (RUNNING)
+                            v = (
+                                pdf[col].iloc[k]
+                                if (final or is_b)
+                                else None
+                            )
+                        out_ar[alias].append(clean(v, alias))
+            if with_unmatched:
+                rest = [int(j) for j in np.nonzero(~covered)[0]]
+                idxs.extend(rest)
+                for _, _, alias in measures:
+                    out_ar[alias].extend([None] * len(rest))
+            base = pdf.iloc[idxs][src_cols].reset_index(drop=True)
+            # integral source columns round-trip Arrow as float64 when
+            # the group contains nulls — coerce back before returning
+            for c in src_long:
+                if base[c].dtype.kind == "f":
+                    base[c] = base[c].astype("Int64")
+            for _, _, alias in measures:
+                base[alias] = pd.Series(out_ar[alias], dtype=object)
+            return base
 
         out: dict[str, list] = {pc: [] for pc in pby}
         for _, _, alias in measures:
@@ -1116,6 +1246,25 @@ def _agg_over_refs(fn: str, refs: list, star_count: int | None = None):
     if fn == "MIN":
         return F.least(*refs) if len(refs) > 1 else refs[0]
     return F.greatest(*refs) if len(refs) > 1 else refs[0]
+
+
+def _rewrite_prev_to_lag(pred: str, var: str) -> tuple[str, set[tuple[str, int]]]:
+    """Rewrite ``PREV(var.col[, n])`` to a precomputed lag column
+    (``__mr_prev_{col}_{n}``) for the unbounded-run lowerings. PREV
+    navigates PHYSICAL partition rows (Flink semantics), so a window lag
+    computed JVM-side before the per-key matcher sees the rows is exact
+    at any run length. String literals survive untouched."""
+    needed: set[tuple[str, int]] = set()
+
+    def sub(mm: re.Match) -> str:
+        col, n = mm.group("pcol"), int(mm.group("n") or 1)
+        needed.add((col, n))
+        return f"__mr_prev_{col}_{n}"
+
+    parts = re.split(r"('(?:[^']|'')*')", pred)
+    for i in range(0, len(parts), 2):
+        parts[i] = _PREV_RE.sub(sub, parts[i])
+    return "".join(parts), needed
 
 
 def _skip_past_selection(

@@ -1834,3 +1834,175 @@ def pattern_match_recognize_skip_past(
         ) AS m
         """
     )
+
+
+@register(
+    "pattern_match_recognize_all_rows_plus",
+    oracle="""
+    WITH RECURSIVE ord AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER w AS rn,
+               COALESCE(value > 20, FALSE) AS a,
+               COALESCE(value > 110, FALSE) AS b
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), nf AS (
+        SELECT *,
+               MIN(CASE WHEN NOT a THEN rn END) OVER
+                 (PARTITION BY user_id ORDER BY rn
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nfail
+        FROM ord
+    ), cand AS (
+        SELECT user_id, s, e,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s) AS idx
+        FROM (
+            SELECT o.user_id, o.rn AS s,
+                   (SELECT MAX(b2.rn) FROM ord b2
+                    WHERE b2.user_id = o.user_id AND b2.b
+                      AND b2.rn > o.rn
+                      AND (o.nfail IS NULL OR b2.rn <= o.nfail)) AS e
+            FROM nf o WHERE o.a
+        ) WHERE e IS NOT NULL
+    ), walk AS (
+        SELECT user_id, idx, s, e, TRUE AS kept, e AS last_end
+        FROM cand WHERE idx = 1
+        UNION ALL
+        SELECT c.user_id, c.idx, c.s, c.e,
+               c.s > w.last_end AS kept,
+               CASE WHEN c.s > w.last_end THEN c.e ELSE w.last_end END
+                 AS last_end
+        FROM walk w JOIN cand c
+          ON c.user_id = w.user_id AND c.idx = w.idx + 1
+    ), sel AS (
+        SELECT user_id, s, e,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s) AS mn
+        FROM walk WHERE kept
+    )
+    SELECT r.user_id, r.event_id, r.value,
+           CASE WHEN r.rn = m.e THEN 'B' ELSE 'A' END AS cls,
+           CAST(m.mn AS BIGINT) AS mn,
+           CAST(CASE WHEN r.rn = m.e THEN m.e - m.s
+                     ELSE r.rn - m.s + 1 END AS BIGINT) AS n_a,
+           CASE WHEN r.rn = m.e THEN r.value END AS b_value
+    FROM ord r JOIN sel m
+      ON r.user_id = m.user_id AND r.rn BETWEEN m.s AND m.e
+    """,
+    doc="ALL ROWS PER MATCH over an UNBOUNDED OVERLAPPING run — "
+    "PATTERN (A+ B), B (value>110) a subset of A (value>20), SKIP PAST "
+    "LAST ROW: every matched input row is emitted with RUNNING "
+    "measures (CLASSIFIER names the row's variable, COUNT(A.*) counts "
+    "A-rows so far, B.value is NULL until the closing row) — the "
+    "per-key Arrow-batched matcher's ALL ROWS leg "
+    "(plans/match_recognize._lower_plus_overlap). The oracle re-derives "
+    "greedy ends with window prefix arrays, replays the skip-past walk "
+    "as a recursive CTE, and explodes matches with a range join.",
+)
+def pattern_match_recognize_all_rows_plus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_arp")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, event_id, value, cls, mn, n_a, b_value
+        FROM __mr_events_arp
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn,
+                     COUNT(A.*) AS n_a, B.value AS b_value
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.value > 20, B AS B.value > 110
+        ) AS m
+        """
+    )
+
+
+@register(
+    "pattern_match_recognize_prev_run",
+    oracle="""
+    WITH RECURSIVE ord AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER w AS rn,
+               COALESCE(value < LAG(value, 1) OVER w, FALSE) AS a,
+               COALESCE(value > LAG(value, 1) OVER w, FALSE) AS b
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), nf AS (
+        SELECT *,
+               MIN(CASE WHEN NOT a THEN rn END) OVER
+                 (PARTITION BY user_id ORDER BY rn
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nfail
+        FROM ord
+    ), cand AS (
+        SELECT user_id, s, e,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s) AS idx
+        FROM (
+            SELECT o.user_id, o.rn AS s,
+                   (SELECT MAX(b2.rn) FROM ord b2
+                    WHERE b2.user_id = o.user_id AND b2.b
+                      AND b2.rn > o.rn
+                      AND (o.nfail IS NULL OR b2.rn <= o.nfail)) AS e
+            FROM nf o WHERE o.a
+        ) WHERE e IS NOT NULL
+    ), walk AS (
+        SELECT user_id, idx, s, e, TRUE AS kept, e AS last_end
+        FROM cand WHERE idx = 1
+        UNION ALL
+        SELECT c.user_id, c.idx, c.s, c.e,
+               c.s > w.last_end AS kept,
+               CASE WHEN c.s > w.last_end THEN c.e ELSE w.last_end END
+                 AS last_end
+        FROM walk w JOIN cand c
+          ON c.user_id = w.user_id AND c.idx = w.idx + 1
+    )
+    SELECT s.user_id,
+           fr.event_id AS first_down,
+           CAST(s.e - s.s AS BIGINT) AS n_down,
+           er.event_id AS recovery_event,
+           er.value AS recovery_value
+    FROM (SELECT user_id, s, e FROM walk WHERE kept) s
+    JOIN ord fr ON fr.user_id = s.user_id AND fr.rn = s.s
+    JOIN ord er ON er.user_id = s.user_id AND er.rn = s.e
+    """,
+    doc="PREV() inside an UNBOUNDED run — PATTERN (A+ B), A AS value < "
+    "PREV(value) (strictly falling run), B AS value > PREV(value) "
+    "(recovery tick), AFTER MATCH SKIP PAST LAST ROW: the Flink docs' "
+    "falling-price CEP shape at unbounded length. PREV navigates "
+    "PHYSICAL partition rows, so it lowers as a window lag computed "
+    "JVM-side before the per-key greedy matcher's booleans "
+    "(plans/match_recognize._rewrite_prev_to_lag) — exact at any run "
+    "length, one shuffle on user_id. The oracle re-derives the greedy "
+    "ends with LAG + prefix windows and replays the skip-past walk as "
+    "a recursive CTE.",
+)
+def pattern_match_recognize_prev_run(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_pr")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, first_down, n_down, recovery_event, recovery_value
+        FROM __mr_events_pr
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.event_id) AS first_down,
+                     COUNT(A.*) AS n_down,
+                     B.event_id AS recovery_event,
+                     B.value AS recovery_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.value < PREV(A.value),
+                   B AS B.value > PREV(B.value)
+        ) AS m
+        """
+    )
