@@ -863,7 +863,9 @@ def test_prev_guards():
             _mr(base.replace("B AS B.event_type = 'click'",
                              "B AS B.value > PREV(value)"))
         )
-    # PREV reaching before the match start raises at lower time
+    # PREV reaching before the match start is PHYSICAL navigation: with
+    # a nav_needs accumulator it becomes a scalar lag helper column;
+    # without one (legacy run-shape call sites) it still raises
     spec = parse_match_recognize(
         _mr(base.replace("A AS A.event_type = 'view'",
                          "A AS A.value > PREV(A.value)"))
@@ -871,8 +873,13 @@ def test_prev_guards():
     from training_flink_sql_cc_src_spark.plans.match_recognize import (
         _pred_at_offset,
     )
-    with pytest.raises(UnsupportedPatternError, match="before the match"):
+    with pytest.raises(UnsupportedPatternError, match="outside the matched"):
         _pred_at_offset(spec.defines["A"], "A", 0, ["value"])
+    needs: set = set()
+    text = _pred_at_offset(
+        spec.defines["A"], "A", 0, ["value"], nav_needs=needs
+    )
+    assert needs == {("value", -1)} and "__mr_nav_value_m1" in text
 
 
 def test_unsupported_raises_instructive_router_error(spark):
@@ -1786,3 +1793,69 @@ def test_all_rows_run_with_unmatched(spark):
         [(0, "A"), (1, "A"), (2, "B"), (3, None), (4, "A"), (5, "B")],
         key=str,
     )
+
+
+def test_next_navigation_and_prev_before_start(spark):
+    """NEXT(B.v) reaches past the LEAD chain (scalar lead helper);
+    PREV(A.v) at offset 0 reaches before the match start (scalar lag
+    helper) — both are PHYSICAL navigation, NULL off the partition."""
+    vals = [10.0, 20.0, 5.0, 30.0, 40.0, 50.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, v double"
+    ).createOrReplaceTempView("__mr_nextnav")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT a_seq, b_seq FROM __mr_nextnav
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.v < 15, B AS NEXT(B.v) < B.v
+        )
+        """
+    ).collect()
+    assert sorted((r.a_seq, r.b_seq) for r in got) == [(0, 1)]
+    got2 = StatementRouter(spark).execute(
+        """
+        SELECT a_seq, b_seq FROM __mr_nextnav
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.v > PREV(A.v), B AS B.v > PREV(B.v, 2)
+        )
+        """
+    ).collect()
+    assert sorted((r.a_seq, r.b_seq) for r in got2) == [(3, 4), (4, 5)]
+
+
+def test_next_inside_unbounded_run(spark):
+    """NEXT() in a run DEFINE (rising-next run) lowers as a lead column
+    before the per-key matcher."""
+    vals = [10.0, 20.0, 5.0, 30.0, 40.0, 50.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, v double"
+    ).createOrReplaceTempView("__mr_nextrun")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT first_a, b_seq FROM __mr_nextrun
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A+ B)
+            DEFINE A AS NEXT(A.v) > A.v, B AS B.v > 35
+        )
+        """
+    ).collect()
+    assert sorted((r.first_a, r.b_seq) for r in got) == [(2, 5), (3, 5), (4, 5)]

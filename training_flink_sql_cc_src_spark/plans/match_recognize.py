@@ -149,6 +149,10 @@ _PREV_RE = re.compile(
     r"\bPREV\s*\(\s*(?P<pvar>\w+)\.(?P<pcol>\w+)\s*(?:,\s*(?P<n>\d+))?\s*\)",
     re.IGNORECASE,
 )
+_NEXT_RE = re.compile(
+    r"\bNEXT\s*\(\s*(?P<pvar>\w+)\.(?P<pcol>\w+)\s*(?:,\s*(?P<n>\d+))?\s*\)",
+    re.IGNORECASE,
+)
 # FIRST/LAST(X.col[, n]) inside DEFINE: logical navigation over X's
 # mapped-so-far rows — resolved per variant in _pred_at_offset
 _NAV_DEF_RE = re.compile(
@@ -465,35 +469,40 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if dm is None:
             raise UnsupportedPatternError(f"DEFINE item {item!r} unparseable")
         var, pred = dm.group("var"), dm.group("pred").strip()
-        # PREV(ownvar.col[, n]) navigates to a fixed earlier offset in the
-        # adjacent sequence — resolved per variant in _pred_at_offset.
-        # NEXT/FIRST/LAST (and PREV over another variable) need an NFA.
-        prev_hits = list(_PREV_RE.finditer(pred))
-        for nm in prev_hits:
-            if nm.group("pvar") != var:
+        # PREV/NEXT(ownvar.col[, n]) navigate PHYSICAL partition rows
+        # (the Flink semantics) — resolved per variant in
+        # _pred_at_offset (in-chain offsets ride the LEAD structs,
+        # out-of-chain ones become scalar lag/lead helper columns).
+        # FIRST/LAST navigate mapped rows; PREV/NEXT over ANOTHER
+        # variable would mix the two navigations and stay rejected.
+        for nav_re, nav_name in ((_PREV_RE, "PREV"), (_NEXT_RE, "NEXT")):
+            hits = list(nav_re.finditer(pred))
+            for nm in hits:
+                if nm.group("pvar") != var:
+                    raise UnsupportedPatternError(
+                        f"DEFINE for {var}: {nav_name} over another "
+                        f"variable ({nm.group(0)!r}) is not lowered — "
+                        f"{nav_name} must navigate from the defining "
+                        f"variable ({var}.col)"
+                    )
+            if len(hits) != len(
+                re.findall(rf"\b{nav_name}\s*\(", pred, re.IGNORECASE)
+            ):
                 raise UnsupportedPatternError(
-                    f"DEFINE for {var}: PREV over another variable "
-                    f"({nm.group(0)!r}) is not lowered — PREV must "
-                    f"navigate from the defining variable ({var}.col)"
+                    f"DEFINE for {var}: {nav_name} must take the form "
+                    f"{nav_name}({var}.col) or {nav_name}({var}.col, n)"
                 )
-        if len(prev_hits) != len(
-            re.findall(r"\bPREV\s*\(", pred, re.IGNORECASE)
-        ):
-            raise UnsupportedPatternError(
-                f"DEFINE for {var}: PREV must take the form "
-                f"PREV({var}.col) or PREV({var}.col, n)"
-            )
-        stripped = _PREV_RE.sub("", pred)
+        stripped = _NEXT_RE.sub("", _PREV_RE.sub("", pred))
         foreign = set(re.findall(r"\b(\w+)\s*\.", stripped)) - {var}
         unknown = foreign - set(pattern)
-        if unknown or re.search(r"\bNEXT\s*\(", pred, re.IGNORECASE):
+        if unknown:
             raise UnsupportedPatternError(
                 f"DEFINE for {var} references rows outside the pattern "
                 f"({item!r}) — current-row predicates (qualified as "
-                f"{var}.col or bare column names), PREV({var}.col[, n]), "
-                "FIRST/LAST(X.col[, n]) over mapped rows, and references "
-                "to other pattern variables' last matched row (X.col) "
-                "are lowered; NEXT navigation is not"
+                f"{var}.col or bare column names), PREV/NEXT"
+                f"({var}.col[, n]), FIRST/LAST(X.col[, n]) over mapped "
+                "rows, and references to other pattern variables' last "
+                "matched row (X.col) are lowered"
             )
         has_nav = bool(_NAV_DEF_RE.search(pred))
         if (foreign or has_nav) and plus is not None:
@@ -565,11 +574,15 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         )
         # ALL ROWS with an unbounded run always takes the per-key matcher
         # (the islands rewrite summarizes runs, it cannot emit their rows)
-        if any(_PREV_RE.search(p) for p in spec.defines.values()):
-            # PREV navigates PHYSICAL partition rows, so it lowers as a
-            # window lag precomputed before the per-key matcher's
-            # booleans; a PREV predicate is never an eq-literal, so
-            # _provably_disjoint already routed to the matcher
+        if any(
+            _PREV_RE.search(p) or _NEXT_RE.search(p)
+            for p in spec.defines.values()
+        ):
+            # PREV/NEXT navigate PHYSICAL partition rows, so they lower
+            # as window lag/lead columns precomputed before the per-key
+            # matcher's booleans; such a predicate is never an
+            # eq-literal, so _provably_disjoint already routed to the
+            # matcher
             assert spec.plus_overlap
     if (
         plus is None
@@ -631,14 +644,20 @@ def _qualify_bare_refs(pred: str, var: str, columns: list[str]) -> str:
 def _pred_at_offset(
     pred: str, var: str, k: int, cols: list[str],
     vs: list[str] | None = None,
+    nav_needs: set[tuple[str, int]] | None = None,
+    max_off: int | None = None,
 ) -> str:
     """Rewrite a DEFINE predicate to evaluate at LEAD offset ``k``.
 
     PREV(var.col, n) resolves first — to the column at offset ``k - n``
     (physically the n-th preceding row, since the lowered sequences are
-    adjacent); reaching before the match start needs LAG state the chain
-    does not carry, so it raises rather than silently comparing against
-    the wrong row.
+    adjacent). NEXT(var.col, n) resolves to offset ``k + n``. An offset
+    outside the LEAD chain (before the match start, or past the chain's
+    horizon) is still PHYSICAL navigation in Flink: when the caller
+    passes ``nav_needs`` it is recorded as a scalar lag/lead helper
+    column (``__mr_nav_{col}_m{j}`` / ``_p{j}``, anchored at the match
+    START row) which the caller must attach to the plan; without
+    ``nav_needs`` such an offset raises.
 
     ``vs`` (the fixed variant being evaluated) enables CROSS-VARIABLE
     references: ``X.col`` for another pattern variable X resolves to
@@ -647,17 +666,37 @@ def _pred_at_offset(
     variable with no mapped row yet evaluates to NULL, making the
     comparison false, exactly as Flink's NFA would."""
 
+    def phys_ref(col: str, kk: int, what: str) -> str:
+        # physical offset kk from the match START row
+        if kk == 0:
+            return col
+        if 0 < kk and (max_off is None or kk <= max_off):
+            return f"__mr_s{kk}.{col}"
+        if nav_needs is None:
+            raise UnsupportedPatternError(
+                f"{what} at pattern offset {k} reaches outside the "
+                "matched sequence — not lowered in this context"
+            )
+        nav_needs.add((col, kk))
+        tag = f"m{-kk}" if kk < 0 else f"p{kk}"
+        return f"__mr_nav_{col}_{tag}"
+
     def prev_sub(mm: re.Match) -> str:
         n = int(mm.group("n") or 1)
         kk = k - n
-        if kk < 0:
-            raise UnsupportedPatternError(
-                f"PREV({mm.group('pvar')}.{mm.group('pcol')}, {n}) at "
-                f"pattern offset {k} reaches before the match start — "
-                "only offsets inside the matched sequence are lowered"
-            )
-        return (
-            mm.group("pcol") if kk == 0 else f"__mr_s{kk}.{mm.group('pcol')}"
+        return phys_ref(
+            mm.group("pcol"),
+            kk,
+            f"PREV({mm.group('pvar')}.{mm.group('pcol')}, {n})",
+        )
+
+    def next_sub(mm: re.Match) -> str:
+        n = int(mm.group("n") or 1)
+        kk = k + n
+        return phys_ref(
+            mm.group("pcol"),
+            kk,
+            f"NEXT({mm.group('pvar')}.{mm.group('pcol')}, {n})",
         )
 
     def at_offset(m: int):
@@ -693,6 +732,7 @@ def _pred_at_offset(
     for i in range(0, len(parts), 2):
         seg = _NAV_DEF_RE.sub(nav_sub, parts[i])
         seg = _PREV_RE.sub(prev_sub, seg)
+        seg = _NEXT_RE.sub(next_sub, seg)
         seg = re.sub(rf"\b{re.escape(var)}\.(\w+)\b", at_offset(k), seg)
         for other in set(vs or ()) - {var}:
             if not re.search(rf"\b{re.escape(other)}\.", seg):
@@ -923,17 +963,21 @@ def _lower_plus_overlap(
     a_var, b_var, min_run = spec.plus
     df = spark.table(spec.table)
     cols = df.columns
-    a_text, need_a = _rewrite_prev_to_lag(spec.defines[a_var], a_var)
-    b_text, need_b = _rewrite_prev_to_lag(spec.defines[b_var], b_var)
+    a_text, need_a = _rewrite_nav_physical(spec.defines[a_var], a_var)
+    b_text, need_b = _rewrite_nav_physical(spec.defines[b_var], b_var)
     src0 = df
     if need_a | need_b:
         lag_w = Window.partitionBy(*spec.partition_by).orderBy(
             *spec.order_by
         )
-        for col, nlag in sorted(need_a | need_b):
-            src0 = src0.withColumn(
-                f"__mr_prev_{col}_{nlag}", F.lag(col, nlag).over(lag_w)
+        for col, off in sorted(need_a | need_b):
+            name = (
+                f"__mr_prev_{col}_{-off}"
+                if off < 0
+                else f"__mr_next_{col}_{off}"
             )
+            nav = F.lag(col, -off) if off < 0 else F.lead(col, off)
+            src0 = src0.withColumn(name, nav.over(lag_w))
     a_pred = F.expr(_pred_at_offset(a_text, a_var, 0, cols))
     b_pred = F.expr(_pred_at_offset(b_text, b_var, 0, cols))
     src = src0.withColumn("__a", F.coalesce(a_pred, F.lit(False))).withColumn(
@@ -1248,22 +1292,31 @@ def _agg_over_refs(fn: str, refs: list, star_count: int | None = None):
     return F.greatest(*refs) if len(refs) > 1 else refs[0]
 
 
-def _rewrite_prev_to_lag(pred: str, var: str) -> tuple[str, set[tuple[str, int]]]:
-    """Rewrite ``PREV(var.col[, n])`` to a precomputed lag column
-    (``__mr_prev_{col}_{n}``) for the unbounded-run lowerings. PREV
-    navigates PHYSICAL partition rows (Flink semantics), so a window lag
-    computed JVM-side before the per-key matcher sees the rows is exact
-    at any run length. String literals survive untouched."""
+def _rewrite_nav_physical(
+    pred: str, var: str
+) -> tuple[str, set[tuple[str, int]]]:
+    """Rewrite ``PREV/NEXT(var.col[, n])`` to precomputed window lag/lead
+    columns (``__mr_prev_{col}_{n}`` / ``__mr_next_{col}_{n}``) for the
+    unbounded-run lowerings. Both navigate PHYSICAL partition rows (Flink
+    semantics), so columns computed JVM-side before the per-key matcher
+    sees the rows are exact at any run length. String literals survive
+    untouched. Returns (col, offset) needs: offset < 0 = lag, > 0 = lead."""
     needed: set[tuple[str, int]] = set()
 
-    def sub(mm: re.Match) -> str:
+    def sub_prev(mm: re.Match) -> str:
+        col, n = mm.group("pcol"), int(mm.group("n") or 1)
+        needed.add((col, -n))
+        return f"__mr_prev_{col}_{n}"
+
+    def sub_next(mm: re.Match) -> str:
         col, n = mm.group("pcol"), int(mm.group("n") or 1)
         needed.add((col, n))
-        return f"__mr_prev_{col}_{n}"
+        return f"__mr_next_{col}_{n}"
 
     parts = re.split(r"('(?:[^']|'')*')", pred)
     for i in range(0, len(parts), 2):
-        parts[i] = _PREV_RE.sub(sub, parts[i])
+        parts[i] = _PREV_RE.sub(sub_prev, parts[i])
+        parts[i] = _NEXT_RE.sub(sub_next, parts[i])
     return "".join(parts), needed
 
 
@@ -1369,15 +1422,30 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         # selection and unmatched-coverage join key off it
         out = out.withColumn("__mr_rn", F.row_number().over(w))
 
-    def variant_cond(vs: list[str]):
+    # resolve every variant's DEFINE texts up front: PREV/NEXT may
+    # navigate PHYSICALLY outside the LEAD chain (before the match start
+    # or past the last chained offset), which materializes as scalar
+    # lag/lead helper columns riding the same window (no extra exchange)
+    nav_needs: set[tuple[str, int]] = set()
+    pred_texts: dict[tuple[int, int], str] = {}
+    for vi_, vs_ in enumerate(variants):
+        for k_, v_ in enumerate(vs_):
+            pred_texts[(vi_, k_)] = _pred_at_offset(
+                spec.defines[v_], v_, k_, cols, vs_,
+                nav_needs=nav_needs, max_off=max_len - 1,
+            )
+    for nav_col, kk in sorted(nav_needs):
+        tag = f"m{-kk}" if kk < 0 else f"p{kk}"
+        nav = F.lag(nav_col, -kk) if kk < 0 else F.lead(nav_col, kk)
+        out = out.withColumn(f"__mr_nav_{nav_col}_{tag}", nav.over(w))
+
+    def variant_cond(vi: int, vs: list[str]):
         cond = None
         for k, var in enumerate(vs):
             parts = []
             if k > 0:
                 parts.append(F.col(f"__mr_s{k}").isNotNull())
-            parts.append(
-                F.expr(_pred_at_offset(spec.defines[var], var, k, cols, vs))
-            )
+            parts.append(F.expr(pred_texts[(vi, k)]))
             for p in parts:
                 cond = p if cond is None else cond & p
         last = len(vs) - 1
@@ -1396,7 +1464,7 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     # first for alternation); rows matching no variant are filtered out
     idx_expr = None
     for i, vs in enumerate(variants):
-        c = variant_cond(vs)
+        c = variant_cond(i, vs)
         idx_expr = (
             F.when(c, F.lit(i)) if idx_expr is None else idx_expr.when(c, F.lit(i))
         )

@@ -2006,3 +2006,52 @@ def pattern_match_recognize_prev_run(
         ) AS m
         """
     )
+
+
+@register(
+    "pattern_match_recognize_next",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, value,
+               LEAD(value, 1) OVER w AS v1,
+               LEAD(event_id, 1) OVER w AS e1,
+               LEAD(value, 2) OVER w AS v2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS a_event, e1 AS b_event, v1 AS b_value
+    FROM seq
+    WHERE value > 100 AND v1 IS NOT NULL AND v2 < v1
+    """,
+    doc="NEXT() navigation inside DEFINE — PATTERN (A B), B AS "
+    "NEXT(B.value) < B.value: the closing row must be followed by a "
+    "PHYSICAL drop (the row after the match). NEXT(B.value) at pattern "
+    "offset 1 reaches physical offset 2, one past the 2-row LEAD "
+    "chain, so it lowers as a scalar lead helper column anchored at "
+    "the match start (plans/match_recognize._pred_at_offset phys_ref) "
+    "— same window, no extra exchange. Out-of-partition navigation is "
+    "NULL, making the predicate false (Flink semantics). The oracle "
+    "states the same condition with LEADs.",
+)
+def pattern_match_recognize_next(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_nx")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_event, b_event, b_value FROM __mr_events_nx
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.event_id AS a_event, B.event_id AS b_event,
+                     B.value AS b_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.value > 100,
+                   B AS NEXT(B.value) < B.value
+        ) AS m
+        """
+    )
