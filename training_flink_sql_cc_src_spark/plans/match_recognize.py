@@ -215,6 +215,10 @@ class MatchRecognizeSpec:
     # the (tiny) candidate set keeps the leftmost non-overlapping chain —
     # the NFA's skip semantics, without guarding the combination away
     skip_filter: bool = False
+    # general unbounded quantifiers (VAR+ / VAR* / VAR{n,}) at arbitrary
+    # positions: var -> min run; dispatches to the per-key NFA matcher
+    # (_lower_nfa) when the pattern is not the special-cased A+ B shape
+    unbounded: dict[str, int] = dataclasses_field(default_factory=dict)
     # COUNT/SUM/AVG/MIN/MAX per measure alias — aggregate over the
     # variable's mapped rows (RUNNING prefix aggregates under ALL ROWS)
     measure_agg: dict[str, str] = dataclasses_field(default_factory=dict)
@@ -316,25 +320,17 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         else:
             lo = int(pm.group("lo"))
         plus = (pm.group("a"), pm.group("b"), lo)
-    elif re.search(r"[+*]", pattern_text):
-        raise UnsupportedPatternError(
-            f"PATTERN ({pattern_text}) uses unbounded quantifiers — only "
-            "adjacent sequences (A B C ...) with BOUNDED quantifiers "
-            "(A{n} / A{n,m} / A?, n>=0), alternation groups ((B|C)), or "
-            "the two-variable run shape (A+ B / A* B / A{n,} B, any "
-            "DEFINEs) are lowered; use "
-            "queries/time_windows.pattern_funnel3_sequential or "
-            "streaming/stateful.applyInPandasWithState for general CEP"
-        )
     positions: list[list[str]] = []  # per sequence position: alternatives
     pattern: list[str] = []  # flat variable list (for membership checks)
     quants: dict[str, tuple[int, int]] = {}
+    unbounded: dict[str, int] = {}  # var -> min run (A+ = 1, A* = 0, A{n,})
     if plus is not None:
         pattern = [plus[0], plus[1]]
         positions = [[plus[0]], [plus[1]]]
     tok_re = re.compile(
         r"\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
-        r"|(?P<var>\w+)(?:\{(?P<lo>\d+)(?:,(?P<hi>\d+))?\}|(?P<opt>\?))?"
+        r"|(?P<var>\w+)(?:\{(?P<lo>\d+)(?:,(?P<hi>\d+)?\}|\})"
+        r"|(?P<unb>[+*])|(?P<opt>\?))?"
     )
     idx = 0 if plus is None else len(pattern_text)
     while idx < len(pattern_text):
@@ -345,8 +341,8 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if tm is None:
             raise UnsupportedPatternError(
                 f"PATTERN item at {pattern_text[idx:]!r} unparseable "
-                "(VAR, VAR{n}, VAR{n,m}, VAR?, or an (X|Y) alternation "
-                "group expected)"
+                "(VAR, VAR{n}, VAR{n,m}, VAR{n,}, VAR?, VAR+, VAR*, or "
+                "an (X|Y) alternation group expected)"
             )
         if tm.group("alts"):
             alts = [a.strip() for a in tm.group("alts").split("|")]
@@ -356,15 +352,27 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             var = tm.group("var")
             if tm.group("opt") is not None:
                 quants[var] = (0, 1)  # VAR? == VAR{0,1}
+            elif tm.group("unb") is not None:
+                unbounded[var] = 1 if tm.group("unb") == "+" else 0
             elif tm.group("lo") is not None:
                 lo = int(tm.group("lo"))
-                hi = int(tm.group("hi")) if tm.group("hi") is not None else lo
-                if lo < 0 or hi < max(lo, 1) or hi > 8:
-                    raise UnsupportedPatternError(
-                        f"quantifier bounds {{{lo},{hi}}} outside the "
-                        "lowered range (0 <= n <= m <= 8, m >= 1)"
+                if (
+                    tm.group("hi") is None
+                    and tm.group(0).rstrip().endswith(",}")
+                ):
+                    unbounded[var] = lo  # VAR{n,}: unbounded min-n run
+                else:
+                    hi = (
+                        int(tm.group("hi"))
+                        if tm.group("hi") is not None
+                        else lo
                     )
-                quants[var] = (lo, hi)
+                    if lo < 0 or hi < max(lo, 1) or hi > 8:
+                        raise UnsupportedPatternError(
+                            f"quantifier bounds {{{lo},{hi}}} outside the "
+                            "lowered range (0 <= n <= m <= 8, m >= 1)"
+                        )
+                    quants[var] = (lo, hi)
             positions.append([var])
             pattern.append(var)
         idx = tm.end()
@@ -373,7 +381,26 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if quants and plus is None
         else None
     )
-    if plus is None:
+    if plus is None and unbounded:
+        # general pattern with unbounded quantifier(s) at arbitrary
+        # positions: the per-key NFA matcher (_lower_nfa) — every
+        # position's minimum still must not all be zero
+        min_len = 0
+        for alts in positions:
+            v = alts[0]
+            if len(alts) == 1 and v in unbounded:
+                min_len += unbounded[v]
+            elif len(alts) == 1 and v in quants:
+                min_len += quants[v][0]
+            else:
+                min_len += 1
+        if min_len < 1:
+            raise UnsupportedPatternError(
+                f"PATTERN ({pattern_text}) can match an EMPTY sequence "
+                "(every position optional) — at least one position must "
+                "be required"
+            )
+    elif plus is None:
         # the lowering unions one fixed-length LEAD-chain variant per
         # combination of alternation choices x quantifier lengths; cap
         # the product (and the LEAD-chain depth) so the when-chains stay
@@ -562,7 +589,30 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         with_unmatched=with_unmatched,
         measure_nav=measure_nav,
         measure_agg=measure_agg,
+        unbounded=unbounded if plus is None else {},
     )
+    if spec.unbounded:
+        # general unbounded pattern -> the per-key NFA matcher. DEFINEs
+        # must be self-contained (current row + physical PREV/NEXT):
+        # cross-variable and FIRST/LAST references would need predicate
+        # re-evaluation during matching.
+        if all_rows:
+            raise UnsupportedPatternError(
+                "ALL ROWS PER MATCH with a general unbounded pattern "
+                f"({' '.join(pattern)}) is not lowered — use ONE ROW PER "
+                "MATCH, or the two-variable run shape (A+ B) which "
+                "supports ALL ROWS"
+            )
+        for v, p in defines.items():
+            p_stripped = _NEXT_RE.sub("", _PREV_RE.sub("", p))
+            foreign_d = set(re.findall(r"\b(\w+)\s*\.", p_stripped)) - {v}
+            if _NAV_DEF_RE.search(p) or foreign_d:
+                raise UnsupportedPatternError(
+                    f"DEFINE for {v} must be self-contained (current row "
+                    "+ PREV/NEXT physical navigation) inside a general "
+                    "unbounded pattern — cross-variable and FIRST/LAST "
+                    "references are lowered only for bounded patterns"
+                )
     if plus is not None:
         # overlapping DEFINEs (a row may satisfy both variables) switch
         # the lowering from gaps-and-islands to the per-key greedy
@@ -586,6 +636,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             assert spec.plus_overlap
     if (
         plus is None
+        and not spec.unbounded  # the NFA matcher does its own skip walk
         and skip_past_last
         and (bool(spec.quants) or not _provably_disjoint(spec))
     ):
@@ -1371,6 +1422,245 @@ def _skip_past_selection(
     return matched.join(selected, on=pby + ["__mr_rn"], how="left_semi")
 
 
+def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
+    """General adjacent pattern with UNBOUNDED quantifiers at arbitrary
+    positions — PATTERN (A B+ C), (A* B C), (X{2,} Y Z) — with bounded
+    quantifiers and alternation groups freely mixed: a per-key
+    Arrow-batched backtracking NFA, ONE ROW PER MATCH.
+
+    Predicates stay JVM-side: every variable's DEFINE (self-contained,
+    current row + physical PREV/NEXT as window lag/lead columns) becomes
+    one boolean column before the single shuffle on the PARTITION BY
+    key; Python sees the boolean matrix, the order columns, and the
+    measured columns. Greedy SQL semantics (longer counts first,
+    leftmost alternative first) via depth-first search with a failure
+    memo — O(positions x rows^2) worst case per key, the same
+    keyed-state contract as Flink's CEP operator. Both AFTER MATCH
+    modes; WITHIN bounds every matched row against the start row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    df = spark.table(spec.table)
+    cols = df.columns
+    src0 = df
+    needs: set[tuple[str, int]] = set()
+    texts: dict[str, str] = {}
+    for v in spec.pattern:
+        texts[v], nv = _rewrite_nav_physical(spec.defines[v], v)
+        needs |= nv
+    if needs:
+        lag_w = Window.partitionBy(*spec.partition_by).orderBy(
+            *spec.order_by
+        )
+        for nav_col, off in sorted(needs):
+            name = (
+                f"__mr_prev_{nav_col}_{-off}"
+                if off < 0
+                else f"__mr_next_{nav_col}_{off}"
+            )
+            nav = F.lag(nav_col, -off) if off < 0 else F.lead(nav_col, off)
+            src0 = src0.withColumn(name, nav.over(lag_w))
+    src = src0
+    for v in spec.pattern:
+        src = src.withColumn(
+            f"__mrp_{v}",
+            F.coalesce(
+                F.expr(_pred_at_offset(texts[v], v, 0, cols)), F.lit(False)
+            ),
+        )
+
+    order_cols = list(spec.order_by)
+    ts0 = order_cols[0]
+    within = spec.within_seconds
+    if within is not None and dict(df.dtypes).get(ts0) != "timestamp":
+        raise UnsupportedPatternError(
+            f"WITHIN requires a TIMESTAMP ORDER BY column ({ts0!r} is "
+            f"{dict(df.dtypes).get(ts0)!r})"
+        )
+
+    # per sequence position: alternatives of (var, lo, hi) — hi None =
+    # unbounded
+    pos_spec: list[list[tuple[str, int, int | None]]] = []
+    for alts in spec.positions:
+        entry: list[tuple[str, int, int | None]] = []
+        for v in alts:
+            if len(alts) == 1 and v in spec.unbounded:
+                entry.append((v, spec.unbounded[v], None))
+            elif len(alts) == 1 and v in spec.quants:
+                lo, hi = spec.quants[v]
+                entry.append((v, lo, hi))
+            else:
+                entry.append((v, 1, 1))
+        pos_spec.append(entry)
+
+    # ---- output schema: partition keys + measure aliases ----
+    src_fields = {f.name: f for f in df.schema.fields}
+    out_fields = [src_fields[pc] for pc in spec.partition_by]
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for var, col, alias in spec.measures:
+        if var == MATCH_NUMBER:
+            dt: T.DataType = T.LongType()
+        elif var == CLASSIFIER:
+            dt = T.StringType()
+        elif alias in spec.measure_agg:
+            fn = spec.measure_agg[alias]
+            if fn == "COUNT":
+                dt = T.LongType()
+            elif fn == "AVG":
+                dt = T.DoubleType()
+            elif fn == "SUM":
+                srct = src_fields[col].dataType
+                dt = T.LongType() if isinstance(srct, integral) else srct
+            else:
+                dt = src_fields[col].dataType
+        else:
+            dt = src_fields[col].dataType
+        out_fields.append(T.StructField(alias, dt, True))
+    out_schema = T.StructType(out_fields)
+
+    measures = list(spec.measures)
+    measure_agg = dict(spec.measure_agg)
+    measure_nav = dict(spec.measure_nav)
+    pby = list(spec.partition_by)
+    pattern_vars = list(spec.pattern)
+    skip_past = spec.skip_past_last
+    target_long = {
+        f.name
+        for f in out_fields[len(pby):]
+        if isinstance(f.dataType, integral)
+    }
+
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(pdf)
+        flags = {
+            v: pdf[f"__mrp_{v}"].to_numpy(dtype=bool) for v in pattern_vars
+        }
+        if within is not None:
+            ts = pdf[ts0].to_numpy()
+
+        def match_from(s: int) -> list[tuple[str, int]] | None:
+            lim = n - 1
+            if within is not None:
+                lim = min(
+                    lim,
+                    int(
+                        np.searchsorted(
+                            ts,
+                            ts[s] + np.timedelta64(int(within), "s"),
+                            side="right",
+                        )
+                    )
+                    - 1,
+                )
+            failed: set[tuple[int, int]] = set()
+
+            def dfs(p: int, i: int) -> list[tuple[str, int]] | None:
+                if p == len(pos_spec):
+                    return []
+                if (p, i) in failed:
+                    return None
+                for v, lo, hi in pos_spec[p]:
+                    fv = flags[v]
+                    c_max, j = 0, i
+                    while (
+                        j <= lim and fv[j] and (hi is None or c_max < hi)
+                    ):
+                        c_max += 1
+                        j += 1
+                    for c in range(c_max, lo - 1, -1):
+                        rest = dfs(p + 1, i + c)
+                        if rest is not None:
+                            return [
+                                (v, i + t) for t in range(c)
+                            ] + rest
+                failed.add((p, i))
+                return None
+
+            mp = dfs(0, s)
+            # a match must CONSUME its start row (matching is attempted
+            # AT s); min_len >= 1 guarantees a non-empty mapping
+            return mp if mp else None
+
+        matches: list[list[tuple[str, int]]] = []
+        if skip_past:
+            s = 0
+            while s < n:
+                mp = match_from(s)
+                if mp:
+                    matches.append(mp)
+                    s = mp[-1][1] + 1
+                else:
+                    s += 1
+        else:
+            for s in range(n):
+                mp = match_from(s)
+                if mp:
+                    matches.append(mp)
+
+        out: dict[str, list] = {pc: [] for pc in pby}
+        for _, _, alias in measures:
+            out[alias] = []
+        for mn, mp in enumerate(matches, start=1):
+            rows_of: dict[str, list[int]] = {}
+            for v, i in mp:
+                rows_of.setdefault(v, []).append(i)
+            for pc in pby:
+                out[pc].append(pdf[pc].iloc[0])
+            for var, col, alias in measures:
+                if var == MATCH_NUMBER:
+                    v = mn
+                elif var == CLASSIFIER:
+                    v = mp[-1][0]  # ONE ROW: the last row's variable
+                elif alias in measure_agg:
+                    fn = measure_agg[alias]
+                    idxs = rows_of.get(var, [])
+                    if col == "*":
+                        v = len(idxs) if fn == "COUNT" else None
+                    else:
+                        vals = pdf[col].iloc[idxs]
+                        if fn == "COUNT":
+                            v = int(vals.count())
+                        elif fn == "SUM":
+                            v = vals.sum(min_count=1)
+                            v = None if pd.isna(v) else v
+                        elif fn == "AVG":
+                            v = vals.mean()
+                            v = None if pd.isna(v) else float(v)
+                        elif fn == "MIN":
+                            v = vals.min()
+                            v = None if pd.isna(v) else v
+                        else:
+                            v = vals.max()
+                            v = None if pd.isna(v) else v
+                else:
+                    idxs = rows_of.get(var)
+                    if not idxs:
+                        v = None  # variable mapped no row in this match
+                    else:
+                        row = (
+                            idxs[0]
+                            if measure_nav.get(alias) == "FIRST"
+                            else idxs[-1]
+                        )
+                        v = pdf[col].iloc[row]
+                try:
+                    if v is not None and pd.isna(v):
+                        v = None
+                except (TypeError, ValueError):
+                    pass
+                if v is not None and alias in target_long:
+                    v = int(v)
+                out[alias].append(v)
+        names = pby + [alias for _, _, alias in measures]
+        return pd.DataFrame({c: out[c] for c in names}, columns=names)
+
+    return src.groupBy(*pby).applyInPandas(match_group, schema=out_schema)
+
+
 def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     """Build the LEAD-chain DataFrame for an adjacent-sequence pattern.
 
@@ -1383,6 +1673,8 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     ``F.when`` chain over the shared LEAD columns — still a single
     window pass / one shuffle on the partition key. The unbounded run
     shape (``A+ B``) dispatches to the gaps-and-islands lowering."""
+    if spec.unbounded and spec.plus is None:
+        return _lower_nfa(spark, spec)
     if spec.plus is not None:
         if spec.plus_overlap:
             return _lower_plus_overlap(spark, spec)
