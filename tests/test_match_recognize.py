@@ -52,12 +52,18 @@ def test_no_match_recognize_returns_none():
 
 
 def test_quantifiers_rejected():
-    # A* mid-sequence (not the two-variable run shape) stays out of the
-    # subset; A* B and A+ B are lowered (test_plus_run_pattern / _star_)
-    with pytest.raises(UnsupportedPatternError, match="quantifiers"):
-        parse_match_recognize(
-            _mr(BASE.replace("PATTERN (A B)", "PATTERN (A* B C)"))
+    # A* in a general (3+ position) pattern now routes to the per-key
+    # NFA matcher; only non-self-contained DEFINEs stay rejected there
+    spec_g = parse_match_recognize(
+        _mr(
+            BASE.replace("PATTERN (A B)", "PATTERN (A* B C)").replace(
+                "DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'",
+                "DEFINE A AS A.event_type = 'view', "
+                "B AS B.event_type = 'click', C AS C.event_type = 'buy'",
+            )
         )
+    )
+    assert spec_g.unbounded == {"A": 0} and spec_g.plus is None
     # A* B routes to the greedy matcher (zero-min run) even with
     # disjoint DEFINEs — the islands rewrite cannot key an empty run
     spec0 = parse_match_recognize(
@@ -886,6 +892,7 @@ def test_unsupported_raises_instructive_router_error(spark):
     spark.range(1).selectExpr(
         "CAST(id AS STRING) AS event_type", "id AS user_id", "id AS ts"
     ).createOrReplaceTempView("__mr_bad")
+    # a quantified alternation group stays outside the parsed subset
     with pytest.raises(NotImplementedError, match="applyInPandasWithState"):
         StatementRouter(spark).execute(
             """
@@ -894,8 +901,24 @@ def test_unsupported_raises_instructive_router_error(spark):
                 PARTITION BY user_id
                 ORDER BY ts
                 MEASURES A.ts AS a_ts
-                PATTERN (A* B C)
+                PATTERN (A (B|C)+)
                 DEFINE A AS A.event_type = 'x', B AS B.event_type = 'y',
+                       C AS C.event_type = 'z'
+            )
+            """
+        )
+    # cross-variable DEFINEs inside a general unbounded pattern need the
+    # bounded lowering — rejected with the instructive error
+    with pytest.raises(NotImplementedError, match="self-contained"):
+        StatementRouter(spark).execute(
+            """
+            SELECT * FROM __mr_bad
+            MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY ts
+                MEASURES A.ts AS a_ts
+                PATTERN (A B+ C)
+                DEFINE A AS A.event_type = 'x', B AS B.ts > A.ts,
                        C AS C.event_type = 'z'
             )
             """
@@ -1859,3 +1882,90 @@ def test_next_inside_unbounded_run(spark):
         """
     ).collect()
     assert sorted((r.first_a, r.b_seq) for r in got) == [(2, 5), (3, 5), (4, 5)]
+
+
+def _ref_general_nfa(types, pos_spec, skip_past):
+    """Direct greedy backtracking over a general position list
+    [(var, lo, hi|None), ...] against a type string — independent of the
+    lowering's memoized DFS."""
+    n = len(types)
+
+    def match_from(s):
+        def dfs(p, i):
+            if p == len(pos_spec):
+                return []
+            var, lo, hi = pos_spec[p]
+            c_max, j = 0, i
+            while j < n and types[j] == var and (hi is None or c_max < hi):
+                c_max += 1
+                j += 1
+            for c in range(c_max, lo - 1, -1):
+                rest = dfs(p + 1, i + c)
+                if rest is not None:
+                    return [(var, i + t) for t in range(c)] + rest
+            return None
+
+        return dfs(0, s)
+
+    out = []
+    if skip_past:
+        s = 0
+        while s < n:
+            mp = match_from(s)
+            if mp:
+                out.append(mp)
+                s = mp[-1][1] + 1
+            else:
+                s += 1
+    else:
+        for s in range(n):
+            mp = match_from(s)
+            if mp:
+                out.append(mp)
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    types=st.lists(st.sampled_from(["a", "b", "c", "x"]), min_size=3, max_size=18),
+    shape=st.sampled_from(["mid_plus", "lead_star", "min2"]),
+    skip_past=st.booleans(),
+)
+def test_general_nfa_matches_python_reference(spark, types, shape, skip_past):
+    """The general per-key NFA (unbounded quantifier at any position) ==
+    direct greedy backtracking, under both AFTER MATCH modes."""
+    pattern, pos_spec = {
+        "mid_plus": ("A B+ C", [("a", 1, 1), ("b", 1, None), ("c", 1, 1)]),
+        "lead_star": ("A* B C", [("a", 0, None), ("b", 1, 1), ("c", 1, 1)]),
+        "min2": ("A B{2,} C", [("a", 1, 1), ("b", 2, None), ("c", 1, 1)]),
+    }[shape]
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_gnfa")
+    skip = "SKIP PAST LAST ROW" if skip_past else "SKIP TO NEXT ROW"
+    got = StatementRouter(spark).execute(
+        f"""
+        SELECT b_last, c_seq, nb FROM __mr_gnfa
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES B.seq AS b_last, C.seq AS c_seq, COUNT(B.*) AS nb
+            ONE ROW PER MATCH
+            AFTER MATCH {skip}
+            PATTERN ({pattern})
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'b',
+                   C AS C.event_type = 'c'
+        )
+        """
+    ).collect()
+    want = []
+    for mp in _ref_general_nfa(types, pos_spec, skip_past):
+        b_rows = [i for v, i in mp if v == "b"]
+        c_rows = [i for v, i in mp if v == "c"]
+        want.append((b_rows[-1] if b_rows else None, c_rows[-1], len(b_rows)))
+    assert (
+        sorted(((r.b_last, r.c_seq, r.nb) for r in got), key=str)
+        == sorted(want, key=str)
+    )

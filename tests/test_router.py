@@ -439,13 +439,13 @@ def test_match_recognize_adjacent_subset_lowers(router):
 
 
 def test_match_recognize_guard(router):
-    # general CEP (mid-sequence unbounded quantifiers) still raises the
-    # instructive error; A+ B / A* B two-variable runs are lowered
-    # (tests/test_match_recognize.py::test_plus_run_pattern / _star_)
+    # mid-sequence unbounded quantifiers now lower via the per-key NFA
+    # matcher; quantified alternation GROUPS remain outside the parsed
+    # subset and raise the instructive error
     with pytest.raises(NotImplementedError, match="pattern_funnel"):
         router.execute(
             "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id "
-            "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A* B C) DEFINE "
+            "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A (B|C)+) DEFINE "
             "A AS A.event_type = 'view', B AS B.event_type = 'purchase', "
             "C AS C.event_type = 'error')"
         )

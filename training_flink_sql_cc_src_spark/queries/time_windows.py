@@ -2055,3 +2055,67 @@ def pattern_match_recognize_next(
         ) AS m
         """
     )
+
+
+@register(
+    "pattern_match_recognize_mid_plus",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), nc AS (
+        SELECT user_id, rn,
+               MIN(CASE WHEN event_type <> 'click' THEN rn END) OVER
+                 (PARTITION BY user_id ORDER BY rn
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nf
+        FROM ord
+    )
+    SELECT v.user_id, v.event_id AS view_event,
+           CAST(n.nf - (v.rn + 1) AS BIGINT) AS n_clicks,
+           p.event_id AS purchase_event
+    FROM ord v
+    JOIN nc n ON n.user_id = v.user_id AND n.rn = v.rn + 1
+    JOIN ord p ON p.user_id = v.user_id AND p.rn = n.nf
+    WHERE v.event_type = 'view'
+      AND n.nf > v.rn + 1
+      AND p.event_type = 'purchase'
+    """,
+    doc="UNBOUNDED quantifier at a MIDDLE position — PATTERN "
+    "(A B+ C): a view, one-or-more clicks, then a purchase; the "
+    "three-variable funnel the two-variable run lowerings cannot "
+    "express. Lowered by the general per-key NFA matcher "
+    "(plans/match_recognize._lower_nfa): per-variable booleans are "
+    "computed JVM-side before the single shuffle on user_id, the "
+    "Arrow-batched DFS applies greedy SQL preference (longest click "
+    "run first) with a failure memo. Disjoint predicates make greedy "
+    "exact-maximal, so the oracle can state the match in closed form: "
+    "first non-click row after the view bounds the run, and must be a "
+    "purchase.",
+)
+def pattern_match_recognize_mid_plus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_mp")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, view_event, n_clicks, purchase_event
+        FROM __mr_events_mp
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.event_id AS view_event,
+                     COUNT(B.*) AS n_clicks,
+                     C.event_id AS purchase_event
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click',
+                   C AS C.event_type = 'purchase'
+        ) AS m
+        """
+    )
