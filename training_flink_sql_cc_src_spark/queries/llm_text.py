@@ -312,3 +312,216 @@ def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 10
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                   / CAST(df.df AS DOUBLE) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                            / CAST(df.df AS DOUBLE) DESC, tf.term
+               ) AS rnk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (keyword extraction, the "
+    "classic retrieval/data-curation signal). The idf weight is the "
+    "RATIONAL form N/df rather than ln(N/df): monotone-identical "
+    "ranking, and IEEE double division is bit-deterministic across "
+    "engines where ln's last ulp is not (registry hash rule). Scale: "
+    "explode -> one (doc,term) count shuffle; df is a second aggregate "
+    "over the (term) key; the tf-df join shuffles on term (vocabulary "
+    "is unbounded at 100 TB, so no broadcast hint); per-doc top-3 rides "
+    "WindowGroupLimit (O(k) map-side state). Ties break on term.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    score = (
+        F.col("tf").cast("double")
+        * F.lit(float(n_docs))
+        / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@register(
+    "pipeline_importance_weights",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tgt AS (
+        SELECT term, COUNT(*) AS ct FROM tok
+        WHERE source = 'web' GROUP BY term
+    ), allc AS (
+        SELECT term, COUNT(*) AS ct FROM tok GROUP BY term
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM tok WHERE source = 'web') AS nt,
+               (SELECT COUNT(*) FROM tok) AS nc,
+               (SELECT COUNT(DISTINCT term) FROM tok) AS v
+    ), lr AS (
+        SELECT a.term,
+               ROUND(LN(
+                   (CAST(COALESCE(t2.ct, 0) + 1 AS DOUBLE)
+                    / CAST(tot.nt + tot.v AS DOUBLE))
+                   / (CAST(a.ct + 1 AS DOUBLE)
+                      / CAST(tot.nc + tot.v AS DOUBLE))
+               ), 9) AS logratio
+        FROM allc a LEFT JOIN tgt t2 USING (term) CROSS JOIN tot
+    )
+    SELECT k.doc_id,
+           CAST(SUM(CAST(k.tf AS DECIMAL(12,0)) *
+                    CAST(lr.logratio AS DECIMAL(12,9)))
+                AS DOUBLE) AS importance
+    FROM (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+          GROUP BY doc_id, term) k
+    JOIN lr USING (term)
+    GROUP BY k.doc_id
+    """,
+    doc="Data-selection importance weights (DSIR-style, Xie et al. 2023, "
+    "PAPERS.md): per-document unigram log-likelihood ratio between a "
+    "TARGET distribution (source='web' docs) and the whole corpus, "
+    "add-1 smoothed. Per-TERM logratios are computed once over the "
+    "vocabulary, ROUNDed to 9 decimals (ln's last ulp differs between "
+    "libm and the JVM; rounding makes the value hashable), then the "
+    "per-doc score is an exact DECIMAL(38,9) dot product of term "
+    "frequencies with logratios. Scale: two vocabulary aggregates + "
+    "one (doc,term) aggregate + a shuffle join on term — no driver "
+    "materialization of the vocabulary, no broadcast of an unbounded "
+    "relation.",
+)
+def pipeline_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tgt = (
+        tok.filter(F.col("source") == "web")
+        .groupBy("term")
+        .agg(F.count("*").alias("ct_t"))
+    )
+    allc = tok.groupBy("term").agg(F.count("*").alias("ct_c"))
+    nt = tok.filter(F.col("source") == "web").count()
+    nc = tok.count()
+    v = allc.count()
+    lr = allc.join(tgt, "term", "left").select(
+        "term",
+        F.round(
+            F.log(
+                (
+                    (F.coalesce(F.col("ct_t"), F.lit(0)) + 1).cast("double")
+                    / F.lit(float(nt + v))
+                )
+                / (
+                    (F.col("ct_c") + 1).cast("double")
+                    / F.lit(float(nc + v))
+                )
+            ),
+            9,
+        ).alias("logratio"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    return (
+        tf.join(lr, "term")
+        .groupBy("doc_id")
+        .agg(
+            # (12,0) x (12,9) keeps precision 25 so Spark preserves
+            # scale 9; (38,9) squared would overflow 38 and silently
+            # demote the product to scale 6
+            F.sum(
+                F.col("tf").cast("decimal(12,0)")
+                * F.col("logratio").cast("decimal(12,9)")
+            )
+            .cast("double")
+            .alias("importance")
+        )
+    )
+
+
+@register(
+    "pipeline_pii_redaction",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+?\d{3}[- ]\d{3,4}[- ]\d{4}', '<PHONE>', 'g')
+               AS redacted,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+               AS BIGINT) AS n_ips
+    FROM documents
+    """,
+    doc="PII redaction (the compliance pass every corpus pipeline "
+    "needs): emails, IPv4 addresses, and phone-shaped numbers replaced "
+    "with typed placeholders, with per-doc match counts. Pure "
+    "regexp_replace/extract_all — map-only whole-stage codegen, zero "
+    "shuffles at any scale; patterns chosen from the RE2/PCRE common "
+    "subset so Spark (Java regex) and DuckDB (RE2) agree byte-for-byte.",
+)
+def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone = r"\+?\d{3}[- ]\d{3,4}[- ]\d{4}"
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+            ip,
+            "<IP>",
+        ),
+        phone,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(email))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(ip))).cast("long").alias("n_ips"),
+    )
