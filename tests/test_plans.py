@@ -364,3 +364,39 @@ def test_match_recognize_crossvar_single_window_exchange(spark, sf_med):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan
     assert "Join" not in plan
+
+
+def test_tfidf_topk_plan(spark, sf_med):
+    """TF-IDF: per-doc top-3 rides WindowGroupLimit; the tf-df join must
+    be a plain shuffle join on term (vocabulary is unbounded at scale,
+    broadcasting it would be a 100 TB failure) with no cartesian."""
+    plan = _plan(spark, "text_tfidf_topk", sf_med)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_importance_weights_no_cartesian_no_vocab_broadcast(spark, sf_med):
+    """DSIR weights: the vocabulary logratio relation joins the (doc,
+    term) counts on term — never broadcast (unbounded at 100 TB), never
+    a cartesian."""
+    plan = _plan(spark, "pipeline_importance_weights", sf_med)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skip_past_selection_no_cartesian(spark, sf_med):
+    """The skip-past candidate selection joins back on (keys, position)
+    as a semi join — one window exchange for the LEAD chain, no
+    cartesian anywhere."""
+    plan = _plan(spark, "pattern_match_recognize_skip_past", sf_med)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_general_nfa_single_exchange(spark, sf_med):
+    """The general NFA matcher shuffles ONCE on the partition key; the
+    per-variable booleans are computed before the exchange (no Python
+    between scan and shuffle beyond the matcher itself)."""
+    plan = _plan(spark, "pattern_match_recognize_mid_plus", sf_med)
+    assert plan.count("+- Exchange") == 1
+    assert "CartesianProduct" not in plan
