@@ -71,6 +71,8 @@ HEADLINE = (
     "window_topn",
     "pipeline_stratified_sample_scalable",
     "sim_ann_pq",
+    "pattern_match_recognize_mid_plus",
+    "text_tfidf_topk",
 )
 
 

@@ -1110,3 +1110,57 @@ def test_window_topn_sql_streams_with_extra_partition_key(spark, sf_small):
     assert len(got) > 0
     for k in got:  # top-1 count per (window, user) matches exactly
         assert sorted(got[k]) == sorted(batch[k])
+
+
+def test_mid_run_pattern_stream_matches_batch_nfa(spark, sf_small):
+    """Streaming leg of PATTERN (A B+ C) (unbounded run at a middle
+    position): the O(1)-state three-phase matcher over an in-order
+    replay equals the batch general-NFA lowering, including matches
+    split across micro-batch boundaries."""
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+    from training_flink_sql_cc_src_spark.streaming.stateful import (
+        mid_run_pattern_stream,
+    )
+
+    ev = t(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: mid_run_pattern_stream(
+            s,
+            "user_id",
+            "ts",
+            "event_type",
+            "view",
+            "click",
+            "purchase",
+            tiebreak_col="event_id",
+        ),
+        output_mode="append",
+        n_files=8,
+        order_by="ts",
+    )
+    got = {
+        (r.user_id, r.a_ts, r.run_len, r.end_ts) for r in streamed.collect()
+    }
+    ev.createOrReplaceTempView("__cep_midrun_events")
+    batch = StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_ts, n_b, c_ts FROM __cep_midrun_events
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, COUNT(B.*) AS n_b, C.ts AS c_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click',
+                   C AS C.event_type = 'purchase'
+        )
+        """
+    )
+    want = {(r.user_id, r.a_ts, r.n_b, r.c_ts) for r in batch.collect()}
+    assert got == want and want

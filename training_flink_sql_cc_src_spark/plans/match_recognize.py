@@ -1313,7 +1313,13 @@ def _lower_plus_overlap(
                     v = int(v)
                 out[alias].append(v)
         names = pby + [alias for _, _, alias in measures]
-        return pd.DataFrame({c: out[c] for c in names}, columns=names)
+        # dtype=object per column: an EMPTY list defaults to float64,
+        # which Arrow cannot cast back to timestamp/long measure fields;
+        # object columns (incl. empty) convert losslessly
+        return pd.DataFrame(
+            {c: pd.Series(out[c], dtype=object) for c in names},
+            columns=names,
+        )
 
     return src.groupBy(*pby).applyInPandas(match_group, schema=out_schema)
 
@@ -1656,7 +1662,13 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                     v = int(v)
                 out[alias].append(v)
         names = pby + [alias for _, _, alias in measures]
-        return pd.DataFrame({c: out[c] for c in names}, columns=names)
+        # dtype=object per column: an EMPTY list defaults to float64,
+        # which Arrow cannot cast back to timestamp/long measure fields;
+        # object columns (incl. empty) convert losslessly
+        return pd.DataFrame(
+            {c: pd.Series(out[c], dtype=object) for c in names},
+            columns=names,
+        )
 
     return src.groupBy(*pby).applyInPandas(match_group, schema=out_schema)
 

@@ -296,3 +296,99 @@ def adjacent_pattern_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def mid_run_pattern_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    start_type: str,
+    run_type: str,
+    end_type: str,
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming matcher for PATTERN (A B+ C) — an unbounded run at a
+    MIDDLE position (continuous leg of plans/match_recognize._lower_nfa
+    for the disjoint eq-type funnel): a ``start_type`` row, one-or-more
+    consecutive ``run_type`` rows, then an ``end_type`` row.
+
+    State per key is O(1) at any run length — (phase, a_ts, run_start,
+    run_last, run_len): phase 0 idle, 1 after the A row, 2 inside the
+    B-run. Any non-matching row resets; a new A row restarts the partial
+    match (with disjoint predicates no other start can succeed first, so
+    the single-candidate state machine equals the batch NFA). The WITHIN
+    bound is measured from the A row (the match start). Matches spanning
+    micro-batch boundaries are found. Emits (key, a_ts, run_len,
+    run_last_ts, end_ts)."""
+    out_schema = (
+        f"{key_col} long, a_ts timestamp, run_len long, "
+        "run_last_ts timestamp, end_ts timestamp"
+    )
+    state_schema = (
+        "phase int, a_ts timestamp, run_start timestamp, "
+        "run_last timestamp, run_len long"
+    )
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        phase, a_ts, run_start, run_last, run_len = (
+            state.get if state.exists else (0, None, None, None, 0)
+        )
+        a_out, len_out, last_out, end_out = [], [], [], []
+        for pdf in batches:
+            sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(sort_cols)
+            for row in pdf.itertuples(index=False):
+                cur_type = getattr(row, type_col)
+                cur_ts = getattr(row, ts_col)
+                if cur_type == start_type:
+                    # a fresh A always restarts the partial match
+                    phase, a_ts = 1, cur_ts
+                    run_start = run_last = None
+                    run_len = 0
+                elif cur_type == run_type and phase in (1, 2):
+                    if phase == 1:
+                        run_start = cur_ts
+                        run_len = 0
+                    phase, run_last = 2, cur_ts
+                    run_len += 1
+                elif cur_type == end_type and phase == 2:
+                    if (
+                        within_seconds is None
+                        or (cur_ts - a_ts).total_seconds() <= within_seconds
+                    ):
+                        a_out.append(a_ts)
+                        len_out.append(run_len)
+                        last_out.append(run_last)
+                        end_out.append(cur_ts)
+                    phase, a_ts = 0, None
+                    run_start = run_last = None
+                    run_len = 0
+                else:
+                    phase, a_ts = 0, None
+                    run_start = run_last = None
+                    run_len = 0
+        state.update((phase, a_ts, run_start, run_last, run_len))
+        if a_out:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(a_out),
+                    "a_ts": a_out,
+                    "run_len": len_out,
+                    "run_last_ts": last_out,
+                    "end_ts": end_out,
+                }
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
