@@ -1164,3 +1164,44 @@ def test_mid_run_pattern_stream_matches_batch_nfa(spark, sf_small):
     )
     want = {(r.user_id, r.a_ts, r.n_b, r.c_ts) for r in batch.collect()}
     assert got == want and want
+
+
+def test_mid_run_statement_streams_through_engine(spark, sf_small):
+    """The SAME A B+ C MATCH_RECOGNIZE statement runs in batch (general
+    NFA lowering) and continuously (sql_stream routes the eq-literal
+    middle-run funnel to mid_run_pattern_stream) with identical
+    results."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    eng = Engine(spark)
+    stmt = """
+        SELECT user_id, CAST(a_ts AS LONG) AS a_e,
+               CAST(b_ts AS LONG) AS b_e, CAST(c_ts AS LONG) AS c_e
+        FROM events_midrun_stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, B.ts AS b_ts, C.ts AS c_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click',
+                   C AS C.event_type = 'purchase'
+        )
+    """
+    ev.createOrReplaceTempView("events_midrun_stream")
+    batch = {tuple(r) for r in eng.sql(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"events_midrun_stream": s}),
+        output_mode="append",
+        n_files=8,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch

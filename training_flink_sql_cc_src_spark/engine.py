@@ -269,6 +269,7 @@ class Engine:
             parse_match_recognize,
         )
         from .streaming.stateful import (
+            mid_run_pattern_stream,
             run_pattern_stream,
             sequence_pattern_stream,
         )
@@ -328,7 +329,31 @@ class Engine:
                 "long)"
             )
 
-        if spec.plus is not None:
+        if spec.unbounded and spec.plus is None:
+            # general NFA shapes: only the three-variable A B+ C funnel
+            # (run at the middle position, min 1) streams with O(1) state
+            if (
+                len(spec.positions) != 3
+                or list(spec.unbounded) != [spec.pattern[1]]
+                or spec.unbounded[spec.pattern[1]] != 1
+                or spec.quants
+            ):
+                raise unsupported(
+                    "general unbounded patterns (only the A B+ C middle-"
+                    "run funnel streams with O(1) state — use the batch "
+                    "path)"
+                )
+            matched = mid_run_pattern_stream(
+                sdf, key, ts_col, type_col, types[0], types[1], types[2],
+                within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
+            )
+            # A maps its single row; B's last mapped row; C the end row
+            pos_col = {
+                spec.pattern[0]: "a_ts",
+                spec.pattern[1]: "run_last_ts",
+                spec.pattern[2]: "end_ts",
+            }
+        elif spec.plus is not None:
             if spec.plus[2] != 1:
                 raise unsupported(
                     "A{n,} / A* run bounds (the streaming matcher tracks "
