@@ -892,7 +892,7 @@ def test_unsupported_raises_instructive_router_error(spark):
     spark.range(1).selectExpr(
         "CAST(id AS STRING) AS event_type", "id AS user_id", "id AS ts"
     ).createOrReplaceTempView("__mr_bad")
-    # a quantified alternation group stays outside the parsed subset
+    # PERMUTE stays outside the parsed subset
     with pytest.raises(NotImplementedError, match="applyInPandasWithState"):
         StatementRouter(spark).execute(
             """
@@ -901,9 +901,8 @@ def test_unsupported_raises_instructive_router_error(spark):
                 PARTITION BY user_id
                 ORDER BY ts
                 MEASURES A.ts AS a_ts
-                PATTERN (A (B|C)+)
-                DEFINE A AS A.event_type = 'x', B AS B.event_type = 'y',
-                       C AS C.event_type = 'z'
+                PATTERN (PERMUTE (A, B))
+                DEFINE A AS A.event_type = 'x', B AS B.event_type = 'y'
             )
             """
         )
@@ -1969,3 +1968,134 @@ def test_general_nfa_matches_python_reference(spark, types, shape, skip_past):
         sorted(((r.b_last, r.c_seq, r.nb) for r in got), key=str)
         == sorted(want, key=str)
     )
+
+
+def test_quantified_alternation_group(spark):
+    """(B|C)+ — each repetition matches ANY alternative with leftmost
+    assignment; per-variable COUNT splits the run."""
+    seq = "abcbxd"
+    rows = [(1, i, t) for i, t in enumerate(seq)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, et string"
+    ).createOrReplaceTempView("__mr_gq")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT a_seq, nb, nc, d_seq FROM __mr_gq
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, COUNT(B.*) AS nb,
+                     COUNT(C.*) AS nc, D.seq AS d_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A (B|C)+ D)
+            DEFINE A AS A.et = 'a', B AS B.et = 'b',
+                   C AS C.et = 'c', D AS D.et = 'x'
+        )
+        """
+    ).collect()
+    assert sorted((r.a_seq, r.nb, r.nc, r.d_seq) for r in got) == [(0, 2, 1, 4)]
+
+
+def test_reluctant_quantifiers(spark):
+    """A B+? C prefers the SHORTEST run (NFA path); A{1,3}? B prefers
+    the shortest variant (LEAD-chain path)."""
+    spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("abbbc")],
+        "user_id int, seq int, et string",
+    ).createOrReplaceTempView("__mr_lz1")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT a_seq, nb, c_seq FROM __mr_lz1
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, COUNT(B.*) AS nb, C.seq AS c_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B+? C)
+            DEFINE A AS A.et = 'a', B AS B.et = 'b',
+                   C AS C.et IN ('b', 'c')
+        )
+        """
+    ).collect()
+    assert sorted((r.a_seq, r.nb, r.c_seq) for r in got) == [(0, 1, 2)]
+    spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("aaab")],
+        "user_id int, seq int, et string",
+    ).createOrReplaceTempView("__mr_lz2")
+    got2 = StatementRouter(spark).execute(
+        """
+        SELECT first_a, n_a, b_seq FROM __mr_lz2
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, COUNT(A.*) AS n_a,
+                     B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{1,3}? B)
+            DEFINE A AS A.et = 'a', B AS B.et IN ('a', 'b')
+        )
+        """
+    ).collect()
+    assert sorted((r.first_a, r.n_a, r.b_seq) for r in got2) == [
+        (0, 1, 1),
+        (1, 1, 2),
+        (2, 1, 3),
+    ]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    types=st.lists(st.sampled_from(["a", "b", "c", "x"]), min_size=3, max_size=16),
+    skip_past=st.booleans(),
+)
+def test_group_quant_matches_python_reference(spark, types, skip_past):
+    """A (B|C)+ X == greedy any-alternative runs in the direct Python
+    reference (leftmost assignment, both AFTER MATCH modes)."""
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_gqprop")
+    skip = "SKIP PAST LAST ROW" if skip_past else "SKIP TO NEXT ROW"
+    got = StatementRouter(spark).execute(
+        f"""
+        SELECT a_seq, nb, nc, x_seq FROM __mr_gqprop
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, COUNT(B.*) AS nb,
+                     COUNT(C.*) AS nc, X.seq AS x_seq
+            ONE ROW PER MATCH
+            AFTER MATCH {skip}
+            PATTERN (A (B|C)+ X)
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'b',
+                   C AS C.event_type = 'c',
+                   X AS X.event_type = 'x'
+        )
+        """
+    ).collect()
+    n = len(types)
+    cands: dict[int, tuple[int, int, int]] = {}  # s -> (nb, nc, x_pos)
+    for s in range(n):
+        if types[s] != "a":
+            continue
+        j = s + 1
+        while j < n and types[j] in ("b", "c"):
+            j += 1
+        if j > s + 1 and j < n and types[j] == "x":
+            run = types[s + 1 : j]
+            cands[s] = (run.count("b"), run.count("c"), j)
+    want = []
+    if skip_past:
+        last_end = -1
+        for s in sorted(cands):
+            if s > last_end:
+                nb, nc, x = cands[s]
+                want.append((s, nb, nc, x))
+                last_end = x
+    else:
+        want = [(s, *cands[s]) for s in sorted(cands)]
+    assert sorted((r.a_seq, r.nb, r.nc, r.x_seq) for r in got) == sorted(want)

@@ -439,15 +439,15 @@ def test_match_recognize_adjacent_subset_lowers(router):
 
 
 def test_match_recognize_guard(router):
-    # mid-sequence unbounded quantifiers now lower via the per-key NFA
-    # matcher; quantified alternation GROUPS remain outside the parsed
-    # subset and raise the instructive error
+    # mid-sequence unbounded quantifiers and quantified alternation
+    # groups now lower via the per-key NFA matcher; PERMUTE and nested
+    # groups remain outside the parsed subset with the instructive error
     with pytest.raises(NotImplementedError, match="pattern_funnel"):
         router.execute(
             "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id "
-            "ORDER BY ts MEASURES A.ts AS a_ts PATTERN (A (B|C)+) DEFINE "
-            "A AS A.event_type = 'view', B AS B.event_type = 'purchase', "
-            "C AS C.event_type = 'error')"
+            "ORDER BY ts MEASURES A.ts AS a_ts "
+            "PATTERN (PERMUTE (A, B)) DEFINE "
+            "A AS A.event_type = 'view', B AS B.event_type = 'purchase')"
         )
 
 

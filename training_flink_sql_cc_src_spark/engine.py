@@ -329,7 +329,7 @@ class Engine:
                 "long)"
             )
 
-        if spec.unbounded and spec.plus is None:
+        if (spec.unbounded or spec.pos_quants) and spec.plus is None:
             # general NFA shapes: only the three-variable A B+ C funnel
             # (run at the middle position, min 1) streams with O(1) state
             if (
@@ -337,6 +337,8 @@ class Engine:
                 or list(spec.unbounded) != [spec.pattern[1]]
                 or spec.unbounded[spec.pattern[1]] != 1
                 or spec.quants
+                or spec.pos_quants
+                or spec.lazy_vars
             ):
                 raise unsupported(
                     "general unbounded patterns (only the A B+ C middle-"

@@ -219,6 +219,14 @@ class MatchRecognizeSpec:
     # positions: var -> min run; dispatches to the per-key NFA matcher
     # (_lower_nfa) when the pattern is not the special-cased A+ B shape
     unbounded: dict[str, int] = dataclasses_field(default_factory=dict)
+    # QUANTIFIED alternation groups — (B|C)+ / (B|C){n,m} / (B|C)? —
+    # position index -> (lo, hi|None, lazy); each repetition matches ANY
+    # alternative (leftmost-preferred assignment). Always the NFA matcher.
+    pos_quants: dict[int, tuple[int, int | None, bool]] = dataclasses_field(
+        default_factory=dict
+    )
+    # RELUCTANT quantifiers (A+? / A{n,m}?): prefer the SHORTEST count
+    lazy_vars: set[str] = dataclasses_field(default_factory=set)
     # COUNT/SUM/AVG/MIN/MAX per measure alias — aggregate over the
     # variable's mapped rows (RUNNING prefix aggregates under ALL ROWS)
     measure_agg: dict[str, str] = dataclasses_field(default_factory=dict)
@@ -324,13 +332,18 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
     pattern: list[str] = []  # flat variable list (for membership checks)
     quants: dict[str, tuple[int, int]] = {}
     unbounded: dict[str, int] = {}  # var -> min run (A+ = 1, A* = 0, A{n,})
+    pos_quants: dict[int, tuple[int, int | None, bool]] = {}
+    lazy_vars: set[str] = set()
     if plus is not None:
         pattern = [plus[0], plus[1]]
         positions = [[plus[0]], [plus[1]]]
     tok_re = re.compile(
         r"\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
-        r"|(?P<var>\w+)(?:\{(?P<lo>\d+)(?:,(?P<hi>\d+)?\}|\})"
-        r"|(?P<unb>[+*])|(?P<opt>\?))?"
+        r"(?:(?P<gunb>[+*])|\{(?P<glo>\d+)(?P<gcomma>,)?(?P<ghi>\d+)?\})?"
+        r"(?P<glazy>\?)?"
+        r"|(?P<var>\w+)(?:\{(?P<lo>\d+)(?P<comma>,)?(?P<hi>\d+)?\}"
+        r"(?P<vlazy1>\?)?"
+        r"|(?P<unb>[+*])(?P<vlazy2>\?)?|(?P<opt>\?))?"
     )
     idx = 0 if plus is None else len(pattern_text)
     while idx < len(pattern_text):
@@ -341,25 +354,53 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if tm is None:
             raise UnsupportedPatternError(
                 f"PATTERN item at {pattern_text[idx:]!r} unparseable "
-                "(VAR, VAR{n}, VAR{n,m}, VAR{n,}, VAR?, VAR+, VAR*, or "
-                "an (X|Y) alternation group expected)"
+                "(VAR, VAR{n}, VAR{n,m}, VAR{n,}, VAR?, VAR+, VAR*, an "
+                "(X|Y) alternation group — optionally quantified — or a "
+                "reluctant ...? form of any quantifier expected)"
             )
         if tm.group("alts"):
             alts = [a.strip() for a in tm.group("alts").split("|")]
+            gi = len(positions)
+            glazy = bool(tm.group("glazy"))
+            if tm.group("gunb"):
+                pos_quants[gi] = (
+                    1 if tm.group("gunb") == "+" else 0,
+                    None,
+                    glazy,
+                )
+            elif tm.group("glo") is not None:
+                lo = int(tm.group("glo"))
+                if tm.group("gcomma") and tm.group("ghi") is None:
+                    pos_quants[gi] = (lo, None, glazy)
+                else:
+                    hi = (
+                        int(tm.group("ghi"))
+                        if tm.group("ghi") is not None
+                        else lo
+                    )
+                    if hi < max(lo, 1):
+                        raise UnsupportedPatternError(
+                            f"group quantifier bounds {{{lo},{hi}}} "
+                            "inverted"
+                        )
+                    pos_quants[gi] = (lo, hi, glazy)
+            elif glazy:
+                # (X|Y)? == (X|Y){0,1}, greedy (the ? is the quantifier,
+                # not a reluctant marker)
+                pos_quants[gi] = (0, 1, False)
             positions.append(alts)
             pattern.extend(alts)
         else:
             var = tm.group("var")
+            if tm.group("vlazy1") or tm.group("vlazy2"):
+                lazy_vars.add(var)
             if tm.group("opt") is not None:
                 quants[var] = (0, 1)  # VAR? == VAR{0,1}
             elif tm.group("unb") is not None:
                 unbounded[var] = 1 if tm.group("unb") == "+" else 0
             elif tm.group("lo") is not None:
                 lo = int(tm.group("lo"))
-                if (
-                    tm.group("hi") is None
-                    and tm.group(0).rstrip().endswith(",}")
-                ):
+                if tm.group("comma") and tm.group("hi") is None:
                     unbounded[var] = lo  # VAR{n,}: unbounded min-n run
                 else:
                     hi = (
@@ -381,14 +422,16 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if quants and plus is None
         else None
     )
-    if plus is None and unbounded:
-        # general pattern with unbounded quantifier(s) at arbitrary
-        # positions: the per-key NFA matcher (_lower_nfa) — every
-        # position's minimum still must not all be zero
+    if plus is None and (unbounded or pos_quants):
+        # general pattern with unbounded quantifier(s) or quantified
+        # alternation group(s): the per-key NFA matcher (_lower_nfa) —
+        # every position's minimum still must not all be zero
         min_len = 0
-        for alts in positions:
+        for gi, alts in enumerate(positions):
             v = alts[0]
-            if len(alts) == 1 and v in unbounded:
+            if gi in pos_quants:
+                min_len += pos_quants[gi][0]
+            elif len(alts) == 1 and v in unbounded:
                 min_len += unbounded[v]
             elif len(alts) == 1 and v in quants:
                 min_len += quants[v][0]
@@ -590,8 +633,10 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         measure_nav=measure_nav,
         measure_agg=measure_agg,
         unbounded=unbounded if plus is None else {},
+        pos_quants=pos_quants if plus is None else {},
+        lazy_vars=lazy_vars,
     )
-    if spec.unbounded:
+    if spec.unbounded or spec.pos_quants:
         # general unbounded pattern -> the per-key NFA matcher. DEFINEs
         # must be self-contained (current row + physical PREV/NEXT):
         # cross-variable and FIRST/LAST references would need predicate
@@ -636,7 +681,9 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             assert spec.plus_overlap
     if (
         plus is None
-        and not spec.unbounded  # the NFA matcher does its own skip walk
+        # the NFA matcher does its own skip walk
+        and not spec.unbounded
+        and not spec.pos_quants
         and skip_past_last
         and (bool(spec.quants) or not _provably_disjoint(spec))
     ):
@@ -1485,20 +1532,25 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             f"{dict(df.dtypes).get(ts0)!r})"
         )
 
-    # per sequence position: alternatives of (var, lo, hi) — hi None =
-    # unbounded
-    pos_spec: list[list[tuple[str, int, int | None]]] = []
-    for alts in spec.positions:
-        entry: list[tuple[str, int, int | None]] = []
-        for v in alts:
-            if len(alts) == 1 and v in spec.unbounded:
-                entry.append((v, spec.unbounded[v], None))
-            elif len(alts) == 1 and v in spec.quants:
-                lo, hi = spec.quants[v]
-                entry.append((v, lo, hi))
-            else:
-                entry.append((v, 1, 1))
-        pos_spec.append(entry)
+    # per sequence position: (alternatives, lo, hi, lazy) — hi None =
+    # unbounded. Each repetition of the position matches ANY alternative
+    # (leftmost-preferred row assignment); a single-variable position is
+    # the one-alternative special case, so plain vars, quantified vars,
+    # plain alternation groups, and QUANTIFIED alternation groups all
+    # share one node shape.
+    pos_spec: list[tuple[list[str], int, int | None, bool]] = []
+    for gi, alts in enumerate(spec.positions):
+        if gi in spec.pos_quants:
+            lo, hi, lazy = spec.pos_quants[gi]
+        elif len(alts) == 1 and alts[0] in spec.unbounded:
+            lo, hi = spec.unbounded[alts[0]], None
+            lazy = alts[0] in spec.lazy_vars
+        elif len(alts) == 1 and alts[0] in spec.quants:
+            lo, hi = spec.quants[alts[0]]
+            lazy = alts[0] in spec.lazy_vars
+        else:
+            lo, hi, lazy = 1, 1, False
+        pos_spec.append((list(alts), lo, hi, lazy))
 
     # ---- output schema: partition keys + measure aliases ----
     src_fields = {f.name: f for f in df.schema.fields}
@@ -1569,20 +1621,36 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                     return []
                 if (p, i) in failed:
                     return None
-                for v, lo, hi in pos_spec[p]:
-                    fv = flags[v]
-                    c_max, j = 0, i
-                    while (
-                        j <= lim and fv[j] and (hi is None or c_max < hi)
-                    ):
-                        c_max += 1
-                        j += 1
-                    for c in range(c_max, lo - 1, -1):
-                        rest = dfs(p + 1, i + c)
-                        if rest is not None:
-                            return [
-                                (v, i + t) for t in range(c)
-                            ] + rest
+                alts, lo, hi, lazy = pos_spec[p]
+
+                def row_ok(j: int) -> str | None:
+                    # leftmost-preferred alternative for this row
+                    for v in alts:
+                        if flags[v][j]:
+                            return v
+                    return None
+
+                assigned: list[str] = []
+                j = i
+                while (
+                    j <= lim
+                    and (hi is None or len(assigned) < hi)
+                    and (v := row_ok(j)) is not None
+                ):
+                    assigned.append(v)
+                    j += 1
+                c_max = len(assigned)
+                counts = (
+                    range(lo, c_max + 1)
+                    if lazy
+                    else range(c_max, lo - 1, -1)
+                )
+                for c in counts:
+                    rest = dfs(p + 1, i + c)
+                    if rest is not None:
+                        return [
+                            (assigned[t], i + t) for t in range(c)
+                        ] + rest
                 failed.add((p, i))
                 return None
 
@@ -1685,7 +1753,7 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     ``F.when`` chain over the shared LEAD columns — still a single
     window pass / one shuffle on the partition key. The unbounded run
     shape (``A+ B``) dispatches to the gaps-and-islands lowering."""
-    if spec.unbounded and spec.plus is None:
+    if (spec.unbounded or spec.pos_quants) and spec.plus is None:
         return _lower_nfa(spark, spec)
     if spec.plus is not None:
         if spec.plus_overlap:
@@ -1708,7 +1776,13 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     for alts in positions:
         if len(alts) == 1 and alts[0] in spec.quants:
             lo, hi = spec.quants[alts[0]]
-            choices = [[alts[0]] * c for c in range(hi, lo - 1, -1)]
+            # greedy: longest count first; RELUCTANT (A{n,m}?): shortest
+            rng = (
+                range(lo, hi + 1)
+                if alts[0] in spec.lazy_vars
+                else range(hi, lo - 1, -1)
+            )
+            choices = [[alts[0]] * c for c in rng]
         else:
             choices = [[a] for a in alts]
         variants = [v + c for v in variants for c in choices]

@@ -2119,3 +2119,77 @@ def pattern_match_recognize_mid_plus(
         ) AS m
         """
     )
+
+
+@register(
+    "pattern_match_recognize_group_quant",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER w AS rn,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_b,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), nc AS (
+        SELECT user_id, rn,
+               MIN(CASE WHEN event_type NOT IN ('click', 'error')
+                        THEN rn END) OVER
+                 (PARTITION BY user_id ORDER BY rn
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nf
+        FROM ord
+    )
+    SELECT v.user_id, v.event_id AS view_event,
+           CAST(e.cum_b - v.cum_b AS BIGINT) AS n_click,
+           CAST(e.cum_c - v.cum_c AS BIGINT) AS n_error,
+           p.event_id AS purchase_event
+    FROM ord v
+    JOIN nc n ON n.user_id = v.user_id AND n.rn = v.rn + 1
+    JOIN ord p ON p.user_id = v.user_id AND p.rn = n.nf
+    JOIN ord e ON e.user_id = v.user_id AND e.rn = n.nf - 1
+    WHERE v.event_type = 'view'
+      AND n.nf > v.rn + 1
+      AND p.event_type = 'purchase'
+    """,
+    doc="QUANTIFIED alternation group — PATTERN (A (B|C)+ D): a view, "
+    "one-or-more rows each either click or error (leftmost-preferred "
+    "assignment), then a purchase. Each repetition of the group matches "
+    "ANY alternative, which no fixed-length variant expansion can "
+    "express — the per-key NFA matcher's unified position model "
+    "(plans/match_recognize._lower_nfa pos_spec: (alternatives, lo, "
+    "hi, lazy) nodes) runs the greedy any-alternative run with "
+    "per-row leftmost assignment. Disjoint predicates make greedy "
+    "exact-maximal, so the oracle states the run in closed form with "
+    "prefix sums for the per-variable counts.",
+)
+def pattern_match_recognize_group_quant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_gq")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, view_event, n_click, n_error, purchase_event
+        FROM __mr_events_gq
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.event_id AS view_event,
+                     COUNT(B.*) AS n_click,
+                     COUNT(C.*) AS n_error,
+                     D.event_id AS purchase_event
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A (B|C)+ D)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click',
+                   C AS C.event_type = 'error',
+                   D AS D.event_type = 'purchase'
+        ) AS m
+        """
+    )
