@@ -1600,6 +1600,15 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
         if within is not None:
             ts = pdf[ts0].to_numpy()
 
+        # Without WITHIN the (position, row) subproblem is start-
+        # independent, so one memo (successes AND failures) is shared
+        # across every start: each (p, i) is solved once and the whole
+        # group costs O(positions x rows). A WITHIN bound makes `lim`
+        # start-relative, so the memo resets per start.
+        shared_memo: dict[tuple[int, int], list | None] | None = (
+            {} if within is None else None
+        )
+
         def match_from(s: int) -> list[tuple[str, int]] | None:
             lim = n - 1
             if within is not None:
@@ -1614,13 +1623,14 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                     )
                     - 1,
                 )
-            failed: set[tuple[int, int]] = set()
+            memo = shared_memo if shared_memo is not None else {}
 
             def dfs(p: int, i: int) -> list[tuple[str, int]] | None:
                 if p == len(pos_spec):
                     return []
-                if (p, i) in failed:
-                    return None
+                key = (p, i)
+                if key in memo:
+                    return memo[key]
                 alts, lo, hi, lazy = pos_spec[p]
 
                 def row_ok(j: int) -> str | None:
@@ -1645,14 +1655,16 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                     if lazy
                     else range(c_max, lo - 1, -1)
                 )
+                res: list[tuple[str, int]] | None = None
                 for c in counts:
                     rest = dfs(p + 1, i + c)
                     if rest is not None:
-                        return [
+                        res = [
                             (assigned[t], i + t) for t in range(c)
                         ] + rest
-                failed.add((p, i))
-                return None
+                        break
+                memo[key] = res
+                return res
 
             mp = dfs(0, s)
             # a match must CONSUME its start row (matching is attempted
