@@ -2099,3 +2099,62 @@ def test_group_quant_matches_python_reference(spark, types, skip_past):
     else:
         want = [(s, *cands[s]) for s in sorted(cands)]
     assert sorted((r.a_seq, r.nb, r.nc, r.x_seq) for r in got) == sorted(want)
+
+
+def test_exclusion_syntax(spark):
+    """{- X -}: excluded rows match (and feed measures) but are omitted
+    from ALL ROWS output — bounded LEAD path and the run matcher."""
+    spec = parse_match_recognize(
+        _mr(
+            BASE.replace("PATTERN (A B)", "PATTERN (A {- B -} C)")
+            .replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+            .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+            .replace(
+                "DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'",
+                "DEFINE A AS A.event_type = 'view', "
+                "B AS B.event_type = 'click', C AS C.event_type = 'buy'",
+            )
+        )
+    )
+    assert spec.excluded == {"B"}
+    spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("vcb")],
+        "user_id int, seq int, et string",
+    ).createOrReplaceTempView("__mr_excl")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT seq, cls, nb FROM __mr_excl
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES CLASSIFIER() AS cls, COUNT(B.*) AS nb
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A {- B -} C)
+            DEFINE A AS A.et = 'v', B AS B.et = 'c', C AS C.et = 'b'
+        )
+        """
+    ).collect()
+    assert sorted((r.seq, r.cls, r.nb) for r in got) == [
+        (0, "A", 0),
+        (2, "C", 1),
+    ]
+    spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([25.0, 150.0, 130.0, 5.0])],
+        "user_id int, seq int, v double",
+    ).createOrReplaceTempView("__mr_excl2")
+    got2 = StatementRouter(spark).execute(
+        """
+        SELECT seq, cls FROM __mr_excl2
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES CLASSIFIER() AS cls
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN ({- A+ -} B)
+            DEFINE A AS A.v > 20, B AS B.v > 100
+        )
+        """
+    ).collect()
+    assert sorted((r.seq, r.cls) for r in got2) == [(2, "B")]

@@ -227,6 +227,9 @@ class MatchRecognizeSpec:
     )
     # RELUCTANT quantifiers (A+? / A{n,m}?): prefer the SHORTEST count
     lazy_vars: set[str] = dataclasses_field(default_factory=set)
+    # {- X -} exclusion: variables whose rows participate in matching
+    # (and in measures) but are OMITTED from ALL ROWS output
+    excluded: set[str] = dataclasses_field(default_factory=set)
     # COUNT/SUM/AVG/MIN/MAX per measure alias — aggregate over the
     # variable's mapped rows (RUNNING prefix aggregates under ALL ROWS)
     measure_agg: dict[str, str] = dataclasses_field(default_factory=dict)
@@ -308,6 +311,18 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         )
 
     pattern_text = m.group("pattern")
+    # {- X -} exclusion (Flink row-pattern output suppression): the
+    # wrapped tokens match normally — and feed measures — but their rows
+    # are omitted from ALL ROWS PER MATCH output. Strip the markers and
+    # record the wrapped variable names before tokenizing.
+    excluded: set[str] = set()
+
+    def _strip_excl(em: re.Match) -> str:
+        inner = em.group(1)
+        excluded.update(re.findall(r"\b[A-Za-z_]\w*\b", inner))
+        return " " + inner + " "
+
+    pattern_text = re.sub(r"\{-\s*(.*?)\s*-\}", _strip_excl, pattern_text)
     plus: tuple[str, str, int] | None = None
     pm = re.fullmatch(
         r"(?P<a>\w+)(?:(?P<star>[+*])|\{(?P<lo>\d+),\})\s+(?P<b>\w+)",
@@ -635,6 +650,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         unbounded=unbounded if plus is None else {},
         pos_quants=pos_quants if plus is None else {},
         lazy_vars=lazy_vars,
+        excluded=excluded,
     )
     if spec.unbounded or spec.pos_quants:
         # general unbounded pattern -> the per-key NFA matcher. DEFINEs
@@ -1124,6 +1140,7 @@ def _lower_plus_overlap(
     measure_agg = dict(spec.measure_agg)
     measure_nav = dict(spec.measure_nav)
     measure_modes = dict(spec.measure_modes)
+    excl = set(spec.excluded)
     pby = list(spec.partition_by)
     skip_past = spec.skip_past_last
     all_rows = spec.all_rows
@@ -1233,9 +1250,11 @@ def _lower_plus_overlap(
             covered = np.zeros(n, dtype=bool)
             for mn, (i, k) in enumerate(zip(starts, ends), start=1):
                 covered[i : k + 1] = True
-                idxs.extend(range(i, k + 1))
                 for j in range(i, k + 1):
                     is_b = j == k
+                    if (b_var if is_b else a_var) in excl:
+                        continue  # {- X -}: matched but not emitted
+                    idxs.append(j)
                     for var, col, alias in measures:
                         final = (
                             measure_modes.get(alias, "RUNNING") == "FINAL"
@@ -1931,8 +1950,6 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
                 expr = expr.when(F.col("__mr_k") == k, F.col(f"__mr_s{k}.{col}"))
             return expr
 
-        select = [col_at_k(c).alias(c) for c in cols]
-
         def cls_of(vs: list[str]):
             expr = None
             for k, var in enumerate(vs):
@@ -1942,6 +1959,14 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
                     else expr.when(F.col("__mr_k") == k, F.lit(var))
                 )
             return expr
+
+        if spec.excluded:
+            # {- X -}: the rows matched normally (measures above see
+            # them); only their OUTPUT rows are suppressed
+            rows = rows.filter(
+                ~per_variant(cls_of).isin(*sorted(spec.excluded))
+            )
+        select = [col_at_k(c).alias(c) for c in cols]
 
         for var, col, alias in spec.measures:
             if var == CLASSIFIER:
