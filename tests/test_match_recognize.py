@@ -892,7 +892,7 @@ def test_unsupported_raises_instructive_router_error(spark):
     spark.range(1).selectExpr(
         "CAST(id AS STRING) AS event_type", "id AS user_id", "id AS ts"
     ).createOrReplaceTempView("__mr_bad")
-    # PERMUTE stays outside the parsed subset
+    # nested groups stay outside the parsed subset
     with pytest.raises(NotImplementedError, match="applyInPandasWithState"):
         StatementRouter(spark).execute(
             """
@@ -901,8 +901,9 @@ def test_unsupported_raises_instructive_router_error(spark):
                 PARTITION BY user_id
                 ORDER BY ts
                 MEASURES A.ts AS a_ts
-                PATTERN (PERMUTE (A, B))
-                DEFINE A AS A.event_type = 'x', B AS B.event_type = 'y'
+                PATTERN (((A B)|C) D)
+                DEFINE A AS A.event_type = 'x', B AS B.event_type = 'y',
+                       C AS C.event_type = 'z', D AS D.event_type = 'w'
             )
             """
         )
@@ -2158,3 +2159,84 @@ def test_exclusion_syntax(spark):
         """
     ).collect()
     assert sorted((r.seq, r.cls) for r in got2) == [(2, "B")]
+
+
+def test_permute_pattern(spark):
+    """PERMUTE (A, B): the variables match in any order; preference is
+    lexicographic over the declaration (A B tried before B A)."""
+    spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("abba")],
+        "user_id int, seq int, et string",
+    ).createOrReplaceTempView("__mr_perm")
+    for skip in ("SKIP TO NEXT ROW", "SKIP PAST LAST ROW"):
+        got = StatementRouter(spark).execute(
+            f"""
+            SELECT a_seq, b_seq, cls FROM __mr_perm
+            MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY seq
+                MEASURES A.seq AS a_seq, B.seq AS b_seq,
+                         CLASSIFIER() AS cls
+                ONE ROW PER MATCH
+                AFTER MATCH {skip}
+                PATTERN (PERMUTE (A, B))
+                DEFINE A AS A.et = 'a', B AS B.et = 'b'
+            )
+            """
+        ).collect()
+        assert sorted((r.a_seq, r.b_seq, r.cls) for r in got) == [
+            (0, 1, "B"),
+            (3, 2, "A"),
+        ]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    types=st.lists(st.sampled_from(["a", "b", "c", "x"]), min_size=3, max_size=14),
+    skip_past=st.booleans(),
+)
+def test_permute3_matches_python_reference(spark, types, skip_past):
+    """PERMUTE (A, B, C) == direct per-start first-permutation-in-
+    lexicographic-order reference, under both AFTER MATCH modes."""
+    from itertools import permutations
+
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_permprop")
+    skip = "SKIP PAST LAST ROW" if skip_past else "SKIP TO NEXT ROW"
+    got = StatementRouter(spark).execute(
+        f"""
+        SELECT a_seq, b_seq, c_seq FROM __mr_permprop
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, B.seq AS b_seq, C.seq AS c_seq
+            ONE ROW PER MATCH
+            AFTER MATCH {skip}
+            PATTERN (PERMUTE (A, B, C))
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'b',
+                   C AS C.event_type = 'c'
+        )
+        """
+    ).collect()
+    n = len(types)
+    cands: dict[int, tuple[int, int, int]] = {}
+    for s in range(n - 2):
+        for perm in permutations("abc"):
+            if all(types[s + i] == perm[i] for i in range(3)):
+                pos = {v: s + i for i, v in enumerate(perm)}
+                cands[s] = (pos["a"], pos["b"], pos["c"])
+                break
+    want = []
+    if skip_past:
+        last_end = -1
+        for s in sorted(cands):
+            if s > last_end:
+                want.append(cands[s])
+                last_end = s + 2
+        want.sort()
+    else:
+        want = sorted(cands.values())
+    assert sorted((r.a_seq, r.b_seq, r.c_seq) for r in got) == want

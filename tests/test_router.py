@@ -439,15 +439,16 @@ def test_match_recognize_adjacent_subset_lowers(router):
 
 
 def test_match_recognize_guard(router):
-    # mid-sequence unbounded quantifiers and quantified alternation
-    # groups now lower via the per-key NFA matcher; PERMUTE and nested
-    # groups remain outside the parsed subset with the instructive error
+    # unbounded quantifiers, quantified alternation groups, and PERMUTE
+    # all lower now; NESTED groups remain outside the parsed subset with
+    # the instructive error
     with pytest.raises(NotImplementedError, match="pattern_funnel"):
         router.execute(
             "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id "
             "ORDER BY ts MEASURES A.ts AS a_ts "
-            "PATTERN (PERMUTE (A, B)) DEFINE "
-            "A AS A.event_type = 'view', B AS B.event_type = 'purchase')"
+            "PATTERN (((A B)|C) D) DEFINE "
+            "A AS A.event_type = 'view', B AS B.event_type = 'purchase', "
+            "C AS C.event_type = 'error', D AS D.event_type = 'click')"
         )
 
 

@@ -230,6 +230,10 @@ class MatchRecognizeSpec:
     # {- X -} exclusion: variables whose rows participate in matching
     # (and in measures) but are OMITTED from ALL ROWS output
     excluded: set[str] = dataclasses_field(default_factory=set)
+    # PATTERN (PERMUTE (A, B, ...)): match the variables in ANY order —
+    # expands to the n! fixed-length variants in lexicographic preference
+    # order (SQL:2016), lowered by the shared LEAD-chain machinery
+    permute: bool = False
     # COUNT/SUM/AVG/MIN/MAX per measure alias — aggregate over the
     # variable's mapped rows (RUNNING prefix aggregates under ALL ROWS)
     measure_agg: dict[str, str] = dataclasses_field(default_factory=dict)
@@ -324,6 +328,26 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
 
     pattern_text = re.sub(r"\{-\s*(.*?)\s*-\}", _strip_excl, pattern_text)
     plus: tuple[str, str, int] | None = None
+    permute = False
+    perm_m = re.fullmatch(
+        r"PERMUTE\s*\(\s*(?P<vars>\w+(?:\s*,\s*\w+)+)\s*\)",
+        pattern_text.strip(),
+        re.IGNORECASE,
+    )
+    if perm_m is not None:
+        # PERMUTE (A, B, ...): any order of the plain variables — the n!
+        # fixed-length variants (lexicographic preference, SQL:2016) ride
+        # the shared LEAD chain. Cap n at 4 (24 variants) to keep the
+        # when-chains plan-sized, mirroring the 64-variant expansion cap.
+        perm_vars = [v.strip() for v in perm_m.group("vars").split(",")]
+        if len(perm_vars) > 4:
+            raise UnsupportedPatternError(
+                f"PERMUTE over {len(perm_vars)} variables expands to "
+                f"{len(perm_vars)}! variants — beyond the lowered bound "
+                "(4 variables / 24 variants)"
+            )
+        permute = True
+        pattern_text = " ".join(perm_vars)
     pm = re.fullmatch(
         r"(?P<a>\w+)(?:(?P<star>[+*])|\{(?P<lo>\d+),\})\s+(?P<b>\w+)",
         pattern_text.strip(),
@@ -651,6 +675,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         pos_quants=pos_quants if plus is None else {},
         lazy_vars=lazy_vars,
         excluded=excluded,
+        permute=permute,
     )
     if spec.unbounded or spec.pos_quants:
         # general unbounded pattern -> the per-key NFA matcher. DEFINEs
@@ -701,7 +726,13 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         and not spec.unbounded
         and not spec.pos_quants
         and skip_past_last
-        and (bool(spec.quants) or not _provably_disjoint(spec))
+        and (
+            bool(spec.quants)
+            # PERMUTE: even disjoint predicates overlap (two starts can
+            # cover the same rows in different orders)
+            or spec.permute
+            or not _provably_disjoint(spec)
+        )
     ):
         # Per-start greedy matches may overlap (a quantifier lets a match
         # start inside another's run; non-disjoint DEFINEs let one row
@@ -1817,6 +1848,13 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         else:
             choices = [[a] for a in alts]
         variants = [v + c for v in variants for c in choices]
+    if spec.permute:
+        # PERMUTE (A, B, ...): every ordering of the variables, in
+        # lexicographic preference order over the declaration
+        # (itertools yields exactly that), sharing one LEAD chain
+        from itertools import permutations
+
+        variants = [list(p) for p in permutations(spec.pattern)]
     max_len = max(len(v) for v in variants)
 
     out = df
