@@ -2193,3 +2193,61 @@ def pattern_match_recognize_group_quant(
         ) AS m
         """
     )
+
+
+@register(
+    "pattern_match_recognize_permute",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id, event_id, event_type,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS t2,
+               LEAD(event_id, 1) OVER w AS e1,
+               LEAD(event_id, 2) OVER w AS e2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CASE 'view' WHEN event_type THEN event_id
+                       WHEN t1 THEN e1 ELSE e2 END AS view_event,
+           CASE 'click' WHEN event_type THEN event_id
+                        WHEN t1 THEN e1 ELSE e2 END AS click_event,
+           CASE 'purchase' WHEN event_type THEN event_id
+                           WHEN t1 THEN e1 ELSE e2 END AS purchase_event
+    FROM ord
+    WHERE list_sort([event_type, t1, t2])
+          = ['click', 'purchase', 'view']
+    """,
+    doc="PERMUTE (A, B, C) — view, click, purchase in ANY order over "
+    "three consecutive rows: the SQL:2016 permutation pattern, expanded "
+    "to the 3! fixed-length variants in lexicographic preference order "
+    "over one shared LEAD chain (plans/match_recognize — same plan "
+    "shape as a plain 3-step sequence, one window exchange). Disjoint "
+    "predicates mean exactly one permutation can bind each window, so "
+    "the oracle checks the sorted type triple and assigns by type.",
+)
+def pattern_match_recognize_permute(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_pm")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, view_event, click_event, purchase_event
+        FROM __mr_events_pm
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.event_id AS view_event,
+                     B.event_id AS click_event,
+                     C.event_id AS purchase_event
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (PERMUTE (A, B, C))
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click',
+                   C AS C.event_type = 'purchase'
+        ) AS m
+        """
+    )
