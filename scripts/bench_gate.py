@@ -66,14 +66,20 @@ def main() -> int:
         parsed = json.loads(line)
 
     prior = best_prior()
+    # acknowledged regressions travel IN the bench JSON (bench.py ACKS)
+    # so the reason is recorded next to the number; --ack remains for
+    # one-off gating of a record produced before the ack landed
+    embedded_acks = parsed.get("acks", {}) or {}
     bad = []
     for name, now in parsed.get("queries", {}).items():
         before = prior.get(name)
         if not (before and before > 0.2 and now > 1.5 * before):
             continue
-        if name in args.ack:
+        if name in args.ack or name in embedded_acks:
+            why = embedded_acks.get(name, "--ack flag")
             print(
-                f"bench_gate: ACK {name} {before:.2f}s -> {now:.2f}s",
+                f"bench_gate: ACK {name} {before:.2f}s -> {now:.2f}s "
+                f"({why})",
                 file=sys.stderr,
             )
             continue
