@@ -2240,3 +2240,86 @@ def test_permute3_matches_python_reference(spark, types, skip_past):
     else:
         want = sorted(cands.values())
     assert sorted((r.a_seq, r.b_seq, r.c_seq) for r in got) == want
+
+
+def test_skip_to_first_last(spark):
+    """AFTER MATCH SKIP TO LAST <var> resumes AT the mapped row
+    (inclusive — overlapping matches by design); a skip target equal to
+    the match start raises Flink's would-loop error."""
+    spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("aaab")],
+        "user_id int, seq int, et string",
+    ).createOrReplaceTempView("__mr_st1")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT first_a, b_seq FROM __mr_st1
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO LAST A
+            PATTERN (A{2} B)
+            DEFINE A AS A.et = 'a', B AS B.et = 'b'
+        )
+        """
+    ).collect()
+    assert sorted((r.first_a, r.b_seq) for r in got) == [(1, 3)]
+    # run shape: resume AT the B row (which satisfies A here)
+    vals = [25.0, 150.0, 130.0, 5.0, 30.0, 120.0]
+    spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)],
+        "user_id int, seq int, v double",
+    ).createOrReplaceTempView("__mr_st2")
+    got2 = StatementRouter(spark).execute(
+        """
+        SELECT first_a, b_seq FROM __mr_st2
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO LAST B
+            PATTERN (A+ B)
+            DEFINE A AS A.v > 20, B AS B.v > 100
+        )
+        """
+    ).collect()
+    assert sorted((r.first_a, r.b_seq) for r in got2) == [(0, 2), (4, 5)]
+    # SKIP TO FIRST <run var> is rejected at parse (always the start)
+    with pytest.raises(UnsupportedPatternError, match="loop"):
+        parse_match_recognize(
+            _mr(
+                BASE.replace("PATTERN (A B)", "PATTERN (A+ B)")
+                .replace("SKIP PAST LAST ROW", "SKIP TO FIRST A")
+            )
+        )
+
+
+def test_skip_to_loop_raises_at_runtime(spark):
+    """A selected match whose skip target IS its start raises (the
+    Flink runtime error), loudly rather than looping or mis-skipping."""
+    from py4j.protocol import Py4JJavaError
+
+    spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("aab")],
+        "user_id int, seq int, et string",
+    ).createOrReplaceTempView("__mr_stl")
+    with pytest.raises(Exception, match="loop forever"):
+        try:
+            StatementRouter(spark).execute(
+                """
+                SELECT b_seq FROM __mr_stl
+                MATCH_RECOGNIZE (
+                    PARTITION BY user_id
+                    ORDER BY seq
+                    MEASURES B.seq AS b_seq
+                    ONE ROW PER MATCH
+                    AFTER MATCH SKIP TO LAST A
+                    PATTERN (A{1,2} B)
+                    DEFINE A AS A.et = 'a', B AS B.et = 'b'
+                )
+                """
+            ).collect()
+        except Py4JJavaError as e:  # unwrap the executor-side ValueError
+            raise RuntimeError(str(e)) from e

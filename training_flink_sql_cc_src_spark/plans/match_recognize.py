@@ -116,7 +116,7 @@ _CLAUSES_RE = re.compile(
     r"(?:(?P<rows_mode>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+"
     r"(?:WITH\s+UNMATCHED\s+ROWS\s+)?)?"
     r"(?:AFTER\s+MATCH\s+(?P<skip>SKIP\s+PAST\s+LAST\s+ROW|"
-    r"SKIP\s+TO\s+NEXT\s+ROW)\s+)?"
+    r"SKIP\s+TO\s+NEXT\s+ROW|SKIP\s+TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>(?:[^()]|\([^()]*\))*?)\s*\)\s*"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<within_n>\d+)'\s+(?P<within_unit>\w+)\s+)?"
     r"DEFINE\s+(?P<define>.+)$",
@@ -234,6 +234,11 @@ class MatchRecognizeSpec:
     # expands to the n! fixed-length variants in lexicographic preference
     # order (SQL:2016), lowered by the shared LEAD-chain machinery
     permute: bool = False
+    # AFTER MATCH SKIP TO FIRST/LAST <var>: resume matching AT the
+    # first/last row mapped to <var> (inclusive — overlapping matches by
+    # design); (nav, var). A skip target equal to the match start raises
+    # (Flink's would-loop error).
+    skip_to: tuple[str, str] | None = None
     # COUNT/SUM/AVG/MIN/MAX per measure alias — aggregate over the
     # variable's mapped rows (RUNNING prefix aggregates under ALL ROWS)
     measure_agg: dict[str, str] = dataclasses_field(default_factory=dict)
@@ -627,8 +632,19 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
     for v in pattern:
         defines.setdefault(v, "TRUE")
 
-    skip = (m.group("skip") or "SKIP PAST LAST ROW").upper()
+    skip = re.sub(r"\s+", " ", (m.group("skip") or "SKIP PAST LAST ROW").upper())
     skip_past_last = "PAST" in skip
+    skip_to: tuple[str, str] | None = None
+    stm = re.fullmatch(r"SKIP TO (FIRST|LAST) (\w+)", skip)
+    if stm is not None and stm.group(2) != "NEXT":
+        nav, target = stm.group(1), stm.group(2)
+        # the ORIGINAL case of the variable name (pattern vars are
+        # case-sensitive identifiers; `skip` was uppercased)
+        cm = re.search(
+            r"SKIP\s+TO\s+(?:FIRST|LAST)\s+(\w+)", m.group("skip"),
+            re.IGNORECASE,
+        )
+        skip_to = (nav, cm.group(1))
 
     within_seconds = None
     if m.group("within_n"):
@@ -676,7 +692,20 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         lazy_vars=lazy_vars,
         excluded=excluded,
         permute=permute,
+        skip_to=skip_to,
     )
+    if skip_to is not None:
+        if skip_to[1] not in pattern:
+            raise UnsupportedPatternError(
+                f"AFTER MATCH SKIP TO {skip_to[0]} {skip_to[1]}: "
+                f"{skip_to[1]!r} is not a pattern variable"
+            )
+        if plus is not None and skip_to == ("FIRST", plus[0]):
+            raise UnsupportedPatternError(
+                f"AFTER MATCH SKIP TO FIRST {plus[0]} points at the "
+                "match start — resuming there would loop forever (Flink "
+                "raises the same error)"
+            )
     if spec.unbounded or spec.pos_quants:
         # general unbounded pattern -> the per-key NFA matcher. DEFINEs
         # must be self-contained (current row + physical PREV/NEXT):
@@ -706,7 +735,10 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         # run (A* / A{0,}) always takes the matcher: a match may contain
         # no A row at all, which the islands rewrite cannot key.
         spec.plus_overlap = (
-            plus[2] == 0 or all_rows or not _provably_disjoint(spec)
+            plus[2] == 0
+            or all_rows
+            or skip_to is not None  # skip-to walks live in the matcher
+            or not _provably_disjoint(spec)
         )
         # ALL ROWS with an unbounded run always takes the per-key matcher
         # (the islands rewrite summarizes runs, it cannot emit their rows)
@@ -725,13 +757,18 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         # the NFA matcher does its own skip walk
         and not spec.unbounded
         and not spec.pos_quants
-        and skip_past_last
         and (
-            bool(spec.quants)
-            # PERMUTE: even disjoint predicates overlap (two starts can
-            # cover the same rows in different orders)
-            or spec.permute
-            or not _provably_disjoint(spec)
+            skip_to is not None  # skip-to always needs the walk
+            or (
+                skip_past_last
+                and (
+                    bool(spec.quants)
+                    # PERMUTE: even disjoint predicates overlap (two
+                    # starts can cover the same rows in different orders)
+                    or spec.permute
+                    or not _provably_disjoint(spec)
+                )
+            )
         )
     ):
         # Per-start greedy matches may overlap (a quantifier lets a match
@@ -1174,6 +1211,7 @@ def _lower_plus_overlap(
     excl = set(spec.excluded)
     pby = list(spec.partition_by)
     skip_past = spec.skip_past_last
+    skip_to = spec.skip_to
     all_rows = spec.all_rows
     with_unmatched = spec.with_unmatched
     src_cols = list(cols)
@@ -1239,14 +1277,34 @@ def _lower_plus_overlap(
 
         starts: list[int] = []
         ends: list[int] = []
-        if skip_past:
+        if skip_past or skip_to is not None:
             i = 0
             while i < n:
                 k = match_at(i)
                 if k >= 0:
                     starts.append(i)
                     ends.append(k)
-                    i = k + 1
+                    if skip_to is None:
+                        i = k + 1
+                    else:
+                        # resume AT the first/last row mapped to the
+                        # target variable (inclusive); the run variable
+                        # maps rows i..k-1, the end variable row k
+                        nav, tvar = skip_to
+                        if tvar != a_var:
+                            t = k
+                        elif k == i:  # zero-run match: no mapped A row
+                            t = k + 1
+                        else:
+                            t = i if nav == "FIRST" else k - 1
+                        if t <= i:
+                            raise ValueError(
+                                f"AFTER MATCH SKIP TO {nav} {tvar}: the "
+                                "skip target IS the match start — "
+                                "resuming there would loop forever "
+                                "(Flink raises the same error)"
+                            )
+                        i = t
                 else:
                     i += 1
         else:
@@ -1475,7 +1533,11 @@ def _rewrite_nav_physical(
 
 
 def _skip_past_selection(
-    matched: DataFrame, spec: MatchRecognizeSpec, lens: list[int], df: DataFrame
+    matched: DataFrame,
+    spec: MatchRecognizeSpec,
+    lens: list[int],
+    df: DataFrame,
+    variants: list[list[str]],
 ) -> DataFrame:
     """AFTER MATCH SKIP PAST LAST ROW when per-start greedy candidates can
     overlap (quantified variables or non-disjoint DEFINEs).
@@ -1498,25 +1560,59 @@ def _skip_past_selection(
     from pyspark.sql import types as T
 
     pby = list(spec.partition_by)
-    len_arr = F.array(*[F.lit(n) for n in lens])
+    # per-candidate RESUME delta (rows from match start to the next scan
+    # position): SKIP PAST LAST ROW resumes past the end (delta = match
+    # length); SKIP TO FIRST/LAST <var> resumes AT that mapped row
+    # (inclusive — the next match may start there)
+    if spec.skip_to is None:
+        deltas = list(lens)
+    else:
+        nav, tvar = spec.skip_to
+        deltas = []
+        for vs in variants:
+            offs = [i for i, v in enumerate(vs) if v == tvar]
+            if not offs:
+                # variable unmatched in this variant (other alternation
+                # branch): no mapped row to skip to — resume past the end
+                deltas.append(len(vs))
+            else:
+                deltas.append(offs[0] if nav == "FIRST" else offs[-1])
+        if all(d == 0 for d in deltas):
+            raise UnsupportedPatternError(
+                f"AFTER MATCH SKIP TO {nav} {tvar} always points at the "
+                "match start — resuming there would loop forever (Flink "
+                "raises the same error)"
+            )
+    delta_arr = F.array(*[F.lit(d) for d in deltas])
     cand = matched.select(
         *pby,
         F.col("__mr_rn"),
-        F.element_at(len_arr, F.col("__mr_vi") + 1).alias("__mr_len"),
+        F.element_at(delta_arr, F.col("__mr_vi") + 1).alias("__mr_delta"),
     )
     sel_schema = T.StructType(
         [df.schema[pc] for pc in pby]
         + [T.StructField("__mr_rn", T.IntegerType(), False)]
     )
+    skip_desc = (
+        "SKIP PAST LAST ROW"
+        if spec.skip_to is None
+        else f"SKIP TO {spec.skip_to[0]} {spec.skip_to[1]}"
+    )
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__mr_rn")
         keep: list[int] = []
-        last_end = -1
-        for rn, ln in zip(pdf["__mr_rn"], pdf["__mr_len"]):
-            if rn > last_end:
+        cur = 0
+        for rn, dl in zip(pdf["__mr_rn"], pdf["__mr_delta"]):
+            if rn >= cur:
+                if int(dl) <= 0:
+                    raise ValueError(
+                        f"AFTER MATCH {skip_desc}: the skip target IS "
+                        "the match start — resuming there would loop "
+                        "forever (Flink raises the same error)"
+                    )
                 keep.append(int(rn))
-                last_end = int(rn) + int(ln) - 1
+                cur = int(rn) + int(dl)
         out = {pc: [pdf[pc].iloc[0]] * len(keep) for pc in pby}
         out["__mr_rn"] = keep
         return pd.DataFrame(out, columns=pby + ["__mr_rn"])
@@ -1633,6 +1729,7 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     pby = list(spec.partition_by)
     pattern_vars = list(spec.pattern)
     skip_past = spec.skip_past_last
+    skip_to = spec.skip_to
     target_long = {
         f.name
         for f in out_fields[len(pby):]
@@ -1722,13 +1819,33 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             return mp if mp else None
 
         matches: list[list[tuple[str, int]]] = []
-        if skip_past:
+        if skip_past or skip_to is not None:
             s = 0
             while s < n:
                 mp = match_from(s)
                 if mp:
                     matches.append(mp)
-                    s = mp[-1][1] + 1
+                    if skip_to is None:
+                        s = mp[-1][1] + 1
+                    else:
+                        nav, tvar = skip_to
+                        rows_v = [i for v, i in mp if v == tvar]
+                        if not rows_v:
+                            # target unmatched in this match: past end
+                            s = mp[-1][1] + 1
+                        else:
+                            t = (
+                                rows_v[0] if nav == "FIRST" else rows_v[-1]
+                            )
+                            if t <= s:
+                                raise ValueError(
+                                    f"AFTER MATCH SKIP TO {nav} {tvar}: "
+                                    "the skip target IS the match start "
+                                    "— resuming there would loop "
+                                    "forever (Flink raises the same "
+                                    "error)"
+                                )
+                            s = t
                 else:
                     s += 1
         else:
@@ -1919,7 +2036,7 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     matched = indexed.filter(F.col("__mr_vi").isNotNull())
     lens = [len(v) for v in variants]
     if spec.skip_filter:
-        matched = _skip_past_selection(matched, spec, lens, df)
+        matched = _skip_past_selection(matched, spec, lens, df, variants)
     if any(var == MATCH_NUMBER for var, _, _ in spec.measures):
         # Flink MATCH_NUMBER(): sequential per partition in match order.
         # Matches are keyed by their start row, so ordering matched rows

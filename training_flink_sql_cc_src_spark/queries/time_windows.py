@@ -2251,3 +2251,74 @@ def pattern_match_recognize_permute(
         ) AS m
         """
     )
+
+
+@register(
+    "pattern_match_recognize_skip_to",
+    oracle="""
+    WITH RECURSIVE leads AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER w AS rn,
+               COALESCE(value > 50, FALSE) AS a0,
+               COALESCE(LEAD(value, 1) OVER w > 100, FALSE) AS b1,
+               COALESCE(LEAD(value, 2) OVER w > 100, FALSE) AS b2,
+               LEAD(event_id, 1) OVER w AS e1,
+               LEAD(event_id, 2) OVER w AS e2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), cand AS (
+        SELECT user_id, rn, event_id AS a_event,
+               CASE WHEN b2 THEN 2 ELSE 1 END AS delta,
+               CASE WHEN b2 THEN e2 ELSE e1 END AS last_b,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                   AS idx
+        FROM leads WHERE a0 AND b1
+    ), walk AS (
+        SELECT user_id, idx, rn, a_event, delta, last_b,
+               TRUE AS kept, rn + delta AS cur
+        FROM cand WHERE idx = 1
+        UNION ALL
+        SELECT c.user_id, c.idx, c.rn, c.a_event, c.delta, c.last_b,
+               c.rn >= w.cur AS kept,
+               CASE WHEN c.rn >= w.cur THEN c.rn + c.delta
+                    ELSE w.cur END AS cur
+        FROM walk w JOIN cand c
+          ON c.user_id = w.user_id AND c.idx = w.idx + 1
+    )
+    SELECT user_id, a_event, CAST(delta AS BIGINT) AS n_b, last_b
+    FROM walk WHERE kept
+    """,
+    doc="AFTER MATCH SKIP TO LAST B — PATTERN (A B{1,2}) with B "
+    "(value>100) a SUBSET of A (value>50): matching resumes AT the "
+    "last B row, which itself satisfies A and may START the next match "
+    "— the overlapping-by-design resume mode SKIP PAST LAST ROW "
+    "cannot express. The candidate-selection walk carries a "
+    "per-variant resume delta (offset of the skip target row) instead "
+    "of the match length (plans/match_recognize._skip_past_selection); "
+    "a delta of zero raises Flink's would-loop error. The oracle "
+    "replays the same walk as a recursive CTE with inclusive "
+    "admission (rn >= cur).",
+)
+def pattern_match_recognize_skip_to(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_st")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_event, n_b, last_b FROM __mr_events_st
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.event_id AS a_event,
+                     COUNT(B.*) AS n_b,
+                     B.event_id AS last_b
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO LAST B
+            PATTERN (A B{1,2})
+            DEFINE A AS A.value > 50,
+                   B AS B.value > 100
+        ) AS m
+        """
+    )
