@@ -480,6 +480,67 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_components(
+    edges: DataFrame, nodes: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pregel-style min-label propagation over an undirected pair list:
+    each iteration is one edge join + min-aggregate, labels checkpointed
+    per round, loop ends at fixpoint (bounded by graph diameter; the
+    driver compares only a changed-row COUNT — no data collect). The
+    same loop is how GraphX/GraphFrames do CC at cluster scale.
+
+    ``edges``: (id_a, id_b) pairs; ``nodes``: one ``id_col`` column of
+    every node. Returns (id_col, label) at fixpoint."""
+    und = edges.unionByName(
+        edges.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(20):  # diameter cap; fixpoint usually in < 6 rounds
+        neigh = (
+            und.join(labels, und.id_a == labels[id_col])
+            .groupBy(F.col("id_b").alias(id_col))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        # changed == 0 is the only correctness exit; a graph with diameter
+        # > 20 would silently return wrong (non-fixpoint) components, so
+        # make the cap loud instead of silent (ADVICE round 2)
+        warnings.warn(
+            "min_label_components: min-label propagation hit the "
+            "20-iteration diameter cap before converging — component "
+            "labels may not be at fixpoint; raise the cap for graphs "
+            "with longer chains",
+            stacklevel=2,
+        )
+    return labels
+
+
+
 @register(
     "dedup_connected_components",
     oracle="""
@@ -523,55 +584,9 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dedup_jaccard_blocked_pairs(spark, sf_dir).select("id_a", "id_b")
-    und = edges.unionByName(
-        edges.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-        )
-    ).localCheckpoint(eager=True)
-    labels = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+    labels = min_label_components(
+        edges, t(spark, sf_dir, "documents").select("doc_id")
     )
-    converged = False
-    for _ in range(20):  # diameter cap; fixpoint usually in < 6 rounds
-        neigh = (
-            und.join(labels, und.id_a == labels.doc_id)
-            .groupBy(F.col("id_b").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # changed == 0 is the only correctness exit; a graph with diameter
-        # > 20 would silently return wrong (non-fixpoint) components, so
-        # make the cap loud instead of silent (ADVICE round 2)
-        warnings.warn(
-            "dedup_connected_components: min-label propagation hit the "
-            "20-iteration diameter cap before converging — component "
-            "labels may not be at fixpoint; raise the cap for graphs "
-            "with longer chains",
-            stacklevel=2,
-        )
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("keeper"),

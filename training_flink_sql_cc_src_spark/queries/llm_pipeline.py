@@ -749,3 +749,76 @@ def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(50)
     )
+
+
+@register(
+    "pipeline_semdedup",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a
+        INNER JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ((0.0 + CAST(a.embedding[1] AS DOUBLE) * CAST(b.embedding[1] AS DOUBLE) + CAST(a.embedding[2] AS DOUBLE) * CAST(b.embedding[2] AS DOUBLE) + CAST(a.embedding[3] AS DOUBLE) * CAST(b.embedding[3] AS DOUBLE) + CAST(a.embedding[4] AS DOUBLE) * CAST(b.embedding[4] AS DOUBLE) + CAST(a.embedding[5] AS DOUBLE) * CAST(b.embedding[5] AS DOUBLE) + CAST(a.embedding[6] AS DOUBLE) * CAST(b.embedding[6] AS DOUBLE) + CAST(a.embedding[7] AS DOUBLE) * CAST(b.embedding[7] AS DOUBLE) + CAST(a.embedding[8] AS DOUBLE) * CAST(b.embedding[8] AS DOUBLE) + CAST(a.embedding[9] AS DOUBLE) * CAST(b.embedding[9] AS DOUBLE) + CAST(a.embedding[10] AS DOUBLE) * CAST(b.embedding[10] AS DOUBLE) + CAST(a.embedding[11] AS DOUBLE) * CAST(b.embedding[11] AS DOUBLE) + CAST(a.embedding[12] AS DOUBLE) * CAST(b.embedding[12] AS DOUBLE) + CAST(a.embedding[13] AS DOUBLE) * CAST(b.embedding[13] AS DOUBLE) + CAST(a.embedding[14] AS DOUBLE) * CAST(b.embedding[14] AS DOUBLE) + CAST(a.embedding[15] AS DOUBLE) * CAST(b.embedding[15] AS DOUBLE) + CAST(a.embedding[16] AS DOUBLE) * CAST(b.embedding[16] AS DOUBLE) + CAST(a.embedding[17] AS DOUBLE) * CAST(b.embedding[17] AS DOUBLE) + CAST(a.embedding[18] AS DOUBLE) * CAST(b.embedding[18] AS DOUBLE) + CAST(a.embedding[19] AS DOUBLE) * CAST(b.embedding[19] AS DOUBLE) + CAST(a.embedding[20] AS DOUBLE) * CAST(b.embedding[20] AS DOUBLE) + CAST(a.embedding[21] AS DOUBLE) * CAST(b.embedding[21] AS DOUBLE) + CAST(a.embedding[22] AS DOUBLE) * CAST(b.embedding[22] AS DOUBLE) + CAST(a.embedding[23] AS DOUBLE) * CAST(b.embedding[23] AS DOUBLE) + CAST(a.embedding[24] AS DOUBLE) * CAST(b.embedding[24] AS DOUBLE) + CAST(a.embedding[25] AS DOUBLE) * CAST(b.embedding[25] AS DOUBLE) + CAST(a.embedding[26] AS DOUBLE) * CAST(b.embedding[26] AS DOUBLE) + CAST(a.embedding[27] AS DOUBLE) * CAST(b.embedding[27] AS DOUBLE) + CAST(a.embedding[28] AS DOUBLE) * CAST(b.embedding[28] AS DOUBLE) + CAST(a.embedding[29] AS DOUBLE) * CAST(b.embedding[29] AS DOUBLE) + CAST(a.embedding[30] AS DOUBLE) * CAST(b.embedding[30] AS DOUBLE) + CAST(a.embedding[31] AS DOUBLE) * CAST(b.embedding[31] AS DOUBLE) + CAST(a.embedding[32] AS DOUBLE) * CAST(b.embedding[32] AS DOUBLE) + CAST(a.embedding[33] AS DOUBLE) * CAST(b.embedding[33] AS DOUBLE) + CAST(a.embedding[34] AS DOUBLE) * CAST(b.embedding[34] AS DOUBLE) + CAST(a.embedding[35] AS DOUBLE) * CAST(b.embedding[35] AS DOUBLE) + CAST(a.embedding[36] AS DOUBLE) * CAST(b.embedding[36] AS DOUBLE) + CAST(a.embedding[37] AS DOUBLE) * CAST(b.embedding[37] AS DOUBLE) + CAST(a.embedding[38] AS DOUBLE) * CAST(b.embedding[38] AS DOUBLE) + CAST(a.embedding[39] AS DOUBLE) * CAST(b.embedding[39] AS DOUBLE) + CAST(a.embedding[40] AS DOUBLE) * CAST(b.embedding[40] AS DOUBLE) + CAST(a.embedding[41] AS DOUBLE) * CAST(b.embedding[41] AS DOUBLE) + CAST(a.embedding[42] AS DOUBLE) * CAST(b.embedding[42] AS DOUBLE) + CAST(a.embedding[43] AS DOUBLE) * CAST(b.embedding[43] AS DOUBLE) + CAST(a.embedding[44] AS DOUBLE) * CAST(b.embedding[44] AS DOUBLE) + CAST(a.embedding[45] AS DOUBLE) * CAST(b.embedding[45] AS DOUBLE) + CAST(a.embedding[46] AS DOUBLE) * CAST(b.embedding[46] AS DOUBLE) + CAST(a.embedding[47] AS DOUBLE) * CAST(b.embedding[47] AS DOUBLE) + CAST(a.embedding[48] AS DOUBLE) * CAST(b.embedding[48] AS DOUBLE) + CAST(a.embedding[49] AS DOUBLE) * CAST(b.embedding[49] AS DOUBLE) + CAST(a.embedding[50] AS DOUBLE) * CAST(b.embedding[50] AS DOUBLE) + CAST(a.embedding[51] AS DOUBLE) * CAST(b.embedding[51] AS DOUBLE) + CAST(a.embedding[52] AS DOUBLE) * CAST(b.embedding[52] AS DOUBLE) + CAST(a.embedding[53] AS DOUBLE) * CAST(b.embedding[53] AS DOUBLE) + CAST(a.embedding[54] AS DOUBLE) * CAST(b.embedding[54] AS DOUBLE) + CAST(a.embedding[55] AS DOUBLE) * CAST(b.embedding[55] AS DOUBLE) + CAST(a.embedding[56] AS DOUBLE) * CAST(b.embedding[56] AS DOUBLE) + CAST(a.embedding[57] AS DOUBLE) * CAST(b.embedding[57] AS DOUBLE) + CAST(a.embedding[58] AS DOUBLE) * CAST(b.embedding[58] AS DOUBLE) + CAST(a.embedding[59] AS DOUBLE) * CAST(b.embedding[59] AS DOUBLE) + CAST(a.embedding[60] AS DOUBLE) * CAST(b.embedding[60] AS DOUBLE) + CAST(a.embedding[61] AS DOUBLE) * CAST(b.embedding[61] AS DOUBLE) + CAST(a.embedding[62] AS DOUBLE) * CAST(b.embedding[62] AS DOUBLE) + CAST(a.embedding[63] AS DOUBLE) * CAST(b.embedding[63] AS DOUBLE) + CAST(a.embedding[64] AS DOUBLE) * CAST(b.embedding[64] AS DOUBLE)) / (SQRT((0.0 + CAST(a.embedding[1] AS DOUBLE) * CAST(a.embedding[1] AS DOUBLE) + CAST(a.embedding[2] AS DOUBLE) * CAST(a.embedding[2] AS DOUBLE) + CAST(a.embedding[3] AS DOUBLE) * CAST(a.embedding[3] AS DOUBLE) + CAST(a.embedding[4] AS DOUBLE) * CAST(a.embedding[4] AS DOUBLE) + CAST(a.embedding[5] AS DOUBLE) * CAST(a.embedding[5] AS DOUBLE) + CAST(a.embedding[6] AS DOUBLE) * CAST(a.embedding[6] AS DOUBLE) + CAST(a.embedding[7] AS DOUBLE) * CAST(a.embedding[7] AS DOUBLE) + CAST(a.embedding[8] AS DOUBLE) * CAST(a.embedding[8] AS DOUBLE) + CAST(a.embedding[9] AS DOUBLE) * CAST(a.embedding[9] AS DOUBLE) + CAST(a.embedding[10] AS DOUBLE) * CAST(a.embedding[10] AS DOUBLE) + CAST(a.embedding[11] AS DOUBLE) * CAST(a.embedding[11] AS DOUBLE) + CAST(a.embedding[12] AS DOUBLE) * CAST(a.embedding[12] AS DOUBLE) + CAST(a.embedding[13] AS DOUBLE) * CAST(a.embedding[13] AS DOUBLE) + CAST(a.embedding[14] AS DOUBLE) * CAST(a.embedding[14] AS DOUBLE) + CAST(a.embedding[15] AS DOUBLE) * CAST(a.embedding[15] AS DOUBLE) + CAST(a.embedding[16] AS DOUBLE) * CAST(a.embedding[16] AS DOUBLE) + CAST(a.embedding[17] AS DOUBLE) * CAST(a.embedding[17] AS DOUBLE) + CAST(a.embedding[18] AS DOUBLE) * CAST(a.embedding[18] AS DOUBLE) + CAST(a.embedding[19] AS DOUBLE) * CAST(a.embedding[19] AS DOUBLE) + CAST(a.embedding[20] AS DOUBLE) * CAST(a.embedding[20] AS DOUBLE) + CAST(a.embedding[21] AS DOUBLE) * CAST(a.embedding[21] AS DOUBLE) + CAST(a.embedding[22] AS DOUBLE) * CAST(a.embedding[22] AS DOUBLE) + CAST(a.embedding[23] AS DOUBLE) * CAST(a.embedding[23] AS DOUBLE) + CAST(a.embedding[24] AS DOUBLE) * CAST(a.embedding[24] AS DOUBLE) + CAST(a.embedding[25] AS DOUBLE) * CAST(a.embedding[25] AS DOUBLE) + CAST(a.embedding[26] AS DOUBLE) * CAST(a.embedding[26] AS DOUBLE) + CAST(a.embedding[27] AS DOUBLE) * CAST(a.embedding[27] AS DOUBLE) + CAST(a.embedding[28] AS DOUBLE) * CAST(a.embedding[28] AS DOUBLE) + CAST(a.embedding[29] AS DOUBLE) * CAST(a.embedding[29] AS DOUBLE) + CAST(a.embedding[30] AS DOUBLE) * CAST(a.embedding[30] AS DOUBLE) + CAST(a.embedding[31] AS DOUBLE) * CAST(a.embedding[31] AS DOUBLE) + CAST(a.embedding[32] AS DOUBLE) * CAST(a.embedding[32] AS DOUBLE) + CAST(a.embedding[33] AS DOUBLE) * CAST(a.embedding[33] AS DOUBLE) + CAST(a.embedding[34] AS DOUBLE) * CAST(a.embedding[34] AS DOUBLE) + CAST(a.embedding[35] AS DOUBLE) * CAST(a.embedding[35] AS DOUBLE) + CAST(a.embedding[36] AS DOUBLE) * CAST(a.embedding[36] AS DOUBLE) + CAST(a.embedding[37] AS DOUBLE) * CAST(a.embedding[37] AS DOUBLE) + CAST(a.embedding[38] AS DOUBLE) * CAST(a.embedding[38] AS DOUBLE) + CAST(a.embedding[39] AS DOUBLE) * CAST(a.embedding[39] AS DOUBLE) + CAST(a.embedding[40] AS DOUBLE) * CAST(a.embedding[40] AS DOUBLE) + CAST(a.embedding[41] AS DOUBLE) * CAST(a.embedding[41] AS DOUBLE) + CAST(a.embedding[42] AS DOUBLE) * CAST(a.embedding[42] AS DOUBLE) + CAST(a.embedding[43] AS DOUBLE) * CAST(a.embedding[43] AS DOUBLE) + CAST(a.embedding[44] AS DOUBLE) * CAST(a.embedding[44] AS DOUBLE) + CAST(a.embedding[45] AS DOUBLE) * CAST(a.embedding[45] AS DOUBLE) + CAST(a.embedding[46] AS DOUBLE) * CAST(a.embedding[46] AS DOUBLE) + CAST(a.embedding[47] AS DOUBLE) * CAST(a.embedding[47] AS DOUBLE) + CAST(a.embedding[48] AS DOUBLE) * CAST(a.embedding[48] AS DOUBLE) + CAST(a.embedding[49] AS DOUBLE) * CAST(a.embedding[49] AS DOUBLE) + CAST(a.embedding[50] AS DOUBLE) * CAST(a.embedding[50] AS DOUBLE) + CAST(a.embedding[51] AS DOUBLE) * CAST(a.embedding[51] AS DOUBLE) + CAST(a.embedding[52] AS DOUBLE) * CAST(a.embedding[52] AS DOUBLE) + CAST(a.embedding[53] AS DOUBLE) * CAST(a.embedding[53] AS DOUBLE) + CAST(a.embedding[54] AS DOUBLE) * CAST(a.embedding[54] AS DOUBLE) + CAST(a.embedding[55] AS DOUBLE) * CAST(a.embedding[55] AS DOUBLE) + CAST(a.embedding[56] AS DOUBLE) * CAST(a.embedding[56] AS DOUBLE) + CAST(a.embedding[57] AS DOUBLE) * CAST(a.embedding[57] AS DOUBLE) + CAST(a.embedding[58] AS DOUBLE) * CAST(a.embedding[58] AS DOUBLE) + CAST(a.embedding[59] AS DOUBLE) * CAST(a.embedding[59] AS DOUBLE) + CAST(a.embedding[60] AS DOUBLE) * CAST(a.embedding[60] AS DOUBLE) + CAST(a.embedding[61] AS DOUBLE) * CAST(a.embedding[61] AS DOUBLE) + CAST(a.embedding[62] AS DOUBLE) * CAST(a.embedding[62] AS DOUBLE) + CAST(a.embedding[63] AS DOUBLE) * CAST(a.embedding[63] AS DOUBLE) + CAST(a.embedding[64] AS DOUBLE) * CAST(a.embedding[64] AS DOUBLE))) * SQRT((0.0 + CAST(b.embedding[1] AS DOUBLE) * CAST(b.embedding[1] AS DOUBLE) + CAST(b.embedding[2] AS DOUBLE) * CAST(b.embedding[2] AS DOUBLE) + CAST(b.embedding[3] AS DOUBLE) * CAST(b.embedding[3] AS DOUBLE) + CAST(b.embedding[4] AS DOUBLE) * CAST(b.embedding[4] AS DOUBLE) + CAST(b.embedding[5] AS DOUBLE) * CAST(b.embedding[5] AS DOUBLE) + CAST(b.embedding[6] AS DOUBLE) * CAST(b.embedding[6] AS DOUBLE) + CAST(b.embedding[7] AS DOUBLE) * CAST(b.embedding[7] AS DOUBLE) + CAST(b.embedding[8] AS DOUBLE) * CAST(b.embedding[8] AS DOUBLE) + CAST(b.embedding[9] AS DOUBLE) * CAST(b.embedding[9] AS DOUBLE) + CAST(b.embedding[10] AS DOUBLE) * CAST(b.embedding[10] AS DOUBLE) + CAST(b.embedding[11] AS DOUBLE) * CAST(b.embedding[11] AS DOUBLE) + CAST(b.embedding[12] AS DOUBLE) * CAST(b.embedding[12] AS DOUBLE) + CAST(b.embedding[13] AS DOUBLE) * CAST(b.embedding[13] AS DOUBLE) + CAST(b.embedding[14] AS DOUBLE) * CAST(b.embedding[14] AS DOUBLE) + CAST(b.embedding[15] AS DOUBLE) * CAST(b.embedding[15] AS DOUBLE) + CAST(b.embedding[16] AS DOUBLE) * CAST(b.embedding[16] AS DOUBLE) + CAST(b.embedding[17] AS DOUBLE) * CAST(b.embedding[17] AS DOUBLE) + CAST(b.embedding[18] AS DOUBLE) * CAST(b.embedding[18] AS DOUBLE) + CAST(b.embedding[19] AS DOUBLE) * CAST(b.embedding[19] AS DOUBLE) + CAST(b.embedding[20] AS DOUBLE) * CAST(b.embedding[20] AS DOUBLE) + CAST(b.embedding[21] AS DOUBLE) * CAST(b.embedding[21] AS DOUBLE) + CAST(b.embedding[22] AS DOUBLE) * CAST(b.embedding[22] AS DOUBLE) + CAST(b.embedding[23] AS DOUBLE) * CAST(b.embedding[23] AS DOUBLE) + CAST(b.embedding[24] AS DOUBLE) * CAST(b.embedding[24] AS DOUBLE) + CAST(b.embedding[25] AS DOUBLE) * CAST(b.embedding[25] AS DOUBLE) + CAST(b.embedding[26] AS DOUBLE) * CAST(b.embedding[26] AS DOUBLE) + CAST(b.embedding[27] AS DOUBLE) * CAST(b.embedding[27] AS DOUBLE) + CAST(b.embedding[28] AS DOUBLE) * CAST(b.embedding[28] AS DOUBLE) + CAST(b.embedding[29] AS DOUBLE) * CAST(b.embedding[29] AS DOUBLE) + CAST(b.embedding[30] AS DOUBLE) * CAST(b.embedding[30] AS DOUBLE) + CAST(b.embedding[31] AS DOUBLE) * CAST(b.embedding[31] AS DOUBLE) + CAST(b.embedding[32] AS DOUBLE) * CAST(b.embedding[32] AS DOUBLE) + CAST(b.embedding[33] AS DOUBLE) * CAST(b.embedding[33] AS DOUBLE) + CAST(b.embedding[34] AS DOUBLE) * CAST(b.embedding[34] AS DOUBLE) + CAST(b.embedding[35] AS DOUBLE) * CAST(b.embedding[35] AS DOUBLE) + CAST(b.embedding[36] AS DOUBLE) * CAST(b.embedding[36] AS DOUBLE) + CAST(b.embedding[37] AS DOUBLE) * CAST(b.embedding[37] AS DOUBLE) + CAST(b.embedding[38] AS DOUBLE) * CAST(b.embedding[38] AS DOUBLE) + CAST(b.embedding[39] AS DOUBLE) * CAST(b.embedding[39] AS DOUBLE) + CAST(b.embedding[40] AS DOUBLE) * CAST(b.embedding[40] AS DOUBLE) + CAST(b.embedding[41] AS DOUBLE) * CAST(b.embedding[41] AS DOUBLE) + CAST(b.embedding[42] AS DOUBLE) * CAST(b.embedding[42] AS DOUBLE) + CAST(b.embedding[43] AS DOUBLE) * CAST(b.embedding[43] AS DOUBLE) + CAST(b.embedding[44] AS DOUBLE) * CAST(b.embedding[44] AS DOUBLE) + CAST(b.embedding[45] AS DOUBLE) * CAST(b.embedding[45] AS DOUBLE) + CAST(b.embedding[46] AS DOUBLE) * CAST(b.embedding[46] AS DOUBLE) + CAST(b.embedding[47] AS DOUBLE) * CAST(b.embedding[47] AS DOUBLE) + CAST(b.embedding[48] AS DOUBLE) * CAST(b.embedding[48] AS DOUBLE) + CAST(b.embedding[49] AS DOUBLE) * CAST(b.embedding[49] AS DOUBLE) + CAST(b.embedding[50] AS DOUBLE) * CAST(b.embedding[50] AS DOUBLE) + CAST(b.embedding[51] AS DOUBLE) * CAST(b.embedding[51] AS DOUBLE) + CAST(b.embedding[52] AS DOUBLE) * CAST(b.embedding[52] AS DOUBLE) + CAST(b.embedding[53] AS DOUBLE) * CAST(b.embedding[53] AS DOUBLE) + CAST(b.embedding[54] AS DOUBLE) * CAST(b.embedding[54] AS DOUBLE) + CAST(b.embedding[55] AS DOUBLE) * CAST(b.embedding[55] AS DOUBLE) + CAST(b.embedding[56] AS DOUBLE) * CAST(b.embedding[56] AS DOUBLE) + CAST(b.embedding[57] AS DOUBLE) * CAST(b.embedding[57] AS DOUBLE) + CAST(b.embedding[58] AS DOUBLE) * CAST(b.embedding[58] AS DOUBLE) + CAST(b.embedding[59] AS DOUBLE) * CAST(b.embedding[59] AS DOUBLE) + CAST(b.embedding[60] AS DOUBLE) * CAST(b.embedding[60] AS DOUBLE) + CAST(b.embedding[61] AS DOUBLE) * CAST(b.embedding[61] AS DOUBLE) + CAST(b.embedding[62] AS DOUBLE) * CAST(b.embedding[62] AS DOUBLE) + CAST(b.embedding[63] AS DOUBLE) * CAST(b.embedding[63] AS DOUBLE) + CAST(b.embedding[64] AS DOUBLE) * CAST(b.embedding[64] AS DOUBLE))))) >= 0.35
+    ), und AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges
+    ), reach AS (
+        SELECT vec_id AS node, vec_id AS label FROM embeddings
+        UNION
+        SELECT u.dst AS node, r.label
+        FROM reach r JOIN und u ON r.node = u.src
+        WHERE r.label < u.dst
+    ), comp AS (
+        SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    )
+    SELECT component,
+           COUNT(*) AS n_vecs,
+           MIN(node) AS keeper,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM comp GROUP BY component
+    """,
+    doc="Semantic deduplication (SemDeDup, Abbas et al. 2023, "
+    "PAPERS.md): embedding-cosine near-duplicate edges (label-blocked "
+    "equi join, precomputed norms — never an n^2 cross join), "
+    "transitively closed into semantic clusters by the shared "
+    "min-label propagation loop (llm_dedup.min_label_components), one "
+    "keeper per cluster, the rest counted as dropped. At 100 TB the "
+    "blocking key is the ANN cluster id (IVF cell / LSH bucket) "
+    "instead of the curated label — same plan shape. Oracle: "
+    "recursive-CTE reachability over the same cosine edges.",
+)
+def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import norm_col, dot_col
+    from .llm_dedup import min_label_components
+
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("embedding").alias("emb_a"),
+        norm_col(F.col("embedding")).alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+        norm_col(F.col("embedding")).alias("norm_b"),
+    )
+    edges = (
+        a.join(b, (a.label == b.label_b) & (a.id_a < b.id_b))
+        .filter(
+            dot_col(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b"))
+            >= 0.35
+        )
+        .select("id_a", "id_b")
+    )
+    labels = min_label_components(
+        edges, e.select("vec_id"), id_col="vec_id"
+    )
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("keeper"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+    )
