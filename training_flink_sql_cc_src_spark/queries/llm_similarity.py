@@ -263,6 +263,12 @@ def _argmax_cell(emb, centroids: list[tuple[int, list[float]]]):
     "per query at scale.",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, n_probes=2)
+
+
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, n_probes: int
+) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     n_cells = 16
     # Coarse centroids from a seeded sample + limit: ONE partial scan
@@ -288,7 +294,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         norm_col(F.col("embedding")).alias("q_norm"),
-        F.slice(F.reverse(F.array_sort(scored_cells)), 1, 2).alias("probes"),
+        F.slice(
+            F.reverse(F.array_sort(scored_cells)), 1, n_probes
+        ).alias("probes"),
     ).select(
         "query_id",
         "q_emb",
@@ -390,6 +398,12 @@ def _pq_encode(emb, codebooks):
     "first-match argmin ties, exact rerank ordered by (score, vec_id).",
 )
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_topk(spark, sf_dir, refine_k=REFINE * TOP_K)
+
+
+def _pq_topk(
+    spark: SparkSession, sf_dir: str, refine_k: int
+) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     seed_rows = e.sample(fraction=0.2, seed=7).limit(K_CODES).collect()
     if len(seed_rows) < K_CODES:  # tiny fixture fallback (sf<=0.001)
@@ -449,7 +463,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= REFINE * TOP_K)
+        .filter(F.col("rnk") <= refine_k)
         .select("query_id", "vec_id")
     )
 
@@ -481,3 +495,54 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+_BRUTE_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERY}
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               {cosine_sql('q.embedding', 'v.embedding')} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {cosine_sql('q.embedding', 'v.embedding')} DESC,
+                            v.vec_id
+               ) AS rnk
+        FROM q
+        INNER JOIN embeddings v ON v.vec_id <> q.vec_id
+    ) WHERE rnk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivf_exhaustive",
+    oracle=_BRUTE_ORACLE,
+    doc="IVF with EXHAUSTIVE probing (all 16 cells) — the exact-subset "
+    "oracle trick (cf. agg_heavy_hitters_merge_exact): when queries "
+    "probe every cell, the candidate set is the whole corpus and the "
+    "result must EQUAL brute-force top-k, which DuckDB can state in "
+    "SQL. A green hash here verifies the entire IVF pipeline — cell "
+    "assignment loses no vector, probe explode/dedup keeps exactly one "
+    "score per pair, exact scoring and rank tie-breaks match — "
+    "leaving only the recall/probe trade (property-tested) outside "
+    "the oracle. Runs the same _ivf_topk code as sim_ann_ivf.",
+)
+def sim_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, n_probes=16)
+
+
+@register(
+    "sim_ann_pq_exhaustive",
+    oracle=_BRUTE_ORACLE,
+    doc="PQ-ADC with an EXHAUSTIVE rerank window (refine_k >= corpus) — "
+    "the exact-subset oracle for the PQ pipeline: every vector survives "
+    "ADC candidate selection, so the exact rerank must reproduce "
+    "brute-force top-k bit-for-bit. A green hash verifies codebook "
+    "broadcast, Arrow-batched encoding, LUT scoring, candidate "
+    "plumbing, and the rerank joins; the compression/recall trade of "
+    "the REAL refine window stays covered by the recall-floor test. "
+    "Runs the same _pq_topk code as sim_ann_pq.",
+)
+def sim_ann_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_topk(spark, sf_dir, refine_k=1_000_000_000)
