@@ -99,3 +99,36 @@ def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return medians.join(F.broadcast(counts), ["returnflag", "linestatus"]).select(
         "returnflag", "linestatus", "median_qty", "n_lines"
     )
+
+
+@register(
+    "pandas_grouped_zscore_rounded",
+    oracle="""
+    SELECT doc_id, lang,
+           ROUND(
+               CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) > 0
+                    THEN (n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                         / stddev_pop(n_chars) OVER (PARTITION BY lang)
+                    ELSE 0.0 END,
+               6) AS zscore_r
+    FROM (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars
+          FROM documents)
+    """,
+    doc="Oracle-paired variant of the grouped-map pandas z-score "
+    "(pandas_grouped_zscore stays rows-only because pandas mean/std "
+    "reduction order differs from SQL aggregation in the last ulp): "
+    "rounding to 6 decimals absorbs the cross-engine float noise while "
+    "still hash-verifying the applyInPandas plumbing — group "
+    "integrity, Arrow round trip, per-group mean/std(ddof=0) math — "
+    "against DuckDB's window formulation.",
+)
+def pandas_grouped_zscore_rounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    return zscore_grouped(d, "lang", "n_chars").select(
+        "doc_id", "lang", F.round("zscore", 6).alias("zscore_r")
+    )
