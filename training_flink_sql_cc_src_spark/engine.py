@@ -290,6 +290,12 @@ class Engine:
 
         if spec.quant is not None or spec.all_rows:
             raise unsupported("quantifiers / ALL ROWS PER MATCH")
+        if spec.skip_to is not None:
+            raise unsupported(
+                "AFTER MATCH SKIP TO FIRST/LAST <var> (the streaming "
+                "matchers implement SKIP PAST LAST ROW / TO NEXT ROW "
+                "walks only)"
+            )
         if any(len(p) > 1 for p in spec.positions):
             raise unsupported("alternation groups")
         if len(spec.partition_by) != 1:
