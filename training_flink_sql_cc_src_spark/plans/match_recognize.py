@@ -1476,6 +1476,23 @@ def _lower_plus_overlap(
             columns=names,
         )
 
+    if not all_rows:
+        # ONE ROW PER MATCH reads only the keys, the order columns, the
+        # JVM-precomputed booleans, and the measured columns — prune the
+        # rest (notably wide text/props columns) before the Arrow hop
+        need = list(
+            dict.fromkeys(
+                pby
+                + order_cols
+                + ["__a", "__b"]
+                + [
+                    col
+                    for var, col, _ in measures
+                    if col != "*" and var not in (MATCH_NUMBER, CLASSIFIER)
+                ]
+            )
+        )
+        src = src.select(*need)
     return src.groupBy(*pby).applyInPandas(match_group, schema=out_schema)
 
 
@@ -1917,6 +1934,21 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             columns=names,
         )
 
+    # the NFA is ONE ROW PER MATCH: only keys, order columns, the
+    # per-variable booleans, and measured columns cross the Arrow hop
+    need = list(
+        dict.fromkeys(
+            pby
+            + order_cols
+            + [f"__mrp_{v}" for v in pattern_vars]
+            + [
+                col
+                for var, col, _ in measures
+                if col != "*" and var not in (MATCH_NUMBER, CLASSIFIER)
+            ]
+        )
+    )
+    src = src.select(*need)
     return src.groupBy(*pby).applyInPandas(match_group, schema=out_schema)
 
 
