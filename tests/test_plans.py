@@ -400,3 +400,17 @@ def test_general_nfa_single_exchange(spark, sf_med):
     plan = _plan(spark, "pattern_match_recognize_mid_plus", sf_med)
     assert plan.count("+- Exchange") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_pii_redaction_map_only(spark, sf_med):
+    """PII redaction is pure regexp_replace: no exchange anywhere."""
+    plan = _plan(spark, "pipeline_pii_redaction", sf_med)
+    assert "Exchange" not in plan
+
+
+def test_semdedup_no_cartesian(spark, sf_med):
+    """SemDeDup's cosine edges come from the label-blocked equi join —
+    never a cartesian or nested-loop product."""
+    plan = _plan(spark, "pipeline_semdedup", sf_med)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
