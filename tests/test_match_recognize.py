@@ -892,7 +892,7 @@ def test_unsupported_raises_instructive_router_error(spark):
     spark.range(1).selectExpr(
         "CAST(id AS STRING) AS event_type", "id AS user_id", "id AS ts"
     ).createOrReplaceTempView("__mr_bad")
-    # nested groups stay outside the parsed subset
+    # partition anchors (^ / $) stay outside the parsed subset
     with pytest.raises(NotImplementedError, match="applyInPandasWithState"):
         StatementRouter(spark).execute(
             """
@@ -901,9 +901,8 @@ def test_unsupported_raises_instructive_router_error(spark):
                 PARTITION BY user_id
                 ORDER BY ts
                 MEASURES A.ts AS a_ts
-                PATTERN (((A B)|C) D)
-                DEFINE A AS A.event_type = 'x', B AS B.event_type = 'y',
-                       C AS C.event_type = 'z', D AS D.event_type = 'w'
+                PATTERN (^ A B)
+                DEFINE A AS A.event_type = 'x', B AS B.event_type = 'y'
             )
             """
         )
@@ -2323,3 +2322,81 @@ def test_skip_to_loop_raises_at_runtime(spark):
             ).collect()
         except Py4JJavaError as e:  # unwrap the executor-side ValueError
             raise RuntimeError(str(e)) from e
+
+
+def test_nested_pattern_groups(spark):
+    """Nested groups route through the AST generator backtracker:
+    ((A B)|C) D — a two-row branch OR a one-row branch; (A (B C)+) D —
+    a repeated two-variable subsequence."""
+    for seq, pat, want in [
+        ("abd", "((A B)|C) D", [(0, 2)]),
+        ("cd", "((A B)|C) D", [(None, 1)]),
+        ("abcbcd", "(A (B C)+) D", [(0, 5)]),
+    ]:
+        spark.createDataFrame(
+            [(1, i, t) for i, t in enumerate(seq)],
+            "user_id int, seq int, et string",
+        ).createOrReplaceTempView("__mr_nest")
+        got = StatementRouter(spark).execute(
+            f"""
+            SELECT a_seq, d_seq FROM __mr_nest
+            MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY seq
+                MEASURES A.seq AS a_seq, D.seq AS d_seq
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP TO NEXT ROW
+                PATTERN ({pat})
+                DEFINE A AS A.et = 'a', B AS B.et = 'b',
+                       C AS C.et = 'c', D AS D.et = 'd'
+            )
+            """
+        ).collect()
+        assert sorted(((r.a_seq, r.d_seq) for r in got), key=str) == sorted(
+            want, key=str
+        ), (seq, pat)
+
+
+def _ref_nested_pairs(types):
+    """Direct reference for PATTERN (A (B C)+ D): per start, maximal
+    alternating (b, c) pair chain after the 'a', then 'd'."""
+    out = []
+    n = len(types)
+    for s in range(n):
+        if types[s] != "a":
+            continue
+        j, k = s + 1, 0
+        while j + 1 < n and types[j] == "b" and types[j + 1] == "c":
+            j += 2
+            k += 1
+        if k >= 1 and j < n and types[j] == "d":
+            out.append((s, k, j))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    types=st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=4, max_size=16)
+)
+def test_nested_group_matches_python_reference(spark, types):
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_nestprop")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT a_seq, n_pairs, d_seq FROM __mr_nestprop
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, COUNT(B.*) AS n_pairs, D.seq AS d_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A (B C)+ D)
+            DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b',
+                   C AS C.event_type = 'c', D AS D.event_type = 'd'
+        )
+        """
+    ).collect()
+    want = _ref_nested_pairs(types)
+    assert sorted((r.a_seq, r.n_pairs, r.d_seq) for r in got) == want

@@ -439,16 +439,17 @@ def test_match_recognize_adjacent_subset_lowers(router):
 
 
 def test_match_recognize_guard(router):
-    # unbounded quantifiers, quantified alternation groups, and PERMUTE
-    # all lower now; NESTED groups remain outside the parsed subset with
-    # the instructive error
+    # unbounded quantifiers, quantified alternation groups, PERMUTE, and
+    # nested groups all lower now; an over-wide PERMUTE (5! variants)
+    # stays outside the expansion cap with the instructive error
     with pytest.raises(NotImplementedError, match="pattern_funnel"):
         router.execute(
             "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id "
             "ORDER BY ts MEASURES A.ts AS a_ts "
-            "PATTERN (((A B)|C) D) DEFINE "
+            "PATTERN (PERMUTE (A, B, C, D, E)) DEFINE "
             "A AS A.event_type = 'view', B AS B.event_type = 'purchase', "
-            "C AS C.event_type = 'error', D AS D.event_type = 'click')"
+            "C AS C.event_type = 'error', D AS D.event_type = 'click', "
+            "E AS E.event_type = 'signup')"
         )
 
 

@@ -117,7 +117,8 @@ _CLAUSES_RE = re.compile(
     r"(?:WITH\s+UNMATCHED\s+ROWS\s+)?)?"
     r"(?:AFTER\s+MATCH\s+(?P<skip>SKIP\s+PAST\s+LAST\s+ROW|"
     r"SKIP\s+TO\s+NEXT\s+ROW|SKIP\s+TO\s+(?:FIRST|LAST)\s+\w+)\s+)?"
-    r"PATTERN\s*\(\s*(?P<pattern>(?:[^()]|\([^()]*\))*?)\s*\)\s*"
+    r"PATTERN\s*\(\s*(?P<pattern>"
+    r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*?)\s*\)\s*"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<within_n>\d+)'\s+(?P<within_unit>\w+)\s+)?"
     r"DEFINE\s+(?P<define>.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -239,6 +240,11 @@ class MatchRecognizeSpec:
     # design); (nav, var). A skip target equal to the match start raises
     # (Flink's would-loop error).
     skip_to: tuple[str, str] | None = None
+    # NESTED pattern groups — ((A B)|C) D, (A (B C)+) ... — parsed into
+    # a regex AST (("var", name) / ("seq", [..]) / ("alt", [..]) /
+    # ("quant", child, lo, hi|None, lazy)) and matched by the per-key
+    # NFA's generator backtracker. None for flat patterns.
+    pattern_ast: tuple | None = None
     # COUNT/SUM/AVG/MIN/MAX per measure alias — aggregate over the
     # variable's mapped rows (RUNNING prefix aggregates under ALL ROWS)
     measure_agg: dict[str, str] = dataclasses_field(default_factory=dict)
@@ -263,6 +269,148 @@ def _split_commas(s: str) -> list[str]:
 
 
 _UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _parse_pattern_ast(text: str) -> tuple:
+    """Recursive-descent parser for NESTED row patterns — the general
+    grammar the flat tokenizer cannot express:
+
+        pattern := term+
+        term    := atom quant? '?'?        (the trailing ? = reluctant)
+        atom    := VAR | '(' pattern ('|' pattern)* ')'
+        quant   := '+' | '*' | '?' | '{n}' | '{n,}' | '{n,m}'
+
+    Returns the AST: ("var", name) / ("seq", (children,)) /
+    ("alt", (children,)) / ("quant", child, lo, hi|None, lazy).
+    Raises UnsupportedPatternError on malformed input."""
+    pos = 0
+    n = len(text)
+
+    def skip_ws():
+        nonlocal pos
+        while pos < n and text[pos].isspace():
+            pos += 1
+
+    def parse_alt() -> tuple:
+        branches = [parse_seq()]
+        skip_ws()
+        while pos < n and text[pos] == "|":
+            advance()
+            branches.append(parse_seq())
+            skip_ws()
+        if len(branches) == 1:
+            return branches[0]
+        return ("alt", tuple(branches))
+
+    def advance():
+        nonlocal pos
+        pos += 1
+
+    def parse_seq() -> tuple:
+        terms = []
+        while True:
+            skip_ws()
+            if pos >= n or text[pos] in ")|":
+                break
+            terms.append(parse_term())
+        if not terms:
+            raise UnsupportedPatternError(
+                f"empty sequence at offset {pos} in PATTERN ({text})"
+            )
+        if len(terms) == 1:
+            return terms[0]
+        return ("seq", tuple(terms))
+
+    def parse_term() -> tuple:
+        nonlocal pos
+        skip_ws()
+        if text[pos] == "(":
+            advance()
+            atom = parse_alt()
+            skip_ws()
+            if pos >= n or text[pos] != ")":
+                raise UnsupportedPatternError(
+                    f"unbalanced group in PATTERN ({text})"
+                )
+            advance()
+        else:
+            m = re.match(r"\w+", text[pos:])
+            if m is None:
+                raise UnsupportedPatternError(
+                    f"PATTERN item at {text[pos:]!r} unparseable"
+                )
+            atom = ("var", m.group(0))
+            pos += m.end()
+        # quantifier
+        lo = hi = None
+        quantified = False
+        if pos < n and text[pos] in "+*":
+            lo, hi = (1, None) if text[pos] == "+" else (0, None)
+            quantified = True
+            advance()
+        elif pos < n and text[pos] == "{":
+            qm = re.match(r"\{(\d+)(,)?(\d+)?\}", text[pos:])
+            if qm is None:
+                raise UnsupportedPatternError(
+                    f"malformed quantifier at {text[pos:]!r}"
+                )
+            lo = int(qm.group(1))
+            hi = (
+                None
+                if (qm.group(2) and qm.group(3) is None)
+                else int(qm.group(3) or qm.group(1))
+            )
+            if hi is not None and hi < max(lo, 1):
+                raise UnsupportedPatternError(
+                    f"quantifier bounds {{{lo},{hi}}} inverted"
+                )
+            quantified = True
+            pos += qm.end()
+        elif pos < n and text[pos] == "?":
+            lo, hi = 0, 1
+            quantified = True
+            advance()
+        lazy = False
+        if quantified and pos < n and text[pos] == "?":
+            lazy = True
+            advance()
+        return ("quant", atom, lo, hi, lazy) if quantified else atom
+
+    ast = parse_alt()
+    skip_ws()
+    if pos != n:
+        raise UnsupportedPatternError(
+            f"trailing pattern text at {text[pos:]!r}"
+        )
+    return ast
+
+
+def _ast_vars(ast: tuple) -> list[str]:
+    """Pattern variables in declaration order (deduplicated)."""
+    out: list[str] = []
+
+    def walk(node):
+        if node[0] == "var":
+            if node[1] not in out:
+                out.append(node[1])
+        elif node[0] in ("seq", "alt"):
+            for c in node[1]:
+                walk(c)
+        else:  # quant
+            walk(node[1])
+
+    walk(ast)
+    return out
+
+
+def _ast_min_len(ast: tuple) -> int:
+    if ast[0] == "var":
+        return 1
+    if ast[0] == "seq":
+        return sum(_ast_min_len(c) for c in ast[1])
+    if ast[0] == "alt":
+        return min(_ast_min_len(c) for c in ast[1])
+    return ast[2] * _ast_min_len(ast[1])  # quant: lo * child min
 
 
 def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
@@ -389,6 +537,16 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         r"(?P<vlazy1>\?)?"
         r"|(?P<unb>[+*])(?P<vlazy2>\?)?|(?P<opt>\?))?"
     )
+    pattern_ast: tuple | None = None
+
+    def _flat_unparseable(at: str):
+        return UnsupportedPatternError(
+            f"PATTERN item at {at!r} unparseable "
+            "(VAR, VAR{n}, VAR{n,m}, VAR{n,}, VAR?, VAR+, VAR*, an "
+            "(X|Y) alternation group — optionally quantified — or a "
+            "reluctant ...? form of any quantifier expected)"
+        )
+
     idx = 0 if plus is None else len(pattern_text)
     while idx < len(pattern_text):
         if pattern_text[idx].isspace():
@@ -396,12 +554,17 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             continue
         tm = tok_re.match(pattern_text, idx)
         if tm is None:
-            raise UnsupportedPatternError(
-                f"PATTERN item at {pattern_text[idx:]!r} unparseable "
-                "(VAR, VAR{n}, VAR{n,m}, VAR{n,}, VAR?, VAR+, VAR*, an "
-                "(X|Y) alternation group — optionally quantified — or a "
-                "reluctant ...? form of any quantifier expected)"
-            )
+            # the flat tokenizer covers the common shapes with exact
+            # window lowerings; NESTED groups fall through to the
+            # recursive AST + the NFA's generator backtracker
+            if plus is None and not permute and "(" in pattern_text:
+                pattern_ast = _parse_pattern_ast(pattern_text.strip())
+                pattern = _ast_vars(pattern_ast)
+                positions = [[v] for v in pattern]
+                quants, unbounded, pos_quants = {}, {}, {}
+                lazy_vars = set()
+                break
+            raise _flat_unparseable(pattern_text[idx:])
         if tm.group("alts"):
             alts = [a.strip() for a in tm.group("alts").split("|")]
             gi = len(positions)
@@ -466,7 +629,14 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if quants and plus is None
         else None
     )
-    if plus is None and (unbounded or pos_quants):
+    if pattern_ast is not None:
+        if _ast_min_len(pattern_ast) < 1:
+            raise UnsupportedPatternError(
+                f"PATTERN ({pattern_text}) can match an EMPTY sequence "
+                "(every position optional) — at least one position must "
+                "be required"
+            )
+    elif plus is None and (unbounded or pos_quants):
         # general pattern with unbounded quantifier(s) or quantified
         # alternation group(s): the per-key NFA matcher (_lower_nfa) —
         # every position's minimum still must not all be zero
@@ -693,6 +863,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         excluded=excluded,
         permute=permute,
         skip_to=skip_to,
+        pattern_ast=pattern_ast,
     )
     if skip_to is not None:
         if skip_to[1] not in pattern:
@@ -706,7 +877,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                 "match start — resuming there would loop forever (Flink "
                 "raises the same error)"
             )
-    if spec.unbounded or spec.pos_quants:
+    if spec.unbounded or spec.pos_quants or spec.pattern_ast is not None:
         # general unbounded pattern -> the per-key NFA matcher. DEFINEs
         # must be self-contained (current row + physical PREV/NEXT):
         # cross-variable and FIRST/LAST references would need predicate
@@ -757,6 +928,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         # the NFA matcher does its own skip walk
         and not spec.unbounded
         and not spec.pos_quants
+        and spec.pattern_ast is None
         and (
             skip_to is not None  # skip-to always needs the walk
             or (
@@ -1745,6 +1917,7 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     measure_nav = dict(spec.measure_nav)
     pby = list(spec.partition_by)
     pattern_vars = list(spec.pattern)
+    pattern_ast = spec.pattern_ast
     skip_past = spec.skip_past_last
     skip_to = spec.skip_to
     target_long = {
@@ -1764,6 +1937,76 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
         if within is not None:
             ts = pdf[ts0].to_numpy()
 
+        def _lim_for(s: int) -> int:
+            lim = n - 1
+            if within is not None:
+                lim = min(
+                    lim,
+                    int(
+                        np.searchsorted(
+                            ts,
+                            ts[s] + np.timedelta64(int(within), "s"),
+                            side="right",
+                        )
+                    )
+                    - 1,
+                )
+            return lim
+
+        def match_from_ast(s: int) -> list[tuple[str, int]] | None:
+            """Generator backtracker over the NESTED pattern AST —
+            preference order: alternation branches left-first,
+            quantifiers greedy (more repetitions first) unless lazy,
+            sequence backtracking left-to-right. Zero-width repetitions
+            are skipped (standard regex hygiene)."""
+            lim = _lim_for(s)
+
+            def gen(node, i):
+                kind = node[0]
+                if kind == "var":
+                    v = node[1]
+                    if i <= lim and flags[v][i]:
+                        yield [(v, i)]
+                    return
+                if kind == "seq":
+                    children = node[1]
+
+                    def seq_gen(idx, j):
+                        if idx == len(children):
+                            yield []
+                            return
+                        for head in gen(children[idx], j):
+                            for rest in seq_gen(idx + 1, j + len(head)):
+                                yield head + rest
+
+                    yield from seq_gen(0, i)
+                    return
+                if kind == "alt":
+                    for child in node[1]:
+                        yield from gen(child, i)
+                    return
+                _, child, lo, hi, lazy = node
+
+                def q_gen(j, done):
+                    can_more = hi is None or done < hi
+                    if lazy and done >= lo:
+                        yield []
+                    if can_more:
+                        for head in gen(child, j):
+                            if not head:
+                                continue  # zero-width repetition
+                            for rest in q_gen(j + len(head), done + 1):
+                                yield head + rest
+                    if not lazy and done >= lo:
+                        yield []
+
+                yield from q_gen(i, 0)
+
+            for mp in gen(pattern_ast, s):
+                if mp:
+                    return mp
+            return None
+
         # Without WITHIN the (position, row) subproblem is start-
         # independent, so one memo (successes AND failures) is shared
         # across every start: each (p, i) is solved once and the whole
@@ -1774,6 +2017,8 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
         )
 
         def match_from(s: int) -> list[tuple[str, int]] | None:
+            if pattern_ast is not None:
+                return match_from_ast(s)
             lim = n - 1
             if within is not None:
                 lim = min(
@@ -1964,7 +2209,9 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
     ``F.when`` chain over the shared LEAD columns — still a single
     window pass / one shuffle on the partition key. The unbounded run
     shape (``A+ B``) dispatches to the gaps-and-islands lowering."""
-    if (spec.unbounded or spec.pos_quants) and spec.plus is None:
+    if (
+        spec.unbounded or spec.pos_quants or spec.pattern_ast is not None
+    ) and spec.plus is None:
         return _lower_nfa(spark, spec)
     if spec.plus is not None:
         if spec.plus_overlap:

@@ -2322,3 +2322,75 @@ def pattern_match_recognize_skip_to(
         ) AS m
         """
     )
+
+
+@register(
+    "pattern_match_recognize_nested",
+    oracle="""
+    WITH RECURSIVE ord AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER w AS rn,
+               LEAD(event_type, 1) OVER w AS t1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), pairs AS (
+        SELECT user_id, rn,
+               (event_type = 'click' AND t1 = 'purchase') AS ok
+        FROM ord
+    ), chain AS (
+        SELECT p.user_id, p.rn, 1 AS len
+        FROM pairs p
+        WHERE p.ok AND NOT EXISTS (
+            SELECT 1 FROM pairs q
+            WHERE q.user_id = p.user_id AND q.rn = p.rn + 2 AND q.ok
+        )
+        UNION ALL
+        SELECT p.user_id, p.rn, c.len + 1
+        FROM pairs p JOIN chain c
+          ON c.user_id = p.user_id AND c.rn = p.rn + 2
+        WHERE p.ok
+    )
+    SELECT v.user_id, v.event_id AS view_event,
+           CAST(c.len AS BIGINT) AS n_pairs,
+           d.event_id AS error_event
+    FROM ord v
+    JOIN chain c ON c.user_id = v.user_id AND c.rn = v.rn + 1
+    JOIN ord d ON d.user_id = v.user_id AND d.rn = v.rn + 1 + 2 * c.len
+    WHERE v.event_type = 'view' AND d.event_type = 'error'
+    """,
+    doc="NESTED pattern group — PATTERN (A (B C)+ D): a view, one or "
+    "more (click purchase) PAIRS, then an error. The repeated "
+    "subsequence is a nested group no per-position model can express; "
+    "the recursive-descent pattern AST "
+    "(plans/match_recognize._parse_pattern_ast) compiles it for the "
+    "per-key NFA's generator backtracker (greedy repetition, "
+    "left-first alternation, zero-width guards). Disjoint predicates "
+    "make the greedy chain exact-maximal, so the oracle computes pair-"
+    "chain lengths with a stride-2 recursive CTE.",
+)
+def pattern_match_recognize_nested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_ns")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, view_event, n_pairs, error_event
+        FROM __mr_events_ns
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.event_id AS view_event,
+                     COUNT(B.*) AS n_pairs,
+                     D.event_id AS error_event
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A (B C)+ D)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click',
+                   C AS C.event_type = 'purchase',
+                   D AS D.event_type = 'error'
+        ) AS m
+        """
+    )
