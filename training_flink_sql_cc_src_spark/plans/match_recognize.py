@@ -349,12 +349,15 @@ def _parse_pattern_ast(text: str) -> tuple:
             quantified = True
             advance()
         elif pos < n and text[pos] == "{":
-            qm = re.match(r"\{(\d+)(,)?(\d+)?\}", text[pos:])
-            if qm is None:
+            qm = re.match(r"\{(\d+)?(,)?(\d+)?\}", text[pos:])
+            if qm is None or (
+                qm.group(1) is None
+                and not (qm.group(2) and qm.group(3))
+            ):
                 raise UnsupportedPatternError(
                     f"malformed quantifier at {text[pos:]!r}"
                 )
-            lo = int(qm.group(1))
+            lo = int(qm.group(1) or 0)  # {,m} == {0,m}
             hi = (
                 None
                 if (qm.group(2) and qm.group(3) is None)
@@ -533,7 +536,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         r"\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
         r"(?:(?P<gunb>[+*])|\{(?P<glo>\d+)(?P<gcomma>,)?(?P<ghi>\d+)?\})?"
         r"(?P<glazy>\?)?"
-        r"|(?P<var>\w+)(?:\{(?P<lo>\d+)(?P<comma>,)?(?P<hi>\d+)?\}"
+        r"|(?P<var>\w+)(?:\{(?P<lo>\d+)?(?P<comma>,)?(?P<hi>\d+)?\}"
         r"(?P<vlazy1>\?)?"
         r"|(?P<unb>[+*])(?P<vlazy2>\?)?|(?P<opt>\?))?"
     )
@@ -605,7 +608,22 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                 quants[var] = (0, 1)  # VAR? == VAR{0,1}
             elif tm.group("unb") is not None:
                 unbounded[var] = 1 if tm.group("unb") == "+" else 0
-            elif tm.group("lo") is not None:
+            elif tm.group("lo") is not None or tm.group("hi") is not None:
+                if tm.group("lo") is None:
+                    if not tm.group("comma"):
+                        raise _flat_unparseable(tm.group(0))
+                    # VAR{,m} == VAR{0,m}
+                    hi = int(tm.group("hi"))
+                    if hi < 1 or hi > 8:
+                        raise UnsupportedPatternError(
+                            f"quantifier bounds {{0,{hi}}} outside the "
+                            "lowered range (0 <= n <= m <= 8, m >= 1)"
+                        )
+                    quants[var] = (0, hi)
+                    positions.append([var])
+                    pattern.append(var)
+                    idx = tm.end()
+                    continue
                 lo = int(tm.group("lo"))
                 if tm.group("comma") and tm.group("hi") is None:
                     unbounded[var] = lo  # VAR{n,}: unbounded min-n run
@@ -621,6 +639,11 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                             "lowered range (0 <= n <= m <= 8, m >= 1)"
                         )
                     quants[var] = (lo, hi)
+            elif "{" in tm.group(0):
+                # consumed braces without a recognized quantifier
+                # ({}, {,}) — reject loudly rather than silently
+                # treating the variable as unquantified
+                raise _flat_unparseable(tm.group(0))
             positions.append([var])
             pattern.append(var)
         idx = tm.end()
