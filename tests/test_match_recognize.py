@@ -2400,3 +2400,50 @@ def test_nested_group_matches_python_reference(spark, types):
     ).collect()
     want = _ref_nested_pairs(types)
     assert sorted((r.a_seq, r.n_pairs, r.d_seq) for r in got) == want
+
+
+def test_all_rows_general_nfa(spark):
+    """ALL ROWS PER MATCH through the general NFA (mid-position run and
+    nested groups): per-row RUNNING measures, WITH UNMATCHED support."""
+    spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("abbcx")],
+        "user_id int, seq int, et string",
+    ).createOrReplaceTempView("__mr_arnfa")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT seq, cls, mn, nb FROM __mr_arnfa
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn,
+                     COUNT(B.*) AS nb
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.et = 'a', B AS B.et = 'b', C AS C.et = 'c'
+        )
+        """
+    ).collect()
+    assert sorted((r.seq, r.cls, r.mn, r.nb) for r in got) == [
+        (0, "A", 1, 0),
+        (1, "B", 1, 1),
+        (2, "B", 1, 2),
+        (3, "C", 1, 2),
+    ]
+    got2 = StatementRouter(spark).execute(
+        """
+        SELECT seq, cls FROM __mr_arnfa
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES CLASSIFIER() AS cls
+            ALL ROWS PER MATCH WITH UNMATCHED ROWS
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A (B B)+ C)
+            DEFINE A AS A.et = 'a', B AS B.et = 'b', C AS C.et = 'c'
+        )
+        """
+    ).collect()
+    assert sorted(((r.seq, r.cls) for r in got2), key=str) == sorted(
+        [(0, "A"), (1, "B"), (2, "B"), (3, "C"), (4, None)], key=str
+    )

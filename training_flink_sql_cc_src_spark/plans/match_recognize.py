@@ -905,13 +905,6 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         # must be self-contained (current row + physical PREV/NEXT):
         # cross-variable and FIRST/LAST references would need predicate
         # re-evaluation during matching.
-        if all_rows:
-            raise UnsupportedPatternError(
-                "ALL ROWS PER MATCH with a general unbounded pattern "
-                f"({' '.join(pattern)}) is not lowered — use ONE ROW PER "
-                "MATCH, or the two-variable run shape (A+ B) which "
-                "supports ALL ROWS"
-            )
         for v, p in defines.items():
             p_stripped = _NEXT_RE.sub("", _PREV_RE.sub("", p))
             foreign_d = set(re.findall(r"\b(\w+)\s*\.", p_stripped)) - {v}
@@ -1910,9 +1903,13 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             lo, hi, lazy = 1, 1, False
         pos_spec.append((list(alts), lo, hi, lazy))
 
-    # ---- output schema: partition keys + measure aliases ----
+    # ---- output schema: partition keys + measure aliases (ONE ROW),
+    # or every input column + measure aliases (ALL ROWS) ----
     src_fields = {f.name: f for f in df.schema.fields}
-    out_fields = [src_fields[pc] for pc in spec.partition_by]
+    if spec.all_rows:
+        out_fields = [src_fields[c] for c in cols]
+    else:
+        out_fields = [src_fields[pc] for pc in spec.partition_by]
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     for var, col, alias in spec.measures:
         if var == MATCH_NUMBER:
@@ -1938,6 +1935,11 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     measures = list(spec.measures)
     measure_agg = dict(spec.measure_agg)
     measure_nav = dict(spec.measure_nav)
+    measure_modes = dict(spec.measure_modes)
+    all_rows = spec.all_rows
+    with_unmatched = spec.with_unmatched
+    excl = set(spec.excluded)
+    src_cols = list(cols)
     pby = list(spec.partition_by)
     pattern_vars = list(spec.pattern)
     pattern_ast = spec.pattern_ast
@@ -1945,7 +1947,7 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     skip_to = spec.skip_to
     target_long = {
         f.name
-        for f in out_fields[len(pby):]
+        for f in out_fields[(len(src_cols) if all_rows else len(pby)):]
         if isinstance(f.dataType, integral)
     }
 
@@ -2139,6 +2141,100 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                 if mp:
                     matches.append(mp)
 
+        def clean(v, alias):
+            try:
+                if v is not None and pd.isna(v):
+                    v = None
+            except (TypeError, ValueError):
+                pass
+            if v is not None and alias in target_long:
+                v = int(v)
+            return v
+
+        if all_rows:
+            # ALL ROWS PER MATCH: one output row per matched input row,
+            # RUNNING measure semantics (the Flink default); excluded
+            # ({- X -}) rows match but do not emit. Source columns come
+            # from SLICING pdf (dtypes survive the Arrow return).
+            idxs: list[int] = []
+            out_ar: dict[str, list] = {
+                alias: [] for _, _, alias in measures
+            }
+            covered = np.zeros(n, dtype=bool)
+            for mn, mp in enumerate(matches, start=1):
+                for _, i in mp:
+                    covered[i] = True
+                for t, (row_var, i) in enumerate(mp):
+                    if row_var in excl:
+                        continue
+                    idxs.append(i)
+                    prefix = mp[: t + 1]
+                    for var, col, alias in measures:
+                        final = (
+                            measure_modes.get(alias, "RUNNING") == "FINAL"
+                        )
+                        scope = mp if final else prefix
+                        vrows = [j for w, j in scope if w == var]
+                        if var == MATCH_NUMBER:
+                            v = mn
+                        elif var == CLASSIFIER:
+                            v = row_var
+                        elif alias in measure_agg:
+                            fn = measure_agg[alias]
+                            if col == "*":
+                                v = (
+                                    len(vrows)
+                                    if fn == "COUNT"
+                                    else None
+                                )
+                            else:
+                                vals = pdf[col].iloc[vrows]
+                                if fn == "COUNT":
+                                    v = int(vals.count())
+                                elif fn == "SUM":
+                                    v = vals.sum(min_count=1)
+                                    v = None if pd.isna(v) else v
+                                elif fn == "AVG":
+                                    v = vals.mean()
+                                    v = (
+                                        None
+                                        if pd.isna(v)
+                                        else float(v)
+                                    )
+                                elif fn == "MIN":
+                                    v = vals.min()
+                                    v = None if pd.isna(v) else v
+                                else:
+                                    v = vals.max()
+                                    v = None if pd.isna(v) else v
+                        elif not vrows:
+                            v = None  # variable not reached yet
+                        else:
+                            row = (
+                                vrows[0]
+                                if measure_nav.get(alias) == "FIRST"
+                                else vrows[-1]
+                            )
+                            v = pdf[col].iloc[row]
+                        out_ar[alias].append(clean(v, alias))
+            if with_unmatched:
+                rest = [int(j) for j in np.nonzero(~covered)[0]]
+                idxs.extend(rest)
+                for _, _, alias in measures:
+                    out_ar[alias].extend([None] * len(rest))
+            base = pdf.iloc[idxs][src_cols].reset_index(drop=True)
+            for c in src_cols:
+                if (
+                    base[c].dtype.kind == "f"
+                    and isinstance(
+                        src_fields[c].dataType, integral
+                    )
+                ):
+                    base[c] = base[c].astype("Int64")
+            for _, _, alias in measures:
+                base[alias] = pd.Series(out_ar[alias], dtype=object)
+            return base
+
         out: dict[str, list] = {pc: [] for pc in pby}
         for _, _, alias in measures:
             out[alias] = []
@@ -2202,21 +2298,22 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             columns=names,
         )
 
-    # the NFA is ONE ROW PER MATCH: only keys, order columns, the
-    # per-variable booleans, and measured columns cross the Arrow hop
-    need = list(
-        dict.fromkeys(
-            pby
-            + order_cols
-            + [f"__mrp_{v}" for v in pattern_vars]
-            + [
-                col
-                for var, col, _ in measures
-                if col != "*" and var not in (MATCH_NUMBER, CLASSIFIER)
-            ]
+    if not all_rows:
+        # ONE ROW PER MATCH: only keys, order columns, the per-variable
+        # booleans, and measured columns cross the Arrow hop
+        need = list(
+            dict.fromkeys(
+                pby
+                + order_cols
+                + [f"__mrp_{v}" for v in pattern_vars]
+                + [
+                    col
+                    for var, col, _ in measures
+                    if col != "*" and var not in (MATCH_NUMBER, CLASSIFIER)
+                ]
+            )
         )
-    )
-    src = src.select(*need)
+        src = src.select(*need)
     return src.groupBy(*pby).applyInPandas(match_group, schema=out_schema)
 
 
