@@ -120,15 +120,27 @@ def test_cross_row_define_parses_and_run_shape_guards():
         )
     )
     assert spec.defines["B"] == "B.ts > A.ts"
-    # ...but stay rejected inside the unbounded run shape (the islands /
-    # greedy matchers need self-contained predicates)
-    with pytest.raises(UnsupportedPatternError, match="run shape"):
+    # inside the unbounded run shape, a SIMPLE cross comparison now
+    # re-routes through the general NFA (unbounded dict, plus cleared)
+    spec_r = parse_match_recognize(
+        _mr(
+            BASE.replace("PATTERN (A B)", "PATTERN (A+ B)")
+            .replace(
+                "B AS B.event_type = 'click'",
+                "B AS B.ts > A.ts",
+            )
+            .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+        )
+    )
+    assert spec_r.plus is None and spec_r.unbounded == {"A": 1}
+    # ...while a RICHER cross expression stays rejected there
+    with pytest.raises(UnsupportedPatternError, match="self-contained"):
         parse_match_recognize(
             _mr(
                 BASE.replace("PATTERN (A B)", "PATTERN (A+ B)")
                 .replace(
                     "B AS B.event_type = 'click'",
-                    "B AS B.ts > A.ts",
+                    "B AS B.ts > A.ts + INTERVAL 1 HOUR",
                 )
                 .replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
             )
@@ -906,8 +918,8 @@ def test_unsupported_raises_instructive_router_error(spark):
             )
             """
         )
-    # cross-variable DEFINEs inside a general unbounded pattern need the
-    # bounded lowering — rejected with the instructive error
+    # simple cross comparisons now lower in unbounded patterns; RICHER
+    # cross expressions stay rejected with the instructive error
     with pytest.raises(NotImplementedError, match="self-contained"):
         StatementRouter(spark).execute(
             """
@@ -917,7 +929,7 @@ def test_unsupported_raises_instructive_router_error(spark):
                 ORDER BY ts
                 MEASURES A.ts AS a_ts
                 PATTERN (A B+ C)
-                DEFINE A AS A.event_type = 'x', B AS B.ts > A.ts,
+                DEFINE A AS A.event_type = 'x', B AS B.ts > A.ts + 10,
                        C AS C.event_type = 'z'
             )
             """
@@ -2447,3 +2459,54 @@ def test_all_rows_general_nfa(spark):
     assert sorted(((r.seq, r.cls) for r in got2), key=str) == sorted(
         [(0, "A"), (1, "B"), (2, "B"), (3, "C"), (4, None)], key=str
     )
+
+
+def test_cross_variable_in_unbounded_patterns(spark):
+    """Simple cross-variable comparisons (SELF.col OP OTHER.col, incl.
+    FIRST/LAST on the referenced side) now lower inside unbounded
+    patterns — evaluated against the partial match's bindings in the
+    NFA, with the memo disabled (context-sensitive matching)."""
+    vals = [
+        (0, "a", 10.0), (1, "b", 5.0), (2, "b", 8.0), (3, "c", 1.0),
+        (4, "a", 3.0), (5, "b", 7.0), (6, "c", 2.0),
+    ]
+    spark.createDataFrame(
+        [(1, i, t, v) for i, t, v in vals],
+        "user_id int, seq int, et string, v double",
+    ).createOrReplaceTempView("__mr_xub")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT a_seq, nb, c_seq FROM __mr_xub
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, COUNT(B.*) AS nb, C.seq AS c_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.et = 'a',
+                   B AS B.et = 'b' AND B.v < A.v,
+                   C AS C.et = 'c'
+        )
+        """
+    ).collect()
+    assert sorted((r.a_seq, r.nb, r.c_seq) for r in got) == [(0, 2, 3)]
+    # the two-variable A+ B shape re-routes through the NFA
+    got2 = StatementRouter(spark).execute(
+        """
+        SELECT first_a, b_seq FROM __mr_xub
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.et = 'b',
+                   B AS B.v < FIRST(A.v)
+        )
+        """
+    ).collect()
+    # b-runs: rows 1-2 (5, 8); start@1: FIRST(A.v)=5 -> B at 3 (c, 1<5)
+    # ...but greedy consumes row 2 first: run 1-2, B at 3: 1 < 5 ok
+    assert sorted((r.first_a, r.b_seq) for r in got2) == [(1, 3), (2, 3), (5, 6)]

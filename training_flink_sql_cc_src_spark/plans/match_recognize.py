@@ -250,6 +250,51 @@ class MatchRecognizeSpec:
     measure_agg: dict[str, str] = dataclasses_field(default_factory=dict)
 
 
+#: simple cross-variable comparison inside an unbounded pattern's
+#: DEFINE: SELF.col OP OTHER.col, optionally FIRST/LAST(OTHER.col) —
+#: evaluated by the NFA matcher against the partial match's bindings
+_CROSS_CMP_RE = re.compile(
+    r"^\s*(?P<sv>\w+)\.(?P<sc>\w+)\s*(?P<op><=|>=|<>|!=|<|>|=)\s*"
+    r"(?:(?P<nav>FIRST|LAST)\s*\(\s*(?P<ov>\w+)\.(?P<oc>\w+)\s*\)"
+    r"|(?P<ov2>\w+)\.(?P<oc2>\w+))\s*$",
+    re.IGNORECASE,
+)
+
+
+def _split_top_and(pred: str) -> list[str]:
+    """Split a predicate on TOP-LEVEL ``AND`` (paren-aware, literal-safe)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    i = 0
+    in_lit = False
+    up = pred.upper()
+    while i < len(pred):
+        ch = pred[i]
+        if ch == "'":
+            in_lit = not in_lit
+        elif not in_lit:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and ch.isspace()
+                and up[i + 1 : i + 4] == "AND"
+                and i + 4 < len(pred)
+                and pred[i + 4].isspace()
+            ):
+                parts.append("".join(cur))
+                cur = []
+                i += 5
+                continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _split_commas(s: str) -> list[str]:
     # parens only: SQL predicates contain bare < / > comparison operators,
     # so angle-bracket tracking would corrupt the nesting depth
@@ -813,13 +858,12 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             )
         has_nav = bool(_NAV_DEF_RE.search(pred))
         if (foreign or has_nav) and plus is not None:
-            raise UnsupportedPatternError(
-                f"DEFINE for {var} references another pattern variable "
-                f"or uses FIRST/LAST navigation ({item!r}) inside the "
-                "unbounded run shape — the run "
-                "lowerings need self-contained predicates; use a bounded "
-                "quantifier (A{n,m} B) instead"
-            )
+            # the closed-form run lowerings need self-contained
+            # predicates; a cross-referencing A+ B re-routes through the
+            # general NFA (unbounded dict), which evaluates simple
+            # cross-variable comparisons against the partial match
+            unbounded[plus[0]] = plus[2]
+            plus = None
         defines[var] = pred
     # Flink: a pattern variable without a DEFINE clause matches any row
     for v in pattern:
@@ -902,19 +946,43 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             )
     if spec.unbounded or spec.pos_quants or spec.pattern_ast is not None:
         # general unbounded pattern -> the per-key NFA matcher. DEFINEs
-        # must be self-contained (current row + physical PREV/NEXT):
-        # cross-variable and FIRST/LAST references would need predicate
-        # re-evaluation during matching.
+        # must be self-contained (current row + physical PREV/NEXT),
+        # EXCEPT for top-level AND parts of the simple cross-variable
+        # comparison form SELF.col OP [FIRST|LAST(]OTHER.col[)], which
+        # the matcher evaluates against the partial match's bindings.
         for v, p in defines.items():
-            p_stripped = _NEXT_RE.sub("", _PREV_RE.sub("", p))
-            foreign_d = set(re.findall(r"\b(\w+)\s*\.", p_stripped)) - {v}
-            if _NAV_DEF_RE.search(p) or foreign_d:
-                raise UnsupportedPatternError(
-                    f"DEFINE for {v} must be self-contained (current row "
-                    "+ PREV/NEXT physical navigation) inside a general "
-                    "unbounded pattern — cross-variable and FIRST/LAST "
-                    "references are lowered only for bounded patterns"
+            for part in _split_top_and(p):
+                p_stripped = _NEXT_RE.sub("", _PREV_RE.sub("", part))
+                foreign_d = (
+                    set(re.findall(r"\b(\w+)\s*\.", p_stripped)) - {v}
                 )
+                if not foreign_d:
+                    if _NAV_DEF_RE.search(part):
+                        # FIRST/LAST over the DEFINING variable's own
+                        # run needs per-offset resolution the unbounded
+                        # matcher does not carry
+                        raise UnsupportedPatternError(
+                            f"DEFINE for {v}: FIRST/LAST navigation "
+                            "over the defining variable's own mapped "
+                            "rows is lowered only for bounded patterns"
+                        )
+                    continue
+                cm = _CROSS_CMP_RE.match(part)
+                if (
+                    cm is None
+                    or cm.group("sv") != v
+                    or (cm.group("ov") or cm.group("ov2")) == v
+                    or (cm.group("ov") or cm.group("ov2")) not in pattern
+                ):
+                    raise UnsupportedPatternError(
+                        f"DEFINE for {v} inside a general unbounded "
+                        f"pattern: the part {part!r} is neither "
+                        "self-contained (current row + PREV/NEXT) nor a "
+                        "simple cross-variable comparison "
+                        f"({v}.col OP [FIRST|LAST(]OTHER.col[)]) — "
+                        "richer cross-variable expressions are lowered "
+                        "only for bounded patterns"
+                    )
     if plus is not None:
         # overlapping DEFINEs (a row may satisfy both variables) switch
         # the lowering from gaps-and-islands to the per-key greedy
@@ -1850,9 +1918,39 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     src0 = df
     needs: set[tuple[str, int]] = set()
     texts: dict[str, str] = {}
+    # simple cross-variable comparison parts are pulled OUT of the JVM
+    # boolean and evaluated by the matcher against the partial match:
+    # var -> [(self_col, op, other_var, other_col, nav)]
+    cross_checks: dict[str, list[tuple[str, str, str, str, str]]] = {}
     for v in spec.pattern:
-        texts[v], nv = _rewrite_nav_physical(spec.defines[v], v)
+        self_parts: list[str] = []
+        for part in _split_top_and(spec.defines[v]):
+            stripped = _NEXT_RE.sub("", _PREV_RE.sub("", part))
+            if set(re.findall(r"\b(\w+)\s*\.", stripped)) - {v}:
+                cm = _CROSS_CMP_RE.match(part)
+                cross_checks.setdefault(v, []).append(
+                    (
+                        cm.group("sc"),
+                        cm.group("op"),
+                        cm.group("ov") or cm.group("ov2"),
+                        cm.group("oc") or cm.group("oc2"),
+                        (cm.group("nav") or "LAST").upper(),
+                    )
+                )
+            else:
+                self_parts.append(part)
+        texts[v], nv = _rewrite_nav_physical(
+            " AND ".join(self_parts) if self_parts else "TRUE", v
+        )
         needs |= nv
+    cross_cols = sorted(
+        {c for checks in cross_checks.values() for c, _, _, oc, _ in checks}
+        | {
+            oc
+            for checks in cross_checks.values()
+            for _, _, _, oc, _ in checks
+        }
+    )
     if needs:
         lag_w = Window.partitionBy(*spec.partition_by).orderBy(
             *spec.order_by
@@ -1961,6 +2059,34 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
         }
         if within is not None:
             ts = pdf[ts0].to_numpy()
+        if cross_checks:
+            import operator as _o
+
+            _OPS = {
+                "<": _o.lt, "<=": _o.le, ">": _o.gt, ">=": _o.ge,
+                "=": _o.eq, "<>": _o.ne, "!=": _o.ne,
+            }
+
+            def cross_ok(v, j, acc):
+                # SELF.col OP OTHER.col against the partial match's
+                # bindings; an unmatched reference is NULL -> false
+                for sc, op, ov, oc, nav in cross_checks.get(v, ()):
+                    rows_o = [r for w, r in acc if w == ov]
+                    if not rows_o:
+                        return False
+                    ref = rows_o[0] if nav == "FIRST" else rows_o[-1]
+                    a = pdf[sc].iloc[j]
+                    b = pdf[oc].iloc[ref]
+                    try:
+                        if pd.isna(a) or pd.isna(b) or not _OPS[op](a, b):
+                            return False
+                    except TypeError:
+                        return False
+                return True
+        else:
+
+            def cross_ok(v, j, acc):
+                return True
 
         def _lim_for(s: int) -> int:
             lim = n - 1
@@ -1986,48 +2112,52 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             are skipped (standard regex hygiene)."""
             lim = _lim_for(s)
 
-            def gen(node, i):
+            def gen(node, i, acc):
                 kind = node[0]
                 if kind == "var":
                     v = node[1]
-                    if i <= lim and flags[v][i]:
+                    if i <= lim and flags[v][i] and cross_ok(v, i, acc):
                         yield [(v, i)]
                     return
                 if kind == "seq":
                     children = node[1]
 
-                    def seq_gen(idx, j):
+                    def seq_gen(idx, j, acc2):
                         if idx == len(children):
                             yield []
                             return
-                        for head in gen(children[idx], j):
-                            for rest in seq_gen(idx + 1, j + len(head)):
+                        for head in gen(children[idx], j, acc2):
+                            for rest in seq_gen(
+                                idx + 1, j + len(head), acc2 + head
+                            ):
                                 yield head + rest
 
-                    yield from seq_gen(0, i)
+                    yield from seq_gen(0, i, acc)
                     return
                 if kind == "alt":
                     for child in node[1]:
-                        yield from gen(child, i)
+                        yield from gen(child, i, acc)
                     return
                 _, child, lo, hi, lazy = node
 
-                def q_gen(j, done):
+                def q_gen(j, done, acc2):
                     can_more = hi is None or done < hi
                     if lazy and done >= lo:
                         yield []
                     if can_more:
-                        for head in gen(child, j):
+                        for head in gen(child, j, acc2):
                             if not head:
                                 continue  # zero-width repetition
-                            for rest in q_gen(j + len(head), done + 1):
+                            for rest in q_gen(
+                                j + len(head), done + 1, acc2 + head
+                            ):
                                 yield head + rest
                     if not lazy and done >= lo:
                         yield []
 
-                yield from q_gen(i, 0)
+                yield from q_gen(i, 0, acc)
 
-            for mp in gen(pattern_ast, s):
+            for mp in gen(pattern_ast, s, []):
                 if mp:
                     return mp
             return None
@@ -2057,31 +2187,41 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                     )
                     - 1,
                 )
-            memo = shared_memo if shared_memo is not None else {}
+            # memoization is sound only when matching is context-free;
+            # cross-variable checks depend on the partial match, so the
+            # memo is disabled entirely when any are present
+            memo = (
+                None
+                if cross_checks
+                else (shared_memo if shared_memo is not None else {})
+            )
 
-            def dfs(p: int, i: int) -> list[tuple[str, int]] | None:
+            def dfs(
+                p: int, i: int, acc: list[tuple[str, int]]
+            ) -> list[tuple[str, int]] | None:
                 if p == len(pos_spec):
                     return []
                 key = (p, i)
-                if key in memo:
+                if memo is not None and key in memo:
                     return memo[key]
                 alts, lo, hi, lazy = pos_spec[p]
 
-                def row_ok(j: int) -> str | None:
+                def row_ok(j: int, acc2) -> str | None:
                     # leftmost-preferred alternative for this row
                     for v in alts:
-                        if flags[v][j]:
+                        if flags[v][j] and cross_ok(v, j, acc2):
                             return v
                     return None
 
                 assigned: list[str] = []
                 j = i
-                while (
-                    j <= lim
-                    and (hi is None or len(assigned) < hi)
-                    and (v := row_ok(j)) is not None
-                ):
+                run_acc = acc
+                while j <= lim and (hi is None or len(assigned) < hi):
+                    v = row_ok(j, run_acc)
+                    if v is None:
+                        break
                     assigned.append(v)
+                    run_acc = run_acc + [(v, j)]
                     j += 1
                 c_max = len(assigned)
                 counts = (
@@ -2091,16 +2231,16 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                 )
                 res: list[tuple[str, int]] | None = None
                 for c in counts:
-                    rest = dfs(p + 1, i + c)
+                    taken = [(assigned[t], i + t) for t in range(c)]
+                    rest = dfs(p + 1, i + c, acc + taken)
                     if rest is not None:
-                        res = [
-                            (assigned[t], i + t) for t in range(c)
-                        ] + rest
+                        res = taken + rest
                         break
-                memo[key] = res
+                if memo is not None:
+                    memo[key] = res
                 return res
 
-            mp = dfs(0, s)
+            mp = dfs(0, s, [])
             # a match must CONSUME its start row (matching is attempted
             # AT s); min_len >= 1 guarantees a non-empty mapping
             return mp if mp else None
@@ -2306,6 +2446,7 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                 pby
                 + order_cols
                 + [f"__mrp_{v}" for v in pattern_vars]
+                + cross_cols
                 + [
                     col
                     for var, col, _ in measures
