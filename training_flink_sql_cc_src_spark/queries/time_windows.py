@@ -2394,3 +2394,72 @@ def pattern_match_recognize_nested(
         ) AS m
         """
     )
+
+
+@register(
+    "pattern_match_recognize_crossvar_run",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER w AS rn,
+               COALESCE(value < 50, FALSE) AS a,
+               COALESCE(value > LAG(value, 1) OVER w, FALSE) AS b
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), nf AS (
+        SELECT *,
+               MIN(CASE WHEN NOT a THEN rn END) OVER
+                 (PARTITION BY user_id ORDER BY rn
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nfail
+        FROM ord
+    )
+    SELECT o.user_id, o.event_id AS first_low,
+           CAST(e.rn - o.rn AS BIGINT) AS run_len,
+           e.event_id AS spike_event, e.value AS spike_value
+    FROM nf o
+    JOIN ord e
+      ON e.user_id = o.user_id
+     AND e.rn = (SELECT MAX(b2.rn) FROM ord b2
+                 WHERE b2.user_id = o.user_id AND b2.b
+                   AND b2.rn > o.rn
+                   AND (o.nfail IS NULL OR b2.rn <= o.nfail))
+    WHERE o.a
+    """,
+    doc="Cross-variable comparison inside an UNBOUNDED run — PATTERN "
+    "(A+ B), A AS value < 50, B AS B.value > A.value (the closing row "
+    "must exceed the run's LAST mapped row): the Flink-docs "
+    "spike-after-dip shape the closed-form run lowerings cannot carry "
+    "(B's predicate depends on the partial match). The parse re-routes "
+    "the two-variable shape to the general NFA, where the simple "
+    "cross comparison evaluates against the bindings "
+    "(plans/match_recognize cross_checks; memo disabled — matching is "
+    "context-sensitive). B.value > A.value with A = last run row "
+    "equals value > LAG(value), so the oracle re-derives greedy ends "
+    "with the same prefix-window closed form.",
+)
+def pattern_match_recognize_crossvar_run(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_xr")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, first_low, run_len, spike_event, spike_value
+        FROM __mr_events_xr
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.event_id) AS first_low,
+                     COUNT(A.*) AS run_len,
+                     B.event_id AS spike_event,
+                     B.value AS spike_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.value < 50,
+                   B AS B.value > A.value
+        ) AS m
+        """
+    )
