@@ -2510,3 +2510,64 @@ def test_cross_variable_in_unbounded_patterns(spark):
     # b-runs: rows 1-2 (5, 8); start@1: FIRST(A.v)=5 -> B at 3 (c, 1<5)
     # ...but greedy consumes row 2 first: run 1-2, B at 3: 1 < 5 ok
     assert sorted((r.first_a, r.b_seq) for r in got2) == [(1, 3), (2, 3), (5, 6)]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(0, 9), min_size=2, max_size=16),
+    skip_past=st.booleans(),
+)
+def test_crossvar_run_matches_python_reference(spark, vals, skip_past):
+    """A+ B with B.v > A.v (cross-check against the partial match) ==
+    direct greedy backtracking reference, under both AFTER MATCH
+    modes."""
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, v double"
+    ).createOrReplaceTempView("__mr_xprop")
+    skip = "SKIP PAST LAST ROW" if skip_past else "SKIP TO NEXT ROW"
+    got = StatementRouter(spark).execute(
+        f"""
+        SELECT first_a, b_seq FROM __mr_xprop
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS first_a, B.seq AS b_seq
+            ONE ROW PER MATCH
+            AFTER MATCH {skip}
+            PATTERN (A+ B)
+            DEFINE A AS A.v < 5,
+                   B AS B.v > A.v
+        )
+        """
+    ).collect()
+    n = len(vals)
+
+    def match_from(s):
+        if vals[s] >= 5:
+            return None
+        m = s
+        while m + 1 < n and vals[m + 1] < 5:
+            m += 1
+        # greedy: largest k in (s, m+1] with v[k] > v[k-1]
+        for k in range(min(m + 1, n - 1), s, -1):
+            if vals[k] > vals[k - 1]:
+                return k
+        return None
+
+    want = []
+    if skip_past:
+        s = 0
+        while s < n:
+            k = match_from(s)
+            if k is not None:
+                want.append((s, k))
+                s = k + 1
+            else:
+                s += 1
+    else:
+        for s in range(n):
+            k = match_from(s)
+            if k is not None:
+                want.append((s, k))
+    assert sorted((r.first_a, r.b_seq) for r in got) == sorted(want)
