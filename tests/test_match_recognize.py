@@ -2571,3 +2571,30 @@ def test_crossvar_run_matches_python_reference(spark, vals, skip_past):
             if k is not None:
                 want.append((s, k))
     assert sorted((r.first_a, r.b_seq) for r in got) == sorted(want)
+
+
+def test_zero_width_child_satisfies_outer_minimum(spark):
+    """(B{0,3}){1,}: an outer quantifier whose child can match EMPTY is
+    satisfiable with a zero-width repetition (Python-re / SQL
+    semantics) — a bare (A|C) row must match."""
+    spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("acxda")],
+        "user_id int, seq int, et string",
+    ).createOrReplaceTempView("__mr_zw")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT seq FROM __mr_zw
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES MATCH_NUMBER() AS mn
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN ((B{0,3}){1,} (A|C) D*)
+            DEFINE A AS A.et = 'a', B AS B.et = 'b',
+                   C AS C.et = 'c', D AS D.et = 'd'
+        )
+        """
+    ).collect()
+    # matches: a@0, c@1 (with d@3? c@1 then D* greedy... x@2 breaks), a@4
+    assert sorted(r.seq for r in got) == [0, 1, 4]

@@ -2142,7 +2142,19 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
 
                 def q_gen(j, done, acc2):
                     can_more = hi is None or done < hi
-                    if lazy and done >= lo:
+
+                    def can_stop():
+                        if done >= lo:
+                            return True
+                        # a zero-width child match fills the remaining
+                        # minimum repetitions (repeating empty adds
+                        # nothing) — the (B{0,3}){1,} case, matching
+                        # Python re / SQL row-pattern semantics
+                        return any(
+                            not h for h in gen(child, j, acc2)
+                        )
+
+                    if lazy and can_stop():
                         yield []
                     if can_more:
                         for head in gen(child, j, acc2):
@@ -2152,7 +2164,7 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                                 j + len(head), done + 1, acc2 + head
                             ):
                                 yield head + rest
-                    if not lazy and done >= lo:
+                    if not lazy and can_stop():
                         yield []
 
                 yield from q_gen(i, 0, acc)
