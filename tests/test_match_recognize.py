@@ -2598,3 +2598,34 @@ def test_zero_width_child_satisfies_outer_minimum(spark):
     ).collect()
     # matches: a@0, c@1 (with d@3? c@1 then D* greedy... x@2 breaks), a@4
     assert sorted(r.seq for r in got) == [0, 1, 4]
+
+
+def test_lazy_child_prefers_empty_repetition(spark):
+    """(C*?){2,2}: the lazy child's preferred repetition is EMPTY, so
+    the whole quantifier prefers consuming nothing — the match after D
+    spans only the D row (Python-re / SQL preference order)."""
+    spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("dcdx")],
+        "user_id int, seq int, et string",
+    ).createOrReplaceTempView("__mr_lzc")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT seq, mn FROM __mr_lzc
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES MATCH_NUMBER() AS mn
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (D (C*?){2,2})
+            DEFINE C AS C.et = 'c', D AS D.et = 'd'
+        )
+        """
+    ).collect()
+    spans = {}
+    for r in got:
+        spans.setdefault(r.mn, []).append(r.seq)
+    assert sorted((min(v), max(v)) for v in spans.values()) == [
+        (0, 0),
+        (2, 2),
+    ]

@@ -2141,30 +2141,31 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                 _, child, lo, hi, lazy = node
 
                 def q_gen(j, done, acc2):
+                    # Stop options follow the CHILD's preference order: a
+                    # zero-width child match IS the repetition the child
+                    # prefers at that point, and repeating empty fills
+                    # any remaining minimum without progress — so it
+                    # becomes a STOP yielded in sequence (the
+                    # (C*?){2,2} case: the lazy child prefers empty, so
+                    # the whole quantifier prefers to consume nothing —
+                    # Python re / SQL row-pattern semantics).
                     can_more = hi is None or done < hi
-
-                    def can_stop():
-                        if done >= lo:
-                            return True
-                        # a zero-width child match fills the remaining
-                        # minimum repetitions (repeating empty adds
-                        # nothing) — the (B{0,3}){1,} case, matching
-                        # Python re / SQL row-pattern semantics
-                        return any(
-                            not h for h in gen(child, j, acc2)
-                        )
-
-                    if lazy and can_stop():
+                    yielded_stop = False
+                    if lazy and done >= lo:
                         yield []
+                        yielded_stop = True
                     if can_more:
                         for head in gen(child, j, acc2):
                             if not head:
-                                continue  # zero-width repetition
+                                if not yielded_stop:
+                                    yield []
+                                    yielded_stop = True
+                                continue
                             for rest in q_gen(
                                 j + len(head), done + 1, acc2 + head
                             ):
                                 yield head + rest
-                    if not lazy and can_stop():
+                    if not yielded_stop and done >= lo:
                         yield []
 
                 yield from q_gen(i, 0, acc)
