@@ -97,6 +97,7 @@ def main(n_cases, seed):
         alphabet = [CHARS[v] for v in used] + ["x"]
         types = "".join(rng.choice(alphabet) for _ in range(n))
         tried += 1
+        skip_past = rng.random() < 0.4
         rows = [(1, i, t) for i, t in enumerate(types)]
         spark.createDataFrame(
             rows, "user_id int, seq int, et string"
@@ -110,7 +111,7 @@ def main(n_cases, seed):
                     ORDER BY seq
                     MEASURES MATCH_NUMBER() AS mn
                     ALL ROWS PER MATCH
-                    AFTER MATCH SKIP TO NEXT ROW
+                    AFTER MATCH {'SKIP PAST LAST ROW' if skip_past else 'SKIP TO NEXT ROW'}
                     PATTERN ({pat_e})
                     DEFINE {defines}
                 )
@@ -123,13 +124,20 @@ def main(n_cases, seed):
         for r in got_rows:
             spans.setdefault(r.mn, []).append(r.seq)
         got = sorted((min(v), max(v)) for v in spans.values())
-        want = []
         rx = pyre.compile(pat_r)
-        for s in range(len(types)):
-            m = rx.match(types, s)
-            if m and m.end() > s:
-                want.append((s, m.end() - 1))
-        want.sort()
+        per_start = {}
+        for st in range(len(types)):
+            m = rx.match(types, st)
+            if m and m.end() > st:
+                per_start[st] = m.end() - 1
+        if skip_past:
+            want, cur = [], 0
+            for st in sorted(per_start):
+                if st >= cur:
+                    want.append((st, per_start[st]))
+                    cur = per_start[st] + 1
+        else:
+            want = sorted(per_start.items())
         if got != want:
             failures += 1
             print(
