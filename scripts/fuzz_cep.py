@@ -98,9 +98,16 @@ def main(n_cases, seed):
         types = "".join(rng.choice(alphabet) for _ in range(n))
         tried += 1
         skip_past = rng.random() < 0.4
+        # WITHIN k seconds with ts = seq seconds: only rows s..s+k are
+        # reachable from start s — the reference matches against the
+        # TRUNCATED input (greedy behavior beyond the horizon included)
+        within = rng.randint(1, 6) if rng.random() < 0.3 else None
         rows = [(1, i, t) for i, t in enumerate(types)]
         spark.createDataFrame(
             rows, "user_id int, seq int, et string"
+        ).selectExpr(
+            "user_id", "seq", "et",
+            "timestamp_seconds(seq) AS ts"
         ).createOrReplaceTempView("__fuzz")
         try:
             got_rows = router.execute(
@@ -108,11 +115,12 @@ def main(n_cases, seed):
                 SELECT seq, mn FROM __fuzz
                 MATCH_RECOGNIZE (
                     PARTITION BY user_id
-                    ORDER BY seq
+                    ORDER BY ts, seq
                     MEASURES MATCH_NUMBER() AS mn
                     ALL ROWS PER MATCH
                     AFTER MATCH {'SKIP PAST LAST ROW' if skip_past else 'SKIP TO NEXT ROW'}
                     PATTERN ({pat_e})
+                    {f"WITHIN INTERVAL '{within}' SECOND" if within else ''}
                     DEFINE {defines}
                 )
                 """
@@ -127,7 +135,8 @@ def main(n_cases, seed):
         rx = pyre.compile(pat_r)
         per_start = {}
         for st in range(len(types)):
-            m = rx.match(types, st)
+            hay = types if within is None else types[: st + within + 1]
+            m = rx.match(hay, st)
             if m and m.end() > st:
                 per_start[st] = m.end() - 1
         if skip_past:
