@@ -2629,3 +2629,20 @@ def test_lazy_child_prefers_empty_repetition(spark):
         (0, 0),
         (2, 2),
     ]
+
+
+def test_fuzz_smoke_vs_python_re(spark):
+    """A fixed-seed slice of scripts/fuzz_cep.py runs in-suite so the
+    adversarial reference (Python's re engine) keeps guarding the
+    matchers. The full sweep (1000+ cases) runs standalone:
+    ``python scripts/fuzz_cep.py 300 <seed>``."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "fuzz_cep.py"
+    )
+    spec = importlib.util.spec_from_file_location("fuzz_cep", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main(12, 42) == 0
