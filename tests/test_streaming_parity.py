@@ -1205,3 +1205,34 @@ def test_mid_run_statement_streams_through_engine(spark, sf_small):
     )
     got = {tuple(r) for r in streamed.collect()}
     assert got == batch and batch
+
+
+def test_stream_match_recognize_rejects_nested_groups(spark, sf_small):
+    """A nested pattern must NOT stream as a flat sequence — the
+    structure would silently drop; the instructive error names it."""
+    import pytest
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = t(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    eng = Engine(spark)
+    with pytest.raises(NotImplementedError, match="nested pattern groups"):
+        eng.sql_stream(
+            """
+            SELECT user_id, a_ts FROM events_nested_stream
+            MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY ts
+                MEASURES A.ts AS a_ts
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP TO NEXT ROW
+                PATTERN ((A B)+ C)
+                DEFINE A AS A.event_type = 'view',
+                       B AS B.event_type = 'click',
+                       C AS C.event_type = 'purchase'
+            )
+            """,
+            {"events_nested_stream": ev},
+        )

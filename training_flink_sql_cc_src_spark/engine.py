@@ -290,6 +290,11 @@ class Engine:
 
         if spec.quant is not None or spec.all_rows:
             raise unsupported("quantifiers / ALL ROWS PER MATCH")
+        if spec.pattern_ast is not None:
+            # positions for an AST pattern are just the flat variable
+            # list — streaming it as a plain sequence would silently
+            # drop the nesting structure
+            raise unsupported("nested pattern groups")
         if spec.skip_to is not None:
             raise unsupported(
                 "AFTER MATCH SKIP TO FIRST/LAST <var> (the streaming "
