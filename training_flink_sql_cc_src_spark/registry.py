@@ -226,6 +226,9 @@ _DRIVER_HEAVY_TAIL = (
     "sim_ann_ivf",
     "sim_ann_pq",
     "pipeline_incremental_near_dedup",  # 8x md5 per shingle, both engines
+    "pipeline_semdedup",  # iterative label propagation + 64-dim cosine join
+    "sim_ann_ivf_exhaustive",  # full-corpus probe by design
+    "sim_ann_pq_exhaustive",  # full-corpus rerank by design
 )
 
 
