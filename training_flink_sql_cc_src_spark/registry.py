@@ -88,8 +88,10 @@ _DRIVER_LAST_GREEN = {
     "dedup_jaccard_blocked_pairs": 5,
     "dedup_jaccard_ppjoin": 5,
     "dedup_minhash_lsh": 5,
+    "dedup_minhash_lsh_exact": 6,
     "dedup_ngram_span_exact": 4,
     "dedup_simhash_hamming": 5,
+    "dedup_simhash_hamming_exact": 6,
     "except_keys": 5,
     "filter_predicates": 5,
     "intersect_keys": 5,
@@ -106,12 +108,13 @@ _DRIVER_LAST_GREEN = {
     "late_data_filter": 4,
     "multimodal_binary_metadata": 5,
     "multimodal_decode_features": 5,
-    "multimodal_doc_embedding_join": 2,
-    "multimodal_frame_sample": 2,
-    "multimodal_header_decode": 2,
-    "order_by_limit": 2,
-    "order_nulls_first_last": 2,
+    "multimodal_doc_embedding_join": 6,
+    "multimodal_frame_sample": 6,
+    "multimodal_header_decode": 6,
+    "order_by_limit": 6,
+    "order_nulls_first_last": 6,
     "pandas_grouped_zscore": 3,
+    "pandas_grouped_zscore_rounded": 6,
     "pandas_udaf_median": 3,
     "pandas_udf_entropy": 3,
     "pattern_funnel": 4,
@@ -119,20 +122,43 @@ _DRIVER_LAST_GREEN = {
     "pattern_match_recognize": 4,
     "pattern_match_recognize_agg": 5,
     "pattern_match_recognize_all_rows": 5,
+    "pattern_match_recognize_all_rows_plus": 6,
+    "pattern_match_recognize_all_rows_quant": 6,
     "pattern_match_recognize_alt": 5,
+    "pattern_match_recognize_crossvar": 6,
+    "pattern_match_recognize_crossvar_run": 6,
+    "pattern_match_recognize_group_quant": 6,
+    "pattern_match_recognize_mid_plus": 6,
+    "pattern_match_recognize_multi_alt": 6,
+    "pattern_match_recognize_nav": 6,
+    "pattern_match_recognize_nested": 6,
+    "pattern_match_recognize_next": 6,
+    "pattern_match_recognize_opt": 6,
+    "pattern_match_recognize_overlap": 6,
+    "pattern_match_recognize_permute": 6,
     "pattern_match_recognize_plus": 5,
     "pattern_match_recognize_prev": 5,
+    "pattern_match_recognize_prev_run": 6,
     "pattern_match_recognize_quant": 5,
+    "pattern_match_recognize_skip_past": 6,
+    "pattern_match_recognize_skip_to": 6,
+    "pattern_match_recognize_star": 6,
     "pattern_match_recognize_unmatched": 5,
+    "pattern_match_recognize_vshape": 6,
+    "pipeline_bpe_pair_counts": 6,
     "pipeline_column_profile": 5,
-    "pipeline_context_chunking": 2,
+    "pipeline_context_chunking": 6,
     "pipeline_corpus_curation": 4,
     "pipeline_data_mixture": 3,
-    "pipeline_decontaminate": 2,
+    "pipeline_decontaminate": 6,
     "pipeline_deterministic_shuffle": 4,
+    "pipeline_importance_weights": 6,
     "pipeline_incremental_dedup": 5,
+    "pipeline_incremental_near_dedup": 6,
     "pipeline_neardup_prune": 3,
+    "pipeline_pii_redaction": 6,
     "pipeline_quota_cap": 5,
+    "pipeline_semdedup": 6,
     "pipeline_sequence_packing": 3,
     "pipeline_stratified_sample": 4,
     "pipeline_stratified_sample_scalable": 5,
@@ -165,24 +191,27 @@ _DRIVER_LAST_GREEN = {
     "s6_orders_enriched_join": 4,
     "s7_schema_evolution_cast": 4,
     "scalar_array_advanced": 3,
-    "scalar_array_struct": 2,
-    "scalar_bitwise": 2,
-    "scalar_conditional": 2,
-    "scalar_datetime": 2,
-    "scalar_datetime_extended": 2,
+    "scalar_array_struct": 6,
+    "scalar_bitwise": 6,
+    "scalar_conditional": 6,
+    "scalar_datetime": 6,
+    "scalar_datetime_extended": 6,
     "scalar_decimal_arithmetic": 3,
-    "scalar_edit_distance_hash": 2,
-    "scalar_json": 2,
-    "scalar_json_struct": 2,
-    "scalar_map_functions": 2,
+    "scalar_edit_distance_hash": 6,
+    "scalar_json": 6,
+    "scalar_json_struct": 6,
+    "scalar_map_functions": 6,
     "scalar_math": 3,
-    "scalar_null_semantics": 2,
-    "scalar_string": 2,
+    "scalar_null_semantics": 6,
+    "scalar_string": 6,
     "scalar_string_datetime_extras": 2,
     "scalar_string_extended": 2,
     "scalar_subquery_above_avg": 5,
     "sim_ann_ivf": 4,
+    "sim_ann_ivf_exhaustive": 6,
     "sim_ann_lsh": 4,
+    "sim_ann_pq": 6,
+    "sim_ann_pq_exhaustive": 6,
     "sim_threshold_pairs_blocked": 4,
     "sim_topk_bruteforce": 4,
     "text_bpe_token_count": 2,
@@ -191,6 +220,7 @@ _DRIVER_LAST_GREEN = {
     "text_langid_heuristic": 5,
     "text_quality_score": 5,
     "text_repetition_filter": 2,
+    "text_tfidf_topk": 6,
     "text_token_stats": 5,
     "text_vocabulary_topk": 2,
     "topn_per_group": 2,
@@ -201,6 +231,7 @@ _DRIVER_LAST_GREEN = {
     "values_constant_relation": 2,
     "window_cumulate": 4,
     "window_dedup_first": 5,
+    "window_dedup_sql": 6,
     "window_distinct_users": 4,
     "window_hop": 4,
     "window_join": 4,
@@ -208,6 +239,7 @@ _DRIVER_LAST_GREEN = {
     "window_session": 4,
     "window_session_sql": 4,
     "window_topn": 5,
+    "window_topn_sql": 6,
     "window_tumble": 4,
 }
 
