@@ -76,22 +76,22 @@ HEADLINE = (
 )
 
 
-#: Acknowledged regressions vs best-prior BENCH records, carried IN the
-#: bench output so the gate (and the judge) see the reason next to the
-#: number. Use ONLY for regressions whose cause is understood and
-#: documented — e.g. a testdata regeneration that changed the data
-#: content under an unchanged plan. Remove entries once the best-prior
-#: window catches up with the new data.
-ACKS: dict[str, str] = {
-    "dedup_jaccard_blocked_pairs": (
-        "r6-regenerated documents are far denser in word-set overlap "
-        "(57% of ALL pairs exceed J>=0.6 at sf0.01, vocabulary only 31 "
-        "words), tripling per-candidate intersection work under the "
-        "unchanged blocked-join plan; the dictionary-bitmask fast path "
-        "(commit a99704f) already cut warm sf0.1 runs 2.0s -> 1.1s. "
-        "Best-prior 0.38s was measured against the pre-r6 corpus."
-    ),
-}
+#: Acknowledged regressions live in scripts/bench_acks.json — a
+#: checked-in, reviewed config that scripts/bench_gate.py reads
+#: DIRECTLY (never from the bench artifact, so the run under test
+#: cannot self-acknowledge its own regressions). bench.py embeds a
+#: copy into its output purely for judge visibility next to the
+#: numbers. Use ONLY for regressions whose cause is understood and
+#: documented; remove entries once the best-prior window catches up.
+def load_acks() -> dict[str, str]:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_acks.json"
+    )
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
 
 
 def run_one(spark, fn, sf_dir: str) -> float:
@@ -160,8 +160,9 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
     }
-    if ACKS:
-        out["acks"] = ACKS
+    acks = load_acks()
+    if acks:
+        out["acks"] = acks
     print(json.dumps(out))
 
 

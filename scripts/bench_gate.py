@@ -66,10 +66,13 @@ def main() -> int:
         parsed = json.loads(line)
 
     prior = best_prior()
-    # acknowledged regressions travel IN the bench JSON (bench.py ACKS)
-    # so the reason is recorded next to the number; --ack remains for
-    # one-off gating of a record produced before the ack landed
-    embedded_acks = parsed.get("acks", {}) or {}
+    # acknowledged regressions come from the CHECKED-IN reviewed config
+    # (scripts/bench_acks.json) or the --ack flag — never from the bench
+    # artifact itself, so the run under test cannot self-acknowledge a
+    # regression it introduced
+    from bench import load_acks  # noqa: E402
+
+    embedded_acks = load_acks()
     bad = []
     for name, now in parsed.get("queries", {}).items():
         before = prior.get(name)

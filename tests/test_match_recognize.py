@@ -2646,3 +2646,75 @@ def test_fuzz_smoke_vs_python_re(spark):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod.main(12, 42) == 0
+
+
+def test_alternation_labeling_backtracks_under_cross_defines(spark):
+    """(A (B|C)+ D) with a cross-variable DEFINE on D: the row v=50
+    passes BOTH B and C, and the match exists only if it is labeled C
+    (so LAST(B.v) stays 5 and D.v=10 > 5 holds). The flat dfs matcher
+    fixed the leftmost passing alternative per row (B) and missed the
+    match (ADVICE r6); cross-checks + multi-alternative positions now
+    route through the AST generator backtracker, which enumerates
+    per-repetition alternative choices."""
+    spark.createDataFrame(
+        [
+            (1, 1, "a", 1.0),
+            (1, 2, "x", 5.0),
+            (1, 3, "x", 50.0),
+            (1, 4, "d", 10.0),
+        ],
+        "user_id int, seq int, kind string, v double",
+    ).createOrReplaceTempView("__mr_xalt")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_seq, d_seq, last_b FROM __mr_xalt
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, D.seq AS d_seq, LAST(B.v) AS last_b
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A (B|C)+ D)
+            DEFINE A AS A.kind = 'a',
+                   B AS B.kind = 'x',
+                   C AS C.kind = 'x' AND C.v >= 10,
+                   D AS D.kind = 'd' AND D.v > B.v
+        )
+        """
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.a_seq, r.d_seq, r.last_b) == (1, 4, 5.0)
+
+
+def test_alternation_labeling_greedy_still_preferred_without_cross(spark):
+    """Same pattern WITHOUT cross-variable DEFINEs keeps the flat-dfs
+    path (and its leftmost-alternative, greedy-count preference)."""
+    spark.createDataFrame(
+        [
+            (1, 1, "a", 1.0),
+            (1, 2, "x", 5.0),
+            (1, 3, "x", 50.0),
+            (1, 4, "d", 10.0),
+        ],
+        "user_id int, seq int, kind string, v double",
+    ).createOrReplaceTempView("__mr_xalt2")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_seq, d_seq FROM __mr_xalt2
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, D.seq AS d_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A (B|C)+ D)
+            DEFINE A AS A.kind = 'a',
+                   B AS B.kind = 'x',
+                   C AS C.kind = 'x' AND C.v >= 10,
+                   D AS D.kind = 'd'
+        )
+        """
+    ).collect()
+    assert len(got) == 1
+    assert (got[0].a_seq, got[0].d_seq) == (1, 4)

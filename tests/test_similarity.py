@@ -104,3 +104,56 @@ def test_ann_pq_recall_floor(spark, sf_small):
     for r in QUERIES["sim_ann_pq"](spark, sf_small).collect():
         ranks.setdefault(r.query_id, []).append(r.rnk)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in ranks.values())
+
+
+def test_vectorized_udfs_null_safe(spark):
+    """NULL or ragged embedding rows flow through the Arrow-batched
+    bucketing/assignment/encode UDFs as NULL results (the semantics of
+    the JVM higher-order functions they replaced) instead of failing
+    the whole batch (ADVICE r6)."""
+    from training_flink_sql_cc_src_spark.queries.llm_similarity import (
+        _argmax_cell,
+        _pq_encode,
+        lsh_bucket,
+    )
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, None),
+        (2, [1.0, 2.0]),  # ragged: wrong length
+        (3, [0.0, -1.0, 0.5, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    got = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", lsh_bucket(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert got[0] is not None and got[3] is not None
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    got = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id", _argmax_cell(F.col("embedding"), cents).alias("c")
+        ).collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert got[0] == 0 and got[3] is not None
+
+    books = [
+        [[0.0, 0.0], [1.0, 1.0]],  # sub-space 0: 2 codes of dim 2
+        [[0.0, 0.0], [-1.0, 2.0]],  # sub-space 1
+    ]
+    got = {
+        r.vec_id: r.codes
+        for r in df.select(
+            "vec_id", _pq_encode(F.col("embedding"), books).alias("codes")
+        ).collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert len(got[0]) == 2 and len(got[3]) == 2

@@ -268,7 +268,10 @@ def _split_top_and(pred: str) -> list[str]:
     cur: list[str] = []
     i = 0
     in_lit = False
-    up = pred.upper()
+    # compare case-insensitively per SLICE (not via a pre-uppercased
+    # copy: str.upper() is not length-preserving — 'ß' -> 'SS' — so
+    # upper-string indices would desynchronize from pred inside string
+    # literals containing such characters)
     while i < len(pred):
         ch = pred[i]
         if ch == "'":
@@ -281,7 +284,7 @@ def _split_top_and(pred: str) -> list[str]:
             elif (
                 depth == 0
                 and ch.isspace()
-                and up[i + 1 : i + 4] == "AND"
+                and pred[i + 1 : i + 4].upper() == "AND"
                 and i + 4 < len(pred)
                 and pred[i + 4].isspace()
             ):
@@ -1894,6 +1897,25 @@ def _skip_past_selection(
     return matched.join(selected, on=pby + ["__mr_rn"], how="left_semi")
 
 
+def _pos_spec_to_ast(
+    pos_spec: list[tuple[list[str], int, int | None, bool]],
+) -> tuple:
+    """Equivalent nested-pattern AST for a flat position spec — used to
+    re-route a flat pattern through the generator backtracker when
+    per-row alternative choice matters (cross-variable DEFINEs)."""
+    terms: list[tuple] = []
+    for alts, lo, hi, lazy in pos_spec:
+        node: tuple = (
+            ("var", alts[0])
+            if len(alts) == 1
+            else ("alt", tuple(("var", a) for a in alts))
+        )
+        if not (lo == 1 and hi == 1 and not lazy):
+            node = ("quant", node, lo, hi, lazy)
+        terms.append(node)
+    return terms[0] if len(terms) == 1 else ("seq", tuple(terms))
+
+
 def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     """General adjacent pattern with UNBOUNDED quantifiers at arbitrary
     positions — PATTERN (A B+ C), (A* B C), (X{2,} Y Z) — with bounded
@@ -2041,6 +2063,19 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     pby = list(spec.partition_by)
     pattern_vars = list(spec.pattern)
     pattern_ast = spec.pattern_ast
+    # Cross-variable DEFINEs make matchability depend on WHICH
+    # alternative labels each row, but the flat dfs matcher fixes the
+    # leftmost passing alternative per row and backtracks only over
+    # repetition counts — so (A (B|C)+ D) with D AS D.x > LAST(B.x)
+    # could silently miss matches a true NFA finds. Route that
+    # combination through the AST generator backtracker, which
+    # enumerates per-repetition alternative choices (ADVICE r6).
+    if (
+        pattern_ast is None
+        and cross_checks
+        and any(len(alts) > 1 for alts, _, _, _ in pos_spec)
+    ):
+        pattern_ast = _pos_spec_to_ast(pos_spec)
     skip_past = spec.skip_past_last
     skip_to = spec.skip_to
     target_long = {

@@ -28,6 +28,28 @@ N_QUERY = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
 
 
+def _batch_matrix(col: pd.Series, dim: int):
+    """(n, dim) float64 matrix + validity mask for a batch of embedding
+    rows. NULL or ragged (wrong-length) rows are zero-filled and masked
+    instead of raising, so the vectorized UDFs preserve the NULL-in →
+    NULL-out semantics of the JVM higher-order functions they replaced
+    (one malformed row no longer fails the whole batch/job)."""
+    vals = col.tolist()
+    valid = np.fromiter(
+        (v is not None and len(v) == dim for v in vals),
+        dtype=bool,
+        count=len(vals),
+    )
+    x = np.zeros((len(vals), dim), dtype=np.float64)
+    idx = np.flatnonzero(valid)
+    if idx.size:
+        # inner None elements become NaN here (float conversion), which
+        # propagates to a NaN score — same poison behavior as the JVM
+        # fold's NULL arithmetic
+        x[idx] = np.asarray([vals[i] for i in idx], dtype=np.float64)
+    return x, valid
+
+
 @register(
     "sim_topk_bruteforce",
     oracle=f"""
@@ -158,13 +180,15 @@ def lsh_bucket(emb, planes: list[list[float]]):
     @F.pandas_udf("long")
     def bucketize(col: pd.Series) -> pd.Series:
         if len(col) == 0:
-            return pd.Series([], dtype="int64")
-        x = np.asarray(col.tolist(), dtype=np.float64)  # (n, D)
+            return pd.Series([], dtype="Int64")
+        x, valid = _batch_matrix(col, pmat.shape[1])  # (n, D)
         bits = (x @ pmat.T) >= 0  # (n, P)
         out = np.zeros(len(x), dtype=np.int64)
         for k in range(pmat.shape[0]):
             out = out * 2 + bits[:, k].astype(np.int64)
-        return pd.Series(out)
+        res = pd.Series(out, dtype="Int64")
+        res[~valid] = pd.NA
+        return res
 
     return bucketize(emb)
 
@@ -257,9 +281,13 @@ def _argmax_cell(emb, centroids: list[tuple[int, list[float]]]):
     @F.pandas_udf("int")
     def assign(col: pd.Series) -> pd.Series:
         if len(col) == 0:
-            return pd.Series([], dtype="int32")
-        x = np.asarray(col.tolist(), dtype=np.float64)
-        return pd.Series((x @ cmat.T).argmax(axis=1).astype("int32"))
+            return pd.Series([], dtype="Int32")
+        x, valid = _batch_matrix(col, cmat.shape[1])
+        res = pd.Series(
+            (x @ cmat.T).argmax(axis=1).astype("int32"), dtype="Int32"
+        )
+        res[~valid] = pd.NA
+        return res
 
     return assign(emb)
 
@@ -382,13 +410,15 @@ def _pq_encode(emb, codebooks):
     def enc(s: pd.Series) -> pd.Series:
         if len(s) == 0:
             return pd.Series([], dtype=object)
-        x = np.asarray(s.tolist(), dtype=np.float64)  # (n, D)
+        x, valid = _batch_matrix(s, n_sub * dim_sub)  # (n, D)
         out = np.empty((len(x), n_sub), dtype=np.int32)
         for m in range(n_sub):
             sub = x[:, m * dim_sub : (m + 1) * dim_sub]  # (n, d)
             dist = c_norms[m][None, :] - 2.0 * (sub @ books[m].T)
             out[:, m] = dist.argmin(axis=1)
-        return pd.Series(list(out))
+        return pd.Series(
+            [row if ok else None for row, ok in zip(out, valid)]
+        )
 
     return enc(emb)
 
