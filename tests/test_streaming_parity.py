@@ -685,11 +685,12 @@ def test_match_recognize_statement_streams_through_engine(spark, sf_small):
     assert got == batch and batch
 
 
-def test_stream_match_recognize_type_guards(spark, sf_small):
-    """The streaming MATCH_RECOGNIZE leg must reject shapes its stateful
-    matchers would silently mis-handle: numeric DEFINE literals (state is
-    compared as strings — zero matches), a non-STRING define column, and
-    a non-BIGINT partition key (the state schema hardcodes long)."""
+def test_stream_match_recognize_general_leg_guards(spark, sf_small):
+    """The general-predicate streaming leg accepts the shapes the old
+    eq-literal-only router rejected (numeric literals, non-string define
+    columns, non-bigint keys) and rejects — loudly — only what truly
+    needs the batch plan: cross-variable DEFINEs, PREV/NEXT navigation,
+    and WITHIN on a general-predicate A+ B run."""
     import pytest
 
     from training_flink_sql_cc_src_spark.engine import Engine
@@ -699,7 +700,7 @@ def test_stream_match_recognize_type_guards(spark, sf_small):
     )
     eng = Engine(spark)
     tmpl = """
-        SELECT user_id, a_ts FROM events_mr_guard
+        SELECT {key}, a_ts FROM events_mr_guard
         MATCH_RECOGNIZE (
             PARTITION BY {key}
             ORDER BY ts
@@ -707,32 +708,166 @@ def test_stream_match_recognize_type_guards(spark, sf_small):
             ONE ROW PER MATCH
             AFTER MATCH SKIP PAST LAST ROW
             PATTERN (A B)
-            DEFINE A AS A.{col} = {lit_a},
-                   B AS B.{col} = {lit_b}
+            DEFINE A AS {da},
+                   B AS {db}
         )
     """
-    # numeric literal over a numeric column
+    # numeric equality literals over a numeric column: now streams
     num = ev.withColumn("code", ev.user_id % 3)
-    with pytest.raises(NotImplementedError, match="quoted strings"):
-        eng.sql_stream(
-            tmpl.format(key="user_id", col="code", lit_a="1", lit_b="2"),
-            {"events_mr_guard": num},
-        )
-    # quoted literals but a non-string column
-    with pytest.raises(NotImplementedError, match="quoted strings"):
-        eng.sql_stream(
-            tmpl.format(key="user_id", col="code", lit_a="'1'", lit_b="'2'"),
-            {"events_mr_guard": num},
-        )
-    # non-bigint partition key
+    assert eng.sql_stream(
+        tmpl.format(key="user_id", da="A.code = 1", db="B.code = 2"),
+        {"events_mr_guard": num},
+    ) is not None
+    # non-bigint partition key: now streams (schemas derive the type)
     keyed = ev.withColumn("skey", ev.user_id.cast("string"))
-    with pytest.raises(NotImplementedError, match="BIGINT"):
+    assert eng.sql_stream(
+        tmpl.format(
+            key="skey",
+            da="A.event_type = 'view'",
+            db="B.event_type = 'click'",
+        ),
+        {"events_mr_guard": keyed},
+    ) is not None
+    # cross-variable DEFINE: batch-only
+    with pytest.raises(NotImplementedError, match="cross-variable"):
         eng.sql_stream(
             tmpl.format(
-                key="skey", col="event_type", lit_a="'view'", lit_b="'click'"
+                key="user_id",
+                da="A.event_type = 'view'",
+                db="B.event_id > A.event_id",
             ),
-            {"events_mr_guard": keyed},
+            {"events_mr_guard": ev},
         )
+    # PREV navigation: batch-only
+    with pytest.raises(NotImplementedError, match="PREV/NEXT"):
+        eng.sql_stream(
+            tmpl.format(
+                key="user_id",
+                da="A.event_type = 'view'",
+                db="B.event_id > PREV(B.event_id)",
+            ),
+            {"events_mr_guard": ev},
+        )
+    # WITHIN on a general-predicate A+ B run: batch-only
+    with pytest.raises(NotImplementedError, match="WITHIN"):
+        eng.sql_stream(
+            """
+            SELECT user_id, b_ts FROM events_mr_guard
+            MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY ts
+                MEASURES B.ts AS b_ts
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A+ B)
+                WITHIN INTERVAL '1' HOUR
+                DEFINE A AS A.event_id >= 0, B AS B.event_id < 0
+            )
+            """,
+            {"events_mr_guard": ev},
+        )
+
+
+def _cep_overlap_df(spark):
+    """Adversarial fixture for the general-predicate matchers: per key,
+    rows where the A and B predicates OVERLAP (a row satisfying both),
+    keyed by a STRING (exercising the derived key schema)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for key, vals in {
+        "a": [12, 15, 8, 11, 14, 13, 9, 16, 7, 12, 6],
+        "b": [10, 10, 10, 5, 12, 2, 3, 11, 4],
+        "c": [1, 3, 5, 7, 9],
+    }.items():
+        for i, v in enumerate(vals):
+            rows.append((key, base + dt.timedelta(seconds=i), v))
+    return spark.createDataFrame(rows, "k string, ts timestamp, v int")
+
+
+def test_general_run_pattern_stream_matches_batch(spark):
+    """PATTERN (A+ B) with OVERLAPPING general predicates (A: v >= 10,
+    B: v even — rows like 12 satisfy both): the O(1)-state greedy
+    matcher with the remembered in-run end candidate equals the batch
+    NFA, including matches finalized across micro-batch boundaries."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_overlap_df(spark)
+    stmt = """
+        SELECT k, CAST(last_a AS LONG) AS la, CAST(b_ts AS LONG) AS be
+        FROM cep_overlap
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES A.ts AS last_a, B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.v >= 10, B AS B.v % 2 = 0
+        )
+    """
+    df.createOrReplaceTempView("cep_overlap")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    eng = Engine(spark)
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_overlap": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+
+
+def test_general_sequence_stream_matches_batch_both_skip_modes(spark):
+    """Fixed-length (A B C) with overlapping predicates: matches can
+    share rows, so SKIP PAST LAST ROW and SKIP TO NEXT ROW genuinely
+    differ — the streaming leg reproduces the batch answer for BOTH."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_overlap_df(spark)
+    tmpl = """
+        SELECT k, CAST(a_ts AS LONG) AS ae, CAST(c_ts AS LONG) AS ce
+        FROM cep_seq_overlap
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES A.ts AS a_ts, C.ts AS c_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP {skip}
+            PATTERN (A B C)
+            DEFINE A AS A.v >= 5, B AS B.v % 2 = 0, C AS C.v >= 7
+        )
+    """
+    df.createOrReplaceTempView("cep_seq_overlap")
+    eng = Engine(spark)
+    results = {}
+    for skip in ("PAST LAST ROW", "TO NEXT ROW"):
+        stmt = tmpl.format(skip=skip)
+        # sql_stream re-registers the source view as a stream; restore
+        # the batch view before each batch oracle run
+        df.createOrReplaceTempView("cep_seq_overlap")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"cep_seq_overlap": s}),
+            output_mode="append",
+            n_files=4,
+            order_by="ts",
+        )
+        got = {tuple(r) for r in streamed.collect()}
+        assert got == batch and batch, skip
+        results[skip] = got
+    # the fixture is adversarial enough that the two modes differ
+    assert results["PAST LAST ROW"] != results["TO NEXT ROW"]
 
 
 def test_run_pattern_stream_matches_batch_plus(spark, sf_small):

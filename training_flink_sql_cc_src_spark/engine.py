@@ -256,16 +256,21 @@ class Engine:
         The batch lowering uses LEAD window functions, which Structured
         Streaming rejects; the streaming leg instead keys per-partition
         state (streaming/stateful.py — Flink CEP's model). Supported
-        continuously: the canonical lab shape — plain adjacent sequence
-        (or the A+ B run shape), every DEFINE an equality literal on ONE
-        shared column, a single PARTITION BY key, MEASURES of
-        ``Var.<order column>`` only. The matched stream is registered as
-        a view and the outer statement rewritten to read it. Returns None
-        when the statement has no MATCH_RECOGNIZE; raises the instructive
-        error for shapes only the batch path lowers."""
+        continuously: plain adjacent sequences of any fixed length and
+        the A+ B run shape with ARBITRARY row-local DEFINEs (any
+        single-row boolean predicate, compiled to a JVM flag column like
+        the batch NFA's booleans — predicates may overlap), plus the
+        A B+ C funnel for provably-disjoint eq-literal DEFINEs; a single
+        PARTITION BY key and MEASURES of ``Var.<order column>`` only.
+        The matched stream is registered as a view and the outer
+        statement rewritten to read it. Returns None when the statement
+        has no MATCH_RECOGNIZE; raises the instructive error for shapes
+        only the batch path lowers (cross-variable DEFINEs, PREV/NEXT
+        navigation, nested groups, WITHIN on a general-predicate run)."""
         from .plans.match_recognize import (
             UnsupportedPatternError,
             _eq_literal,
+            _provably_disjoint,
             parse_match_recognize,
         )
         from .streaming.stateful import (
@@ -281,10 +286,11 @@ class Engine:
         def unsupported(why: str):
             return NotImplementedError(
                 f"MATCH_RECOGNIZE over a stream: {why} — the streaming leg "
-                "supports plain adjacent sequences (or A+ B) with "
-                "equality-literal DEFINEs on one shared column, one "
-                "PARTITION BY key, and MEASURES of Var.<order column>; "
-                "run the statement in batch (Engine.sql) or use "
+                "supports plain adjacent sequences and A+ B runs with "
+                "row-local DEFINEs (arbitrary single-row predicates), "
+                "plus the eq-literal A B+ C funnel, one PARTITION BY "
+                "key, and MEASURES of Var.<order column>; run the "
+                "statement in batch (Engine.sql) or use "
                 "streaming/stateful.py directly for custom state machines"
             )
 
@@ -305,13 +311,6 @@ class Engine:
             raise unsupported("alternation groups")
         if len(spec.partition_by) != 1:
             raise unsupported("multiple PARTITION BY keys")
-        eqs = [_eq_literal(spec.defines[v]) for v in spec.pattern]
-        if any(e is None for e in eqs) or len({c for c, _ in eqs}) != 1:
-            raise unsupported(
-                "DEFINEs must be equality literals on one shared column"
-            )
-        type_col = eqs[0][0]
-        types = [lit.strip("'") for _, lit in eqs]
         ts_col = spec.order_by[0]
         tiebreak = spec.order_by[1] if len(spec.order_by) > 1 else None
         key = spec.partition_by[0]
@@ -319,26 +318,35 @@ class Engine:
         sdf = sources.get(spec.table)
         if sdf is None:
             raise unsupported(f"pattern input {spec.table!r} not in sources")
-
-        # The stateful matchers compare DEFINE literals as Python strings
-        # and hardcode '<key> long' in their state/output schemas — a
-        # numeric type column would silently match nothing and a non-long
-        # key would break the output schema. Validate both up front.
         dtypes = dict(sdf.dtypes)
-        if any(
-            not (lit.startswith("'") and lit.endswith("'")) for _, lit in eqs
-        ) or dtypes.get(type_col) != "string":
-            raise unsupported(
-                f"DEFINE literals must be quoted strings over a STRING "
-                f"column ({type_col!r} is {dtypes.get(type_col)!r}; the "
-                "streaming matchers carry state as strings)"
+
+        # Two streaming lowerings. EQ mode (the original leg): every
+        # DEFINE an equality literal on ONE shared string column and a
+        # bigint key — the specialized matchers (incl. the A B+ C funnel
+        # and WITHIN on runs, which lean on provably-disjoint
+        # predicates). Everything else falls to the GENERAL leg: each
+        # row-local DEFINE compiles to a JVM boolean column (the batch
+        # NFA's precomputed flags) and keyed state matches over the flag
+        # bitmasks — predicates may overlap, any key type.
+        eqs = [_eq_literal(spec.defines[v]) for v in spec.pattern]
+        eq_mode = (
+            # _provably_disjoint: distinct literals on one column, so no
+            # row satisfies two variables — the specialized matchers'
+            # standing assumption (repeated literals would make skip-mode
+            # overlap matter; the general leg handles that correctly)
+            _provably_disjoint(spec)  # implies every eqs entry parsed
+            and all(
+                lit.startswith("'") and lit.endswith("'") for _, lit in eqs
             )
-        if dtypes.get(key) != "bigint":
-            raise unsupported(
-                f"PARTITION BY key must be BIGINT ({key!r} is "
-                f"{dtypes.get(key)!r}; the streaming state schema keys by "
-                "long)"
+            and dtypes.get(eqs[0][0]) == "string"
+            and dtypes.get(key) == "bigint"
+        )
+        if not eq_mode:
+            return self._match_recognize_stream_general(
+                stmt, spec, sdf, key, ts_col, tiebreak, unsupported
             )
+        type_col = eqs[0][0]
+        types = [lit.strip("'") for _, lit in eqs]
 
         if (spec.unbounded or spec.pos_quants) and spec.plus is None:
             # general NFA shapes: only the three-variable A B+ C funnel
@@ -394,6 +402,17 @@ class Engine:
                 var: f"ts_{i + 1}" for i, var in enumerate(spec.pattern)
             }
 
+        return self._mr_register_view(
+            stmt, spec, matched, key, ts_col, pos_col, unsupported
+        )
+
+    def _mr_register_view(
+        self, stmt, spec, matched, key, ts_col, pos_col, unsupported
+    ) -> str:
+        """Shared tail of both streaming MATCH_RECOGNIZE legs: project
+        the MEASURES from the matcher's positional ts columns, register
+        the matched stream as a view, and rewrite the outer statement to
+        read it."""
         from pyspark.sql import functions as F
 
         select = [F.col(key)]
@@ -409,6 +428,113 @@ class Engine:
         start, end = spec.span
         alias_sql = f" AS {spec.out_alias}" if spec.out_alias else ""
         return f"{stmt[:start]}FROM {view}{alias_sql}{stmt[end:]}"
+
+    def _match_recognize_stream_general(
+        self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported
+    ) -> str:
+        """General-predicate streaming MATCH_RECOGNIZE leg: each
+        row-local DEFINE (arbitrary single-row boolean predicate — any
+        comparison, conjunction, function of the row's own columns)
+        compiles to a JVM boolean column exactly like the batch NFA's
+        precomputed per-variable flags; the keyed-state matchers
+        (streaming/stateful.py) then run over flag bitmasks, so
+        predicates may OVERLAP (a row satisfying several variables) and
+        the key can be any type. Covers adjacent sequences of any fixed
+        length and the A+ B run shape; cross-variable references,
+        PREV/NEXT/FIRST/LAST navigation, and WITHIN-on-a-run stay
+        batch-only, rejected loudly."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from .plans.match_recognize import (
+            _NAV_DEF_RE,
+            _NEXT_RE,
+            _PREV_RE,
+            _pred_at_offset,
+        )
+        from .streaming.stateful import (
+            run_flags_stream,
+            sequence_flags_stream,
+        )
+
+        cols = sdf.columns
+        for v in spec.pattern:
+            pred = spec.defines[v]
+            if (
+                _PREV_RE.search(pred)
+                or _NEXT_RE.search(pred)
+                or _NAV_DEF_RE.search(pred)
+            ):
+                raise unsupported(
+                    f"DEFINE for {v}: PREV/NEXT/FIRST/LAST navigation "
+                    "over a stream (physical/logical offsets need the "
+                    "batch window plan)"
+                )
+            foreign = sorted(
+                set(_re.findall(r"\b(\w+)\s*\.", pred)) - {v}
+            )
+            if foreign:
+                raise unsupported(
+                    f"DEFINE for {v}: cross-variable references "
+                    f"{foreign} over a stream (the partial-match "
+                    "bindings live only in the batch NFA)"
+                )
+        if (spec.unbounded or spec.pos_quants) and spec.plus is None:
+            raise unsupported(
+                "general unbounded patterns (the general-predicate "
+                "streaming leg covers adjacent sequences and A+ B; the "
+                "A B+ C funnel streams with eq-literal DEFINEs)"
+            )
+        flagged = sdf
+        flag_cols: list[str] = []
+        for i, v in enumerate(spec.pattern):
+            c = f"__mrs_{i}"
+            flagged = flagged.withColumn(
+                c,
+                F.coalesce(
+                    F.expr(_pred_at_offset(spec.defines[v], v, 0, cols)),
+                    F.lit(False),
+                ),
+            )
+            flag_cols.append(c)
+        if spec.plus is not None:
+            if spec.plus[2] != 1:
+                raise unsupported(
+                    "A{n,} / A* run bounds (the streaming matcher tracks "
+                    "O(1) state assuming a plain A+ run — use the batch "
+                    "path)"
+                )
+            if not spec.skip_past_last:
+                raise unsupported(
+                    "A+ B with SKIP TO NEXT ROW (per-start emission needs "
+                    "unbounded per-key state; SKIP PAST LAST ROW streams "
+                    "with O(1) state)"
+                )
+            if spec.within_seconds is not None:
+                raise unsupported(
+                    "WITHIN on a general-predicate A+ B run (re-anchoring "
+                    "a too-old match start mid-run needs the run rows' "
+                    "timestamps — unbounded state; eq-literal disjoint "
+                    "DEFINEs or the batch path support WITHIN)"
+                )
+            matched = run_flags_stream(
+                flagged, key, ts_col, flag_cols[0], flag_cols[1],
+                tiebreak_col=tiebreak,
+            )
+            pos_col = {spec.plus[0]: "last_ts", spec.plus[1]: "end_ts"}
+        else:
+            matched = sequence_flags_stream(
+                flagged, key, ts_col, flag_cols,
+                within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
+                skip_past=spec.skip_past_last,
+            )
+            pos_col = {
+                var: f"ts_{i + 1}" for i, var in enumerate(spec.pattern)
+            }
+        return self._mr_register_view(
+            stmt, spec, matched, key, ts_col, pos_col, unsupported
+        )
 
     def _window_dedup_stream(self, stmt: str) -> DataFrame | None:
         """Lower Flink's Window Deduplication statement for CONTINUOUS

@@ -392,3 +392,195 @@ def mid_run_pattern_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sequence_flags_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    flag_cols: list[str],
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+    skip_past: bool = False,
+) -> DataFrame:
+    """Streaming matcher for an adjacent fixed-length sequence with
+    ARBITRARY row-local predicates — the general-predicate continuous
+    leg of the MATCH_RECOGNIZE lowering (round-7: beyond equality
+    literals). ``flag_cols[i]`` is a BOOLEAN column (compiled JVM-side
+    from variable i's DEFINE, exactly like the batch NFA's precomputed
+    per-variable booleans) that row i of the window must satisfy.
+
+    Because predicates may OVERLAP (one row can satisfy several
+    variables), state keeps the last L-1 rows' flag BITMASKS + ts — a
+    fixed-width window, same O(distinct keys x (L-1)) cost as the
+    eq-literal matcher. With overlapping predicates the skip mode
+    MATTERS (matches can share rows): ``skip_past=False`` gives AFTER
+    MATCH SKIP TO NEXT ROW (every start may match); ``skip_past=True``
+    clears the window after each match — exactly the batch scan
+    resuming past the consumed rows. Emits (key, ts_1 .. ts_L)."""
+    length = len(flag_cols)
+    if length < 2:
+        raise ValueError("sequence pattern needs at least 2 steps")
+    hist = length - 1
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, " + ", ".join(
+        f"ts_{i + 1} timestamp" for i in range(length)
+    )
+    state_schema = ", ".join(
+        f"m{i} long, s{i} timestamp" for i in range(1, hist + 1)
+    )
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        window: list[tuple] = []  # (mask, ts), oldest first
+        if state.exists:
+            vals = state.get
+            window = [
+                (vals[2 * i], vals[2 * i + 1])
+                for i in range(hist)
+                if vals[2 * i] is not None
+            ]
+        matches: list[list] = []
+        for pdf in batches:
+            sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(sort_cols)
+            flags = [
+                pdf[c].fillna(False).to_numpy(dtype=bool) for c in flag_cols
+            ]
+            ts_vals = list(pdf[ts_col])
+            for r in range(len(pdf)):
+                mask = 0
+                for i in range(length):
+                    if flags[i][r]:
+                        mask |= 1 << i
+                cur = (mask, ts_vals[r])
+                seq = window + [cur]
+                matched_here = False
+                if len(seq) == length and all(
+                    m & (1 << i) for i, (m, _) in enumerate(seq)
+                ):
+                    if (
+                        within_seconds is None
+                        or (seq[-1][1] - seq[0][1]).total_seconds()
+                        <= within_seconds
+                    ):
+                        matches.append([s for _, s in seq])
+                        matched_here = True
+                window = [] if (skip_past and matched_here) else seq[-hist:]
+        flat: list = []
+        for mask, ts in window:
+            flat += [mask, ts]
+        while len(flat) < 2 * hist:
+            flat = [None, None] + flat
+        state.update(tuple(flat))
+        if matches:
+            data = {key_col: [key[0]] * len(matches)}
+            for i in range(length):
+                data[f"ts_{i + 1}"] = [m[i] for m in matches]
+            yield pd.DataFrame(data)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_flags_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    run_flag_col: str,
+    end_flag_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming matcher for PATTERN (A+ B) with ARBITRARY row-local
+    predicates that may OVERLAP (a row can satisfy both A and B) —
+    reproducing the batch NFA's greedy backtracking under AFTER MATCH
+    SKIP PAST LAST ROW with O(1) state per key:
+
+    - a run row satisfying BOTH predicates is consumed greedily as A but
+      remembered as the latest in-run end candidate (``pend``);
+    - when a row breaks the run (fails A): if it satisfies B the longest
+      match emits (run, break row); otherwise the remembered candidate
+      emits ((run up to pend-1), pend) — rows after ``pend`` cannot
+      contain a later candidate (pend is the LAST B-satisfying run row)
+      and the break row kills any remainder run, so a full reset is
+      exact.
+
+    A match is finalized only when a row fails A — the same
+    longest-match-needs-a-terminator contract as Flink CEP's greedy
+    unbounded quantifier. WITHIN is not supported here: a too-old run
+    start would require re-anchoring the match start mid-run, which
+    needs the run rows' timestamps (unbounded state); the router
+    rejects that combination loudly. Emits (key, first_ts, last_ts,
+    end_ts) like the eq-literal matcher."""
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, first_ts timestamp, last_ts timestamp, "
+        "end_ts timestamp"
+    )
+    state_schema = (
+        "run_start timestamp, run_last timestamp, "
+        "pend timestamp, pend_prev timestamp"
+    )
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        run_start, run_last, pend, pend_prev = (
+            state.get if state.exists else (None, None, None, None)
+        )
+        firsts, lasts, ends = [], [], []
+        for pdf in batches:
+            sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(sort_cols)
+            a_flags = pdf[run_flag_col].fillna(False).to_numpy(dtype=bool)
+            b_flags = pdf[end_flag_col].fillna(False).to_numpy(dtype=bool)
+            ts_vals = list(pdf[ts_col])
+            for r in range(len(pdf)):
+                a, b, cur_ts = a_flags[r], b_flags[r], ts_vals[r]
+                if run_start is None:
+                    if a:
+                        run_start = run_last = cur_ts
+                        pend = pend_prev = None
+                elif a:
+                    if b:
+                        pend, pend_prev = cur_ts, run_last
+                    run_last = cur_ts
+                elif b:
+                    firsts.append(run_start)
+                    lasts.append(run_last)
+                    ends.append(cur_ts)
+                    run_start = run_last = pend = pend_prev = None
+                else:
+                    if pend is not None:
+                        firsts.append(run_start)
+                        lasts.append(pend_prev)
+                        ends.append(pend)
+                    run_start = run_last = pend = pend_prev = None
+        state.update((run_start, run_last, pend, pend_prev))
+        if firsts:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(firsts),
+                    "first_ts": firsts,
+                    "last_ts": lasts,
+                    "end_ts": ends,
+                }
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
