@@ -414,3 +414,15 @@ def test_semdedup_no_cartesian(spark, sf_med):
     plan = _plan(spark, "pipeline_semdedup", sf_med)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_join_sql_pushdown_no_cartesian(spark, sf_med):
+    """WINDOW JOIN through the SQL front door: each side's event_type
+    filter must reach its parquet scan, the two windowed aggregates keep
+    one shuffle each, and the equality join on (window_start, window_end)
+    must never degrade to a cartesian/nested-loop plan."""
+    plan = _plan(spark, "window_join_sql", sf_med)
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

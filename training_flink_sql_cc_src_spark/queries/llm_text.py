@@ -347,14 +347,19 @@ def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines where ln's last ulp is not (registry hash rule). Scale: "
     "explode -> one (doc,term) count shuffle; df is a second aggregate "
     "over the (term) key; the tf-df join shuffles on term (vocabulary "
-    "is unbounded at 100 TB, so no broadcast hint); per-doc top-3 rides "
-    "WindowGroupLimit (O(k) map-side state). Ties break on term.",
+    "is unbounded at 100 TB, so no broadcast hint); the corpus count is "
+    "a 1-row broadcast aggregate fused into the same job (no separate "
+    "count() action); per-doc top-3 rides WindowGroupLimit (O(k) "
+    "map-side state). Ties break on term.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # corpus size as a 1-row aggregate cross-joined into the plan (the
+    # q22 scalar-subquery trick) — fuses into the single job instead of
+    # a separate driver-side d.count() action
+    n = d.agg(F.count("*").cast("double").alias("__n_docs"))
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
@@ -366,7 +371,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = (
         F.col("tf").cast("double")
-        * F.lit(float(n_docs))
+        * F.col("__n_docs")
         / F.col("df").cast("double")
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -374,6 +379,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(df, "term")
+        .join(F.broadcast(n))
         .withColumn("score", score)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)

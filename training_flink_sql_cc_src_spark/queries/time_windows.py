@@ -1533,6 +1533,60 @@ def window_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_join_sql",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS ws,
+               COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), purchases AS (
+        SELECT ({EPOCH_SQL.format(x='ts')} // 3600) * 3600 AS ws,
+               COUNT(*) AS n_purchases,
+               {DSUM_SQL.format(x='value')} AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT c.ws AS window_start, c.n_clicks, p.n_purchases, p.purchase_value
+    FROM clicks c
+    INNER JOIN purchases p ON c.ws = p.ws
+    """,
+    doc="Flink's WINDOW JOIN through the SQL FRONT DOOR (rounding out "
+    "the TVF statement surface beside TUMBLE/HOP/SESSION/CUMULATE "
+    "aggregates, Window Top-N, and Window Dedup): two windowed "
+    "aggregates — each a TUMBLE TVF derived table — joined on "
+    "identical (window_start, window_end) boundaries, accepted "
+    "verbatim by the StatementRouter. Same oracle as the DataFrame "
+    "window_join. Both sides aggregate on the join key, so the join "
+    "reuses the aggregation partitioning with no extra shuffle.",
+)
+def window_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__wjoin_sql_events")
+    return StatementRouter(spark).execute(
+        """
+        SELECT CAST(L.window_start AS LONG) AS window_start, L.n_clicks,
+               R.n_purchases, R.purchase_value
+        FROM (
+          SELECT window_start, window_end, COUNT(*) AS n_clicks
+          FROM TABLE(TUMBLE(TABLE __wjoin_sql_events, DESCRIPTOR(ts),
+                            INTERVAL '1' HOUR))
+          WHERE event_type = 'click'
+          GROUP BY window_start, window_end
+        ) L INNER JOIN (
+          SELECT window_start, window_end, COUNT(*) AS n_purchases,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                     AS purchase_value
+          FROM TABLE(TUMBLE(TABLE __wjoin_sql_events, DESCRIPTOR(ts),
+                            INTERVAL '1' HOUR))
+          WHERE event_type = 'purchase'
+          GROUP BY window_start, window_end
+        ) R ON L.window_start = R.window_start
+           AND L.window_end = R.window_end
+        """
+    )
+
+
+@register(
     "pattern_match_recognize_crossvar",
     oracle=f"""
     WITH seq AS (

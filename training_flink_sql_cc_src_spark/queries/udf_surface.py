@@ -50,6 +50,40 @@ def pandas_udf_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pandas_udf_entropy_rounded",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents
+    ), hist AS (
+        SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM ch GROUP BY doc_id, c
+    ), tot AS (
+        SELECT doc_id, SUM(cnt) AS n FROM hist GROUP BY doc_id
+    )
+    SELECT h.doc_id, ROUND(-SUM((cnt / n) * LOG2(cnt / n)), 6) AS entropy_r
+    FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id
+    """,
+    doc="Oracle-paired variant of the scalar pandas-UDF entropy "
+    "(pandas_udf_entropy stays rows-only because the per-row float "
+    "accumulation order inside the UDF differs from SQL SUM in the "
+    "last ulp): rounding to 6 decimals absorbs the cross-engine float "
+    "noise while hash-verifying the Arrow scalar-UDF plumbing — "
+    "per-row histogram, log2 math, batch round trip — against a "
+    "DuckDB character-explode formulation (same pattern as "
+    "pandas_grouped_zscore_rounded).",
+)
+def pandas_udf_entropy_rounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.select(
+        "doc_id",
+        F.round(char_entropy(F.col("text")), 6).alias("entropy_r"),
+    )
+
+
+@register(
     "pandas_grouped_zscore",
     oracle=None,  # pandas mean/std float order differs from SQL aggregation;
     # verified against Spark-native window computation in tests
