@@ -100,6 +100,49 @@ def run_one(spark, fn, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def corpus_stats(spark, sf_dir: str) -> dict:
+    """Data-shape fingerprint of the documents corpus, embedded in the
+    bench JSON so the regression ratchet can tell plan regressions apart
+    from driver data regenerations (round-6 lesson: a denser corpus
+    tripled per-candidate work in dedup_jaccard_blocked_pairs with zero
+    code change). One cheap job: row count, mean length, vocabulary
+    size, and the blocked-join candidate-pair count — the direct cost
+    driver of every (lang, len_band)-blocked pairwise query."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = F.array_distinct(F.split("text", " "))
+    row = (
+        d.select(
+            "n_chars",
+            F.size(words).alias("n_words"),
+            F.explode(words).alias("word"),
+            "lang",
+            (F.col("n_chars") / 100).cast("long").alias("len_band"),
+        )
+        .agg(
+            F.count_distinct("word").alias("vocab"),
+            F.count(F.lit(1)).alias("tok_rows"),
+        )
+        .collect()[0]
+    )
+    blocks = (
+        d.groupBy("lang", (F.col("n_chars") / 100).cast("long"))
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("bp"))
+        .collect()[0]
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("n_chars").alias("mc")
+    ).collect()[0]
+    return {
+        "n_docs": int(base.n),
+        "mean_n_chars": round(float(base.mc), 2),
+        "vocab_size": int(row.vocab),
+        "block_candidate_pairs": int(blocks.bp),
+    }
+
+
 def best_prior() -> dict[str, float]:
     """Per-query MINIMUM across every recorded BENCH_r*.json — the
     best-known time is the ratchet reference. Comparing only to the
@@ -159,6 +202,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "corpus": corpus_stats(spark, SF_DIR),
     }
     acks = load_acks()
     if acks:
