@@ -4,13 +4,30 @@ Python re is an INDEPENDENT leftmost-greedy backtracking matcher with the
 same preference semantics SQL row patterns specify (greedy/lazy
 quantifiers, first-alternative) — so for eq-literal DEFINEs over a char
 column, per-start match spans must agree exactly.
+
+Grammar covered (round 7 widened): sequences, alternation groups, nested
+groups, all quantifier forms incl. reluctant, WITHIN, both skip modes,
+AFTER MATCH SKIP TO FIRST/LAST <var> (reference models the resume walk
+and the Flink loop-forever error), PATTERN (PERMUTE (...)) (reference =
+alternation over permutations in listed order, SQL:2016 preference), and
+{- X -} exclusions (comparison is the exact emitted row set per match,
+not just the span, so output suppression is verified row-for-row).
+
+Because every DEFINE is an eq-literal on a per-variable DISTINCT char,
+the row->variable mapping of any match is recoverable from the input
+chars alone — which is what lets the reference model SKIP TO targets and
+exclusion sets without instrumenting the regex.
 """
+import itertools
 import random
 import sys
 
 sys.path.insert(0, ".")
 import re as pyre
 
+from training_flink_sql_cc_src_spark.plans.match_recognize import (
+    UnsupportedPatternError,
+)
 from training_flink_sql_cc_src_spark.plans.router import StatementRouter
 from training_flink_sql_cc_src_spark.session import get_spark
 
@@ -19,19 +36,22 @@ CHARS = {"A": "a", "B": "b", "C": "c", "D": "d"}
 
 
 def rand_pattern(rng, depth=0):
-    """Return (engine_pattern, py_regex, used_vars)."""
+    """Return (engine_pattern, py_regex, used_vars, excluded_vars)."""
     n_terms = rng.randint(2, 3) if depth == 0 else rng.randint(1, 2)
     terms, regexes, used = [], [], []
+    excluded: set[str] = set()
     avail = [v for v in VARS]
     rng.shuffle(avail)
     for _ in range(n_terms):
         kind = rng.random()
+        excludable = None
         if kind < 0.55 or depth >= 2 or len(avail) < 2:
             if not avail:
                 break
             v = avail.pop()
             used.append(v)
             base_e, base_r = v, CHARS[v]
+            excludable = v
         elif kind < 0.8:
             # alternation group of single vars
             k = min(2, len(avail))
@@ -41,11 +61,12 @@ def rand_pattern(rng, depth=0):
             base_r = "(?:" + "|".join(CHARS[v] for v in vs) + ")"
         else:
             # nested sequence group
-            sub_e, sub_r, sub_used = rand_pattern(rng, depth + 1)
+            sub_e, sub_r, sub_used, sub_excl = rand_pattern(rng, depth + 1)
             for v in sub_used:
                 if v in avail:
                     avail.remove(v)
             used += sub_used
+            excluded |= sub_excl
             base_e = "(" + sub_e + ")"
             base_r = "(?:" + sub_r + ")"
         q = rng.random()
@@ -65,13 +86,35 @@ def rand_pattern(rng, depth=0):
             quant = "{%d,}" % rng.randint(1, 2)
         if quant and rng.random() < 0.25:
             quant += "?"  # reluctant
-        terms.append(base_e + quant)
+        term_e = base_e + quant
+        if excludable is not None and rng.random() < 0.2:
+            # {- X -} / {- X+ -}: matched normally, rows suppressed
+            term_e = "{- " + term_e + " -}"
+            excluded.add(excludable)
+        terms.append(term_e)
         regexes.append(base_r + quant)
     if not terms:
         v = avail.pop() if avail else "A"
         used.append(v)
         terms, regexes = [v], [CHARS[v]]
-    return " ".join(terms), "".join(regexes), used
+    return " ".join(terms), "".join(regexes), used, excluded
+
+
+def permute_pattern(rng):
+    """PATTERN (PERMUTE (X, Y[, Z])): reference is the alternation of all
+    orderings with listed-order (lexicographic) preference — exactly what
+    itertools.permutations + first-alternative regex preference gives."""
+    k = rng.randint(2, 3)
+    vs = rng.sample(VARS, k)
+    pat_e = "PERMUTE (" + ", ".join(vs) + ")"
+    pat_r = (
+        "(?:"
+        + "|".join(
+            "".join(CHARS[v] for v in p) for p in itertools.permutations(vs)
+        )
+        + ")"
+    )
+    return pat_e, pat_r, vs, set()
 
 
 def min_len_ok(py_regex):
@@ -87,7 +130,10 @@ def main(n_cases, seed):
     failures = 0
     tried = 0
     while tried < n_cases:
-        pat_e, pat_r, used = rand_pattern(rng)
+        if rng.random() < 0.12:
+            pat_e, pat_r, used, excl = permute_pattern(rng)
+        else:
+            pat_e, pat_r, used, excl = rand_pattern(rng)
         if len(set(used)) != len(used) or not min_len_ok(pat_r):
             continue
         defines = ", ".join(
@@ -97,7 +143,20 @@ def main(n_cases, seed):
         alphabet = [CHARS[v] for v in used] + ["x"]
         types = "".join(rng.choice(alphabet) for _ in range(n))
         tried += 1
-        skip_past = rng.random() < 0.4
+        # skip mode: NEXT ROW / PAST LAST ROW / TO FIRST|LAST <var>
+        sk = rng.random()
+        if sk < 0.35:
+            skip_mode = ("NEXT",)
+        elif sk < 0.7:
+            skip_mode = ("PAST",)
+        else:
+            skip_mode = (rng.choice(["FIRST", "LAST"]), rng.choice(used))
+        if skip_mode[0] == "NEXT":
+            skip_sql = "SKIP TO NEXT ROW"
+        elif skip_mode[0] == "PAST":
+            skip_sql = "SKIP PAST LAST ROW"
+        else:
+            skip_sql = f"SKIP TO {skip_mode[0]} {skip_mode[1]}"
         # WITHIN k seconds with ts = seq seconds: only rows s..s+k are
         # reachable from start s — the reference matches against the
         # TRUNCATED input (greedy behavior beyond the horizon included)
@@ -109,6 +168,8 @@ def main(n_cases, seed):
             "user_id", "seq", "et",
             "timestamp_seconds(seq) AS ts"
         ).createOrReplaceTempView("__fuzz")
+        engine_err = None
+        got_rows = []
         try:
             got_rows = router.execute(
                 f"""
@@ -118,20 +179,32 @@ def main(n_cases, seed):
                     ORDER BY ts, seq
                     MEASURES MATCH_NUMBER() AS mn
                     ALL ROWS PER MATCH
-                    AFTER MATCH {'SKIP PAST LAST ROW' if skip_past else 'SKIP TO NEXT ROW'}
+                    AFTER MATCH {skip_sql}
                     PATTERN ({pat_e})
                     {f"WITHIN INTERVAL '{within}' SECOND" if within else ''}
                     DEFINE {defines}
                 )
                 """
             ).collect()
-        except NotImplementedError as e:
+        except (NotImplementedError, UnsupportedPatternError) as e:
             print(f"SKIP unsupported: {pat_e!r}: {e}", flush=True)
             continue
+        except Exception as e:  # runtime loop-forever walk error
+            if "loop forever" in str(e):
+                engine_err = "loop"
+            else:
+                failures += 1
+                print(
+                    f"ENGINE ERROR pattern={pat_e!r} skip={skip_sql!r} "
+                    f"types={types!r}: {e}",
+                    flush=True,
+                )
+                continue
+        # got: exact emitted row set per match (exclusions suppress rows)
         spans = {}
         for r in got_rows:
             spans.setdefault(r.mn, []).append(r.seq)
-        got = sorted((min(v), max(v)) for v in spans.values())
+        got = sorted(tuple(sorted(v)) for v in spans.values())
         rx = pyre.compile(pat_r)
         per_start = {}
         for st in range(len(types)):
@@ -139,25 +212,73 @@ def main(n_cases, seed):
             m = rx.match(hay, st)
             if m and m.end() > st:
                 per_start[st] = m.end() - 1
-        if skip_past:
-            want, cur = [], 0
-            for st in sorted(per_start):
-                if st >= cur:
-                    want.append((st, per_start[st]))
-                    cur = per_start[st] + 1
+        excl_chars = {CHARS[v] for v in excl}
+        want_err = None
+        if skip_mode[0] == "NEXT":
+            kept = sorted(per_start.items())
         else:
-            want = sorted(per_start.items())
+            # shared walk: keep a match when it starts at/after the
+            # resume cursor; the skip mode decides the next cursor
+            kept, cur = [], 0
+            for st in sorted(per_start):
+                if st < cur:
+                    continue
+                e = per_start[st]
+                kept.append((st, e))
+                if skip_mode[0] == "PAST":
+                    cur = e + 1
+                else:
+                    nav, tvar = skip_mode
+                    vpos = [
+                        j
+                        for j in range(st, e + 1)
+                        if types[j] == CHARS[tvar]
+                    ]
+                    if not vpos:
+                        # target variable unmatched: resume past the end
+                        cur = e + 1
+                        continue
+                    t = vpos[0] if nav == "FIRST" else vpos[-1]
+                    if t <= st:
+                        # resume target IS the match start: the engine
+                        # raises Flink's loop-forever error
+                        want_err = "loop"
+                        break
+                    cur = t
+        if engine_err or want_err:
+            if engine_err != want_err:
+                failures += 1
+                print(
+                    f"ERROR MISMATCH pattern={pat_e!r} skip={skip_sql!r} "
+                    f"types={types!r}: engine={engine_err} want={want_err}",
+                    flush=True,
+                )
+            tried_tick(tried, n_cases, failures)
+            continue
+        want = []
+        for st, e in kept:
+            emitted = tuple(
+                j for j in range(st, e + 1) if types[j] not in excl_chars
+            )
+            if emitted:
+                want.append(emitted)
+        want.sort()
         if got != want:
             failures += 1
             print(
                 f"MISMATCH pattern={pat_e!r} regex={pat_r!r} "
-                f"types={types!r}\n  got ={got}\n  want={want}",
+                f"skip={skip_sql!r} types={types!r}\n"
+                f"  got ={got}\n  want={want}",
                 flush=True,
             )
-        if tried % 25 == 0:
-            print(f"... {tried}/{n_cases} ({failures} failures)", flush=True)
+        tried_tick(tried, n_cases, failures)
     print(f"DONE: {tried} cases, {failures} failures", flush=True)
     return 1 if failures else 0
+
+
+def tried_tick(tried, n_cases, failures):
+    if tried % 25 == 0:
+        print(f"... {tried}/{n_cases} ({failures} failures)", flush=True)
 
 
 if __name__ == "__main__":
