@@ -738,13 +738,22 @@ def test_stream_match_recognize_general_leg_guards(spark, sf_small):
             ),
             {"events_mr_guard": ev},
         )
-    # PREV navigation: batch-only
-    with pytest.raises(NotImplementedError, match="PREV/NEXT"):
+    # physical PREV navigation: streams via the keyed lag pre-pass
+    assert eng.sql_stream(
+        tmpl.format(
+            key="user_id",
+            da="A.event_type = 'view'",
+            db="B.event_id > PREV(B.event_id)",
+        ),
+        {"events_mr_guard": ev},
+    ) is not None
+    # NEXT (lookahead) navigation: batch-only
+    with pytest.raises(NotImplementedError, match="NEXT/FIRST/LAST"):
         eng.sql_stream(
             tmpl.format(
                 key="user_id",
                 da="A.event_type = 'view'",
-                db="B.event_id > PREV(B.event_id)",
+                db="B.event_id > NEXT(B.event_id)",
             ),
             {"events_mr_guard": ev},
         )
@@ -868,6 +877,84 @@ def test_general_sequence_stream_matches_batch_both_skip_modes(spark):
         results[skip] = got
     # the fixture is adversarial enough that the two modes differ
     assert results["PAST LAST ROW"] != results["TO NEXT ROW"]
+
+
+def test_general_sequence_stream_prev_navigation_matches_batch(spark):
+    """PATTERN (A B) where B's DEFINE navigates PHYSICALLY with
+    PREV(B.v) (= the A row) and PREV(B.v, 2) (= the row BEFORE the
+    match start): the streaming keyed-lag pre-pass must reproduce the
+    batch lowering's lag helper columns, including predecessors that
+    live in an earlier micro-batch, and NULL lags at partition heads."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_overlap_df(spark)
+    for db in ("B.v > PREV(B.v)", "B.v > PREV(B.v, 2)"):
+        stmt = f"""
+            SELECT k, CAST(a_ts AS LONG) AS ae, CAST(b_ts AS LONG) AS be
+            FROM cep_prev_seq
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES A.ts AS a_ts, B.ts AS b_ts
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP TO NEXT ROW
+                PATTERN (A B)
+                DEFINE A AS A.v >= 5, B AS {db}
+            )
+        """
+        df.createOrReplaceTempView("cep_prev_seq")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        eng = Engine(spark)
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"cep_prev_seq": s}),
+            output_mode="append",
+            n_files=5,
+            order_by="ts",
+        )
+        got = {tuple(r) for r in streamed.collect()}
+        assert got == batch and batch, db
+
+
+def test_general_run_stream_prev_navigation_matches_batch(spark):
+    """PATTERN (A+ B) where A is a strictly-RISING run (A.v > PREV(A.v))
+    and B a drop (B.v < PREV(B.v)): the classic physical-navigation CEP.
+    The lag column rides per row, so the O(1)-state run matcher streams
+    it unchanged — equal to the batch lowering across batch splits."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_overlap_df(spark)
+    stmt = """
+        SELECT k, CAST(last_a AS LONG) AS la, CAST(b_ts AS LONG) AS be
+        FROM cep_prev_run
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES A.ts AS last_a, B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.v > PREV(A.v), B AS B.v < PREV(B.v)
+        )
+    """
+    df.createOrReplaceTempView("cep_prev_run")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    eng = Engine(spark)
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_prev_run": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
 
 
 def test_run_pattern_stream_matches_batch_plus(spark, sf_small):

@@ -440,8 +440,16 @@ class Engine:
         (streaming/stateful.py) then run over flag bitmasks, so
         predicates may OVERLAP (a row satisfying several variables) and
         the key can be any type. Covers adjacent sequences of any fixed
-        length and the A+ B run shape; cross-variable references,
-        PREV/NEXT/FIRST/LAST navigation, and WITHIN-on-a-run stay
+        length and the A+ B run shape. Physical PREV(X.col, n)
+        navigation streams too, as comparison conjuncts: a DEFINE splits
+        on top-level AND; conjuncts of the form
+        ``<operand> OP <operand>`` with a PREV reference are evaluated
+        inside the matcher against a bounded value history held in the
+        SAME keyed state (Spark forbids chaining two stateful operators,
+        so the lag cannot be a separate pre-pass), while the row-local
+        remainder still compiles to a JVM flag. Cross-variable
+        references, NEXT/FIRST/LAST (lookahead / match bindings),
+        non-comparison PREV conjuncts, and WITHIN-on-a-run stay
         batch-only, rejected loudly."""
         import re as _re
 
@@ -452,6 +460,7 @@ class Engine:
             _NEXT_RE,
             _PREV_RE,
             _pred_at_offset,
+            _split_top_and,
         )
         from .streaming.stateful import (
             run_flags_stream,
@@ -459,20 +468,100 @@ class Engine:
         )
 
         cols = sdf.columns
+        field_types = {f.name: f.dataType.simpleString() for f in sdf.schema}
+        opnd = (
+            r"(?:PREV\s*\(\s*\w+\.\w+\s*(?:,\s*\d+)?\s*\)"
+            r"|\w+(?:\.\w+)?|'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+        )
+        cmp_re = _re.compile(
+            rf"^\s*(?P<l>{opnd})\s*(?P<op><>|!=|>=|<=|=|>|<)\s*"
+            rf"(?P<r>{opnd})\s*$",
+            _re.IGNORECASE,
+        )
+
+        def _operand_spec(tok: str, v: str, need: set):
+            pm = _PREV_RE.fullmatch(tok.strip())
+            if pm is not None:
+                col = pm.group("pcol")
+                if col not in cols:
+                    raise unsupported(
+                        f"DEFINE for {v}: PREV over unknown column {col!r}"
+                    )
+                n = int(pm.group("n") or 1)
+                need.add(col)
+                return ("prev", col, n)
+            tok = tok.strip()
+            if tok.startswith("'"):
+                return ("lit", tok[1:-1].replace("''", "'"))
+            if _re.fullmatch(r"-?\d+", tok):
+                return ("lit", int(tok))
+            if _re.fullmatch(r"-?\d+\.\d+", tok):
+                return ("lit", float(tok))
+            if tok.upper() in ("TRUE", "FALSE"):
+                return ("lit", tok.upper() == "TRUE")
+            if tok.upper() == "NULL":
+                return ("lit", None)
+            ref = tok.split(".")
+            if len(ref) == 2:
+                if ref[0] != v:
+                    raise unsupported(
+                        f"DEFINE for {v}: cross-variable reference "
+                        f"{tok!r} in a PREV conjunct over a stream"
+                    )
+                tok = ref[1]
+            if tok not in cols:
+                raise unsupported(
+                    f"DEFINE for {v}: unknown column {tok!r} in a PREV "
+                    "conjunct"
+                )
+            need.add(tok)
+            return ("col", tok)
+
+        # PREV(X.col, n) is PHYSICAL navigation (the n-th preceding
+        # partition row, regardless of X). Per DEFINE: top-level-AND
+        # conjuncts WITHOUT navigation recombine into the JVM flag;
+        # conjuncts WITH a PREV reference must be a plain comparison and
+        # are evaluated inside the matcher from its bounded row history.
+        preds: dict[str, str] = {}
+        prev_checks: list[list[tuple]] = []
+        need_cols: set[str] = set()
+        max_prev = 0
         for v in spec.pattern:
             pred = spec.defines[v]
-            if (
-                _PREV_RE.search(pred)
-                or _NEXT_RE.search(pred)
-                or _NAV_DEF_RE.search(pred)
-            ):
+            if _NEXT_RE.search(pred) or _NAV_DEF_RE.search(pred):
                 raise unsupported(
-                    f"DEFINE for {v}: PREV/NEXT/FIRST/LAST navigation "
-                    "over a stream (physical/logical offsets need the "
-                    "batch window plan)"
+                    f"DEFINE for {v}: NEXT/FIRST/LAST navigation over a "
+                    "stream (lookahead and match bindings need the batch "
+                    "window plan; physical PREV streams as comparison "
+                    "conjuncts)"
                 )
+            local_parts: list[str] = []
+            checks: list[tuple] = []
+            for conj in _split_top_and(pred):
+                if not _PREV_RE.search(conj):
+                    local_parts.append(conj)
+                    continue
+                body = conj.strip()
+                while body.startswith("(") and body.endswith(")"):
+                    body = body[1:-1].strip()
+                cm = cmp_re.fullmatch(body)
+                if cm is None:
+                    raise unsupported(
+                        f"DEFINE for {v}: PREV conjunct {conj!r} — over "
+                        "a stream PREV supports plain comparisons "
+                        "(<operand> OP <operand>, operands a column, "
+                        "literal, or PREV(col, n)); richer navigation "
+                        "needs the batch window plan"
+                    )
+                lhs = _operand_spec(cm.group("l"), v, need_cols)
+                rhs = _operand_spec(cm.group("r"), v, need_cols)
+                for side in (lhs, rhs):
+                    if side[0] == "prev":
+                        max_prev = max(max_prev, side[2])
+                checks.append((lhs, cm.group("op"), rhs))
+            local = " AND ".join(local_parts) if local_parts else "TRUE"
             foreign = sorted(
-                set(_re.findall(r"\b(\w+)\s*\.", pred)) - {v}
+                set(_re.findall(r"\b(\w+)\s*\.", local)) - {v}
             )
             if foreign:
                 raise unsupported(
@@ -480,6 +569,18 @@ class Engine:
                     f"{foreign} over a stream (the partial-match "
                     "bindings live only in the batch NFA)"
                 )
+            preds[v] = local
+            prev_checks.append(checks)
+        prev_spec = (
+            (
+                prev_checks,
+                sorted(need_cols),
+                max_prev,
+                {c: field_types[c] for c in need_cols},
+            )
+            if max_prev
+            else None
+        )
         if (spec.unbounded or spec.pos_quants) and spec.plus is None:
             raise unsupported(
                 "general unbounded patterns (the general-predicate "
@@ -493,7 +594,7 @@ class Engine:
             flagged = flagged.withColumn(
                 c,
                 F.coalesce(
-                    F.expr(_pred_at_offset(spec.defines[v], v, 0, cols)),
+                    F.expr(_pred_at_offset(preds[v], v, 0, cols)),
                     F.lit(False),
                 ),
             )
@@ -520,14 +621,14 @@ class Engine:
                 )
             matched = run_flags_stream(
                 flagged, key, ts_col, flag_cols[0], flag_cols[1],
-                tiebreak_col=tiebreak,
+                tiebreak_col=tiebreak, prev_spec=prev_spec,
             )
             pos_col = {spec.plus[0]: "last_ts", spec.plus[1]: "end_ts"}
         else:
             matched = sequence_flags_stream(
                 flagged, key, ts_col, flag_cols,
                 within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
-                skip_past=spec.skip_past_last,
+                skip_past=spec.skip_past_last, prev_spec=prev_spec,
             )
             pos_col = {
                 var: f"ts_{i + 1}" for i, var in enumerate(spec.pattern)

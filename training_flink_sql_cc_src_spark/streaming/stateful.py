@@ -402,6 +402,7 @@ def sequence_flags_stream(
     within_seconds: int | None = None,
     tiebreak_col: str | None = None,
     skip_past: bool = False,
+    prev_spec: tuple | None = None,
 ) -> DataFrame:
     """Streaming matcher for an adjacent fixed-length sequence with
     ARBITRARY row-local predicates — the general-predicate continuous
@@ -417,7 +418,10 @@ def sequence_flags_stream(
     MATTERS (matches can share rows): ``skip_past=False`` gives AFTER
     MATCH SKIP TO NEXT ROW (every start may match); ``skip_past=True``
     clears the window after each match — exactly the batch scan
-    resuming past the consumed rows. Emits (key, ts_1 .. ts_L)."""
+    resuming past the consumed rows. ``prev_spec`` adds physical
+    PREV(col, n) comparison conjuncts per flag, evaluated against the
+    last max(n) rows kept in the same state (see module note above).
+    Emits (key, ts_1 .. ts_L)."""
     length = len(flag_cols)
     if length < 2:
         raise ValueError("sequence pattern needs at least 2 steps")
@@ -429,6 +433,12 @@ def sequence_flags_stream(
     state_schema = ", ".join(
         f"m{i} long, s{i} timestamp" for i in range(1, hist + 1)
     )
+    checks_per_flag, need_cols, max_prev = [], [], 0
+    if prev_spec is not None:
+        checks_per_flag, need_cols, max_prev, col_types = prev_spec
+        state_schema += ", " + _prev_schema_suffix(
+            need_cols, max_prev, col_types
+        )
 
     def update(
         key: tuple,
@@ -436,6 +446,7 @@ def sequence_flags_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         window: list[tuple] = []  # (mask, ts), oldest first
+        vhist: list[dict] = []  # needed cols of the last max_prev rows
         if state.exists:
             vals = state.get
             window = [
@@ -443,6 +454,8 @@ def sequence_flags_stream(
                 for i in range(hist)
                 if vals[2 * i] is not None
             ]
+            if max_prev:
+                vhist = _prev_load(vals, 2 * hist, need_cols, max_prev)
         matches: list[list] = []
         for pdf in batches:
             sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
@@ -451,11 +464,24 @@ def sequence_flags_stream(
                 pdf[c].fillna(False).to_numpy(dtype=bool) for c in flag_cols
             ]
             ts_vals = list(pdf[ts_col])
+            need_vals = {c: list(pdf[c]) for c in need_cols}
             for r in range(len(pdf)):
+                cur_vals = None
+                if max_prev:
+                    cur_vals = {
+                        c: _scalar(need_vals[c][r]) for c in need_cols
+                    }
                 mask = 0
                 for i in range(length):
-                    if flags[i][r]:
+                    if flags[i][r] and (
+                        not checks_per_flag
+                        or not checks_per_flag[i]
+                        or _prev_ok(checks_per_flag[i], cur_vals, vhist)
+                    ):
                         mask |= 1 << i
+                if max_prev:
+                    vhist.append(cur_vals)
+                    vhist = vhist[-max_prev:]
                 cur = (mask, ts_vals[r])
                 seq = window + [cur]
                 matched_here = False
@@ -475,6 +501,8 @@ def sequence_flags_stream(
             flat += [mask, ts]
         while len(flat) < 2 * hist:
             flat = [None, None] + flat
+        if max_prev:
+            flat += _prev_flat(vhist, need_cols, max_prev)
         state.update(tuple(flat))
         if matches:
             data = {key_col: [key[0]] * len(matches)}
@@ -498,6 +526,7 @@ def run_flags_stream(
     run_flag_col: str,
     end_flag_col: str,
     tiebreak_col: str | None = None,
+    prev_spec: tuple | None = None,
 ) -> DataFrame:
     """Streaming matcher for PATTERN (A+ B) with ARBITRARY row-local
     predicates that may OVERLAP (a row can satisfy both A and B) —
@@ -518,7 +547,10 @@ def run_flags_stream(
     unbounded quantifier. WITHIN is not supported here: a too-old run
     start would require re-anchoring the match start mid-run, which
     needs the run rows' timestamps (unbounded state); the router
-    rejects that combination loudly. Emits (key, first_ts, last_ts,
+    rejects that combination loudly. ``prev_spec`` adds physical
+    PREV(col, n) comparison conjuncts per flag (run flag, then end
+    flag), evaluated against the last max(n) rows kept in the same
+    state (see module note above). Emits (key, first_ts, last_ts,
     end_ts) like the eq-literal matcher."""
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = (
@@ -529,15 +561,26 @@ def run_flags_stream(
         "run_start timestamp, run_last timestamp, "
         "pend timestamp, pend_prev timestamp"
     )
+    checks_per_flag, need_cols, max_prev = [], [], 0
+    if prev_spec is not None:
+        checks_per_flag, need_cols, max_prev, col_types = prev_spec
+        state_schema += ", " + _prev_schema_suffix(
+            need_cols, max_prev, col_types
+        )
 
     def update(
         key: tuple,
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        run_start, run_last, pend, pend_prev = (
-            state.get if state.exists else (None, None, None, None)
-        )
+        vhist: list[dict] = []
+        if state.exists:
+            vals = state.get
+            run_start, run_last, pend, pend_prev = vals[:4]
+            if max_prev:
+                vhist = _prev_load(vals, 4, need_cols, max_prev)
+        else:
+            run_start, run_last, pend, pend_prev = None, None, None, None
         firsts, lasts, ends = [], [], []
         for pdf in batches:
             sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
@@ -545,8 +588,19 @@ def run_flags_stream(
             a_flags = pdf[run_flag_col].fillna(False).to_numpy(dtype=bool)
             b_flags = pdf[end_flag_col].fillna(False).to_numpy(dtype=bool)
             ts_vals = list(pdf[ts_col])
+            need_vals = {c: list(pdf[c]) for c in need_cols}
             for r in range(len(pdf)):
                 a, b, cur_ts = a_flags[r], b_flags[r], ts_vals[r]
+                if max_prev:
+                    cur_vals = {
+                        c: _scalar(need_vals[c][r]) for c in need_cols
+                    }
+                    if a and checks_per_flag[0]:
+                        a = _prev_ok(checks_per_flag[0], cur_vals, vhist)
+                    if b and checks_per_flag[1]:
+                        b = _prev_ok(checks_per_flag[1], cur_vals, vhist)
+                    vhist.append(cur_vals)
+                    vhist = vhist[-max_prev:]
                 if run_start is None:
                     if a:
                         run_start = run_last = cur_ts
@@ -566,7 +620,10 @@ def run_flags_stream(
                         lasts.append(pend_prev)
                         ends.append(pend)
                     run_start = run_last = pend = pend_prev = None
-        state.update((run_start, run_last, pend, pend_prev))
+        st = [run_start, run_last, pend, pend_prev]
+        if max_prev:
+            st += _prev_flat(vhist, need_cols, max_prev)
+        state.update(tuple(st))
         if firsts:
             yield pd.DataFrame(
                 {
@@ -584,3 +641,114 @@ def run_flags_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- PREV-navigation support for the flag matchers -------------------------
+#
+# Physical PREV(col, n) comparisons cannot be materialized by a separate
+# stateful lag pre-pass (Spark rejects two chained applyInPandasWithState
+# operators in one streaming query), so the flag matchers evaluate them
+# INSIDE their keyed state: a ``prev_spec`` carries, per flag column, the
+# comparison conjuncts referencing preceding partition rows, and the
+# matcher keeps the needed columns of the last max(n) rows alongside its
+# match state. Semantics mirror the batch lowering's lag helper columns:
+# a reference before the partition head is NULL and any comparison with
+# it is FALSE.
+#
+# prev_spec = (checks_per_flag, need_cols, max_prev, col_types) where
+# checks_per_flag[i] is a list of (lhs, op, rhs) and each operand is
+# ("col", name) | ("prev", name, n) | ("lit", value).
+
+_CMP_OPS = {
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<>": lambda a, b: a != b,
+}
+
+
+def _scalar(v):
+    """numpy/pandas scalar -> plain python (None for NaN/NaT) for the
+    GroupState tuple and for type-stable comparisons."""
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    item = getattr(v, "item", None)
+    if item is not None and not isinstance(v, pd.Timestamp):
+        try:
+            return item()
+        except (TypeError, ValueError):
+            return v
+    return v
+
+
+def _prev_schema_suffix(need_cols, max_prev, col_types):
+    """State fields appended after a matcher's own: a valid-row count
+    (a real history row may be all-NULL, so presence can't be inferred
+    from values) then max_prev rows x need_cols, oldest first."""
+    return ", ".join(
+        ["__ph_n int"]
+        + [
+            f"__ph{i}_{c} {col_types[c]}"
+            for i in range(max_prev)
+            for c in need_cols
+        ]
+    )
+
+
+def _prev_load(vals, offset, need_cols, max_prev):
+    """Rebuild the value history (list of col->value dicts, oldest
+    first) from the state tuple starting at ``offset``."""
+    ncols = len(need_cols)
+    hn = vals[offset] or 0
+    hist = []
+    for i in range(max_prev - hn, max_prev):
+        row = vals[offset + 1 + i * ncols : offset + 1 + (i + 1) * ncols]
+        hist.append(dict(zip(need_cols, row)))
+    return hist
+
+
+def _prev_flat(hist, need_cols, max_prev):
+    """Flatten the history back to the state-tuple suffix."""
+    flat: list = [len(hist)]
+    pad = max_prev - len(hist)
+    flat += [None] * (pad * len(need_cols))
+    for row in hist:
+        flat += [row[c] for c in need_cols]
+    return flat
+
+
+def _prev_ok(checks, cur, hist):
+    """Evaluate a flag's PREV conjuncts: cur = current row's needed
+    values, hist = preceding rows (oldest first). NULL operands (or a
+    reference before the partition head) make the comparison false —
+    the batch NULL-comparison semantics."""
+
+    def operand(spec):
+        kind = spec[0]
+        if kind == "lit":
+            return spec[1]
+        if kind == "col":
+            return cur[spec[1]]
+        n = spec[2]
+        if len(hist) < n:
+            return None
+        return hist[-n][spec[1]]
+
+    for lhs, op, rhs in checks:
+        a, b = operand(lhs), operand(rhs)
+        if a is None or b is None:
+            return False
+        try:
+            if not _CMP_OPS[op](a, b):
+                return False
+        except TypeError:
+            return False
+    return True
