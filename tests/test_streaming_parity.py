@@ -957,6 +957,117 @@ def test_general_run_stream_prev_navigation_matches_batch(spark):
     assert got == batch and batch
 
 
+def test_general_sequence_stream_payload_measures_match_batch(spark):
+    """MEASURES beyond Var.<order col>: A.v and B.v ride the sequence
+    matcher's window state as payload columns — values must equal the
+    batch lowering's struct-bound measures, under both skip modes."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_overlap_df(spark)
+    for skip in ("PAST LAST ROW", "TO NEXT ROW"):
+        stmt = f"""
+            SELECT k, av, bv, CAST(b_ts AS LONG) AS be FROM cep_payload
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES A.v AS av, B.v AS bv, B.ts AS b_ts
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP {skip}
+                PATTERN (A B)
+                DEFINE A AS A.v >= 5, B AS B.v % 2 = 0
+            )
+        """
+        df.createOrReplaceTempView("cep_payload")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        eng = Engine(spark)
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"cep_payload": s}),
+            output_mode="append",
+            n_files=4,
+            order_by="ts",
+        )
+        got = {tuple(r) for r in streamed.collect()}
+        assert got == batch and batch, skip
+
+
+def test_general_run_stream_payload_measures_match_batch(spark):
+    """PATTERN (A+ B) with MEASURES A.v (the run's LAST row — Flink's
+    binding) and B.v: the O(1)-state matcher must remember the payload
+    of the greedy run end AND of the in-run end candidate (the
+    backtracking emission path), across micro-batch splits."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_overlap_df(spark)
+    stmt = """
+        SELECT k, av, bv, CAST(b_ts AS LONG) AS be FROM cep_run_payload
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES A.v AS av, B.v AS bv, B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.v >= 10, B AS B.v % 2 = 0
+        )
+    """
+    df.createOrReplaceTempView("cep_run_payload")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    eng = Engine(spark)
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_run_payload": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+
+
+def test_eq_literal_statement_with_payload_measures_streams(spark, sf_small):
+    """An eq-literal statement whose MEASURES read payload columns
+    (Var.event_id) reroutes from the specialized eq matchers to the
+    general leg — same SQL, batch-equal results."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    ev = t(spark, sf_small, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    stmt = """
+        SELECT user_id, a_id, b_id FROM events_eq_payload
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES A.event_id AS a_id, B.event_id AS b_id
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'
+        )
+    """
+    ev.createOrReplaceTempView("events_eq_payload")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    eng = Engine(spark)
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"events_eq_payload": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+
+
 def test_run_pattern_stream_matches_batch_plus(spark, sf_small):
     """Streaming leg of PATTERN (A+ B) under SKIP PAST LAST ROW: the
     O(1)-state run matcher over an in-order replay equals the batch

@@ -259,9 +259,14 @@ class Engine:
         continuously: plain adjacent sequences of any fixed length and
         the A+ B run shape with ARBITRARY row-local DEFINEs (any
         single-row boolean predicate, compiled to a JVM flag column like
-        the batch NFA's booleans — predicates may overlap), plus the
-        A B+ C funnel for provably-disjoint eq-literal DEFINEs; a single
-        PARTITION BY key and MEASURES of ``Var.<order column>`` only.
+        the batch NFA's booleans — predicates may overlap; physical
+        PREV(col, n) comparisons evaluate from the matcher's bounded row
+        history), plus the A B+ C funnel for provably-disjoint
+        eq-literal DEFINEs; a single PARTITION BY key. MEASURES may read
+        ``Var.<order column>`` positions on every leg, and on the
+        general leg any ``Var.<column>`` payload (carried through the
+        matcher's keyed state; eq-literal statements needing payload
+        measures reroute to the general leg automatically).
         The matched stream is registered as a view and the outer
         statement rewritten to read it. Returns None when the statement
         has no MATCH_RECOGNIZE; raises the instructive error for shapes
@@ -341,6 +346,15 @@ class Engine:
             and dtypes.get(eqs[0][0]) == "string"
             and dtypes.get(key) == "bigint"
         )
+        if eq_mode and any(
+            col != ts_col
+            for var, col, _ in spec.measures
+            if var in set(spec.pattern)
+        ):
+            # non-position measures (Var.<payload col>) ride the general
+            # leg's keyed state; eq-literal DEFINEs are row-local, so the
+            # general matchers reproduce the specialized ones exactly
+            eq_mode = False
         if not eq_mode:
             return self._match_recognize_stream_general(
                 stmt, spec, sdf, key, ts_col, tiebreak, unsupported
@@ -407,22 +421,38 @@ class Engine:
         )
 
     def _mr_register_view(
-        self, stmt, spec, matched, key, ts_col, pos_col, unsupported
+        self, stmt, spec, matched, key, ts_col, pos_col, unsupported,
+        pay_col=None,
     ) -> str:
         """Shared tail of both streaming MATCH_RECOGNIZE legs: project
-        the MEASURES from the matcher's positional ts columns, register
+        the MEASURES from the matcher's positional ts columns (and, on
+        the general leg, the per-variable payload columns), register
         the matched stream as a view, and rewrite the outer statement to
         read it."""
         from pyspark.sql import functions as F
 
         select = [F.col(key)]
         for var, col, alias in spec.measures:
-            if var not in pos_col or col != ts_col or alias in spec.measure_agg:
+            if alias in spec.measure_agg:
                 raise unsupported(
-                    f"measure {var}.{col} (only Var.{ts_col} is carried "
-                    "through the streaming state)"
+                    f"aggregate measure {alias} (per-match aggregates "
+                    "over run rows need unbounded state)"
                 )
-            select.append(F.col(pos_col[var]).alias(alias))
+            if var in pos_col and col == ts_col:
+                select.append(F.col(pos_col[var]).alias(alias))
+            elif pay_col is not None and (var, col) in pay_col:
+                select.append(F.col(pay_col[(var, col)]).alias(alias))
+            else:
+                raise unsupported(
+                    f"measure {var}.{col} (this streaming leg carries "
+                    f"Var.{ts_col} positions"
+                    + (
+                        " and per-variable payload columns"
+                        if pay_col is not None
+                        else ""
+                    )
+                    + " through its keyed state)"
+                )
         view = f"__mr_stream_{abs(hash(stmt)) % 10_000_000}"
         matched.select(*select).createOrReplaceTempView(view)
         start, end = spec.span
@@ -587,6 +617,22 @@ class Engine:
                 "streaming leg covers adjacent sequences and A+ B; the "
                 "A B+ C funnel streams with eq-literal DEFINEs)"
             )
+        # measures beyond Var.<order col>: carry the matched rows'
+        # payload columns through the matcher's keyed state
+        patvars = set(spec.pattern)
+        pay_needs = sorted(
+            {
+                (var, col)
+                for var, col, _ in spec.measures
+                if var in patvars and col != ts_col
+            }
+        )
+        for var, col in pay_needs:
+            if col not in field_types:
+                raise unsupported(
+                    f"measure {var}.{col}: unknown source column {col!r}"
+                )
+        pay_types = {c: field_types[c] for _, c in pay_needs}
         flagged = sdf
         flag_cols: list[str] = []
         for i, v in enumerate(spec.pattern):
@@ -619,22 +665,39 @@ class Engine:
                     "timestamps — unbounded state; eq-literal disjoint "
                     "DEFINEs or the batch path support WITHIN)"
                 )
+            pay_pairs = [
+                ("last" if var == spec.plus[0] else "end", col)
+                for var, col in pay_needs
+            ]
+            pay_col = {
+                (var, col): f"{role}_{col}"
+                for (var, col), (role, _) in zip(pay_needs, pay_pairs)
+            }
             matched = run_flags_stream(
                 flagged, key, ts_col, flag_cols[0], flag_cols[1],
                 tiebreak_col=tiebreak, prev_spec=prev_spec,
+                payload_spec=(pay_pairs, pay_types) if pay_pairs else None,
             )
             pos_col = {spec.plus[0]: "last_ts", spec.plus[1]: "end_ts"}
         else:
+            idx = {v: i for i, v in enumerate(spec.pattern)}
+            pay_pairs = [(idx[var], col) for var, col in pay_needs]
+            pay_col = {
+                (var, col): f"v{idx[var] + 1}_{col}"
+                for var, col in pay_needs
+            }
             matched = sequence_flags_stream(
                 flagged, key, ts_col, flag_cols,
                 within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
                 skip_past=spec.skip_past_last, prev_spec=prev_spec,
+                payload_spec=(pay_pairs, pay_types) if pay_pairs else None,
             )
             pos_col = {
                 var: f"ts_{i + 1}" for i, var in enumerate(spec.pattern)
             }
         return self._mr_register_view(
-            stmt, spec, matched, key, ts_col, pos_col, unsupported
+            stmt, spec, matched, key, ts_col, pos_col, unsupported,
+            pay_col=pay_col,
         )
 
     def _window_dedup_stream(self, stmt: str) -> DataFrame | None:

@@ -403,6 +403,7 @@ def sequence_flags_stream(
     tiebreak_col: str | None = None,
     skip_past: bool = False,
     prev_spec: tuple | None = None,
+    payload_spec: tuple | None = None,
 ) -> DataFrame:
     """Streaming matcher for an adjacent fixed-length sequence with
     ARBITRARY row-local predicates — the general-predicate continuous
@@ -421,18 +422,31 @@ def sequence_flags_stream(
     resuming past the consumed rows. ``prev_spec`` adds physical
     PREV(col, n) comparison conjuncts per flag, evaluated against the
     last max(n) rows kept in the same state (see module note above).
-    Emits (key, ts_1 .. ts_L)."""
+    ``payload_spec`` = ([(position, col), ...], {col: sql_type}) carries
+    MEASURE columns of matched rows through the window state: the
+    window keeps the union of needed source columns per row and a match
+    emits each requested (position, col) as ``v{position+1}_{col}`` —
+    Flink CEP's per-variable measure payloads, still O(L) state.
+    Emits (key, ts_1 .. ts_L [, v*_*...])."""
     length = len(flag_cols)
     if length < 2:
         raise ValueError("sequence pattern needs at least 2 steps")
     hist = length - 1
+    pay_pairs, pcols, pay_types = [], [], {}
+    if payload_spec is not None:
+        pay_pairs, pay_types = payload_spec
+        pcols = sorted({c for _, c in pay_pairs})
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = f"{key_col} {key_type}, " + ", ".join(
-        f"ts_{i + 1} timestamp" for i in range(length)
+        [f"ts_{i + 1} timestamp" for i in range(length)]
+        + [f"v{pos + 1}_{c} {pay_types[c]}" for pos, c in pay_pairs]
     )
     state_schema = ", ".join(
-        f"m{i} long, s{i} timestamp" for i in range(1, hist + 1)
+        f"m{i} long, s{i} timestamp"
+        + "".join(f", w{i}_{c} {pay_types[c]}" for c in pcols)
+        for i in range(1, hist + 1)
     )
+    stride = 2 + len(pcols)
     checks_per_flag, need_cols, max_prev = [], [], 0
     if prev_spec is not None:
         checks_per_flag, need_cols, max_prev, col_types = prev_spec
@@ -445,17 +459,22 @@ def sequence_flags_stream(
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        window: list[tuple] = []  # (mask, ts), oldest first
+        # window rows oldest-first: (mask, ts, (payload vals in pcols order))
+        window: list[tuple] = []
         vhist: list[dict] = []  # needed cols of the last max_prev rows
         if state.exists:
             vals = state.get
             window = [
-                (vals[2 * i], vals[2 * i + 1])
+                (
+                    vals[stride * i],
+                    vals[stride * i + 1],
+                    tuple(vals[stride * i + 2 : stride * (i + 1)]),
+                )
                 for i in range(hist)
-                if vals[2 * i] is not None
+                if vals[stride * i] is not None
             ]
             if max_prev:
-                vhist = _prev_load(vals, 2 * hist, need_cols, max_prev)
+                vhist = _prev_load(vals, stride * hist, need_cols, max_prev)
         matches: list[list] = []
         for pdf in batches:
             sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
@@ -465,6 +484,7 @@ def sequence_flags_stream(
             ]
             ts_vals = list(pdf[ts_col])
             need_vals = {c: list(pdf[c]) for c in need_cols}
+            pay_vals = {c: list(pdf[c]) for c in pcols}
             for r in range(len(pdf)):
                 cur_vals = None
                 if max_prev:
@@ -482,25 +502,35 @@ def sequence_flags_stream(
                 if max_prev:
                     vhist.append(cur_vals)
                     vhist = vhist[-max_prev:]
-                cur = (mask, ts_vals[r])
+                cur = (
+                    mask,
+                    ts_vals[r],
+                    tuple(_scalar(pay_vals[c][r]) for c in pcols),
+                )
                 seq = window + [cur]
                 matched_here = False
                 if len(seq) == length and all(
-                    m & (1 << i) for i, (m, _) in enumerate(seq)
+                    s[0] & (1 << i) for i, s in enumerate(seq)
                 ):
                     if (
                         within_seconds is None
                         or (seq[-1][1] - seq[0][1]).total_seconds()
                         <= within_seconds
                     ):
-                        matches.append([s for _, s in seq])
+                        matches.append(
+                            [s[1] for s in seq]
+                            + [
+                                seq[pos][2][pcols.index(c)]
+                                for pos, c in pay_pairs
+                            ]
+                        )
                         matched_here = True
                 window = [] if (skip_past and matched_here) else seq[-hist:]
         flat: list = []
-        for mask, ts in window:
-            flat += [mask, ts]
-        while len(flat) < 2 * hist:
-            flat = [None, None] + flat
+        for mask, ts, pv in window:
+            flat += [mask, ts, *pv]
+        while len(flat) < stride * hist:
+            flat = [None] * stride + flat
         if max_prev:
             flat += _prev_flat(vhist, need_cols, max_prev)
         state.update(tuple(flat))
@@ -508,6 +538,8 @@ def sequence_flags_stream(
             data = {key_col: [key[0]] * len(matches)}
             for i in range(length):
                 data[f"ts_{i + 1}"] = [m[i] for m in matches]
+            for j, (pos, c) in enumerate(pay_pairs):
+                data[f"v{pos + 1}_{c}"] = [m[length + j] for m in matches]
             yield pd.DataFrame(data)
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
@@ -527,6 +559,7 @@ def run_flags_stream(
     end_flag_col: str,
     tiebreak_col: str | None = None,
     prev_spec: tuple | None = None,
+    payload_spec: tuple | None = None,
 ) -> DataFrame:
     """Streaming matcher for PATTERN (A+ B) with ARBITRARY row-local
     predicates that may OVERLAP (a row can satisfy both A and B) —
@@ -550,17 +583,34 @@ def run_flags_stream(
     rejects that combination loudly. ``prev_spec`` adds physical
     PREV(col, n) comparison conjuncts per flag (run flag, then end
     flag), evaluated against the last max(n) rows kept in the same
-    state (see module note above). Emits (key, first_ts, last_ts,
-    end_ts) like the eq-literal matcher."""
+    state (see module note above). ``payload_spec`` =
+    ([(role, col), ...], {col: sql_type}) with role "last" (the run's
+    final A row — what an A.col measure reads under Flink's LAST-row
+    binding) or "end" (the B row) carries MEASURE columns of those rows
+    through the O(1) state, emitted as ``{role}_{col}``. Emits (key,
+    first_ts, last_ts, end_ts [, last_*/end_*...])."""
+    pay_pairs, pcols, pay_types = [], [], {}
+    if payload_spec is not None:
+        pay_pairs, pay_types = payload_spec
+        pcols = sorted({c for _, c in pay_pairs})
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, first_ts timestamp, last_ts timestamp, "
         "end_ts timestamp"
+        + "".join(f", {role}_{c} {pay_types[c]}" for role, c in pay_pairs)
     )
     state_schema = (
         "run_start timestamp, run_last timestamp, "
         "pend timestamp, pend_prev timestamp"
+        # payloads of the run_last / pend_prev / pend rows
+        + "".join(
+            f", {tag}_{c} {pay_types[c]}"
+            for tag in ("rl", "pp", "pe")
+            for c in pcols
+        )
     )
+    npay = len(pcols)
+    pay_state_off = 4
     checks_per_flag, need_cols, max_prev = [], [], 0
     if prev_spec is not None:
         checks_per_flag, need_cols, max_prev, col_types = prev_spec
@@ -574,14 +624,23 @@ def run_flags_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         vhist: list[dict] = []
+        none_pay = (None,) * npay
+        rl_pay = pp_pay = pe_pay = none_pay
         if state.exists:
             vals = state.get
             run_start, run_last, pend, pend_prev = vals[:4]
+            if npay:
+                rl_pay = tuple(vals[4 : 4 + npay])
+                pp_pay = tuple(vals[4 + npay : 4 + 2 * npay])
+                pe_pay = tuple(vals[4 + 2 * npay : 4 + 3 * npay])
             if max_prev:
-                vhist = _prev_load(vals, 4, need_cols, max_prev)
+                vhist = _prev_load(
+                    vals, pay_state_off + 3 * npay, need_cols, max_prev
+                )
         else:
             run_start, run_last, pend, pend_prev = None, None, None, None
         firsts, lasts, ends = [], [], []
+        pays: list[tuple] = []  # per match: (last_pay, end_pay)
         for pdf in batches:
             sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
             pdf = pdf.sort_values(sort_cols)
@@ -589,8 +648,14 @@ def run_flags_stream(
             b_flags = pdf[end_flag_col].fillna(False).to_numpy(dtype=bool)
             ts_vals = list(pdf[ts_col])
             need_vals = {c: list(pdf[c]) for c in need_cols}
+            pay_vals = {c: list(pdf[c]) for c in pcols}
             for r in range(len(pdf)):
                 a, b, cur_ts = a_flags[r], b_flags[r], ts_vals[r]
+                cur_pay = (
+                    tuple(_scalar(pay_vals[c][r]) for c in pcols)
+                    if npay
+                    else none_pay
+                )
                 if max_prev:
                     cur_vals = {
                         c: _scalar(need_vals[c][r]) for c in need_cols
@@ -604,35 +669,45 @@ def run_flags_stream(
                 if run_start is None:
                     if a:
                         run_start = run_last = cur_ts
+                        rl_pay = cur_pay
                         pend = pend_prev = None
                 elif a:
                     if b:
                         pend, pend_prev = cur_ts, run_last
+                        pe_pay, pp_pay = cur_pay, rl_pay
                     run_last = cur_ts
+                    rl_pay = cur_pay
                 elif b:
                     firsts.append(run_start)
                     lasts.append(run_last)
                     ends.append(cur_ts)
+                    pays.append((rl_pay, cur_pay))
                     run_start = run_last = pend = pend_prev = None
                 else:
                     if pend is not None:
                         firsts.append(run_start)
                         lasts.append(pend_prev)
                         ends.append(pend)
+                        pays.append((pp_pay, pe_pay))
                     run_start = run_last = pend = pend_prev = None
         st = [run_start, run_last, pend, pend_prev]
+        if npay:
+            st += list(rl_pay) + list(pp_pay) + list(pe_pay)
         if max_prev:
             st += _prev_flat(vhist, need_cols, max_prev)
         state.update(tuple(st))
         if firsts:
-            yield pd.DataFrame(
-                {
-                    key_col: [key[0]] * len(firsts),
-                    "first_ts": firsts,
-                    "last_ts": lasts,
-                    "end_ts": ends,
-                }
-            )
+            data = {
+                key_col: [key[0]] * len(firsts),
+                "first_ts": firsts,
+                "last_ts": lasts,
+                "end_ts": ends,
+            }
+            for role, c in pay_pairs:
+                side = 0 if role == "last" else 1
+                ci = pcols.index(c)
+                data[f"{role}_{c}"] = [p[side][ci] for p in pays]
+            yield pd.DataFrame(data)
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
