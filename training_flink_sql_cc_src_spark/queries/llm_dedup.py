@@ -773,3 +773,104 @@ def pipeline_incremental_near_dedup(
         .join(collided, "doc_id", "left_anti")
         .select("doc_id")
     )
+
+
+@register(
+    "dedup_duplicated_span_regions",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+        SELECT doc_id, s,
+               array_to_string(words[s : s + 7], ' ') AS span
+        FROM w, UNNEST(range(1, GREATEST(len(words) - 6, 1))) AS t(s)
+    ), dup AS (
+        SELECT span FROM sh GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ), pos AS (
+        SELECT doc_id, s,
+               CASE WHEN s - LAG(s) OVER (PARTITION BY doc_id ORDER BY s)
+                         <= 7 THEN 0 ELSE 1 END AS brk
+        FROM sh WHERE span IN (SELECT span FROM dup)
+    ), isl AS (
+        SELECT doc_id, s,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+        FROM pos
+    ), reg AS (
+        SELECT doc_id, island,
+               MAX(s) - MIN(s) + 8 AS region_tokens
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_regions,
+           MAX(region_tokens) AS max_region_tokens,
+           CAST(SUM(region_tokens) AS BIGINT) AS dup_tokens
+    FROM reg GROUP BY doc_id
+    """,
+    doc="Maximal duplicated-region extraction (Lee et al. 2021, "
+    "'Deduplicating Training Data Makes Language Models Better' — the "
+    "ExactSubstr dedup output shape, see PAPERS.md): 8-gram starts whose "
+    "span appears in >=2 documents are merged into MAXIMAL token "
+    "intervals via gaps-and-islands (a new region starts when the next "
+    "duplicated start is >7 tokens away — closer starts overlap as "
+    "token ranges), giving per-document duplicated-region count, "
+    "longest region, and exact duplicated-token coverage (regions are "
+    "disjoint by construction, so the SUM is exact, all integers). "
+    "This is the suffix-array-free equivalent of ExactSubstr's maximal "
+    "match extension: a duplicated substring of length L >= 8 appears "
+    "as L-7 consecutive duplicated starts and reassembles into one "
+    "region. 100 TB: shingle explode map-side, ONE high-cardinality "
+    "shuffle on span, semi join back, one doc-keyed window + rollup — "
+    "work scales with total shingles, never docs^2.",
+)
+def dedup_duplicated_span_regions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    n = F.size("words")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), n - 7),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.concat_ws(" ", F.slice("words", i, 8)).alias(
+                            "span"
+                        ),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<s:int,span:string>>")
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.s").alias("s"), F.col("g.span").alias("span"))
+    dup = (
+        sh.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span")
+    )
+    pos = sh.join(dup, "span", "left_semi")
+    wo = Window.partitionBy("doc_id").orderBy("s")
+    isl = pos.select(
+        "doc_id",
+        "s",
+        F.sum(
+            F.when(F.col("s") - F.lag("s").over(wo) <= 7, 0).otherwise(1)
+        )
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    reg = isl.groupBy("doc_id", "island").agg(
+        (F.max("s") - F.min("s") + 8).alias("region_tokens")
+    )
+    return reg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_regions"),
+        F.max("region_tokens").alias("max_region_tokens"),
+        F.sum("region_tokens").alias("dup_tokens"),
+    )

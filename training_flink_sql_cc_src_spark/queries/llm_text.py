@@ -531,3 +531,111 @@ def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(email))).cast("long").alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(ip))).cast("long").alias("n_ips"),
     )
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    SELECT doc_id, n_words,
+           (n_words BETWEEN 10 AND 100000) AS r_word_count,
+           (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+               AS r_mean_word_len,
+           (10 * (n_hash + n_ellipsis) <= n_words) AS r_symbol_ratio,
+           (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+           (n_stop >= 2) AS r_stopwords,
+           (10 * n_bullet_lines <= n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines) AS r_lines,
+           ((n_words BETWEEN 10 AND 100000)
+            AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+            AND 10 * (n_hash + n_ellipsis) <= n_words
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stop >= 2
+            AND 10 * n_bullet_lines <= n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines) AS gopher_pass
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               LENGTH(REPLACE(text, ' ', '')) AS n_word_chars,
+               LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS n_hash,
+               (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3
+                   AS n_ellipsis,
+               len(list_filter(string_split(text, ' '),
+                   x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+               len(list_filter(string_split(text, ' '),
+                   x -> list_contains(['{_STOP_SQL}'], x))) AS n_stop,
+               len(string_split(text, chr(10))) AS n_lines,
+               len(list_filter(string_split(text, chr(10)),
+                   x -> x LIKE '-%' OR x LIKE '*%')) AS n_bullet_lines,
+               len(list_filter(string_split(text, chr(10)),
+                   x -> x LIKE '%...')) AS n_ellipsis_lines
+        FROM documents
+    )
+    """,
+    doc="Gopher quality rules (Rae et al. 2021, 'Scaling Language Models: "
+    "Methods, Analysis & Insights from Training Gopher', appendix A1.1 — "
+    "see PAPERS.md): the published repetition-independent document "
+    "filters as one map-only pass — word-count bounds, mean word length "
+    "in [3, 10], symbol-to-word ratio (hash + ellipsis), >=80% words "
+    "with an alphabetic character, >=2 stopwords, bullet/ellipsis line "
+    "ratios. Every rule is an INTEGER inequality (3*n <= chars, 5*alpha "
+    ">= 4*n, ...) so the verdict is bit-identical across engines — no "
+    "float ratios in the output. The fixture corpus is single-line "
+    "word-salad, so the word-count floor is scaled to 10 (the real 50 "
+    "drops in without changing the plan) and the line rules are "
+    "structurally exercised. 100 TB: map-only over the scan, no "
+    "shuffle; the booleans feed the curation anti-join "
+    "(pipeline_corpus_curation) without re-reading text.",
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lines = F.split(F.col("text"), "\n")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    rm = lambda pat: F.length("text") - F.length(  # noqa: E731
+        F.replace(F.col("text"), F.lit(pat), F.lit(""))
+    )
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_word_chars"
+        ),
+        rm("#").alias("n_hash"),
+        (rm("...") / F.lit(3)).cast("long").alias("n_ellipsis"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).alias(
+            "n_alpha_words"
+        ),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stop"
+        ),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda x: x.like("-%") | x.like("*%"))
+        ).alias("n_bullet_lines"),
+        F.size(F.filter(lines, lambda x: x.like("%..."))).alias(
+            "n_ellipsis_lines"
+        ),
+    )
+    r_wc = F.col("n_words").between(10, 100000)
+    r_mwl = (3 * F.col("n_words") <= F.col("n_word_chars")) & (
+        F.col("n_word_chars") <= 10 * F.col("n_words")
+    )
+    r_sym = 10 * (F.col("n_hash") + F.col("n_ellipsis")) <= F.col("n_words")
+    r_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    r_stop = F.col("n_stop") >= 2
+    r_lines = (10 * F.col("n_bullet_lines") <= F.col("n_lines")) & (
+        10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines")
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        r_lines.alias("r_lines"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop & r_lines).alias(
+            "gopher_pass"
+        ),
+    )
