@@ -747,13 +747,34 @@ def test_stream_match_recognize_general_leg_guards(spark, sf_small):
         ),
         {"events_mr_guard": ev},
     ) is not None
-    # NEXT (lookahead) navigation: batch-only
-    with pytest.raises(NotImplementedError, match="NEXT/FIRST/LAST"):
+    # NEXT that stays INSIDE the match window: streams (A at position 0
+    # looking 1 ahead lands on B, the window's last row)
+    assert eng.sql_stream(
+        tmpl.format(
+            key="user_id",
+            da="A.event_id < NEXT(A.event_id)",
+            db="B.event_type = 'click'",
+        ),
+        {"events_mr_guard": ev},
+    ) is not None
+    # NEXT past the match window (lookahead from the LAST variable):
+    # would need future-row buffering — batch-only
+    with pytest.raises(NotImplementedError, match="PAST the match window"):
         eng.sql_stream(
             tmpl.format(
                 key="user_id",
                 da="A.event_type = 'view'",
                 db="B.event_id > NEXT(B.event_id)",
+            ),
+            {"events_mr_guard": ev},
+        )
+    # FIRST/LAST match bindings: batch-only
+    with pytest.raises(NotImplementedError, match="FIRST/LAST"):
+        eng.sql_stream(
+            tmpl.format(
+                key="user_id",
+                da="A.event_type = 'view'",
+                db="B.event_id > LAST(A.event_id)",
             ),
             {"events_mr_guard": ev},
         )
@@ -918,6 +939,57 @@ def test_general_sequence_stream_prev_navigation_matches_batch(spark):
         )
         got = {tuple(r) for r in streamed.collect()}
         assert got == batch and batch, db
+
+
+def test_general_sequence_stream_next_navigation_matches_batch(spark):
+    """NEXT lookahead that stays INSIDE the match window streams: for
+    PATTERN (A B) / (A B C), NEXT(A.v, n) from position 0 lands on a
+    later window row, so the conjunct resolves when the candidate
+    window is assembled — no future-row buffering. Must equal the batch
+    lowering's physical lookahead across micro-batch splits, including
+    windows whose rows straddle batches."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_overlap_df(spark)
+    cases = [
+        # rise into the B row (lookahead 1 from A)
+        ("(A B)", "A AS A.v < NEXT(A.v), B AS B.v % 2 = 0"),
+        # lookahead 2 from A spans the whole window; B checks its own row
+        ("(A B C)", "A AS NEXT(A.v, 2) > A.v, B AS B.v >= 5, "
+                    "C AS C.v % 2 = 1"),
+        # falling step seen from A, plus a row-local conjunct on B
+        ("(A B)", "A AS NEXT(A.v) < A.v, B AS B.v >= 2"),
+    ]
+    eng = Engine(spark)
+    for pat, defines in cases:
+        meas = "A.ts AS a_ts"
+        stmt = f"""
+            SELECT k, CAST(a_ts AS LONG) AS ae FROM cep_next_seq
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES {meas}
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP TO NEXT ROW
+                PATTERN {pat}
+                DEFINE {defines}
+            )
+        """
+        df.createOrReplaceTempView("cep_next_seq")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"cep_next_seq": s}),
+            output_mode="append",
+            n_files=5,
+            order_by="ts",
+        )
+        got = {tuple(r) for r in streamed.collect()}
+        assert got == batch and batch, (pat, defines)
 
 
 def test_general_run_stream_prev_navigation_matches_batch(spark):

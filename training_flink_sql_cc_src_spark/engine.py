@@ -477,10 +477,14 @@ class Engine:
         inside the matcher against a bounded value history held in the
         SAME keyed state (Spark forbids chaining two stateful operators,
         so the lag cannot be a separate pre-pass), while the row-local
-        remainder still compiles to a JVM flag. Cross-variable
-        references, NEXT/FIRST/LAST (lookahead / match bindings),
-        non-comparison PREV conjuncts, and WITHIN-on-a-run stay
-        batch-only, rejected loudly."""
+        remainder still compiles to a JVM flag. NEXT(X.col, n) lookahead
+        streams on SEQUENCE shapes when it stays INSIDE the match
+        window (variable position + n <= last position): the candidate
+        window holds all referenced rows, so the conjunct evaluates at
+        match-check time — no future-row buffering. Cross-variable
+        references, NEXT past the window (or on a run shape),
+        FIRST/LAST match bindings, non-comparison navigation conjuncts,
+        and WITHIN-on-a-run stay batch-only, rejected loudly."""
         import re as _re
 
         from pyspark.sql import functions as F
@@ -500,7 +504,7 @@ class Engine:
         cols = sdf.columns
         field_types = {f.name: f.dataType.simpleString() for f in sdf.schema}
         opnd = (
-            r"(?:PREV\s*\(\s*\w+\.\w+\s*(?:,\s*\d+)?\s*\)"
+            r"(?:(?:PREV|NEXT)\s*\(\s*\w+\.\w+\s*(?:,\s*\d+)?\s*\)"
             r"|\w+(?:\.\w+)?|'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
         )
         cmp_re = _re.compile(
@@ -510,16 +514,18 @@ class Engine:
         )
 
         def _operand_spec(tok: str, v: str, need: set):
-            pm = _PREV_RE.fullmatch(tok.strip())
-            if pm is not None:
-                col = pm.group("pcol")
-                if col not in cols:
-                    raise unsupported(
-                        f"DEFINE for {v}: PREV over unknown column {col!r}"
-                    )
-                n = int(pm.group("n") or 1)
-                need.add(col)
-                return ("prev", col, n)
+            for regex, kind in ((_PREV_RE, "prev"), (_NEXT_RE, "next")):
+                pm = regex.fullmatch(tok.strip())
+                if pm is not None:
+                    col = pm.group("pcol")
+                    if col not in cols:
+                        raise unsupported(
+                            f"DEFINE for {v}: {kind.upper()} over unknown "
+                            f"column {col!r}"
+                        )
+                    n = int(pm.group("n") or 1)
+                    need.add(col)
+                    return (kind, col, n)
             tok = tok.strip()
             if tok.startswith("'"):
                 return ("lit", tok[1:-1].replace("''", "'"))
@@ -554,21 +560,24 @@ class Engine:
         # are evaluated inside the matcher from its bounded row history.
         preds: dict[str, str] = {}
         prev_checks: list[list[tuple]] = []
+        next_checks: list[list[tuple]] = []
         need_cols: set[str] = set()
+        next_need: set[str] = set()
         max_prev = 0
-        for v in spec.pattern:
+        length = len(spec.pattern)
+        for vi, v in enumerate(spec.pattern):
             pred = spec.defines[v]
-            if _NEXT_RE.search(pred) or _NAV_DEF_RE.search(pred):
+            if _NAV_DEF_RE.search(pred):
                 raise unsupported(
-                    f"DEFINE for {v}: NEXT/FIRST/LAST navigation over a "
-                    "stream (lookahead and match bindings need the batch "
-                    "window plan; physical PREV streams as comparison "
-                    "conjuncts)"
+                    f"DEFINE for {v}: FIRST/LAST navigation over a "
+                    "stream (match bindings need the batch window plan; "
+                    "physical PREV/NEXT stream as comparison conjuncts)"
                 )
             local_parts: list[str] = []
             checks: list[tuple] = []
+            nchecks: list[tuple] = []
             for conj in _split_top_and(pred):
-                if not _PREV_RE.search(conj):
+                if not (_PREV_RE.search(conj) or _NEXT_RE.search(conj)):
                     local_parts.append(conj)
                     continue
                 body = conj.strip()
@@ -577,14 +586,44 @@ class Engine:
                 cm = cmp_re.fullmatch(body)
                 if cm is None:
                     raise unsupported(
-                        f"DEFINE for {v}: PREV conjunct {conj!r} — over "
-                        "a stream PREV supports plain comparisons "
-                        "(<operand> OP <operand>, operands a column, "
-                        "literal, or PREV(col, n)); richer navigation "
-                        "needs the batch window plan"
+                        f"DEFINE for {v}: navigation conjunct {conj!r} — "
+                        "over a stream PREV/NEXT support plain "
+                        "comparisons (<operand> OP <operand>, operands a "
+                        "column, literal, or PREV/NEXT(col, n)); richer "
+                        "navigation needs the batch window plan"
                     )
-                lhs = _operand_spec(cm.group("l"), v, need_cols)
-                rhs = _operand_spec(cm.group("r"), v, need_cols)
+                nd: set[str] = set()
+                lhs = _operand_spec(cm.group("l"), v, nd)
+                rhs = _operand_spec(cm.group("r"), v, nd)
+                kinds = {lhs[0], rhs[0]}
+                if "next" in kinds:
+                    if "prev" in kinds:
+                        raise unsupported(
+                            f"DEFINE for {v}: conjunct {conj!r} mixes "
+                            "PREV and NEXT (window-time lookahead and "
+                            "arrival-time lookback evaluate at different "
+                            "points — split into two conjuncts or use "
+                            "the batch path)"
+                        )
+                    if spec.plus is not None:
+                        raise unsupported(
+                            f"DEFINE for {v}: NEXT on an unbounded run "
+                            "shape (the run matcher sees rows one at a "
+                            "time; lookahead needs the batch window plan)"
+                        )
+                    for side in (lhs, rhs):
+                        if side[0] == "next" and vi + side[2] > length - 1:
+                            raise unsupported(
+                                f"DEFINE for {v}: NEXT(..., {side[2]}) "
+                                "reaches PAST the match window (future "
+                                "rows would need buffered emission; only "
+                                "lookahead inside the matched sequence "
+                                "streams)"
+                            )
+                    next_need |= nd
+                    nchecks.append((lhs, cm.group("op"), rhs))
+                    continue
+                need_cols |= nd
                 for side in (lhs, rhs):
                     if side[0] == "prev":
                         max_prev = max(max_prev, side[2])
@@ -601,6 +640,7 @@ class Engine:
                 )
             preds[v] = local
             prev_checks.append(checks)
+            next_checks.append(nchecks)
         prev_spec = (
             (
                 prev_checks,
@@ -691,6 +731,11 @@ class Engine:
                 within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
                 skip_past=spec.skip_past_last, prev_spec=prev_spec,
                 payload_spec=(pay_pairs, pay_types) if pay_pairs else None,
+                next_spec=(
+                    (next_checks, {c: field_types[c] for c in next_need})
+                    if any(next_checks)
+                    else None
+                ),
             )
             pos_col = {
                 var: f"ts_{i + 1}" for i, var in enumerate(spec.pattern)

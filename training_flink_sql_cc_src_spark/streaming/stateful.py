@@ -404,6 +404,7 @@ def sequence_flags_stream(
     skip_past: bool = False,
     prev_spec: tuple | None = None,
     payload_spec: tuple | None = None,
+    next_spec: tuple | None = None,
 ) -> DataFrame:
     """Streaming matcher for an adjacent fixed-length sequence with
     ARBITRARY row-local predicates — the general-predicate continuous
@@ -427,15 +428,25 @@ def sequence_flags_stream(
     window keeps the union of needed source columns per row and a match
     emits each requested (position, col) as ``v{position+1}_{col}`` —
     Flink CEP's per-variable measure payloads, still O(L) state.
+    ``next_spec`` = (checks_per_position, {col: sql_type}) adds
+    NEXT(col, n) comparison conjuncts that resolve INSIDE the candidate
+    window (position + n <= L-1), evaluated once the full window is
+    assembled — bounded lookahead without future-row buffering.
     Emits (key, ts_1 .. ts_L [, v*_*...])."""
     length = len(flag_cols)
     if length < 2:
         raise ValueError("sequence pattern needs at least 2 steps")
     hist = length - 1
-    pay_pairs, pcols, pay_types = [], [], {}
+    pay_pairs, pay_types = [], {}
     if payload_spec is not None:
         pay_pairs, pay_types = payload_spec
-        pcols = sorted({c for _, c in pay_pairs})
+    nxt_checks, nxt_types = [], {}
+    if next_spec is not None:
+        nxt_checks, nxt_types = next_spec
+    # window rows carry the union of measure-payload and NEXT-conjunct
+    # columns; both index into the same per-row value tuple
+    pcols = sorted({c for _, c in pay_pairs} | set(nxt_types))
+    wtypes = {**pay_types, **nxt_types}
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = f"{key_col} {key_type}, " + ", ".join(
         [f"ts_{i + 1} timestamp" for i in range(length)]
@@ -443,7 +454,7 @@ def sequence_flags_stream(
     )
     state_schema = ", ".join(
         f"m{i} long, s{i} timestamp"
-        + "".join(f", w{i}_{c} {pay_types[c]}" for c in pcols)
+        + "".join(f", w{i}_{c} {wtypes[c]}" for c in pcols)
         for i in range(1, hist + 1)
     )
     stride = 2 + len(pcols)
@@ -509,8 +520,10 @@ def sequence_flags_stream(
                 )
                 seq = window + [cur]
                 matched_here = False
-                if len(seq) == length and all(
-                    s[0] & (1 << i) for i, s in enumerate(seq)
+                if (
+                    len(seq) == length
+                    and all(s[0] & (1 << i) for i, s in enumerate(seq))
+                    and _next_ok(nxt_checks, seq, pcols)
                 ):
                     if (
                         within_seconds is None
@@ -798,6 +811,34 @@ def _prev_flat(hist, need_cols, max_prev):
     for row in hist:
         flat += [row[c] for c in need_cols]
     return flat
+
+
+def _next_ok(nxt_checks, seq, pcols):
+    """Evaluate a candidate window's NEXT conjuncts. ``nxt_checks[vi]``
+    holds variable vi's (lhs, op, rhs) comparisons; a ("next", col, n)
+    operand reads window row vi+n (the engine guarantees vi+n stays
+    inside the window), a ("col", name) operand reads row vi itself.
+    NULL operands make the comparison false — the batch semantics."""
+    if not nxt_checks:
+        return True
+    for vi, checks in enumerate(nxt_checks):
+        for lhs, op, rhs in checks:
+
+            def operand(spec):
+                if spec[0] == "lit":
+                    return spec[1]
+                pos = vi if spec[0] == "col" else vi + spec[2]
+                return seq[pos][2][pcols.index(spec[1])]
+
+            a, b = operand(lhs), operand(rhs)
+            if a is None or b is None:
+                return False
+            try:
+                if not _CMP_OPS[op](a, b):
+                    return False
+            except TypeError:
+                return False
+    return True
 
 
 def _prev_ok(checks, cur, hist):
