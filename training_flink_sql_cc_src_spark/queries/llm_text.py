@@ -447,24 +447,34 @@ def pipeline_importance_weights(
         .agg(F.count("*").alias("ct_t"))
     )
     allc = tok.groupBy("term").agg(F.count("*").alias("ct_c"))
-    nt = tok.filter(F.col("source") == "web").count()
-    nc = tok.count()
-    v = allc.count()
-    lr = allc.join(tgt, "term", "left").select(
-        "term",
-        F.round(
-            F.log(
-                (
-                    (F.coalesce(F.col("ct_t"), F.lit(0)) + 1).cast("double")
-                    / F.lit(float(nt + v))
-                )
-                / (
-                    (F.col("ct_c") + 1).cast("double")
-                    / F.lit(float(nc + v))
-                )
-            ),
-            9,
-        ).alias("logratio"),
+    # corpus totals as a ONE-ROW aggregate broadcast-cross-joined into
+    # the logratio projection (the q22 scalar-subquery trick) — no
+    # driver-side count() actions; the whole query is a single job
+    tot = tok.agg(
+        F.count(F.when(F.col("source") == "web", True)).alias("nt"),
+        F.count("*").alias("nc"),
+        F.count_distinct("term").alias("v"),
+    )
+    lr = (
+        allc.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct_t"), F.lit(0)) + 1)
+                        .cast("double")
+                        / (F.col("nt") + F.col("v")).cast("double")
+                    )
+                    / (
+                        (F.col("ct_c") + 1).cast("double")
+                        / (F.col("nc") + F.col("v")).cast("double")
+                    )
+                ),
+                9,
+            ).alias("logratio"),
+        )
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     return (
