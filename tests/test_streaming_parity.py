@@ -1029,6 +1029,186 @@ def test_general_run_stream_prev_navigation_matches_batch(spark):
     assert got == batch and batch
 
 
+def _cep_funnel_df(spark):
+    """Overlap fixture for the general-predicate A B+ C funnel: the
+    _cep_overlap_df rows plus a terminal v=0 row per key. v=0 fails
+    every A/B predicate used in the funnel tests, so open B-runs break
+    at stream end — the matcher's longest-match-needs-a-terminator
+    contract — while still exercising the emit-on-break-C path when a
+    C predicate admits 0."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for key, vals in {
+        "a": [12, 15, 8, 11, 14, 13, 9, 16, 7, 12, 6, 0],
+        "b": [10, 10, 10, 5, 12, 2, 3, 11, 4, 0],
+        "c": [1, 3, 5, 7, 9, 0],
+    }.items():
+        for i, v in enumerate(vals):
+            rows.append((key, base + dt.timedelta(seconds=i), v))
+    return spark.createDataFrame(rows, "k string, ts timestamp, v int")
+
+
+def test_general_funnel_stream_matches_batch(spark):
+    """PATTERN (A B+ C) with ARBITRARY, OVERLAPPING row-local
+    predicates streams: the O(1)-state machine with the remembered
+    backtrack candidate (a run row satisfying both B and C) and the
+    break-row-restart must equal the batch NFA across micro-batch
+    splits, for predicate mixes where rows satisfy several variables
+    at once."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_funnel_df(spark)
+    cases = [
+        # B∩C overlap (odd rows <= 9 satisfy both): pend backtracking
+        ("A.v >= 10", "B.v % 2 = 1", "C.v <= 9"),
+        # A⊂B overlap (every A row is also a B row): leftmost priority
+        ("A.v >= 10", "B.v >= 5", "C.v % 2 = 1"),
+        # A=B overlap + C admits the terminal 0 row: emit-on-break-C
+        ("A.v >= 5", "B.v >= 5", "C.v <= 6"),
+        # disjoint sanity (mirrors the eq-funnel assumptions)
+        ("A.v >= 10", "B.v BETWEEN 5 AND 9", "C.v < 5"),
+    ]
+    eng = Engine(spark)
+    for da, db, dc in cases:
+        stmt = f"""
+            SELECT k, CAST(a_ts AS LONG) AS ae, CAST(c_ts AS LONG) AS ce
+            FROM cep_funnel
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES A.ts AS a_ts, C.ts AS c_ts
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B+ C)
+                DEFINE A AS {da}, B AS {db}, C AS {dc}
+            )
+        """
+        df.createOrReplaceTempView("cep_funnel")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"cep_funnel": s}),
+            output_mode="append",
+            n_files=5,
+            order_by="ts",
+        )
+        got = {tuple(r) for r in streamed.collect()}
+        assert got == batch and batch, (da, db, dc)
+
+
+def test_general_funnel_stream_prev_and_payload_match_batch(spark):
+    """The general funnel's PREV conjuncts (evaluated from the bounded
+    arrival history in the same keyed state) and payload measures (A.v
+    / LAST-B.v / C.v carried through the O(1) state) equal the batch
+    lowering."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_funnel_df(spark)
+    eng = Engine(spark)
+    # payload measures with overlapping predicates
+    stmt = """
+        SELECT k, av, bv, cv, CAST(c_ts AS LONG) AS ce FROM cep_funnel_p
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES A.v AS av, B.v AS bv, C.v AS cv, C.ts AS c_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.v >= 10, B AS B.v % 2 = 1, C AS C.v <= 9
+        )
+    """
+    df.createOrReplaceTempView("cep_funnel_p")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_funnel_p": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+    # physical PREV in the run predicate: strictly-falling B run
+    stmt2 = """
+        SELECT k, CAST(a_ts AS LONG) AS ae, CAST(c_ts AS LONG) AS ce
+        FROM cep_funnel_prev
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES A.ts AS a_ts, C.ts AS c_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.v >= 10, B AS B.v < PREV(B.v),
+                   C AS C.v >= 10
+        )
+    """
+    df.createOrReplaceTempView("cep_funnel_prev")
+    batch2 = {
+        tuple(r) for r in StatementRouter(spark).execute(stmt2).collect()
+    }
+    streamed2 = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt2, {"cep_funnel_prev": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got2 = {tuple(r) for r in streamed2.collect()}
+    assert got2 == batch2 and batch2
+
+
+def test_general_funnel_stream_guards(spark):
+    """The general funnel rejects — loudly — SKIP TO NEXT ROW and
+    WITHIN (both need unbounded per-key state), while accepting
+    arbitrary row-local DEFINEs under SKIP PAST LAST ROW."""
+    import pytest
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    df = _cep_funnel_df(spark)
+    eng = Engine(spark)
+    tmpl = """
+        SELECT k, a_ts FROM cep_funnel_g
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES A.ts AS a_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP {skip}
+            PATTERN (A B+ C)
+            {within}
+            DEFINE A AS A.v >= 10, B AS B.v % 2 = 1, C AS C.v <= 9
+        )
+    """
+    assert eng.sql_stream(
+        tmpl.format(skip="PAST LAST ROW", within=""),
+        {"cep_funnel_g": df},
+    ) is not None
+    with pytest.raises(NotImplementedError, match="SKIP TO NEXT ROW"):
+        eng.sql_stream(
+            tmpl.format(skip="TO NEXT ROW", within=""),
+            {"cep_funnel_g": df},
+        )
+    with pytest.raises(NotImplementedError, match="WITHIN"):
+        eng.sql_stream(
+            tmpl.format(
+                skip="PAST LAST ROW", within="WITHIN INTERVAL '1' HOUR"
+            ),
+            {"cep_funnel_g": df},
+        )
+
+
 def test_general_sequence_stream_payload_measures_match_batch(spark):
     """MEASURES beyond Var.<order col>: A.v and B.v ride the sequence
     matcher's window state as payload columns — values must equal the

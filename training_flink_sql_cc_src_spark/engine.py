@@ -497,6 +497,7 @@ class Engine:
             _split_top_and,
         )
         from .streaming.stateful import (
+            mid_run_flags_stream,
             run_flags_stream,
             sequence_flags_stream,
         )
@@ -605,10 +606,14 @@ class Engine:
                             "points — split into two conjuncts or use "
                             "the batch path)"
                         )
-                    if spec.plus is not None:
+                    if (
+                        spec.plus is not None
+                        or spec.unbounded
+                        or spec.pos_quants
+                    ):
                         raise unsupported(
                             f"DEFINE for {v}: NEXT on an unbounded run "
-                            "shape (the run matcher sees rows one at a "
+                            "shape (the run matchers see rows one at a "
                             "time; lookahead needs the batch window plan)"
                         )
                     for side in (lhs, rhs):
@@ -651,12 +656,38 @@ class Engine:
             if max_prev
             else None
         )
+        funnel = False
         if (spec.unbounded or spec.pos_quants) and spec.plus is None:
-            raise unsupported(
-                "general unbounded patterns (the general-predicate "
-                "streaming leg covers adjacent sequences and A+ B; the "
-                "A B+ C funnel streams with eq-literal DEFINEs)"
-            )
+            # the only streamable general unbounded shape: the A B+ C
+            # funnel (run at the middle position, min 1) — O(1) state
+            if (
+                len(spec.positions) != 3
+                or list(spec.unbounded) != [spec.pattern[1]]
+                or spec.unbounded[spec.pattern[1]] != 1
+                or spec.quants
+                or spec.pos_quants
+                or spec.lazy_vars
+            ):
+                raise unsupported(
+                    "general unbounded patterns (the general-predicate "
+                    "streaming leg covers adjacent sequences, A+ B runs, "
+                    "and the A B+ C middle-run funnel)"
+                )
+            if not spec.skip_past_last:
+                raise unsupported(
+                    "A B+ C with SKIP TO NEXT ROW (per-start emission "
+                    "needs unbounded per-key state; SKIP PAST LAST ROW "
+                    "streams with O(1) state)"
+                )
+            if spec.within_seconds is not None:
+                raise unsupported(
+                    "WITHIN on a general-predicate A B+ C funnel "
+                    "(re-anchoring a too-old match start mid-run needs "
+                    "the run rows' timestamps — unbounded state; "
+                    "eq-literal disjoint DEFINEs or the batch path "
+                    "support WITHIN)"
+                )
+            funnel = True
         # measures beyond Var.<order col>: carry the matched rows'
         # payload columns through the matcher's keyed state
         patvars = set(spec.pattern)
@@ -685,7 +716,28 @@ class Engine:
                 ),
             )
             flag_cols.append(c)
-        if spec.plus is not None:
+        if funnel:
+            roles = {
+                spec.pattern[0]: "start",
+                spec.pattern[1]: "last",
+                spec.pattern[2]: "end",
+            }
+            pay_pairs = [(roles[var], col) for var, col in pay_needs]
+            pay_col = {
+                (var, col): f"{roles[var]}_{col}" for var, col in pay_needs
+            }
+            matched = mid_run_flags_stream(
+                flagged, key, ts_col,
+                flag_cols[0], flag_cols[1], flag_cols[2],
+                tiebreak_col=tiebreak, prev_spec=prev_spec,
+                payload_spec=(pay_pairs, pay_types) if pay_pairs else None,
+            )
+            pos_col = {
+                spec.pattern[0]: "a_ts",
+                spec.pattern[1]: "run_last_ts",
+                spec.pattern[2]: "end_ts",
+            }
+        elif spec.plus is not None:
             if spec.plus[2] != 1:
                 raise unsupported(
                     "A{n,} / A* run bounds (the streaming matcher tracks "

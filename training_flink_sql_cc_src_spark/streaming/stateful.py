@@ -731,6 +731,211 @@ def run_flags_stream(
     )
 
 
+def mid_run_flags_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_flag_col: str,
+    run_flag_col: str,
+    end_flag_col: str,
+    tiebreak_col: str | None = None,
+    prev_spec: tuple | None = None,
+    payload_spec: tuple | None = None,
+) -> DataFrame:
+    """Streaming matcher for PATTERN (A B+ C) with ARBITRARY row-local
+    predicates that may OVERLAP — the general-predicate funnel,
+    reproducing the batch NFA's greedy backtracking under AFTER MATCH
+    SKIP PAST LAST ROW with O(1) state per key:
+
+    - after the A row, B rows extend the run greedily; a run row
+      satisfying BOTH B and C is consumed as B but remembered as the
+      latest backtrack candidate (``pend`` = that row as C, with the
+      run snapshot before it);
+    - when a row breaks the run (fails B): if it satisfies C the
+      longest match emits (A, run, break row); else if ``pend`` is set
+      the remembered candidate emits — rows between pend and the break
+      row all fail C (pend is the LAST C-satisfying run row), so no
+      alternative start inside them can complete before the break row
+      kills every remainder run, making the reset exact; either way
+      the break row is then re-examined as a fresh A start (with
+      overlapping predicates it may open the next match).
+
+    Leftmost-start priority resolves overlap: a row satisfying A and B
+    while a candidate is open is consumed as B (continuing the earliest
+    start); if that candidate dies without a match, every start inside
+    its span is provably doomed too (its B rows' C-windows are subsets
+    of the dead candidate's), so the O(1) single-candidate machine
+    equals the batch NFA. A match is finalized only when a row fails B
+    — the same longest-match-needs-a-terminator contract as
+    ``run_flags_stream``. WITHIN is not supported (a too-old A would
+    need re-anchoring to starts inside the run — unbounded state); the
+    router rejects it loudly. ``prev_spec`` adds physical PREV(col, n)
+    comparison conjuncts per flag (start, run, end), evaluated against
+    the last max(n) rows kept in the same state. ``payload_spec`` =
+    ([(role, col), ...], {col: sql_type}) with role "start" (the A
+    row), "last" (the run's final B row — Flink's LAST-row binding for
+    B.col measures) or "end" (the C row), emitted as ``{role}_{c}``.
+    Emits (key, a_ts, run_len, run_last_ts, end_ts [, start_*/last_*/
+    end_*...])."""
+    pay_pairs, pcols, pay_types = [], [], {}
+    if payload_spec is not None:
+        pay_pairs, pay_types = payload_spec
+        pcols = sorted({c for _, c in pay_pairs})
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, a_ts timestamp, run_len long, "
+        "run_last_ts timestamp, end_ts timestamp"
+        + "".join(f", {role}_{c} {pay_types[c]}" for role, c in pay_pairs)
+    )
+    state_schema = (
+        "phase int, a_ts timestamp, run_last timestamp, run_len long, "
+        "pend timestamp, pend_run_last timestamp, pend_run_len long"
+        # payloads of the A row / run-last row / pend's run-last / pend
+        + "".join(
+            f", {tag}_{c} {pay_types[c]}"
+            for tag in ("ap", "rl", "pl", "pe")
+            for c in pcols
+        )
+    )
+    npay = len(pcols)
+    base_off = 7
+    checks_per_flag, need_cols, max_prev = [], [], 0
+    if prev_spec is not None:
+        checks_per_flag, need_cols, max_prev, col_types = prev_spec
+        state_schema += ", " + _prev_schema_suffix(
+            need_cols, max_prev, col_types
+        )
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        vhist: list[dict] = []
+        none_pay = (None,) * npay
+        ap_pay = rl_pay = pl_pay = pe_pay = none_pay
+        if state.exists:
+            vals = state.get
+            (
+                phase, a_ts, run_last, run_len,
+                pend, pend_run_last, pend_run_len,
+            ) = vals[:7]
+            if npay:
+                ap_pay = tuple(vals[7 : 7 + npay])
+                rl_pay = tuple(vals[7 + npay : 7 + 2 * npay])
+                pl_pay = tuple(vals[7 + 2 * npay : 7 + 3 * npay])
+                pe_pay = tuple(vals[7 + 3 * npay : 7 + 4 * npay])
+        else:
+            phase, a_ts, run_last, run_len = 0, None, None, 0
+            pend, pend_run_last, pend_run_len = None, None, 0
+        if state.exists and max_prev:
+            vhist = _prev_load(
+                state.get, base_off + 4 * npay, need_cols, max_prev
+            )
+        a_out, len_out, last_out, end_out = [], [], [], []
+        pays: list[tuple] = []  # per match: (start, last, end) payloads
+        for pdf in batches:
+            sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(sort_cols)
+            fa_arr = pdf[start_flag_col].fillna(False).to_numpy(dtype=bool)
+            fb_arr = pdf[run_flag_col].fillna(False).to_numpy(dtype=bool)
+            fc_arr = pdf[end_flag_col].fillna(False).to_numpy(dtype=bool)
+            ts_vals = list(pdf[ts_col])
+            need_vals = {c: list(pdf[c]) for c in need_cols}
+            pay_vals = {c: list(pdf[c]) for c in pcols}
+            for r in range(len(pdf)):
+                fa, fb, fc = fa_arr[r], fb_arr[r], fc_arr[r]
+                cur_ts = ts_vals[r]
+                cur_pay = (
+                    tuple(_scalar(pay_vals[c][r]) for c in pcols)
+                    if npay
+                    else none_pay
+                )
+                if max_prev:
+                    cur_vals = {
+                        c: _scalar(need_vals[c][r]) for c in need_cols
+                    }
+                    if fa and checks_per_flag[0]:
+                        fa = _prev_ok(checks_per_flag[0], cur_vals, vhist)
+                    if fb and checks_per_flag[1]:
+                        fb = _prev_ok(checks_per_flag[1], cur_vals, vhist)
+                    if fc and checks_per_flag[2]:
+                        fc = _prev_ok(checks_per_flag[2], cur_vals, vhist)
+                    vhist.append(cur_vals)
+                    vhist = vhist[-max_prev:]
+                if phase == 2:
+                    if fb:
+                        if fc:
+                            # backtrack candidate: this row as C, run
+                            # snapshot BEFORE consuming it as B
+                            pend = cur_ts
+                            pend_run_last, pend_run_len = run_last, run_len
+                            pl_pay, pe_pay = rl_pay, cur_pay
+                        run_last, run_len = cur_ts, run_len + 1
+                        rl_pay = cur_pay
+                        continue
+                    if fc:
+                        a_out.append(a_ts)
+                        len_out.append(run_len)
+                        last_out.append(run_last)
+                        end_out.append(cur_ts)
+                        pays.append((ap_pay, rl_pay, cur_pay))
+                        phase, a_ts, run_last, run_len = 0, None, None, 0
+                        pend, pend_run_last, pend_run_len = None, None, 0
+                        continue
+                    if pend is not None:
+                        a_out.append(a_ts)
+                        len_out.append(pend_run_len)
+                        last_out.append(pend_run_last)
+                        end_out.append(pend)
+                        pays.append((ap_pay, pl_pay, pe_pay))
+                    phase, a_ts, run_last, run_len = 0, None, None, 0
+                    pend, pend_run_last, pend_run_len = None, None, 0
+                    # the break row may itself open the next match
+                    if fa:
+                        phase, a_ts, ap_pay = 1, cur_ts, cur_pay
+                    continue
+                if phase == 1:
+                    if fb:
+                        phase, run_last, run_len = 2, cur_ts, 1
+                        rl_pay = cur_pay
+                    elif fa:
+                        a_ts, ap_pay = cur_ts, cur_pay
+                    else:
+                        phase, a_ts = 0, None
+                    continue
+                if fa:
+                    phase, a_ts, ap_pay = 1, cur_ts, cur_pay
+        st = [phase, a_ts, run_last, run_len, pend, pend_run_last,
+              pend_run_len]
+        if npay:
+            st += list(ap_pay) + list(rl_pay) + list(pl_pay) + list(pe_pay)
+        if max_prev:
+            st += _prev_flat(vhist, need_cols, max_prev)
+        state.update(tuple(st))
+        if a_out:
+            data = {
+                key_col: [key[0]] * len(a_out),
+                "a_ts": a_out,
+                "run_len": len_out,
+                "run_last_ts": last_out,
+                "end_ts": end_out,
+            }
+            for role, c in pay_pairs:
+                side = {"start": 0, "last": 1, "end": 2}[role]
+                ci = pcols.index(c)
+                data[f"{role}_{c}"] = [p[side][ci] for p in pays]
+            yield pd.DataFrame(data)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- PREV-navigation support for the flag matchers -------------------------
 #
 # Physical PREV(col, n) comparisons cannot be materialized by a separate
