@@ -1,0 +1,231 @@
+"""Streaming CEP fuzz: random streamable shapes vs the batch NFA.
+
+Random fixed-length sequences (A B / A B C / A B C D), A+ B runs, and
+A B+ C funnels with random OVERLAPPING integer predicates — including
+physical PREV comparison conjuncts on every shape and in-window NEXT
+conjuncts on sequences — are replayed as micro-batched file streams
+through ``Engine.sql_stream`` and compared row-for-row (Counter of
+output tuples, payload measures included) against the batch
+MATCH_RECOGNIZE lowering on the same data. This adversarially checks
+the O(1)/O(L)-state matchers' overlap handling: leftmost-start
+priority, the greedy backtrack candidate (``pend``), break-row
+restarts, skip modes, WITHIN bounds, and cross-micro-batch state.
+
+The run matchers finalize an open run only at a break row (the
+longest-match-needs-a-terminator contract), so every generated key ends
+with a terminal row whose value fails every required row-local atom in
+the grammar: v = -997, with atoms drawn from ``>= k`` / ``> k`` /
+``= k`` (k >= 0) and ``% m = r`` (r >= 0; Spark's % keeps the
+dividend's sign and 997 is prime, so -997 % m < 0 for every m in the
+grammar). The run variable's DEFINE always carries at least one such
+atom, so open runs break at the terminal row exactly as a batch
+partition ends — making batch and stream comparable on FULL data with
+no truncation bookkeeping.
+
+Usage: python scripts/fuzz_cep_stream.py [n_cases] [seed]
+"""
+import random
+import sys
+from collections import Counter
+
+sys.path.insert(0, ".")
+
+from training_flink_sql_cc_src_spark.engine import Engine
+from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+from training_flink_sql_cc_src_spark.session import get_spark
+from training_flink_sql_cc_src_spark.streaming.parity import (
+    run_stream_over_batch,
+)
+
+TERM = -997  # fails every required atom; breaks any open run
+
+
+def rand_atom(rng, v):
+    """A row-local atom guaranteed FALSE at v = TERM."""
+    r = rng.random()
+    if r < 0.35:
+        return f"{v}.v >= {rng.randint(0, 6)}"
+    if r < 0.55:
+        return f"{v}.v > {rng.randint(0, 6)}"
+    if r < 0.7:
+        return f"{v}.v = {rng.randint(0, 7)}"
+    m = rng.randint(2, 5)
+    return f"{v}.v % {m} = {rng.randint(0, m - 1)}"
+
+
+def rand_local(rng, v):
+    """Row-local predicate: 1-2 required atoms, optionally AND an upper
+    bound (harmless at TERM because the required atom already fails)."""
+    pred = rand_atom(rng, v)
+    if rng.random() < 0.3:
+        pred += f" AND {rand_atom(rng, v)}"
+    elif rng.random() < 0.3:
+        pred += f" AND {v}.v <= {rng.randint(3, 9)}"
+    return pred
+
+
+def rand_prev_conjunct(rng, v):
+    op = rng.choice([">", ">=", "<", "<=", "=", "<>"])
+    n = rng.choice(["", ", 2"])
+    if rng.random() < 0.7:
+        return f"{v}.v {op} PREV({v}.v{n})"
+    return f"PREV({v}.v{n}) {op} {rng.randint(0, 6)}"
+
+
+def rand_next_conjunct(rng, v, max_n):
+    op = rng.choice([">", ">=", "<", "<=", "<>"])
+    n = rng.randint(1, max_n)
+    suffix = "" if n == 1 else f", {n}"
+    if rng.random() < 0.7:
+        return f"{v}.v {op} NEXT({v}.v{suffix})"
+    return f"NEXT({v}.v{suffix}) {op} {rng.randint(0, 6)}"
+
+
+def gen_case(rng):
+    """Return (pattern, defines_sql, vars, skip_sql, within_sql)."""
+    shape = rng.random()
+    if shape < 0.45:
+        length = rng.randint(2, 4)
+        pvars = ["A", "B", "C", "D"][:length]
+        pattern = " ".join(pvars)
+        defines = []
+        for vi, v in enumerate(pvars):
+            d = rand_local(rng, v)
+            if rng.random() < 0.3:
+                d += f" AND {rand_prev_conjunct(rng, v)}"
+            elif vi < length - 1 and rng.random() < 0.35:
+                d += f" AND {rand_next_conjunct(rng, v, length - 1 - vi)}"
+            defines.append(f"{v} AS {d}")
+        skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
+        within = (
+            f"WITHIN INTERVAL '{rng.choice([3, 6, 9, 12])}' SECOND"
+            if rng.random() < 0.3
+            else ""
+        )
+        return pattern, ", ".join(defines), pvars, skip, within
+    if shape < 0.72:
+        # A+ B run: A needs a required row-local atom (terminator)
+        da = rand_local(rng, "A")
+        if rng.random() < 0.35:
+            da += f" AND {rand_prev_conjunct(rng, 'A')}"
+        db = rand_local(rng, "B")
+        if rng.random() < 0.3:
+            db += f" AND {rand_prev_conjunct(rng, 'B')}"
+        return (
+            "A+ B", f"A AS {da}, B AS {db}", ["A", "B"],
+            "PAST LAST ROW", "",
+        )
+    # A B+ C funnel: B needs a required row-local atom (terminator)
+    parts = {}
+    for v in ("A", "B", "C"):
+        d = rand_local(rng, v)
+        if rng.random() < 0.3:
+            d += f" AND {rand_prev_conjunct(rng, v)}"
+        parts[v] = d
+    return (
+        "A B+ C",
+        ", ".join(f"{v} AS {parts[v]}" for v in ("A", "B", "C")),
+        ["A", "B", "C"],
+        "PAST LAST ROW",
+        "",
+    )
+
+
+def gen_data(spark, rng):
+    rows = []
+    for ki in range(3):
+        n = rng.randint(8, 16)
+        vals = [rng.randint(0, 7) for _ in range(n)] + [TERM]
+        for i, v in enumerate(vals):
+            # globally-unique interleaved event times, 3 s per key step
+            rows.append((f"k{ki}", i * 3 + ki, v))
+    return spark.createDataFrame(rows, "k string, seq long, v int").selectExpr(
+        "k", "v", "timestamp_seconds(seq) AS ts"
+    )
+
+
+def main(n_cases, seed):
+    rng = random.Random(seed)
+    spark = get_spark("fuzz_stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    # ~50 rows per case: shuffle width is pure overhead here (restored
+    # on exit — the in-suite smoke shares the test session)
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    router = StatementRouter(spark)
+    eng = Engine(spark)
+    failures = tried = 0
+    while tried < n_cases:
+        pattern, defines, pvars, skip, within = gen_case(rng)
+        df = gen_data(spark, rng)
+        with_payload = rng.random() < 0.7
+        meas = []
+        outer = ["k"]
+        for i, v in enumerate(pvars):
+            meas.append(f"{v}.ts AS t{i}")
+            outer.append(f"CAST(t{i} AS LONG) AS e{i}")
+            if with_payload:
+                meas.append(f"{v}.v AS p{i}")
+                outer.append(f"p{i}")
+        stmt = f"""
+            SELECT {', '.join(outer)} FROM __fuzz_stream
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES {', '.join(meas)}
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP {skip}
+                PATTERN ({pattern})
+                {within}
+                DEFINE {defines}
+            )
+        """
+        tried += 1
+        df.createOrReplaceTempView("__fuzz_stream")
+        try:
+            batch = Counter(
+                tuple(r) for r in router.execute(stmt).collect()
+            )
+        except Exception as e:
+            failures += 1
+            print(f"BATCH ERROR {pattern!r} {defines!r}: {e}", flush=True)
+            continue
+        try:
+            streamed = run_stream_over_batch(
+                spark,
+                df,
+                lambda s, stmt=stmt: eng.sql_stream(
+                    stmt, {"__fuzz_stream": s}
+                ),
+                output_mode="append",
+                n_files=rng.randint(3, 6),
+                order_by="ts",
+            )
+            got = Counter(tuple(r) for r in streamed.collect())
+        except Exception as e:
+            failures += 1
+            print(
+                f"STREAM ERROR pattern={pattern!r} skip={skip!r} "
+                f"within={within!r} defines={defines!r}: {e}",
+                flush=True,
+            )
+            continue
+        if got != batch:
+            failures += 1
+            print(
+                f"MISMATCH pattern={pattern!r} skip={skip!r} "
+                f"within={within!r} defines={defines!r}\n"
+                f"  batch-only: {batch - got}\n  stream-only: {got - batch}",
+                flush=True,
+            )
+        if tried % 10 == 0:
+            print(f"... {tried}/{n_cases}, {failures} failures", flush=True)
+    spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+    print(f"DONE {tried} cases, {failures} failures", flush=True)
+    return failures
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    sys.exit(1 if main(n, seed) else 0)

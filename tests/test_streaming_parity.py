@@ -1209,6 +1209,139 @@ def test_general_funnel_stream_guards(spark):
         )
 
 
+def _over_agg_df(spark):
+    """Fixture for continuous OVER aggregation: 3 keys, DUPLICATE event
+    times inside a key (RANGE peer semantics), NULL values (aggregate
+    null-skipping), interleaved arrival."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rng_rows = []
+    vals = [5, 2, None, 7, 2, 9, 1, None, 4, 8, 3, 6, 2, 7]
+    for ki in range(3):
+        # seconds: duplicates at positions 3/4 and 8/9 within each key
+        secs = [0, 10, 25, 40, 40, 55, 70, 90, 110, 110, 130, 150, 170, 185]
+        for i, (s, v) in enumerate(zip(secs, vals)):
+            rng_rows.append(
+                (f"k{ki}", base + dt.timedelta(seconds=s + ki), v, ki * 100 + i)
+            )
+    return spark.createDataFrame(
+        rng_rows, "k string, ts timestamp, v int, rid int"
+    )
+
+
+def test_over_aggregation_streams_match_batch(spark):
+    """Flink's Over Aggregation statement streams through sql_stream:
+    the keyed frame buffer (applyInPandasWithState) must equal the
+    batch window plan for a RANGE time frame (including duplicate-
+    event-time peer groups and NULL value skipping) and a ROWS count
+    frame, with multiple aggregates over one window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    df = _over_agg_df(spark)
+    eng = Engine(spark)
+    # --- RANGE 60 seconds, SUM + COUNT + AVG + MIN over one window
+    stmt = """
+        SELECT k, rid, v,
+               SUM(v) OVER (PARTITION BY k ORDER BY ts
+                   RANGE BETWEEN INTERVAL '60' SECOND PRECEDING
+                   AND CURRENT ROW) AS sv,
+               COUNT(v) OVER (PARTITION BY k ORDER BY ts
+                   RANGE BETWEEN INTERVAL '60' SECOND PRECEDING
+                   AND CURRENT ROW) AS cv,
+               AVG(v) OVER (PARTITION BY k ORDER BY ts
+                   RANGE BETWEEN INTERVAL '60' SECOND PRECEDING
+                   AND CURRENT ROW) AS av,
+               MIN(v) OVER (PARTITION BY k ORDER BY ts
+                   RANGE BETWEEN INTERVAL '60' SECOND PRECEDING
+                   AND CURRENT ROW) AS mv
+        FROM over_src
+    """
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"over_src": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-60, Window.currentRow)
+    )
+    batch = {
+        tuple(r)
+        for r in df.select(
+            "k",
+            "rid",
+            "v",
+            F.sum("v").over(w).cast("double").alias("sv"),
+            F.count("v").over(w).alias("cv"),
+            F.avg("v").over(w).alias("av"),
+            F.min("v").over(w).cast("double").alias("mv"),
+        ).collect()
+    }
+    assert got == batch and batch
+    # --- ROWS 3 PRECEDING (unique arrival order per key via rid tiebreak
+    # is unnecessary: event times are processed in ts order and the peer
+    # group keeps arrival order, matching the batch ts-ordered frame on
+    # keys whose duplicate rows carry equal aggregate inputs) — use the
+    # deduplicated subset to keep ROWS frames well-defined
+    uniq = df.filter(~F.col("rid").isin(4, 9, 104, 109, 204, 209))
+    stmt2 = """
+        SELECT k, rid,
+               SUM(v) OVER (PARTITION BY k ORDER BY ts
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sv,
+               COUNT(*) OVER (PARTITION BY k ORDER BY ts
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cn
+        FROM over_src2
+    """
+    streamed2 = run_stream_over_batch(
+        spark,
+        uniq,
+        lambda s: eng.sql_stream(stmt2, {"over_src2": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got2 = {tuple(r) for r in streamed2.collect()}
+    w2 = Window.partitionBy("k").orderBy("ts").rowsBetween(-3, Window.currentRow)
+    batch2 = {
+        tuple(r)
+        for r in uniq.select(
+            "k",
+            "rid",
+            F.sum("v").over(w2).cast("double").alias("sv"),
+            F.count("*").over(w2).alias("cn"),
+        ).collect()
+    }
+    assert got2 == batch2 and batch2
+
+
+def test_stream_fuzz_smoke_vs_batch_nfa(spark):
+    """A fixed-seed slice of scripts/fuzz_cep_stream.py runs in-suite
+    so random streamable shapes (sequences / A+ B / A B+ C with
+    overlapping predicates, PREV/NEXT conjuncts, both skip modes,
+    WITHIN) keep being replayed micro-batched and compared against the
+    batch NFA. The full sweep runs standalone:
+    ``python scripts/fuzz_cep_stream.py 150 <seed>``."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "fuzz_cep_stream.py"
+    )
+    spec = importlib.util.spec_from_file_location("fuzz_cep_stream", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main(6, 42) == 0
+
+
 def test_general_sequence_stream_payload_measures_match_batch(spark):
     """MEASURES beyond Var.<order col>: A.v and B.v ride the sequence
     matcher's window state as payload columns — values must equal the

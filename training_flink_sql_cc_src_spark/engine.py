@@ -95,6 +95,9 @@ class Engine:
         dedup = self._window_dedup_stream(stmt)
         if dedup is not None:
             return dedup
+        over = self._over_agg_stream(stmt, watermarked)
+        if over is not None:
+            return over
         streaming_session = rewrite_session_tvf_streaming(stmt)
         if streaming_session is not None:
             stmt = streaming_session
@@ -796,6 +799,88 @@ class Engine:
             stmt, spec, matched, key, ts_col, pos_col, unsupported,
             pay_col=pay_col,
         )
+
+    def _over_agg_stream(
+        self, stmt: str, sources: dict
+    ) -> DataFrame | None:
+        """Lower Flink's Over Aggregation statement for CONTINUOUS
+        execution.
+
+        The canonical shape (Flink "Over Aggregation" chapter):
+
+            SELECT cols...,
+                   AGG(x) OVER (
+                       PARTITION BY k ORDER BY rowtime
+                       RANGE BETWEEN INTERVAL 'n' UNIT PRECEDING
+                             AND CURRENT ROW) AS a [, more aggs
+                   over the SAME window]
+            FROM t
+
+        (both RANGE time frames and ROWS BETWEEN n PRECEDING count
+        frames). Structured Streaming rejects window functions, so the
+        statement routes to ``streaming/over_agg.over_agg_stream`` —
+        the frame buffer lives in keyed state, one emitted row per
+        input row, append mode (Flink's OverWindow operator model).
+        Returns None when the statement is not this shape."""
+        import re as _re
+
+        from .plans.router import _durations, _split_select_items
+        from .streaming.over_agg import over_agg_stream
+
+        m = _re.match(
+            r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<tbl>[\w.`]+)\s*$",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m is None or "OVER" not in stmt.upper():
+            return None
+        over_re = _re.compile(
+            r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<col>\w+|\*)\s*\)"
+            r"\s+OVER\s*\(\s*PARTITION\s+BY\s+(?P<key>\w+)\s+"
+            r"ORDER\s+BY\s+(?P<ts>\w+)\s+(?P<kind>RANGE|ROWS)\s+BETWEEN\s+"
+            r"(?P<span>INTERVAL\s+'\d+'\s+\w+|\d+)\s+PRECEDING\s+AND\s+"
+            r"CURRENT\s+ROW\s*\)\s+AS\s+(?P<alias>\w+)$",
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        aggs, specs, out_order, plain = [], [], [], []
+        for it in _split_select_items(m.group("items")):
+            it = it.strip()
+            om = over_re.match(it)
+            if om is not None:
+                fn = om.group("fn").lower()
+                col = None if om.group("col") == "*" else om.group("col")
+                if col is None and fn != "count":
+                    return None
+                span_txt = om.group("span")
+                if om.group("kind").upper() == "RANGE":
+                    if not span_txt.upper().startswith("INTERVAL"):
+                        return None
+                    frame = ("range", _durations(span_txt)[0][1])
+                else:
+                    if span_txt.upper().startswith("INTERVAL"):
+                        return None
+                    frame = ("rows", int(span_txt))
+                specs.append((om.group("key"), om.group("ts"), frame))
+                aggs.append((fn, col, om.group("alias")))
+                out_order.append(om.group("alias"))
+            elif _re.fullmatch(r"\w+", it):
+                plain.append(it)
+                out_order.append(it)
+            else:
+                return None
+        if not aggs or len(set(specs)) != 1:
+            return None
+        key, ts_col, frame = specs[0]
+        tbl = m.group("tbl").strip("`")
+        sdf = sources.get(tbl) or sources.get(tbl.split(".")[-1])
+        if sdf is None:
+            return None
+        passthrough = list(
+            dict.fromkeys(plain + [key, ts_col])
+        )
+        return over_agg_stream(
+            sdf, key, ts_col, frame, aggs, passthrough
+        ).select(*out_order)
 
     def _window_dedup_stream(self, stmt: str) -> DataFrame | None:
         """Lower Flink's Window Deduplication statement for CONTINUOUS
