@@ -591,3 +591,136 @@ def sim_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_topk(spark, sf_dir, refine_k=1_000_000_000)
+
+
+K_CLUSTERS = 8  # deterministic seed: vec_id < 8 are the centroids
+
+
+_KMEANS_ASSIGN_SQL = f"""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id < {K_CLUSTERS}
+    )
+    SELECT vec_id, cluster_id, cos_sim FROM (
+        SELECT v.vec_id, c.cid AS cluster_id,
+               {cosine_sql('v.embedding', 'c.ce')} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {cosine_sql('v.embedding', 'c.ce')} DESC,
+                            c.cid
+               ) AS rnk
+        FROM embeddings v CROSS JOIN c
+    ) WHERE rnk = 1
+"""
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means assignment step: every vector to its
+    max-cosine centroid (deterministic seed = vec_id < K, ties to the
+    smaller centroid id). Centroids broadcast (K rows, scale-invariant);
+    scoring map-side with per-side norms precomputed (norm_col — scores
+    bit-identical to cosine_sql); argmax via WindowGroupLimit (rn=1
+    pushes map-side). 100 TB: one corpus scan + one K-row broadcast, the
+    rank shuffle carries K rows per vector pre-reduced to 1."""
+    e = t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        norm_col(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            norm_col(F.col("embedding")).alias("v_norm"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cos_sim",
+            dot_col(F.col("embedding"), F.col("ce"))
+            / (F.col("v_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cluster_id"), "cos_sim")
+    )
+
+
+@register(
+    "cluster_kmeans_assign",
+    oracle=_KMEANS_ASSIGN_SQL,
+    doc="Spherical k-means ASSIGNMENT step over the embedding corpus "
+    "(the workhorse of embedding-space corpus organization/curation — "
+    "cluster-then-sample, SemDeDup-style cluster scoping): every "
+    "vector to its max-cosine centroid with a deterministic seed "
+    "(vec_id < 8) so the oracle can state the same computation. "
+    "Broadcast centroids, map-side scoring, WindowGroupLimit argmax.",
+)
+def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kmeans_assign(spark, sf_dir)
+
+
+@register(
+    "cluster_kmeans_update",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id < {K_CLUSTERS}
+    ), assign AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT v.vec_id, c.cid AS cluster_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cosine_sql('v.embedding', 'c.ce')} DESC,
+                                c.cid
+                   ) AS rnk
+            FROM embeddings v CROSS JOIN c
+        ) WHERE rnk = 1
+    )
+    SELECT a.cluster_id, t.i AS dim_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE), 9)
+                    AS DECIMAL(20,10))) AS DOUBLE) AS comp_sum
+    FROM assign a
+    JOIN embeddings e ON e.vec_id = a.vec_id,
+         UNNEST(GENERATE_SERIES(1, 64)) AS t(i)
+    GROUP BY a.cluster_id, t.i
+    """,
+    doc="K-means UPDATE step (one Lloyd iteration's centroid "
+    "recomputation): per (cluster, dimension), the member count and "
+    "component sum — the caller divides for the new centroid. Sum "
+    "emitted instead of mean, components ROUNDed to 9 decimals then "
+    "summed as DECIMAL(20,10): order-exact and engine-exact (ROUND "
+    "half-away-from-zero agrees across engines; a raw double->decimal "
+    "cast does not — HALF_UP vs HALF_EVEN ties). Scale: the posexplode "
+    "shuffle carries n x 64 scalar rows with map-side partial "
+    "aggregation; cluster count is fixed, so the result is K x 64 "
+    "rows regardless of corpus size — the standard distributed-"
+    "k-means reduce.",
+)
+def cluster_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = _kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    e = t(spark, sf_dir, "embeddings")
+    comps = e.join(assign, "vec_id").select(
+        "cluster_id",
+        F.posexplode("embedding").alias("pos", "comp"),
+    )
+    return (
+        comps.groupBy(
+            "cluster_id", (F.col("pos") + 1).alias("dim_pos")
+        )
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(
+                F.round(F.col("comp").cast("double"), 9).cast("decimal(20,10)")
+            )
+            .cast("double")
+            .alias("comp_sum"),
+        )
+    )

@@ -649,3 +649,101 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gopher_pass"
         ),
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ), big AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM tok, UNNEST(GENERATE_SERIES(1, len(w) - 1)) AS u(i)
+    ), tf AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS tf FROM big
+        GROUP BY doc_id, w1, w2
+    ), cb AS (
+        SELECT w1, w2, SUM(tf) AS cb FROM tf GROUP BY w1, w2
+    ), cu AS (
+        SELECT w1, SUM(cb) AS cu FROM cb GROUP BY w1
+    ), voc AS (
+        SELECT COUNT(DISTINCT tk) AS v FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS tk FROM documents
+        )
+    ), lp AS (
+        SELECT w1, w2,
+               ROUND(LN((CAST(cb AS DOUBLE) + 1)
+                        / CAST(cu + v AS DOUBLE)), 9) AS logp
+        FROM cb JOIN cu USING (w1) CROSS JOIN voc
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+           -CAST(SUM(CAST(tf.tf AS DECIMAL(12,0))
+                     * CAST(lp.logp AS DECIMAL(12,9))) AS DOUBLE) AS nll
+    FROM tf JOIN lp ON tf.w1 = lp.w1 AND tf.w2 = lp.w2
+    GROUP BY tf.doc_id
+    """,
+    doc="Bigram language-model quality scoring (the classic KenLM-style "
+    "perplexity filter, self-trained on the corpus): per document, the "
+    "total negative log-likelihood of its word bigrams under an add-1-"
+    "smoothed bigram model P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V). Per-TYPE "
+    "log-probs computed once over the bigram vocabulary and ROUNDed to "
+    "9 decimals (libm-vs-JVM ln ulp, same convention as DSIR), then "
+    "the per-doc NLL is an exact DECIMAL dot product of bigram counts "
+    "with log-probs; callers divide nll/n_bigrams for the mean (or "
+    "exp() of it for perplexity). Scale: the bigram explode is one "
+    "map-side pass; counts chain partial aggregates (doc-level tf -> "
+    "corpus cb -> context cu); the model join shuffles on the bigram "
+    "key — vocabulary is unbounded so correctly NO broadcast; V rides "
+    "a one-row broadcast cross join (no driver action).",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    tf = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    voc = d.select(
+        F.explode(F.split("text", " ")).alias("tk")
+    ).agg(F.count_distinct("tk").alias("v"))
+    lp = (
+        cb.join(cu, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("cb").cast("double") + 1)
+                    / (F.col("cu") + F.col("v")).cast("double")
+                ),
+                9,
+            ).alias("logp"),
+        )
+    )
+    return (
+        tf.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            (
+                -F.sum(
+                    F.col("tf").cast("decimal(12,0)")
+                    * F.col("logp").cast("decimal(12,9)")
+                ).cast("double")
+            ).alias("nll"),
+        )
+    )
