@@ -68,13 +68,20 @@ class Engine:
         uses LAG/running-sum window functions, which Structured Streaming
         rejects — ``rewrite_session_tvf_streaming`` swaps in the
         streaming-capable grouping with identical session semantics).
-        MATCH_RECOGNIZE statements in the canonical eq-literal shape also
-        stream: ``_match_recognize_stream`` routes them to the stateful
-        per-key matchers (streaming/stateful.py) and rewrites the outer
-        query over the matched stream. Flink's Window Top-N statement
-        (nested ROW_NUMBER over a TUMBLE/HOP TVF aggregate, WHERE rn <=
-        N) streams through ``_window_topn_stream`` — a chained windowed
-        aggregation with an array_sort rank filter, append mode.
+        MATCH_RECOGNIZE statements stream through
+        ``_match_recognize_stream``: adjacent sequences, A+ B runs, and
+        the A B+ C funnel — all with ARBITRARY (possibly overlapping)
+        row-local DEFINEs plus physical PREV conjuncts, and in-window
+        NEXT lookahead on sequences — route to the stateful per-key
+        matchers (streaming/stateful.py) and the outer query is
+        rewritten over the matched stream. Flink's Window Top-N
+        statement (nested ROW_NUMBER over a TUMBLE/HOP TVF aggregate,
+        WHERE rn <= N) streams through ``_window_topn_stream`` — a
+        chained windowed aggregation with an array_sort rank filter,
+        append mode. Flink's Over Aggregation statement (agg OVER
+        PARTITION BY/ORDER BY with a RANGE time frame or ROWS count
+        frame) streams through ``_over_agg_stream`` — the frame buffer
+        in keyed state, one emitted row per input row.
         """
         from .plans.router import rewrite_session_tvf_streaming
 
@@ -259,13 +266,16 @@ class Engine:
         The batch lowering uses LEAD window functions, which Structured
         Streaming rejects; the streaming leg instead keys per-partition
         state (streaming/stateful.py — Flink CEP's model). Supported
-        continuously: plain adjacent sequences of any fixed length and
-        the A+ B run shape with ARBITRARY row-local DEFINEs (any
-        single-row boolean predicate, compiled to a JVM flag column like
-        the batch NFA's booleans — predicates may overlap; physical
-        PREV(col, n) comparisons evaluate from the matcher's bounded row
-        history), plus the A B+ C funnel for provably-disjoint
-        eq-literal DEFINEs; a single PARTITION BY key. MEASURES may read
+        continuously: plain adjacent sequences of any fixed length, the
+        A+ B run shape, AND the A B+ C middle-run funnel — all with
+        ARBITRARY row-local DEFINEs (any single-row boolean predicate,
+        compiled to a JVM flag column like the batch NFA's booleans —
+        predicates may overlap; physical PREV(col, n) comparisons
+        evaluate from the matcher's bounded row history; in-window
+        NEXT(col, n) lookahead streams on sequences); the eq-literal
+        specialized matchers additionally stream WITHIN on run shapes
+        via provable disjointness; a single PARTITION BY key. MEASURES
+        may read
         ``Var.<order column>`` positions on every leg, and on the
         general leg any ``Var.<column>`` payload (carried through the
         matcher's keyed state; eq-literal statements needing payload
@@ -294,12 +304,12 @@ class Engine:
         def unsupported(why: str):
             return NotImplementedError(
                 f"MATCH_RECOGNIZE over a stream: {why} — the streaming leg "
-                "supports plain adjacent sequences and A+ B runs with "
-                "row-local DEFINEs (arbitrary single-row predicates), "
-                "plus the eq-literal A B+ C funnel, one PARTITION BY "
-                "key, and MEASURES of Var.<order column>; run the "
-                "statement in batch (Engine.sql) or use "
-                "streaming/stateful.py directly for custom state machines"
+                "supports plain adjacent sequences, A+ B runs, and the "
+                "A B+ C funnel with row-local DEFINEs (arbitrary "
+                "single-row predicates), one PARTITION BY key, and "
+                "MEASURES of Var.<columns>; run the statement in batch "
+                "(Engine.sql) or use streaming/stateful.py directly for "
+                "custom state machines"
             )
 
         if spec.quant is not None or spec.all_rows:

@@ -2517,3 +2517,52 @@ def pattern_match_recognize_crossvar_run(
         ) AS m
         """
     )
+
+
+@register(
+    "over_agg_sql",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_sum,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
+           ) AS rolling_n
+    FROM events
+    """,
+    doc="Flink's Over Aggregation through the SQL FRONT DOOR: the "
+    "canonical statement — agg OVER (PARTITION BY ... ORDER BY rowtime "
+    "RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW) — accepted "
+    "verbatim by the StatementRouter (Catalyst plans the interval RANGE "
+    "frame natively; one window exchange, running-frame aggregation). "
+    "The sum routes through DECIMAL(38,6) (dsum convention) so the "
+    "frame sum is order-exact. The same statement shape also runs "
+    "CONTINUOUSLY through Engine.sql_stream (keyed frame-buffer state, "
+    "one emitted row per input row — streaming/over_agg.py, "
+    "parity-tested). 100 TB: one shuffle on the partition key; the "
+    "frame aggregation is a sequential pass per key — the identical "
+    "cost Flink's OverWindow operator pays.",
+)
+def over_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__over_agg_events")
+    return StatementRouter(spark).execute(
+        """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '1' HOUR PRECEDING
+                         AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_sum,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL '1' HOUR PRECEDING
+                         AND CURRENT ROW
+               ) AS rolling_n
+        FROM __over_agg_events
+        """
+    )
