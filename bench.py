@@ -73,6 +73,9 @@ HEADLINE = (
     "sim_ann_pq",
     "pattern_match_recognize_mid_plus",
     "text_tfidf_topk",
+    "cluster_kmeans_assign",
+    "text_bigram_lm_score",
+    "over_agg_sql",
 )
 
 
