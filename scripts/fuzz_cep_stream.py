@@ -1,8 +1,10 @@
 """Streaming CEP fuzz: random streamable shapes vs the batch NFA.
 
-Random fixed-length sequences (A B / A B C / A B C D), A+ B runs, and
-A B+ C funnels with random OVERLAPPING integer predicates — including
-physical PREV comparison conjuncts on every shape and in-window NEXT
+Random fixed-length sequences (A B / A B C / A B C D), A+ B runs,
+A B+ C funnels, and BOUNDED shapes for the Lmax-window matcher
+(optionals, bounded quantifiers greedy/reluctant, alternation groups,
+PERMUTE) with random OVERLAPPING integer predicates — including
+physical PREV comparison conjuncts on run shapes and in-window NEXT
 conjuncts on sequences — are replayed as micro-batched file streams
 through ``Engine.sql_stream`` and compared row-for-row (Counter of
 output tuples, payload measures included) against the batch
@@ -81,10 +83,63 @@ def rand_next_conjunct(rng, v, max_n):
     return f"NEXT({v}.v{suffix}) {op} {rng.randint(0, 6)}"
 
 
+def gen_bounded(rng):
+    """Bounded shapes for the Lmax-window matcher: optionals, bounded
+    quantifiers (greedy and reluctant), alternation groups, PERMUTE.
+    Returns (pattern, defines, vars, skip, within, pad) where pad =
+    Lmax - 1 trailing TERM rows flush every pending decision window."""
+    if rng.random() < 0.18:
+        k = rng.randint(2, 3)
+        vs = ["A", "B", "C"][:k]
+        rng.shuffle(vs)
+        defines = ", ".join(f"{v} AS {rand_local(rng, v)}" for v in vs)
+        return (
+            f"PERMUTE ({', '.join(vs)})", defines, vs,
+            "PAST LAST ROW", "", k - 1,
+        )
+    avail = ["A", "B", "C", "D"]
+    n_pos = rng.randint(2, 3)
+    terms, used = [], []
+    lmax = 0
+    for pi in range(n_pos):
+        if rng.random() < 0.3 and len(avail) >= n_pos - pi + 1:
+            vs = [avail.pop(0), avail.pop(0)]
+            used += vs
+            term = "(" + "|".join(vs) + ")"
+        else:
+            v = avail.pop(0)
+            used.append(v)
+            term = v
+        q = rng.random()
+        if pi == 0 or q < 0.35:
+            lo, hi, quant = 1, 1, ""
+        elif q < 0.6:
+            lo, hi, quant = 0, 1, "?"
+        else:
+            lo = rng.randint(0, 2)
+            hi = rng.randint(max(lo, 1), 2)
+            quant = "{%d,%d}" % (lo, hi)
+        if quant and rng.random() < 0.3:
+            quant += "?"  # reluctant
+        terms.append(term + quant)
+        lmax += hi
+    defines = ", ".join(f"{v} AS {rand_local(rng, v)}" for v in used)
+    skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
+    within = (
+        f"WITHIN INTERVAL '{rng.choice([3, 6, 9])}' SECOND"
+        if rng.random() < 0.25
+        else ""
+    )
+    return " ".join(terms), defines, used, skip, within, lmax - 1
+
+
 def gen_case(rng):
-    """Return (pattern, defines_sql, vars, skip_sql, within_sql)."""
+    """Return (pattern, defines_sql, vars, skip_sql, within_sql,
+    n_pad_rows)."""
     shape = rng.random()
-    if shape < 0.45:
+    if shape < 0.30:
+        return gen_bounded(rng)
+    if shape < 0.5:
         length = rng.randint(2, 4)
         pvars = ["A", "B", "C", "D"][:length]
         pattern = " ".join(pvars)
@@ -102,8 +157,8 @@ def gen_case(rng):
             if rng.random() < 0.3
             else ""
         )
-        return pattern, ", ".join(defines), pvars, skip, within
-    if shape < 0.72:
+        return pattern, ", ".join(defines), pvars, skip, within, 1
+    if shape < 0.75:
         # A+ B run: A needs a required row-local atom (terminator)
         da = rand_local(rng, "A")
         if rng.random() < 0.35:
@@ -113,7 +168,7 @@ def gen_case(rng):
             db += f" AND {rand_prev_conjunct(rng, 'B')}"
         return (
             "A+ B", f"A AS {da}, B AS {db}", ["A", "B"],
-            "PAST LAST ROW", "",
+            "PAST LAST ROW", "", 1,
         )
     # A B+ C funnel: B needs a required row-local atom (terminator)
     parts = {}
@@ -128,14 +183,15 @@ def gen_case(rng):
         ["A", "B", "C"],
         "PAST LAST ROW",
         "",
+        1,
     )
 
 
-def gen_data(spark, rng):
+def gen_data(spark, rng, pad=1):
     rows = []
     for ki in range(3):
         n = rng.randint(8, 16)
-        vals = [rng.randint(0, 7) for _ in range(n)] + [TERM]
+        vals = [rng.randint(0, 7) for _ in range(n)] + [TERM] * max(1, pad)
         for i, v in enumerate(vals):
             # globally-unique interleaved event times, 3 s per key step
             rows.append((f"k{ki}", i * 3 + ki, v))
@@ -156,8 +212,8 @@ def main(n_cases, seed):
     eng = Engine(spark)
     failures = tried = 0
     while tried < n_cases:
-        pattern, defines, pvars, skip, within = gen_case(rng)
-        df = gen_data(spark, rng)
+        pattern, defines, pvars, skip, within, pad = gen_case(rng)
+        df = gen_data(spark, rng, pad)
         with_payload = rng.random() < 0.7
         meas = []
         outer = ["k"]

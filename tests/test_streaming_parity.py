@@ -1323,6 +1323,141 @@ def test_over_aggregation_streams_match_batch(spark):
     assert got2 == batch2 and batch2
 
 
+def _cep_bounded_df(spark):
+    """Fixture for the bounded-window streaming matcher: overlap-dense
+    values plus FOUR trailing v=-1000 rows per key (every DEFINE used
+    in the bounded tests requires a non-negative range, so padding rows
+    satisfy no variable). The padding lets every real start accumulate
+    its Lmax-row decision window — the bounded analog of the run
+    matchers' terminator contract — while provably never joining or
+    anchoring a match in either engine."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for key, vals in {
+        "a": [12, 15, 8, 11, 14, 13, 9, 16, 7, 12, 6],
+        "b": [10, 10, 10, 5, 12, 2, 3, 11, 4],
+        "c": [1, 3, 5, 7, 9, 2, 4, 6],
+    }.items():
+        for i, v in enumerate(vals + [-1000] * 4):
+            rows.append((key, base + dt.timedelta(seconds=i), v))
+    return spark.createDataFrame(rows, "k string, ts timestamp, v int")
+
+
+def test_bounded_pattern_stream_matches_batch(spark):
+    """Quantifiers, optionals, alternation groups, quantified groups,
+    nested groups, and PERMUTE — every bounded shape — stream through
+    the Lmax-row window matcher with the batch NFA's preference order.
+    Overlapping predicates make greedy-vs-optional and alternative
+    choice genuinely matter; both skip modes and WITHIN covered."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_bounded_df(spark)
+    eng = Engine(spark)
+    cases = [
+        # optional middle variable, overlapping with A
+        ("(A B? C)", "A AS A.v >= 10, B AS B.v >= 8, C AS C.v BETWEEN 0 AND 9",
+         "PAST LAST ROW", ""),
+        ("(A B? C)", "A AS A.v >= 10, B AS B.v >= 8, C AS C.v BETWEEN 0 AND 9",
+         "TO NEXT ROW", ""),
+        # bounded quantifier, greedy
+        ("(A{1,2} B)", "A AS A.v >= 8, B AS B.v BETWEEN 0 AND 9",
+         "PAST LAST ROW", ""),
+        # reluctant quantifier
+        ("(A{1,2}? B)", "A AS A.v >= 8, B AS B.v BETWEEN 0 AND 9",
+         "TO NEXT ROW", ""),
+        # alternation group with overlapping alternatives
+        ("((A|B) C)", "A AS A.v >= 12, B AS B.v >= 8, C AS C.v BETWEEN 0 AND 9",
+         "TO NEXT ROW", ""),
+        # quantified alternation group
+        ("(A (B|C){0,2} D)",
+         "A AS A.v >= 10, B AS B.v BETWEEN 8 AND 16, "
+         "C AS C.v BETWEEN 0 AND 7, D AS D.v BETWEEN 0 AND 9",
+         "PAST LAST ROW", ""),
+        # nested group alternation of different lengths
+        ("(((A B)|C) D)",
+         "A AS A.v >= 10, B AS B.v >= 8, C AS C.v >= 14, "
+         "D AS D.v BETWEEN 0 AND 9",
+         "PAST LAST ROW", ""),
+        # PERMUTE: listed-order preference (previously a silent
+        # plain-sequence fallthrough over streams)
+        ("(PERMUTE (A, B))",
+         "A AS A.v BETWEEN 10 AND 13, B AS B.v BETWEEN 8 AND 16",
+         "PAST LAST ROW", ""),
+        # WITHIN bound on an optional shape
+        ("(A B? C)", "A AS A.v >= 10, B AS B.v >= 8, C AS C.v BETWEEN 0 AND 9",
+         "PAST LAST ROW", "WITHIN INTERVAL '2' SECOND"),
+    ]
+    for pat, defines, skip, within in cases:
+        stmt = f"""
+            SELECT k, CAST(a_ts AS LONG) AS ae FROM cep_bounded
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES A.ts AS a_ts
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP {skip}
+                PATTERN {pat}
+                {within}
+                DEFINE {defines}
+            )
+        """
+        df.createOrReplaceTempView("cep_bounded")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"cep_bounded": s}),
+            output_mode="append",
+            n_files=5,
+            order_by="ts",
+        )
+        got = {tuple(r) for r in streamed.collect()}
+        assert got == batch and batch, (pat, skip, within)
+
+
+def test_bounded_pattern_stream_payload_measures(spark):
+    """Bounded-leg payload measures: per-variable LAST-row values ride
+    the window state; an optional variable that mapped no row emits
+    NULL — exactly the batch binding."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_bounded_df(spark)
+    eng = Engine(spark)
+    stmt = """
+        SELECT k, av, bv, cv, CAST(c_ts AS LONG) AS ce FROM cep_bpay
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES A.v AS av, B.v AS bv, C.v AS cv, C.ts AS c_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B? C)
+            DEFINE A AS A.v >= 10, B AS B.v >= 8,
+                   C AS C.v BETWEEN 0 AND 9
+        )
+    """
+    df.createOrReplaceTempView("cep_bpay")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_bpay": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+    # NULL bv rows (B unmatched) must exist for the binding check to bite
+    assert any(r[2] is None for r in got)
+
+
 def test_stream_fuzz_smoke_vs_batch_nfa(spark):
     """A fixed-seed slice of scripts/fuzz_cep_stream.py runs in-suite
     so random streamable shapes (sequences / A+ B / A B+ C with

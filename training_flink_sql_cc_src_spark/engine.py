@@ -312,21 +312,14 @@ class Engine:
                 "custom state machines"
             )
 
-        if spec.quant is not None or spec.all_rows:
-            raise unsupported("quantifiers / ALL ROWS PER MATCH")
-        if spec.pattern_ast is not None:
-            # positions for an AST pattern are just the flat variable
-            # list — streaming it as a plain sequence would silently
-            # drop the nesting structure
-            raise unsupported("nested pattern groups")
+        if spec.all_rows:
+            raise unsupported("ALL ROWS PER MATCH")
         if spec.skip_to is not None:
             raise unsupported(
                 "AFTER MATCH SKIP TO FIRST/LAST <var> (the streaming "
                 "matchers implement SKIP PAST LAST ROW / TO NEXT ROW "
                 "walks only)"
             )
-        if any(len(p) > 1 for p in spec.positions):
-            raise unsupported("alternation groups")
         if len(spec.partition_by) != 1:
             raise unsupported("multiple PARTITION BY keys")
         ts_col = spec.order_by[0]
@@ -337,6 +330,49 @@ class Engine:
         if sdf is None:
             raise unsupported(f"pattern input {spec.table!r} not in sources")
         dtypes = dict(sdf.dtypes)
+
+        # BOUNDED patterns beyond plain sequences — quantifiers A{n,m} /
+        # A?, alternation groups, quantified groups, nested groups,
+        # PERMUTE — stream through the bounded-window matcher: a finite
+        # max length means a window of the last Lmax rows decides every
+        # start exactly (the batch AST generator's preference order run
+        # per key). Unbounded quantifiers mixed into such shapes stay
+        # batch-only (no finite window bound).
+        def _ast_all_bounded(node) -> bool:
+            kind = node[0]
+            if kind == "var":
+                return True
+            if kind in ("seq", "alt"):
+                return all(_ast_all_bounded(c) for c in node[1])
+            return node[3] is not None and _ast_all_bounded(node[1])
+
+        bounded_extra = (
+            spec.permute
+            or spec.quants
+            or spec.pos_quants
+            or spec.pattern_ast is not None
+            or any(len(p) > 1 for p in spec.positions)
+        )
+        if bounded_extra:
+            if (
+                spec.unbounded
+                or spec.plus is not None
+                or any(
+                    hi is None for _, hi, _ in spec.pos_quants.values()
+                )
+                or (
+                    spec.pattern_ast is not None
+                    and not _ast_all_bounded(spec.pattern_ast)
+                )
+            ):
+                raise unsupported(
+                    "unbounded quantifiers mixed with groups/bounded "
+                    "quantifiers (the bounded-window streaming matcher "
+                    "needs a finite pattern length; use the batch path)"
+                )
+            return self._match_recognize_stream_bounded(
+                stmt, spec, sdf, key, ts_col, tiebreak, unsupported
+            )
 
         # Two streaming lowerings. EQ mode (the original leg): every
         # DEFINE an equality literal on ONE shared string column and a
@@ -431,6 +467,146 @@ class Engine:
 
         return self._mr_register_view(
             stmt, spec, matched, key, ts_col, pos_col, unsupported
+        )
+
+    def _match_recognize_stream_bounded(
+        self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported
+    ) -> str:
+        """Bounded-pattern streaming MATCH_RECOGNIZE leg: quantifiers,
+        alternation groups, quantified groups, nested groups, and
+        PERMUTE — any pattern with a FINITE maximum length Lmax —
+        stream with a window of the last Lmax rows per key
+        (streaming/stateful.bounded_nfa_stream). Row-local DEFINEs
+        compile to JVM flag columns like the other general legs;
+        PERMUTE lowers to the alternation of its variants in listed
+        (lexicographic) preference order — the SQL:2016 semantics the
+        batch lowering and the CEP fuzzer's reference both use.
+        Navigation (PREV/NEXT/FIRST/LAST) and cross-variable DEFINEs
+        stay batch-only on this leg, rejected loudly."""
+        import itertools
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from .plans.match_recognize import (
+            _NAV_DEF_RE,
+            _NEXT_RE,
+            _PREV_RE,
+            _pos_spec_to_ast,
+            _pred_at_offset,
+        )
+        from .streaming.stateful import ast_max_len, bounded_nfa_stream
+
+        cols = sdf.columns
+        field_types = {f.name: f.dataType.simpleString() for f in sdf.schema}
+        uniq_vars = list(dict.fromkeys(spec.pattern))
+        for v in uniq_vars:
+            pred = spec.defines[v]
+            if (
+                _PREV_RE.search(pred)
+                or _NEXT_RE.search(pred)
+                or _NAV_DEF_RE.search(pred)
+            ):
+                raise unsupported(
+                    f"DEFINE for {v}: PREV/NEXT/FIRST/LAST navigation in "
+                    "a quantified/alternation/nested pattern over a "
+                    "stream (the bounded-window leg compiles row-local "
+                    "DEFINEs only)"
+                )
+            foreign = sorted(
+                set(_re.findall(r"\b(\w+)\s*\.", pred)) - {v}
+            )
+            if foreign:
+                raise unsupported(
+                    f"DEFINE for {v}: cross-variable references "
+                    f"{foreign} over a stream (the partial-match "
+                    "bindings live only in the batch NFA)"
+                )
+        if spec.measure_nav:
+            raise unsupported(
+                "FIRST()/LAST() measure navigation (the bounded "
+                "streaming leg carries the default LAST-row binding)"
+            )
+        if spec.within_seconds is not None and (
+            field_types.get(ts_col) != "timestamp"
+        ):
+            raise unsupported(
+                f"WITHIN requires a TIMESTAMP ORDER BY column "
+                f"({ts_col!r} is {field_types.get(ts_col)!r})"
+            )
+        if spec.permute:
+            ast = (
+                "alt",
+                tuple(
+                    ("seq", tuple(("var", v) for v in p))
+                    for p in itertools.permutations(spec.pattern)
+                ),
+            )
+        elif spec.pattern_ast is not None:
+            ast = spec.pattern_ast
+        else:
+            pos_spec = []
+            for gi, alts in enumerate(spec.positions):
+                if gi in spec.pos_quants:
+                    lo, hi, lazy = spec.pos_quants[gi]
+                elif len(alts) == 1 and alts[0] in spec.quants:
+                    lo, hi = spec.quants[alts[0]]
+                    lazy = alts[0] in spec.lazy_vars
+                else:
+                    lo, hi, lazy = 1, 1, False
+                pos_spec.append((list(alts), lo, hi, lazy))
+            ast = _pos_spec_to_ast(pos_spec)
+        max_len = ast_max_len(ast)
+        if max_len < 2:
+            raise unsupported(
+                "a single-row bounded pattern (use a plain filter)"
+            )
+        if max_len > 64:
+            raise unsupported(
+                f"bounded pattern with max length {max_len} (the "
+                "window state bound caps at 64 rows per key — the "
+                "batch lowering's variant-expansion cap)"
+            )
+        patvars = set(uniq_vars)
+        pay_needs = sorted(
+            {
+                (var, col)
+                for var, col, _ in spec.measures
+                if var in patvars and col != ts_col
+            }
+        )
+        for var, col in pay_needs:
+            if col not in field_types:
+                raise unsupported(
+                    f"measure {var}.{col}: unknown source column {col!r}"
+                )
+        pay_types = {c: field_types[c] for _, c in pay_needs}
+        flagged = sdf
+        var_flags: dict[str, str] = {}
+        for i, v in enumerate(uniq_vars):
+            c = f"__mrb_{i}"
+            flagged = flagged.withColumn(
+                c,
+                F.coalesce(
+                    F.expr(_pred_at_offset(spec.defines[v], v, 0, cols)),
+                    F.lit(False),
+                ),
+            )
+            var_flags[v] = c
+        matched = bounded_nfa_stream(
+            flagged, key, ts_col, var_flags, uniq_vars, ast,
+            skip_past=spec.skip_past_last,
+            within_seconds=spec.within_seconds,
+            tiebreak_col=tiebreak,
+            payload_spec=(pay_needs, pay_types) if pay_needs else None,
+        )
+        pos_col = {v: f"{v}_last_ts" for v in uniq_vars}
+        pay_col = {
+            (var, col): f"{var}_{col}" for var, col in pay_needs
+        }
+        return self._mr_register_view(
+            stmt, spec, matched, key, ts_col, pos_col, unsupported,
+            pay_col=pay_col,
         )
 
     def _mr_register_view(

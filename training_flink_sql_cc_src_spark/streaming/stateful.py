@@ -731,6 +731,247 @@ def run_flags_stream(
     )
 
 
+def ast_max_len(node) -> int:
+    """Maximum rows a bounded pattern AST can consume (raises on an
+    unbounded quantifier — those stream through the run matchers or
+    stay batch-only)."""
+    kind = node[0]
+    if kind == "var":
+        return 1
+    if kind == "seq":
+        return sum(ast_max_len(c) for c in node[1])
+    if kind == "alt":
+        return max(ast_max_len(c) for c in node[1])
+    _, child, _, hi, _ = node
+    if hi is None:
+        raise ValueError("unbounded quantifier in a bounded-window plan")
+    return hi * ast_max_len(child)
+
+
+def _match_bounded(ast, window, var_bit, lim):
+    """Preferred match anchored at window index 0 — the SAME preference
+    order as the batch NFA's AST generator backtracker
+    (plans/match_recognize._lower_nfa match_from_ast): alternation
+    branches left-first, quantifiers greedy (more repetitions first)
+    unless lazy, zero-width repetitions skipped. Returns the match as a
+    list of (var, window_index) or None. Row i satisfies variable v iff
+    bit var_bit[v] is set in window[i][0] and i <= lim (the WITHIN
+    horizon)."""
+
+    def gen(node, i):
+        kind = node[0]
+        if kind == "var":
+            v = node[1]
+            if i <= lim and window[i][0] & (1 << var_bit[v]):
+                yield [(v, i)]
+            return
+        if kind == "seq":
+            children = node[1]
+
+            def seq_gen(idx, j):
+                if idx == len(children):
+                    yield []
+                    return
+                for head in gen(children[idx], j):
+                    for rest in seq_gen(idx + 1, j + len(head)):
+                        yield head + rest
+
+            yield from seq_gen(0, i)
+            return
+        if kind == "alt":
+            for child in node[1]:
+                yield from gen(child, i)
+            return
+        _, child, lo, hi, lazy = node
+
+        def q_gen(j, done):
+            # stop options follow the child's preference order — the
+            # batch generator's zero-width hygiene, kept identical
+            can_more = hi is None or done < hi
+            yielded_stop = False
+            if lazy and done >= lo:
+                yield []
+                yielded_stop = True
+            if can_more:
+                for head in gen(child, j):
+                    if not head:
+                        if not yielded_stop:
+                            yield []
+                            yielded_stop = True
+                        continue
+                    for rest in q_gen(j + len(head), done + 1):
+                        yield head + rest
+            if not yielded_stop and done >= lo:
+                yield []
+
+        yield from q_gen(i, 0)
+
+    for mp in gen(ast, 0):
+        if mp:
+            return mp
+    return None
+
+
+def bounded_nfa_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    var_flags: dict[str, str],
+    pattern_vars: list[str],
+    ast,
+    skip_past: bool = False,
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+    payload_spec: tuple | None = None,
+) -> DataFrame:
+    """Streaming matcher for ANY BOUNDED pattern — quantifiers A{n,m} /
+    A? / A{n}, alternation groups (A|B), quantified groups (A|B){n,m},
+    NESTED groups, and PERMUTE (as an alternation of its variants) —
+    with arbitrary, possibly overlapping row-local predicates.
+
+    The pattern's maximum length Lmax is finite, so a window of the
+    last Lmax rows per key decides every match start exactly: when the
+    window is full, the start at its head either matches (the batch
+    AST generator's preference order, run on the full window) or
+    provably never will — later rows cannot join a match anchored
+    there. SKIP TO NEXT ROW slides the window by one either way; SKIP
+    PAST LAST ROW drops through the match's last row. State is
+    O(distinct keys x (Lmax - 1)), the same contract as the
+    fixed-sequence matcher; a start is decided once Lmax rows from it
+    have arrived (at stream end, trailing starts with fewer rows stay
+    undecided — the bounded analog of the run matchers' terminator
+    contract). ``var_flags`` maps each pattern variable to its
+    precompiled BOOLEAN flag column; ``payload_spec`` =
+    ([(var, col), ...], {col: sql_type}) carries measure columns — a
+    match emits each requested (var, col) as ``{var}_{col}`` from the
+    variable's LAST matched row (the Flink bare-Var.col binding), NULL
+    when the variable mapped no row. Emits (key,
+    {var}_last_ts... [, {var}_{col}...])."""
+    max_len = ast_max_len(ast)
+    if max_len < 2:
+        raise ValueError("bounded pattern must span at least 2 rows")
+    hist = max_len - 1
+    var_bit = {v: i for i, v in enumerate(pattern_vars)}
+    pay_pairs, pay_types = [], {}
+    if payload_spec is not None:
+        pay_pairs, pay_types = payload_spec
+    pcols = sorted({c for _, c in pay_pairs})
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, " + ", ".join(
+        [f"{v}_last_ts timestamp" for v in pattern_vars]
+        + [f"{var}_{c} {pay_types[c]}" for var, c in pay_pairs]
+    )
+    state_schema = ", ".join(
+        f"m{i} long, s{i} timestamp"
+        + "".join(f", w{i}_{c} {pay_types[c]}" for c in pcols)
+        for i in range(1, hist + 1)
+    )
+    stride = 2 + len(pcols)
+    flag_cols = [var_flags[v] for v in pattern_vars]
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        window: list[tuple] = []
+        if state.exists:
+            vals = state.get
+            window = [
+                (
+                    vals[stride * i],
+                    vals[stride * i + 1],
+                    tuple(vals[stride * i + 2 : stride * (i + 1)]),
+                )
+                for i in range(hist)
+                if vals[stride * i] is not None
+            ]
+        out_rows: list[list] = []
+        for pdf in batches:
+            sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(sort_cols)
+            flags = [
+                pdf[c].fillna(False).to_numpy(dtype=bool)
+                for c in flag_cols
+            ]
+            ts_vals = list(pdf[ts_col])
+            pay_vals = {c: list(pdf[c]) for c in pcols}
+            for r in range(len(pdf)):
+                mask = 0
+                for b in range(len(pattern_vars)):
+                    if flags[b][r]:
+                        mask |= 1 << b
+                window.append(
+                    (
+                        mask,
+                        ts_vals[r],
+                        tuple(_scalar(pay_vals[c][r]) for c in pcols),
+                    )
+                )
+                while len(window) >= max_len:
+                    if within_seconds is None:
+                        lim = len(window) - 1
+                    else:
+                        t0 = window[0][1]
+                        lim = 0
+                        while (
+                            lim + 1 < len(window)
+                            and (
+                                window[lim + 1][1] - t0
+                            ).total_seconds()
+                            <= within_seconds
+                        ):
+                            lim += 1
+                    mp = _match_bounded(ast, window, var_bit, lim)
+                    if mp:
+                        rows_of: dict[str, list[int]] = {}
+                        for v, i in mp:
+                            rows_of.setdefault(v, []).append(i)
+                        row: list = []
+                        for v in pattern_vars:
+                            idxs = rows_of.get(v)
+                            row.append(
+                                window[idxs[-1]][1] if idxs else None
+                            )
+                        for var, c in pay_pairs:
+                            idxs = rows_of.get(var)
+                            row.append(
+                                window[idxs[-1]][2][pcols.index(c)]
+                                if idxs
+                                else None
+                            )
+                        out_rows.append(row)
+                        window = (
+                            window[mp[-1][1] + 1 :]
+                            if skip_past
+                            else window[1:]
+                        )
+                    else:
+                        window = window[1:]
+        flat: list = []
+        for mask, ts, pv in window:
+            flat += [mask, ts, *pv]
+        while len(flat) < stride * hist:
+            flat = [None] * stride + flat
+        state.update(tuple(flat))
+        if out_rows:
+            data: dict = {key_col: [key[0]] * len(out_rows)}
+            for ci, v in enumerate(pattern_vars):
+                data[f"{v}_last_ts"] = [row[ci] for row in out_rows]
+            off = len(pattern_vars)
+            for j, (var, c) in enumerate(pay_pairs):
+                data[f"{var}_{c}"] = [row[off + j] for row in out_rows]
+            yield pd.DataFrame(data)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def mid_run_flags_stream(
     stream_df: DataFrame,
     key_col: str,
