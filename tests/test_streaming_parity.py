@@ -2060,9 +2060,13 @@ def test_mid_run_statement_streams_through_engine(spark, sf_small):
     assert got == batch and batch
 
 
-def test_stream_match_recognize_rejects_nested_groups(spark, sf_small):
-    """A nested pattern must NOT stream as a flat sequence — the
-    structure would silently drop; the instructive error names it."""
+def test_stream_match_recognize_rejects_unbounded_nested_groups(
+    spark, sf_small
+):
+    """A nested pattern with an UNBOUNDED group quantifier must NOT
+    stream as a flat sequence — no finite window bounds it; the
+    instructive error names it. (BOUNDED nested groups stream through
+    the Lmax-window matcher — test_bounded_pattern_stream_matches_batch.)"""
     import pytest
 
     from training_flink_sql_cc_src_spark.engine import Engine
@@ -2071,7 +2075,7 @@ def test_stream_match_recognize_rejects_nested_groups(spark, sf_small):
         "user_id", "ts", "event_type", "event_id"
     )
     eng = Engine(spark)
-    with pytest.raises(NotImplementedError, match="nested pattern groups"):
+    with pytest.raises(NotImplementedError, match="unbounded quantifiers"):
         eng.sql_stream(
             """
             SELECT user_id, a_ts FROM events_nested_stream
