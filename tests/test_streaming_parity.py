@@ -1458,6 +1458,46 @@ def test_bounded_pattern_stream_payload_measures(spark):
     assert any(r[2] is None for r in got)
 
 
+def test_unwindowed_dedup_statement_streams(spark, sf_small):
+    """Flink's plain Deduplication statement (ROW_NUMBER rn=1 over a
+    NON-windowed partition) streams through sql_stream: ORDER BY ASC
+    keeps the first row per key, DESC the last — one min_by/max_by
+    upsert aggregate, exact against the batch plan under any arrival
+    order (complete-mode final state == batch recompute)."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    ev = t(spark, sf_small, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    eng = Engine(spark)
+    for direction in ("ASC", "DESC"):
+        stmt = f"""
+            SELECT user_id, event_id, event_type FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY ts {direction}, event_id
+                  {direction}) AS rn
+              FROM events_plain_dedup
+            ) WHERE rn = 1
+        """
+        ev.createOrReplaceTempView("events_plain_dedup")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        streamed = run_stream_over_batch(
+            spark,
+            ev,
+            lambda s, stmt=stmt: eng.sql_stream(
+                stmt, {"events_plain_dedup": s}
+            ),
+            output_mode="complete",
+            n_files=6,
+            order_by="ts",
+        )
+        got = {tuple(r) for r in streamed.collect()}
+        assert got == batch and batch, direction
+
+
 def test_stream_fuzz_smoke_vs_batch_nfa(spark):
     """A fixed-seed slice of scripts/fuzz_cep_stream.py runs in-suite
     so random streamable shapes (sequences / A+ B / A B+ C with

@@ -81,7 +81,11 @@ class Engine:
         append mode. Flink's Over Aggregation statement (agg OVER
         PARTITION BY/ORDER BY with a RANGE time frame or ROWS count
         frame) streams through ``_over_agg_stream`` — the frame buffer
-        in keyed state, one emitted row per input row.
+        in keyed state, one emitted row per input row. Flink's plain
+        Deduplication statement (ROW_NUMBER rn=1 over a non-windowed
+        partition, first row on ASC / last row on DESC) streams
+        through ``_dedup_stream`` — one min_by/max_by upsert
+        aggregate, O(1) state per key.
         """
         from .plans.router import rewrite_session_tvf_streaming
 
@@ -105,6 +109,9 @@ class Engine:
         over = self._over_agg_stream(stmt, watermarked)
         if over is not None:
             return over
+        plain_dedup = self._dedup_stream(stmt)
+        if plain_dedup is not None:
+            return plain_dedup
         streaming_session = rewrite_session_tvf_streaming(stmt)
         if streaming_session is not None:
             stmt = streaming_session
@@ -1157,6 +1164,86 @@ class Engine:
         ]
         view = f"__wdedup_stream_{abs(hash(stmt)) % 10_000_000}"
         first.select(*select).createOrReplaceTempView(view)
+        return self.spark.sql(
+            self.router._rewrite_dialect(
+                f"SELECT {om.group('outer')} FROM {view}"
+            )
+        )
+
+    def _dedup_stream(self, stmt: str) -> DataFrame | None:
+        """Lower Flink's (unwindowed) Deduplication statement for
+        CONTINUOUS execution.
+
+        The canonical shape (Flink "Deduplication" chapter):
+
+            SELECT ... FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY <keys>
+                  ORDER BY <col> [ASC|DESC] [, ...]) AS rn
+              FROM t
+            ) WHERE rn = 1
+
+        ORDER BY ASC keeps the FIRST row per key, DESC the LAST —
+        Flink maintains exactly one row of state per key and emits
+        changelog updates when a better row arrives. ROW_NUMBER is
+        streaming-illegal in Spark, so the same semantics re-express
+        as one ``min_by``/``max_by`` aggregation keyed by the order
+        struct — an UPDATE-mode upsert stream (exact against the batch
+        plan under ANY arrival order, including late rows that beat
+        the current first/last). Mixed ASC/DESC falls through to the
+        loud Catalyst error. Returns None when the statement is not
+        this shape. 100 TB: one shuffle on the keys, O(1) state per
+        key — the identical contract as Flink's Deduplication
+        operator."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        om = _re.match(
+            r"^\s*SELECT\s+(?P<outer>.+?)\s+FROM\s*\(\s*"
+            r"SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*"
+            r"PARTITION\s+BY\s+(?P<pby>.+?)\s+"
+            r"ORDER\s+BY\s+(?P<oby>[^)]+?)\s*\)\s+AS\s+(?P<rn>\w+)\s+"
+            r"FROM\s+(?P<tbl>[\w.`]+)\s*"
+            r"\)\s*(?:AS\s+\w+\s+)?"
+            r"WHERE\s+`?(?P=rn)`?\s*=\s*1\s*$",
+            stmt,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if om is None:
+            return None
+        order_cols, directions = [], set()
+        for item in om.group("oby").split(","):
+            c = item.strip().strip("`")
+            dm = _re.match(r"^(.*?)\s+(ASC|DESC)$", c, _re.IGNORECASE)
+            if dm:
+                directions.add(dm.group(2).upper())
+                c = dm.group(1).strip().strip("`")
+            else:
+                directions.add("ASC")
+            order_cols.append(c)
+        if len(directions) != 1:
+            return None  # mixed directions: loud fallback
+        keys = [
+            k.strip().strip("`")
+            for k in om.group("pby").split(",")
+            if k.strip()
+        ]
+        if "window_start" in [k.lower() for k in keys]:
+            return None  # the Window Deduplication route owns that shape
+        src = self.spark.table(om.group("tbl").strip("`"))
+        cols = src.columns
+        order = F.struct(*[F.col(c) for c in order_cols])
+        pick = F.min_by if directions == {"ASC"} else F.max_by
+        best = src.groupBy(*keys).agg(
+            pick(F.struct(*cols), order).alias("__r")
+        )
+        select = [
+            F.col(c) if c in keys else F.col(f"__r.{c}").alias(c)
+            for c in cols
+        ] + [F.lit(1).cast("int").alias(om.group("rn"))]
+        view = f"__dedup_stream_{abs(hash(stmt)) % 10_000_000}"
+        best.select(*select).createOrReplaceTempView(view)
         return self.spark.sql(
             self.router._rewrite_dialect(
                 f"SELECT {om.group('outer')} FROM {view}"
