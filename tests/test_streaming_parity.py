@@ -1458,6 +1458,48 @@ def test_bounded_pattern_stream_payload_measures(spark):
     assert any(r[2] is None for r in got)
 
 
+def test_bounded_pattern_stream_aggregate_measures(spark):
+    """Aggregate MEASURES (COUNT/SUM/AVG/MIN/MAX over a variable's
+    matched rows) stream on the bounded leg — the decision window holds
+    every matched row, so they compute exactly; a quantified variable
+    that mapped no row aggregates to NULL (COUNT to 0), matching the
+    batch NFA's bindings."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_bounded_df(spark)
+    eng = Engine(spark)
+    stmt = """
+        SELECT k, nb, sb, avb, mnb, mxb, CAST(a_ts AS LONG) AS ae
+        FROM cep_bagg
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES COUNT(B.v) AS nb, SUM(B.v) AS sb, AVG(B.v) AS avb,
+                     MIN(B.v) AS mnb, MAX(B.v) AS mxb, A.ts AS a_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B{0,2} C)
+            DEFINE A AS A.v >= 10, B AS B.v BETWEEN 8 AND 16,
+                   C AS C.v BETWEEN 0 AND 9
+        )
+    """
+    df.createOrReplaceTempView("cep_bagg")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_bagg": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+    # the zero-B case must occur for the NULL/0 binding check to bite
+    assert any(r[1] == 0 for r in got)
+
+
 def test_unwindowed_dedup_statement_streams(spark, sf_small):
     """Flink's plain Deduplication statement (ROW_NUMBER rn=1 over a
     NON-windowed partition) streams through sql_stream: ORDER BY ASC

@@ -575,11 +575,45 @@ class Engine:
                 "batch lowering's variant-expansion cap)"
             )
         patvars = set(uniq_vars)
+        # aggregate measures (COUNT/SUM/AVG/MIN/MAX over a variable's
+        # matched rows) compute exactly from the decision window
+        integral = ("tinyint", "smallint", "int", "bigint")
+        agg_spec: list[tuple] = []
+        for var, col, alias in spec.measures:
+            if alias not in spec.measure_agg:
+                continue
+            if var not in patvars:
+                raise unsupported(
+                    f"aggregate measure {alias} over {var!r} (not a "
+                    "pattern variable)"
+                )
+            fn = spec.measure_agg[alias].lower()
+            src_c = None if col == "*" else col
+            if src_c is not None and src_c not in field_types:
+                raise unsupported(
+                    f"measure {alias}: unknown source column {col!r}"
+                )
+            if fn == "count":
+                out_t = "bigint"
+            elif fn == "avg":
+                out_t = "double"
+            elif fn == "sum":
+                out_t = (
+                    "bigint"
+                    if field_types[src_c] in integral
+                    else field_types[src_c]
+                )
+            else:
+                out_t = field_types[src_c]
+            agg_spec.append((fn, var, src_c, alias, out_t))
+        agg_aliases = {a for _, _, _, a, _ in agg_spec}
         pay_needs = sorted(
             {
                 (var, col)
-                for var, col, _ in spec.measures
-                if var in patvars and col != ts_col
+                for var, col, alias in spec.measures
+                if var in patvars
+                and col != ts_col
+                and alias not in agg_aliases
             }
         )
         for var, col in pay_needs:
@@ -606,6 +640,7 @@ class Engine:
             within_seconds=spec.within_seconds,
             tiebreak_col=tiebreak,
             payload_spec=(pay_needs, pay_types) if pay_needs else None,
+            agg_spec=agg_spec or None,
         )
         pos_col = {v: f"{v}_last_ts" for v in uniq_vars}
         pay_col = {
@@ -613,26 +648,31 @@ class Engine:
         }
         return self._mr_register_view(
             stmt, spec, matched, key, ts_col, pos_col, unsupported,
-            pay_col=pay_col,
+            pay_col=pay_col, agg_col={a: a for a in agg_aliases},
         )
 
     def _mr_register_view(
         self, stmt, spec, matched, key, ts_col, pos_col, unsupported,
-        pay_col=None,
+        pay_col=None, agg_col=None,
     ) -> str:
-        """Shared tail of both streaming MATCH_RECOGNIZE legs: project
+        """Shared tail of the streaming MATCH_RECOGNIZE legs: project
         the MEASURES from the matcher's positional ts columns (and, on
-        the general leg, the per-variable payload columns), register
-        the matched stream as a view, and rewrite the outer statement to
-        read it."""
+        the general legs, the per-variable payload columns and the
+        bounded leg's aggregate-measure columns), register the matched
+        stream as a view, and rewrite the outer statement to read it."""
         from pyspark.sql import functions as F
 
         select = [F.col(key)]
         for var, col, alias in spec.measures:
             if alias in spec.measure_agg:
+                if agg_col is not None and alias in agg_col:
+                    select.append(F.col(agg_col[alias]).alias(alias))
+                    continue
                 raise unsupported(
                     f"aggregate measure {alias} (per-match aggregates "
-                    "over run rows need unbounded state)"
+                    "over unbounded run rows need unbounded state; "
+                    "bounded patterns compute them from the decision "
+                    "window)"
                 )
             if var in pos_col and col == ts_col:
                 select.append(F.col(pos_col[var]).alias(alias))

@@ -823,6 +823,7 @@ def bounded_nfa_stream(
     within_seconds: int | None = None,
     tiebreak_col: str | None = None,
     payload_spec: tuple | None = None,
+    agg_spec: list | None = None,
 ) -> DataFrame:
     """Streaming matcher for ANY BOUNDED pattern — quantifiers A{n,m} /
     A? / A{n}, alternation groups (A|B), quantified groups (A|B){n,m},
@@ -845,8 +846,12 @@ def bounded_nfa_stream(
     ([(var, col), ...], {col: sql_type}) carries measure columns — a
     match emits each requested (var, col) as ``{var}_{col}`` from the
     variable's LAST matched row (the Flink bare-Var.col binding), NULL
-    when the variable mapped no row. Emits (key,
-    {var}_last_ts... [, {var}_{col}...])."""
+    when the variable mapped no row. ``agg_spec`` =
+    [(fn, var, col_or_None, alias, sql_type), ...] adds AGGREGATE
+    measures (COUNT/SUM/AVG/MIN/MAX over the variable's matched rows —
+    the full window is present, so they compute exactly; col None =
+    COUNT(Var.*)). Emits (key, {var}_last_ts... [, {var}_{col}...,
+    {agg aliases}...])."""
     max_len = ast_max_len(ast)
     if max_len < 2:
         raise ValueError("bounded pattern must span at least 2 rows")
@@ -855,15 +860,24 @@ def bounded_nfa_stream(
     pay_pairs, pay_types = [], {}
     if payload_spec is not None:
         pay_pairs, pay_types = payload_spec
-    pcols = sorted({c for _, c in pay_pairs})
+    aggs = list(agg_spec or [])
+    # window rows store the union of payload and agg SOURCE columns;
+    # source types come from the stream schema (agg out types differ)
+    field_types = {
+        f.name: f.dataType.simpleString() for f in stream_df.schema
+    }
+    agg_srcs = {c for _, _, c, _, _ in aggs if c is not None}
+    wtypes = {**{c: field_types[c] for c in agg_srcs}, **pay_types}
+    pcols = sorted({c for _, c in pay_pairs} | agg_srcs)
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = f"{key_col} {key_type}, " + ", ".join(
         [f"{v}_last_ts timestamp" for v in pattern_vars]
         + [f"{var}_{c} {pay_types[c]}" for var, c in pay_pairs]
+        + [f"{alias} {out_t}" for _, _, _, alias, out_t in aggs]
     )
     state_schema = ", ".join(
         f"m{i} long, s{i} timestamp"
-        + "".join(f", w{i}_{c} {pay_types[c]}" for c in pcols)
+        + "".join(f", w{i}_{c} {wtypes[c]}" for c in pcols)
         for i in range(1, hist + 1)
     )
     stride = 2 + len(pcols)
@@ -940,6 +954,31 @@ def bounded_nfa_stream(
                                 if idxs
                                 else None
                             )
+                        for fn, var, c, _, _ in aggs:
+                            idxs = rows_of.get(var, [])
+                            if c is None:
+                                row.append(
+                                    len(idxs) if fn == "count" else None
+                                )
+                                continue
+                            ci = pcols.index(c)
+                            nn = [
+                                window[i][2][ci]
+                                for i in idxs
+                                if window[i][2][ci] is not None
+                            ]
+                            if fn == "count":
+                                row.append(len(nn))
+                            elif not nn:
+                                row.append(None)
+                            elif fn == "sum":
+                                row.append(sum(nn))
+                            elif fn == "avg":
+                                row.append(float(sum(nn)) / len(nn))
+                            elif fn == "min":
+                                row.append(min(nn))
+                            else:
+                                row.append(max(nn))
                         out_rows.append(row)
                         window = (
                             window[mp[-1][1] + 1 :]
@@ -961,6 +1000,11 @@ def bounded_nfa_stream(
             off = len(pattern_vars)
             for j, (var, c) in enumerate(pay_pairs):
                 data[f"{var}_{c}"] = [row[off + j] for row in out_rows]
+            off += len(pay_pairs)
+            for j, (_, _, _, alias, _) in enumerate(aggs):
+                data[alias] = pd.Series(
+                    [row[off + j] for row in out_rows], dtype=object
+                )
             yield pd.DataFrame(data)
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
