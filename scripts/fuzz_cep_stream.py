@@ -95,7 +95,7 @@ def gen_bounded(rng):
         defines = ", ".join(f"{v} AS {rand_local(rng, v)}" for v in vs)
         return (
             f"PERMUTE ({', '.join(vs)})", defines, vs,
-            "PAST LAST ROW", "", k - 1,
+            "PAST LAST ROW", "", k - 1, "bounded",
         )
     avail = ["A", "B", "C", "D"]
     n_pos = rng.randint(2, 3)
@@ -130,7 +130,7 @@ def gen_bounded(rng):
         if rng.random() < 0.25
         else ""
     )
-    return " ".join(terms), defines, used, skip, within, lmax - 1
+    return " ".join(terms), defines, used, skip, within, lmax - 1, "bounded"
 
 
 def gen_case(rng):
@@ -157,7 +157,7 @@ def gen_case(rng):
             if rng.random() < 0.3
             else ""
         )
-        return pattern, ", ".join(defines), pvars, skip, within, 1
+        return pattern, ", ".join(defines), pvars, skip, within, 1, "seq"
     if shape < 0.75:
         # A+ B run: A needs a required row-local atom (terminator)
         da = rand_local(rng, "A")
@@ -168,7 +168,7 @@ def gen_case(rng):
             db += f" AND {rand_prev_conjunct(rng, 'B')}"
         return (
             "A+ B", f"A AS {da}, B AS {db}", ["A", "B"],
-            "PAST LAST ROW", "", 1,
+            "PAST LAST ROW", "", 1, "run",
         )
     # A B+ C funnel: B needs a required row-local atom (terminator)
     parts = {}
@@ -184,6 +184,7 @@ def gen_case(rng):
         "PAST LAST ROW",
         "",
         1,
+        "run",
     )
 
 
@@ -212,7 +213,7 @@ def main(n_cases, seed):
     eng = Engine(spark)
     failures = tried = 0
     while tried < n_cases:
-        pattern, defines, pvars, skip, within, pad = gen_case(rng)
+        pattern, defines, pvars, skip, within, pad, kind = gen_case(rng)
         df = gen_data(spark, rng, pad)
         with_payload = rng.random() < 0.7
         meas = []
@@ -223,6 +224,12 @@ def main(n_cases, seed):
             if with_payload:
                 meas.append(f"{v}.v AS p{i}")
                 outer.append(f"p{i}")
+        if kind == "bounded" and rng.random() < 0.5:
+            # aggregate measures compute from the decision window
+            av = rng.choice(pvars)
+            fn = rng.choice(["COUNT", "SUM", "MIN", "MAX", "AVG"])
+            meas.append(f"{fn}({av}.v) AS agv")
+            outer.append("agv")
         stmt = f"""
             SELECT {', '.join(outer)} FROM __fuzz_stream
             MATCH_RECOGNIZE (

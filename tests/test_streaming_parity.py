@@ -1500,6 +1500,108 @@ def test_bounded_pattern_stream_aggregate_measures(spark):
     assert any(r[1] == 0 for r in got)
 
 
+def test_all_rows_per_match_streams_bounded(spark):
+    """ALL ROWS PER MATCH streams for bounded patterns: every matched
+    input row emits with RUNNING (default) and FINAL measures,
+    CLASSIFIER(), per-key MATCH_NUMBER() (held in the matcher's
+    state across micro-batches), and aggregate measures — equal to
+    the batch NFA's ALL ROWS emission."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_bounded_df(spark)
+    eng = Engine(spark)
+    for pat, defines, mvar in [
+        ("(A B{0,2} C)",
+         "A AS A.v >= 10, B AS B.v BETWEEN 8 AND 16, "
+         "C AS C.v BETWEEN 0 AND 9", "B"),
+        # plain sequence: ALL ROWS routes through the bounded leg too
+        ("(A C)", "A AS A.v >= 10, C AS C.v BETWEEN 0 AND 9", "A"),
+    ]:
+        stmt = f"""
+            SELECT k, CAST(ts AS LONG) AS e, v, cls, mn, m_run, n_m
+            FROM cep_allrows
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn,
+                         RUNNING {mvar}.v AS m_run,
+                         COUNT({mvar}.v) AS n_m
+                ALL ROWS PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN {pat}
+                DEFINE {defines}
+            )
+        """
+        df.createOrReplaceTempView("cep_allrows")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"cep_allrows": s}),
+            output_mode="append",
+            n_files=5,
+            order_by="ts",
+        )
+        got = {tuple(r) for r in streamed.collect()}
+        assert got == batch and batch, pat
+
+
+def test_all_rows_unmatched_and_exclusions_stream(spark):
+    """WITH UNMATCHED ROWS and {- X -} exclusions stream on the
+    bounded ALL ROWS leg: unmatched rows emit once with NULL measures
+    when their last possible covering start is decided; excluded
+    variables match but do not emit. Padding rows are filtered from
+    BOTH sides — at stream end they sit in undecided windows (the
+    terminator contract), while batch sees the partition end."""
+    from pyspark.sql import functions as F
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_bounded_df(spark)
+    eng = Engine(spark)
+    stmt = """
+        SELECT k, CAST(ts AS LONG) AS e, v, mn FROM cep_unm
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES MATCH_NUMBER() AS mn
+            ALL ROWS PER MATCH WITH UNMATCHED ROWS
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A {- B? -} C)
+            DEFINE A AS A.v >= 10, B AS B.v >= 8,
+                   C AS C.v BETWEEN 0 AND 9
+        )
+    """
+    df.createOrReplaceTempView("cep_unm")
+    batch = {
+        tuple(r)
+        for r in StatementRouter(spark).execute(stmt).collect()
+        if r[2] is None or r[2] > -1000
+    }
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_unm": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got = {
+        tuple(r)
+        for r in streamed.collect()
+        if r[2] is None or r[2] > -1000
+    }
+    assert got == batch and batch
+    # both unmatched (NULL mn) and matched rows must be present
+    assert any(r[3] is None for r in got) and any(
+        r[3] is not None for r in got
+    )
+
+
 def test_unwindowed_dedup_statement_streams(spark, sf_small):
     """Flink's plain Deduplication statement (ROW_NUMBER rn=1 over a
     NON-windowed partition) streams through sql_stream: ORDER BY ASC

@@ -319,8 +319,6 @@ class Engine:
                 "custom state machines"
             )
 
-        if spec.all_rows:
-            raise unsupported("ALL ROWS PER MATCH")
         if spec.skip_to is not None:
             raise unsupported(
                 "AFTER MATCH SKIP TO FIRST/LAST <var> (the streaming "
@@ -353,6 +351,28 @@ class Engine:
                 return all(_ast_all_bounded(c) for c in node[1])
             return node[3] is not None and _ast_all_bounded(node[1])
 
+        unbounded_shape = (
+            spec.unbounded
+            or spec.plus is not None
+            or any(hi is None for _, hi, _ in spec.pos_quants.values())
+            or (
+                spec.pattern_ast is not None
+                and not _ast_all_bounded(spec.pattern_ast)
+            )
+        )
+        if spec.all_rows:
+            # ALL ROWS PER MATCH: every matched input row emits — the
+            # bounded-window leg carries full source rows per match
+            if unbounded_shape:
+                raise unsupported(
+                    "ALL ROWS PER MATCH over an unbounded pattern (the "
+                    "run matchers keep O(1) state, not the matched "
+                    "rows; bounded patterns stream ALL ROWS from the "
+                    "decision window)"
+                )
+            return self._match_recognize_stream_all_rows(
+                stmt, spec, sdf, key, ts_col, tiebreak, unsupported
+            )
         bounded_extra = (
             spec.permute
             or spec.quants
@@ -361,17 +381,7 @@ class Engine:
             or any(len(p) > 1 for p in spec.positions)
         )
         if bounded_extra:
-            if (
-                spec.unbounded
-                or spec.plus is not None
-                or any(
-                    hi is None for _, hi, _ in spec.pos_quants.values()
-                )
-                or (
-                    spec.pattern_ast is not None
-                    and not _ast_all_bounded(spec.pattern_ast)
-                )
-            ):
+            if unbounded_shape:
                 raise unsupported(
                     "unbounded quantifiers mixed with groups/bounded "
                     "quantifiers (the bounded-window streaming matcher "
@@ -476,20 +486,15 @@ class Engine:
             stmt, spec, matched, key, ts_col, pos_col, unsupported
         )
 
-    def _match_recognize_stream_bounded(
-        self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported
-    ) -> str:
-        """Bounded-pattern streaming MATCH_RECOGNIZE leg: quantifiers,
-        alternation groups, quantified groups, nested groups, and
-        PERMUTE — any pattern with a FINITE maximum length Lmax —
-        stream with a window of the last Lmax rows per key
-        (streaming/stateful.bounded_nfa_stream). Row-local DEFINEs
-        compile to JVM flag columns like the other general legs;
-        PERMUTE lowers to the alternation of its variants in listed
-        (lexicographic) preference order — the SQL:2016 semantics the
-        batch lowering and the CEP fuzzer's reference both use.
-        Navigation (PREV/NEXT/FIRST/LAST) and cross-variable DEFINEs
-        stay batch-only on this leg, rejected loudly."""
+    def _bounded_stream_prep(
+        self, spec, sdf, ts_col, unsupported
+    ) -> tuple:
+        """Shared front half of the bounded streaming legs: guard the
+        DEFINEs to row-local predicates, build the bounded pattern AST
+        (PERMUTE -> alternation of its variants in listed preference
+        order; flat position specs -> AST nodes), bound-check Lmax, and
+        compile each variable's DEFINE to a JVM flag column. Returns
+        (ast, uniq_vars, field_types, flagged_df, var_flags)."""
         import itertools
         import re as _re
 
@@ -502,7 +507,7 @@ class Engine:
             _pos_spec_to_ast,
             _pred_at_offset,
         )
-        from .streaming.stateful import ast_max_len, bounded_nfa_stream
+        from .streaming.stateful import ast_max_len
 
         cols = sdf.columns
         field_types = {f.name: f.dataType.simpleString() for f in sdf.schema}
@@ -529,11 +534,6 @@ class Engine:
                     f"{foreign} over a stream (the partial-match "
                     "bindings live only in the batch NFA)"
                 )
-        if spec.measure_nav:
-            raise unsupported(
-                "FIRST()/LAST() measure navigation (the bounded "
-                "streaming leg carries the default LAST-row binding)"
-            )
         if spec.within_seconds is not None and (
             field_types.get(ts_col) != "timestamp"
         ):
@@ -573,6 +573,129 @@ class Engine:
                 f"bounded pattern with max length {max_len} (the "
                 "window state bound caps at 64 rows per key — the "
                 "batch lowering's variant-expansion cap)"
+            )
+        flagged = sdf
+        var_flags: dict[str, str] = {}
+        for i, v in enumerate(uniq_vars):
+            c = f"__mrb_{i}"
+            flagged = flagged.withColumn(
+                c,
+                F.coalesce(
+                    F.expr(_pred_at_offset(spec.defines[v], v, 0, cols)),
+                    F.lit(False),
+                ),
+            )
+            var_flags[v] = c
+        return ast, uniq_vars, field_types, flagged, var_flags
+
+    def _match_recognize_stream_all_rows(
+        self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported
+    ) -> str:
+        """ALL ROWS PER MATCH over a stream, for any BOUNDED pattern
+        (plain sequences included): the Lmax-window matcher carries
+        full source rows and emits one row per matched input row —
+        RUNNING/FINAL measures, CLASSIFIER()/MATCH_NUMBER(), aggregate
+        measures, FIRST/LAST measure navigation, {- X -} exclusions,
+        and WITH UNMATCHED ROWS — mirroring the batch NFA's ALL ROWS
+        emission exactly (streaming/stateful.
+        bounded_nfa_all_rows_stream). The matched stream registers as
+        a view exposing every source column plus the measure aliases,
+        and the outer statement is rewritten over it."""
+        from .plans.match_recognize import CLASSIFIER, MATCH_NUMBER
+        from .streaming.stateful import bounded_nfa_all_rows_stream
+
+        (
+            ast, uniq_vars, field_types, flagged, var_flags,
+        ) = self._bounded_stream_prep(spec, sdf, ts_col, unsupported)
+        patvars = set(uniq_vars)
+        integral = ("tinyint", "smallint", "int", "bigint")
+        out_types: dict[str, str] = {}
+        for var, col, alias in spec.measures:
+            if var == MATCH_NUMBER:
+                out_types[alias] = "bigint"
+            elif var == CLASSIFIER:
+                out_types[alias] = "string"
+            elif alias in spec.measure_agg:
+                if var not in patvars:
+                    raise unsupported(
+                        f"aggregate measure {alias} over {var!r} (not "
+                        "a pattern variable)"
+                    )
+                fn = spec.measure_agg[alias].lower()
+                if col != "*" and col not in field_types:
+                    raise unsupported(
+                        f"measure {alias}: unknown source column {col!r}"
+                    )
+                if fn == "count":
+                    out_types[alias] = "bigint"
+                elif fn == "avg":
+                    out_types[alias] = "double"
+                elif fn == "sum":
+                    out_types[alias] = (
+                        "bigint"
+                        if field_types[col] in integral
+                        else field_types[col]
+                    )
+                else:
+                    out_types[alias] = field_types[col]
+            else:
+                if var not in patvars:
+                    raise unsupported(
+                        f"measure {alias}: {var!r} is not a pattern "
+                        "variable"
+                    )
+                if col not in field_types:
+                    raise unsupported(
+                        f"measure {var}.{col}: unknown source column "
+                        f"{col!r}"
+                    )
+                out_types[alias] = field_types[col]
+        matched = bounded_nfa_all_rows_stream(
+            flagged, key, ts_col, var_flags, uniq_vars, ast,
+            src_cols=list(sdf.columns),
+            measures=list(spec.measures),
+            measure_spec={
+                "modes": dict(spec.measure_modes),
+                "agg": dict(spec.measure_agg),
+                "nav": dict(spec.measure_nav),
+                "excluded": set(spec.excluded),
+                "with_unmatched": spec.with_unmatched,
+                "out_types": out_types,
+            },
+            skip_past=spec.skip_past_last,
+            within_seconds=spec.within_seconds,
+            tiebreak_col=tiebreak,
+        )
+        view = f"__mr_stream_{abs(hash(stmt)) % 10_000_000}"
+        matched.createOrReplaceTempView(view)
+        start, end = spec.span
+        alias_sql = f" AS {spec.out_alias}" if spec.out_alias else ""
+        return f"{stmt[:start]}FROM {view}{alias_sql}{stmt[end:]}"
+
+    def _match_recognize_stream_bounded(
+        self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported
+    ) -> str:
+        """Bounded-pattern streaming MATCH_RECOGNIZE leg: quantifiers,
+        alternation groups, quantified groups, nested groups, and
+        PERMUTE — any pattern with a FINITE maximum length Lmax —
+        stream with a window of the last Lmax rows per key
+        (streaming/stateful.bounded_nfa_stream). Row-local DEFINEs
+        compile to JVM flag columns like the other general legs;
+        PERMUTE lowers to the alternation of its variants in listed
+        (lexicographic) preference order — the SQL:2016 semantics the
+        batch lowering and the CEP fuzzer's reference both use.
+        Navigation (PREV/NEXT/FIRST/LAST) and cross-variable DEFINEs
+        stay batch-only on this leg, rejected loudly."""
+        from .streaming.stateful import bounded_nfa_stream
+
+        (
+            ast, uniq_vars, field_types, flagged, var_flags,
+        ) = self._bounded_stream_prep(spec, sdf, ts_col, unsupported)
+        if spec.measure_nav:
+            raise unsupported(
+                "FIRST()/LAST() measure navigation under ONE ROW PER "
+                "MATCH (the bounded streaming leg carries the default "
+                "LAST-row binding; ALL ROWS supports both)"
             )
         patvars = set(uniq_vars)
         # aggregate measures (COUNT/SUM/AVG/MIN/MAX over a variable's
@@ -622,18 +745,6 @@ class Engine:
                     f"measure {var}.{col}: unknown source column {col!r}"
                 )
         pay_types = {c: field_types[c] for _, c in pay_needs}
-        flagged = sdf
-        var_flags: dict[str, str] = {}
-        for i, v in enumerate(uniq_vars):
-            c = f"__mrb_{i}"
-            flagged = flagged.withColumn(
-                c,
-                F.coalesce(
-                    F.expr(_pred_at_offset(spec.defines[v], v, 0, cols)),
-                    F.lit(False),
-                ),
-            )
-            var_flags[v] = c
         matched = bounded_nfa_stream(
             flagged, key, ts_col, var_flags, uniq_vars, ast,
             skip_past=spec.skip_past_last,

@@ -1016,6 +1016,224 @@ def bounded_nfa_stream(
     )
 
 
+def bounded_nfa_all_rows_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    var_flags: dict[str, str],
+    pattern_vars: list[str],
+    ast,
+    src_cols: list[str],
+    measures: list[tuple],
+    measure_spec: dict,
+    skip_past: bool = False,
+    within_seconds: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ALL ROWS PER MATCH for bounded patterns over a stream: the same
+    Lmax-window decision procedure as ``bounded_nfa_stream``, but the
+    window carries FULL source rows and a match emits one output row
+    per matched input row — RUNNING measures by default (prefix scope,
+    the Flink ALL ROWS default), FINAL on request, CLASSIFIER() /
+    MATCH_NUMBER() (per-key counter held in the same state),
+    aggregate measures, {- X -} exclusions, and WITH UNMATCHED ROWS
+    (a row emits with NULL measures once its last possible covering
+    start is decided). ``measures`` = [(var, col, alias), ...] with
+    the sentinels from plans.match_recognize; ``measure_spec`` carries
+    {"modes", "agg", "nav", "excluded", "with_unmatched", "out_types"}
+    mirroring the batch NFA's emission exactly. State is
+    O(keys x (Lmax - 1) x row width) plus one match counter — the
+    Flink CEP ALL ROWS contract."""
+    from ..plans.match_recognize import CLASSIFIER, MATCH_NUMBER
+
+    max_len = ast_max_len(ast)
+    if max_len < 2:
+        raise ValueError("bounded pattern must span at least 2 rows")
+    hist = max_len - 1
+    var_bit = {v: i for i, v in enumerate(pattern_vars)}
+    field_types = {
+        f.name: f.dataType.simpleString() for f in stream_df.schema
+    }
+    modes = measure_spec.get("modes", {})
+    agg = measure_spec.get("agg", {})
+    nav = measure_spec.get("nav", {})
+    excluded = set(measure_spec.get("excluded", ()))
+    with_unmatched = bool(measure_spec.get("with_unmatched", False))
+    out_types = measure_spec["out_types"]  # alias -> sql type
+    out_schema = ", ".join(
+        [f"{c} {field_types[c]}" for c in src_cols]
+        + [f"{alias} {out_types[alias]}" for _, _, alias in measures]
+    )
+    # per window row: mask, covered flag, then the full source row
+    stride = 2 + len(src_cols)
+    state_schema = "mn long, " + ", ".join(
+        f"m{i} long, c{i} boolean"
+        + "".join(f", w{i}_{c} {field_types[c]}" for c in src_cols)
+        for i in range(1, hist + 1)
+    )
+    flag_cols = [var_flags[v] for v in pattern_vars]
+    ts_idx = src_cols.index(ts_col)
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # window rows: [mask, covered, (src values...)]
+        window: list[list] = []
+        mn = 0
+        if state.exists:
+            vals = state.get
+            mn = vals[0] or 0
+            for i in range(hist):
+                off = 1 + stride * i
+                if vals[off] is not None:
+                    window.append(
+                        [
+                            vals[off],
+                            bool(vals[off + 1]),
+                            tuple(vals[off + 2 : off + stride]),
+                        ]
+                    )
+        out_rows: list[list] = []
+
+        def measure_row(mp, t, row_var):
+            """Measure values for matched-row index t of match mp —
+            the batch NFA's ALL ROWS emission, verbatim semantics."""
+            vals_out = []
+            for var, col, alias in measures:
+                final = modes.get(alias, "RUNNING") == "FINAL"
+                scope = mp if final else mp[: t + 1]
+                vrows = [j for w, j in scope if w == var]
+                if var == MATCH_NUMBER:
+                    v = mn
+                elif var == CLASSIFIER:
+                    v = row_var
+                elif alias in agg:
+                    fn = agg[alias].lower()
+                    if col == "*":
+                        v = len(vrows) if fn == "count" else None
+                    else:
+                        ci = src_cols.index(col)
+                        nn = [
+                            window[j][2][ci]
+                            for j in vrows
+                            if window[j][2][ci] is not None
+                        ]
+                        if fn == "count":
+                            v = len(nn)
+                        elif not nn:
+                            v = None
+                        elif fn == "sum":
+                            v = sum(nn)
+                        elif fn == "avg":
+                            v = float(sum(nn)) / len(nn)
+                        elif fn == "min":
+                            v = min(nn)
+                        else:
+                            v = max(nn)
+                elif not vrows:
+                    v = None
+                else:
+                    j = (
+                        vrows[0]
+                        if nav.get(alias) == "FIRST"
+                        else vrows[-1]
+                    )
+                    v = window[j][2][src_cols.index(col)]
+                vals_out.append(v)
+            return vals_out
+
+        def drop_head(k_rows: int):
+            nonlocal window
+            for row in window[:k_rows]:
+                if with_unmatched and not row[1]:
+                    out_rows.append(
+                        list(row[2]) + [None] * len(measures)
+                    )
+            window = window[k_rows:]
+
+        for pdf in batches:
+            sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(sort_cols)
+            flags = [
+                pdf[c].fillna(False).to_numpy(dtype=bool)
+                for c in flag_cols
+            ]
+            src_vals = {c: list(pdf[c]) for c in src_cols}
+            for r in range(len(pdf)):
+                mask = 0
+                for b in range(len(pattern_vars)):
+                    if flags[b][r]:
+                        mask |= 1 << b
+                window.append(
+                    [
+                        mask,
+                        False,
+                        tuple(_scalar(src_vals[c][r]) for c in src_cols),
+                    ]
+                )
+                while len(window) >= max_len:
+                    if within_seconds is None:
+                        lim = len(window) - 1
+                    else:
+                        t0 = window[0][2][ts_idx]
+                        lim = 0
+                        while (
+                            lim + 1 < len(window)
+                            and (
+                                window[lim + 1][2][ts_idx] - t0
+                            ).total_seconds()
+                            <= within_seconds
+                        ):
+                            lim += 1
+                    mp = _match_bounded(
+                        ast,
+                        [(row[0], None, None) for row in window],
+                        var_bit,
+                        lim,
+                    )
+                    if mp:
+                        mn += 1
+                        for j_var, j in mp:
+                            window[j][1] = True
+                        for t, (row_var, j) in enumerate(mp):
+                            if row_var in excluded:
+                                continue
+                            out_rows.append(
+                                list(window[j][2])
+                                + measure_row(mp, t, row_var)
+                            )
+                        drop_head(mp[-1][1] + 1 if skip_past else 1)
+                    else:
+                        drop_head(1)
+        flat: list = [mn]
+        for mask, covered, vals_t in window:
+            flat += [mask, covered, *vals_t]
+        flat += [None] * (1 + stride * hist - len(flat))
+        state.update(tuple(flat))
+        if out_rows:
+            data: dict = {}
+            for ci, c in enumerate(src_cols):
+                data[c] = pd.Series(
+                    [row[ci] for row in out_rows], dtype=object
+                )
+            off = len(src_cols)
+            for j, (_, _, alias) in enumerate(measures):
+                data[alias] = pd.Series(
+                    [row[off + j] for row in out_rows], dtype=object
+                )
+            yield pd.DataFrame(data)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def mid_run_flags_stream(
     stream_df: DataFrame,
     key_col: str,
