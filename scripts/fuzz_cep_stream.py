@@ -119,8 +119,8 @@ def gen_bounded(rng):
             lo = rng.randint(0, 2)
             hi = rng.randint(max(lo, 1), 2)
             quant = "{%d,%d}" % (lo, hi)
-        if quant and rng.random() < 0.3:
-            quant += "?"  # reluctant
+        if quant.startswith("{") and rng.random() < 0.3:
+            quant += "?"  # reluctant ({n,m}? only — A?? not in grammar)
         terms.append(term + quant)
         lmax += hi
     defines = ", ".join(f"{v} AS {rand_local(rng, v)}" for v in used)
@@ -215,28 +215,46 @@ def main(n_cases, seed):
     while tried < n_cases:
         pattern, defines, pvars, skip, within, pad, kind = gen_case(rng)
         df = gen_data(spark, rng, pad)
-        with_payload = rng.random() < 0.7
-        meas = []
-        outer = ["k"]
-        for i, v in enumerate(pvars):
-            meas.append(f"{v}.ts AS t{i}")
-            outer.append(f"CAST(t{i} AS LONG) AS e{i}")
-            if with_payload:
-                meas.append(f"{v}.v AS p{i}")
-                outer.append(f"p{i}")
-        if kind == "bounded" and rng.random() < 0.5:
-            # aggregate measures compute from the decision window
+        all_rows = kind == "bounded" and rng.random() < 0.35
+        if all_rows:
+            # ALL ROWS PER MATCH: per-matched-row emission with
+            # CLASSIFIER / per-key MATCH_NUMBER / RUNNING-FINAL and
+            # aggregate measures (padding rows match nothing, so no
+            # filtering is needed for comparability)
+            meas = ["CLASSIFIER() AS cls", "MATCH_NUMBER() AS mn"]
+            outer = ["k", "CAST(ts AS LONG) AS e", "v", "cls", "mn"]
             av = rng.choice(pvars)
-            fn = rng.choice(["COUNT", "SUM", "MIN", "MAX", "AVG"])
-            meas.append(f"{fn}({av}.v) AS agv")
-            outer.append("agv")
+            if rng.random() < 0.6:
+                mode = rng.choice(["RUNNING", "FINAL"])
+                meas.append(f"{mode} {av}.v AS mv")
+                outer.append("mv")
+            if rng.random() < 0.5:
+                fn = rng.choice(["COUNT", "SUM", "MIN", "MAX"])
+                meas.append(f"{fn}({av}.v) AS agv")
+                outer.append("agv")
+        else:
+            with_payload = rng.random() < 0.7
+            meas = []
+            outer = ["k"]
+            for i, v in enumerate(pvars):
+                meas.append(f"{v}.ts AS t{i}")
+                outer.append(f"CAST(t{i} AS LONG) AS e{i}")
+                if with_payload:
+                    meas.append(f"{v}.v AS p{i}")
+                    outer.append(f"p{i}")
+            if kind == "bounded" and rng.random() < 0.5:
+                # aggregate measures compute from the decision window
+                av = rng.choice(pvars)
+                fn = rng.choice(["COUNT", "SUM", "MIN", "MAX", "AVG"])
+                meas.append(f"{fn}({av}.v) AS agv")
+                outer.append("agv")
         stmt = f"""
             SELECT {', '.join(outer)} FROM __fuzz_stream
             MATCH_RECOGNIZE (
                 PARTITION BY k
                 ORDER BY ts
                 MEASURES {', '.join(meas)}
-                ONE ROW PER MATCH
+                {'ALL ROWS PER MATCH' if all_rows else 'ONE ROW PER MATCH'}
                 AFTER MATCH SKIP {skip}
                 PATTERN ({pattern})
                 {within}
