@@ -114,7 +114,8 @@ def gen_bounded(rng):
         if pi == 0 or q < 0.35:
             lo, hi, quant = 1, 1, ""
         elif q < 0.6:
-            lo, hi, quant = 0, 1, "?"
+            lo, hi = 0, 1
+            quant = "?" if rng.random() < 0.7 else "??"
         else:
             lo = rng.randint(0, 2)
             hi = rng.randint(max(lo, 1), 2)
@@ -242,8 +243,15 @@ def main(n_cases, seed):
                 if with_payload:
                     meas.append(f"{v}.v AS p{i}")
                     outer.append(f"p{i}")
-            if kind == "bounded" and rng.random() < 0.5:
+            if (
+                kind in ("bounded", "seq")
+                and "PREV" not in defines
+                and "NEXT" not in defines
+                and rng.random() < 0.5
+            ):
                 # aggregate measures compute from the decision window
+                # (plain sequences reroute to the bounded leg for them;
+                # navigation conjuncts are bounded-leg-rejected, so skip)
                 av = rng.choice(pvars)
                 fn = rng.choice(["COUNT", "SUM", "MIN", "MAX", "AVG"])
                 meas.append(f"{fn}({av}.v) AS agv")

@@ -2718,3 +2718,38 @@ def test_alternation_labeling_greedy_still_preferred_without_cross(spark):
     ).collect()
     assert len(got) == 1
     assert (got[0].a_seq, got[0].d_seq) == (1, 4)
+
+
+def test_reluctant_optional_var_and_group(spark):
+    """A?? (reluctant optional — SQL:2016's lazy {0,1}) prefers the
+    ABSENT branch where greedy A? prefers the present one; same for
+    (X|Y)??. Flink supports both; the flat tokenizer previously
+    rejected the ?? form (found by the streaming CEP fuzzer)."""
+    spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([10, 5, 3, 10, 5, 3])],
+        "k int, seq int, v int",
+    ).createOrReplaceTempView("__mr_relopt")
+    results = {}
+    for q in ("B?", "B??", "(B|E)?", "(B|E)??"):
+        got = StatementRouter(spark).execute(
+            f"""
+            SELECT k, a_seq, c_seq FROM __mr_relopt
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY seq
+                MEASURES A.seq AS a_seq, C.seq AS c_seq
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A {q} C)
+                DEFINE A AS A.v >= 10, B AS B.v >= 5,
+                       E AS E.v >= 100, C AS C.v <= 5
+            )
+            """
+        ).collect()
+        results[q] = sorted(tuple(r) for r in got)
+    # greedy consumes the optional row (C lands 2 after A); reluctant
+    # skips it (C lands 1 after A)
+    assert results["B?"] == [(1, 0, 2), (1, 3, 5)]
+    assert results["B??"] == [(1, 0, 1), (1, 3, 4)]
+    assert results["(B|E)?"] == results["B?"]
+    assert results["(B|E)??"] == results["B??"]

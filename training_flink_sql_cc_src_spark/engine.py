@@ -379,6 +379,9 @@ class Engine:
             or spec.pos_quants
             or spec.pattern_ast is not None
             or any(len(p) > 1 for p in spec.positions)
+            # aggregate measures need the matched rows — plain bounded
+            # sequences reroute to the window leg that holds them
+            or (spec.measure_agg and not unbounded_shape)
         )
         if bounded_extra:
             if unbounded_shape:

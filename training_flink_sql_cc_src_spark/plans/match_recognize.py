@@ -583,10 +583,10 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
     tok_re = re.compile(
         r"\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
         r"(?:(?P<gunb>[+*])|\{(?P<glo>\d+)(?P<gcomma>,)?(?P<ghi>\d+)?\})?"
-        r"(?P<glazy>\?)?"
+        r"(?P<glazy>\?\??)?"
         r"|(?P<var>\w+)(?:\{(?P<lo>\d+)?(?P<comma>,)?(?P<hi>\d+)?\}"
         r"(?P<vlazy1>\?)?"
-        r"|(?P<unb>[+*])(?P<vlazy2>\?)?|(?P<opt>\?))?"
+        r"|(?P<unb>[+*])(?P<vlazy2>\?)?|(?P<opt>\?)(?P<vlazy3>\?)?)?"
     )
     pattern_ast: tuple | None = None
 
@@ -619,7 +619,12 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if tm.group("alts"):
             alts = [a.strip() for a in tm.group("alts").split("|")]
             gi = len(positions)
-            glazy = bool(tm.group("glazy"))
+            glazy_txt = tm.group("glazy") or ""
+            if glazy_txt == "??" and (
+                tm.group("gunb") or tm.group("glo") is not None
+            ):
+                raise _flat_unparseable(tm.group(0))
+            glazy = bool(glazy_txt)
             if tm.group("gunb"):
                 pos_quants[gi] = (
                     1 if tm.group("gunb") == "+" else 0,
@@ -643,14 +648,18 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                         )
                     pos_quants[gi] = (lo, hi, glazy)
             elif glazy:
-                # (X|Y)? == (X|Y){0,1}, greedy (the ? is the quantifier,
-                # not a reluctant marker)
-                pos_quants[gi] = (0, 1, False)
+                # (X|Y)? == (X|Y){0,1} greedy (the first ? is the
+                # quantifier); (X|Y)?? is its reluctant form
+                pos_quants[gi] = (0, 1, glazy_txt == "??")
             positions.append(alts)
             pattern.extend(alts)
         else:
             var = tm.group("var")
-            if tm.group("vlazy1") or tm.group("vlazy2"):
+            if (
+                tm.group("vlazy1")
+                or tm.group("vlazy2")
+                or tm.group("vlazy3")
+            ):
                 lazy_vars.add(var)
             if tm.group("opt") is not None:
                 quants[var] = (0, 1)  # VAR? == VAR{0,1}
