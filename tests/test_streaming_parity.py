@@ -1500,6 +1500,67 @@ def test_bounded_pattern_stream_aggregate_measures(spark):
     assert any(r[1] == 0 for r in got)
 
 
+def test_bounded_pattern_stream_first_last_nav_measures(spark):
+    """FIRST()/LAST() measure navigation on the bounded ONE-ROW leg:
+    a quantified variable's FIRST and LAST rows bind from the decision
+    window (including FIRST(Var.ts), which rides the payload path —
+    pos_col only carries the LAST binding); the run matchers reject
+    FIRST over a multiply-mapped variable loudly."""
+    import pytest
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_bounded_df(spark)
+    eng = Engine(spark)
+    stmt = """
+        SELECT k, fb, lb, CAST(fts AS LONG) AS fe, CAST(a_ts AS LONG) AS ae
+        FROM cep_bnav
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES FIRST(B.v) AS fb, LAST(B.v) AS lb,
+                     FIRST(B.ts) AS fts, A.ts AS a_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B{1,2} C)
+            DEFINE A AS A.v >= 10, B AS B.v BETWEEN 8 AND 16,
+                   C AS C.v BETWEEN 0 AND 9
+        )
+    """
+    df.createOrReplaceTempView("cep_bnav")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_bnav": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+    # a 2-row B run must occur so FIRST != LAST genuinely bites
+    assert any(r[1] != r[2] for r in got)
+    # run matchers: FIRST over the run variable is loudly batch-only
+    with pytest.raises(NotImplementedError, match="multiply-mapped"):
+        eng.sql_stream(
+            """
+            SELECT k, fa FROM cep_bnav2
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES FIRST(A.v) AS fa
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A+ B)
+                DEFINE A AS A.v >= 8, B AS B.v < 8
+            )
+            """,
+            {"cep_bnav2": df},
+        )
+
+
 def test_all_rows_per_match_streams_bounded(spark):
     """ALL ROWS PER MATCH streams for bounded patterns: every matched
     input row emits with RUNNING (default) and FINAL measures,

@@ -694,12 +694,6 @@ class Engine:
         (
             ast, uniq_vars, field_types, flagged, var_flags,
         ) = self._bounded_stream_prep(spec, sdf, ts_col, unsupported)
-        if spec.measure_nav:
-            raise unsupported(
-                "FIRST()/LAST() measure navigation under ONE ROW PER "
-                "MATCH (the bounded streaming leg carries the default "
-                "LAST-row binding; ALL ROWS supports both)"
-            )
         patvars = set(uniq_vars)
         # aggregate measures (COUNT/SUM/AVG/MIN/MAX over a variable's
         # matched rows) compute exactly from the decision window
@@ -733,21 +727,32 @@ class Engine:
                 out_t = field_types[src_c]
             agg_spec.append((fn, var, src_c, alias, out_t))
         agg_aliases = {a for _, _, _, a, _ in agg_spec}
+        # FIRST()/LAST() measure navigation binds from the decision
+        # window: payload entries carry (var, col, nav); an A.ts with
+        # FIRST nav rides the payload path (pos_col is the LAST binding)
         pay_needs = sorted(
             {
-                (var, col)
+                (
+                    var,
+                    col,
+                    spec.measure_nav.get(alias, "LAST").lower(),
+                )
                 for var, col, alias in spec.measures
                 if var in patvars
-                and col != ts_col
                 and alias not in agg_aliases
+                and not (
+                    col == ts_col
+                    and spec.measure_nav.get(alias, "LAST").upper()
+                    == "LAST"
+                )
             }
         )
-        for var, col in pay_needs:
+        for var, col, _ in pay_needs:
             if col not in field_types:
                 raise unsupported(
                     f"measure {var}.{col}: unknown source column {col!r}"
                 )
-        pay_types = {c: field_types[c] for _, c in pay_needs}
+        pay_types = {c: field_types[c] for _, c, _ in pay_needs}
         matched = bounded_nfa_stream(
             flagged, key, ts_col, var_flags, uniq_vars, ast,
             skip_past=spec.skip_past_last,
@@ -758,16 +763,18 @@ class Engine:
         )
         pos_col = {v: f"{v}_last_ts" for v in uniq_vars}
         pay_col = {
-            (var, col): f"{var}_{col}" for var, col in pay_needs
+            (var, col, nav.upper()): f"{var}_{col}_{nav}"
+            for var, col, nav in pay_needs
         }
         return self._mr_register_view(
             stmt, spec, matched, key, ts_col, pos_col, unsupported,
             pay_col=pay_col, agg_col={a: a for a in agg_aliases},
+            nav_aware=True,
         )
 
     def _mr_register_view(
         self, stmt, spec, matched, key, ts_col, pos_col, unsupported,
-        pay_col=None, agg_col=None,
+        pay_col=None, agg_col=None, nav_aware=False,
     ) -> str:
         """Shared tail of the streaming MATCH_RECOGNIZE legs: project
         the MEASURES from the matcher's positional ts columns (and, on
@@ -788,9 +795,20 @@ class Engine:
                     "bounded patterns compute them from the decision "
                     "window)"
                 )
-            if var in pos_col and col == ts_col:
+            nav = spec.measure_nav.get(alias, "LAST").upper()
+            if (
+                var in pos_col
+                and col == ts_col
+                and (nav == "LAST" or not nav_aware)
+            ):
                 select.append(F.col(pos_col[var]).alias(alias))
-            elif pay_col is not None and (var, col) in pay_col:
+            elif pay_col is not None and (var, col, nav) in pay_col:
+                select.append(F.col(pay_col[(var, col, nav)]).alias(alias))
+            elif (
+                pay_col is not None
+                and not nav_aware
+                and (var, col) in pay_col
+            ):
                 select.append(F.col(pay_col[(var, col)]).alias(alias))
             else:
                 raise unsupported(
@@ -1038,6 +1056,27 @@ class Engine:
                     "support WITHIN)"
                 )
             funnel = True
+        # FIRST() navigation over a variable that maps MULTIPLE rows
+        # silently differs from the matchers' LAST-row bindings — the
+        # O(1)-state runs keep only their last row, and the sequence
+        # pos_col map keeps the last position of a repeated variable
+        run_vars = set()
+        if spec.plus is not None:
+            run_vars.add(spec.plus[0])
+        if funnel:
+            run_vars.add(spec.pattern[1])
+        run_vars |= {v for v in spec.pattern if spec.pattern.count(v) > 1}
+        for var, col, alias in spec.measures:
+            if (
+                spec.measure_nav.get(alias, "LAST").upper() == "FIRST"
+                and var in run_vars
+            ):
+                raise unsupported(
+                    f"FIRST({var}.{col}) over a multiply-mapped "
+                    "variable (the streaming matchers keep the LAST "
+                    "row; the batch path and the bounded-window leg "
+                    "bind FIRST)"
+                )
         # measures beyond Var.<order col>: carry the matched rows'
         # payload columns through the matcher's keyed state
         patvars = set(spec.pattern)

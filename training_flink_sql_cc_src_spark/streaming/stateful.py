@@ -844,9 +844,10 @@ def bounded_nfa_stream(
     contract). ``var_flags`` maps each pattern variable to its
     precompiled BOOLEAN flag column; ``payload_spec`` =
     ([(var, col), ...], {col: sql_type}) carries measure columns — a
-    match emits each requested (var, col) as ``{var}_{col}`` from the
-    variable's LAST matched row (the Flink bare-Var.col binding), NULL
-    when the variable mapped no row. ``agg_spec`` =
+    match emits each requested (var, col, nav) as
+    ``{var}_{col}_{nav}`` from the variable's LAST (the Flink
+    bare-Var.col binding) or FIRST matched row, NULL when the variable
+    mapped no row. ``agg_spec`` =
     [(fn, var, col_or_None, alias, sql_type), ...] adds AGGREGATE
     measures (COUNT/SUM/AVG/MIN/MAX over the variable's matched rows —
     the full window is present, so they compute exactly; col None =
@@ -868,11 +869,14 @@ def bounded_nfa_stream(
     }
     agg_srcs = {c for _, _, c, _, _ in aggs if c is not None}
     wtypes = {**{c: field_types[c] for c in agg_srcs}, **pay_types}
-    pcols = sorted({c for _, c in pay_pairs} | agg_srcs)
+    pcols = sorted({c for _, c, _ in pay_pairs} | agg_srcs)
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = f"{key_col} {key_type}, " + ", ".join(
         [f"{v}_last_ts timestamp" for v in pattern_vars]
-        + [f"{var}_{c} {pay_types[c]}" for var, c in pay_pairs]
+        + [
+            f"{var}_{c}_{nav} {pay_types[c]}"
+            for var, c, nav in pay_pairs
+        ]
         + [f"{alias} {out_t}" for _, _, _, alias, out_t in aggs]
     )
     state_schema = ", ".join(
@@ -947,10 +951,12 @@ def bounded_nfa_stream(
                             row.append(
                                 window[idxs[-1]][1] if idxs else None
                             )
-                        for var, c in pay_pairs:
+                        for var, c, nav in pay_pairs:
                             idxs = rows_of.get(var)
                             row.append(
-                                window[idxs[-1]][2][pcols.index(c)]
+                                window[
+                                    idxs[0] if nav == "first" else idxs[-1]
+                                ][2][pcols.index(c)]
                                 if idxs
                                 else None
                             )
@@ -998,8 +1004,10 @@ def bounded_nfa_stream(
             for ci, v in enumerate(pattern_vars):
                 data[f"{v}_last_ts"] = [row[ci] for row in out_rows]
             off = len(pattern_vars)
-            for j, (var, c) in enumerate(pay_pairs):
-                data[f"{var}_{c}"] = [row[off + j] for row in out_rows]
+            for j, (var, c, nav) in enumerate(pay_pairs):
+                data[f"{var}_{c}_{nav}"] = [
+                    row[off + j] for row in out_rows
+                ]
             off += len(pay_pairs)
             for j, (_, _, _, alias, _) in enumerate(aggs):
                 data[alias] = pd.Series(
