@@ -124,8 +124,16 @@ def gen_bounded(rng):
             quant += "?"  # reluctant ({n,m}? only — A?? not in grammar)
         terms.append(term + quant)
         lmax += hi
+        if pi == 0:
+            first_vars = set(used)
     defines = ", ".join(f"{v} AS {rand_local(rng, v)}" for v in used)
-    skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
+    later = [v for v in used if v not in first_vars]
+    if later and rng.random() < 0.2:
+        # SKIP TO a var that can never map the match start (position 0
+        # always consumes a row), so the loop-forever error cannot fire
+        skip = f"TO {rng.choice(['FIRST', 'LAST'])} {rng.choice(later)}"
+    else:
+        skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
     within = (
         f"WITHIN INTERVAL '{rng.choice([3, 6, 9])}' SECOND"
         if rng.random() < 0.25

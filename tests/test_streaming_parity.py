@@ -1561,6 +1561,65 @@ def test_bounded_pattern_stream_first_last_nav_measures(spark):
         )
 
 
+def test_bounded_pattern_stream_skip_to_var(spark):
+    """AFTER MATCH SKIP TO FIRST/LAST <var> streams on the bounded
+    leg: matching resumes AT the target row (inclusive — overlapping
+    matches), exactly the batch scan's walk; unbounded shapes keep the
+    loud rejection."""
+    import pytest
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_bounded_df(spark)
+    eng = Engine(spark)
+    for skip in ("TO LAST B", "TO FIRST B"):
+        stmt = f"""
+            SELECT k, CAST(a_ts AS LONG) AS ae, CAST(c_ts AS LONG) AS ce
+            FROM cep_skipto
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES A.ts AS a_ts, C.ts AS c_ts
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP {skip}
+                PATTERN (A B{{1,2}} C)
+                DEFINE A AS A.v >= 8, B AS B.v BETWEEN 5 AND 16,
+                       C AS C.v BETWEEN 0 AND 9
+            )
+        """
+        df.createOrReplaceTempView("cep_skipto")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"cep_skipto": s}),
+            output_mode="append",
+            n_files=5,
+            order_by="ts",
+        )
+        got = {tuple(r) for r in streamed.collect()}
+        assert got == batch and batch, skip
+    with pytest.raises(NotImplementedError, match="unbounded shape"):
+        eng.sql_stream(
+            """
+            SELECT k, b_ts FROM cep_skipto2
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES B.ts AS b_ts
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP TO LAST A
+                PATTERN (A+ B)
+                DEFINE A AS A.v >= 8, B AS B.v < 8
+            )
+            """,
+            {"cep_skipto2": df},
+        )
+
+
 def test_all_rows_per_match_streams_bounded(spark):
     """ALL ROWS PER MATCH streams for bounded patterns: every matched
     input row emits with RUNNING (default) and FINAL measures,

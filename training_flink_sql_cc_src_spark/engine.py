@@ -319,12 +319,6 @@ class Engine:
                 "custom state machines"
             )
 
-        if spec.skip_to is not None:
-            raise unsupported(
-                "AFTER MATCH SKIP TO FIRST/LAST <var> (the streaming "
-                "matchers implement SKIP PAST LAST ROW / TO NEXT ROW "
-                "walks only)"
-            )
         if len(spec.partition_by) != 1:
             raise unsupported("multiple PARTITION BY keys")
         ts_col = spec.order_by[0]
@@ -360,6 +354,13 @@ class Engine:
                 and not _ast_all_bounded(spec.pattern_ast)
             )
         )
+        if spec.skip_to is not None and unbounded_shape:
+            raise unsupported(
+                "AFTER MATCH SKIP TO FIRST/LAST <var> over an unbounded "
+                "shape (the run matchers implement SKIP PAST LAST ROW "
+                "walks only; bounded patterns resume at the target row "
+                "from the decision window)"
+            )
         if spec.all_rows:
             # ALL ROWS PER MATCH: every matched input row emits — the
             # bounded-window leg carries full source rows per match
@@ -382,6 +383,9 @@ class Engine:
             # aggregate measures need the matched rows — plain bounded
             # sequences reroute to the window leg that holds them
             or (spec.measure_agg and not unbounded_shape)
+            # SKIP TO FIRST/LAST resumes at a window index — plain
+            # sequences reroute for it too
+            or (spec.skip_to is not None and not unbounded_shape)
         )
         if bounded_extra:
             if unbounded_shape:
@@ -668,6 +672,7 @@ class Engine:
             skip_past=spec.skip_past_last,
             within_seconds=spec.within_seconds,
             tiebreak_col=tiebreak,
+            skip_to=spec.skip_to,
         )
         view = f"__mr_stream_{abs(hash(stmt)) % 10_000_000}"
         matched.createOrReplaceTempView(view)
@@ -760,6 +765,7 @@ class Engine:
             tiebreak_col=tiebreak,
             payload_spec=(pay_needs, pay_types) if pay_needs else None,
             agg_spec=agg_spec or None,
+            skip_to=spec.skip_to,
         )
         pos_col = {v: f"{v}_last_ts" for v in uniq_vars}
         pay_col = {

@@ -748,6 +748,29 @@ def ast_max_len(node) -> int:
     return hi * ast_max_len(child)
 
 
+def _skip_drop(mp, skip_past, skip_to):
+    """Rows to drop from the window head after a match at its head —
+    the AFTER MATCH walk: SKIP TO NEXT ROW slides one, SKIP PAST LAST
+    ROW consumes through the match, SKIP TO FIRST/LAST <var> resumes
+    AT the target row (inclusive — overlapping matches by design); a
+    target equal to the match start raises exactly as the batch scan
+    (and Flink) do."""
+    if skip_to is not None:
+        nav, tvar = skip_to
+        rows_v = [i for vv, i in mp if vv == tvar]
+        if not rows_v:
+            return mp[-1][1] + 1
+        t = rows_v[0] if nav == "FIRST" else rows_v[-1]
+        if t <= 0:
+            raise ValueError(
+                f"AFTER MATCH SKIP TO {nav} {tvar}: the skip target IS "
+                "the match start — resuming there would loop forever "
+                "(Flink raises the same error)"
+            )
+        return t
+    return mp[-1][1] + 1 if skip_past else 1
+
+
 def _match_bounded(ast, window, var_bit, lim):
     """Preferred match anchored at window index 0 — the SAME preference
     order as the batch NFA's AST generator backtracker
@@ -824,6 +847,7 @@ def bounded_nfa_stream(
     tiebreak_col: str | None = None,
     payload_spec: tuple | None = None,
     agg_spec: list | None = None,
+    skip_to: tuple | None = None,
 ) -> DataFrame:
     """Streaming matcher for ANY BOUNDED pattern — quantifiers A{n,m} /
     A? / A{n}, alternation groups (A|B), quantified groups (A|B){n,m},
@@ -986,11 +1010,7 @@ def bounded_nfa_stream(
                             else:
                                 row.append(max(nn))
                         out_rows.append(row)
-                        window = (
-                            window[mp[-1][1] + 1 :]
-                            if skip_past
-                            else window[1:]
-                        )
+                        window = window[_skip_drop(mp, skip_past, skip_to):]
                     else:
                         window = window[1:]
         flat: list = []
@@ -1037,6 +1057,7 @@ def bounded_nfa_all_rows_stream(
     skip_past: bool = False,
     within_seconds: int | None = None,
     tiebreak_col: str | None = None,
+    skip_to: tuple | None = None,
 ) -> DataFrame:
     """ALL ROWS PER MATCH for bounded patterns over a stream: the same
     Lmax-window decision procedure as ``bounded_nfa_stream``, but the
@@ -1212,7 +1233,7 @@ def bounded_nfa_all_rows_stream(
                                 list(window[j][2])
                                 + measure_row(mp, t, row_var)
                             )
-                        drop_head(mp[-1][1] + 1 if skip_past else 1)
+                        drop_head(_skip_drop(mp, skip_past, skip_to))
                     else:
                         drop_head(1)
         flat: list = [mn]
