@@ -126,8 +126,21 @@ def gen_bounded(rng):
         lmax += hi
         if pi == 0:
             first_vars = set(used)
-    defines = ", ".join(f"{v} AS {rand_local(rng, v)}" for v in used)
+    defs = {v: rand_local(rng, v) for v in used}
     later = [v for v in used if v not in first_vars]
+    if later and rng.random() < 0.3:
+        # cross-variable conjunct on a later variable, referencing an
+        # earlier one (possibly unmatched -> check false, still exact)
+        v = rng.choice(later)
+        other = rng.choice([o for o in used if o != v])
+        op = rng.choice([">", ">=", "<", "<=", "<>"])
+        ref = (
+            f"{other}.v"
+            if rng.random() < 0.6
+            else f"{rng.choice(['FIRST', 'LAST'])}({other}.v)"
+        )
+        defs[v] += f" AND {v}.v {op} {ref}"
+    defines = ", ".join(f"{v} AS {defs[v]}" for v in used)
     if later and rng.random() < 0.2:
         # SKIP TO a var that can never map the match start (position 0
         # always consumes a row), so the loop-forever error cannot fire

@@ -1561,6 +1561,63 @@ def test_bounded_pattern_stream_first_last_nav_measures(spark):
         )
 
 
+def test_bounded_pattern_stream_cross_variable_defines(spark):
+    """Cross-variable DEFINE comparisons stream on the bounded leg:
+    the decision window holds the partial match's bindings, so
+    SELF.col OP OTHER.col (and FIRST/LAST(OTHER.col)) evaluate exactly
+    as the batch NFA's cross_ok — including the alternative-labeling
+    backtracking case (a row passing several variables where only one
+    labeling lets the cross check hold)."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_bounded_df(spark)
+    eng = Engine(spark)
+    cases = [
+        # rising pair: C must beat the A row's value
+        ("(A B? C)",
+         "A AS A.v >= 8, B AS B.v >= 5, C AS C.v > A.v"),
+        # quantified middle with a LAST() reference from the closer
+        ("(A B{1,2} C)",
+         "A AS A.v >= 8, B AS B.v >= 5, C AS C.v < LAST(B.v)"),
+        # FIRST() reference across a quantified run
+        ("(A B{1,2} C)",
+         "A AS A.v >= 8, B AS B.v >= 5, C AS C.v <= FIRST(B.v)"),
+        # alternative labeling matters: rows pass both B and C but the
+        # D check only holds under one labeling
+        ("(A (B|C){1,2} D)",
+         "A AS A.v >= 8, B AS B.v >= 9, C AS C.v BETWEEN 5 AND 12, "
+         "D AS D.v < C.v"),
+    ]
+    for pat, defines in cases:
+        stmt = f"""
+            SELECT k, CAST(a_ts AS LONG) AS ae FROM cep_cross
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES A.ts AS a_ts
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN {pat}
+                DEFINE {defines}
+            )
+        """
+        df.createOrReplaceTempView("cep_cross")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"cep_cross": s}),
+            output_mode="append",
+            n_files=5,
+            order_by="ts",
+        )
+        got = {tuple(r) for r in streamed.collect()}
+        assert got == batch and batch, (pat, defines)
+
+
 def test_bounded_pattern_stream_skip_to_var(spark):
     """AFTER MATCH SKIP TO FIRST/LAST <var> streams on the bounded
     leg: matching resumes AT the target row (inclusive — overlapping

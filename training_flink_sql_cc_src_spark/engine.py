@@ -508,39 +508,79 @@ class Engine:
         from pyspark.sql import functions as F
 
         from .plans.match_recognize import (
+            _CROSS_CMP_RE,
             _NAV_DEF_RE,
             _NEXT_RE,
             _PREV_RE,
             _pos_spec_to_ast,
             _pred_at_offset,
+            _split_top_and,
         )
         from .streaming.stateful import ast_max_len
 
         cols = sdf.columns
         field_types = {f.name: f.dataType.simpleString() for f in sdf.schema}
         uniq_vars = list(dict.fromkeys(spec.pattern))
+        # DEFINEs split on top-level AND: row-local conjuncts compile to
+        # the JVM flag; simple cross-variable comparisons (SELF.col OP
+        # [FIRST/LAST(]OTHER.col[)]) evaluate inside the matcher against
+        # the partial match's window bindings — the batch NFA's
+        # cross_ok, now streamable because the decision window holds
+        # every candidate row. Physical PREV/NEXT stay batch-only here.
+        cross_checks: dict[str, list[tuple]] = {}
+        cross_cols: set[str] = set()
+        self_preds: dict[str, str] = {}
         for v in uniq_vars:
-            pred = spec.defines[v]
-            if (
-                _PREV_RE.search(pred)
-                or _NEXT_RE.search(pred)
-                or _NAV_DEF_RE.search(pred)
-            ):
-                raise unsupported(
-                    f"DEFINE for {v}: PREV/NEXT/FIRST/LAST navigation in "
-                    "a quantified/alternation/nested pattern over a "
-                    "stream (the bounded-window leg compiles row-local "
-                    "DEFINEs only)"
+            self_parts: list[str] = []
+            for part in _split_top_and(spec.defines[v]):
+                stripped = _NEXT_RE.sub("", _PREV_RE.sub("", part))
+                foreign = (
+                    set(_re.findall(r"\b(\w+)\s*\.", stripped)) - {v}
                 )
-            foreign = sorted(
-                set(_re.findall(r"\b(\w+)\s*\.", pred)) - {v}
+                if foreign:
+                    cm = _CROSS_CMP_RE.match(part)
+                    if cm is None:
+                        raise unsupported(
+                            f"DEFINE for {v}: cross-variable predicate "
+                            f"{part!r} over a stream (SELF.col OP "
+                            "[FIRST/LAST(]OTHER.col[)] comparisons "
+                            "stream; richer forms need the batch NFA)"
+                        )
+                    sc, oc = cm.group("sc"), (
+                        cm.group("oc") or cm.group("oc2")
+                    )
+                    for c in (sc, oc):
+                        if c not in field_types:
+                            raise unsupported(
+                                f"DEFINE for {v}: unknown column {c!r} "
+                                "in a cross-variable comparison"
+                            )
+                    cross_checks.setdefault(v, []).append(
+                        (
+                            sc,
+                            cm.group("op"),
+                            cm.group("ov") or cm.group("ov2"),
+                            oc,
+                            (cm.group("nav") or "LAST").upper(),
+                        )
+                    )
+                    cross_cols |= {sc, oc}
+                    continue
+                if (
+                    _PREV_RE.search(part)
+                    or _NEXT_RE.search(part)
+                    or _NAV_DEF_RE.search(part)
+                ):
+                    raise unsupported(
+                        f"DEFINE for {v}: PREV/NEXT/FIRST/LAST "
+                        "navigation in a quantified/alternation/nested "
+                        "pattern over a stream (the bounded-window leg "
+                        "compiles row-local DEFINEs only)"
+                    )
+                self_parts.append(part)
+            self_preds[v] = (
+                " AND ".join(self_parts) if self_parts else "TRUE"
             )
-            if foreign:
-                raise unsupported(
-                    f"DEFINE for {v}: cross-variable references "
-                    f"{foreign} over a stream (the partial-match "
-                    "bindings live only in the batch NFA)"
-                )
         if spec.within_seconds is not None and (
             field_types.get(ts_col) != "timestamp"
         ):
@@ -588,12 +628,15 @@ class Engine:
             flagged = flagged.withColumn(
                 c,
                 F.coalesce(
-                    F.expr(_pred_at_offset(spec.defines[v], v, 0, cols)),
+                    F.expr(_pred_at_offset(self_preds[v], v, 0, cols)),
                     F.lit(False),
                 ),
             )
             var_flags[v] = c
-        return ast, uniq_vars, field_types, flagged, var_flags
+        return (
+            ast, uniq_vars, field_types, flagged, var_flags,
+            cross_checks or None, cross_cols,
+        )
 
     def _match_recognize_stream_all_rows(
         self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported
@@ -613,6 +656,7 @@ class Engine:
 
         (
             ast, uniq_vars, field_types, flagged, var_flags,
+            cross_checks, _cross_cols,
         ) = self._bounded_stream_prep(spec, sdf, ts_col, unsupported)
         patvars = set(uniq_vars)
         integral = ("tinyint", "smallint", "int", "bigint")
@@ -673,6 +717,7 @@ class Engine:
             within_seconds=spec.within_seconds,
             tiebreak_col=tiebreak,
             skip_to=spec.skip_to,
+            cross_checks=cross_checks,
         )
         view = f"__mr_stream_{abs(hash(stmt)) % 10_000_000}"
         matched.createOrReplaceTempView(view)
@@ -698,6 +743,7 @@ class Engine:
 
         (
             ast, uniq_vars, field_types, flagged, var_flags,
+            cross_checks, cross_cols,
         ) = self._bounded_stream_prep(spec, sdf, ts_col, unsupported)
         patvars = set(uniq_vars)
         # aggregate measures (COUNT/SUM/AVG/MIN/MAX over a variable's
@@ -766,6 +812,11 @@ class Engine:
             payload_spec=(pay_needs, pay_types) if pay_needs else None,
             agg_spec=agg_spec or None,
             skip_to=spec.skip_to,
+            cross_spec=(
+                (cross_checks, cross_cols)
+                if cross_checks is not None
+                else None
+            ),
         )
         pos_col = {v: f"{v}_last_ts" for v in uniq_vars}
         pay_col = {

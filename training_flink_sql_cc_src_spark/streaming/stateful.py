@@ -771,43 +771,71 @@ def _skip_drop(mp, skip_past, skip_to):
     return mp[-1][1] + 1 if skip_past else 1
 
 
-def _match_bounded(ast, window, var_bit, lim):
+def _match_bounded(
+    ast, window, var_bit, lim, cross_checks=None, val_at=None
+):
     """Preferred match anchored at window index 0 — the SAME preference
     order as the batch NFA's AST generator backtracker
     (plans/match_recognize._lower_nfa match_from_ast): alternation
     branches left-first, quantifiers greedy (more repetitions first)
     unless lazy, zero-width repetitions skipped. Returns the match as a
     list of (var, window_index) or None. Row i satisfies variable v iff
-    bit var_bit[v] is set in window[i][0] and i <= lim (the WITHIN
-    horizon)."""
+    bit var_bit[v] is set in window[i][0], i <= lim (the WITHIN
+    horizon), and its cross-variable conjuncts hold against the
+    partial match (``cross_checks``: var -> [(self_col, op, other_var,
+    other_col, nav)], values read through ``val_at(i, col)`` — the
+    batch cross_ok, verbatim semantics: an unmatched reference or NULL
+    operand is FALSE)."""
 
-    def gen(node, i):
+    def cross_ok(v, i, acc):
+        if not cross_checks:
+            return True
+        for sc, op, ov, oc, nav in cross_checks.get(v, ()):
+            rows_o = [r for w, r in acc if w == ov]
+            if not rows_o:
+                return False
+            ref = rows_o[0] if nav == "FIRST" else rows_o[-1]
+            a, b = val_at(i, sc), val_at(ref, oc)
+            if a is None or b is None:
+                return False
+            try:
+                if not _CMP_OPS[op](a, b):
+                    return False
+            except TypeError:
+                return False
+        return True
+
+    def gen(node, i, acc):
         kind = node[0]
         if kind == "var":
             v = node[1]
-            if i <= lim and window[i][0] & (1 << var_bit[v]):
+            if (
+                i <= lim
+                and window[i][0] & (1 << var_bit[v])
+                and cross_ok(v, i, acc)
+            ):
                 yield [(v, i)]
             return
         if kind == "seq":
             children = node[1]
 
-            def seq_gen(idx, j):
+            def seq_gen(idx, j, acc2):
                 if idx == len(children):
                     yield []
                     return
-                for head in gen(children[idx], j):
-                    for rest in seq_gen(idx + 1, j + len(head)):
+                for head in gen(children[idx], j, acc2):
+                    for rest in seq_gen(idx + 1, j + len(head), acc2 + head):
                         yield head + rest
 
-            yield from seq_gen(0, i)
+            yield from seq_gen(0, i, acc)
             return
         if kind == "alt":
             for child in node[1]:
-                yield from gen(child, i)
+                yield from gen(child, i, acc)
             return
         _, child, lo, hi, lazy = node
 
-        def q_gen(j, done):
+        def q_gen(j, done, acc2):
             # stop options follow the child's preference order — the
             # batch generator's zero-width hygiene, kept identical
             can_more = hi is None or done < hi
@@ -816,20 +844,20 @@ def _match_bounded(ast, window, var_bit, lim):
                 yield []
                 yielded_stop = True
             if can_more:
-                for head in gen(child, j):
+                for head in gen(child, j, acc2):
                     if not head:
                         if not yielded_stop:
                             yield []
                             yielded_stop = True
                         continue
-                    for rest in q_gen(j + len(head), done + 1):
+                    for rest in q_gen(j + len(head), done + 1, acc2 + head):
                         yield head + rest
             if not yielded_stop and done >= lo:
                 yield []
 
-        yield from q_gen(i, 0)
+        yield from q_gen(i, 0, acc)
 
-    for mp in gen(ast, 0):
+    for mp in gen(ast, 0, []):
         if mp:
             return mp
     return None
@@ -848,6 +876,7 @@ def bounded_nfa_stream(
     payload_spec: tuple | None = None,
     agg_spec: list | None = None,
     skip_to: tuple | None = None,
+    cross_spec: tuple | None = None,
 ) -> DataFrame:
     """Streaming matcher for ANY BOUNDED pattern — quantifiers A{n,m} /
     A? / A{n}, alternation groups (A|B), quantified groups (A|B){n,m},
@@ -892,8 +921,14 @@ def bounded_nfa_stream(
         f.name: f.dataType.simpleString() for f in stream_df.schema
     }
     agg_srcs = {c for _, _, c, _, _ in aggs if c is not None}
-    wtypes = {**{c: field_types[c] for c in agg_srcs}, **pay_types}
-    pcols = sorted({c for _, c, _ in pay_pairs} | agg_srcs)
+    cross_checks, cross_cols = (
+        cross_spec if cross_spec is not None else (None, set())
+    )
+    wtypes = {
+        **{c: field_types[c] for c in set(agg_srcs) | set(cross_cols)},
+        **pay_types,
+    }
+    pcols = sorted({c for _, c, _ in pay_pairs} | agg_srcs | set(cross_cols))
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = f"{key_col} {key_type}, " + ", ".join(
         [f"{v}_last_ts timestamp" for v in pattern_vars]
@@ -964,7 +999,11 @@ def bounded_nfa_stream(
                             <= within_seconds
                         ):
                             lim += 1
-                    mp = _match_bounded(ast, window, var_bit, lim)
+                    mp = _match_bounded(
+                        ast, window, var_bit, lim,
+                        cross_checks=cross_checks,
+                        val_at=lambda i, c: window[i][2][pcols.index(c)],
+                    )
                     if mp:
                         rows_of: dict[str, list[int]] = {}
                         for v, i in mp:
@@ -1058,6 +1097,7 @@ def bounded_nfa_all_rows_stream(
     within_seconds: int | None = None,
     tiebreak_col: str | None = None,
     skip_to: tuple | None = None,
+    cross_checks: dict | None = None,
 ) -> DataFrame:
     """ALL ROWS PER MATCH for bounded patterns over a stream: the same
     Lmax-window decision procedure as ``bounded_nfa_stream``, but the
@@ -1221,6 +1261,10 @@ def bounded_nfa_all_rows_stream(
                         [(row[0], None, None) for row in window],
                         var_bit,
                         lim,
+                        cross_checks=cross_checks,
+                        val_at=lambda i, c: window[i][2][
+                            src_cols.index(c)
+                        ],
                     )
                     if mp:
                         mn += 1
