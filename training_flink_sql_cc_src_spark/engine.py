@@ -72,9 +72,15 @@ class Engine:
         ``_match_recognize_stream``: adjacent sequences, A+ B runs, and
         the A B+ C funnel — all with ARBITRARY (possibly overlapping)
         row-local DEFINEs plus physical PREV conjuncts, and in-window
-        NEXT lookahead on sequences — route to the stateful per-key
-        matchers (streaming/stateful.py) and the outer query is
-        rewritten over the matched stream. Flink's Window Top-N
+        NEXT lookahead on sequences — and EVERY bounded pattern
+        (quantifiers greedy/reluctant, alternation, nested groups,
+        PERMUTE) via the Lmax-window matcher, including cross-variable
+        DEFINE comparisons, aggregate measures, FIRST/LAST measure
+        navigation, both skip modes plus SKIP TO FIRST/LAST <var>,
+        WITHIN, and ALL ROWS PER MATCH (WITH UNMATCHED ROWS,
+        exclusions, CLASSIFIER/MATCH_NUMBER) — all route to the
+        stateful per-key matchers (streaming/stateful.py) and the
+        outer query is rewritten over the matched stream. Flink's Window Top-N
         statement (nested ROW_NUMBER over a TUMBLE/HOP TVF aggregate,
         WHERE rn <= N) streams through ``_window_topn_stream`` — a
         chained windowed aggregation with an array_sort rank filter,
