@@ -127,6 +127,10 @@ def gen_bounded(rng):
         if pi == 0:
             first_vars = set(used)
     defs = {v: rand_local(rng, v) for v in used}
+    if rng.random() < 0.25:
+        # physical PREV conjunct (arrival-history evaluation)
+        v = rng.choice(used)
+        defs[v] += f" AND {rand_prev_conjunct(rng, v)}"
     later = [v for v in used if v not in first_vars]
     if later and rng.random() < 0.3:
         # cross-variable conjunct on a later variable, referencing an

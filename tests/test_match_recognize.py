@@ -2753,3 +2753,34 @@ def test_reluctant_optional_var_and_group(spark):
     assert results["B??"] == [(1, 0, 1), (1, 3, 4)]
     assert results["(B|E)?"] == results["B?"]
     assert results["(B|E)??"] == results["B??"]
+
+
+def test_cross_ref_to_untaken_alternation_branch_is_null(spark):
+    """A DEFINE referencing a pattern variable that an alternation
+    branch did NOT bind — PATTERN ((A|B) C), C AS C.v < A.v, variant
+    [B, C] — is an unmatched reference: NULL, comparison false (the
+    NFA's cross_ok semantics). The variant LEAD-chain previously left
+    the reference unrewritten and exploded with an unresolved-column
+    AnalysisException (found by scripts/fuzz_cep_stream.py)."""
+    spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate([9, 3, 5, 4, 9, 2])],
+        "k int, seq int, v int",
+    ).createOrReplaceTempView("__mr_untaken")
+    got = StatementRouter(spark).execute(
+        """
+        SELECT k, s0, c_seq FROM __mr_untaken
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY seq
+            MEASURES FIRST(A.seq) AS s0, C.seq AS c_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN ((A|B) C)
+            DEFINE A AS A.v >= 9, B AS B.v = 5, C AS C.v < A.v
+        )
+        """
+    ).collect()
+    # matches must come only from the A branch (C.v < A.v needs A
+    # bound); the B branch at seq=2 (v=5) followed by v=4 would match
+    # only if the unresolved A ref were mis-evaluated
+    assert sorted((r[1], r[2]) for r in got) == [(0, 1), (4, 5)]

@@ -1618,6 +1618,72 @@ def test_bounded_pattern_stream_cross_variable_defines(spark):
         assert got == batch and batch, (pat, defines)
 
 
+def test_bounded_pattern_stream_prev_navigation(spark):
+    """Physical PREV conjuncts stream on the bounded legs: evaluated
+    per arriving row against the bounded arrival history in the same
+    keyed state (exactly the sequence leg's mechanism), composing with
+    quantifiers/optionals — ONE ROW and ALL ROWS both equal the batch
+    lowering's lag-column semantics, including NULL lags at partition
+    heads and predecessors in earlier micro-batches."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_bounded_df(spark)
+    eng = Engine(spark)
+    stmt = """
+        SELECT k, CAST(a_ts AS LONG) AS ae FROM cep_bprev
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES A.ts AS a_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B{1,2} C?)
+            DEFINE A AS A.v >= 10, B AS B.v < PREV(B.v),
+                   C AS C.v >= 10 AND C.v > PREV(C.v, 2)
+        )
+    """
+    df.createOrReplaceTempView("cep_bprev")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_bprev": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+    # ALL ROWS with the same PREV define
+    stmt2 = """
+        SELECT k, CAST(ts AS LONG) AS e, v, cls FROM cep_bprev2
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES CLASSIFIER() AS cls
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B{1,2})
+            DEFINE A AS A.v >= 10, B AS B.v < PREV(B.v)
+        )
+    """
+    df.createOrReplaceTempView("cep_bprev2")
+    batch2 = {
+        tuple(r) for r in StatementRouter(spark).execute(stmt2).collect()
+    }
+    streamed2 = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt2, {"cep_bprev2": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got2 = {tuple(r) for r in streamed2.collect()}
+    assert got2 == batch2 and batch2
+
+
 def test_bounded_pattern_stream_skip_to_var(spark):
     """AFTER MATCH SKIP TO FIRST/LAST <var> streams on the bounded
     leg: matching resumes AT the target row (inclusive — overlapping

@@ -536,6 +536,54 @@ class Engine:
         cross_checks: dict[str, list[tuple]] = {}
         cross_cols: set[str] = set()
         self_preds: dict[str, str] = {}
+        # physical PREV(col, n) conjuncts: evaluated per arriving row
+        # against a bounded value history in the matcher's keyed state
+        prev_checks: dict[str, list[tuple]] = {}
+        prev_need: set[str] = set()
+        max_prev = 0
+        opnd = (
+            r"(?:PREV\s*\(\s*\w+\.\w+\s*(?:,\s*\d+)?\s*\)"
+            r"|\w+(?:\.\w+)?|'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+        )
+        prev_cmp_re = _re.compile(
+            rf"^\s*(?P<l>{opnd})\s*(?P<op><>|!=|>=|<=|=|>|<)\s*"
+            rf"(?P<r>{opnd})\s*$",
+            _re.IGNORECASE,
+        )
+
+        def _prev_operand(tok: str, v: str):
+            pm = _PREV_RE.fullmatch(tok.strip())
+            if pm is not None:
+                col = pm.group("pcol")
+                if col not in field_types:
+                    raise unsupported(
+                        f"DEFINE for {v}: PREV over unknown column "
+                        f"{col!r}"
+                    )
+                prev_need.add(col)
+                return ("prev", col, int(pm.group("n") or 1))
+            tok = tok.strip()
+            if tok.startswith("'"):
+                return ("lit", tok[1:-1].replace("''", "'"))
+            if _re.fullmatch(r"-?\d+", tok):
+                return ("lit", int(tok))
+            if _re.fullmatch(r"-?\d+\.\d+", tok):
+                return ("lit", float(tok))
+            if tok.upper() in ("TRUE", "FALSE"):
+                return ("lit", tok.upper() == "TRUE")
+            if tok.upper() == "NULL":
+                return ("lit", None)
+            ref = tok.split(".")
+            if len(ref) == 2:
+                tok = ref[1]
+            if tok not in field_types:
+                raise unsupported(
+                    f"DEFINE for {v}: unknown column {tok!r} in a PREV "
+                    "conjunct"
+                )
+            prev_need.add(tok)
+            return ("col", tok)
+
         for v in uniq_vars:
             self_parts: list[str] = []
             for part in _split_top_and(spec.defines[v]):
@@ -572,16 +620,36 @@ class Engine:
                     )
                     cross_cols |= {sc, oc}
                     continue
-                if (
-                    _PREV_RE.search(part)
-                    or _NEXT_RE.search(part)
-                    or _NAV_DEF_RE.search(part)
-                ):
+                if _PREV_RE.search(part):
+                    body = part.strip()
+                    while body.startswith("(") and body.endswith(")"):
+                        body = body[1:-1].strip()
+                    cm2 = prev_cmp_re.fullmatch(body)
+                    if cm2 is None:
+                        raise unsupported(
+                            f"DEFINE for {v}: PREV conjunct {part!r} — "
+                            "over a stream PREV supports plain "
+                            "comparisons (<operand> OP <operand>, "
+                            "operands a column, literal, or "
+                            "PREV(col, n)); richer navigation needs "
+                            "the batch window plan"
+                        )
+                    lhs = _prev_operand(cm2.group("l"), v)
+                    rhs = _prev_operand(cm2.group("r"), v)
+                    for side in (lhs, rhs):
+                        if side[0] == "prev":
+                            max_prev = max(max_prev, side[2])
+                    prev_checks.setdefault(v, []).append(
+                        (lhs, cm2.group("op"), rhs)
+                    )
+                    continue
+                if _NEXT_RE.search(part) or _NAV_DEF_RE.search(part):
                     raise unsupported(
-                        f"DEFINE for {v}: PREV/NEXT/FIRST/LAST "
-                        "navigation in a quantified/alternation/nested "
-                        "pattern over a stream (the bounded-window leg "
-                        "compiles row-local DEFINEs only)"
+                        f"DEFINE for {v}: NEXT/FIRST/LAST navigation "
+                        "in a quantified/alternation/nested pattern "
+                        "over a stream (physical PREV streams as "
+                        "comparison conjuncts; lookahead and match "
+                        "bindings need the batch window plan)"
                     )
                 self_parts.append(part)
             self_preds[v] = (
@@ -639,9 +707,19 @@ class Engine:
                 ),
             )
             var_flags[v] = c
+        prev_spec = (
+            (
+                prev_checks,
+                sorted(prev_need),
+                max_prev,
+                {c: field_types[c] for c in prev_need},
+            )
+            if max_prev
+            else None
+        )
         return (
             ast, uniq_vars, field_types, flagged, var_flags,
-            cross_checks or None, cross_cols,
+            cross_checks or None, cross_cols, prev_spec,
         )
 
     def _match_recognize_stream_all_rows(
@@ -662,7 +740,7 @@ class Engine:
 
         (
             ast, uniq_vars, field_types, flagged, var_flags,
-            cross_checks, _cross_cols,
+            cross_checks, _cross_cols, prev_spec,
         ) = self._bounded_stream_prep(spec, sdf, ts_col, unsupported)
         patvars = set(uniq_vars)
         integral = ("tinyint", "smallint", "int", "bigint")
@@ -724,6 +802,7 @@ class Engine:
             tiebreak_col=tiebreak,
             skip_to=spec.skip_to,
             cross_checks=cross_checks,
+            prev_spec=prev_spec,
         )
         view = f"__mr_stream_{abs(hash(stmt)) % 10_000_000}"
         matched.createOrReplaceTempView(view)
@@ -749,7 +828,7 @@ class Engine:
 
         (
             ast, uniq_vars, field_types, flagged, var_flags,
-            cross_checks, cross_cols,
+            cross_checks, cross_cols, prev_spec,
         ) = self._bounded_stream_prep(spec, sdf, ts_col, unsupported)
         patvars = set(uniq_vars)
         # aggregate measures (COUNT/SUM/AVG/MIN/MAX over a variable's
@@ -823,6 +902,7 @@ class Engine:
                 if cross_checks is not None
                 else None
             ),
+            prev_spec=prev_spec,
         )
         pos_col = {v: f"{v}_last_ts" for v in uniq_vars}
         pay_col = {

@@ -1096,6 +1096,7 @@ def _pred_at_offset(
     vs: list[str] | None = None,
     nav_needs: set[tuple[str, int]] | None = None,
     max_off: int | None = None,
+    all_vars: set[str] | None = None,
 ) -> str:
     """Rewrite a DEFINE predicate to evaluate at LEAD offset ``k``.
 
@@ -1199,6 +1200,15 @@ def _pred_at_offset(
             else:
                 # not yet matched at this offset: the reference is NULL
                 seg = re.sub(rf"\b{re.escape(other)}\.(\w+)\b", "NULL", seg)
+        if all_vars:
+            # a reference to a pattern variable ABSENT from this
+            # variant (an alternation branch not taken) is an unmatched
+            # reference too: NULL, comparison false — previously left
+            # unrewritten and exploding as an unresolved column
+            for other in all_vars - {var} - set(vs or ()):
+                seg = re.sub(
+                    rf"\b{re.escape(other)}\.(\w+)\b", "NULL", seg
+                )
         parts[i] = seg
     return "".join(parts)
 
@@ -2594,6 +2604,7 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
             pred_texts[(vi_, k_)] = _pred_at_offset(
                 spec.defines[v_], v_, k_, cols, vs_,
                 nav_needs=nav_needs, max_off=max_len - 1,
+                all_vars=set(spec.pattern),
             )
     for nav_col, kk in sorted(nav_needs):
         tag = f"m{-kk}" if kk < 0 else f"p{kk}"

@@ -877,6 +877,7 @@ def bounded_nfa_stream(
     agg_spec: list | None = None,
     skip_to: tuple | None = None,
     cross_spec: tuple | None = None,
+    prev_spec: tuple | None = None,
 ) -> DataFrame:
     """Streaming matcher for ANY BOUNDED pattern — quantifiers A{n,m} /
     A? / A{n}, alternation groups (A|B), quantified groups (A|B){n,m},
@@ -945,6 +946,12 @@ def bounded_nfa_stream(
     )
     stride = 2 + len(pcols)
     flag_cols = [var_flags[v] for v in pattern_vars]
+    pchecks, need_cols, max_prev = {}, [], 0
+    if prev_spec is not None:
+        pchecks, need_cols, max_prev, prev_col_types = prev_spec
+        state_schema += ", " + _prev_schema_suffix(
+            need_cols, max_prev, prev_col_types
+        )
 
     def update(
         key: tuple,
@@ -952,6 +959,7 @@ def bounded_nfa_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         window: list[tuple] = []
+        vhist: list[dict] = []
         if state.exists:
             vals = state.get
             window = [
@@ -963,6 +971,10 @@ def bounded_nfa_stream(
                 for i in range(hist)
                 if vals[stride * i] is not None
             ]
+            if max_prev:
+                vhist = _prev_load(
+                    vals, stride * hist, need_cols, max_prev
+                )
         out_rows: list[list] = []
         for pdf in batches:
             sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
@@ -973,11 +985,24 @@ def bounded_nfa_stream(
             ]
             ts_vals = list(pdf[ts_col])
             pay_vals = {c: list(pdf[c]) for c in pcols}
+            need_vals = {c: list(pdf[c]) for c in need_cols}
             for r in range(len(pdf)):
+                cur_vals = None
+                if max_prev:
+                    cur_vals = {
+                        c: _scalar(need_vals[c][r]) for c in need_cols
+                    }
                 mask = 0
                 for b in range(len(pattern_vars)):
-                    if flags[b][r]:
+                    pv = pattern_vars[b]
+                    if flags[b][r] and (
+                        not pchecks.get(pv)
+                        or _prev_ok(pchecks[pv], cur_vals, vhist)
+                    ):
                         mask |= 1 << b
+                if max_prev:
+                    vhist.append(cur_vals)
+                    vhist = vhist[-max_prev:]
                 window.append(
                     (
                         mask,
@@ -1057,6 +1082,8 @@ def bounded_nfa_stream(
             flat += [mask, ts, *pv]
         while len(flat) < stride * hist:
             flat = [None] * stride + flat
+        if max_prev:
+            flat += _prev_flat(vhist, need_cols, max_prev)
         state.update(tuple(flat))
         if out_rows:
             data: dict = {key_col: [key[0]] * len(out_rows)}
@@ -1098,6 +1125,7 @@ def bounded_nfa_all_rows_stream(
     tiebreak_col: str | None = None,
     skip_to: tuple | None = None,
     cross_checks: dict | None = None,
+    prev_spec: tuple | None = None,
 ) -> DataFrame:
     """ALL ROWS PER MATCH for bounded patterns over a stream: the same
     Lmax-window decision procedure as ``bounded_nfa_stream``, but the
@@ -1142,6 +1170,12 @@ def bounded_nfa_all_rows_stream(
     )
     flag_cols = [var_flags[v] for v in pattern_vars]
     ts_idx = src_cols.index(ts_col)
+    pchecks, need_cols, max_prev = {}, [], 0
+    if prev_spec is not None:
+        pchecks, need_cols, max_prev, prev_col_types = prev_spec
+        state_schema += ", " + _prev_schema_suffix(
+            need_cols, max_prev, prev_col_types
+        )
 
     def update(
         key: tuple,
@@ -1150,6 +1184,7 @@ def bounded_nfa_all_rows_stream(
     ) -> Iterator[pd.DataFrame]:
         # window rows: [mask, covered, (src values...)]
         window: list[list] = []
+        vhist: list[dict] = []
         mn = 0
         if state.exists:
             vals = state.get
@@ -1164,6 +1199,10 @@ def bounded_nfa_all_rows_stream(
                             tuple(vals[off + 2 : off + stride]),
                         ]
                     )
+            if max_prev:
+                vhist = _prev_load(
+                    vals, 1 + stride * hist, need_cols, max_prev
+                )
         out_rows: list[list] = []
 
         def measure_row(mp, t, row_var):
@@ -1231,10 +1270,22 @@ def bounded_nfa_all_rows_stream(
             ]
             src_vals = {c: list(pdf[c]) for c in src_cols}
             for r in range(len(pdf)):
+                cur_vals = None
+                if max_prev:
+                    cur_vals = {
+                        c: _scalar(src_vals[c][r]) for c in need_cols
+                    }
                 mask = 0
                 for b in range(len(pattern_vars)):
-                    if flags[b][r]:
+                    pv = pattern_vars[b]
+                    if flags[b][r] and (
+                        not pchecks.get(pv)
+                        or _prev_ok(pchecks[pv], cur_vals, vhist)
+                    ):
                         mask |= 1 << b
+                if max_prev:
+                    vhist.append(cur_vals)
+                    vhist = vhist[-max_prev:]
                 window.append(
                     [
                         mask,
@@ -1284,6 +1335,8 @@ def bounded_nfa_all_rows_stream(
         for mask, covered, vals_t in window:
             flat += [mask, covered, *vals_t]
         flat += [None] * (1 + stride * hist - len(flat))
+        if max_prev:
+            flat += _prev_flat(vhist, need_cols, max_prev)
         state.update(tuple(flat))
         if out_rows:
             data: dict = {}
