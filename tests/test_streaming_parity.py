@@ -1885,6 +1885,50 @@ def test_unwindowed_dedup_statement_streams(spark, sf_small):
         assert got == batch and batch, direction
 
 
+def test_unwindowed_topn_statement_streams(spark, sf_small):
+    """Flink's plain (non-windowed) Top-N statement streams: the
+    stateful top-N operator keeps O(N) rows per key and re-emits a
+    key's current top-N when it changes (update changelog). Draining
+    the changelog into a last-write-wins store keyed by (key, rn) —
+    the upsert-sink contract — must equal the batch ROW_NUMBER plan."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+    from training_flink_sql_cc_src_spark.streaming.parity import (
+        stream_from_batch,
+    )
+
+    ev = t(spark, sf_small, "events").select("event_id", "user_id", "value")
+    stmt = """
+        SELECT user_id, event_id, value, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY value DESC, event_id DESC
+          ) AS rn
+          FROM events_topn_plain
+        ) WHERE rn <= 3
+    """
+    ev.createOrReplaceTempView("events_topn_plain")
+    batch = {
+        tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+    }
+    eng = Engine(spark)
+    stream = stream_from_batch(spark, ev, n_files=6, order_by="event_id")
+    out = eng.sql_stream(stmt, {"events_topn_plain": stream})
+    store: dict = {}
+
+    def upsert(bdf, _bid):
+        for r in bdf.collect():
+            store[(r["user_id"], r["rn"])] = tuple(r)
+
+    q = (
+        out.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert set(store.values()) == batch and batch
+
+
 def test_stream_fuzz_smoke_vs_batch_nfa(spark):
     """A fixed-seed slice of scripts/fuzz_cep_stream.py runs in-suite
     so random streamable shapes (sequences / A+ B / A B+ C with

@@ -1542,7 +1542,7 @@ class Engine:
             r"ORDER\s+BY\s+(?P<oby>[^)]+?)\s*\)\s+AS\s+(?P<rn>\w+)\s+"
             r"FROM\s+(?P<tbl>[\w.`]+)\s*"
             r"\)\s*(?:AS\s+\w+\s+)?"
-            r"WHERE\s+`?(?P=rn)`?\s*=\s*1\s*$",
+            r"WHERE\s+`?(?P=rn)`?\s*(?:=\s*1|<=\s*(?P<topn>\d+))\s*$",
             stmt,
             _re.IGNORECASE | _re.DOTALL,
         )
@@ -1569,6 +1569,27 @@ class Engine:
             return None  # the Window Deduplication route owns that shape
         src = self.spark.table(om.group("tbl").strip("`"))
         cols = src.columns
+        n = int(om.group("topn")) if om.group("topn") else 1
+        if n > 1:
+            # Flink's continuous Top-N operator: O(keys x N) state,
+            # update changelog re-emitting a key's top-N when it changes
+            from .streaming.stateful import topn_stream
+
+            if n > 1000:
+                return None  # unbounded-ish rank: loud fallback
+            ranked = topn_stream(
+                src, keys, order_cols,
+                descending=directions == {"DESC"}, n=n,
+            )
+            view = f"__topn_plain_stream_{abs(hash(stmt)) % 10_000_000}"
+            ranked.withColumnRenamed(
+                "rn", om.group("rn")
+            ).createOrReplaceTempView(view)
+            return self.spark.sql(
+                self.router._rewrite_dialect(
+                    f"SELECT {om.group('outer')} FROM {view}"
+                )
+            )
         order = F.struct(*[F.col(c) for c in order_cols])
         pick = F.min_by if directions == {"ASC"} else F.max_by
         best = src.groupBy(*keys).agg(

@@ -1565,6 +1565,94 @@ def mid_run_flags_stream(
     )
 
 
+def topn_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    descending: bool,
+    n: int,
+) -> DataFrame:
+    """Continuous (non-windowed) Top-N — Flink's Top-N operator: per
+    key, keep the N best rows seen so far in keyed state and emit the
+    key's CURRENT top-N (with ranks) whenever it changes — update
+    changelog semantics; a downstream upsert sink keyed by
+    (keys, rn) holds exactly the live top-N. State is O(keys x N x
+    row width), the identical bound Flink documents for its
+    AppendFastStrategy. Ranks tie-break by the full row tuple for
+    determinism (matching a batch ROW_NUMBER only when the order
+    columns are key-unique, as any Top-N contract requires).
+    Emits every source column + ``rn``."""
+    src_cols = stream_df.columns
+    field_types = {
+        f.name: f.dataType.simpleString() for f in stream_df.schema
+    }
+    out_schema = ", ".join(
+        [f"{c} {field_types[c]}" for c in src_cols] + ["rn int"]
+    )
+    state_schema = ", ".join(
+        f"r{i}_{c} {field_types[c]}"
+        for i in range(n)
+        for c in src_cols
+    )
+    width = len(src_cols)
+    oidx = [src_cols.index(c) for c in order_cols]
+
+    def sort_key(row: tuple):
+        key_part = tuple(row[i] for i in oidx)
+        return key_part
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        top: list[tuple] = []
+        if state.exists:
+            vals = state.get
+            for i in range(n):
+                row = tuple(vals[width * i : width * (i + 1)])
+                if any(v is not None for v in row):
+                    top.append(row)
+        before = list(top)
+        for pdf in batches:
+            for r in pdf[src_cols].itertuples(index=False):
+                top.append(tuple(_scalar(v) for v in r))
+        try:
+            top.sort(key=sort_key, reverse=descending)
+        except TypeError:
+            # None order values: place them last deterministically
+            top.sort(
+                key=lambda row: tuple(
+                    (v is None, v if v is not None else 0)
+                    for v in sort_key(row)
+                ),
+                reverse=descending,
+            )
+        top = top[:n]
+        flat: list = []
+        for row in top:
+            flat += list(row)
+        flat += [None] * (width * n - len(flat))
+        state.update(tuple(flat))
+        if top != before:
+            data = {
+                c: pd.Series(
+                    [row[ci] for row in top], dtype=object
+                )
+                for ci, c in enumerate(src_cols)
+            }
+            data["rn"] = list(range(1, len(top) + 1))
+            yield pd.DataFrame(data)
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- PREV-navigation support for the flag matchers -------------------------
 #
 # Physical PREV(col, n) comparisons cannot be materialized by a separate
