@@ -91,7 +91,10 @@ class Engine:
         Deduplication statement (ROW_NUMBER rn=1 over a non-windowed
         partition, first row on ASC / last row on DESC) streams
         through ``_dedup_stream`` — one min_by/max_by upsert
-        aggregate, O(1) state per key.
+        aggregate, O(1) state per key — and the plain Top-N statement
+        (rn <= N) through the stateful top-N operator: O(N) rows per
+        key, update changelog re-emitting a key's top-N on change
+        (drain into an upsert sink keyed by (keys, rn)).
         """
         from .plans.router import rewrite_session_tvf_streaming
 
