@@ -724,3 +724,55 @@ def cluster_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("comp_sum"),
         )
     )
+
+
+@register(
+    "pipeline_cluster_balanced_sample",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id < {K_CLUSTERS}
+    ), assign AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT v.vec_id, c.cid AS cluster_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cosine_sql('v.embedding', 'c.ce')} DESC,
+                                c.cid
+                   ) AS rnk
+            FROM embeddings v CROSS JOIN c
+        ) WHERE rnk = 1
+    )
+    SELECT cluster_id, vec_id, CAST(srn AS BIGINT) AS srn FROM (
+        SELECT cluster_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS srn
+        FROM assign
+    ) WHERE srn <= 40
+    """,
+    doc="Cluster-balanced corpus sampling (the cluster-then-sample "
+    "curation move: spherical k-means assignment, then an equal quota "
+    "of documents per cluster in a DETERMINISTIC pseudo-random order — "
+    "md5 of the id, so the sample is reproducible and engine-exact "
+    "without a seeded RNG). Scale: the assignment is the broadcast-"
+    "centroid map-side argmax; the per-cluster quota is "
+    "WindowGroupLimit (rank filter pushes map-side, O(quota) rows per "
+    "cluster reach the final shuffle) — never a full sort of a "
+    "cluster.",
+)
+def pipeline_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    assign = _kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        assign.withColumn("srn", F.row_number().over(w))
+        .filter(F.col("srn") <= 40)
+        .select(
+            "cluster_id", "vec_id", F.col("srn").cast("long").alias("srn")
+        )
+    )
