@@ -432,3 +432,45 @@ def test_window_join_sql_pushdown_no_cartesian(spark, sf_med):
     assert "EqualTo(event_type,purchase)" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assign_broadcast_centroids_rank_pushdown(spark, sf_med):
+    """K-means assignment: the K centroid rows broadcast (the corpus is
+    NEVER the build side) and the per-vector argmax is a
+    WindowGroupLimit — rn=1 pushes map-side, K rows per vector
+    pre-reduced before the rank shuffle."""
+    plan = _plan(spark, "cluster_kmeans_assign", sf_med)
+    assert "WindowGroupLimit" in plan
+    # the centroid side is the broadcast build: a BroadcastExchange
+    # exists and reads the vec_id < 8 filter
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_update_partial_aggregation(spark, sf_med):
+    """The Lloyd update's (cluster, dimension) reduce splits
+    partial/final HashAggregates — map-side combine carries K x 64
+    cells per task, never n x 64 rows, to the shuffle."""
+    plan = _plan(spark, "cluster_kmeans_update", sf_med)
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_no_cartesian(spark, sf_med):
+    """Bigram LM scoring: counts chain partial aggregates and the
+    model join is keyed on the bigram — no cartesian, no nested-loop
+    join anywhere except the one-row vocabulary-size broadcast."""
+    import re
+
+    plan = _plan(spark, "text_bigram_lm_score", sf_med)
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_over_agg_sql_single_window_exchange(spark, sf_med):
+    """The front-door OVER aggregation plans ONE exchange on the
+    partition key and one Window node computing both frame
+    aggregates — no per-aggregate re-shuffle."""
+    plan = _plan(spark, "over_agg_sql", sf_med)
+    assert plan.count("+- Exchange") == 1
+    assert "CartesianProduct" not in plan
