@@ -269,7 +269,7 @@ def main(n_cases, seed):
                     meas.append(f"{v}.v AS p{i}")
                     outer.append(f"p{i}")
             if (
-                kind in ("bounded", "seq")
+                kind in ("bounded", "seq", "run")
                 and "PREV" not in defines
                 and "NEXT" not in defines
                 and rng.random() < 0.5

@@ -1948,6 +1948,93 @@ def test_stream_fuzz_smoke_vs_batch_nfa(spark):
     assert mod.main(6, 42) == 0
 
 
+def test_general_run_stream_aggregate_measures(spark):
+    """Aggregate MEASURES over the A+ B run stream through O(1)
+    accumulators (count/sum/min/max folded incrementally, with a pend
+    snapshot for the backtrack candidate) — COUNT(A.*), COUNT/SUM/AVG/
+    MIN/MAX(A.v) over the run rows and SUM(B.v) on the end row must
+    equal the batch NFA, including matches finalized via the pend
+    fallback and across micro-batch boundaries."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_funnel_df(spark)
+    eng = Engine(spark)
+    stmt = """
+        SELECT k, na, nav_, sa, ava, mna, mxa, sb,
+               CAST(b_ts AS LONG) AS be
+        FROM cep_run_agg
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES COUNT(A.*) AS na, COUNT(A.v) AS nav_,
+                     SUM(A.v) AS sa, AVG(A.v) AS ava,
+                     MIN(A.v) AS mna, MAX(A.v) AS mxa,
+                     SUM(B.v) AS sb, B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.v >= 10, B AS B.v % 2 = 0
+        )
+    """
+    df.createOrReplaceTempView("cep_run_agg")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_run_agg": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+    # multi-row runs must occur so the accumulators genuinely fold
+    assert any(r[1] > 1 for r in got)
+
+
+def test_general_funnel_stream_aggregate_measures(spark):
+    """Aggregate MEASURES over the A B+ C funnel stream through the
+    same O(1) accumulators — COUNT(B.*)/SUM/AVG/MIN/MAX(B.v) over the
+    run plus single-row aggregates on A and C — equal to the batch NFA
+    including pend-fallback matches."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_funnel_df(spark)
+    eng = Engine(spark)
+    stmt = """
+        SELECT k, nb, sb, avb, mnb, mxb, sa, sc,
+               CAST(a_ts AS LONG) AS ae
+        FROM cep_funnel_agg
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES COUNT(B.*) AS nb, SUM(B.v) AS sb, AVG(B.v) AS avb,
+                     MIN(B.v) AS mnb, MAX(B.v) AS mxb,
+                     SUM(A.v) AS sa, SUM(C.v) AS sc, A.ts AS a_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.v >= 10, B AS B.v % 2 = 1,
+                   C AS C.v <= 9
+        )
+    """
+    df.createOrReplaceTempView("cep_funnel_agg")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_funnel_agg": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+    assert any(r[1] >= 1 for r in got)
+
+
 def test_general_sequence_stream_payload_measures_match_batch(spark):
     """MEASURES beyond Var.<order col>: A.v and B.v ride the sequence
     matcher's window state as payload columns — values must equal the

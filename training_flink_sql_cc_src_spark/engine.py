@@ -428,14 +428,18 @@ class Engine:
             and dtypes.get(eqs[0][0]) == "string"
             and dtypes.get(key) == "bigint"
         )
-        if eq_mode and any(
-            col != ts_col
-            for var, col, _ in spec.measures
-            if var in set(spec.pattern)
+        if eq_mode and (
+            spec.measure_agg
+            or any(
+                col != ts_col
+                for var, col, _ in spec.measures
+                if var in set(spec.pattern)
+            )
         ):
-            # non-position measures (Var.<payload col>) ride the general
-            # leg's keyed state; eq-literal DEFINEs are row-local, so the
-            # general matchers reproduce the specialized ones exactly
+            # non-position measures (Var.<payload col>) and aggregate
+            # measures ride the general leg's keyed state; eq-literal
+            # DEFINEs are row-local, so the general matchers reproduce
+            # the specialized ones exactly
             eq_mode = False
         if not eq_mode:
             return self._match_recognize_stream_general(
@@ -1229,8 +1233,10 @@ class Engine:
         pay_needs = sorted(
             {
                 (var, col)
-                for var, col, _ in spec.measures
-                if var in patvars and col != ts_col
+                for var, col, alias in spec.measures
+                if var in patvars
+                and col != ts_col
+                and alias not in spec.measure_agg
             }
         )
         for var, col in pay_needs:
@@ -1239,6 +1245,51 @@ class Engine:
                     f"measure {var}.{col}: unknown source column {col!r}"
                 )
         pay_types = {c: field_types[c] for _, c in pay_needs}
+        # aggregate measures on the run shapes: role "run" folds into
+        # the matcher's O(1) accumulators (with a pend snapshot for the
+        # backtrack candidate); single-row roles read that row's payload
+        agg_spec: list[tuple] = []
+        if spec.measure_agg and (spec.plus is not None or funnel):
+            integral = ("tinyint", "smallint", "int", "bigint")
+            if spec.plus is not None:
+                agg_roles = {spec.plus[0]: "run", spec.plus[1]: "end"}
+            else:
+                agg_roles = {
+                    spec.pattern[0]: "start",
+                    spec.pattern[1]: "run",
+                    spec.pattern[2]: "end",
+                }
+            for var, col, alias in spec.measures:
+                if alias not in spec.measure_agg:
+                    continue
+                role = agg_roles.get(var)
+                if role is None:
+                    raise unsupported(
+                        f"aggregate measure {alias} over {var!r} (not "
+                        "a pattern variable)"
+                    )
+                fn = spec.measure_agg[alias].lower()
+                src_c = None if col == "*" else col
+                if src_c is not None and src_c not in field_types:
+                    raise unsupported(
+                        f"measure {alias}: unknown source column "
+                        f"{col!r}"
+                    )
+                if fn == "count":
+                    out_t = "bigint"
+                elif fn == "avg":
+                    out_t = "double"
+                elif fn == "sum":
+                    out_t = (
+                        "bigint"
+                        if field_types[src_c] in integral
+                        else field_types[src_c]
+                    )
+                else:
+                    out_t = field_types[src_c]
+                agg_spec.append((fn, role, src_c, alias, out_t))
+                if role != "run" and src_c is not None:
+                    pay_types.setdefault(src_c, field_types[src_c])
         flagged = sdf
         flag_cols: list[str] = []
         for i, v in enumerate(spec.pattern):
@@ -1265,7 +1316,12 @@ class Engine:
                 flagged, key, ts_col,
                 flag_cols[0], flag_cols[1], flag_cols[2],
                 tiebreak_col=tiebreak, prev_spec=prev_spec,
-                payload_spec=(pay_pairs, pay_types) if pay_pairs else None,
+                payload_spec=(
+                    (pay_pairs, pay_types)
+                    if (pay_pairs or agg_spec)
+                    else None
+                ),
+                agg_spec=agg_spec or None,
             )
             pos_col = {
                 spec.pattern[0]: "a_ts",
@@ -1303,7 +1359,12 @@ class Engine:
             matched = run_flags_stream(
                 flagged, key, ts_col, flag_cols[0], flag_cols[1],
                 tiebreak_col=tiebreak, prev_spec=prev_spec,
-                payload_spec=(pay_pairs, pay_types) if pay_pairs else None,
+                payload_spec=(
+                    (pay_pairs, pay_types)
+                    if (pay_pairs or agg_spec)
+                    else None
+                ),
+                agg_spec=agg_spec or None,
             )
             pos_col = {spec.plus[0]: "last_ts", spec.plus[1]: "end_ts"}
         else:
@@ -1330,6 +1391,9 @@ class Engine:
         return self._mr_register_view(
             stmt, spec, matched, key, ts_col, pos_col, unsupported,
             pay_col=pay_col,
+            agg_col=(
+                {a: a for _, _, _, a, _ in agg_spec} if agg_spec else None
+            ),
         )
 
     def _over_agg_stream(

@@ -573,6 +573,7 @@ def run_flags_stream(
     tiebreak_col: str | None = None,
     prev_spec: tuple | None = None,
     payload_spec: tuple | None = None,
+    agg_spec: list | None = None,
 ) -> DataFrame:
     """Streaming matcher for PATTERN (A+ B) with ARBITRARY row-local
     predicates that may OVERLAP (a row can satisfy both A and B) —
@@ -600,17 +601,31 @@ def run_flags_stream(
     ([(role, col), ...], {col: sql_type}) with role "last" (the run's
     final A row — what an A.col measure reads under Flink's LAST-row
     binding) or "end" (the B row) carries MEASURE columns of those rows
-    through the O(1) state, emitted as ``{role}_{col}``. Emits (key,
-    first_ts, last_ts, end_ts [, last_*/end_*...])."""
-    pay_pairs, pcols, pay_types = [], [], {}
+    through the O(1) state, emitted as ``{role}_{col}``. ``agg_spec`` =
+    [(fn, role, col_or_None, alias, out_type), ...] adds AGGREGATE
+    measures: role "run" aggregates over the run's rows through O(1)
+    ACCUMULATORS (count/sum/min/max maintained incrementally, with a
+    pend snapshot for the backtrack candidate — exactly how Flink CEP
+    folds aggregates into partial-match state); role "end" reads the
+    single B row. Emits (key, first_ts, last_ts, end_ts
+    [, last_*/end_*..., agg aliases...])."""
+    pay_pairs, pay_types = [], {}
     if payload_spec is not None:
         pay_pairs, pay_types = payload_spec
-        pcols = sorted({c for _, c in pay_pairs})
+    aggs = list(agg_spec or [])
+    end_agg_cols = {
+        c for _, role, c, _, _ in aggs if role == "end" and c is not None
+    }
+    arun_cols = sorted(
+        {c for _, role, c, _, _ in aggs if role == "run" and c is not None}
+    )
+    pcols = sorted({c for _, c in pay_pairs} | end_agg_cols)
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, first_ts timestamp, last_ts timestamp, "
         "end_ts timestamp"
         + "".join(f", {role}_{c} {pay_types[c]}" for role, c in pay_pairs)
+        + "".join(f", {alias} {out_t}" for _, _, _, alias, out_t in aggs)
     )
     state_schema = (
         "run_start timestamp, run_last timestamp, "
@@ -624,6 +639,23 @@ def run_flags_stream(
     )
     npay = len(pcols)
     pay_state_off = 4
+    n_ac = len(arun_cols)
+    agg_state = bool(aggs)
+    if agg_state:
+        # run length + per-run-agg-col accumulators (count, sum, min,
+        # max) and their pend snapshots
+        state_schema += ", rlen long, p_rlen long" + "".join(
+            f", {t}_{c} {ty}"
+            for c in arun_cols
+            for t, ty in (
+                ("ac", "long"), ("asm", "double"),
+                ("amn", "double"), ("amx", "double"),
+                ("qc", "long"), ("qsm", "double"),
+                ("qmn", "double"), ("qmx", "double"),
+            )
+        )
+    agg_off = pay_state_off + 3 * npay
+    agg_width = (2 + 8 * n_ac) if agg_state else 0
     checks_per_flag, need_cols, max_prev = [], [], 0
     if prev_spec is not None:
         checks_per_flag, need_cols, max_prev, col_types = prev_spec
@@ -639,6 +671,11 @@ def run_flags_stream(
         vhist: list[dict] = []
         none_pay = (None,) * npay
         rl_pay = pp_pay = pe_pay = none_pay
+        # run-aggregate accumulators: {col: [cnt, sum, min, max]} for
+        # the live run and the pend snapshot, plus the run lengths
+        rlen = p_rlen = 0
+        acc = {c: [0, 0.0, None, None] for c in arun_cols}
+        pacc = {c: [0, 0.0, None, None] for c in arun_cols}
         if state.exists:
             vals = state.get
             run_start, run_last, pend, pend_prev = vals[:4]
@@ -646,14 +683,43 @@ def run_flags_stream(
                 rl_pay = tuple(vals[4 : 4 + npay])
                 pp_pay = tuple(vals[4 + npay : 4 + 2 * npay])
                 pe_pay = tuple(vals[4 + 2 * npay : 4 + 3 * npay])
+            if agg_state:
+                rlen = vals[agg_off] or 0
+                p_rlen = vals[agg_off + 1] or 0
+                for i, c in enumerate(arun_cols):
+                    base = agg_off + 2 + 8 * i
+                    acc[c] = [
+                        vals[base] or 0, vals[base + 1] or 0.0,
+                        vals[base + 2], vals[base + 3],
+                    ]
+                    pacc[c] = [
+                        vals[base + 4] or 0, vals[base + 5] or 0.0,
+                        vals[base + 6], vals[base + 7],
+                    ]
             if max_prev:
                 vhist = _prev_load(
-                    vals, pay_state_off + 3 * npay, need_cols, max_prev
+                    vals, agg_off + agg_width, need_cols, max_prev
                 )
         else:
             run_start, run_last, pend, pend_prev = None, None, None, None
         firsts, lasts, ends = [], [], []
         pays: list[tuple] = []  # per match: (last_pay, end_pay)
+        agg_outs: list[list] = []
+
+        def _acc_add(c, v):
+            if v is None:
+                return
+            a = acc[c]
+            v = float(v)
+            a[0] += 1
+            a[1] += v
+            a[2] = v if a[2] is None else min(a[2], v)
+            a[3] = v if a[3] is None else max(a[3], v)
+
+        def _finalize(run_len, accs, end_tuple):
+            return _agg_finalize(
+                aggs, pcols, run_len, accs, {"end": end_tuple}
+            )
         for pdf in batches:
             sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
             pdf = pdf.sort_values(sort_cols)
@@ -662,6 +728,7 @@ def run_flags_stream(
             ts_vals = list(pdf[ts_col])
             need_vals = {c: list(pdf[c]) for c in need_cols}
             pay_vals = {c: list(pdf[c]) for c in pcols}
+            arun_vals = {c: list(pdf[c]) for c in arun_cols}
             for r in range(len(pdf)):
                 a, b, cur_ts = a_flags[r], b_flags[r], ts_vals[r]
                 cur_pay = (
@@ -684,28 +751,60 @@ def run_flags_stream(
                         run_start = run_last = cur_ts
                         rl_pay = cur_pay
                         pend = pend_prev = None
+                        if agg_state:
+                            rlen, p_rlen = 1, 0
+                            acc = {
+                                c: [0, 0.0, None, None]
+                                for c in arun_cols
+                            }
+                            pacc = {
+                                c: [0, 0.0, None, None]
+                                for c in arun_cols
+                            }
+                            for c in arun_cols:
+                                _acc_add(c, _scalar(arun_vals[c][r]))
                 elif a:
                     if b:
                         pend, pend_prev = cur_ts, run_last
                         pe_pay, pp_pay = cur_pay, rl_pay
+                        if agg_state:
+                            # backtrack snapshot: run BEFORE this row
+                            p_rlen = rlen
+                            pacc = {c: list(acc[c]) for c in arun_cols}
                     run_last = cur_ts
                     rl_pay = cur_pay
+                    if agg_state:
+                        rlen += 1
+                        for c in arun_cols:
+                            _acc_add(c, _scalar(arun_vals[c][r]))
                 elif b:
                     firsts.append(run_start)
                     lasts.append(run_last)
                     ends.append(cur_ts)
                     pays.append((rl_pay, cur_pay))
+                    if agg_state:
+                        agg_outs.append(_finalize(rlen, acc, cur_pay))
                     run_start = run_last = pend = pend_prev = None
+                    rlen = p_rlen = 0
                 else:
                     if pend is not None:
                         firsts.append(run_start)
                         lasts.append(pend_prev)
                         ends.append(pend)
                         pays.append((pp_pay, pe_pay))
+                        if agg_state:
+                            agg_outs.append(
+                                _finalize(p_rlen, pacc, pe_pay)
+                            )
                     run_start = run_last = pend = pend_prev = None
+                    rlen = p_rlen = 0
         st = [run_start, run_last, pend, pend_prev]
         if npay:
             st += list(rl_pay) + list(pp_pay) + list(pe_pay)
+        if agg_state:
+            st += [rlen, p_rlen]
+            for c in arun_cols:
+                st += list(acc[c]) + list(pacc[c])
         if max_prev:
             st += _prev_flat(vhist, need_cols, max_prev)
         state.update(tuple(st))
@@ -720,6 +819,10 @@ def run_flags_stream(
                 side = 0 if role == "last" else 1
                 ci = pcols.index(c)
                 data[f"{role}_{c}"] = [p[side][ci] for p in pays]
+            for j, (_, _, _, alias, _) in enumerate(aggs):
+                data[alias] = pd.Series(
+                    [row[j] for row in agg_outs], dtype=object
+                )
             yield pd.DataFrame(data)
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
@@ -746,6 +849,48 @@ def ast_max_len(node) -> int:
     if hi is None:
         raise ValueError("unbounded quantifier in a bounded-window plan")
     return hi * ast_max_len(child)
+
+
+def _agg_finalize(aggs, pcols, run_len, accs, single_rows):
+    """Aggregate-measure values at match emission for the O(1)-state
+    run matchers. ``aggs`` = [(fn, role, col_or_None, alias, out_type)];
+    a role in ``single_rows`` reads one row's payload tuple (indexed by
+    ``pcols``); the run role reads the incremental accumulators
+    ``accs[col] = [cnt, sum, min, max]`` and ``run_len`` for COUNT(*).
+    Integral out types cast back from the double accumulators (exact
+    below 2^53 — the batch pandas int64 sum differs only beyond that)."""
+    out = []
+    for fn, role, c, _, out_t in aggs:
+        integral = out_t in ("tinyint", "smallint", "int", "bigint")
+        if role in single_rows:
+            row = single_rows[role]
+            v = None if c is None else row[pcols.index(c)]
+            if fn == "count":
+                out.append(1 if (c is None or v is not None) else 0)
+            elif v is None:
+                out.append(None)
+            elif fn == "avg":
+                out.append(float(v))
+            else:
+                out.append(v)
+            continue
+        if fn == "count" and c is None:
+            out.append(run_len)
+            continue
+        cnt, sm, mn, mx = accs[c]
+        if fn == "count":
+            out.append(cnt)
+        elif cnt == 0:
+            out.append(None)
+        elif fn == "sum":
+            out.append(int(sm) if integral else sm)
+        elif fn == "avg":
+            out.append(sm / cnt)
+        elif fn == "min":
+            out.append(int(mn) if integral else mn)
+        else:
+            out.append(int(mx) if integral else mx)
+    return out
 
 
 def _skip_drop(mp, skip_past, skip_to):
@@ -1370,6 +1515,7 @@ def mid_run_flags_stream(
     tiebreak_col: str | None = None,
     prev_spec: tuple | None = None,
     payload_spec: tuple | None = None,
+    agg_spec: list | None = None,
 ) -> DataFrame:
     """Streaming matcher for PATTERN (A B+ C) with ARBITRARY row-local
     predicates that may OVERLAP — the general-predicate funnel,
@@ -1406,15 +1552,25 @@ def mid_run_flags_stream(
     B.col measures) or "end" (the C row), emitted as ``{role}_{c}``.
     Emits (key, a_ts, run_len, run_last_ts, end_ts [, start_*/last_*/
     end_*...])."""
-    pay_pairs, pcols, pay_types = [], [], {}
+    pay_pairs, pay_types = [], {}
     if payload_spec is not None:
         pay_pairs, pay_types = payload_spec
-        pcols = sorted({c for _, c in pay_pairs})
+    aggs = list(agg_spec or [])
+    single_agg_cols = {
+        c
+        for _, role, c, _, _ in aggs
+        if role in ("start", "end") and c is not None
+    }
+    arun_cols = sorted(
+        {c for _, role, c, _, _ in aggs if role == "run" and c is not None}
+    )
+    pcols = sorted({c for _, c in pay_pairs} | single_agg_cols)
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, a_ts timestamp, run_len long, "
         "run_last_ts timestamp, end_ts timestamp"
         + "".join(f", {role}_{c} {pay_types[c]}" for role, c in pay_pairs)
+        + "".join(f", {alias} {out_t}" for _, _, _, alias, out_t in aggs)
     )
     state_schema = (
         "phase int, a_ts timestamp, run_last timestamp, run_len long, "
@@ -1428,6 +1584,21 @@ def mid_run_flags_stream(
     )
     npay = len(pcols)
     base_off = 7
+    n_ac = len(arun_cols)
+    agg_state = bool(aggs)
+    if agg_state:
+        state_schema += "".join(
+            f", {t}_{c} {ty}"
+            for c in arun_cols
+            for t, ty in (
+                ("ac", "long"), ("asm", "double"),
+                ("amn", "double"), ("amx", "double"),
+                ("qc", "long"), ("qsm", "double"),
+                ("qmn", "double"), ("qmx", "double"),
+            )
+        )
+    agg_off = base_off + 4 * npay
+    agg_width = 8 * n_ac if agg_state else 0
     checks_per_flag, need_cols, max_prev = [], [], 0
     if prev_spec is not None:
         checks_per_flag, need_cols, max_prev, col_types = prev_spec
@@ -1457,12 +1628,37 @@ def mid_run_flags_stream(
         else:
             phase, a_ts, run_last, run_len = 0, None, None, 0
             pend, pend_run_last, pend_run_len = None, None, 0
+        acc = {c: [0, 0.0, None, None] for c in arun_cols}
+        pacc = {c: [0, 0.0, None, None] for c in arun_cols}
+        if state.exists and agg_state:
+            vals0 = state.get
+            for i, c in enumerate(arun_cols):
+                base = agg_off + 8 * i
+                acc[c] = [
+                    vals0[base] or 0, vals0[base + 1] or 0.0,
+                    vals0[base + 2], vals0[base + 3],
+                ]
+                pacc[c] = [
+                    vals0[base + 4] or 0, vals0[base + 5] or 0.0,
+                    vals0[base + 6], vals0[base + 7],
+                ]
         if state.exists and max_prev:
             vhist = _prev_load(
-                state.get, base_off + 4 * npay, need_cols, max_prev
+                state.get, agg_off + agg_width, need_cols, max_prev
             )
+
+        def _acc_add(c, v):
+            if v is None:
+                return
+            a = acc[c]
+            v = float(v)
+            a[0] += 1
+            a[1] += v
+            a[2] = v if a[2] is None else min(a[2], v)
+            a[3] = v if a[3] is None else max(a[3], v)
         a_out, len_out, last_out, end_out = [], [], [], []
         pays: list[tuple] = []  # per match: (start, last, end) payloads
+        agg_outs: list[list] = []
         for pdf in batches:
             sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
             pdf = pdf.sort_values(sort_cols)
@@ -1472,6 +1668,7 @@ def mid_run_flags_stream(
             ts_vals = list(pdf[ts_col])
             need_vals = {c: list(pdf[c]) for c in need_cols}
             pay_vals = {c: list(pdf[c]) for c in pcols}
+            arun_vals = {c: list(pdf[c]) for c in arun_cols}
             for r in range(len(pdf)):
                 fa, fb, fc = fa_arr[r], fb_arr[r], fc_arr[r]
                 cur_ts = ts_vals[r]
@@ -1500,8 +1697,15 @@ def mid_run_flags_stream(
                             pend = cur_ts
                             pend_run_last, pend_run_len = run_last, run_len
                             pl_pay, pe_pay = rl_pay, cur_pay
+                            if agg_state:
+                                pacc = {
+                                    c: list(acc[c]) for c in arun_cols
+                                }
                         run_last, run_len = cur_ts, run_len + 1
                         rl_pay = cur_pay
+                        if agg_state:
+                            for c in arun_cols:
+                                _acc_add(c, _scalar(arun_vals[c][r]))
                         continue
                     if fc:
                         a_out.append(a_ts)
@@ -1509,6 +1713,17 @@ def mid_run_flags_stream(
                         last_out.append(run_last)
                         end_out.append(cur_ts)
                         pays.append((ap_pay, rl_pay, cur_pay))
+                        if agg_state:
+                            agg_outs.append(
+                                _agg_finalize(
+                                    aggs, pcols, run_len, acc,
+                                    {"start": ap_pay, "end": cur_pay},
+                                )
+                            )
+                            acc = {
+                                c: [0, 0.0, None, None]
+                                for c in arun_cols
+                            }
                         phase, a_ts, run_last, run_len = 0, None, None, 0
                         pend, pend_run_last, pend_run_len = None, None, 0
                         continue
@@ -1518,8 +1733,19 @@ def mid_run_flags_stream(
                         last_out.append(pend_run_last)
                         end_out.append(pend)
                         pays.append((ap_pay, pl_pay, pe_pay))
+                        if agg_state:
+                            agg_outs.append(
+                                _agg_finalize(
+                                    aggs, pcols, pend_run_len, pacc,
+                                    {"start": ap_pay, "end": pe_pay},
+                                )
+                            )
                     phase, a_ts, run_last, run_len = 0, None, None, 0
                     pend, pend_run_last, pend_run_len = None, None, 0
+                    if agg_state:
+                        acc = {
+                            c: [0, 0.0, None, None] for c in arun_cols
+                        }
                     # the break row may itself open the next match
                     if fa:
                         phase, a_ts, ap_pay = 1, cur_ts, cur_pay
@@ -1528,6 +1754,13 @@ def mid_run_flags_stream(
                     if fb:
                         phase, run_last, run_len = 2, cur_ts, 1
                         rl_pay = cur_pay
+                        if agg_state:
+                            acc = {
+                                c: [0, 0.0, None, None]
+                                for c in arun_cols
+                            }
+                            for c in arun_cols:
+                                _acc_add(c, _scalar(arun_vals[c][r]))
                     elif fa:
                         a_ts, ap_pay = cur_ts, cur_pay
                     else:
@@ -1539,6 +1772,9 @@ def mid_run_flags_stream(
               pend_run_len]
         if npay:
             st += list(ap_pay) + list(rl_pay) + list(pl_pay) + list(pe_pay)
+        if agg_state:
+            for c in arun_cols:
+                st += list(acc[c]) + list(pacc[c])
         if max_prev:
             st += _prev_flat(vhist, need_cols, max_prev)
         state.update(tuple(st))
@@ -1554,6 +1790,10 @@ def mid_run_flags_stream(
                 side = {"start": 0, "last": 1, "end": 2}[role]
                 ci = pcols.index(c)
                 data[f"{role}_{c}"] = [p[side][ci] for p in pays]
+            for j, (_, _, _, alias, _) in enumerate(aggs):
+                data[alias] = pd.Series(
+                    [row[j] for row in agg_outs], dtype=object
+                )
             yield pd.DataFrame(data)
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
