@@ -303,6 +303,8 @@ class Engine:
         navigation, nested groups, WITHIN on a general-predicate run)."""
         from .plans.match_recognize import (
             UnsupportedPatternError,
+            _NEXT_RE,
+            _PREV_RE,
             _eq_literal,
             _provably_disjoint,
             parse_match_recognize,
@@ -383,6 +385,18 @@ class Engine:
             return self._match_recognize_stream_all_rows(
                 stmt, spec, sdf, key, ts_col, tiebreak, unsupported
             )
+        import re as _re_x
+
+        has_cross_define = any(
+            set(
+                _re_x.findall(
+                    r"\b(\w+)\s*\.",
+                    _NEXT_RE.sub("", _PREV_RE.sub("", spec.defines[v])),
+                )
+            )
+            - {v}
+            for v in dict.fromkeys(spec.pattern)
+        )
         bounded_extra = (
             spec.permute
             or spec.quants
@@ -395,6 +409,10 @@ class Engine:
             # SKIP TO FIRST/LAST resumes at a window index — plain
             # sequences reroute for it too
             or (spec.skip_to is not None and not unbounded_shape)
+            # cross-variable DEFINEs (incl. FIRST/LAST(other.col))
+            # evaluate from the decision window — reroute bounded
+            # sequences; unbounded shapes keep the run legs' loud reject
+            or (has_cross_define and not unbounded_shape)
         )
         if bounded_extra:
             if unbounded_shape:
