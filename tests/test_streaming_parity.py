@@ -728,14 +728,32 @@ def test_stream_match_recognize_general_leg_guards(spark, sf_small):
         ),
         {"events_mr_guard": keyed},
     ) is not None
-    # cross-variable DEFINE: batch-only
+    # cross-variable DEFINE on a BOUNDED sequence: streams (reroutes
+    # to the decision-window leg, round 7)
+    assert eng.sql_stream(
+        tmpl.format(
+            key="user_id",
+            da="A.event_type = 'view'",
+            db="B.event_id > A.event_id",
+        ),
+        {"events_mr_guard": ev},
+    ) is not None
+    # cross-variable DEFINE on an UNBOUNDED run: batch-only
     with pytest.raises(NotImplementedError, match="cross-variable"):
         eng.sql_stream(
-            tmpl.format(
-                key="user_id",
-                da="A.event_type = 'view'",
-                db="B.event_id > A.event_id",
-            ),
+            """
+            SELECT user_id, b_ts FROM events_mr_guard
+            MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY ts
+                MEASURES B.ts AS b_ts
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A+ B)
+                DEFINE A AS A.event_type = 'view',
+                       B AS B.event_id > A.event_id
+            )
+            """,
             {"events_mr_guard": ev},
         )
     # physical PREV navigation: streams via the keyed lag pre-pass
@@ -768,13 +786,23 @@ def test_stream_match_recognize_general_leg_guards(spark, sf_small):
             ),
             {"events_mr_guard": ev},
         )
-    # FIRST/LAST match bindings: batch-only
+    # FIRST/LAST(OTHER.col) cross bindings on a bounded sequence:
+    # stream via the decision window (round 7)
+    assert eng.sql_stream(
+        tmpl.format(
+            key="user_id",
+            da="A.event_type = 'view'",
+            db="B.event_id > LAST(A.event_id)",
+        ),
+        {"events_mr_guard": ev},
+    ) is not None
+    # SELF-referencing FIRST/LAST match bindings: batch-only
     with pytest.raises(NotImplementedError, match="FIRST/LAST"):
         eng.sql_stream(
             tmpl.format(
                 key="user_id",
                 da="A.event_type = 'view'",
-                db="B.event_id > LAST(A.event_id)",
+                db="B.event_id > LAST(B.event_id)",
             ),
             {"events_mr_guard": ev},
         )
