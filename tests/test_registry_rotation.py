@@ -1,0 +1,65 @@
+"""Driver-rotation table must be STRUCTURAL: registry._DRIVER_LAST_GREEN
+is rebuilt at import from the committed CORRECTNESS_r*.json artifacts, so
+committing each round's driver output refreshes the re-verification
+rotation with no human edit. (VERDICT r7 finding: the frozen dict went
+stale three rounds running, wasting the ~50 driver slots on names the
+previous round just verified.)
+
+No SparkSession needed — pure-Python registry logic.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from training_flink_sql_cc_src_spark import registry
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_loader_ingests_committed_artifacts():
+    artifacts = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    assert artifacts, "driver artifacts must be committed at the repo root"
+    loaded = registry._load_driver_last_green()
+    # every green row in the newest artifact must be reflected at that round
+    newest = artifacts[-1]
+    rnd = int(newest.stem.split("_r")[1])
+    doc = json.loads(newest.read_text())
+    greens = [n for n, row in doc.items() if registry._driver_row_green(row)]
+    assert greens, f"{newest.name} has no green rows?"
+    for name in greens:
+        assert loaded.get(name, 0) >= rnd, (name, loaded.get(name))
+
+
+def test_driver_order_frontloads_oldest_evidence():
+    """The first driver slots (~50) must be filled by names with NO driver
+    evidence, then the OLDEST-evidence verified names — never the names
+    the latest round just checked."""
+    names = list(registry.all_queries())
+    lg = registry._DRIVER_LAST_GREEN
+    newest_round = max(lg.values())
+    head = names[:50]
+    freshest = [n for n in head if lg.get(n, 0) == newest_round]
+    # the just-verified names must not occupy early slots while stale
+    # evidence exists deeper in the list
+    stale_remaining = [n for n in names[50:] if lg.get(n, 0) < newest_round]
+    assert not (freshest and stale_remaining), (
+        f"rotation stale: head re-checks {freshest[:5]} while "
+        f"{len(stale_remaining)} older names wait"
+    )
+
+
+def test_green_predicate_matches_updater_script():
+    """registry._driver_row_green mirrors scripts/update_driver_verified.py."""
+    rows = [
+        ({"err": None, "hash_match": True}, True),
+        ({"err": None, "hash_match": False, "oracle_rows": 10}, False),
+        ({"err": None, "oracle_rows": None, "rows_match": None}, True),
+        ({"err": "no_oracle", "spark_rows": 5}, True),
+        ({"err": "no_oracle", "spark_rows": None}, False),
+        ({"err": "boom"}, False),
+        (None, False),
+    ]
+    for row, want in rows:
+        assert registry._driver_row_green(row) is want, row
