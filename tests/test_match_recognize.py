@@ -2784,3 +2784,37 @@ def test_cross_ref_to_untaken_alternation_branch_is_null(spark):
     # bound); the B branch at seq=2 (v=5) followed by v=4 would match
     # only if the unresolved A ref were mis-evaluated
     assert sorted((r[1], r[2]) for r in got) == [(0, 1), (4, 5)]
+
+
+def test_cross_define_foreign_left_qualifier_rejected(spark):
+    """DEFINE B AS A.v < C.v — the LEFT side of the cross comparison is
+    qualified by a variable other than the one being defined. Evaluating
+    it as current-row.v silently diverges from Flink (it navigates A's
+    mapped rows), so every lowering must reject it loudly (ADVICE r7:
+    the NFA and the streaming prep both let it through)."""
+    spark.createDataFrame(
+        [(1, i, t, float(v)) for i, (t, v) in enumerate(
+            [("a", 10), ("b", 5), ("b", 8), ("c", 1)]
+        )],
+        "user_id int, seq int, et string, v double",
+    ).createOrReplaceTempView("__mr_badsv")
+    with pytest.raises(
+        (UnsupportedPatternError, NotImplementedError),
+        match="cross-variable",
+    ):
+        StatementRouter(spark).execute(
+            """
+            SELECT a_seq FROM __mr_badsv
+            MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY seq
+                MEASURES A.seq AS a_seq
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP TO NEXT ROW
+                PATTERN (A B+ C)
+                DEFINE A AS A.et = 'a',
+                       B AS B.et = 'b',
+                       C AS A.v > B.v
+            )
+            """
+        ).collect()

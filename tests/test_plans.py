@@ -434,25 +434,31 @@ def test_window_join_sql_pushdown_no_cartesian(spark, sf_med):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_kmeans_assign_broadcast_centroids_rank_pushdown(spark, sf_med):
-    """K-means assignment: the K centroid rows broadcast (the corpus is
-    NEVER the build side) and the per-vector argmax is a
-    WindowGroupLimit — rn=1 pushes map-side, K rows per vector
-    pre-reduced before the rank shuffle."""
+def test_kmeans_assign_zero_exchange_single_udf(spark, sf_med):
+    """K-means assignment is the Arrow-matmul argmax: ZERO Exchange of
+    any kind (no rank shuffle, no broadcast — the chosen centroid comes
+    from a K-entry map literal), and the Arrow UDF evaluates exactly
+    ONCE per row (a broadcast-join formulation lets Catalyst push the
+    inferred isnotnull below the projection and run the matmul twice)."""
+    import re
+
     plan = _plan(spark, "cluster_kmeans_assign", sf_med)
-    assert "WindowGroupLimit" in plan
-    # the centroid side is the broadcast build: a BroadcastExchange
-    # exists and reads the vec_id < 8 filter
-    assert "BroadcastExchange" in plan
+    assert "Exchange" not in plan
+    # formatted explain prints each node once in the tree and once in
+    # the details — count detail headers "(n) ArrowEvalPython"
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
     assert "CartesianProduct" not in plan
 
 
 def test_kmeans_update_partial_aggregation(spark, sf_med):
     """The Lloyd update's (cluster, dimension) reduce splits
     partial/final HashAggregates — map-side combine carries K x 64
-    cells per task, never n x 64 rows, to the shuffle."""
+    cells per task, never n x 64 rows, to the shuffle — and the
+    assignment rides the same row (no vec_id self-join: zero Join
+    nodes, one Exchange for the aggregate)."""
     plan = _plan(spark, "cluster_kmeans_update", sf_med)
     assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
 

@@ -1237,6 +1237,36 @@ def test_general_funnel_stream_guards(spark):
         )
 
 
+def test_cross_define_foreign_left_qualifier_rejected_on_stream(spark):
+    """DEFINE C AS A.v > B.v — left side qualified by a variable other
+    than the one being defined. The batch window leg navigates A's
+    mapped row correctly; the streaming prep cannot, and used to
+    SILENTLY evaluate it as current-row.v (ADVICE r7) — it must reject
+    loudly and name the batch path instead."""
+    import pytest
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    df = _cep_funnel_df(spark)
+    eng = Engine(spark)
+    stmt = """
+        SELECT k, a_ts FROM cep_badsv
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES A.ts AS a_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B C)
+            DEFINE A AS A.v >= 10, B AS B.v % 2 = 1, C AS A.v > B.v
+        )
+    """
+    with pytest.raises(
+        NotImplementedError, match="not the variable being defined"
+    ):
+        eng.sql_stream(stmt, {"cep_badsv": df})
+
+
 def _over_agg_df(spark):
     """Fixture for continuous OVER aggregation: 3 keys, DUPLICATE event
     times inside a key (RANGE peer semantics), NULL values (aggregate
@@ -1308,11 +1338,16 @@ def test_over_aggregation_streams_match_batch(spark):
             "k",
             "rid",
             "v",
-            F.sum("v").over(w).cast("double").alias("sv"),
+            F.sum("v").over(w).alias("sv"),
             F.count("v").over(w).alias("cv"),
             F.avg("v").over(w).alias("av"),
-            F.min("v").over(w).cast("double").alias("mv"),
+            F.min("v").over(w).alias("mv"),
         ).collect()
+    }
+    # typed-output contract: stream schema == batch plan schema
+    assert dict(streamed.dtypes) == {
+        "k": "string", "rid": "int", "v": "int",
+        "sv": "bigint", "cv": "bigint", "av": "double", "mv": "int",
     }
     assert got == batch and batch
     # --- ROWS 3 PRECEDING (unique arrival order per key via rid tiebreak
@@ -1344,11 +1379,146 @@ def test_over_aggregation_streams_match_batch(spark):
         for r in uniq.select(
             "k",
             "rid",
-            F.sum("v").over(w2).cast("double").alias("sv"),
+            F.sum("v").over(w2).alias("sv"),
             F.count("*").over(w2).alias("cn"),
         ).collect()
     }
     assert got2 == batch2 and batch2
+
+
+def test_over_aggregation_tie_split_drops_stragglers(spark):
+    """A RANGE peer group force-split across micro-batches: the earlier
+    peers were emitted with their batch-local peer aggregate; a later
+    batch's equal-time straggler must be DROPPED (Flink's
+    lastTriggeringTs late contract), never re-aggregated — so the
+    streamed output equals the batch window plan evaluated over exactly
+    the surviving rows. Uses a hand-spooled file stream because the
+    harness's range-partitioned spool keeps equal-ts rows together."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    base = dt.datetime(2024, 3, 1)
+    schema = "k string, ts timestamp, v int, rid int"
+    file1 = [("k1", base, 5, 0), ("k1", base + dt.timedelta(seconds=10), 2, 1)]
+    # rid=2 shares ts with rid=1 but arrives in the NEXT micro-batch
+    file2 = [
+        ("k1", base + dt.timedelta(seconds=10), 7, 2),
+        ("k1", base + dt.timedelta(seconds=20), 9, 3),
+    ]
+    spool = tempfile.mkdtemp(prefix=f"tiesplit-{uuid.uuid4().hex[:8]}-")
+    stamp = time.time() - 3600
+    for i, rows in enumerate([file1, file2]):
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*"))[0]
+        dst = os.path.join(spool, f"part-{i:05d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (stamp + i, stamp + i))
+        shutil.rmtree(tmp)
+
+    eng = Engine(spark)
+    stmt = """
+        SELECT k, rid, v,
+               SUM(v) OVER (PARTITION BY k ORDER BY ts
+                   RANGE BETWEEN INTERVAL '60' SECOND PRECEDING
+                   AND CURRENT ROW) AS sv
+        FROM over_tie
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+    )
+    sink = f"tie_{uuid.uuid4().hex[:12]}"
+    q = (
+        eng.sql_stream(stmt, {"over_tie": stream})
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(sink).collect()}
+    surviving = spark.createDataFrame(file1 + [file2[1]], schema)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-60, Window.currentRow)
+    )
+    want = {
+        tuple(r)
+        for r in surviving.select(
+            "k", "rid", "v", F.sum("v").over(w).alias("sv")
+        ).collect()
+    }
+    assert got == want and len(got) == 3  # rid=2 dropped, others exact
+    shutil.rmtree(spool, ignore_errors=True)
+
+
+def test_over_aggregation_registered_statement_streams(spark):
+    """The EXACT registered over_agg_sql statement shape — CAST(SUM(CAST(
+    value AS DECIMAL(38,6))) OVER (...) AS DOUBLE) — must route through
+    sql_stream (not fall through to Catalyst's streaming rejection) and
+    match the batch plan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    df = _over_agg_df(spark)
+    eng = Engine(spark)
+    stmt = """
+        SELECT k, rid,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER (
+                   PARTITION BY k ORDER BY ts
+                   RANGE BETWEEN INTERVAL '60' SECOND PRECEDING
+                         AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_sum,
+               COUNT(*) OVER (
+                   PARTITION BY k ORDER BY ts
+                   RANGE BETWEEN INTERVAL '60' SECOND PRECEDING
+                         AND CURRENT ROW
+               ) AS rolling_n
+        FROM over_cast
+    """
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"over_cast": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    assert dict(streamed.dtypes)["rolling_sum"] == "double"
+    got = {tuple(r) for r in streamed.collect()}
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-60, Window.currentRow)
+    )
+    batch = {
+        tuple(r)
+        for r in df.select(
+            "k",
+            "rid",
+            F.sum("v").over(w).cast("double").alias("rolling_sum"),
+            F.count("*").over(w).alias("rolling_n"),
+        ).collect()
+    }
+    assert got == batch and batch
 
 
 def _cep_bounded_df(spark):
@@ -1955,6 +2125,56 @@ def test_unwindowed_topn_statement_streams(spark, sf_small):
     )
     q.awaitTermination()
     assert set(store.values()) == batch and batch
+
+
+def test_unwindowed_topn_null_ordering_matches_batch(spark):
+    """NULL order values through the stateful top-N operator must rank
+    exactly as the batch ROW_NUMBER plan: Spark's default null ordering
+    is ASC NULLS FIRST / DESC NULLS LAST — i.e. null is the smallest
+    value in BOTH directions (ADVICE r7: the old fallback keyed NULLs
+    largest, putting them FIRST under DESC)."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+    from training_flink_sql_cc_src_spark.streaming.parity import (
+        stream_from_batch,
+    )
+
+    rows = [
+        ("u1", 1, None), ("u1", 2, 50), ("u1", 3, None), ("u1", 4, 80),
+        ("u2", 5, None), ("u2", 6, None), ("u2", 7, 10),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id int, value int")
+    eng = Engine(spark)
+    for direction in ("DESC", "ASC"):
+        stmt = f"""
+            SELECT user_id, event_id, value, rn FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY value {direction},
+                      event_id {direction}
+              ) AS rn
+              FROM events_topn_nulls
+            ) WHERE rn <= 2
+        """
+        df.createOrReplaceTempView("events_topn_nulls")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        stream = stream_from_batch(spark, df, n_files=3, order_by="event_id")
+        out = eng.sql_stream(stmt, {"events_topn_nulls": stream})
+        store: dict = {}
+
+        def upsert(bdf, _bid):
+            for r in bdf.collect():
+                store[(r["user_id"], r["rn"])] = tuple(r)
+
+        q = (
+            out.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert set(store.values()) == batch and batch, direction
 
 
 def test_stream_fuzz_smoke_vs_batch_nfa(spark):

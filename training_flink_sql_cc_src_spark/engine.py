@@ -625,6 +625,18 @@ class Engine:
                             "[FIRST/LAST(]OTHER.col[)] comparisons "
                             "stream; richer forms need the batch NFA)"
                         )
+                    if cm.group("sv") != v:
+                        # DEFINE B AS A.x > C.y — the left side is
+                        # qualified by a variable other than the one
+                        # being defined; evaluating it as current-row.x
+                        # would silently diverge from Flink
+                        raise unsupported(
+                            f"DEFINE for {v}: cross-variable predicate "
+                            f"{part!r} qualifies its left side by "
+                            f"{cm.group('sv')!r}, not the variable "
+                            "being defined — that shape needs the "
+                            "batch window plan"
+                        )
                     sc, oc = cm.group("sc"), (
                         cm.group("oc") or cm.group("oc2")
                     )
@@ -1448,18 +1460,38 @@ class Engine:
         )
         if m is None or "OVER" not in stmt.upper():
             return None
-        over_re = _re.compile(
-            r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<col>\w+|\*)\s*\)"
+        window_re = (
             r"\s+OVER\s*\(\s*PARTITION\s+BY\s+(?P<key>\w+)\s+"
             r"ORDER\s+BY\s+(?P<ts>\w+)\s+(?P<kind>RANGE|ROWS)\s+BETWEEN\s+"
             r"(?P<span>INTERVAL\s+'\d+'\s+\w+|\d+)\s+PRECEDING\s+AND\s+"
-            r"CURRENT\s+ROW\s*\)\s+AS\s+(?P<alias>\w+)$",
+            r"CURRENT\s+ROW\s*\)"
+        )
+        over_re = _re.compile(
+            r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<col>\w+|\*)\s*\)"
+            + window_re
+            + r"\s+AS\s+(?P<alias>\w+)$",
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        # The repo's dsum convention, over-window form (the registered
+        # over_agg_sql statement): CAST(SUM(CAST(x AS DECIMAL(p,s)))
+        # OVER (...) AS DOUBLE). The streaming leg accumulates integral
+        # sources as exact python ints, so the decimal detour adds
+        # nothing — lower it as SUM(x) with the emitted value forced to
+        # double to keep the statement's output schema.
+        cast_over_re = _re.compile(
+            r"^CAST\s*\(\s*(?P<fn>SUM|AVG|MIN|MAX)\s*\(\s*CAST\s*\(\s*"
+            r"(?P<col>\w+)\s+AS\s+DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*\)"
+            r"\s*\)" + window_re + r"\s+AS\s+DOUBLE\s*\)"
+            r"\s+AS\s+(?P<alias>\w+)$",
             _re.IGNORECASE | _re.DOTALL,
         )
         aggs, specs, out_order, plain = [], [], [], []
         for it in _split_select_items(m.group("items")):
             it = it.strip()
-            om = over_re.match(it)
+            om, forced = over_re.match(it), None
+            if om is None:
+                om = cast_over_re.match(it)
+                forced = "double" if om is not None else None
             if om is not None:
                 fn = om.group("fn").lower()
                 col = None if om.group("col") == "*" else om.group("col")
@@ -1475,7 +1507,7 @@ class Engine:
                         return None
                     frame = ("rows", int(span_txt))
                 specs.append((om.group("key"), om.group("ts"), frame))
-                aggs.append((fn, col, om.group("alias")))
+                aggs.append((fn, col, om.group("alias"), forced))
                 out_order.append(om.group("alias"))
             elif _re.fullmatch(r"\w+", it):
                 plain.append(it)

@@ -1969,6 +1969,25 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             stripped = _NEXT_RE.sub("", _PREV_RE.sub("", part))
             if set(re.findall(r"\b(\w+)\s*\.", stripped)) - {v}:
                 cm = _CROSS_CMP_RE.match(part)
+                if (
+                    cm is None
+                    or cm.group("sv") != v
+                    or (cm.group("ov") or cm.group("ov2"))
+                    not in spec.pattern
+                ):
+                    # e.g. DEFINE B AS A.x > C.y: the left side is
+                    # qualified by a variable other than the one being
+                    # defined — evaluating it as current-row.x would
+                    # silently diverge from Flink (it navigates A's
+                    # mapped rows), so reject loudly
+                    raise UnsupportedPatternError(
+                        f"DEFINE for {v}: cross-variable predicate "
+                        f"{part!r} — only {v}.col OP "
+                        "[FIRST|LAST(]OTHER.col[)] comparisons (left "
+                        "side qualified by the variable being defined, "
+                        "right side a pattern variable) are evaluated "
+                        "against the partial match"
+                    )
                 cross_checks.setdefault(v, []).append(
                     (
                         cm.group("sc"),

@@ -614,41 +614,118 @@ _KMEANS_ASSIGN_SQL = f"""
 """
 
 
+_SEED_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+
+
+def _kmeans_seed_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """The K deterministic seed centroids (vec_id < K) as driver-side
+    (cid, components) pairs — a bounded K-row collect, the same contract
+    as the IVF/PQ seeds. Memoized per sf_dir (the seeds are a pure
+    function of the immutable parquet), so repeated queries in one
+    session pay the K-row scan once."""
+    if sf_dir not in _SEED_CACHE:
+        rows = (
+            t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < K_CLUSTERS)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        rows.sort(key=lambda r: r.vec_id)
+        _SEED_CACHE[sf_dir] = [
+            (int(r.vec_id), list(r.embedding)) for r in rows
+        ]
+    return _SEED_CACHE[sf_dir]
+
+
+def _argmax_cosine(emb, centroids: list[tuple[int, list[float]]]):
+    """Centroid id of the max-cosine centroid via a vectorized
+    Arrow-batched pandas UDF — the zero-shuffle assignment used for IVF
+    cell choice (_argmax_cell), adapted to arbitrary centroid ids and
+    cosine: centroid rows are L2-normalized once driver-side, so
+    argmax_c dot(v, c/|c|) == argmax_c cos(v, c) (|v| is constant per
+    row). Ties resolve to the SMALLEST centroid id (ids sorted
+    ascending; numpy argmax takes the first maximum) — the oracle's
+    (cos DESC, cid ASC) order. NULL/ragged embeddings → NULL id."""
+    cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    ids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+    assert list(ids) == sorted(ids)
+
+    @F.pandas_udf("long")
+    def assign(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="Int64")
+        x, valid = _batch_matrix(col, cmat.shape[1])
+        res = pd.Series(
+            ids[(x @ cmat.T).argmax(axis=1)], dtype="Int64"
+        )
+        res[~valid] = pd.NA
+        return res
+
+    return assign(emb)
+
+
 def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means assignment step: every vector to its
     max-cosine centroid (deterministic seed = vec_id < K, ties to the
-    smaller centroid id). Centroids broadcast (K rows, scale-invariant);
-    scoring map-side with per-side norms precomputed (norm_col — scores
-    bit-identical to cosine_sql); argmax via WindowGroupLimit (rn=1
-    pushes map-side). 100 TB: one corpus scan + one K-row broadcast, the
-    rank shuffle carries K rows per vector pre-reduced to 1."""
+    smaller centroid id — see _argmax_cosine). ZERO-exchange plan: ONE
+    Arrow-batched UDF does both the matmul argmax (one BLAS call per
+    batch instead of K scored rows + a rank exchange per vector) and
+    the reported cosine — computed against only the CHOSEN centroid
+    with a dimension-ordered vectorized += loop, which IS the
+    left-associated IEEE fold of the oracle's cosine_sql, so the value
+    hash holds without any JVM fold expression. 100 TB: one corpus
+    scan, no Exchange at all — the old WindowGroupLimit plan shuffled
+    K rows per vector."""
+    import math
+
     e = t(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        norm_col(F.col("embedding")).alias("c_norm"),
-    )
-    scored = (
-        t(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            "embedding",
-            norm_col(F.col("embedding")).alias("v_norm"),
-        )
-        .crossJoin(F.broadcast(cent))
-        .withColumn(
-            "cos_sim",
-            dot_col(F.col("embedding"), F.col("ce"))
-            / (F.col("v_norm") * F.col("c_norm")),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cid")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", F.col("cid").alias("cluster_id"), "cos_sim")
+    cents = _kmeans_seed_centroids(spark, sf_dir)
+    cmat = np.asarray([c for _, c in cents], dtype=np.float64)
+    unit = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    ids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+    assert list(ids) == sorted(ids)
+    c_norm = np.empty(len(cents), dtype=np.float64)
+    for k, (_, ce) in enumerate(cents):
+        # python floats ARE IEEE doubles, so this left-fold is
+        # bit-identical to SQRT(dot_sql(ce, ce)) / norm_col
+        s = 0.0
+        for x in ce:
+            s = s + float(x) * float(x)
+        c_norm[k] = math.sqrt(s)
+
+    @F.pandas_udf("struct<cluster_id: long, cos_sim: double>")
+    def assign_scored(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame({"cluster_id": [], "cos_sim": []})
+        x, valid = _batch_matrix(col, cmat.shape[1])
+        # argmax over the normalized matmul (|v| constant per row);
+        # ties -> first max -> smallest cid (ids ascending)
+        k = (x @ unit.T).argmax(axis=1)
+        chosen = cmat[k]
+        # the reported cosine re-derives bit-identically to the
+        # oracle's cosine_sql: a dimension-ordered += over vectorized
+        # columns IS the left-associated IEEE fold of dot_sql, applied
+        # to every row at once
+        dots = np.zeros(len(x), dtype=np.float64)
+        vv = np.zeros(len(x), dtype=np.float64)
+        for j in range(cmat.shape[1]):
+            dots += x[:, j] * chosen[:, j]
+            vv += x[:, j] * x[:, j]
+        cos = dots / (np.sqrt(vv) * c_norm[k])
+        cid = pd.Series(ids[k], dtype="Int64")
+        cid[~valid] = pd.NA
+        cos[~valid] = np.nan
+        return pd.DataFrame({"cluster_id": cid, "cos_sim": cos})
+
+    return e.select(
+        "vec_id", assign_scored(F.col("embedding")).alias("a")
+    ).select(
+        "vec_id",
+        F.col("a.cluster_id").alias("cluster_id"),
+        F.col("a.cos_sim").alias("cos_sim"),
     )
 
 
@@ -660,7 +737,8 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster-then-sample, SemDeDup-style cluster scoping): every "
     "vector to its max-cosine centroid with a deterministic seed "
     "(vec_id < 8) so the oracle can state the same computation. "
-    "Broadcast centroids, map-side scoring, WindowGroupLimit argmax.",
+    "One Arrow-matmul UDF: map-side argmax + fold-exact cosine, "
+    "zero Exchange (plan-pinned in tests/test_plans.py).",
 )
 def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_assign(spark, sf_dir)
@@ -705,25 +783,108 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k-means reduce.",
 )
 def cluster_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign = _kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
-    e = t(spark, sf_dir, "embeddings")
-    comps = e.join(assign, "vec_id").select(
-        "cluster_id",
+    cents = _kmeans_seed_centroids(spark, sf_dir)
+    return _kmeans_update_stats(t(spark, sf_dir, "embeddings"), cents)
+
+
+def _kmeans_update_stats(e: DataFrame, cents) -> DataFrame:
+    """One Lloyd update's (cluster_id, dim_pos, n_members, comp_sum)
+    against the given centroids: map-side argmax assignment (no join —
+    the embedding rides the same row), posexplode, one K x 64-cell
+    aggregate with map-side partials."""
+    comps = e.select(
+        _argmax_cosine(F.col("embedding"), cents).alias("cluster_id"),
         F.posexplode("embedding").alias("pos", "comp"),
-    )
-    return (
-        comps.groupBy(
-            "cluster_id", (F.col("pos") + 1).alias("dim_pos")
+    ).filter(F.col("cluster_id").isNotNull())
+    return comps.groupBy(
+        "cluster_id", (F.col("pos") + 1).alias("dim_pos")
+    ).agg(
+        F.count("*").alias("n_members"),
+        F.sum(
+            F.round(F.col("comp").cast("double"), 9).cast("decimal(20,10)")
         )
-        .agg(
-            F.count("*").alias("n_members"),
-            F.sum(
-                F.round(F.col("comp").cast("double"), 9).cast("decimal(20,10)")
-            )
-            .cast("double")
-            .alias("comp_sum"),
-        )
+        .cast("double")
+        .alias("comp_sum"),
     )
+
+
+N_LLOYD = 2  # fixed iteration count so the oracle can unroll it exactly
+
+
+def _kmeans_assign_sql(cent_cte: str) -> str:
+    """Oracle argmax-assignment CTE body against a (cid, ce) centroid
+    relation — the window formulation the fast matmul path replaces."""
+    return f"""
+        SELECT vec_id, cluster_id FROM (
+            SELECT v.vec_id, c.cid AS cluster_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cosine_sql('v.embedding', 'c.ce')} DESC,
+                                c.cid
+                   ) AS rnk
+            FROM embeddings v CROSS JOIN {cent_cte} c
+        ) WHERE rnk = 1
+    """
+
+
+_KMEANS_STATS_SQL = """
+    SELECT a.cluster_id, t.i AS dim_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE), 9)
+                    AS DECIMAL(20,10))) AS DOUBLE) AS comp_sum
+    FROM {a} a
+    JOIN embeddings e ON e.vec_id = a.vec_id,
+         UNNEST(GENERATE_SERIES(1, 64)) AS t(i)
+    GROUP BY a.cluster_id, t.i
+"""
+
+
+@register(
+    "cluster_kmeans_fit",
+    oracle=f"""
+    WITH c0 AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id < {K_CLUSTERS}
+    ), a1 AS ({_kmeans_assign_sql('c0')}
+    ), s1 AS ({_KMEANS_STATS_SQL.format(a='a1')}
+    ), c1 AS (
+        SELECT cluster_id AS cid,
+               list(comp_sum / n_members ORDER BY dim_pos) AS ce
+        FROM s1 GROUP BY cluster_id
+    ), a2 AS ({_kmeans_assign_sql('c1')}
+    )
+    {_KMEANS_STATS_SQL.format(a='a2')}
+    """,
+    doc=f"Spherical k-means FIT: {N_LLOYD} full Lloyd iterations in-"
+    "engine (assign -> recompute centroids -> re-assign -> final "
+    "stats), completing the cluster-then-sample curation story "
+    "(SemDeDup / balanced sampling no longer assume externally-given "
+    "centroids). Each iteration is the zero-shuffle matmul assignment "
+    "plus the K x 64-cell distributed-Lloyd reduce; between "
+    "iterations only the K x 64 centroid stats are collected (a "
+    "bounded ~512-row driver hop, like the CC-loop convergence "
+    "scalar), so lineage never compounds and no checkpoint is needed. "
+    "New centroid components divide the ROUND/DECIMAL-exact component "
+    "sums by the member count — bit-identical in both engines, so the "
+    "iteration-2 assignment agrees and the final (cluster, dim) stats "
+    "hash-match the oracle's unrolled 2-iteration CTE. The iteration "
+    "count is a compile-time constant (N_LLOYD) — a loud bound, never "
+    "a data-dependent loop. 100 TB: per iteration one corpus scan + "
+    "one K x 64 aggregate; clusters that lose all members drop out of "
+    "the next round in both engines.",
+)
+def cluster_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    cents = _kmeans_seed_centroids(spark, sf_dir)
+    for _ in range(N_LLOYD - 1):
+        rows = _kmeans_update_stats(e, cents).collect()  # K x 64 rows
+        by_cid: dict[int, list] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cluster_id"]), [0.0] * 64)[
+                int(r["dim_pos"]) - 1
+            ] = r["comp_sum"] / r["n_members"]
+        cents = sorted(by_cid.items())
+    return _kmeans_update_stats(e, cents)
 
 
 @register(
@@ -765,7 +926,11 @@ def cluster_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_cluster_balanced_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    assign = _kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    cents = _kmeans_seed_centroids(spark, sf_dir)
+    assign = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _argmax_cosine(F.col("embedding"), cents).alias("cluster_id"),
+    ).filter(F.col("cluster_id").isNotNull())
     w = Window.partitionBy("cluster_id").orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
     )

@@ -1818,9 +1818,14 @@ def topn_stream(
     changelog semantics; a downstream upsert sink keyed by
     (keys, rn) holds exactly the live top-N. State is O(keys x N x
     row width), the identical bound Flink documents for its
-    AppendFastStrategy. Ranks tie-break by the full row tuple for
-    determinism (matching a batch ROW_NUMBER only when the order
-    columns are key-unique, as any Top-N contract requires).
+    AppendFastStrategy. NULL order values sort as the SMALLEST value in
+    both directions — Spark's default null ordering (ASC NULLS FIRST,
+    DESC NULLS LAST), so the ranking matches the batch ROW_NUMBER plan
+    this operator replaces. Ranks tie-break by the full row tuple for
+    determinism when the row is totally comparable (falling back to
+    arrival order if some non-order column type is not); the ranking
+    matches a batch ROW_NUMBER exactly only when the order columns are
+    key-unique, as any Top-N contract requires.
     Emits every source column + ``rn``."""
     src_cols = stream_df.columns
     field_types = {
@@ -1836,10 +1841,34 @@ def topn_stream(
     )
     width = len(src_cols)
     oidx = [src_cols.index(c) for c in order_cols]
+    # a NULL anywhere in an integral column makes pandas deliver the
+    # whole column as float64 — coerce survivors back to int, or the
+    # int-typed state field silently drops them on the next restore
+    _ints = [
+        field_types[c] in ("tinyint", "smallint", "int", "bigint")
+        for c in src_cols
+    ]
+
+    def _typed(r) -> tuple:
+        return tuple(
+            int(s) if (isint and s is not None) else s
+            for s, isint in zip((_scalar(v) for v in r), _ints)
+        )
+
+    def null_safe(vals):
+        # NULL = smallest in both directions (Spark default: ASC NULLS
+        # FIRST, DESC NULLS LAST — both mean "null is the smallest
+        # value"); flags compare before values, so mixed (0, None-slot)
+        # vs (1, typed-value) never compares across types
+        return tuple((v is not None, 0 if v is None else v) for v in vals)
 
     def sort_key(row: tuple):
-        key_part = tuple(row[i] for i in oidx)
-        return key_part
+        # order columns first, then the full row as deterministic
+        # tie-break
+        return null_safe([row[i] for i in oidx] + list(row))
+
+    def sort_key_orders_only(row: tuple):
+        return null_safe(row[i] for i in oidx)
 
     def update(
         key: tuple,
@@ -1856,18 +1885,14 @@ def topn_stream(
         before = list(top)
         for pdf in batches:
             for r in pdf[src_cols].itertuples(index=False):
-                top.append(tuple(_scalar(v) for v in r))
+                top.append(_typed(r))
         try:
             top.sort(key=sort_key, reverse=descending)
         except TypeError:
-            # None order values: place them last deterministically
-            top.sort(
-                key=lambda row: tuple(
-                    (v is None, v if v is not None else 0)
-                    for v in sort_key(row)
-                ),
-                reverse=descending,
-            )
+            # a non-order tie-break column is not totally comparable
+            # (e.g. arrays with nested nulls): rank by the order
+            # columns alone, ties staying in arrival order (stable sort)
+            top.sort(key=sort_key_orders_only, reverse=descending)
         top = top[:n]
         flat: list = []
         for row in top:
