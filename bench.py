@@ -74,6 +74,7 @@ HEADLINE = (
     "pattern_match_recognize_mid_plus",
     "text_tfidf_topk",
     "cluster_kmeans_assign",
+    "cluster_kmeans_fit",
     "text_bigram_lm_score",
     "over_agg_sql",
 )
@@ -146,11 +147,55 @@ def corpus_stats(spark, sf_dir: str) -> dict:
     }
 
 
-def best_prior() -> dict[str, float]:
+#: Queries whose runtime scales with the documents/embeddings corpus
+#: SHAPE (density, vocabulary, candidate-pair count) rather than the
+#: sf-determined TPC-H tables. Their best-priors are only comparable
+#: across rounds whose corpus fingerprint matches the current one —
+#: the round-6 regeneration made the corpus 3x denser and turned
+#: dedup_jaccard's 0.38 s prior into a permanently carried ack.
+_CORPUS_BOUND_PREFIXES = (
+    "dedup_",
+    "text_",
+    "sim_",
+    "pipeline_",
+    "cluster_",
+    "multimodal_",
+    "pandas_",
+)
+
+
+def _corpus_bound(name: str) -> bool:
+    return name.startswith(_CORPUS_BOUND_PREFIXES)
+
+
+def _fp_comparable(a: dict | None, b: dict | None) -> bool:
+    """Two corpus fingerprints describe the same data shape: identical
+    doc count and vocabulary, candidate-pair count within 10% (pair
+    counts drive blocked-pairwise cost linearly, so a 10% drift cannot
+    manufacture a fake 1.5x regression)."""
+    if not a or not b:
+        return False
+    if a.get("n_docs") != b.get("n_docs"):
+        return False
+    if a.get("vocab_size") != b.get("vocab_size"):
+        return False
+    pa, pb = a.get("block_candidate_pairs"), b.get("block_candidate_pairs")
+    if not pa or not pb:
+        return False
+    return 0.9 <= pa / pb <= 1.1
+
+
+def best_prior(current_fp: dict | None = None) -> dict[str, float]:
     """Per-query MINIMUM across every recorded BENCH_r*.json — the
     best-known time is the ratchet reference. Comparing only to the
     newest record would let one contended round (r2's 14.7 s
-    agg_pricing_summary) permanently loosen the bar."""
+    agg_pricing_summary) permanently loosen the bar.
+
+    When ``current_fp`` (this run's corpus fingerprint) is given,
+    corpus-bound queries only take priors from records whose embedded
+    fingerprint matches it — a data regeneration then RESETS those
+    ratchets instead of producing carried acknowledgements, while the
+    TPC-H ratchets (sf-determined tables) keep their full history."""
     best: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
@@ -161,10 +206,19 @@ def best_prior() -> dict[str, float]:
             continue
         # the driver wraps bench stdout under "parsed" (null when the
         # round's bench crashed, e.g. BENCH_r03 — treat as no record)
-        prior = doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
+        parsed = (
+            doc if doc.get("queries") else (doc.get("parsed") or {})
+        )
+        prior = parsed.get("queries") or {}
+        fp_ok = current_fp is None or _fp_comparable(
+            parsed.get("corpus"), current_fp
+        )
         for name, sec in prior.items():
-            if isinstance(sec, (int, float)) and sec > 0:
-                best[name] = min(best.get(name, float("inf")), float(sec))
+            if not isinstance(sec, (int, float)) or sec <= 0:
+                continue
+            if _corpus_bound(name) and not fp_ok:
+                continue
+            best[name] = min(best.get(name, float("inf")), float(sec))
     return best
 
 
@@ -173,6 +227,7 @@ def main() -> None:
     sf = float(sf_match.group(1)) if sf_match else -1.0
     spark = get_spark("spark-graft-bench")
     queries = all_queries()
+    corpus = corpus_stats(spark, SF_DIR)
     # warm-up: JVM + codegen + parquet footer caches
     run_one(spark, queries["s6_orders_enriched_join"], SF_DIR)
     per_query: dict[str, float] = {n: float("inf") for n in HEADLINE}
@@ -183,7 +238,7 @@ def main() -> None:
             )
     # contention self-heal: a regression that survives interleaved sweeps
     # gets two more interleaved samples before we believe it
-    prior = best_prior()
+    prior = best_prior(corpus)
     for _retry in range(2):
         flagged = [
             n
@@ -205,7 +260,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-        "corpus": corpus_stats(spark, SF_DIR),
+        "corpus": corpus,
     }
     acks = load_acks()
     if acks:

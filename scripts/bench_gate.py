@@ -65,7 +65,10 @@ def main() -> int:
         print(line)
         parsed = json.loads(line)
 
-    prior = best_prior()
+    # corpus-bound ratchets only compare against rounds with the SAME
+    # corpus fingerprint (data regenerations reset them — no more
+    # carried acks); TPC-H ratchets keep their full history
+    prior = best_prior(parsed.get("corpus"))
     # acknowledged regressions come from the CHECKED-IN reviewed config
     # (scripts/bench_acks.json) or the --ack flag — never from the bench
     # artifact itself, so the run under test cannot self-acknowledge a

@@ -1,0 +1,106 @@
+"""Fingerprint-normalized bench ratchet (bench.best_prior +
+scripts/bench_gate.py): corpus-bound queries compare only against
+rounds with a MATCHING corpus fingerprint, so a driver data
+regeneration RESETS those ratchets instead of producing permanently
+carried acknowledgements (VERDICT r7 #4), while a deliberate plan
+pessimization on unchanged data still trips the gate.
+
+No SparkSession needed — the gate is exercised through --from-json.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from bench import _fp_comparable, best_prior, load_acks  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def r7():
+    parsed = json.loads((REPO / "BENCH_r07.json").read_text())["parsed"]
+    return parsed["queries"], parsed["corpus"]
+
+
+def _gate(tmp_path, queries, corpus):
+    doc = {"queries": queries, "corpus": corpus}
+    p = tmp_path / "bench.json"
+    p.write_text(json.dumps(doc))
+    return subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "bench_gate.py"),
+         "--from-json", str(p)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+
+
+def test_no_embedded_acks_remain():
+    """The fingerprint reset obsoletes data-regeneration acks — the
+    checked-in ack file must be empty (zero carried acks)."""
+    assert load_acks() == {}
+
+
+def test_fingerprint_keyed_priors(r7):
+    """With the current fingerprint, corpus-bound priors come only from
+    fingerprint-matching rounds; TPC-H priors keep full history."""
+    queries, fp = r7
+    p_all, p_fp = best_prior(), best_prior(fp)
+    # TPC-H ratchet unchanged by the fingerprint
+    assert p_all["q21_waiting_supplier"] == p_fp["q21_waiting_supplier"]
+    # corpus-bound prior never tighter than the fingerprint-matched best
+    assert p_fp["dedup_jaccard_blocked_pairs"] >= p_all[
+        "dedup_jaccard_blocked_pairs"
+    ]
+    # a foreign corpus has no comparable corpus-bound priors at all
+    alien = {"n_docs": 1, "vocab_size": 2, "block_candidate_pairs": 3}
+    assert "dedup_jaccard_blocked_pairs" not in best_prior(alien)
+
+
+def test_fp_comparable_tolerance():
+    a = {"n_docs": 5000, "vocab_size": 31, "block_candidate_pairs": 100_000}
+    assert _fp_comparable(a, {**a, "block_candidate_pairs": 105_000})
+    assert not _fp_comparable(a, {**a, "block_candidate_pairs": 150_000})
+    assert not _fp_comparable(a, {**a, "vocab_size": 32})
+    assert not _fp_comparable(a, None)
+
+
+def test_gate_passes_on_current_shape(tmp_path, r7):
+    queries, fp = r7
+    r = _gate(tmp_path, queries, fp)
+    assert r.returncode == 0, r.stderr
+
+
+@pytest.mark.parametrize(
+    "victim", ["q21_waiting_supplier", "dedup_jaccard_blocked_pairs"]
+)
+def test_gate_trips_on_plan_pessimization(tmp_path, r7, victim):
+    """3x slowdown on UNCHANGED data must fail the gate — for both a
+    TPC-H query and a corpus-bound one (the reset must not blind the
+    ratchet on the same corpus)."""
+    queries, fp = r7
+    r = _gate(tmp_path, {**queries, victim: queries[victim] * 3}, fp)
+    assert r.returncode == 1 and f"FAIL {victim}" in r.stderr
+
+
+def test_gate_resets_corpus_bound_on_regeneration(tmp_path, r7):
+    """The same slow corpus-bound time under a DIFFERENT fingerprint is
+    a data regeneration, not a regression — gate passes, no ack needed."""
+    queries, _ = r7
+    slow = {
+        **queries,
+        "dedup_jaccard_blocked_pairs": queries[
+            "dedup_jaccard_blocked_pairs"
+        ]
+        * 3,
+    }
+    alien = {"n_docs": 9999, "vocab_size": 7, "block_candidate_pairs": 1}
+    r = _gate(tmp_path, slow, alien)
+    assert r.returncode == 0, r.stderr
