@@ -30,6 +30,8 @@ import random
 import sys
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, ".")
 
 from training_flink_sql_cc_src_spark.engine import Engine
@@ -127,12 +129,17 @@ def gen_bounded(rng):
         if pi == 0:
             first_vars = set(used)
     defs = {v: rand_local(rng, v) for v in used}
+    later = [v for v in used if v not in first_vars]
+    # "hard-compose" slice (~1 in 5): force cross-variable DEFINE +
+    # SKIP TO FIRST/LAST + WITHIN + ALL ROWS (often with an exclusion)
+    # in ONE statement — the corners VERDICT r7 asked the fuzzer to
+    # compose rather than sample independently
+    hard = bool(later) and rng.random() < 0.2
     if rng.random() < 0.25:
         # physical PREV conjunct (arrival-history evaluation)
         v = rng.choice(used)
         defs[v] += f" AND {rand_prev_conjunct(rng, v)}"
-    later = [v for v in used if v not in first_vars]
-    if later and rng.random() < 0.3:
+    if later and (hard or rng.random() < 0.3):
         # cross-variable conjunct on a later variable, referencing an
         # earlier one (possibly unmatched -> check false, still exact)
         v = rng.choice(later)
@@ -145,18 +152,34 @@ def gen_bounded(rng):
         )
         defs[v] += f" AND {v}.v {op} {ref}"
     defines = ", ".join(f"{v} AS {defs[v]}" for v in used)
-    if later and rng.random() < 0.2:
+    # {- X -} exclusion around a non-first single-variable term (rows
+    # matched + measured, omitted from ALL ROWS output -> forces the
+    # ALL ROWS comparison); never the SKIP TO target below
+    excl_var = None
+    if rng.random() < (0.6 if hard else 0.2):
+        singles = [
+            i
+            for i, tm in enumerate(terms)
+            if i > 0 and tm.lstrip("(")[:1].isalpha() and "|" not in tm
+        ]
+        if singles:
+            i = rng.choice(singles)
+            excl_var = terms[i].strip("(){}?0123456789,")[:1]
+            terms[i] = "{- " + terms[i] + " -}"
+    skip_later = [v for v in later if v != excl_var]
+    if skip_later and (hard or rng.random() < 0.2):
         # SKIP TO a var that can never map the match start (position 0
         # always consumes a row), so the loop-forever error cannot fire
-        skip = f"TO {rng.choice(['FIRST', 'LAST'])} {rng.choice(later)}"
+        skip = f"TO {rng.choice(['FIRST', 'LAST'])} {rng.choice(skip_later)}"
     else:
         skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
     within = (
         f"WITHIN INTERVAL '{rng.choice([3, 6, 9])}' SECOND"
-        if rng.random() < 0.25
+        if (hard or rng.random() < 0.25)
         else ""
     )
-    return " ".join(terms), defines, used, skip, within, lmax - 1, "bounded"
+    kind = "bounded_ar" if (excl_var is not None or hard) else "bounded"
+    return " ".join(terms), defines, used, skip, within, lmax - 1, kind
 
 
 def gen_case(rng):
@@ -227,6 +250,50 @@ def gen_data(spark, rng, pad=1):
     )
 
 
+def check_multikey_rejection(spark, router, eng, rng):
+    """PARTITION BY k, k2: the batch lowering supports a key LIST; the
+    streaming matchers are single-key — they must raise the instructive
+    NotImplementedError, never produce output silently. Returns 1 on a
+    contract violation, 0 otherwise."""
+    df = gen_data(spark, rng, 1).withColumn(
+        "k2", F.length("k").cast("string")
+    )
+    df.createOrReplaceTempView("__fuzz_mk")
+    stmt = """
+        SELECT k, k2, a_ts FROM __fuzz_mk
+        MATCH_RECOGNIZE (
+            PARTITION BY k, k2
+            ORDER BY ts
+            MEASURES A.ts AS a_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.v >= 3, B AS B.v <= 2
+        )
+    """
+    try:
+        router.execute(stmt).collect()
+    except Exception as e:
+        print(f"MULTIKEY BATCH ERROR: {e}", flush=True)
+        return 1
+    try:
+        run_stream_over_batch(
+            spark,
+            df,
+            lambda s: eng.sql_stream(stmt, {"__fuzz_mk": s}),
+            output_mode="append",
+            n_files=2,
+            order_by="ts",
+        )
+    except NotImplementedError:
+        return 0  # the loud single-key rejection — the contract
+    except Exception as e:
+        print(f"MULTIKEY STREAM wrong error type: {e}", flush=True)
+        return 1
+    print("MULTIKEY STREAM ran silently (must reject)", flush=True)
+    return 1
+
+
 def main(n_cases, seed):
     rng = random.Random(seed)
     spark = get_spark("fuzz_stream")
@@ -241,7 +308,13 @@ def main(n_cases, seed):
     while tried < n_cases:
         pattern, defines, pvars, skip, within, pad, kind = gen_case(rng)
         df = gen_data(spark, rng, pad)
-        all_rows = kind == "bounded" and rng.random() < 0.35
+        if tried % 25 == 0:
+            # multi-key PARTITION BY: batch handles it, the streaming
+            # leg must reject LOUDLY (one key), never run silently
+            failures += check_multikey_rejection(spark, router, eng, rng)
+        all_rows = kind == "bounded_ar" or (
+            kind == "bounded" and rng.random() < 0.35
+        )
         if all_rows:
             # ALL ROWS PER MATCH: per-matched-row emission with
             # CLASSIFIER / per-key MATCH_NUMBER / RUNNING-FINAL and

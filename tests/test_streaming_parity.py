@@ -8,7 +8,10 @@ from pyspark.sql import functions as F
 
 from training_flink_sql_cc_src_spark.queries._util import t
 from training_flink_sql_cc_src_spark.sources.datagen import datagen_batch, datagen_stream
-from training_flink_sql_cc_src_spark.streaming.parity import run_stream_over_batch
+from training_flink_sql_cc_src_spark.streaming.parity import (
+    run_stream_over_batch,
+    stream_from_batch,
+)
 
 
 def _rows(df):
@@ -2898,4 +2901,121 @@ def test_stream_match_recognize_rejects_unbounded_nested_groups(
             )
             """,
             {"events_nested_stream": ev},
+        )
+
+
+def _temporal_fixture(spark, sf_small):
+    """Purchases (probe) + clicks (versioned dim) from the events
+    fixture — the join_asof_temporal/join_temporal_sql shape."""
+    ev = t(spark, sf_small, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return p, c
+
+
+TEMPORAL_STMT = """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           CAST(p.ts AS LONG) AS purchase_epoch,
+           CAST(c.ts AS LONG) AS last_click_epoch
+    FROM tj_purchases p
+    LEFT JOIN tj_clicks FOR SYSTEM_TIME AS OF p.ts AS c
+    ON p.user_id = c.user_id
+"""
+
+
+def _temporal_batch(spark, p, c):
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    p.createOrReplaceTempView("tj_purchases")
+    c.createOrReplaceTempView("tj_clicks")
+    r = StatementRouter(spark)
+    r.catalog.get_or_create("tj_clicks").primary_key = ["user_id"]
+    r.execute("ALTER TABLE tj_clicks MODIFY WATERMARK FOR `ts` AS `ts`")
+    return r, {tuple(x) for x in r.execute(TEMPORAL_STMT).collect()}
+
+
+def test_temporal_join_statement_streams(spark, sf_small):
+    """The lab-joins temporal join (FOR SYSTEM_TIME AS OF against the
+    PK'd + watermarked dim) runs CONTINUOUSLY through sql_stream: the
+    probe side streams, the versioned dim is the batch snapshot, and
+    Catalyst plans a per-microbatch stream-static validity-interval
+    join. Streamed result == batch router result, exactly."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    p, c = _temporal_fixture(spark, sf_small)
+    router, batch = _temporal_batch(spark, p, c)
+    eng = Engine(spark)
+    eng.catalog.get_or_create("tj_clicks").primary_key = ["user_id"]
+    eng.sql("ALTER TABLE tj_clicks MODIFY WATERMARK FOR `ts` AS `ts`")
+    streamed = run_stream_over_batch(
+        spark,
+        p,
+        lambda s: eng.sql_stream(TEMPORAL_STMT, {"tj_purchases": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+
+
+def test_temporal_join_dim_stream_snapshot_composition(spark, sf_small, tmp_path):
+    """The dim itself as a STREAM: temporal_join_stream drains it into
+    the append version-history snapshot, registers the snapshot view,
+    and the probe statement streams against it — equal to batch."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.streaming.temporal import (
+        temporal_join_stream,
+    )
+
+    p, c = _temporal_fixture(spark, sf_small)
+    _, batch = _temporal_batch(spark, p, c)
+    eng = Engine(spark)
+    eng.catalog.get_or_create("tj_clicks").primary_key = ["user_id"]
+    eng.sql("ALTER TABLE tj_clicks MODIFY WATERMARK FOR `ts` AS `ts`")
+    dim_stream = stream_from_batch(spark, c, n_files=3, order_by="ts")
+    probe = stream_from_batch(spark, p, n_files=3, order_by="ts")
+    out, handle = temporal_join_stream(
+        eng,
+        TEMPORAL_STMT,
+        {"tj_purchases": probe},
+        "tj_clicks",
+        dim_stream,
+        str(tmp_path),
+    )
+    assert handle is None  # drained, not left running
+    import uuid
+
+    sink = f"tjs_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(sink).collect()}
+    assert got == batch and batch
+
+
+def test_temporal_join_dim_as_stream_rejected(spark, sf_small):
+    """Passing the versioned dim directly as a streaming source must
+    raise the instructive snapshot-composition error, never Catalyst's
+    opaque window-on-stream failure."""
+    import pytest
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    p, c = _temporal_fixture(spark, sf_small)
+    eng = Engine(spark)
+    eng.catalog.get_or_create("tj_clicks").primary_key = ["user_id"]
+    eng.sql("ALTER TABLE tj_clicks MODIFY WATERMARK FOR `ts` AS `ts`")
+    ps = stream_from_batch(spark, p, n_files=2, order_by="ts")
+    cs = stream_from_batch(spark, c, n_files=2, order_by="ts")
+    with pytest.raises(NotImplementedError, match="version-history"):
+        eng.sql_stream(
+            TEMPORAL_STMT, {"tj_purchases": ps, "tj_clicks": cs}
         )

@@ -94,7 +94,13 @@ class Engine:
         aggregate, O(1) state per key — and the plain Top-N statement
         (rn <= N) through the stateful top-N operator: O(N) rows per
         key, update changelog re-emitting a key's top-N on change
-        (drain into an upsert sink keyed by (keys, rn)).
+        (drain into an upsert sink keyed by (keys, rn)). Temporal
+        joins (``FOR SYSTEM_TIME AS OF``) stream when the PROBE side
+        streams and the versioned dim is a batch view/snapshot: the
+        router's validity-interval rewrite plans a per-microbatch
+        stream-static join (parity-tested). A dim passed as a stream
+        raises with the snapshot composition
+        (streaming/temporal.temporal_join_stream) named.
         """
         from .plans.router import rewrite_session_tvf_streaming
 
@@ -124,6 +130,30 @@ class Engine:
         streaming_session = rewrite_session_tvf_streaming(stmt)
         if streaming_session is not None:
             stmt = streaming_session
+        if "SYSTEM_TIME" in stmt.upper():
+            import re as _re
+
+            for vm in _re.finditer(
+                r"JOIN\s+`?(\w+)`?\s+FOR\s+SYSTEM_TIME", stmt,
+                _re.IGNORECASE,
+            ):
+                vtbl = vm.group(1)
+                if (
+                    vtbl in watermarked
+                    and watermarked[vtbl].isStreaming
+                ):
+                    # the validity-interval rewrite puts a LEAD window
+                    # on the versioned side — unplannable over a
+                    # stream; the snapshot composition is the route
+                    raise NotImplementedError(
+                        f"temporal join: versioned table {vtbl!r} was "
+                        "passed as a STREAM — drain it into a version-"
+                        "history snapshot and join stream-static "
+                        "instead (streaming/temporal.py: "
+                        "temporal_join_stream / "
+                        "start_version_history_sink); the probe side "
+                        "streams, the snapshot re-lists per micro-batch"
+                    )
         rewritten = self.router._rewrite_dialect(stmt)
         return self.spark.sql(rewritten)
 

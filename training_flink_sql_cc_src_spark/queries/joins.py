@@ -294,7 +294,11 @@ def asof_join(
     "join (LEAD(version_ts) per PK bounds each version's lifetime) using "
     "the catalog's PRIMARY KEY + WATERMARK — Flink's versioned-table "
     "contract verbatim. Same answer as join_asof_temporal (one equi join "
-    "+ range refine; linear at scale), same oracle.",
+    "+ range refine; linear at scale), same oracle. The SAME statement "
+    "also runs CONTINUOUSLY through Engine.sql_stream: probe side "
+    "streamed, dim as the version-history snapshot (maintained by "
+    "streaming/temporal.py's append sink when the dim itself streams) — "
+    "per-microbatch stream-static join, batch==stream parity-tested.",
 )
 def join_temporal_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.router import StatementRouter
