@@ -182,12 +182,61 @@ def gen_bounded(rng):
     return " ".join(terms), defines, used, skip, within, lmax - 1, kind
 
 
+def gen_timebound(rng):
+    """UNBOUNDED shapes under a WITHIN bound — the time-bounded window
+    leg (round 8): general-predicate runs, runs mixed with bounded
+    quantifiers/optionals/alternation groups, cross-variable DEFINEs on
+    runs, both skip modes + SKIP TO. Pad rows must push every start's
+    horizon past the last real row: rows step 3 s, so pad =
+    within/3 + 2."""
+    within = rng.choice([6, 9, 12])
+    pick = rng.random()
+    if pick < 0.3:
+        pattern, used = "A+ B", ["A", "B"]
+    elif pick < 0.5:
+        pattern, used = "A B+ C", ["A", "B", "C"]
+    elif pick < 0.65:
+        pattern, used = "A{1,2} B+ C", ["A", "B", "C"]
+    elif pick < 0.8:
+        pattern, used = "A+ B? C", ["A", "B", "C"]
+    else:
+        pattern, used = "(A|B)+ C", ["A", "B", "C"]
+    defs = {v: rand_local(rng, v) for v in used}
+    run_var = "B" if "B+" in pattern else "A"
+    later = [v for v in used if v != used[0] or "(A|B)" in pattern]
+    if later and rng.random() < 0.3:
+        v = rng.choice([x for x in later if x != used[0]] or later)
+        other = rng.choice([o for o in used if o != v])
+        op = rng.choice([">", ">=", "<", "<=", "<>"])
+        ref = (
+            f"{other}.v"
+            if rng.random() < 0.6
+            else f"{rng.choice(['FIRST', 'LAST'])}({other}.v)"
+        )
+        defs[v] += f" AND {v}.v {op} {ref}"
+    defines = ", ".join(f"{v} AS {defs[v]}" for v in used)
+    skip_tgts = [v for v in used[1:]]
+    r = rng.random()
+    if skip_tgts and r < 0.25:
+        skip = f"TO {rng.choice(['FIRST', 'LAST'])} {rng.choice(skip_tgts)}"
+    else:
+        skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
+    _ = run_var
+    return (
+        pattern, defines, used, skip,
+        f"WITHIN INTERVAL '{within}' SECOND",
+        within // 3 + 2, "timebound",
+    )
+
+
 def gen_case(rng):
     """Return (pattern, defines_sql, vars, skip_sql, within_sql,
     n_pad_rows)."""
     shape = rng.random()
-    if shape < 0.30:
+    if shape < 0.26:
         return gen_bounded(rng)
+    if shape < 0.40:
+        return gen_timebound(rng)
     if shape < 0.5:
         length = rng.randint(2, 4)
         pvars = ["A", "B", "C", "D"][:length]
@@ -342,7 +391,7 @@ def main(n_cases, seed):
                     meas.append(f"{v}.v AS p{i}")
                     outer.append(f"p{i}")
             if (
-                kind in ("bounded", "seq", "run")
+                kind in ("bounded", "seq", "run", "timebound")
                 and "PREV" not in defines
                 and "NEXT" not in defines
                 and rng.random() < 0.5

@@ -809,24 +809,24 @@ def test_stream_match_recognize_general_leg_guards(spark, sf_small):
             ),
             {"events_mr_guard": ev},
         )
-    # WITHIN on a general-predicate A+ B run: batch-only
-    with pytest.raises(NotImplementedError, match="WITHIN"):
-        eng.sql_stream(
-            """
-            SELECT user_id, b_ts FROM events_mr_guard
-            MATCH_RECOGNIZE (
-                PARTITION BY user_id
-                ORDER BY ts
-                MEASURES B.ts AS b_ts
-                ONE ROW PER MATCH
-                AFTER MATCH SKIP PAST LAST ROW
-                PATTERN (A+ B)
-                WITHIN INTERVAL '1' HOUR
-                DEFINE A AS A.event_id >= 0, B AS B.event_id < 0
-            )
-            """,
-            {"events_mr_guard": ev},
+    # WITHIN on a general-predicate A+ B run: streams since round 8 —
+    # the WITHIN horizon bounds the decision window (time-bounded leg)
+    assert eng.sql_stream(
+        """
+        SELECT user_id, b_ts FROM events_mr_guard
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.event_id >= 0, B AS B.event_id < 0
         )
+        """,
+        {"events_mr_guard": ev},
+    ) is not None
 
 
 def _cep_overlap_df(spark):
@@ -1200,9 +1200,11 @@ def test_general_funnel_stream_prev_and_payload_match_batch(spark):
 
 
 def test_general_funnel_stream_guards(spark):
-    """The general funnel rejects — loudly — SKIP TO NEXT ROW and
-    WITHIN (both need unbounded per-key state), while accepting
-    arbitrary row-local DEFINEs under SKIP PAST LAST ROW."""
+    """The general funnel rejects — loudly — SKIP TO NEXT ROW without a
+    WITHIN bound (per-start emission needs unbounded per-key state),
+    while accepting arbitrary row-local DEFINEs under SKIP PAST LAST
+    ROW. WITH a WITHIN bound both shapes stream since round 8 (the
+    time-bounded window leg)."""
     import pytest
 
     from training_flink_sql_cc_src_spark.engine import Engine
@@ -1231,13 +1233,13 @@ def test_general_funnel_stream_guards(spark):
             tmpl.format(skip="TO NEXT ROW", within=""),
             {"cep_funnel_g": df},
         )
-    with pytest.raises(NotImplementedError, match="WITHIN"):
-        eng.sql_stream(
+    for skip in ("PAST LAST ROW", "TO NEXT ROW"):
+        assert eng.sql_stream(
             tmpl.format(
-                skip="PAST LAST ROW", within="WITHIN INTERVAL '1' HOUR"
+                skip=skip, within="WITHIN INTERVAL '1' HOUR"
             ),
             {"cep_funnel_g": df},
-        )
+        ) is not None
 
 
 def test_cross_define_foreign_left_qualifier_rejected_on_stream(spark):
@@ -3019,3 +3021,131 @@ def test_temporal_join_dim_as_stream_rejected(spark, sf_small):
         eng.sql_stream(
             TEMPORAL_STMT, {"tj_purchases": ps, "tj_clicks": cs}
         )
+
+
+def _time_bounded_df(spark, seed=11, n=16, pad=6):
+    """Dense random values + TERM padding whose timestamps extend past
+    any start's WITHIN horizon, so every decision window flushes."""
+    import datetime as dt
+    import random
+
+    base = dt.datetime(2024, 1, 1)
+    rnd = random.Random(seed)
+    rows = []
+    for ki in range(3):
+        vals = [rnd.randint(0, 7) for _ in range(n)] + [-997] * pad
+        for i, v in enumerate(vals):
+            rows.append((f"k{ki}", base + dt.timedelta(seconds=3 * i + ki), v))
+    return spark.createDataFrame(rows, "k string, ts timestamp, v int")
+
+
+def test_time_bounded_leg_unbounded_patterns_stream(spark):
+    """Shapes every fixed-state leg rejects stream EXACTLY under a
+    WITHIN bound via the time-bounded window matcher: general-predicate
+    runs (incl. SKIP TO NEXT ROW), unbounded quantifiers mixed with
+    bounded ones, cross-variable DEFINEs on runs, aggregate measures,
+    and SKIP TO FIRST/LAST over a run."""
+    from collections import Counter
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _time_bounded_df(spark)
+    eng = Engine(spark)
+    router = StatementRouter(spark)
+    cases = [
+        # general-predicate A+ B, aggregate + FIRST measures
+        ("A+ B", "A AS A.v >= 3, B AS B.v BETWEEN 0 AND 2",
+         "FIRST(A.ts) AS m1, COUNT(A.v) AS m2", "PAST LAST ROW"),
+        # overlapping-predicate run under SKIP TO NEXT ROW (was: needs
+        # unbounded per-key state)
+        ("A+ B", "A AS A.v >= 2, B AS B.v >= 5",
+         "FIRST(A.ts) AS m1, COUNT(A.v) AS m2", "TO NEXT ROW"),
+        # funnel with WITHIN + skip-to-next
+        ("A B+ C", "A AS A.v >= 5, B AS B.v % 2 = 1, C AS C.v <= 3",
+         "A.ts AS m1, COUNT(B.v) AS m2", "TO NEXT ROW"),
+        # unbounded mixed with bounded quantifier (was: 'mixed' reject)
+        ("A{1,2} B+ C",
+         "A AS A.v >= 5, B AS B.v BETWEEN 2 AND 6, C AS C.v <= 1",
+         "FIRST(A.ts) AS m1, COUNT(B.v) AS m2", "PAST LAST ROW"),
+        # cross-variable DEFINE on an unbounded run (was: batch-only)
+        ("A+ B", "A AS A.v >= 3, B AS B.v > FIRST(A.v)",
+         "FIRST(A.ts) AS m1, B.ts AS m2", "PAST LAST ROW"),
+        # SKIP TO LAST over a run shape
+        ("A B+", "A AS A.v >= 5, B AS B.v BETWEEN 1 AND 4",
+         "A.ts AS m1, COUNT(B.v) AS m2", "TO LAST B"),
+    ]
+    for pattern, defines, meas, skip in cases:
+        stmt = f"""
+            SELECT k, CAST(m1 AS STRING) AS m1, CAST(m2 AS STRING) AS m2
+            FROM tb_parity
+            MATCH_RECOGNIZE (
+                PARTITION BY k
+                ORDER BY ts
+                MEASURES {meas}
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP {skip}
+                PATTERN ({pattern})
+                WITHIN INTERVAL '9' SECOND
+                DEFINE {defines}
+            )
+        """
+        df.createOrReplaceTempView("tb_parity")
+        batch = Counter(tuple(r) for r in router.execute(stmt).collect())
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"tb_parity": s}),
+            output_mode="append",
+            n_files=4,
+            order_by="ts",
+        )
+        got = Counter(tuple(r) for r in streamed.collect())
+        assert got == batch, (pattern, skip, batch - got, got - batch)
+        assert batch, (pattern, skip)  # every case must actually match
+
+
+def test_time_bounded_leg_row_cap_is_loud(spark):
+    """A key whose WITHIN span holds more undecided rows than the state
+    cap must fail LOUDLY, never grow state silently."""
+    import datetime as dt
+
+    import pytest
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.streaming import stateful
+
+    base = dt.datetime(2024, 1, 1)
+    # 60 rows inside one 1-hour WITHIN span, cap forced tiny
+    rows = [
+        ("k", base + dt.timedelta(seconds=i), 5) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v int")
+    eng = Engine(spark)
+    stmt = """
+        SELECT k, m1 FROM tb_cap
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES COUNT(A.v) AS m1
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.v >= 3, B AS B.v < 0
+        )
+    """
+    old_cap = stateful.TIME_WINDOW_ROW_CAP
+    stateful.TIME_WINDOW_ROW_CAP = 16
+    try:
+        with pytest.raises(Exception, match="undecided rows"):
+            run_stream_over_batch(
+                spark,
+                df,
+                lambda s: eng.sql_stream(stmt, {"tb_cap": s}),
+                output_mode="append",
+                n_files=2,
+                order_by="ts",
+            )
+    finally:
+        stateful.TIME_WINDOW_ROW_CAP = old_cap

@@ -371,198 +371,228 @@ class Engine:
             raise unsupported(f"pattern input {spec.table!r} not in sources")
         dtypes = dict(sdf.dtypes)
 
-        # BOUNDED patterns beyond plain sequences — quantifiers A{n,m} /
-        # A?, alternation groups, quantified groups, nested groups,
-        # PERMUTE — stream through the bounded-window matcher: a finite
-        # max length means a window of the last Lmax rows decides every
-        # start exactly (the batch AST generator's preference order run
-        # per key). Unbounded quantifiers mixed into such shapes stay
-        # batch-only (no finite window bound).
-        def _ast_all_bounded(node) -> bool:
-            kind = node[0]
-            if kind == "var":
-                return True
-            if kind in ("seq", "alt"):
-                return all(_ast_all_bounded(c) for c in node[1])
-            return node[3] is not None and _ast_all_bounded(node[1])
+        def _route() -> str:
+            # BOUNDED patterns beyond plain sequences — quantifiers A{n,m} /
+            # A?, alternation groups, quantified groups, nested groups,
+            # PERMUTE — stream through the bounded-window matcher: a finite
+            # max length means a window of the last Lmax rows decides every
+            # start exactly (the batch AST generator's preference order run
+            # per key). Unbounded quantifiers mixed into such shapes stay
+            # batch-only (no finite window bound).
+            def _ast_all_bounded(node) -> bool:
+                kind = node[0]
+                if kind == "var":
+                    return True
+                if kind in ("seq", "alt"):
+                    return all(_ast_all_bounded(c) for c in node[1])
+                return node[3] is not None and _ast_all_bounded(node[1])
 
-        unbounded_shape = (
-            spec.unbounded
-            or spec.plus is not None
-            or any(hi is None for _, hi, _ in spec.pos_quants.values())
-            or (
-                spec.pattern_ast is not None
-                and not _ast_all_bounded(spec.pattern_ast)
+            unbounded_shape = (
+                spec.unbounded
+                or spec.plus is not None
+                or any(hi is None for _, hi, _ in spec.pos_quants.values())
+                or (
+                    spec.pattern_ast is not None
+                    and not _ast_all_bounded(spec.pattern_ast)
+                )
             )
-        )
-        if spec.skip_to is not None and unbounded_shape:
-            raise unsupported(
-                "AFTER MATCH SKIP TO FIRST/LAST <var> over an unbounded "
-                "shape (the run matchers implement SKIP PAST LAST ROW "
-                "walks only; bounded patterns resume at the target row "
-                "from the decision window)"
-            )
-        if spec.all_rows:
-            # ALL ROWS PER MATCH: every matched input row emits — the
-            # bounded-window leg carries full source rows per match
-            if unbounded_shape:
+            if spec.skip_to is not None and unbounded_shape:
                 raise unsupported(
-                    "ALL ROWS PER MATCH over an unbounded pattern (the "
-                    "run matchers keep O(1) state, not the matched "
-                    "rows; bounded patterns stream ALL ROWS from the "
-                    "decision window)"
+                    "AFTER MATCH SKIP TO FIRST/LAST <var> over an unbounded "
+                    "shape (the run matchers implement SKIP PAST LAST ROW "
+                    "walks only; bounded patterns resume at the target row "
+                    "from the decision window)"
                 )
-            return self._match_recognize_stream_all_rows(
-                stmt, spec, sdf, key, ts_col, tiebreak, unsupported
-            )
-        import re as _re_x
-
-        has_cross_define = any(
-            set(
-                _re_x.findall(
-                    r"\b(\w+)\s*\.",
-                    _NEXT_RE.sub("", _PREV_RE.sub("", spec.defines[v])),
+            if spec.all_rows:
+                # ALL ROWS PER MATCH: every matched input row emits — the
+                # bounded-window leg carries full source rows per match
+                if unbounded_shape:
+                    raise unsupported(
+                        "ALL ROWS PER MATCH over an unbounded pattern (the "
+                        "run matchers keep O(1) state, not the matched "
+                        "rows; bounded patterns stream ALL ROWS from the "
+                        "decision window)"
+                    )
+                return self._match_recognize_stream_all_rows(
+                    stmt, spec, sdf, key, ts_col, tiebreak, unsupported
                 )
-            )
-            - {v}
-            for v in dict.fromkeys(spec.pattern)
-        )
-        bounded_extra = (
-            spec.permute
-            or spec.quants
-            or spec.pos_quants
-            or spec.pattern_ast is not None
-            or any(len(p) > 1 for p in spec.positions)
-            # aggregate measures need the matched rows — plain bounded
-            # sequences reroute to the window leg that holds them
-            or (spec.measure_agg and not unbounded_shape)
-            # SKIP TO FIRST/LAST resumes at a window index — plain
-            # sequences reroute for it too
-            or (spec.skip_to is not None and not unbounded_shape)
-            # cross-variable DEFINEs (incl. FIRST/LAST(other.col))
-            # evaluate from the decision window — reroute bounded
-            # sequences; unbounded shapes keep the run legs' loud reject
-            or (has_cross_define and not unbounded_shape)
-        )
-        if bounded_extra:
-            if unbounded_shape:
-                raise unsupported(
-                    "unbounded quantifiers mixed with groups/bounded "
-                    "quantifiers (the bounded-window streaming matcher "
-                    "needs a finite pattern length; use the batch path)"
+            import re as _re_x
+
+            has_cross_define = any(
+                set(
+                    _re_x.findall(
+                        r"\b(\w+)\s*\.",
+                        _NEXT_RE.sub("", _PREV_RE.sub("", spec.defines[v])),
+                    )
                 )
-            return self._match_recognize_stream_bounded(
-                stmt, spec, sdf, key, ts_col, tiebreak, unsupported
+                - {v}
+                for v in dict.fromkeys(spec.pattern)
             )
-
-        # Two streaming lowerings. EQ mode (the original leg): every
-        # DEFINE an equality literal on ONE shared string column and a
-        # bigint key — the specialized matchers (incl. the A B+ C funnel
-        # and WITHIN on runs, which lean on provably-disjoint
-        # predicates). Everything else falls to the GENERAL leg: each
-        # row-local DEFINE compiles to a JVM boolean column (the batch
-        # NFA's precomputed flags) and keyed state matches over the flag
-        # bitmasks — predicates may overlap, any key type.
-        eqs = [_eq_literal(spec.defines[v]) for v in spec.pattern]
-        eq_mode = (
-            # _provably_disjoint: distinct literals on one column, so no
-            # row satisfies two variables — the specialized matchers'
-            # standing assumption (repeated literals would make skip-mode
-            # overlap matter; the general leg handles that correctly)
-            _provably_disjoint(spec)  # implies every eqs entry parsed
-            and all(
-                lit.startswith("'") and lit.endswith("'") for _, lit in eqs
-            )
-            and dtypes.get(eqs[0][0]) == "string"
-            and dtypes.get(key) == "bigint"
-        )
-        if eq_mode and (
-            spec.measure_agg
-            or any(
-                col != ts_col
-                for var, col, _ in spec.measures
-                if var in set(spec.pattern)
-            )
-        ):
-            # non-position measures (Var.<payload col>) and aggregate
-            # measures ride the general leg's keyed state; eq-literal
-            # DEFINEs are row-local, so the general matchers reproduce
-            # the specialized ones exactly
-            eq_mode = False
-        if not eq_mode:
-            return self._match_recognize_stream_general(
-                stmt, spec, sdf, key, ts_col, tiebreak, unsupported
-            )
-        type_col = eqs[0][0]
-        types = [lit.strip("'") for _, lit in eqs]
-
-        if (spec.unbounded or spec.pos_quants) and spec.plus is None:
-            # general NFA shapes: only the three-variable A B+ C funnel
-            # (run at the middle position, min 1) streams with O(1) state
-            if (
-                len(spec.positions) != 3
-                or list(spec.unbounded) != [spec.pattern[1]]
-                or spec.unbounded[spec.pattern[1]] != 1
+            bounded_extra = (
+                spec.permute
                 or spec.quants
                 or spec.pos_quants
-                or spec.lazy_vars
-            ):
-                raise unsupported(
-                    "general unbounded patterns (only the A B+ C middle-"
-                    "run funnel streams with O(1) state — use the batch "
-                    "path)"
-                )
-            matched = mid_run_pattern_stream(
-                sdf, key, ts_col, type_col, types[0], types[1], types[2],
-                within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
+                or spec.pattern_ast is not None
+                or any(len(p) > 1 for p in spec.positions)
+                # aggregate measures need the matched rows — plain bounded
+                # sequences reroute to the window leg that holds them
+                or (spec.measure_agg and not unbounded_shape)
+                # SKIP TO FIRST/LAST resumes at a window index — plain
+                # sequences reroute for it too
+                or (spec.skip_to is not None and not unbounded_shape)
+                # cross-variable DEFINEs (incl. FIRST/LAST(other.col))
+                # evaluate from the decision window — reroute bounded
+                # sequences; unbounded shapes keep the run legs' loud reject
+                or (has_cross_define and not unbounded_shape)
             )
-            # A maps its single row; B's last mapped row; C the end row
-            pos_col = {
-                spec.pattern[0]: "a_ts",
-                spec.pattern[1]: "run_last_ts",
-                spec.pattern[2]: "end_ts",
-            }
-        elif spec.plus is not None:
-            if spec.plus[2] != 1:
-                raise unsupported(
-                    "A{n,} / A* run bounds (the streaming matcher tracks "
-                    "O(1) state assuming a plain A+ run — use the batch "
-                    "path)"
+            if bounded_extra:
+                if unbounded_shape:
+                    raise unsupported(
+                        "unbounded quantifiers mixed with groups/bounded "
+                        "quantifiers (the bounded-window streaming matcher "
+                        "needs a finite pattern length; use the batch path)"
+                    )
+                return self._match_recognize_stream_bounded(
+                    stmt, spec, sdf, key, ts_col, tiebreak, unsupported
                 )
-            if not spec.skip_past_last:
-                raise unsupported(
-                    "A+ B with SKIP TO NEXT ROW (per-start emission needs "
-                    "unbounded per-key state; SKIP PAST LAST ROW streams "
-                    "with O(1) state)"
-                )
-            matched = run_pattern_stream(
-                sdf, key, ts_col, type_col, types[0], types[1],
-                within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
-            )
-            # last mapped A row = last_ts; B row = end_ts
-            pos_col = {spec.plus[0]: "last_ts", spec.plus[1]: "end_ts"}
-        else:
-            matched = sequence_pattern_stream(
-                sdf, key, ts_col, type_col, types,
-                within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
-            )
-            pos_col = {
-                var: f"ts_{i + 1}" for i, var in enumerate(spec.pattern)
-            }
 
-        return self._mr_register_view(
-            stmt, spec, matched, key, ts_col, pos_col, unsupported
-        )
+            # Two streaming lowerings. EQ mode (the original leg): every
+            # DEFINE an equality literal on ONE shared string column and a
+            # bigint key — the specialized matchers (incl. the A B+ C funnel
+            # and WITHIN on runs, which lean on provably-disjoint
+            # predicates). Everything else falls to the GENERAL leg: each
+            # row-local DEFINE compiles to a JVM boolean column (the batch
+            # NFA's precomputed flags) and keyed state matches over the flag
+            # bitmasks — predicates may overlap, any key type.
+            eqs = [_eq_literal(spec.defines[v]) for v in spec.pattern]
+            eq_mode = (
+                # _provably_disjoint: distinct literals on one column, so no
+                # row satisfies two variables — the specialized matchers'
+                # standing assumption (repeated literals would make skip-mode
+                # overlap matter; the general leg handles that correctly)
+                _provably_disjoint(spec)  # implies every eqs entry parsed
+                and all(
+                    lit.startswith("'") and lit.endswith("'") for _, lit in eqs
+                )
+                and dtypes.get(eqs[0][0]) == "string"
+                and dtypes.get(key) == "bigint"
+            )
+            if eq_mode and (
+                spec.measure_agg
+                or any(
+                    col != ts_col
+                    for var, col, _ in spec.measures
+                    if var in set(spec.pattern)
+                )
+            ):
+                # non-position measures (Var.<payload col>) and aggregate
+                # measures ride the general leg's keyed state; eq-literal
+                # DEFINEs are row-local, so the general matchers reproduce
+                # the specialized ones exactly
+                eq_mode = False
+            if not eq_mode:
+                return self._match_recognize_stream_general(
+                    stmt, spec, sdf, key, ts_col, tiebreak, unsupported
+                )
+            type_col = eqs[0][0]
+            types = [lit.strip("'") for _, lit in eqs]
+
+            if (spec.unbounded or spec.pos_quants) and spec.plus is None:
+                # general NFA shapes: only the three-variable A B+ C funnel
+                # (run at the middle position, min 1) streams with O(1) state
+                if (
+                    len(spec.positions) != 3
+                    or list(spec.unbounded) != [spec.pattern[1]]
+                    or spec.unbounded[spec.pattern[1]] != 1
+                    or spec.quants
+                    or spec.pos_quants
+                    or spec.lazy_vars
+                ):
+                    raise unsupported(
+                        "general unbounded patterns (only the A B+ C middle-"
+                        "run funnel streams with O(1) state — use the batch "
+                        "path)"
+                    )
+                matched = mid_run_pattern_stream(
+                    sdf, key, ts_col, type_col, types[0], types[1], types[2],
+                    within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
+                )
+                # A maps its single row; B's last mapped row; C the end row
+                pos_col = {
+                    spec.pattern[0]: "a_ts",
+                    spec.pattern[1]: "run_last_ts",
+                    spec.pattern[2]: "end_ts",
+                }
+            elif spec.plus is not None:
+                if spec.plus[2] != 1:
+                    raise unsupported(
+                        "A{n,} / A* run bounds (the streaming matcher tracks "
+                        "O(1) state assuming a plain A+ run — use the batch "
+                        "path)"
+                    )
+                if not spec.skip_past_last:
+                    raise unsupported(
+                        "A+ B with SKIP TO NEXT ROW (per-start emission needs "
+                        "unbounded per-key state; SKIP PAST LAST ROW streams "
+                        "with O(1) state)"
+                    )
+                matched = run_pattern_stream(
+                    sdf, key, ts_col, type_col, types[0], types[1],
+                    within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
+                )
+                # last mapped A row = last_ts; B row = end_ts
+                pos_col = {spec.plus[0]: "last_ts", spec.plus[1]: "end_ts"}
+            else:
+                matched = sequence_pattern_stream(
+                    sdf, key, ts_col, type_col, types,
+                    within_seconds=spec.within_seconds, tiebreak_col=tiebreak,
+                )
+                pos_col = {
+                    var: f"ts_{i + 1}" for i, var in enumerate(spec.pattern)
+                }
+
+            return self._mr_register_view(
+                stmt, spec, matched, key, ts_col, pos_col, unsupported
+            )
+
+        try:
+            return _route()
+        except NotImplementedError as primary:
+            # WITHIN bounds the match duration, so shapes the legs
+            # above reject — unbounded quantifiers with arbitrary
+            # predicates, runs under SKIP TO, mixed groups, even
+            # bounded patterns beyond the 64-row cap — stream
+            # through the TIME-bounded window matcher instead:
+            # state is the last WITHIN-span of rows per key
+            # (O(rate x W), the state Flink's CEP operator keeps
+            # for a WITHIN pattern); each start is decided when a
+            # later-than-horizon row arrives.
+            if spec.within_seconds is not None and not spec.all_rows:
+                try:
+                    return self._match_recognize_stream_bounded(
+                        stmt, spec, sdf, key, ts_col, tiebreak,
+                        unsupported, time_bounded=True,
+                    )
+                except NotImplementedError:
+                    raise primary from None
+            raise
+
 
     def _bounded_stream_prep(
-        self, spec, sdf, ts_col, unsupported
+        self, spec, sdf, ts_col, unsupported, time_bounded: bool = False
     ) -> tuple:
         """Shared front half of the bounded streaming legs: guard the
         DEFINEs to row-local predicates, build the bounded pattern AST
         (PERMUTE -> alternation of its variants in listed preference
         order; flat position specs -> AST nodes), bound-check Lmax, and
         compile each variable's DEFINE to a JVM flag column. Returns
-        (ast, uniq_vars, field_types, flagged_df, var_flags)."""
+        (ast, uniq_vars, field_types, flagged_df, var_flags).
+
+        ``time_bounded=True`` (the WITHIN-horizon leg): unbounded
+        quantifiers (A+/A*/A{n,} and group analogs, the plus-run form
+        included) are allowed in the AST — hi=None nodes — and the Lmax
+        row-count caps are skipped (the decision window is bounded by
+        the WITHIN span instead)."""
         import itertools
         import re as _re
 
@@ -747,21 +777,33 @@ class Engine:
                 elif len(alts) == 1 and alts[0] in spec.quants:
                     lo, hi = spec.quants[alts[0]]
                     lazy = alts[0] in spec.lazy_vars
+                elif len(alts) == 1 and alts[0] in spec.unbounded:
+                    lo, hi = spec.unbounded[alts[0]], None
+                    lazy = alts[0] in spec.lazy_vars
+                elif (
+                    spec.plus is not None
+                    and len(alts) == 1
+                    and alts[0] == spec.plus[0]
+                ):
+                    # the A+ B / A* B / A{n,} B run form: positions =
+                    # [[a], [b]] with the run bounds held in spec.plus
+                    lo, hi, lazy = spec.plus[2], None, False
                 else:
                     lo, hi, lazy = 1, 1, False
                 pos_spec.append((list(alts), lo, hi, lazy))
             ast = _pos_spec_to_ast(pos_spec)
-        max_len = ast_max_len(ast)
-        if max_len < 2:
-            raise unsupported(
-                "a single-row bounded pattern (use a plain filter)"
-            )
-        if max_len > 64:
-            raise unsupported(
-                f"bounded pattern with max length {max_len} (the "
-                "window state bound caps at 64 rows per key — the "
-                "batch lowering's variant-expansion cap)"
-            )
+        if not time_bounded:
+            max_len = ast_max_len(ast)
+            if max_len < 2:
+                raise unsupported(
+                    "a single-row bounded pattern (use a plain filter)"
+                )
+            if max_len > 64:
+                raise unsupported(
+                    f"bounded pattern with max length {max_len} (the "
+                    "window state bound caps at 64 rows per key — the "
+                    "batch lowering's variant-expansion cap)"
+                )
         flagged = sdf
         var_flags: dict[str, str] = {}
         for i, v in enumerate(uniq_vars):
@@ -878,7 +920,8 @@ class Engine:
         return f"{stmt[:start]}FROM {view}{alias_sql}{stmt[end:]}"
 
     def _match_recognize_stream_bounded(
-        self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported
+        self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported,
+        time_bounded: bool = False,
     ) -> str:
         """Bounded-pattern streaming MATCH_RECOGNIZE leg: quantifiers,
         alternation groups, quantified groups, nested groups, and
@@ -896,7 +939,9 @@ class Engine:
         (
             ast, uniq_vars, field_types, flagged, var_flags,
             cross_checks, cross_cols, prev_spec,
-        ) = self._bounded_stream_prep(spec, sdf, ts_col, unsupported)
+        ) = self._bounded_stream_prep(
+            spec, sdf, ts_col, unsupported, time_bounded=time_bounded
+        )
         patvars = set(uniq_vars)
         # aggregate measures (COUNT/SUM/AVG/MIN/MAX over a variable's
         # matched rows) compute exactly from the decision window
@@ -970,6 +1015,7 @@ class Engine:
                 else None
             ),
             prev_spec=prev_spec,
+            time_bounded=time_bounded,
         )
         pos_col = {v: f"{v}_last_ts" for v in uniq_vars}
         pay_col = {

@@ -1008,6 +1008,13 @@ def _match_bounded(
     return None
 
 
+#: time-bounded window safety valve: a key whose undecided window
+#: exceeds this many rows raises loudly instead of growing state
+#: silently (the analog of Flink's state-size alerts for a WITHIN
+#: span x rate that outgrows the executor)
+TIME_WINDOW_ROW_CAP = 4096
+
+
 def bounded_nfa_stream(
     stream_df: DataFrame,
     key_col: str,
@@ -1023,6 +1030,7 @@ def bounded_nfa_stream(
     skip_to: tuple | None = None,
     cross_spec: tuple | None = None,
     prev_spec: tuple | None = None,
+    time_bounded: bool = False,
 ) -> DataFrame:
     """Streaming matcher for ANY BOUNDED pattern — quantifiers A{n,m} /
     A? / A{n}, alternation groups (A|B), quantified groups (A|B){n,m},
@@ -1051,11 +1059,28 @@ def bounded_nfa_stream(
     measures (COUNT/SUM/AVG/MIN/MAX over the variable's matched rows —
     the full window is present, so they compute exactly; col None =
     COUNT(Var.*)). Emits (key, {var}_last_ts... [, {var}_{col}...,
-    {agg aliases}...])."""
-    max_len = ast_max_len(ast)
-    if max_len < 2:
-        raise ValueError("bounded pattern must span at least 2 rows")
-    hist = max_len - 1
+    {agg aliases}...]).
+
+    ``time_bounded=True``: the TIME-bounded variant for patterns with
+    UNBOUNDED quantifiers under a WITHIN bound — no finite Lmax exists,
+    but WITHIN W means a start at the window head is decided the moment
+    a row with ts > head_ts + W arrives (in arrival order, every row
+    that could still join a match anchored there has been seen — the
+    same horizon rule as the batch lim). The window holds a VARIABLE
+    number of rows in array-typed state: O(per-key rate x W), exactly
+    the state Flink's CEP operator keeps for a WITHIN pattern, with a
+    loud row cap (TIME_WINDOW_ROW_CAP) instead of silent growth.
+    Trailing starts whose horizon never passes stay undecided at stream
+    end — the same terminator contract as the row-bounded leg."""
+    if time_bounded:
+        if within_seconds is None:
+            raise ValueError("time_bounded needs within_seconds")
+        max_len, hist = 2, None
+    else:
+        max_len = ast_max_len(ast)
+        if max_len < 2:
+            raise ValueError("bounded pattern must span at least 2 rows")
+        hist = max_len - 1
     var_bit = {v: i for i, v in enumerate(pattern_vars)}
     pay_pairs, pay_types = [], {}
     if payload_spec is not None:
@@ -1084,11 +1109,16 @@ def bounded_nfa_stream(
         ]
         + [f"{alias} {out_t}" for _, _, _, alias, out_t in aggs]
     )
-    state_schema = ", ".join(
-        f"m{i} long, s{i} timestamp"
-        + "".join(f", w{i}_{c} {wtypes[c]}" for c in pcols)
-        for i in range(1, hist + 1)
-    )
+    if time_bounded:
+        state_schema = "ms array<long>, ss array<timestamp>" + "".join(
+            f", w_{c} array<{wtypes[c]}>" for c in pcols
+        )
+    else:
+        state_schema = ", ".join(
+            f"m{i} long, s{i} timestamp"
+            + "".join(f", w{i}_{c} {wtypes[c]}" for c in pcols)
+            for i in range(1, hist + 1)
+        )
     stride = 2 + len(pcols)
     flag_cols = [var_flags[v] for v in pattern_vars]
     pchecks, need_cols, max_prev = {}, [], 0
@@ -1097,6 +1127,18 @@ def bounded_nfa_stream(
         state_schema += ", " + _prev_schema_suffix(
             need_cols, max_prev, prev_col_types
         )
+
+    def _decidable(window) -> bool:
+        if time_bounded:
+            # the head start is decided once a strictly LATER-than-
+            # horizon row exists: every row with ts <= head + W has
+            # arrived (arrival order)
+            return (
+                len(window) >= 2
+                and (window[-1][1] - window[0][1]).total_seconds()
+                > within_seconds
+            )
+        return len(window) >= max_len
 
     def update(
         key: tuple,
@@ -1107,19 +1149,38 @@ def bounded_nfa_stream(
         vhist: list[dict] = []
         if state.exists:
             vals = state.get
-            window = [
-                (
-                    vals[stride * i],
-                    vals[stride * i + 1],
-                    tuple(vals[stride * i + 2 : stride * (i + 1)]),
-                )
-                for i in range(hist)
-                if vals[stride * i] is not None
-            ]
-            if max_prev:
-                vhist = _prev_load(
-                    vals, stride * hist, need_cols, max_prev
-                )
+            if time_bounded:
+                ms = list(vals[0] or [])
+                ss = list(vals[1] or [])
+                pv_arrays = [
+                    list(vals[2 + ci] or []) for ci in range(len(pcols))
+                ]
+                window = [
+                    (
+                        ms[j],
+                        ss[j],
+                        tuple(arr[j] for arr in pv_arrays),
+                    )
+                    for j in range(len(ms))
+                ]
+                if max_prev:
+                    vhist = _prev_load(
+                        vals, stride, need_cols, max_prev
+                    )
+            else:
+                window = [
+                    (
+                        vals[stride * i],
+                        vals[stride * i + 1],
+                        tuple(vals[stride * i + 2 : stride * (i + 1)]),
+                    )
+                    for i in range(hist)
+                    if vals[stride * i] is not None
+                ]
+                if max_prev:
+                    vhist = _prev_load(
+                        vals, stride * hist, need_cols, max_prev
+                    )
         out_rows: list[list] = []
         for pdf in batches:
             sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
@@ -1155,7 +1216,7 @@ def bounded_nfa_stream(
                         tuple(_scalar(pay_vals[c][r]) for c in pcols),
                     )
                 )
-                while len(window) >= max_len:
+                while _decidable(window):
                     if within_seconds is None:
                         lim = len(window) - 1
                     else:
@@ -1222,11 +1283,29 @@ def bounded_nfa_stream(
                         window = window[_skip_drop(mp, skip_past, skip_to):]
                     else:
                         window = window[1:]
-        flat: list = []
-        for mask, ts, pv in window:
-            flat += [mask, ts, *pv]
-        while len(flat) < stride * hist:
-            flat = [None] * stride + flat
+        if time_bounded:
+            if len(window) > TIME_WINDOW_ROW_CAP:
+                raise ValueError(
+                    f"WITHIN window for key {key[0]!r} holds "
+                    f"{len(window)} undecided rows (> "
+                    f"{TIME_WINDOW_ROW_CAP}): the per-key rate x WITHIN "
+                    "span outgrows the streaming state bound — shorten "
+                    "WITHIN or run the statement in batch"
+                )
+            flat = [
+                [m for m, _, _ in window],
+                [ts for _, ts, _ in window],
+                *[
+                    [pv[ci] for _, _, pv in window]
+                    for ci in range(len(pcols))
+                ],
+            ]
+        else:
+            flat = []
+            for mask, ts, pv in window:
+                flat += [mask, ts, *pv]
+            while len(flat) < stride * hist:
+                flat = [None] * stride + flat
         if max_prev:
             flat += _prev_flat(vhist, need_cols, max_prev)
         state.update(tuple(flat))
