@@ -362,7 +362,7 @@ def main(n_cases, seed):
             # leg must reject LOUDLY (one key), never run silently
             failures += check_multikey_rejection(spark, router, eng, rng)
         all_rows = kind == "bounded_ar" or (
-            kind == "bounded" and rng.random() < 0.35
+            kind in ("bounded", "timebound") and rng.random() < 0.35
         )
         if all_rows:
             # ALL ROWS PER MATCH: per-matched-row emission with

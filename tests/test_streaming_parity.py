@@ -3149,3 +3149,44 @@ def test_time_bounded_leg_row_cap_is_loud(spark):
             )
     finally:
         stateful.TIME_WINDOW_ROW_CAP = old_cap
+
+
+def test_time_bounded_all_rows_unbounded_run_streams(spark):
+    """ALL ROWS PER MATCH over an unbounded run with WITHIN streams via
+    the time-bounded window leg — CLASSIFIER/MATCH_NUMBER, RUNNING and
+    aggregate measures, exact batch parity."""
+    from collections import Counter
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _time_bounded_df(spark, seed=23)
+    eng = Engine(spark)
+    router = StatementRouter(spark)
+    stmt = """
+        SELECT k, CAST(ts AS LONG) AS e, v, cls, mn, rsum, na
+        FROM tb_ar
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mn,
+                     RUNNING SUM(A.v) AS rsum, COUNT(A.v) AS na
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            WITHIN INTERVAL '9' SECOND
+            DEFINE A AS A.v >= 3, B AS B.v BETWEEN 0 AND 2
+        )
+    """
+    df.createOrReplaceTempView("tb_ar")
+    batch = Counter(tuple(r) for r in router.execute(stmt).collect())
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"tb_ar": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = Counter(tuple(r) for r in streamed.collect())
+    assert got == batch and batch, (batch - got, got - batch)

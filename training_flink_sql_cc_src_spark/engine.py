@@ -567,9 +567,14 @@ class Engine:
             # (O(rate x W), the state Flink's CEP operator keeps
             # for a WITHIN pattern); each start is decided when a
             # later-than-horizon row arrives.
-            if spec.within_seconds is not None and not spec.all_rows:
+            if spec.within_seconds is not None:
+                leg = (
+                    self._match_recognize_stream_all_rows
+                    if spec.all_rows
+                    else self._match_recognize_stream_bounded
+                )
                 try:
-                    return self._match_recognize_stream_bounded(
+                    return leg(
                         stmt, spec, sdf, key, ts_col, tiebreak,
                         unsupported, time_bounded=True,
                     )
@@ -832,7 +837,8 @@ class Engine:
         )
 
     def _match_recognize_stream_all_rows(
-        self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported
+        self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported,
+        time_bounded: bool = False,
     ) -> str:
         """ALL ROWS PER MATCH over a stream, for any BOUNDED pattern
         (plain sequences included): the Lmax-window matcher carries
@@ -850,7 +856,9 @@ class Engine:
         (
             ast, uniq_vars, field_types, flagged, var_flags,
             cross_checks, _cross_cols, prev_spec,
-        ) = self._bounded_stream_prep(spec, sdf, ts_col, unsupported)
+        ) = self._bounded_stream_prep(
+            spec, sdf, ts_col, unsupported, time_bounded=time_bounded
+        )
         patvars = set(uniq_vars)
         integral = ("tinyint", "smallint", "int", "bigint")
         out_types: dict[str, str] = {}
@@ -912,6 +920,7 @@ class Engine:
             skip_to=spec.skip_to,
             cross_checks=cross_checks,
             prev_spec=prev_spec,
+            time_bounded=time_bounded,
         )
         view = f"__mr_stream_{abs(hash(stmt)) % 10_000_000}"
         matched.createOrReplaceTempView(view)

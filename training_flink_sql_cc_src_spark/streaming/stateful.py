@@ -1350,6 +1350,7 @@ def bounded_nfa_all_rows_stream(
     skip_to: tuple | None = None,
     cross_checks: dict | None = None,
     prev_spec: tuple | None = None,
+    time_bounded: bool = False,
 ) -> DataFrame:
     """ALL ROWS PER MATCH for bounded patterns over a stream: the same
     Lmax-window decision procedure as ``bounded_nfa_stream``, but the
@@ -1367,10 +1368,18 @@ def bounded_nfa_all_rows_stream(
     Flink CEP ALL ROWS contract."""
     from ..plans.match_recognize import CLASSIFIER, MATCH_NUMBER
 
-    max_len = ast_max_len(ast)
-    if max_len < 2:
-        raise ValueError("bounded pattern must span at least 2 rows")
-    hist = max_len - 1
+    if time_bounded:
+        # WITHIN-horizon variant (see bounded_nfa_stream): unbounded
+        # quantifiers allowed, variable-length array state bounded by
+        # the WITHIN span x per-key rate with the loud row cap
+        if within_seconds is None:
+            raise ValueError("time_bounded needs within_seconds")
+        max_len, hist = 2, None
+    else:
+        max_len = ast_max_len(ast)
+        if max_len < 2:
+            raise ValueError("bounded pattern must span at least 2 rows")
+        hist = max_len - 1
     var_bit = {v: i for i, v in enumerate(pattern_vars)}
     field_types = {
         f.name: f.dataType.simpleString() for f in stream_df.schema
@@ -1387,11 +1396,19 @@ def bounded_nfa_all_rows_stream(
     )
     # per window row: mask, covered flag, then the full source row
     stride = 2 + len(src_cols)
-    state_schema = "mn long, " + ", ".join(
-        f"m{i} long, c{i} boolean"
-        + "".join(f", w{i}_{c} {field_types[c]}" for c in src_cols)
-        for i in range(1, hist + 1)
-    )
+    if time_bounded:
+        state_schema = (
+            "mn long, ms array<long>, cs array<boolean>"
+            + "".join(
+                f", w_{c} array<{field_types[c]}>" for c in src_cols
+            )
+        )
+    else:
+        state_schema = "mn long, " + ", ".join(
+            f"m{i} long, c{i} boolean"
+            + "".join(f", w{i}_{c} {field_types[c]}" for c in src_cols)
+            for i in range(1, hist + 1)
+        )
     flag_cols = [var_flags[v] for v in pattern_vars]
     ts_idx = src_cols.index(ts_col)
     pchecks, need_cols, max_prev = {}, [], 0
@@ -1413,20 +1430,40 @@ def bounded_nfa_all_rows_stream(
         if state.exists:
             vals = state.get
             mn = vals[0] or 0
-            for i in range(hist):
-                off = 1 + stride * i
-                if vals[off] is not None:
-                    window.append(
-                        [
-                            vals[off],
-                            bool(vals[off + 1]),
-                            tuple(vals[off + 2 : off + stride]),
-                        ]
+            if time_bounded:
+                ms = list(vals[1] or [])
+                cs = list(vals[2] or [])
+                col_arrays = [
+                    list(vals[3 + ci] or [])
+                    for ci in range(len(src_cols))
+                ]
+                window = [
+                    [
+                        ms[j],
+                        bool(cs[j]),
+                        tuple(arr[j] for arr in col_arrays),
+                    ]
+                    for j in range(len(ms))
+                ]
+                if max_prev:
+                    vhist = _prev_load(
+                        vals, 3 + len(src_cols), need_cols, max_prev
                     )
-            if max_prev:
-                vhist = _prev_load(
-                    vals, 1 + stride * hist, need_cols, max_prev
-                )
+            else:
+                for i in range(hist):
+                    off = 1 + stride * i
+                    if vals[off] is not None:
+                        window.append(
+                            [
+                                vals[off],
+                                bool(vals[off + 1]),
+                                tuple(vals[off + 2 : off + stride]),
+                            ]
+                        )
+                if max_prev:
+                    vhist = _prev_load(
+                        vals, 1 + stride * hist, need_cols, max_prev
+                    )
         out_rows: list[list] = []
 
         def measure_row(mp, t, row_var):
@@ -1517,7 +1554,13 @@ def bounded_nfa_all_rows_stream(
                         tuple(_scalar(src_vals[c][r]) for c in src_cols),
                     ]
                 )
-                while len(window) >= max_len:
+                while (
+                    len(window) >= 2
+                    and (
+                        window[-1][2][ts_idx] - window[0][2][ts_idx]
+                    ).total_seconds()
+                    > within_seconds
+                ) if time_bounded else (len(window) >= max_len):
                     if within_seconds is None:
                         lim = len(window) - 1
                     else:
@@ -1555,10 +1598,29 @@ def bounded_nfa_all_rows_stream(
                         drop_head(_skip_drop(mp, skip_past, skip_to))
                     else:
                         drop_head(1)
-        flat: list = [mn]
-        for mask, covered, vals_t in window:
-            flat += [mask, covered, *vals_t]
-        flat += [None] * (1 + stride * hist - len(flat))
+        if time_bounded:
+            if len(window) > TIME_WINDOW_ROW_CAP:
+                raise ValueError(
+                    f"WITHIN window for key {key[0]!r} holds "
+                    f"{len(window)} undecided rows (> "
+                    f"{TIME_WINDOW_ROW_CAP}): the per-key rate x WITHIN "
+                    "span outgrows the streaming state bound — shorten "
+                    "WITHIN or run the statement in batch"
+                )
+            flat = [
+                mn,
+                [row[0] for row in window],
+                [row[1] for row in window],
+                *[
+                    [row[2][ci] for row in window]
+                    for ci in range(len(src_cols))
+                ],
+            ]
+        else:
+            flat = [mn]
+            for mask, covered, vals_t in window:
+                flat += [mask, covered, *vals_t]
+            flat += [None] * (1 + stride * hist - len(flat))
         if max_prev:
             flat += _prev_flat(vhist, need_cols, max_prev)
         state.update(tuple(flat))
