@@ -80,7 +80,12 @@ class Engine:
         WITHIN, and ALL ROWS PER MATCH (WITH UNMATCHED ROWS,
         exclusions, CLASSIFIER/MATCH_NUMBER) — all route to the
         stateful per-key matchers (streaming/stateful.py) and the
-        outer query is rewritten over the matched stream. Flink's Window Top-N
+        outer query is rewritten over the matched stream. A WITHIN
+        bound additionally makes ANY pattern streamable — unbounded
+        quantifiers with arbitrary predicates, cross-variable DEFINEs
+        on runs, SKIP TO over runs, unbounded mixed with bounded,
+        ALL ROWS over runs — via the TIME-bounded window matcher
+        (state = WITHIN span x per-key rate, loud row cap). Flink's Window Top-N
         statement (nested ROW_NUMBER over a TUMBLE/HOP TVF aggregate,
         WHERE rn <= N) streams through ``_window_topn_stream`` — a
         chained windowed aggregation with an array_sort rank filter,
@@ -355,9 +360,11 @@ class Engine:
                 "supports plain adjacent sequences, A+ B runs, and the "
                 "A B+ C funnel with row-local DEFINEs (arbitrary "
                 "single-row predicates), one PARTITION BY key, and "
-                "MEASURES of Var.<columns>; run the statement in batch "
-                "(Engine.sql) or use streaming/stateful.py directly for "
-                "custom state machines"
+                "MEASURES of Var.<columns>; adding a WITHIN bound makes "
+                "ANY pattern streamable (the time-bounded window leg). "
+                "Otherwise run the statement in batch (Engine.sql) or "
+                "use streaming/stateful.py directly for custom state "
+                "machines"
             )
 
         if len(spec.partition_by) != 1:
