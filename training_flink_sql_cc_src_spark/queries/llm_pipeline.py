@@ -751,6 +751,171 @@ def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BPE_MERGES = 2  # fixed so the oracle can unroll the loop exactly
+
+# one BPE iteration's pair counts over wrapped-symbol strings; {w} is
+# the CTE holding (segs, c). Symbols are wrapped '(s1)(s2)...' so the
+# merge is a plain string replace — non-overlapping left-to-right,
+# exactly the classic greedy within-word merge — and a pair string can
+# never straddle a symbol boundary (alpha symbols carry no parens).
+_BPE_PAIRS_SQL = """
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(
+            generate_series(1,
+                len(string_split(trim(segs, '()'), ')(')) - 1),
+            i -> '(' || string_split(trim(segs, '()'), ')(')[i] ||
+                 ')(' || string_split(trim(segs, '()'), ')(')[i + 1]
+                 || ')')) AS pair, c
+        FROM {w})
+    GROUP BY pair
+"""
+
+_BPE_MERGE_SQL = """
+    SELECT replace(segs, (SELECT pair FROM {b}),
+                   '(' || replace(trim((SELECT pair FROM {b}), '()'),
+                                  ')(', '') || ')') AS segs, c
+    FROM {w}
+"""
+
+
+@register(
+    "pipeline_bpe_train",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, COUNT(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 2 GROUP BY w
+    ), w0 AS (
+        SELECT '(' || array_to_string(
+                   list_transform(generate_series(1, len(w)),
+                                  i -> substr(w, i, 1)), ')(')
+               || ')' AS segs, c
+        FROM words
+    ), p1 AS ({_BPE_PAIRS_SQL.format(w='w0')}
+    ), b1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair LIMIT 1
+    ), w1 AS ({_BPE_MERGE_SQL.format(b='b1', w='w0')}
+    ), p2 AS ({_BPE_PAIRS_SQL.format(w='w1')}
+    ), b2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair LIMIT 1
+    ), w2 AS ({_BPE_MERGE_SQL.format(b='b2', w='w1')}
+    ), p3 AS ({_BPE_PAIRS_SQL.format(w='w2')}
+    )
+    SELECT CAST(1 AS INT) AS rank, pair, n FROM p1
+    WHERE pair = (SELECT pair FROM b1)
+    UNION ALL
+    SELECT CAST(2 AS INT), pair, n FROM p2
+    WHERE pair = (SELECT pair FROM b2)
+    UNION ALL
+    SELECT CAST({N_BPE_MERGES} + rn AS INT), pair, n FROM (
+        SELECT pair, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rn
+        FROM p3) WHERE rn <= 10
+    """,
+    doc=f"BPE tokenizer TRAINING in-engine — {N_BPE_MERGES} full merge "
+    "iterations (Sennrich et al. 2016) plus the next iteration's "
+    "top-10 merge candidates: each round counts adjacent symbol pairs "
+    "over the corpus-weighted word table (two shuffles, the "
+    "pipeline_bpe_pair_counts plan), collects the single best pair (a "
+    "1-row driver hop, the kmeans_fit/CC-loop convergence contract), "
+    "and re-segments every word with a JVM left-fold over the symbol "
+    "array — provably identical to the classic non-overlapping "
+    "left-to-right merge (the fold can never re-merge a freshly "
+    "merged symbol, since x||y != x). Symbols are emitted wrapped "
+    "('(l)(l)') so the oracle can replay the merge as a plain string "
+    "REPLACE over its wrapped-symbol encoding. The iteration count is "
+    "a compile-time constant; at 100 TB each round is one aggregate "
+    "over the DISTINCT-WORD table (vocabulary-sized, not "
+    "corpus-sized) — the map-side win that makes in-engine tokenizer "
+    "training feasible.",
+)
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    segs = words.select(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("syms"),
+        "c",
+    ).localCheckpoint(eager=False)
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.concat(
+                            F.lit("("),
+                            F.element_at("syms", i),
+                            F.lit(")("),
+                            F.element_at("syms", i + 1),
+                            F.lit(")"),
+                        ),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").alias("n"))
+        )
+
+    merges: list[tuple[int, str, int]] = []
+    for k in range(1, N_BPE_MERGES + 1):
+        best = (
+            pair_counts(segs)
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((k, best["pair"], int(best["n"])))
+        x, y = best["pair"][1:-1].split(")(")
+        xy = x + y
+        # greedy left-to-right within-word merge as a JVM left fold:
+        # append, or fuse with the previous symbol when it equals x
+        # and the current equals y (a freshly fused symbol is xy != x,
+        # so overlapping occurrences never double-merge)
+        segs = segs.select(
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS ARRAY<STRING>)"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(x))
+                    & (s == F.lit(y)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(xy)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+            "c",
+        ).localCheckpoint(eager=False)
+    learned = spark.createDataFrame(
+        merges, "rank int, pair string, n long"
+    )
+    # top-10 via TakeOrderedAndProject (distributed), THEN the global
+    # row_number runs on only 10 rows — the single-partition window
+    # never sees more than the final answer
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    candidates = (
+        pair_counts(segs)
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(10)
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            (F.col("rn") + N_BPE_MERGES).cast("int").alias("rank"),
+            "pair",
+            "n",
+        )
+    )
+    return learned.unionByName(candidates)
+
+
 @register(
     "pipeline_semdedup",
     oracle="""
