@@ -215,7 +215,11 @@ def gen_timebound(rng):
         )
         defs[v] += f" AND {v}.v {op} {ref}"
     defines = ", ".join(f"{v} AS {defs[v]}" for v in used)
-    skip_tgts = [v for v in used[1:]]
+    # a SKIP TO target that can map the match START would raise the
+    # loop-forever error in BOTH engines ((A|B)+ C: A and B both
+    # anchor) — only vars that never sit at position 0 are safe
+    first_vars = {"A", "B"} if pattern.startswith("(A|B)") else {used[0]}
+    skip_tgts = [v for v in used if v not in first_vars]
     r = rng.random()
     if skip_tgts and r < 0.25:
         skip = f"TO {rng.choice(['FIRST', 'LAST'])} {rng.choice(skip_tgts)}"
