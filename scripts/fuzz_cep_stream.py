@@ -394,6 +394,20 @@ def main(n_cases, seed):
                 if with_payload:
                     meas.append(f"{v}.v AS p{i}")
                     outer.append(f"p{i}")
+            run_first_ok = (
+                kind in ("seq", "bounded", "timebound")
+                or (kind == "run" and pattern == "A+ B")
+            )
+            if run_first_ok and rng.random() < 0.3:
+                # FIRST() navigation: run legs bind it via the O(1)
+                # first-row slot (round 8); bounded legs from the
+                # decision window; single-mapped vars == LAST
+                fv = pvars[0] if kind == "run" else rng.choice(pvars)
+                meas.append(f"FIRST({fv}.ts) AS fnav_t")
+                outer.append("CAST(fnav_t AS LONG) AS fnav_e")
+                if with_payload:
+                    meas.append(f"FIRST({fv}.v) AS fnav_v")
+                    outer.append("fnav_v")
             if (
                 kind in ("bounded", "seq", "run", "timebound")
                 and "PREV" not in defines

@@ -3190,3 +3190,74 @@ def test_time_bounded_all_rows_unbounded_run_streams(spark):
     )
     got = Counter(tuple(r) for r in streamed.collect())
     assert got == batch and batch, (batch - got, got - batch)
+
+
+def test_run_first_navigation_measures_match_batch(spark):
+    """FIRST() navigation over the unbounded A+ B run streams through
+    the run leg's O(1) first-row slot — including the eq-literal shape
+    that previously SILENTLY emitted the LAST row's value for
+    FIRST(A.ts) (the nav-unaware pos path), and the overlap/backtrack
+    (pend) path where the emitted match is shorter than the live run
+    but keeps the same start row."""
+    import datetime as dt
+    from collections import Counter
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", 1, base + dt.timedelta(seconds=i), t, 10 + i)
+        for i, t in enumerate(
+            ["a", "a", "a", "b", "x", "a", "b", "a", "a", "b", "x"]
+        )
+    ]
+    rows2 = [
+        ("k", 2, base + dt.timedelta(seconds=i), "z", v)
+        for i, v in enumerate([5, 6, 9, 7, 9, 1, 5, 9, 2])
+    ]
+    df = spark.createDataFrame(
+        rows + rows2, "k string, uid long, ts timestamp, et string, v int"
+    )
+    cases = [
+        # the formerly-wrong eq-mode shape: FIRST(A.ts) vs bare A.ts
+        ("A AS A.et = 'a', B AS B.et = 'b'",
+         "FIRST(A.ts) AS fa, A.ts AS la",
+         "CAST(fa AS LONG) AS m1, CAST(la AS LONG) AS m2"),
+        # payload FIRST + LAST + aggregate together
+        ("A AS A.et = 'a', B AS B.et = 'b'",
+         "FIRST(A.v) AS fa, LAST(A.v) AS la, COUNT(A.v) AS ca",
+         "fa AS m1, la AS m2, ca AS m3"),
+        # overlapping predicates -> pend backtrack with the FIRST slot
+        ("A AS A.v >= 5, B AS B.v = 9 OR B.v <= 2",
+         "FIRST(A.v) AS fa, FIRST(A.ts) AS ft, SUM(A.v) AS sa",
+         "fa AS m1, CAST(ft AS LONG) AS m2, sa AS m3"),
+    ]
+    for defines, meas, sel in cases:
+        stmt = f"""
+            SELECT uid, {sel} FROM first_nav_src
+            MATCH_RECOGNIZE (
+                PARTITION BY uid ORDER BY ts
+                MEASURES {meas}
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A+ B)
+                DEFINE {defines}
+            )
+        """
+        router = StatementRouter(spark)
+        eng = Engine(spark)
+        df.createOrReplaceTempView("first_nav_src")
+        batch = Counter(tuple(r) for r in router.execute(stmt).collect())
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(
+                stmt, {"first_nav_src": s}
+            ),
+            output_mode="append",
+            n_files=3,
+            order_by="ts",
+        )
+        got = Counter(tuple(r) for r in streamed.collect())
+        assert got == batch and batch, (meas, batch - got, got - batch)

@@ -491,6 +491,14 @@ class Engine:
                     for var, col, _ in spec.measures
                     if var in set(spec.pattern)
                 )
+                # FIRST() navigation: the eq matchers' pos columns bind
+                # LAST rows — route to the general leg, which carries a
+                # first-row slot (or rejects loudly where it cannot)
+                or any(
+                    spec.measure_nav.get(alias, "LAST").upper()
+                    == "FIRST"
+                    for _, _, alias in spec.measures
+                )
             ):
                 # non-position measures (Var.<payload col>) and aggregate
                 # measures ride the general leg's keyed state; eq-literal
@@ -1333,8 +1341,6 @@ class Engine:
         # O(1)-state runs keep only their last row, and the sequence
         # pos_col map keeps the last position of a repeated variable
         run_vars = set()
-        if spec.plus is not None:
-            run_vars.add(spec.plus[0])
         if funnel:
             run_vars.add(spec.pattern[1])
         run_vars |= {v for v in spec.pattern if spec.pattern.count(v) > 1}
@@ -1343,11 +1349,14 @@ class Engine:
                 spec.measure_nav.get(alias, "LAST").upper() == "FIRST"
                 and var in run_vars
             ):
+                # the A+ B run leg binds FIRST through its O(1)
+                # first-row slot; the funnel's middle run and repeated
+                # sequence variables still keep only their LAST row
                 raise unsupported(
                     f"FIRST({var}.{col}) over a multiply-mapped "
-                    "variable (the streaming matchers keep the LAST "
-                    "row; the batch path and the bounded-window leg "
-                    "bind FIRST)"
+                    "variable (the A+ B run leg streams FIRST; this "
+                    "shape keeps the LAST row only — the batch path "
+                    "and the bounded-window leg bind FIRST)"
                 )
         # measures beyond Var.<order col>: carry the matched rows'
         # payload columns through the matcher's keyed state
@@ -1424,6 +1433,7 @@ class Engine:
                 ),
             )
             flag_cols.append(c)
+        nav_aware = False
         if funnel:
             roles = {
                 spec.pattern[0]: "start",
@@ -1470,14 +1480,45 @@ class Engine:
                     "timestamps — unbounded state; eq-literal disjoint "
                     "DEFINEs or the batch path support WITHIN)"
                 )
-            pay_pairs = [
-                ("last" if var == spec.plus[0] else "end", col)
-                for var, col in pay_needs
-            ]
-            pay_col = {
-                (var, col): f"{role}_{col}"
-                for (var, col), (role, _) in zip(pay_needs, pay_pairs)
+            # nav-aware payload wiring: FIRST(A.col) reads the run's
+            # first-row slot; FIRST(A.ts) is the emitted first_ts; B
+            # maps one row so FIRST == LAST == the end row
+            nav_aware = True
+            plus_a, plus_b = spec.plus[0], spec.plus[1]
+
+            def _role_of(var: str, nav: str) -> str:
+                if var == plus_b:
+                    return "end"
+                return "first" if nav == "FIRST" else "last"
+
+            pay_sources = {
+                (
+                    var,
+                    col,
+                    spec.measure_nav.get(alias, "LAST").upper(),
+                )
+                for var, col, alias in spec.measures
+                if var in patvars and alias not in spec.measure_agg
             }
+            pay_pairs = sorted(
+                {
+                    (_role_of(var, nav), col)
+                    for var, col, nav in pay_sources
+                    if col != ts_col
+                }
+            )
+            pay_col = {}
+            for var, col, nav in pay_sources:
+                if col == ts_col:
+                    pay_col[(var, col, nav)] = (
+                        "first_ts"
+                        if (var == plus_a and nav == "FIRST")
+                        else ("last_ts" if var == plus_a else "end_ts")
+                    )
+                else:
+                    pay_col[(var, col, nav)] = (
+                        f"{_role_of(var, nav)}_{col}"
+                    )
             matched = run_flags_stream(
                 flagged, key, ts_col, flag_cols[0], flag_cols[1],
                 tiebreak_col=tiebreak, prev_spec=prev_spec,
@@ -1516,6 +1557,7 @@ class Engine:
             agg_col=(
                 {a: a for _, _, _, a, _ in agg_spec} if agg_spec else None
             ),
+            nav_aware=nav_aware,
         )
 
     def _over_agg_stream(

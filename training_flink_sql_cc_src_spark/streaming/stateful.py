@@ -600,7 +600,10 @@ def run_flags_stream(
     state (see module note above). ``payload_spec`` =
     ([(role, col), ...], {col: sql_type}) with role "last" (the run's
     final A row — what an A.col measure reads under Flink's LAST-row
-    binding) or "end" (the B row) carries MEASURE columns of those rows
+    binding), "first" (the run's FIRST A row — FIRST(A.col) measure
+    navigation, held in an O(1) slot set at run start and untouched by
+    the pend backtrack, whose match keeps the same start row) or "end"
+    (the B row) carries MEASURE columns of those rows
     through the O(1) state, emitted as ``{role}_{col}``. ``agg_spec`` =
     [(fn, role, col_or_None, alias, out_type), ...] adds AGGREGATE
     measures: role "run" aggregates over the run's rows through O(1)
@@ -630,10 +633,10 @@ def run_flags_stream(
     state_schema = (
         "run_start timestamp, run_last timestamp, "
         "pend timestamp, pend_prev timestamp"
-        # payloads of the run_last / pend_prev / pend rows
+        # payloads of the run_last / pend_prev / pend / FIRST-run rows
         + "".join(
             f", {tag}_{c} {pay_types[c]}"
-            for tag in ("rl", "pp", "pe")
+            for tag in ("rl", "pp", "pe", "fs")
             for c in pcols
         )
     )
@@ -654,7 +657,7 @@ def run_flags_stream(
                 ("qmn", "double"), ("qmx", "double"),
             )
         )
-    agg_off = pay_state_off + 3 * npay
+    agg_off = pay_state_off + 4 * npay
     agg_width = (2 + 8 * n_ac) if agg_state else 0
     checks_per_flag, need_cols, max_prev = [], [], 0
     if prev_spec is not None:
@@ -670,7 +673,7 @@ def run_flags_stream(
     ) -> Iterator[pd.DataFrame]:
         vhist: list[dict] = []
         none_pay = (None,) * npay
-        rl_pay = pp_pay = pe_pay = none_pay
+        rl_pay = pp_pay = pe_pay = fs_pay = none_pay
         # run-aggregate accumulators: {col: [cnt, sum, min, max]} for
         # the live run and the pend snapshot, plus the run lengths
         rlen = p_rlen = 0
@@ -683,6 +686,7 @@ def run_flags_stream(
                 rl_pay = tuple(vals[4 : 4 + npay])
                 pp_pay = tuple(vals[4 + npay : 4 + 2 * npay])
                 pe_pay = tuple(vals[4 + 2 * npay : 4 + 3 * npay])
+                fs_pay = tuple(vals[4 + 3 * npay : 4 + 4 * npay])
             if agg_state:
                 rlen = vals[agg_off] or 0
                 p_rlen = vals[agg_off + 1] or 0
@@ -749,7 +753,7 @@ def run_flags_stream(
                 if run_start is None:
                     if a:
                         run_start = run_last = cur_ts
-                        rl_pay = cur_pay
+                        rl_pay = fs_pay = cur_pay
                         pend = pend_prev = None
                         if agg_state:
                             rlen, p_rlen = 1, 0
@@ -781,26 +785,33 @@ def run_flags_stream(
                     firsts.append(run_start)
                     lasts.append(run_last)
                     ends.append(cur_ts)
-                    pays.append((rl_pay, cur_pay))
+                    pays.append((rl_pay, cur_pay, fs_pay))
                     if agg_state:
                         agg_outs.append(_finalize(rlen, acc, cur_pay))
                     run_start = run_last = pend = pend_prev = None
+                    fs_pay = none_pay
                     rlen = p_rlen = 0
                 else:
                     if pend is not None:
+                        # the backtracked match starts at the SAME run
+                        # start row, so fs_pay carries over unchanged
                         firsts.append(run_start)
                         lasts.append(pend_prev)
                         ends.append(pend)
-                        pays.append((pp_pay, pe_pay))
+                        pays.append((pp_pay, pe_pay, fs_pay))
                         if agg_state:
                             agg_outs.append(
                                 _finalize(p_rlen, pacc, pe_pay)
                             )
                     run_start = run_last = pend = pend_prev = None
+                    fs_pay = none_pay
                     rlen = p_rlen = 0
         st = [run_start, run_last, pend, pend_prev]
         if npay:
-            st += list(rl_pay) + list(pp_pay) + list(pe_pay)
+            st += (
+                list(rl_pay) + list(pp_pay) + list(pe_pay)
+                + list(fs_pay)
+            )
         if agg_state:
             st += [rlen, p_rlen]
             for c in arun_cols:
@@ -816,7 +827,7 @@ def run_flags_stream(
                 "end_ts": ends,
             }
             for role, c in pay_pairs:
-                side = 0 if role == "last" else 1
+                side = {"last": 0, "end": 1, "first": 2}[role]
                 ci = pcols.index(c)
                 data[f"{role}_{c}"] = [p[side][ci] for p in pays]
             for j, (_, _, _, alias, _) in enumerate(aggs):
