@@ -135,10 +135,19 @@ def gen_bounded(rng):
     # in ONE statement — the corners VERDICT r7 asked the fuzzer to
     # compose rather than sample independently
     hard = bool(later) and rng.random() < 0.2
+    max_next = 0
     if rng.random() < 0.25:
         # physical PREV conjunct (arrival-history evaluation)
         v = rng.choice(used)
         defs[v] += f" AND {rand_prev_conjunct(rng, v)}"
+    elif rng.random() < 0.3:
+        # physical NEXT conjunct (decision-window lookahead, round 8);
+        # the decision defers by the max offset, so the TERM padding
+        # grows by the same amount (below)
+        v = rng.choice(used)
+        nc = rand_next_conjunct(rng, v, 2)
+        max_next = 2 if ", 2" in nc else 1
+        defs[v] += f" AND {nc}"
     if later and (hard or rng.random() < 0.3):
         # cross-variable conjunct on a later variable, referencing an
         # earlier one (possibly unmatched -> check false, still exact)
@@ -179,7 +188,10 @@ def gen_bounded(rng):
         else ""
     )
     kind = "bounded_ar" if (excl_var is not None or hard) else "bounded"
-    return " ".join(terms), defines, used, skip, within, lmax - 1, kind
+    return (
+        " ".join(terms), defines, used, skip, within,
+        lmax - 1 + max_next, kind,
+    )
 
 
 def gen_timebound(rng):
@@ -202,6 +214,12 @@ def gen_timebound(rng):
     else:
         pattern, used = "(A|B)+ C", ["A", "B", "C"]
     defs = {v: rand_local(rng, v) for v in used}
+    max_next = 0
+    if rng.random() < 0.25:
+        v = rng.choice(used)
+        nc = rand_next_conjunct(rng, v, 2)
+        max_next = 2 if ", 2" in nc else 1
+        defs[v] += f" AND {nc}"
     run_var = "B" if "B+" in pattern else "A"
     later = [v for v in used if v != used[0] or "(A|B)" in pattern]
     if later and rng.random() < 0.3:
@@ -229,7 +247,7 @@ def gen_timebound(rng):
     return (
         pattern, defines, used, skip,
         f"WITHIN INTERVAL '{within}' SECOND",
-        within // 3 + 2, "timebound",
+        within // 3 + 2 + max_next, "timebound",
     )
 
 

@@ -1745,19 +1745,23 @@ def test_bounded_pattern_stream_first_last_nav_measures(spark):
     assert got == batch and batch
     # a 2-row B run must occur so FIRST != LAST genuinely bites
     assert any(r[1] != r[2] for r in got)
-    # run matchers: FIRST over the run variable is loudly batch-only
+    # run matchers: FIRST over the A+ B run variable STREAMS since
+    # round 8 (the O(1) first-row slot) — see
+    # test_run_first_navigation_measures_match_batch; the FUNNEL's
+    # middle run still keeps only its LAST row and rejects loudly
     with pytest.raises(NotImplementedError, match="multiply-mapped"):
         eng.sql_stream(
             """
-            SELECT k, fa FROM cep_bnav2
+            SELECT k, fb FROM cep_bnav2
             MATCH_RECOGNIZE (
                 PARTITION BY k
                 ORDER BY ts
-                MEASURES FIRST(A.v) AS fa
+                MEASURES FIRST(B.v) AS fb
                 ONE ROW PER MATCH
                 AFTER MATCH SKIP PAST LAST ROW
-                PATTERN (A+ B)
-                DEFINE A AS A.v >= 8, B AS B.v < 8
+                PATTERN (A B+ C)
+                DEFINE A AS A.v >= 8, B AS B.v BETWEEN 4 AND 7,
+                       C AS C.v < 4
             )
             """,
             {"cep_bnav2": df},
@@ -3261,3 +3265,60 @@ def test_run_first_navigation_measures_match_batch(spark):
         )
         got = Counter(tuple(r) for r in streamed.collect())
         assert got == batch and batch, (meas, batch - got, got - batch)
+
+
+def test_next_lookahead_bounded_and_timebound_legs(spark):
+    """Physical NEXT(col, n) conjuncts stream on the bounded AND
+    time-bounded window legs (round 8): evaluated at DECISION time
+    against window successors, with each head decision deferred until
+    max_next successors exist. Exact batch parity, including NEXT on
+    quantified vars, alternation branches, and an unbounded run under
+    WITHIN (where NEXT targets may lie past the horizon)."""
+    from collections import Counter
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _time_bounded_df(spark, seed=17)
+    cases = [
+        ("A{1,2} B?", "A AS A.v >= 2 AND A.v <= NEXT(A.v), B AS B.v <= 4",
+         "", "TO NEXT ROW"),
+        ("(A|B) C",
+         "A AS A.v >= 5, B AS B.v BETWEEN 2 AND 4 AND NEXT(B.v) <= 3, "
+         "C AS C.v <= 3", "", "PAST LAST ROW"),
+        ("A B?", "A AS A.v >= 4 AND NEXT(A.v, 2) >= 0, B AS B.v <= 3",
+         "", "PAST LAST ROW"),
+        ("A+ B", "A AS A.v >= 3 AND A.v <> NEXT(A.v), B AS B.v <= 2",
+         "WITHIN INTERVAL '9' SECOND", "PAST LAST ROW"),
+        # bounded pattern + WITHIN + NEXT reroutes to the time-bounded
+        # state (fixed slots cannot buffer the successor wait)
+        ("A{1,2} B", "A AS A.v >= 2 AND A.v <= NEXT(A.v), B AS B.v <= 4",
+         "WITHIN INTERVAL '6' SECOND", "PAST LAST ROW"),
+    ]
+    for pattern, defines, within, skip in cases:
+        stmt = f"""
+            SELECT k, CAST(m1 AS LONG) AS m1 FROM nx_parity
+            MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES A.ts AS m1
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP {skip}
+                PATTERN ({pattern})
+                {within}
+                DEFINE {defines}
+            )
+        """
+        router = StatementRouter(spark)
+        eng = Engine(spark)
+        df.createOrReplaceTempView("nx_parity")
+        batch = Counter(tuple(r) for r in router.execute(stmt).collect())
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"nx_parity": s}),
+            output_mode="append",
+            n_files=4,
+            order_by="ts",
+        )
+        got = Counter(tuple(r) for r in streamed.collect())
+        assert got == batch, (pattern, batch - got, got - batch)

@@ -646,8 +646,15 @@ class Engine:
         prev_checks: dict[str, list[tuple]] = {}
         prev_need: set[str] = set()
         max_prev = 0
+        # physical NEXT(col, n) conjuncts: evaluated at DECISION time
+        # against the window's successor rows (the head start is only
+        # decided once max_next rows beyond every candidate row exist)
+        next_checks: dict[str, list[tuple]] = {}
+        next_need: set[str] = set()
+        max_next = 0
         opnd = (
             r"(?:PREV\s*\(\s*\w+\.\w+\s*(?:,\s*\d+)?\s*\)"
+            r"|NEXT\s*\(\s*\w+\.\w+\s*(?:,\s*\d+)?\s*\)"
             r"|\w+(?:\.\w+)?|'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
         )
         prev_cmp_re = _re.compile(
@@ -688,6 +695,19 @@ class Engine:
                 )
             prev_need.add(tok)
             return ("col", tok)
+
+        def _nav_operand(tok: str, v: str):
+            nm = _NEXT_RE.fullmatch(tok.strip())
+            if nm is not None:
+                col = nm.group("pcol")
+                if col not in field_types:
+                    raise unsupported(
+                        f"DEFINE for {v}: NEXT over unknown column "
+                        f"{col!r}"
+                    )
+                next_need.add(col)
+                return ("next", col, int(nm.group("n") or 1))
+            return _prev_operand(tok, v)
 
         for v in uniq_vars:
             self_parts: list[str] = []
@@ -737,36 +757,66 @@ class Engine:
                     )
                     cross_cols |= {sc, oc}
                     continue
-                if _PREV_RE.search(part):
+                if _PREV_RE.search(part) or _NEXT_RE.search(part):
+                    if _NAV_DEF_RE.search(part):
+                        raise unsupported(
+                            f"DEFINE for {v}: FIRST/LAST match "
+                            "bindings mixed with physical navigation "
+                            "need the batch window plan"
+                        )
                     body = part.strip()
                     while body.startswith("(") and body.endswith(")"):
                         body = body[1:-1].strip()
                     cm2 = prev_cmp_re.fullmatch(body)
                     if cm2 is None:
                         raise unsupported(
-                            f"DEFINE for {v}: PREV conjunct {part!r} — "
-                            "over a stream PREV supports plain "
-                            "comparisons (<operand> OP <operand>, "
-                            "operands a column, literal, or "
-                            "PREV(col, n)); richer navigation needs "
-                            "the batch window plan"
+                            f"DEFINE for {v}: navigation conjunct "
+                            f"{part!r} — over a stream PREV/NEXT "
+                            "support plain comparisons (<operand> OP "
+                            "<operand>, operands a column, literal, "
+                            "PREV(col, n) or NEXT(col, n)); richer "
+                            "navigation needs the batch window plan"
                         )
-                    lhs = _prev_operand(cm2.group("l"), v)
-                    rhs = _prev_operand(cm2.group("r"), v)
-                    for side in (lhs, rhs):
+                    lhs = _nav_operand(cm2.group("l"), v)
+                    rhs = _nav_operand(cm2.group("r"), v)
+                    sides = (lhs, rhs)
+                    if any(x[0] == "prev" for x in sides) and any(
+                        x[0] == "next" for x in sides
+                    ):
+                        # PREV resolves at arrival, NEXT at decision —
+                        # one comparison cannot straddle both
+                        raise unsupported(
+                            f"DEFINE for {v}: PREV and NEXT in ONE "
+                            "comparison (evaluate at different times "
+                            "over a stream) — split the conjunct or "
+                            "use the batch window plan"
+                        )
+                    for side in sides:
                         if side[0] == "prev":
                             max_prev = max(max_prev, side[2])
-                    prev_checks.setdefault(v, []).append(
-                        (lhs, cm2.group("op"), rhs)
-                    )
+                        elif side[0] == "next":
+                            if side[2] > 8:
+                                raise unsupported(
+                                    f"DEFINE for {v}: NEXT offset "
+                                    f"{side[2]} (the decision-wait "
+                                    "bound caps lookahead at 8 rows)"
+                                )
+                            max_next = max(max_next, side[2])
+                    if any(x[0] == "next" for x in sides):
+                        next_checks.setdefault(v, []).append(
+                            (lhs, cm2.group("op"), rhs)
+                        )
+                    else:
+                        prev_checks.setdefault(v, []).append(
+                            (lhs, cm2.group("op"), rhs)
+                        )
                     continue
-                if _NEXT_RE.search(part) or _NAV_DEF_RE.search(part):
+                if _NAV_DEF_RE.search(part):
                     raise unsupported(
-                        f"DEFINE for {v}: NEXT/FIRST/LAST navigation "
+                        f"DEFINE for {v}: FIRST/LAST navigation "
                         "in a quantified/alternation/nested pattern "
-                        "over a stream (physical PREV streams as "
-                        "comparison conjuncts; lookahead and match "
-                        "bindings need the batch window plan)"
+                        "over a stream (match bindings need the batch "
+                        "window plan)"
                     )
                 self_parts.append(part)
             self_preds[v] = (
@@ -846,9 +896,19 @@ class Engine:
             if max_prev
             else None
         )
+        next_spec = (
+            (
+                next_checks,
+                sorted(next_need),
+                max_next,
+                {c: field_types[c] for c in next_need},
+            )
+            if max_next
+            else None
+        )
         return (
             ast, uniq_vars, field_types, flagged, var_flags,
-            cross_checks or None, cross_cols, prev_spec,
+            cross_checks or None, cross_cols, prev_spec, next_spec,
         )
 
     def _match_recognize_stream_all_rows(
@@ -870,10 +930,20 @@ class Engine:
 
         (
             ast, uniq_vars, field_types, flagged, var_flags,
-            cross_checks, _cross_cols, prev_spec,
+            cross_checks, _cross_cols, prev_spec, next_spec,
         ) = self._bounded_stream_prep(
             spec, sdf, ts_col, unsupported, time_bounded=time_bounded
         )
+        if (
+            next_spec is not None
+            and spec.within_seconds is not None
+            and not time_bounded
+        ):
+            raise unsupported(
+                "NEXT lookahead combined with WITHIN on the row-"
+                "bounded leg (the successor wait needs the time-"
+                "bounded window state)"
+            )
         patvars = set(uniq_vars)
         integral = ("tinyint", "smallint", "int", "bigint")
         out_types: dict[str, str] = {}
@@ -935,6 +1005,7 @@ class Engine:
             skip_to=spec.skip_to,
             cross_checks=cross_checks,
             prev_spec=prev_spec,
+            next_spec=next_spec,
             time_bounded=time_bounded,
         )
         view = f"__mr_stream_{abs(hash(stmt)) % 10_000_000}"
@@ -956,16 +1027,35 @@ class Engine:
         PERMUTE lowers to the alternation of its variants in listed
         (lexicographic) preference order — the SQL:2016 semantics the
         batch lowering and the CEP fuzzer's reference both use.
-        Navigation (PREV/NEXT/FIRST/LAST) and cross-variable DEFINEs
-        stay batch-only on this leg, rejected loudly."""
+        Physical PREV conjuncts evaluate at ARRIVAL into the row's
+        flag mask; physical NEXT conjuncts evaluate at DECISION time
+        against window successors (each head decision deferred by the
+        max NEXT offset — under WITHIN the leg reroutes to the time-
+        bounded state, whose arrays can buffer the successor wait);
+        cross-variable comparisons evaluate against the window
+        bindings. FIRST/LAST match bindings inside DEFINEs stay
+        batch-only, rejected loudly."""
         from .streaming.stateful import bounded_nfa_stream
 
         (
             ast, uniq_vars, field_types, flagged, var_flags,
-            cross_checks, cross_cols, prev_spec,
+            cross_checks, cross_cols, prev_spec, next_spec,
         ) = self._bounded_stream_prep(
             spec, sdf, ts_col, unsupported, time_bounded=time_bounded
         )
+        if (
+            next_spec is not None
+            and spec.within_seconds is not None
+            and not time_bounded
+        ):
+            # fixed-slot state cannot buffer the horizon wait that
+            # NEXT-under-WITHIN needs; the sql_stream fallback retries
+            # this same leg with the time-bounded array state
+            raise unsupported(
+                "NEXT lookahead combined with WITHIN on the row-"
+                "bounded leg (the successor wait needs the time-"
+                "bounded window state)"
+            )
         patvars = set(uniq_vars)
         # aggregate measures (COUNT/SUM/AVG/MIN/MAX over a variable's
         # matched rows) compute exactly from the decision window
@@ -1039,6 +1129,7 @@ class Engine:
                 else None
             ),
             prev_spec=prev_spec,
+            next_spec=next_spec,
             time_bounded=time_bounded,
         )
         pos_col = {v: f"{v}_last_ts" for v in uniq_vars}

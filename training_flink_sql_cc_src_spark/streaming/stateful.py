@@ -928,7 +928,8 @@ def _skip_drop(mp, skip_past, skip_to):
 
 
 def _match_bounded(
-    ast, window, var_bit, lim, cross_checks=None, val_at=None
+    ast, window, var_bit, lim, cross_checks=None, val_at=None,
+    next_checks=None,
 ):
     """Preferred match anchored at window index 0 — the SAME preference
     order as the batch NFA's AST generator backtracker
@@ -942,6 +943,35 @@ def _match_bounded(
     other_col, nav)], values read through ``val_at(i, col)`` — the
     batch cross_ok, verbatim semantics: an unmatched reference or NULL
     operand is FALSE)."""
+
+    def next_ok(v, i):
+        """Physical NEXT(col, n) conjuncts of variable v at window row
+        i — the decision wait guarantees i + n exists for every
+        candidate row; a NULL operand (or one past the buffered
+        window) compares FALSE, the batch NULL semantics."""
+        if not next_checks:
+            return True
+        for lhs, op, rhs in next_checks.get(v, ()):
+
+            def _side(sd):
+                if sd[0] == "lit":
+                    return sd[1]
+                if sd[0] == "col":
+                    return val_at(i, sd[1])
+                j = i + sd[2]
+                if j >= len(window):
+                    return None
+                return val_at(j, sd[1])
+
+            a, b = _side(lhs), _side(rhs)
+            if a is None or b is None:
+                return False
+            try:
+                if not _CMP_OPS[op](a, b):
+                    return False
+            except TypeError:
+                return False
+        return True
 
     def cross_ok(v, i, acc):
         if not cross_checks:
@@ -968,6 +998,7 @@ def _match_bounded(
             if (
                 i <= lim
                 and window[i][0] & (1 << var_bit[v])
+                and next_ok(v, i)
                 and cross_ok(v, i, acc)
             ):
                 yield [(v, i)]
@@ -1041,6 +1072,7 @@ def bounded_nfa_stream(
     skip_to: tuple | None = None,
     cross_spec: tuple | None = None,
     prev_spec: tuple | None = None,
+    next_spec: tuple | None = None,
     time_bounded: bool = False,
 ) -> DataFrame:
     """Streaming matcher for ANY BOUNDED pattern — quantifiers A{n,m} /
@@ -1083,6 +1115,9 @@ def bounded_nfa_stream(
     loud row cap (TIME_WINDOW_ROW_CAP) instead of silent growth.
     Trailing starts whose horizon never passes stay undecided at stream
     end — the same terminator contract as the row-bounded leg."""
+    nchecks, ncols, max_next, ntypes = {}, [], 0, {}
+    if next_spec is not None:
+        nchecks, ncols, max_next, ntypes = next_spec
     if time_bounded:
         if within_seconds is None:
             raise ValueError("time_bounded needs within_seconds")
@@ -1091,7 +1126,9 @@ def bounded_nfa_stream(
         max_len = ast_max_len(ast)
         if max_len < 2:
             raise ValueError("bounded pattern must span at least 2 rows")
-        hist = max_len - 1
+        # NEXT lookahead defers each head decision by max_next rows,
+        # so the retained window grows by the same amount
+        hist = max_len - 1 + max_next
     var_bit = {v: i for i, v in enumerate(pattern_vars)}
     pay_pairs, pay_types = [], {}
     if payload_spec is not None:
@@ -1109,8 +1146,14 @@ def bounded_nfa_stream(
     wtypes = {
         **{c: field_types[c] for c in set(agg_srcs) | set(cross_cols)},
         **pay_types,
+        **ntypes,
     }
-    pcols = sorted({c for _, c, _ in pay_pairs} | agg_srcs | set(cross_cols))
+    pcols = sorted(
+        {c for _, c, _ in pay_pairs}
+        | agg_srcs
+        | set(cross_cols)
+        | set(ncols)
+    )
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = f"{key_col} {key_type}, " + ", ".join(
         [f"{v}_last_ts timestamp" for v in pattern_vars]
@@ -1149,7 +1192,7 @@ def bounded_nfa_stream(
                 and (window[-1][1] - window[0][1]).total_seconds()
                 > within_seconds
             )
-        return len(window) >= max_len
+        return len(window) >= max_len + max_next
 
     def update(
         key: tuple,
@@ -1229,7 +1272,7 @@ def bounded_nfa_stream(
                 )
                 while _decidable(window):
                     if within_seconds is None:
-                        lim = len(window) - 1
+                        lim = len(window) - 1 - max_next
                     else:
                         t0 = window[0][1]
                         lim = 0
@@ -1241,10 +1284,15 @@ def bounded_nfa_stream(
                             <= within_seconds
                         ):
                             lim += 1
+                    if max_next and len(window) - 1 - lim < max_next:
+                        # NEXT targets for rows near the horizon have
+                        # not arrived yet — wait for more successors
+                        break
                     mp = _match_bounded(
                         ast, window, var_bit, lim,
                         cross_checks=cross_checks,
                         val_at=lambda i, c: window[i][2][pcols.index(c)],
+                        next_checks=nchecks or None,
                     )
                     if mp:
                         rows_of: dict[str, list[int]] = {}
@@ -1361,6 +1409,7 @@ def bounded_nfa_all_rows_stream(
     skip_to: tuple | None = None,
     cross_checks: dict | None = None,
     prev_spec: tuple | None = None,
+    next_spec: tuple | None = None,
     time_bounded: bool = False,
 ) -> DataFrame:
     """ALL ROWS PER MATCH for bounded patterns over a stream: the same
@@ -1379,6 +1428,9 @@ def bounded_nfa_all_rows_stream(
     Flink CEP ALL ROWS contract."""
     from ..plans.match_recognize import CLASSIFIER, MATCH_NUMBER
 
+    nchecks, max_next = {}, 0
+    if next_spec is not None:
+        nchecks, _ncols, max_next, _ntypes = next_spec
     if time_bounded:
         # WITHIN-horizon variant (see bounded_nfa_stream): unbounded
         # quantifiers allowed, variable-length array state bounded by
@@ -1387,10 +1439,14 @@ def bounded_nfa_all_rows_stream(
             raise ValueError("time_bounded needs within_seconds")
         max_len, hist = 2, None
     else:
+        if max_next and within_seconds is not None:
+            raise ValueError(
+                "NEXT under WITHIN needs the time-bounded window state"
+            )
         max_len = ast_max_len(ast)
         if max_len < 2:
             raise ValueError("bounded pattern must span at least 2 rows")
-        hist = max_len - 1
+        hist = max_len - 1 + max_next
     var_bit = {v: i for i, v in enumerate(pattern_vars)}
     field_types = {
         f.name: f.dataType.simpleString() for f in stream_df.schema
@@ -1571,9 +1627,11 @@ def bounded_nfa_all_rows_stream(
                         window[-1][2][ts_idx] - window[0][2][ts_idx]
                     ).total_seconds()
                     > within_seconds
-                ) if time_bounded else (len(window) >= max_len):
+                ) if time_bounded else (
+                    len(window) >= max_len + max_next
+                ):
                     if within_seconds is None:
-                        lim = len(window) - 1
+                        lim = len(window) - 1 - max_next
                     else:
                         t0 = window[0][2][ts_idx]
                         lim = 0
@@ -1585,6 +1643,8 @@ def bounded_nfa_all_rows_stream(
                             <= within_seconds
                         ):
                             lim += 1
+                    if max_next and len(window) - 1 - lim < max_next:
+                        break  # successors not yet arrived
                     mp = _match_bounded(
                         ast,
                         [(row[0], None, None) for row in window],
@@ -1594,6 +1654,7 @@ def bounded_nfa_all_rows_stream(
                         val_at=lambda i, c: window[i][2][
                             src_cols.index(c)
                         ],
+                        next_checks=nchecks or None,
                     )
                     if mp:
                         mn += 1
