@@ -412,15 +412,13 @@ def main(n_cases, seed):
                 if with_payload:
                     meas.append(f"{v}.v AS p{i}")
                     outer.append(f"p{i}")
-            run_first_ok = (
-                kind in ("seq", "bounded", "timebound")
-                or (kind == "run" and pattern == "A+ B")
-            )
+            run_first_ok = kind in ("seq", "bounded", "timebound", "run")
             if run_first_ok and rng.random() < 0.3:
                 # FIRST() navigation: run legs bind it via the O(1)
-                # first-row slot (round 8); bounded legs from the
-                # decision window; single-mapped vars == LAST
-                fv = pvars[0] if kind == "run" else rng.choice(pvars)
+                # first-row slot (round 8, incl. the funnel middle
+                # run); bounded legs from the decision window;
+                # single-mapped vars == LAST
+                fv = rng.choice(pvars)
                 meas.append(f"FIRST({fv}.ts) AS fnav_t")
                 outer.append("CAST(fnav_t AS LONG) AS fnav_e")
                 if with_payload:

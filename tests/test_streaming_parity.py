@@ -3322,3 +3322,55 @@ def test_next_lookahead_bounded_and_timebound_legs(spark):
         )
         got = Counter(tuple(r) for r in streamed.collect())
         assert got == batch, (pattern, batch - got, got - batch)
+
+
+def test_funnel_first_navigation_measures_match_batch(spark):
+    """FIRST() navigation over the A B+ C funnel's middle run streams
+    via the first-of-run slot (round 8) — FIRST(B.v)/FIRST(B.ts)
+    payloads, mixed with LAST/aggregate measures, through the pend
+    backtrack path (overlapping B/C predicates) — exact batch parity."""
+    import datetime as dt
+    import random
+    from collections import Counter
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    base = dt.datetime(2024, 1, 1)
+    rnd = random.Random(2)
+    rows = []
+    for ki in range(3):
+        vals = [rnd.randint(0, 9) for _ in range(20)] + [-997] * 2
+        for i, v in enumerate(vals):
+            rows.append(
+                (f"k{ki}", base + dt.timedelta(seconds=3 * i + ki), v)
+            )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v int")
+    stmt = """
+        SELECT k, m1, m2, CAST(m3 AS LONG) AS m3, m4 FROM fnav_src
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES FIRST(B.v) AS m1, SUM(B.v) AS m2,
+                     FIRST(B.ts) AS m3, LAST(B.v) AS m4
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.v >= 4, B AS B.v >= 2, C AS C.v <= 3
+        )
+    """
+    router = StatementRouter(spark)
+    eng = Engine(spark)
+    df.createOrReplaceTempView("fnav_src")
+    batch = Counter(tuple(r) for r in router.execute(stmt).collect())
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"fnav_src": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = Counter(tuple(r) for r in streamed.collect())
+    assert got == batch and batch, (batch - got, got - batch)
+    # FIRST genuinely differs from LAST somewhere in the result
+    assert any(r[1] != r[4] for r in got)

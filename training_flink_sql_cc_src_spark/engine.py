@@ -1432,8 +1432,6 @@ class Engine:
         # O(1)-state runs keep only their last row, and the sequence
         # pos_col map keeps the last position of a repeated variable
         run_vars = set()
-        if funnel:
-            run_vars.add(spec.pattern[1])
         run_vars |= {v for v in spec.pattern if spec.pattern.count(v) > 1}
         for var, col, alias in spec.measures:
             if (
@@ -1526,15 +1524,58 @@ class Engine:
             flag_cols.append(c)
         nav_aware = False
         if funnel:
-            roles = {
-                spec.pattern[0]: "start",
-                spec.pattern[1]: "last",
-                spec.pattern[2]: "end",
+            # nav-aware payload wiring: FIRST(B.col) reads the run's
+            # first-row slot (FIRST(B.ts) rides the payload path — the
+            # matcher emits only the LAST run ts as a position); A / C
+            # map one row each, so FIRST == LAST there
+            nav_aware = True
+            fa_var, fb_var, fc_var = spec.pattern
+
+            def _role_of_f(var: str, nav: str) -> str:
+                if var == fa_var:
+                    return "start"
+                if var == fc_var:
+                    return "end"
+                return "first" if nav == "FIRST" else "last"
+
+            pay_sources = {
+                (
+                    var,
+                    col,
+                    spec.measure_nav.get(alias, "LAST").upper(),
+                )
+                for var, col, alias in spec.measures
+                if var in patvars and alias not in spec.measure_agg
             }
-            pay_pairs = [(roles[var], col) for var, col in pay_needs]
-            pay_col = {
-                (var, col): f"{roles[var]}_{col}" for var, col in pay_needs
-            }
+            pay_pairs = sorted(
+                {
+                    (_role_of_f(var, nav), col)
+                    for var, col, nav in pay_sources
+                    if col != ts_col
+                    or (var == fb_var and nav == "FIRST")
+                }
+            )
+            pay_col = {}
+            for var, col, nav in pay_sources:
+                if col == ts_col and not (
+                    var == fb_var and nav == "FIRST"
+                ):
+                    pay_col[(var, col, nav)] = (
+                        "a_ts"
+                        if var == fa_var
+                        else (
+                            "run_last_ts" if var == fb_var else "end_ts"
+                        )
+                    )
+                else:
+                    pay_col[(var, col, nav)] = (
+                        f"{_role_of_f(var, nav)}_{col}"
+                    )
+            if any(
+                var == fb_var and nav == "FIRST" and col == ts_col
+                for var, col, nav in pay_sources
+            ):
+                pay_types.setdefault(ts_col, field_types[ts_col])
             matched = mid_run_flags_stream(
                 flagged, key, ts_col,
                 flag_cols[0], flag_cols[1], flag_cols[2],

@@ -1791,7 +1791,7 @@ def mid_run_flags_stream(
         # payloads of the A row / run-last row / pend's run-last / pend
         + "".join(
             f", {tag}_{c} {pay_types[c]}"
-            for tag in ("ap", "rl", "pl", "pe")
+            for tag in ("ap", "rl", "pl", "pe", "fb")
             for c in pcols
         )
     )
@@ -1810,7 +1810,7 @@ def mid_run_flags_stream(
                 ("qmn", "double"), ("qmx", "double"),
             )
         )
-    agg_off = base_off + 4 * npay
+    agg_off = base_off + 5 * npay
     agg_width = 8 * n_ac if agg_state else 0
     checks_per_flag, need_cols, max_prev = [], [], 0
     if prev_spec is not None:
@@ -1826,7 +1826,7 @@ def mid_run_flags_stream(
     ) -> Iterator[pd.DataFrame]:
         vhist: list[dict] = []
         none_pay = (None,) * npay
-        ap_pay = rl_pay = pl_pay = pe_pay = none_pay
+        ap_pay = rl_pay = pl_pay = pe_pay = fb_pay = none_pay
         if state.exists:
             vals = state.get
             (
@@ -1838,6 +1838,7 @@ def mid_run_flags_stream(
                 rl_pay = tuple(vals[7 + npay : 7 + 2 * npay])
                 pl_pay = tuple(vals[7 + 2 * npay : 7 + 3 * npay])
                 pe_pay = tuple(vals[7 + 3 * npay : 7 + 4 * npay])
+                fb_pay = tuple(vals[7 + 4 * npay : 7 + 5 * npay])
         else:
             phase, a_ts, run_last, run_len = 0, None, None, 0
             pend, pend_run_last, pend_run_len = None, None, 0
@@ -1925,7 +1926,7 @@ def mid_run_flags_stream(
                         len_out.append(run_len)
                         last_out.append(run_last)
                         end_out.append(cur_ts)
-                        pays.append((ap_pay, rl_pay, cur_pay))
+                        pays.append((ap_pay, rl_pay, cur_pay, fb_pay))
                         if agg_state:
                             agg_outs.append(
                                 _agg_finalize(
@@ -1939,13 +1940,16 @@ def mid_run_flags_stream(
                             }
                         phase, a_ts, run_last, run_len = 0, None, None, 0
                         pend, pend_run_last, pend_run_len = None, None, 0
+                        fb_pay = none_pay
                         continue
                     if pend is not None:
                         a_out.append(a_ts)
                         len_out.append(pend_run_len)
                         last_out.append(pend_run_last)
                         end_out.append(pend)
-                        pays.append((ap_pay, pl_pay, pe_pay))
+                        # the pend run started at the SAME first B
+                        # row, so fb_pay carries over unchanged
+                        pays.append((ap_pay, pl_pay, pe_pay, fb_pay))
                         if agg_state:
                             agg_outs.append(
                                 _agg_finalize(
@@ -1955,6 +1959,7 @@ def mid_run_flags_stream(
                             )
                     phase, a_ts, run_last, run_len = 0, None, None, 0
                     pend, pend_run_last, pend_run_len = None, None, 0
+                    fb_pay = none_pay
                     if agg_state:
                         acc = {
                             c: [0, 0.0, None, None] for c in arun_cols
@@ -1966,7 +1971,7 @@ def mid_run_flags_stream(
                 if phase == 1:
                     if fb:
                         phase, run_last, run_len = 2, cur_ts, 1
-                        rl_pay = cur_pay
+                        rl_pay = fb_pay = cur_pay
                         if agg_state:
                             acc = {
                                 c: [0, 0.0, None, None]
@@ -1984,7 +1989,10 @@ def mid_run_flags_stream(
         st = [phase, a_ts, run_last, run_len, pend, pend_run_last,
               pend_run_len]
         if npay:
-            st += list(ap_pay) + list(rl_pay) + list(pl_pay) + list(pe_pay)
+            st += (
+                list(ap_pay) + list(rl_pay) + list(pl_pay)
+                + list(pe_pay) + list(fb_pay)
+            )
         if agg_state:
             for c in arun_cols:
                 st += list(acc[c]) + list(pacc[c])
@@ -2000,7 +2008,7 @@ def mid_run_flags_stream(
                 "end_ts": end_out,
             }
             for role, c in pay_pairs:
-                side = {"start": 0, "last": 1, "end": 2}[role]
+                side = {"start": 0, "last": 1, "end": 2, "first": 3}[role]
                 ci = pcols.index(c)
                 data[f"{role}_{c}"] = [p[side][ci] for p in pays]
             for j, (_, _, _, alias, _) in enumerate(aggs):
