@@ -264,12 +264,22 @@ def gen_case(rng):
         pvars = ["A", "B", "C", "D"][:length]
         pattern = " ".join(pvars)
         defines = []
+        over = 0  # NEXT offsets past the match window (round 8:
+        # reroutes to the bounded-window leg; decisions defer, so the
+        # TERM padding grows by the overshoot)
         for vi, v in enumerate(pvars):
             d = rand_local(rng, v)
             if rng.random() < 0.3:
                 d += f" AND {rand_prev_conjunct(rng, v)}"
-            elif vi < length - 1 and rng.random() < 0.35:
-                d += f" AND {rand_next_conjunct(rng, v, length - 1 - vi)}"
+            elif rng.random() < 0.35:
+                max_n = length - 1 - vi + rng.choice([0, 0, 1, 2])
+                if max_n >= 1:
+                    nc = rand_next_conjunct(rng, v, max_n)
+                    import re as _re
+                    m = _re.search(r"NEXT\(\w+\.\w+(?:, (\d+))?\)", nc)
+                    n = int(m.group(1) or 1)
+                    over = max(over, max(0, vi + n - (length - 1)))
+                    d += f" AND {nc}"
             defines.append(f"{v} AS {d}")
         skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
         within = (
@@ -277,7 +287,10 @@ def gen_case(rng):
             if rng.random() < 0.3
             else ""
         )
-        return pattern, ", ".join(defines), pvars, skip, within, 1, "seq"
+        return (
+            pattern, ", ".join(defines), pvars, skip, within,
+            1 + over, "seq",
+        )
     if shape < 0.75:
         # A+ B run: A needs a required row-local atom (terminator)
         da = rand_local(rng, "A")

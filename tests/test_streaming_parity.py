@@ -779,16 +779,16 @@ def test_stream_match_recognize_general_leg_guards(spark, sf_small):
         {"events_mr_guard": ev},
     ) is not None
     # NEXT past the match window (lookahead from the LAST variable):
-    # would need future-row buffering — batch-only
-    with pytest.raises(NotImplementedError, match="PAST the match window"):
-        eng.sql_stream(
-            tmpl.format(
-                key="user_id",
-                da="A.event_type = 'view'",
-                db="B.event_id > NEXT(B.event_id)",
-            ),
-            {"events_mr_guard": ev},
-        )
+    # streams since round 8 — reroutes to the bounded-window leg,
+    # whose decision-wait buffers the successors
+    assert eng.sql_stream(
+        tmpl.format(
+            key="user_id",
+            da="A.event_type = 'view'",
+            db="B.event_id > NEXT(B.event_id)",
+        ),
+        {"events_mr_guard": ev},
+    ) is not None
     # FIRST/LAST(OTHER.col) cross bindings on a bounded sequence:
     # stream via the decision window (round 7)
     assert eng.sql_stream(
@@ -1745,26 +1745,48 @@ def test_bounded_pattern_stream_first_last_nav_measures(spark):
     assert got == batch and batch
     # a 2-row B run must occur so FIRST != LAST genuinely bites
     assert any(r[1] != r[2] for r in got)
-    # run matchers: FIRST over the A+ B run variable STREAMS since
-    # round 8 (the O(1) first-row slot) — see
-    # test_run_first_navigation_measures_match_batch; the FUNNEL's
-    # middle run still keeps only its LAST row and rejects loudly
-    with pytest.raises(NotImplementedError, match="multiply-mapped"):
+    # run matchers: FIRST over the A+ B run and the funnel's middle
+    # run both STREAM (O(1) first-of-run slots) — see
+    # test_run_first_navigation_measures_match_batch and
+    # test_funnel_first_navigation_measures_match_batch. Repeated
+    # pattern variables (the other multiply-mapped shape) are rejected
+    # at parse time, so every variable reaching the general leg binds
+    # FIRST exactly.
+    assert eng.sql_stream(
+        """
+        SELECT k, fb FROM cep_bnav2
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES FIRST(B.v) AS fb
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.v >= 8, B AS B.v BETWEEN 4 AND 7,
+                   C AS C.v < 4
+        )
+        """,
+        {"cep_bnav2": df},
+    ) is not None
+    from training_flink_sql_cc_src_spark.plans.match_recognize import (
+        UnsupportedPatternError,
+    )
+
+    with pytest.raises(UnsupportedPatternError, match="distinct"):
         eng.sql_stream(
             """
-            SELECT k, fb FROM cep_bnav2
+            SELECT k, fa FROM cep_bnav3
             MATCH_RECOGNIZE (
                 PARTITION BY k
                 ORDER BY ts
-                MEASURES FIRST(B.v) AS fb
+                MEASURES FIRST(A.v) AS fa
                 ONE ROW PER MATCH
                 AFTER MATCH SKIP PAST LAST ROW
-                PATTERN (A B+ C)
-                DEFINE A AS A.v >= 8, B AS B.v BETWEEN 4 AND 7,
-                       C AS C.v < 4
+                PATTERN (A B A)
+                DEFINE A AS A.v >= 8, B AS B.v BETWEEN 4 AND 7
             )
             """,
-            {"cep_bnav2": df},
+            {"cep_bnav3": df},
         )
 
 

@@ -32,6 +32,12 @@ from .session import get_spark, register_views
 from .streaming.pipeline import PipelineRunner
 
 
+class _RerouteToBounded(Exception):
+    """Internal control flow: a sequence shape hit a capability only the
+    bounded-window leg has (e.g. NEXT past the match window, whose
+    decision-wait buffers the successors) — the caller re-dispatches."""
+
+
 class Engine:
     def __init__(
         self,
@@ -506,9 +512,16 @@ class Engine:
                 # the specialized ones exactly
                 eq_mode = False
             if not eq_mode:
-                return self._match_recognize_stream_general(
-                    stmt, spec, sdf, key, ts_col, tiebreak, unsupported
-                )
+                try:
+                    return self._match_recognize_stream_general(
+                        stmt, spec, sdf, key, ts_col, tiebreak,
+                        unsupported,
+                    )
+                except _RerouteToBounded:
+                    return self._match_recognize_stream_bounded(
+                        stmt, spec, sdf, key, ts_col, tiebreak,
+                        unsupported,
+                    )
             type_col = eqs[0][0]
             types = [lit.strip("'") for _, lit in eqs]
 
@@ -1357,13 +1370,13 @@ class Engine:
                         )
                     for side in (lhs, rhs):
                         if side[0] == "next" and vi + side[2] > length - 1:
-                            raise unsupported(
-                                f"DEFINE for {v}: NEXT(..., {side[2]}) "
-                                "reaches PAST the match window (future "
-                                "rows would need buffered emission; only "
-                                "lookahead inside the matched sequence "
-                                "streams)"
-                            )
+                            # past-window lookahead: the bounded-window
+                            # leg defers each head decision by the NEXT
+                            # offset, so it CAN evaluate it (round 8);
+                            # the sequence matcher's fixed window
+                            # cannot — reroute loudly via the
+                            # bounded_extra exception path
+                            raise _RerouteToBounded()
                     next_need |= nd
                     nchecks.append((lhs, cm.group("op"), rhs))
                     continue
@@ -1427,26 +1440,10 @@ class Engine:
                     "support WITHIN)"
                 )
             funnel = True
-        # FIRST() navigation over a variable that maps MULTIPLE rows
-        # silently differs from the matchers' LAST-row bindings — the
-        # O(1)-state runs keep only their last row, and the sequence
-        # pos_col map keeps the last position of a repeated variable
-        run_vars = set()
-        run_vars |= {v for v in spec.pattern if spec.pattern.count(v) > 1}
-        for var, col, alias in spec.measures:
-            if (
-                spec.measure_nav.get(alias, "LAST").upper() == "FIRST"
-                and var in run_vars
-            ):
-                # the A+ B run leg binds FIRST through its O(1)
-                # first-row slot; the funnel's middle run and repeated
-                # sequence variables still keep only their LAST row
-                raise unsupported(
-                    f"FIRST({var}.{col}) over a multiply-mapped "
-                    "variable (the A+ B run leg streams FIRST; this "
-                    "shape keeps the LAST row only — the batch path "
-                    "and the bounded-window leg bind FIRST)"
-                )
+        # FIRST() navigation: every shape that reaches this leg binds it
+        # exactly — the parser rejects repeated pattern variables, so a
+        # sequence variable maps ONE row (FIRST == LAST), and the A+ B
+        # and funnel run legs carry O(1) first-of-run slots (rounds 7-8)
         # measures beyond Var.<order col>: carry the matched rows'
         # payload columns through the matcher's keyed state
         patvars = set(spec.pattern)
