@@ -334,17 +334,21 @@ def gen_data(spark, rng, pad=1):
     )
 
 
-def check_multikey_rejection(spark, router, eng, rng):
-    """PARTITION BY k, k2: the batch lowering supports a key LIST; the
-    streaming matchers are single-key — they must raise the instructive
-    NotImplementedError, never produce output silently. Returns 1 on a
-    contract violation, 0 otherwise."""
+def check_multikey_parity(spark, router, eng, rng):
+    """PARTITION BY k, k2 (a NULL-bearing second key): the streaming
+    matchers key on the lossless to_json composite (round 8) — batch
+    and stream must agree exactly, NULL keys included (the batch
+    skip-filter's null-safe join is part of the contract). Returns 1
+    on a mismatch, 0 otherwise."""
     df = gen_data(spark, rng, 1).withColumn(
-        "k2", F.length("k").cast("string")
+        "k2",
+        F.when(F.col("k") == "k2", F.lit(None).cast("string")).otherwise(
+            F.length("k").cast("string")
+        ),
     )
     df.createOrReplaceTempView("__fuzz_mk")
     stmt = """
-        SELECT k, k2, a_ts FROM __fuzz_mk
+        SELECT k, k2, CAST(a_ts AS LONG) AS e FROM __fuzz_mk
         MATCH_RECOGNIZE (
             PARTITION BY k, k2
             ORDER BY ts
@@ -356,12 +360,9 @@ def check_multikey_rejection(spark, router, eng, rng):
         )
     """
     try:
-        router.execute(stmt).collect()
-    except Exception as e:
-        print(f"MULTIKEY BATCH ERROR: {e}", flush=True)
-        return 1
-    try:
-        run_stream_over_batch(
+        batch = Counter(tuple(r) for r in router.execute(stmt).collect())
+        df.createOrReplaceTempView("__fuzz_mk")
+        streamed = run_stream_over_batch(
             spark,
             df,
             lambda s: eng.sql_stream(stmt, {"__fuzz_mk": s}),
@@ -369,13 +370,18 @@ def check_multikey_rejection(spark, router, eng, rng):
             n_files=2,
             order_by="ts",
         )
-    except NotImplementedError:
-        return 0  # the loud single-key rejection — the contract
+        got = Counter(tuple(r) for r in streamed.collect())
     except Exception as e:
-        print(f"MULTIKEY STREAM wrong error type: {e}", flush=True)
+        print(f"MULTIKEY ERROR: {e}", flush=True)
         return 1
-    print("MULTIKEY STREAM ran silently (must reject)", flush=True)
-    return 1
+    if got != batch:
+        print(
+            f"MULTIKEY MISMATCH: batch-only={batch - got} "
+            f"stream-only={got - batch}",
+            flush=True,
+        )
+        return 1
+    return 0
 
 
 def main(n_cases, seed):
@@ -393,9 +399,9 @@ def main(n_cases, seed):
         pattern, defines, pvars, skip, within, pad, kind = gen_case(rng)
         df = gen_data(spark, rng, pad)
         if tried % 25 == 0:
-            # multi-key PARTITION BY: batch handles it, the streaming
-            # leg must reject LOUDLY (one key), never run silently
-            failures += check_multikey_rejection(spark, router, eng, rng)
+            # multi-key PARTITION BY (NULL keys included): batch and
+            # stream must agree via the composite-key leg (round 8)
+            failures += check_multikey_parity(spark, router, eng, rng)
         all_rows = kind == "bounded_ar" or (
             kind in ("bounded", "timebound") and rng.random() < 0.35
         )
@@ -450,10 +456,24 @@ def main(n_cases, seed):
                 fn = rng.choice(["COUNT", "SUM", "MIN", "MAX", "AVG"])
                 meas.append(f"{fn}({av}.v) AS agv")
                 outer.append("agv")
+        # ~15% of every shape runs with a MULTI-column PARTITION BY
+        # (k plus a NULL-bearing derived key): same partitions, so the
+        # match set is identical — this exercises the composite-key
+        # wrapper (round 8) across all legs, ALL ROWS included
+        pby = "k"
+        if rng.random() < 0.15:
+            pby = "k, k2"
+            df = df.withColumn(
+                "k2",
+                F.when(
+                    F.col("k") == "k1", F.lit(None).cast("string")
+                ).otherwise(F.upper("k")),
+            )
+            outer.insert(1, "k2")
         stmt = f"""
             SELECT {', '.join(outer)} FROM __fuzz_stream
             MATCH_RECOGNIZE (
-                PARTITION BY k
+                PARTITION BY {pby}
                 ORDER BY ts
                 MEASURES {', '.join(meas)}
                 {'ALL ROWS PER MATCH' if all_rows else 'ONE ROW PER MATCH'}

@@ -2818,3 +2818,60 @@ def test_cross_define_foreign_left_qualifier_rejected(spark):
             )
             """
         ).collect()
+
+
+def test_null_partition_key_matches(spark):
+    """A NULL partition key is its OWN partition (SQL GROUP BY / Flink
+    keyBy semantics): matches inside the NULL-key group must emit, and
+    WITH UNMATCHED ROWS must not re-emit its matched rows. Round 8: the
+    skip-past selection semi-join and the unmatched-rows anti-join used
+    name-list (null-UNSAFE) key equality, silently dropping every
+    NULL-key match and double-reporting its rows as unmatched."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [7, 2, 8, 3, -1000]
+    rows = []
+    for g in (None, "x"):
+        for i, v in enumerate(vals):
+            rows.append((g, base + dt.timedelta(seconds=i), v))
+    spark.createDataFrame(
+        rows, "g string, ts timestamp, v int"
+    ).createOrReplaceTempView("__mr_nullkey")
+    router = StatementRouter(spark)
+    got = {
+        tuple(r)
+        for r in router.execute(
+            """
+            SELECT g, bv FROM __mr_nullkey
+            MATCH_RECOGNIZE (
+                PARTITION BY g ORDER BY ts
+                MEASURES B.v AS bv
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B)
+                DEFINE A AS A.v >= 6, B AS B.v BETWEEN 0 AND 4
+            )
+            """
+        ).collect()
+    }
+    assert got == {(None, 2), (None, 3), ("x", 2), ("x", 3)}
+    # ALL ROWS ... WITH UNMATCHED ROWS under skip-past: the NULL-key
+    # group's matched rows are covered (not re-emitted as unmatched)
+    all_rows = router.execute(
+        """
+        SELECT g, v, cls FROM __mr_nullkey
+        MATCH_RECOGNIZE (
+            PARTITION BY g ORDER BY ts
+            MEASURES CLASSIFIER() AS cls
+            ALL ROWS PER MATCH WITH UNMATCHED ROWS
+            AFTER MATCH SKIP TO LAST B
+            PATTERN (A B{1,2})
+            DEFINE A AS A.v >= 6, B AS B.v BETWEEN 0 AND 4
+        )
+        """
+    ).collect()
+    null_rows = [(r.v, r.cls) for r in all_rows if r.g is None]
+    x_rows = [(r.v, r.cls) for r in all_rows if r.g == "x"]
+    assert sorted(null_rows) == sorted(x_rows)
+    assert sum(1 for _, c in null_rows if c is None) == 1  # only -1000

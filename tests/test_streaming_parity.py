@@ -3396,3 +3396,93 @@ def test_funnel_first_navigation_measures_match_batch(spark):
     assert got == batch and batch, (batch - got, got - batch)
     # FIRST genuinely differs from LAST somewhere in the result
     assert any(r[1] != r[4] for r in got)
+
+
+def test_multi_key_partition_by_streams_all_legs(spark):
+    """Multi-column PARTITION BY streams on every MATCH_RECOGNIZE leg
+    via the lossless to_json(struct(...)) composite key (engine.py):
+    the general sequence matcher, the bounded-window ALL ROWS leg, and
+    the time-bounded WITHIN leg all group on the synthetic key and the
+    registered view restores the original partition columns (types
+    included — the int key must come back as int, the NULL key as
+    NULL), so the outer statement reads them unchanged."""
+    import datetime as dt
+    import random
+    from collections import Counter
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    base = dt.datetime(2024, 1, 1)
+    rnd = random.Random(5)
+    rows = []
+    for g in ("x", "y", None):  # NULL group: to_json omits the field,
+        for k in range(2):      # deterministically — restores as NULL
+            vals = [rnd.randint(0, 9) for _ in range(30)] + [-997] * 6
+            for i, v in enumerate(vals):
+                rows.append(
+                    (g, k, base + dt.timedelta(seconds=2 * i + k), v)
+                )
+    df = spark.createDataFrame(
+        rows, "g string, ki int, ts timestamp, v int"
+    )
+    df.createOrReplaceTempView("mkey_src")
+    eng = Engine(spark)
+    router = StatementRouter(spark)
+
+    seq_stmt = """
+        SELECT g, ki, CAST(e AS LONG) AS e, bv FROM mkey_src
+        MATCH_RECOGNIZE (
+            PARTITION BY g, ki ORDER BY ts
+            MEASURES LAST(B.ts) AS e, B.v AS bv
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.v >= 6, B AS B.v BETWEEN 0 AND 4
+        )
+    """
+    all_rows_stmt = """
+        SELECT g, ki, v, cls FROM mkey_src
+        MATCH_RECOGNIZE (
+            PARTITION BY g, ki ORDER BY ts
+            MEASURES CLASSIFIER() AS cls
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B{1,2})
+            DEFINE A AS A.v >= 6, B AS B.v BETWEEN 0 AND 4
+        )
+    """
+    within_stmt = """
+        SELECT g, ki, CAST(e AS LONG) AS e, nb FROM mkey_src
+        MATCH_RECOGNIZE (
+            PARTITION BY g, ki ORDER BY ts
+            MEASURES LAST(C.ts) AS e, COUNT(B.v) AS nb
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            WITHIN INTERVAL '10' SECOND
+            DEFINE A AS A.v >= 6, B AS B.v BETWEEN 2 AND 5,
+                   C AS C.v <= 1
+        )
+    """
+    for name, stmt in (
+        ("seq", seq_stmt),
+        ("all_rows", all_rows_stmt),
+        ("within", within_stmt),
+    ):
+        df.createOrReplaceTempView("mkey_src")  # streaming run rebinds it
+        batch = Counter(tuple(r) for r in router.execute(stmt).collect())
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, q=stmt: eng.sql_stream(q, {"mkey_src": s}),
+            output_mode="append",
+            n_files=4,
+            order_by="ts",
+        )
+        got = Counter(tuple(r) for r in streamed.collect())
+        assert got == batch and batch, (name, batch - got, got - batch)
+        # the int partition column survived the json round-trip typed,
+        # and the NULL group key restored as NULL
+        assert any(r[1] == 1 for r in got), name
+        assert any(r[0] is None for r in got), name

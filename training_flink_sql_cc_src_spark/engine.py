@@ -331,7 +331,9 @@ class Engine:
         evaluate from the matcher's bounded row history; in-window
         NEXT(col, n) lookahead streams on sequences); the eq-literal
         specialized matchers additionally stream WITHIN on run shapes
-        via provable disjointness; a single PARTITION BY key. MEASURES
+        via provable disjointness. Multi-column PARTITION BY keys every
+        matcher on a lossless to_json(struct(...)) composite, restored
+        on the registered view. MEASURES
         may read
         ``Var.<order column>`` positions on every leg, and on the
         general leg any ``Var.<column>`` payload (carried through the
@@ -342,6 +344,8 @@ class Engine:
         has no MATCH_RECOGNIZE; raises the instructive error for shapes
         only the batch path lowers (cross-variable DEFINEs, PREV/NEXT
         navigation, nested groups, WITHIN on a general-predicate run)."""
+        from pyspark.sql import functions as F
+
         from .plans.match_recognize import (
             UnsupportedPatternError,
             _NEXT_RE,
@@ -365,7 +369,8 @@ class Engine:
                 f"MATCH_RECOGNIZE over a stream: {why} — the streaming leg "
                 "supports plain adjacent sequences, A+ B runs, and the "
                 "A B+ C funnel with row-local DEFINEs (arbitrary "
-                "single-row predicates), one PARTITION BY key, and "
+                "single-row predicates), single- or multi-column "
+                "PARTITION BY, and "
                 "MEASURES of Var.<columns>; adding a WITHIN bound makes "
                 "ANY pattern streamable (the time-bounded window leg). "
                 "Otherwise run the statement in batch (Engine.sql) or "
@@ -373,15 +378,42 @@ class Engine:
                 "machines"
             )
 
-        if len(spec.partition_by) != 1:
-            raise unsupported("multiple PARTITION BY keys")
+        if not spec.partition_by:
+            raise unsupported("PARTITION BY is required over a stream")
         ts_col = spec.order_by[0]
         tiebreak = spec.order_by[1] if len(spec.order_by) > 1 else None
-        key = spec.partition_by[0]
 
         sdf = sources.get(spec.table)
         if sdf is None:
             raise unsupported(f"pattern input {spec.table!r} not in sources")
+        composite_pby: list[tuple[str, str]] | None = None
+        if len(spec.partition_by) == 1:
+            key = spec.partition_by[0]
+        else:
+            # multi-column PARTITION BY: every matcher keys on ONE
+            # column, so group on a lossless synthetic composite —
+            # to_json(struct(cols)) is deterministic per value tuple
+            # (NULL fields are omitted, also deterministically), and
+            # from_json with the source types restores the original
+            # columns on the registered view (see the expansion below).
+            src_types = dict(sdf.dtypes)
+            missing = [c for c in spec.partition_by if c not in src_types]
+            if missing:
+                raise unsupported(
+                    f"PARTITION BY references unknown columns {missing}"
+                )
+            if "__mrk" in src_types:
+                raise unsupported(
+                    "source column '__mrk' collides with the composite "
+                    "partition key"
+                )
+            composite_pby = [
+                (c, src_types[c]) for c in spec.partition_by
+            ]
+            key = "__mrk"
+            sdf = sdf.withColumn(
+                key, F.to_json(F.struct(*spec.partition_by))
+            )
         dtypes = dict(sdf.dtypes)
 
         def _route() -> str:
@@ -583,8 +615,41 @@ class Engine:
                 stmt, spec, matched, key, ts_col, pos_col, unsupported
             )
 
+        def _expand_composite(rewritten: str) -> str:
+            """Multi-key PARTITION BY tail: the leg registered its view
+            keyed by the synthetic ``__mrk`` json composite — re-register
+            it with the original partition columns restored (from_json
+            with the source types) so the outer statement's references
+            resolve. The ALL ROWS leg passes the source columns through
+            (originals included), so there only the synthetic drops."""
+            if composite_pby is None:
+                return rewritten
+            import re as _re_v
+
+            mv = _re_v.search(r"FROM (__mr_stream_\d+)", rewritten)
+            if mv is None:
+                return rewritten
+            view = mv.group(1)
+            vdf = self.spark.table(view)
+            if key not in vdf.columns:
+                return rewritten
+            keep = [c for c in vdf.columns if c != key]
+            if all(c in keep for c, _ in composite_pby):
+                vdf = vdf.select(*keep)
+            else:
+                schema_ddl = ", ".join(
+                    f"`{c}` {t}" for c, t in composite_pby
+                )
+                pk = F.from_json(F.col(key), schema_ddl)
+                vdf = vdf.select(
+                    *[pk[c].alias(c) for c, _ in composite_pby],
+                    *keep,
+                )
+            vdf.createOrReplaceTempView(view)
+            return rewritten
+
         try:
-            return _route()
+            return _expand_composite(_route())
         except NotImplementedError as primary:
             # WITHIN bounds the match duration, so shapes the legs
             # above reject — unbounded quantifiers with arbitrary
@@ -602,9 +667,11 @@ class Engine:
                     else self._match_recognize_stream_bounded
                 )
                 try:
-                    return leg(
-                        stmt, spec, sdf, key, ts_col, tiebreak,
-                        unsupported, time_bounded=True,
+                    return _expand_composite(
+                        leg(
+                            stmt, spec, sdf, key, ts_col, tiebreak,
+                            unsupported, time_bounded=True,
+                        )
                     )
                 except NotImplementedError:
                     raise primary from None

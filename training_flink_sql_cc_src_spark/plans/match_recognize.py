@@ -1913,7 +1913,17 @@ def _skip_past_selection(
         return pd.DataFrame(out, columns=pby + ["__mr_rn"])
 
     selected = cand.groupBy(*pby).applyInPandas(pick, schema=sel_schema)
-    return matched.join(selected, on=pby + ["__mr_rn"], how="left_semi")
+    # null-SAFE key equality: PARTITION BY columns may hold NULL (a
+    # NULL key is its own partition, same as GROUP BY/keyBy); a
+    # name-list equi join would silently drop every NULL-key match
+    join_cols = pby + ["__mr_rn"]
+    sel = selected.select(
+        *[F.col(c).alias(f"__mr_sel_{i}") for i, c in enumerate(join_cols)]
+    )
+    cond = F.lit(True)
+    for i, c in enumerate(join_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__mr_sel_{i}"))
+    return matched.join(sel, on=cond, how="left_semi")
 
 
 def _pos_spec_to_ast(
@@ -2863,9 +2873,24 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
                     )
                 ).alias("__mr_rn"),
             )
+            # null-SAFE anti join: NULL partition keys must compare
+            # equal to their covered positions, or a matched NULL-key
+            # row re-emits as unmatched
+            anti_cols = list(spec.partition_by) + ["__mr_rn"]
+            cov_aliased = covered.select(
+                *[
+                    F.col(c).alias(f"__mr_cov_{i}")
+                    for i, c in enumerate(anti_cols)
+                ]
+            )
+            anti_cond = F.lit(True)
+            for i, c in enumerate(anti_cols):
+                anti_cond = anti_cond & F.col(c).eqNullSafe(
+                    F.col(f"__mr_cov_{i}")
+                )
             unmatched_rows = indexed.join(
-                covered,
-                on=list(spec.partition_by) + ["__mr_rn"],
+                cov_aliased,
+                on=anti_cond,
                 how="left_anti",
             ).select(*um_select)
             return matched_rows.unionByName(unmatched_rows)
