@@ -602,6 +602,82 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_band,
+               list_distinct(string_split(text, ' ')) AS words,
+               len(list_distinct(string_split(text, ' '))) AS n_words
+        FROM documents
+    ), edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM w a INNER JOIN w b
+          ON a.lang = b.lang AND a.len_band = b.len_band
+         AND a.doc_id < b.doc_id
+        WHERE 8 * len(list_intersect(a.words, b.words))
+              >= 3 * (a.n_words + b.n_words)
+    ), und AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges
+    ), reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT u.dst AS node, r.label
+        FROM reach r JOIN und u ON r.node = u.src
+        WHERE r.label < u.dst
+    ), comp AS (
+        SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ), ranked AS (
+        SELECT c.component, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.component) AS n_docs
+        FROM comp c JOIN documents d ON c.node = d.doc_id
+    )
+    SELECT component, doc_id AS keeper,
+           n_chars AS keeper_n_chars, n_docs,
+           CAST(n_docs - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Canonical-representative selection per dedup cluster — the "
+    "'keep BEST, drop rest' step real curation pipelines run after "
+    "transitive closure (keeping the longest/highest-quality copy "
+    "instead of the smallest id): the shared min-label CC loop, then "
+    "ONE partial-aggregating groupBy with a struct max "
+    "((n_chars DESC, doc_id ASC) argmax via max(struct(n_chars, "
+    "-doc_id))) — no per-component window sort, so at 100 TB the "
+    "reduction is map-side-combined and a giant duplicate cluster "
+    "never serializes through a single sort. Oracle: the recursive-"
+    "CTE components + ROW_NUMBER pick.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edges = dedup_jaccard_blocked_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = min_label_components(edges, docs.select("doc_id"))
+    joined = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        joined.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "component",
+            (-F.col("best.neg_id")).alias("keeper"),
+            F.col("best.n_chars").alias("keeper_n_chars"),
+            "n_docs",
+            (F.col("n_docs") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+@register(
     "dedup_ngram_span_exact",
     oracle="""
     WITH w AS (

@@ -778,6 +778,93 @@ _BPE_MERGE_SQL = """
 """
 
 
+def _bpe_pair_counts_df(df: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a weighted (syms, c) table —
+    one BPE iteration's statistics (the pipeline_bpe_pair_counts plan:
+    explode + one aggregate over the vocabulary-sized table)."""
+    return (
+        df.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.concat(
+                        F.lit("("),
+                        F.element_at("syms", i),
+                        F.lit(")("),
+                        F.element_at("syms", i + 1),
+                        F.lit(")"),
+                    ),
+                )
+            ).alias("pair"),
+            "c",
+        )
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+    )
+
+
+def _bpe_fold_merge(arr, x: str, y: str):
+    """Apply ONE learned merge (x, y) -> xy to a symbol array as a JVM
+    left fold: append, or fuse with the previous symbol when it equals
+    x and the current equals y. Provably identical to the classic
+    non-overlapping left-to-right merge — a freshly fused symbol is
+    xy != x, so overlapping occurrences never double-merge."""
+    xy = x + y
+    return F.aggregate(
+        arr,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(x))
+            & (s == F.lit(y)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(xy)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """The BPE training loop shared by pipeline_bpe_train (which also
+    reports the next iteration's candidates) and pipeline_bpe_encode
+    (which applies the learned merges): N_BPE_MERGES rounds of
+    count-best-pair (1-row driver hop per round, the kmeans_fit/CC-loop
+    convergence contract) + re-segmentation of the DISTINCT-WORD table.
+    Returns (merges, segs): merges = [(rank, '(x)(y)', n)], segs = the
+    post-merge weighted symbol table."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    segs = words.select(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("syms"),
+        "c",
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, int]] = []
+    for k in range(1, N_BPE_MERGES + 1):
+        best = (
+            _bpe_pair_counts_df(segs)
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((k, best["pair"], int(best["n"])))
+        x, y = best["pair"][1:-1].split(")(")
+        segs = segs.select(
+            _bpe_fold_merge("syms", x, y).alias("syms"), "c"
+        ).localCheckpoint(eager=False)
+    return merges, segs
+
+
 @register(
     "pipeline_bpe_train",
     oracle=f"""
@@ -828,73 +915,8 @@ _BPE_MERGE_SQL = """
     "training feasible.",
 )
 def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = (
-        t(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    segs = words.select(
-        F.transform(
-            F.sequence(F.lit(1), F.length("w")),
-            lambda i: F.col("w").substr(i, F.lit(1)),
-        ).alias("syms"),
-        "c",
-    ).localCheckpoint(eager=False)
-
-    def pair_counts(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.concat(
-                            F.lit("("),
-                            F.element_at("syms", i),
-                            F.lit(")("),
-                            F.element_at("syms", i + 1),
-                            F.lit(")"),
-                        ),
-                    )
-                ).alias("pair"),
-                "c",
-            )
-            .groupBy("pair")
-            .agg(F.sum("c").alias("n"))
-        )
-
-    merges: list[tuple[int, str, int]] = []
-    for k in range(1, N_BPE_MERGES + 1):
-        best = (
-            pair_counts(segs)
-            .orderBy(F.col("n").desc(), "pair")
-            .limit(1)
-            .collect()[0]
-        )
-        merges.append((k, best["pair"], int(best["n"])))
-        x, y = best["pair"][1:-1].split(")(")
-        xy = x + y
-        # greedy left-to-right within-word merge as a JVM left fold:
-        # append, or fuse with the previous symbol when it equals x
-        # and the current equals y (a freshly fused symbol is xy != x,
-        # so overlapping occurrences never double-merge)
-        segs = segs.select(
-            F.aggregate(
-                "syms",
-                F.expr("CAST(array() AS ARRAY<STRING>)"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(x))
-                    & (s == F.lit(y)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.lit(xy)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ).alias("syms"),
-            "c",
-        ).localCheckpoint(eager=False)
+    merges, segs = _bpe_learn(spark, sf_dir)
+    pair_counts = _bpe_pair_counts_df
     learned = spark.createDataFrame(
         merges, "rank int, pair string, n long"
     )
@@ -914,6 +936,112 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return learned.unionByName(candidates)
+
+
+@register(
+    "pipeline_bpe_encode",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, COUNT(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 2 GROUP BY w
+    ), w0 AS (
+        SELECT '(' || array_to_string(
+                   list_transform(generate_series(1, len(w)),
+                                  i -> substr(w, i, 1)), ')(')
+               || ')' AS segs, c
+        FROM words
+    ), p1 AS ({_BPE_PAIRS_SQL.format(w='w0')}
+    ), b1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair LIMIT 1
+    ), w1 AS ({_BPE_MERGE_SQL.format(b='b1', w='w0')}
+    ), p2 AS ({_BPE_PAIRS_SQL.format(w='w1')}
+    ), b2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair LIMIT 1
+    ), dw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), enc AS (
+        SELECT doc_id,
+               replace(replace(
+                   '(' || array_to_string(
+                       list_transform(generate_series(1, len(w)),
+                                      i -> substr(w, i, 1)), ')(')
+                   || ')',
+                   (SELECT pair FROM b1),
+                   '(' || replace(trim((SELECT pair FROM b1), '()'),
+                                  ')(', '') || ')'),
+                   (SELECT pair FROM b2),
+                   '(' || replace(trim((SELECT pair FROM b2), '()'),
+                                  ')(', '') || ')') AS segs
+        FROM dw
+    ), agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(string_split(trim(segs, '()'), ')(')))
+                    AS BIGINT) AS n_tokens
+        FROM enc GROUP BY doc_id
+    ), fw AS (
+        SELECT doc_id,
+               replace(replace(
+                   '(' || array_to_string(
+                       list_transform(generate_series(1, len(w)),
+                                      i -> substr(w, i, 1)), ')(')
+                   || ')',
+                   (SELECT pair FROM b1),
+                   '(' || replace(trim((SELECT pair FROM b1), '()'),
+                                  ')(', '') || ')'),
+                   (SELECT pair FROM b2),
+                   '(' || replace(trim((SELECT pair FROM b2), '()'),
+                                  ')(', '') || ')') AS segs
+        FROM (SELECT doc_id, string_split(text, ' ')[1] AS w
+              FROM documents)
+    )
+    SELECT a.doc_id, a.n_words, a.n_tokens,
+           replace(trim(f.segs, '()'), ')(', '|') AS first_word_tokens
+    FROM agg a JOIN fw f ON a.doc_id = f.doc_id
+    """,
+    doc=f"BPE tokenizer ENCODE in-engine — apply the {N_BPE_MERGES} "
+    "merges learned by pipeline_bpe_train (same loop, _bpe_learn) to "
+    "every document: per word, segment to characters and left-fold "
+    "each merge in training order (the classic greedy within-word "
+    "application); emit per-doc word count, post-merge token count, "
+    "and the first word's token sequence. The encode itself is "
+    "MAP-ONLY — zero shuffles over the corpus (the learned merge "
+    "table is a driver-side constant of bounded size, the "
+    "broadcast-dictionary contract); at 100 TB this is the one-pass "
+    "tokenize-and-count every training run needs between curation "
+    "and packing. Oracle replays the merges as wrapped-symbol string "
+    "REPLACEs.",
+)
+def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_learn(spark, sf_dir)
+    pairs = [tuple(p[1:-1].split(")(")) for _, p, _ in merges]
+
+    def chars(w):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: w.substr(i, F.lit(1)),
+        )
+
+    def encode(w):
+        arr = chars(w)
+        for x, y in pairs:
+            arr = _bpe_fold_merge(arr, x, y)
+        return arr
+
+    docs = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.size(encode(w)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_tokens"),
+        F.array_join(encode(F.element_at(words, 1)), "|").alias(
+            "first_word_tokens"
+        ),
+    )
 
 
 @register(
