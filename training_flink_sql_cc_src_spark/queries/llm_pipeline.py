@@ -939,6 +939,57 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_quality_floor",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS n_tok
+        FROM documents
+    ), f AS (
+        SELECT source,
+               CAST(quantile_disc(n_tok, 0.25) AS BIGINT) AS floor_ntok
+        FROM d GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_tok, f.floor_ntok
+    FROM d JOIN f ON d.source = f.source
+    WHERE d.n_tok >= f.floor_ntok
+    """,
+    doc="Per-SOURCE quality floor — the per-domain threshold filter "
+    "real curation pipelines apply (a single global cutoff starves "
+    "low-resource domains): the p25 of each source's distinct-token "
+    "count via PERCENTILE_DISC (element-picking, exact across "
+    "engines), broadcast back onto the corpus, keep docs at or above "
+    "their own domain's floor. At 100 TB the floor table is "
+    "domain-cardinality (KBs) — the corpus-side filter is one "
+    "broadcast-join map pass; the percentile aggregate is the only "
+    "data shuffle.",
+)
+def pipeline_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    d.createOrReplaceTempView("__qf_docs")
+    floors = spark.sql(
+        """
+        SELECT source,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tok)
+                    AS BIGINT) AS floor_ntok
+        FROM __qf_docs GROUP BY source
+        """
+    )
+    return (
+        d.join(F.broadcast(floors), "source")
+        .filter(F.col("n_tok") >= F.col("floor_ntok"))
+        .select("doc_id", "source", "n_tok", "floor_ntok")
+    )
+
+
+@register(
     "pipeline_bpe_encode",
     oracle=f"""
     WITH words AS (

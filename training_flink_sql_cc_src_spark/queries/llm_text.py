@@ -387,10 +387,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_importance_weights",
-    oracle="""
-    WITH tok AS (
+# DSIR importance-weight CTE chain (shared by pipeline_importance_weights
+# and pipeline_dsir_resample): `imp` = (doc_id, importance)
+_IW_CTES = """
+    tok AS (
         SELECT doc_id, source,
                unnest(string_split(text, ' ')) AS term
         FROM documents
@@ -412,15 +412,24 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / CAST(tot.nc + tot.v AS DOUBLE))
                ), 9) AS logratio
         FROM allc a LEFT JOIN tgt t2 USING (term) CROSS JOIN tot
+    ), imp AS (
+        SELECT k.doc_id,
+               CAST(SUM(CAST(k.tf AS DECIMAL(12,0)) *
+                        CAST(lr.logratio AS DECIMAL(12,9)))
+                    AS DOUBLE) AS importance
+        FROM (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+              GROUP BY doc_id, term) k
+        JOIN lr USING (term)
+        GROUP BY k.doc_id
     )
-    SELECT k.doc_id,
-           CAST(SUM(CAST(k.tf AS DECIMAL(12,0)) *
-                    CAST(lr.logratio AS DECIMAL(12,9)))
-                AS DOUBLE) AS importance
-    FROM (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-          GROUP BY doc_id, term) k
-    JOIN lr USING (term)
-    GROUP BY k.doc_id
+"""
+
+
+@register(
+    "pipeline_importance_weights",
+    oracle=f"""
+    WITH {_IW_CTES}
+    SELECT doc_id, importance FROM imp
     """,
     doc="Data-selection importance weights (DSIR-style, Xie et al. 2023, "
     "PAPERS.md): per-document unigram log-likelihood ratio between a "
@@ -491,6 +500,61 @@ def pipeline_importance_weights(
             .cast("double")
             .alias("importance")
         )
+    )
+
+
+@register(
+    "pipeline_dsir_resample",
+    oracle=f"""
+    WITH {_IW_CTES}
+    , draw AS (
+        SELECT doc_id, importance,
+               ROUND(importance - LN(-LN(
+                   CAST((doc_id * 2654435761) % 1048576 + 1 AS DOUBLE)
+                   / 1048577.0
+               )), 9) AS gumbel_key
+        FROM imp
+    )
+    SELECT doc_id, importance, gumbel_key, CAST(pos AS BIGINT) AS pos
+    FROM (
+        SELECT doc_id, importance, gumbel_key,
+               ROW_NUMBER() OVER (
+                   ORDER BY gumbel_key DESC, doc_id) AS pos
+        FROM draw
+    ) WHERE pos <= 64
+    """,
+    doc="DSIR importance RESAMPLING draw (Xie et al. 2023 §2: sample "
+    "without replacement with probability proportional to exp(weight) "
+    "== Gumbel top-k on weight + Gumbel noise): the per-doc importance "
+    "from pipeline_importance_weights, perturbed by a Gumbel variate "
+    "derived from the repo's deterministic multiplicative-hash uniform "
+    "(pure function of doc_id — reproducible across engines and "
+    "re-runs, no RNG state), top-64 selected. LN's last-ulp drift is "
+    "absorbed by the ROUND(.,9) convention. Scale: the weight "
+    "computation's shuffles plus one TakeOrderedAndProject — the "
+    "global sort never materializes, only the k winners move.",
+)
+def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    imp = pipeline_importance_weights(spark, sf_dir)
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1048576) + 1)
+        .cast("double")
+        / F.lit(1048577.0)
+    )
+    draw = imp.withColumn(
+        "gumbel_key", F.round(F.col("importance") - F.log(-F.log(u)), 9)
+    )
+    # TakeOrderedAndProject pre-reduces to 64 rows; the row_number
+    # window then ranks only the winners (the bpe_train candidates
+    # pattern)
+    w = Window.orderBy(F.col("gumbel_key").desc(), "doc_id")
+    return (
+        draw.orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(64)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "importance", "gumbel_key", "pos")
     )
 
 
