@@ -152,26 +152,43 @@ def rewrite_window_tvfs(sql: str) -> str:
                 f"THEN 1 ELSE 0 END AS __new FROM {tbl} __u) __m) __n)"
             )
         if kind == "TUMBLE":
-            (size, _), = durs
-            w = f"window(`{ts}`, '{size}')"
+            # optional trailing OFFSET arg (Flink 1.19: TUMBLE(..., size
+            # [, offset])) → Spark window()'s startTime parameter
+            if len(durs) == 2:
+                (size, _), (off, _) = durs
+                w = f"window(`{ts}`, '{size}', '{size}', '{off}')"
+            else:
+                (size, _), = durs
+                w = f"window(`{ts}`, '{size}')"
             return (
                 f"(SELECT __s.*, {w}.start AS window_start, "
                 f"{w}.end AS window_end, {w}.end - INTERVAL 1 "
                 f"MILLISECOND AS window_time FROM {tbl} __s)"
             )
         if kind == "HOP":
-            (slide, _), (size, _) = durs  # Flink arg order: slide, size
-            w = f"window(`{ts}`, '{size}', '{slide}')"
+            # Flink arg order: slide, size [, offset]
+            if len(durs) == 3:
+                (slide, _), (size, _), (off, _) = durs
+                w = f"window(`{ts}`, '{size}', '{slide}', '{off}')"
+            else:
+                (slide, _), (size, _) = durs
+                w = f"window(`{ts}`, '{size}', '{slide}')"
             return (
                 f"(SELECT __s.*, {w}.start AS window_start, "
                 f"{w}.end AS window_end, {w}.end - INTERVAL 1 "
                 f"MILLISECOND AS window_time FROM {tbl} __s)"
             )
         if kind == "CUMULATE":
-            (step, step_s), (_, max_s) = durs  # Flink arg order: step, max
+            # Flink arg order: step, max [, offset] — offset shifts the
+            # max-window alignment grid
+            off_s = 0
+            if len(durs) == 3:
+                (step, step_s), (_, max_s), (_, off_s) = durs
+            else:
+                (step, step_s), (_, max_s) = durs
             start = (
-                f"timestamp_seconds((CAST(unix_timestamp(`{ts}`) AS BIGINT) "
-                f"DIV {max_s}) * {max_s})"
+                f"timestamp_seconds(((CAST(unix_timestamp(`{ts}`) AS "
+                f"BIGINT) - {off_s}) DIV {max_s}) * {max_s} + {off_s})"
             )
             return (
                 f"(SELECT __c.*, __c.window_end - INTERVAL 1 "

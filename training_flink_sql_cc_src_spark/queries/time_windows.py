@@ -207,6 +207,75 @@ def window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_tumble_offset_sql",
+    oracle=f"""
+    SELECT (({EPOCH_SQL.format(x='ts')} - 900) // 3600) * 3600 + 900
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {DSUM_SQL.format(x='value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="TUMBLE with the optional OFFSET argument (Flink 1.19: "
+    "TUMBLE(TABLE t, DESCRIPTOR(ts), size, offset) shifts the window "
+    "alignment grid — e.g. billing hours starting at :15) through the "
+    "SQL front door: the router maps the trailing interval onto Spark "
+    "window()'s startTime parameter. Oracle buckets by the same "
+    "shifted floor ((epoch - 900) // 3600) * 3600 + 900.",
+)
+def window_tumble_offset_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__tvfoff_events")
+    return StatementRouter(spark).execute(
+        "SELECT CAST(window_start AS LONG) AS window_start, event_type, "
+        "COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value "
+        "FROM TABLE(TUMBLE(TABLE __tvfoff_events, DESCRIPTOR(ts), "
+        "INTERVAL '1' HOUR, INTERVAL '15' MINUTE)) "
+        "GROUP BY window_start, event_type"
+    )
+
+
+@register(
+    "window_cumulate_offset_sql",
+    oracle=f"""
+    SELECT (({EPOCH_SQL.format(x='e.ts')} - 300) // 3600) * 3600 + 300
+               AS window_start,
+           (({EPOCH_SQL.format(x='e.ts')} - 300) // 3600) * 3600 + 300
+               + k.len AS window_end,
+           COUNT(*) AS n_events
+    FROM events e
+    CROSS JOIN (VALUES (900), (1800), (2700), (3600)) AS k(len)
+    WHERE EPOCH(e.ts) - ((({EPOCH_SQL.format(x='e.ts')} - 300) // 3600)
+                         * 3600 + 300) < k.len
+      AND EPOCH(e.ts) >= ((({EPOCH_SQL.format(x='e.ts')} - 300) // 3600)
+                          * 3600 + 300)
+    GROUP BY 1, 2
+    """,
+    doc="CUMULATE with the optional OFFSET argument through the SQL "
+    "front door: the offset shifts the max-window alignment grid "
+    "(start = floor((t - off) / max) * max + off) before the growing "
+    "window ends expand. Same map-side explode plan as "
+    "window_cumulate, grid shifted by 5 minutes.",
+)
+def window_cumulate_offset_sql(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__tvfoffc_events")
+    return StatementRouter(spark).execute(
+        "SELECT CAST(window_start AS LONG) AS window_start, "
+        "CAST(window_end AS LONG) AS window_end, COUNT(*) AS n_events "
+        "FROM TABLE(CUMULATE(TABLE __tvfoffc_events, DESCRIPTOR(ts), "
+        "INTERVAL '15' MINUTE, INTERVAL '1' HOUR, INTERVAL '5' MINUTE)) "
+        "GROUP BY window_start, window_end"
+    )
+
+
+@register(
     "window_over_time_range",
     oracle=f"""
     SELECT event_id,
