@@ -480,3 +480,47 @@ def test_over_agg_sql_single_window_exchange(spark, sf_med):
     plan = _plan(spark, "over_agg_sql", sf_med)
     assert plan.count("+- Exchange") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_map_only(spark, sf_med):
+    """BPE ENCODE is map-only over the corpus: the learned merges are
+    driver-side literals folded into the projection, so the returned
+    plan has ZERO Exchange and no Join — one scan, one projection
+    (the learn loop's aggregates run before the plan is built and are
+    not part of it)."""
+    plan = _plan(spark, "pipeline_bpe_encode", sf_med)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_floor_broadcasts_floor_table(spark, sf_med):
+    """The per-source quality floor joins the corpus against a
+    domain-cardinality floor table: the floor side must BROADCAST (a
+    shuffle join would move the corpus for a KB-sized dim)."""
+    plan = _plan(spark, "pipeline_quality_floor", sf_med)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_resample_take_ordered(spark, sf_med):
+    """The Gumbel top-k draw never materializes a global sort: the
+    64 winners come from TakeOrderedAndProject (per-partition heads
+    merged on the driver), not a single-partition Sort."""
+    plan = _plan(spark, "pipeline_dsir_resample", sf_med)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_keep_best_partial_aggregation_no_window(spark, sf_med):
+    """Keep-best representative selection reduces with a struct-max
+    groupBy — partial/final SortAggregates (struct max is not
+    hash-aggregable; the partial still combines map-side, so only one
+    pre-reduced row per component per task reaches the exchange), the
+    docs join broadcasts, and there is no per-component Window sort —
+    a giant duplicate cluster never serializes through one sort."""
+    plan = _plan(spark, "dedup_keep_best", sf_med)
+    assert plan.count("SortAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan.replace("WindowGroupLimit", "")

@@ -553,3 +553,37 @@ def agg_heavy_hitters_merge_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     return merge_heavy_hitter_sketches(sketches, [], top=5).select(
         F.col("item").alias("lang"), "est", "max_missed"
     )
+
+
+@register(
+    "agg_first_last_value",
+    oracle="""
+    SELECT user_id,
+           min_by(event_type, event_id) AS first_event_type,
+           max_by(event_type, event_id) AS last_event_type,
+           min_by(value, event_id) AS first_value,
+           max_by(value, event_id) AS last_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="FIRST_VALUE / LAST_VALUE as GROUP BY aggregates (Flink 1.19 "
+    "supports them outside OVER windows; its ordering is arrival order "
+    "— nondeterministic — so the deterministic re-expression keys on "
+    "the unique event_id: min_by/max_by, the same O(1)-state argmin/"
+    "argmax pair the streaming Deduplication operator uses). One "
+    "partial-aggregating shuffle; at 100 TB every group reduces "
+    "map-side to a single (value, key) candidate per task.",
+)
+def agg_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "event_id").alias("first_event_type"),
+            F.max_by("event_type", "event_id").alias("last_event_type"),
+            F.min_by("value", "event_id").alias("first_value"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

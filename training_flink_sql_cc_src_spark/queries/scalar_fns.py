@@ -584,8 +584,8 @@ def scalar_decimal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(regexp_replace-all, POSITION/LOCATE, LTRIM/RTRIM, TO_BASE64, HEX, "
     "replace-based token counting). All JVM built-ins; hex case is pinned "
     "with lower() since the engines disagree on hex digit case. INITCAP/"
-    "OVERLAY exist in Spark but have no DuckDB equivalent — they stay "
-    "unit-tested instead of oracle-paired.",
+    "OVERLAY/PARSE_URL/STR_TO_MAP are oracle-paired separately in "
+    "scalar_string_url_map via regexp/substr emulations.",
 )
 def scalar_string_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
@@ -602,4 +602,57 @@ def scalar_string_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame
             - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
             + 1
         ).alias("word_count"),
+    )
+
+
+@register(
+    "scalar_string_url_map",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, lang, source,
+               'https://' || source || '.example.com/docs/' || lang
+                   || '?id=' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1) AS qid,
+           regexp_extract('lang:' || lang || ',src:' || source,
+                          'src:([^,]*)', 1) AS src_from_map,
+           substr(source, 1, 1) || 'XX' || substr(source, 4) AS overlaid,
+           upper(lang[1]) || lang[2:] AS lang_cap
+    FROM u
+    """,
+    doc="URL / map / in-place-edit string functions from the Flink "
+    "built-in surface: PARSE_URL(HOST/PATH/QUERY key), STR_TO_MAP + "
+    "element access, OVERLAY, INITCAP — previously unit-tested only "
+    "(scalar_string_datetime_extras notes DuckDB lacks them); now "
+    "oracle-paired via regexp/substr emulations. The URL is "
+    "constructed deterministically from (source, lang, doc_id) so "
+    "both engines parse the same strings. Map-only.",
+)
+def scalar_string_url_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+    )
+    kv = F.str_to_map(
+        F.concat(F.lit("lang:"), "lang", F.lit(",src:"), "source"),
+        F.lit(","),
+        F.lit(":"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("qid"),
+        F.element_at(kv, F.lit("src")).alias("src_from_map"),
+        F.overlay("source", F.lit("XX"), F.lit(2)).alias("overlaid"),
+        F.initcap("lang").alias("lang_cap"),
     )
