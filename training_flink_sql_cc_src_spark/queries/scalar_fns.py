@@ -656,3 +656,42 @@ def scalar_string_url_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.overlay("source", F.lit("XX"), F.lit(2)).alias("overlaid"),
         F.initcap("lang").alias("lang_cap"),
     )
+
+
+@register(
+    "scalar_json_construct",
+    oracle="""
+    SELECT lang,
+           json_object('lang', lang, 'n_docs', COUNT(*),
+                       'total_chars', CAST(SUM(n_chars) AS BIGINT))
+               AS summary_json,
+           to_json(list(DISTINCT source ORDER BY source)) AS sources_json
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="JSON CONSTRUCTION functions (Flink 1.19: JSON_OBJECT / "
+    "JSON_ARRAYAGG — the write side of the JSON surface; the read side "
+    "is scalar_json_*): Spark builds the same compact strings with "
+    "to_json(struct(...)) and to_json(array_sort(collect_set(...))) — "
+    "both engines emit identical key order (declaration order) and "
+    "number formatting for string/int fields, so the JSON text itself "
+    "hash-matches. One aggregate shuffle.",
+)
+def scalar_json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.array_sort(F.collect_set("source")).alias("sources"),
+    )
+    return agg.select(
+        "lang",
+        F.to_json(
+            F.struct(
+                F.col("lang"),
+                F.col("n_docs"),
+                F.col("total_chars"),
+            )
+        ).alias("summary_json"),
+        F.to_json("sources").alias("sources_json"),
+    )
