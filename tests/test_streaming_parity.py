@@ -3486,3 +3486,39 @@ def test_multi_key_partition_by_streams_all_legs(spark):
         # and the NULL group key restored as NULL
         assert any(r[1] == 1 for r in got), name
         assert any(r[0] is None for r in got), name
+
+
+def test_grouping_sets_statement_streams(spark, sf_small):
+    """GROUP BY GROUPING SETS / ROLLUP through sql_stream: Catalyst
+    plans Expand + streaming aggregation natively (Flink also streams
+    these in update mode), so the front door needs no rewrite — final
+    complete-mode state must equal the batch recompute, NULL
+    grouping-placeholder rows included."""
+    from collections import Counter
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    stmt = (
+        "SELECT event_type, user_id % 4 AS ub, COUNT(*) AS n, "
+        "GROUPING(event_type) AS g_et "
+        "FROM __gs_events "
+        "GROUP BY GROUPING SETS ((event_type), (event_type, user_id % 4), ())"
+    )
+    ev.createOrReplaceTempView("__gs_events")
+    batch = Counter(tuple(r) for r in spark.sql(stmt).collect())
+    eng = Engine(spark)
+    streamed = run_stream_over_batch(
+        spark,
+        ev,
+        lambda s: eng.sql_stream(stmt, {"__gs_events": s}),
+        output_mode="complete",
+        n_files=4,
+    )
+    got = Counter(tuple(r) for r in streamed.collect())
+    assert got == batch and batch
+    # all three grouping sets present: the () grand total, per-type,
+    # and per-(type, bucket)
+    assert any(r[0] is None for r in got)
+    assert any(r[0] is not None and r[1] is None for r in got)
+    assert any(r[0] is not None and r[1] is not None for r in got)
