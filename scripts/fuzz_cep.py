@@ -139,9 +139,18 @@ def main(n_cases, seed):
         defines = ", ".join(
             f"{v} AS {v}.et = '{CHARS[v]}'" for v in sorted(set(used))
         )
-        n = rng.randint(3, 14)
         alphabet = [CHARS[v] for v in used] + ["x"]
-        types = "".join(rng.choice(alphabet) for _ in range(n))
+        # ~30% of cases: THREE partitions incl. a NULL key (a NULL
+        # partition key is its own group — the round-8 null-safe
+        # skip-filter join contract), each with independent data
+        multi = rng.random() < 0.3
+        keys = [1, None, 2] if multi else [1]
+        key_types = {
+            k: "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(3, 14))
+            )
+            for k in keys
+        }
         tried += 1
         # skip mode: NEXT ROW / PAST LAST ROW / TO FIRST|LAST <var>
         sk = rng.random()
@@ -161,7 +170,12 @@ def main(n_cases, seed):
         # reachable from start s — the reference matches against the
         # TRUNCATED input (greedy behavior beyond the horizon included)
         within = rng.randint(1, 6) if rng.random() < 0.3 else None
-        rows = [(1, i, t) for i, t in enumerate(types)]
+        rows, seq_off, off = [], {}, 0
+        for k in keys:
+            seq_off[k] = off
+            for i, tch in enumerate(key_types[k]):
+                rows.append((k, off + i, tch))
+            off += len(key_types[k])
         spark.createDataFrame(
             rows, "user_id int, seq int, et string"
         ).selectExpr(
@@ -173,7 +187,7 @@ def main(n_cases, seed):
         try:
             got_rows = router.execute(
                 f"""
-                SELECT seq, mn FROM __fuzz
+                SELECT user_id, seq, mn FROM __fuzz
                 MATCH_RECOGNIZE (
                     PARTITION BY user_id
                     ORDER BY ts, seq
@@ -200,23 +214,27 @@ def main(n_cases, seed):
                     flush=True,
                 )
                 continue
-        # got: exact emitted row set per match (exclusions suppress rows)
+        # got: exact emitted row set per match (exclusions suppress
+        # rows), keyed (partition, match_number)
         spans = {}
         for r in got_rows:
-            spans.setdefault(r.mn, []).append(r.seq)
+            spans.setdefault((r.user_id, r.mn), []).append(r.seq)
         got = sorted(tuple(sorted(v)) for v in spans.values())
         rx = pyre.compile(pat_r)
-        per_start = {}
-        for st in range(len(types)):
-            hay = types if within is None else types[: st + within + 1]
-            m = rx.match(hay, st)
-            if m and m.end() > st:
-                per_start[st] = m.end() - 1
         excl_chars = {CHARS[v] for v in excl}
-        want_err = None
-        if skip_mode[0] == "NEXT":
-            kept = sorted(per_start.items())
-        else:
+
+        def expected_for(ktypes: str):
+            """Per-partition reference: (kept spans, want_err)."""
+            per_start = {}
+            for st in range(len(ktypes)):
+                hay = (
+                    ktypes if within is None else ktypes[: st + within + 1]
+                )
+                m = rx.match(hay, st)
+                if m and m.end() > st:
+                    per_start[st] = m.end() - 1
+            if skip_mode[0] == "NEXT":
+                return sorted(per_start.items()), None
             # shared walk: keep a match when it starts at/after the
             # resume cursor; the skip mode decides the next cursor
             kept, cur = [], 0
@@ -232,42 +250,51 @@ def main(n_cases, seed):
                     vpos = [
                         j
                         for j in range(st, e + 1)
-                        if types[j] == CHARS[tvar]
+                        if ktypes[j] == CHARS[tvar]
                     ]
                     if not vpos:
-                        # target variable unmatched: resume past the end
+                        # target unmatched: resume past the end
                         cur = e + 1
                         continue
                     t = vpos[0] if nav == "FIRST" else vpos[-1]
                     if t <= st:
                         # resume target IS the match start: the engine
                         # raises Flink's loop-forever error
-                        want_err = "loop"
-                        break
+                        return kept, "loop"
                     cur = t
+            return kept, None
+
+        want, want_err = [], None
+        for k in keys:
+            kept, err = expected_for(key_types[k])
+            if err:
+                want_err = err
+                break
+            for st, e in kept:
+                emitted = tuple(
+                    seq_off[k] + j
+                    for j in range(st, e + 1)
+                    if key_types[k][j] not in excl_chars
+                )
+                if emitted:
+                    want.append(emitted)
         if engine_err or want_err:
             if engine_err != want_err:
                 failures += 1
                 print(
                     f"ERROR MISMATCH pattern={pat_e!r} skip={skip_sql!r} "
-                    f"types={types!r}: engine={engine_err} want={want_err}",
+                    f"types={key_types!r}: engine={engine_err} "
+                    f"want={want_err}",
                     flush=True,
                 )
             tried_tick(tried, n_cases, failures)
             continue
-        want = []
-        for st, e in kept:
-            emitted = tuple(
-                j for j in range(st, e + 1) if types[j] not in excl_chars
-            )
-            if emitted:
-                want.append(emitted)
         want.sort()
         if got != want:
             failures += 1
             print(
                 f"MISMATCH pattern={pat_e!r} regex={pat_r!r} "
-                f"skip={skip_sql!r} types={types!r}\n"
+                f"skip={skip_sql!r} types={key_types!r}\n"
                 f"  got ={got}\n  want={want}",
                 flush=True,
             )

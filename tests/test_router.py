@@ -548,3 +548,44 @@ def test_tvf_window_time_column(spark):
             assert row.window_time == row.window_end - datetime.timedelta(
                 milliseconds=1
             ), tvf
+
+
+def test_statement_set_multi_insert(router, spark):
+    """Flink's EXECUTE STATEMENT SET BEGIN <INSERT>; ...; END (the
+    multi-insert job form the labs use to co-plan sinks): the router
+    runs the inner INSERTs in order through the same catalog, so a
+    later statement reading an earlier sink sees its rows — the
+    depends_on DAG contract of EP3. Also exercised through
+    execute_script, whose semicolon splitter must NOT tear the block
+    apart."""
+    router.execute(
+        "CREATE TABLE ss_a (k INT, v STRING, PRIMARY KEY (k) NOT ENFORCED)"
+    )
+    router.execute(
+        "CREATE TABLE ss_b (k INT, v STRING, PRIMARY KEY (k) NOT ENFORCED)"
+    )
+    router.execute(
+        """
+        EXECUTE STATEMENT SET BEGIN
+        INSERT INTO ss_a VALUES (1, 'one'), (2, 'two');
+        INSERT INTO ss_b SELECT k, UPPER(v) FROM ss_a;
+        END
+        """
+    )
+    assert {tuple(r) for r in spark.table("ss_b").collect()} == {
+        (1, "ONE"),
+        (2, "TWO"),
+    }
+    # the same block inside a multi-statement script (splitter merge)
+    results = router.execute_script(
+        """
+        CREATE TABLE ss_c (k INT, v STRING, PRIMARY KEY (k) NOT ENFORCED);
+        STATEMENT SET BEGIN
+        INSERT INTO ss_c SELECT k, v FROM ss_a;
+        INSERT INTO ss_c VALUES (3, 'three');
+        END;
+        """
+    )
+    assert len(results) == 2
+    got = {tuple(r) for r in spark.table("ss_c").collect()}
+    assert got == {(1, "one"), (2, "two"), (3, "three")}

@@ -373,6 +373,11 @@ _INSERT_RE = re.compile(
 # (terraform/lab-aggregations/main.tf:397-400). Spark temp views are a
 # flat namespace, so catalog.db.table flattens to catalog__db__table and
 # bare names resolve through the session's current catalog/database.
+_STATEMENT_SET_RE = re.compile(
+    r"^\s*(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\s+(?P<body>.*?)\s*;?\s*"
+    r"END\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _USE_CATALOG_RE = re.compile(r"^\s*USE\s+CATALOG\s+`?([\w-]+)`?\s*$", re.IGNORECASE)
 _USE_DB_RE = re.compile(
     r"^\s*USE\s+(?:DATABASE\s+)?`?([\w-]+)`?\s*$", re.IGNORECASE
@@ -602,6 +607,17 @@ class StatementRouter:
             if "SYSTEM_TIME" in inner.upper():
                 inner = self._rewrite_temporal_joins(inner)
             return self.spark.sql(f"EXPLAIN {inner}")
+        m = _STATEMENT_SET_RE.match(sql)
+        if m:
+            # Flink's multi-INSERT statement set (EXECUTE STATEMENT SET
+            # BEGIN <INSERT>; ...; END): Flink plans the inserts as ONE
+            # job sharing common sources; batch equivalence is running
+            # them in order (each INSERT materializes through the same
+            # catalog, so a later insert reading an earlier sink sees
+            # its rows — the depends_on DAG contract of EP3)
+            for stmt in _split_statements(m.group("body")):
+                self.execute(stmt)
+            return None
         m = _USE_CATALOG_RE.match(sql)
         if m:
             self.current_catalog = m.group(1)
@@ -917,7 +933,29 @@ def _split_statements(script: str) -> list[str]:
     tail = "".join(cur).strip()
     if tail:
         out.append(tail)
-    return out
+    # re-merge STATEMENT SET BEGIN ... END blocks the semicolon split
+    # tore apart (the inner INSERTs are ;-terminated by Flink's syntax)
+    merged: list[str] = []
+    i = 0
+    open_re = re.compile(
+        r"^\s*(?:EXECUTE\s+)?STATEMENT\s+SET\s+BEGIN\b", re.IGNORECASE
+    )
+    end_re = re.compile(r"\bEND\s*$", re.IGNORECASE)
+    while i < len(out):
+        stmt = out[i]
+        if open_re.match(stmt) and not end_re.search(stmt):
+            block = [stmt]
+            i += 1
+            while i < len(out):
+                block.append(out[i])
+                if end_re.search(out[i]):
+                    break
+                i += 1
+            merged.append(";\n".join(block))
+        else:
+            merged.append(stmt)
+        i += 1
+    return merged
 
 
 def _split_top_level(s: str) -> list[str]:
