@@ -77,6 +77,8 @@ HEADLINE = (
     "cluster_kmeans_fit",
     "text_bigram_lm_score",
     "over_agg_sql",
+    "pipeline_bpe_encode",
+    "dedup_keep_best",
 )
 
 
