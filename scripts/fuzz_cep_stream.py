@@ -85,6 +85,17 @@ def rand_next_conjunct(rng, v, max_n):
     return f"NEXT({v}.v{suffix}) {op} {rng.randint(0, 6)}"
 
 
+def rand_selfnav_conjunct(rng, v):
+    """SELF FIRST/LAST binding (round 8): {v}.v OP FIRST|LAST({v}.v[, n])
+    — the defining variable's mapped-so-far rows include the current
+    candidate, so LAST(v.v, 1) is the previous mapped row (NULL -> false
+    on the first, which often empties strict-ascent shapes: fine)."""
+    nav = rng.choice(["FIRST", "LAST"])
+    op = rng.choice([">", ">=", "<", "<=", "<>"])
+    n = rng.choice(["", "", ", 1"])
+    return f"{v}.v {op} {nav}({v}.v{n})"
+
+
 def gen_bounded(rng):
     """Bounded shapes for the Lmax-window matcher: optionals, bounded
     quantifiers (greedy and reluctant), alternation groups, PERMUTE.
@@ -157,9 +168,17 @@ def gen_bounded(rng):
         ref = (
             f"{other}.v"
             if rng.random() < 0.6
-            else f"{rng.choice(['FIRST', 'LAST'])}({other}.v)"
+            else (
+                f"{rng.choice(['FIRST', 'LAST'])}({other}.v"
+                f"{rng.choice(['', '', ', 1'])})"
+            )
         )
         defs[v] += f" AND {v}.v {op} {ref}"
+    if rng.random() < 0.2:
+        # SELF FIRST/LAST binding on any variable (round 8) — on a
+        # single-mapped variable FIRST/LAST(v.v) is the current row
+        v = rng.choice(used)
+        defs[v] += f" AND {rand_selfnav_conjunct(rng, v)}"
     defines = ", ".join(f"{v} AS {defs[v]}" for v in used)
     # {- X -} exclusion around a non-first single-variable term (rows
     # matched + measured, omitted from ALL ROWS output -> forces the
@@ -229,9 +248,16 @@ def gen_timebound(rng):
         ref = (
             f"{other}.v"
             if rng.random() < 0.6
-            else f"{rng.choice(['FIRST', 'LAST'])}({other}.v)"
+            else (
+                f"{rng.choice(['FIRST', 'LAST'])}({other}.v"
+                f"{rng.choice(['', '', ', 1'])})"
+            )
         )
         defs[v] += f" AND {v}.v {op} {ref}"
+    if rng.random() < 0.25:
+        # SELF FIRST/LAST binding on any variable (round 8)
+        v = rng.choice(used)
+        defs[v] += f" AND {rand_selfnav_conjunct(rng, v)}"
     defines = ", ".join(f"{v} AS {defs[v]}" for v in used)
     # a SKIP TO target that can map the match START would raise the
     # loop-forever error in BOTH engines ((A|B)+ C: A and B both
@@ -244,6 +270,15 @@ def gen_timebound(rng):
     else:
         skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
     _ = run_var
+    if rng.random() < 0.35:
+        # NO WITHIN: the same unbounded shapes stream through the
+        # BREAK-ROW-decided leg (round 8) — TERM rows fail every
+        # grammar atom, so they are breaks; pad a couple so trailing
+        # heads decide
+        return (
+            pattern, defines, used, skip, "",
+            2 + max_next, "timebound",
+        )
     return (
         pattern, defines, used, skip,
         f"WITHIN INTERVAL '{within}' SECOND",

@@ -2875,3 +2875,105 @@ def test_null_partition_key_matches(spark):
     x_rows = [(r.v, r.cls) for r in all_rows if r.g == "x"]
     assert sorted(null_rows) == sorted(x_rows)
     assert sum(1 for _, c in null_rows if c is None) == 1  # only -1000
+
+
+def test_self_nav_define_on_runs(spark):
+    """FIRST/LAST over the DEFINING variable's own mapped rows in a
+    DEFINE, on NFA-routed patterns (round 8) — previously 'lowered only
+    for bounded patterns'. Flink semantics: the defining variable's
+    mapped-so-far rows INCLUDE the current candidate row, so
+    LAST(B.v, 1) is the PREVIOUS B row (NULL -> false on the first B —
+    the ascending-run idiom needs an OR IS NULL escape Flink-side,
+    which the simple-comparison subset deliberately omits)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [9, 1, 2, 3, 1, 8, 2, 5, 4, 1, -997]
+    rows = [
+        ("k0", base + dt.timedelta(seconds=3 * i), v)
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows, "k string, ts timestamp, v int"
+    ).createOrReplaceTempView("__mr_selfnav")
+    router = StatementRouter(spark)
+
+    # FIRST anchor: B+ = i1..i9 (every v in 1..8 and >= FIRST=1)
+    got = [
+        tuple(r)
+        for r in router.execute(
+            """
+            SELECT k, CAST(e AS LONG) AS e, nb FROM __mr_selfnav
+            MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES LAST(B.ts) AS e, COUNT(B.v) AS nb
+                ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B+)
+                DEFINE A AS A.v >= 9,
+                       B AS B.v BETWEEN 1 AND 8 AND B.v >= FIRST(B.v)
+            )
+            """
+        ).collect()
+    ]
+    assert got == [("k0", 1704067200 + 27, 9)]
+
+    # strict ascent via LAST(B.v, 1): the FIRST B row's reference is
+    # out of range -> NULL -> false, so B+ can never start (Flink)
+    got = router.execute(
+        """
+        SELECT k FROM __mr_selfnav
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(B.ts) AS e
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+)
+            DEFINE A AS A.v >= 9,
+                   B AS B.v BETWEEN 1 AND 8 AND B.v > LAST(B.v, 1)
+        )
+        """
+    ).collect()
+    assert got == []
+
+    # variant-enumeration path (flat bounded) vs NFA path (nested
+    # group forces the AST) must agree on the same self-nav statement
+    tmpl = """
+        SELECT k, CAST(e AS LONG) AS e FROM __mr_selfnav
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(B.ts) AS e
+            ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A {pat})
+            DEFINE A AS A.v >= 8,
+                   B AS B.v BETWEEN 1 AND 7 AND B.v >= FIRST(B.v)
+        )
+    """
+    flat = sorted(
+        tuple(r) for r in router.execute(tmpl.format(pat="B{1,3}")).collect()
+    )
+    nested = sorted(
+        tuple(r)
+        for r in router.execute(tmpl.format(pat="(B){1,3}")).collect()
+    )
+    assert flat == nested and flat
+
+    # foreign navigation WITH an offset on the NFA path: C sees the
+    # second-to-last B row
+    got = [
+        tuple(r)
+        for r in router.execute(
+            """
+            SELECT k, CAST(e AS LONG) AS e FROM __mr_selfnav
+            MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES LAST(C.ts) AS e
+                ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B+ C)
+                DEFINE A AS A.v >= 9, B AS B.v BETWEEN 1 AND 8,
+                       C AS C.v BETWEEN 1 AND 8 AND C.v < FIRST(B.v, 1)
+            )
+            """
+        ).collect()
+    ]
+    # greedy B+ backtracks until C satisfies C.v < second B row's v (2):
+    # B = i1..i8, C = i9 (v=1 < 2)
+    assert got == [("k0", 1704067200 + 27)]

@@ -741,24 +741,26 @@ def test_stream_match_recognize_general_leg_guards(spark, sf_small):
         ),
         {"events_mr_guard": ev},
     ) is not None
-    # cross-variable DEFINE on an UNBOUNDED run: batch-only
-    with pytest.raises(NotImplementedError, match="cross-variable"):
-        eng.sql_stream(
-            """
-            SELECT user_id, b_ts FROM events_mr_guard
-            MATCH_RECOGNIZE (
-                PARTITION BY user_id
-                ORDER BY ts
-                MEASURES B.ts AS b_ts
-                ONE ROW PER MATCH
-                AFTER MATCH SKIP PAST LAST ROW
-                PATTERN (A+ B)
-                DEFINE A AS A.event_type = 'view',
-                       B AS B.event_id > A.event_id
-            )
-            """,
-            {"events_mr_guard": ev},
+    # cross-variable DEFINE on an UNBOUNDED run: streams since round 8
+    # via the BREAK-ROW-decided leg (note: B's row-local remainder is
+    # TRUE, so a key with no all-false rows hits the loud state cap at
+    # runtime — the plan itself constructs)
+    assert eng.sql_stream(
+        """
+        SELECT user_id, b_ts FROM events_mr_guard
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_id > A.event_id
         )
+        """,
+        {"events_mr_guard": ev},
+    ) is not None
     # physical PREV navigation: streams via the keyed lag pre-pass
     assert eng.sql_stream(
         tmpl.format(
@@ -799,13 +801,24 @@ def test_stream_match_recognize_general_leg_guards(spark, sf_small):
         ),
         {"events_mr_guard": ev},
     ) is not None
-    # SELF-referencing FIRST/LAST match bindings: batch-only
-    with pytest.raises(NotImplementedError, match="FIRST/LAST"):
+    # SELF-referencing FIRST/LAST match bindings: stream since round 8
+    # (same cross-check mechanism; the defining variable's rows include
+    # the current candidate — test_self_nav_defines_stream for parity)
+    assert eng.sql_stream(
+        tmpl.format(
+            key="user_id",
+            da="A.event_type = 'view'",
+            db="B.event_id > LAST(B.event_id, 1)",
+        ),
+        {"events_mr_guard": ev},
+    ) is not None
+    # ... but only through comparisons — richer nav forms stay loud
+    with pytest.raises(NotImplementedError, match="cross-variable"):
         eng.sql_stream(
             tmpl.format(
                 key="user_id",
                 da="A.event_type = 'view'",
-                db="B.event_id > LAST(B.event_id)",
+                db="B.event_id > LAST(B.event_id, 1) + 1",
             ),
             {"events_mr_guard": ev},
         )
@@ -1200,13 +1213,11 @@ def test_general_funnel_stream_prev_and_payload_match_batch(spark):
 
 
 def test_general_funnel_stream_guards(spark):
-    """The general funnel rejects — loudly — SKIP TO NEXT ROW without a
-    WITHIN bound (per-start emission needs unbounded per-key state),
-    while accepting arbitrary row-local DEFINEs under SKIP PAST LAST
-    ROW. WITH a WITHIN bound both shapes stream since round 8 (the
-    time-bounded window leg)."""
-    import pytest
-
+    """Every funnel skip/WITHIN combination streams: SKIP PAST LAST ROW
+    on the O(1) funnel matcher; SKIP TO NEXT ROW without WITHIN via the
+    BREAK-ROW-decided leg (round 8 — per-start emission from the
+    break-free stretch); both skips WITH a WITHIN bound via the
+    time-bounded window leg."""
     from training_flink_sql_cc_src_spark.engine import Engine
 
     df = _cep_funnel_df(spark)
@@ -1224,22 +1235,12 @@ def test_general_funnel_stream_guards(spark):
             DEFINE A AS A.v >= 10, B AS B.v % 2 = 1, C AS C.v <= 9
         )
     """
-    assert eng.sql_stream(
-        tmpl.format(skip="PAST LAST ROW", within=""),
-        {"cep_funnel_g": df},
-    ) is not None
-    with pytest.raises(NotImplementedError, match="SKIP TO NEXT ROW"):
-        eng.sql_stream(
-            tmpl.format(skip="TO NEXT ROW", within=""),
-            {"cep_funnel_g": df},
-        )
-    for skip in ("PAST LAST ROW", "TO NEXT ROW"):
-        assert eng.sql_stream(
-            tmpl.format(
-                skip=skip, within="WITHIN INTERVAL '1' HOUR"
-            ),
-            {"cep_funnel_g": df},
-        ) is not None
+    for within in ("", "WITHIN INTERVAL '1' HOUR"):
+        for skip in ("PAST LAST ROW", "TO NEXT ROW"):
+            assert eng.sql_stream(
+                tmpl.format(skip=skip, within=within),
+                {"cep_funnel_g": df},
+            ) is not None
 
 
 def test_cross_define_foreign_left_qualifier_rejected_on_stream(spark):
@@ -1954,22 +1955,25 @@ def test_bounded_pattern_stream_skip_to_var(spark):
         )
         got = {tuple(r) for r in streamed.collect()}
         assert got == batch and batch, skip
-    with pytest.raises(NotImplementedError, match="unbounded shape"):
-        eng.sql_stream(
-            """
-            SELECT k, b_ts FROM cep_skipto2
-            MATCH_RECOGNIZE (
-                PARTITION BY k
-                ORDER BY ts
-                MEASURES B.ts AS b_ts
-                ONE ROW PER MATCH
-                AFTER MATCH SKIP TO LAST A
-                PATTERN (A+ B)
-                DEFINE A AS A.v >= 8, B AS B.v < 8
-            )
-            """,
-            {"cep_skipto2": df},
+    # SKIP TO over an unbounded run with NO WITHIN streams since round
+    # 8 via the BREAK-ROW-decided leg (construction; note these
+    # DEFINEs cover every v, so a run with no break rows would hit the
+    # loud state cap at runtime rather than grow silently)
+    assert eng.sql_stream(
+        """
+        SELECT k, b_ts FROM cep_skipto2
+        MATCH_RECOGNIZE (
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO LAST A
+            PATTERN (A+ B)
+            DEFINE A AS A.v >= 8, B AS B.v < 8
         )
+        """,
+        {"cep_skipto2": df},
+    ) is not None
 
 
 def test_all_rows_per_match_streams_bounded(spark):
@@ -2897,39 +2901,61 @@ def test_mid_run_statement_streams_through_engine(spark, sf_small):
     assert got == batch and batch
 
 
-def test_stream_match_recognize_rejects_unbounded_nested_groups(
-    spark, sf_small
-):
-    """A nested pattern with an UNBOUNDED group quantifier must NOT
-    stream as a flat sequence — no finite window bounds it; the
-    instructive error names it. (BOUNDED nested groups stream through
-    the Lmax-window matcher — test_bounded_pattern_stream_matches_batch.)"""
-    import pytest
+def test_stream_match_recognize_unbounded_nested_groups(spark):
+    """A nested pattern with an UNBOUNDED group quantifier — (A B)+ C —
+    streams since round 8 via the BREAK-ROW-decided leg (no WITHIN
+    needed): rows matching no variable bound the partial-match state,
+    so batch and stream agree exactly. (BOUNDED nested groups stream
+    through the Lmax-window matcher —
+    test_bounded_pattern_stream_matches_batch.)"""
+    import datetime as dt
+    import random
+    from collections import Counter
 
     from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
 
-    ev = t(spark, sf_small, "events").select(
-        "user_id", "ts", "event_type", "event_id"
+    base = dt.datetime(2024, 1, 1)
+    rnd = random.Random(23)
+    rows = []
+    for k in range(4):
+        # 'other' rows are the breaks; trailing pads flush the tail
+        evs = [
+            rnd.choice(["view", "click", "purchase", "other"])
+            for _ in range(30)
+        ] + ["other", "other"]
+        for i, e in enumerate(evs):
+            rows.append((f"u{k}", base + dt.timedelta(seconds=3 * i + k), e))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    stmt = """
+        SELECT user_id, CAST(a_ts AS LONG) AS ae FROM events_nested_stream
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES A.ts AS a_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN ((A B)+ C)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type = 'click',
+                   C AS C.event_type = 'purchase'
+        )
+    """
+    df.createOrReplaceTempView("events_nested_stream")
+    batch = Counter(
+        tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
     )
     eng = Engine(spark)
-    with pytest.raises(NotImplementedError, match="unbounded quantifiers"):
-        eng.sql_stream(
-            """
-            SELECT user_id, a_ts FROM events_nested_stream
-            MATCH_RECOGNIZE (
-                PARTITION BY user_id
-                ORDER BY ts
-                MEASURES A.ts AS a_ts
-                ONE ROW PER MATCH
-                AFTER MATCH SKIP TO NEXT ROW
-                PATTERN ((A B)+ C)
-                DEFINE A AS A.event_type = 'view',
-                       B AS B.event_type = 'click',
-                       C AS C.event_type = 'purchase'
-            )
-            """,
-            {"events_nested_stream": ev},
-        )
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"events_nested_stream": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = Counter(tuple(r) for r in streamed.collect())
+    assert got == batch and batch, (batch - got, got - batch)
 
 
 def _temporal_fixture(spark, sf_small):
@@ -3522,3 +3548,225 @@ def test_grouping_sets_statement_streams(spark, sf_small):
     assert any(r[0] is None for r in got)
     assert any(r[0] is not None and r[1] is None for r in got)
     assert any(r[0] is not None and r[1] is not None for r in got)
+
+
+def test_break_decided_leg_unbounded_no_within(spark):
+    """The BREAK-ROW-decided leg (round 8): unbounded patterns with NO
+    WITHIN bound stream for every shape the loud rejects used to name —
+    ALL ROWS over runs, SKIP TO over runs, cross-variable DEFINEs on
+    runs, unbounded mixed with bounded quantifiers, SKIP TO NEXT ROW on
+    runs. No match can span a row matching no pattern variable, so the
+    head start decides at the first flag-mask-0 row; state is the rows
+    between breaks (Flink CEP's partial-match state), loud cap."""
+    import datetime as dt
+    import random
+    from collections import Counter
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    base = dt.datetime(2024, 1, 1)
+    rnd = random.Random(11)
+    rows = []
+    for k in range(4):
+        vals = [rnd.randint(0, 9) for _ in range(26)] + [-997]
+        for i, v in enumerate(vals):
+            rows.append((f"k{k}", base + dt.timedelta(seconds=2 * i + k), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v int")
+    eng = Engine(spark)
+    router = StatementRouter(spark)
+    cases = {
+        "all_rows_run": """
+            SELECT k, v, cls FROM bd_src
+            MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES CLASSIFIER() AS cls
+                ALL ROWS PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B+ C)
+                DEFINE A AS A.v >= 7, B AS B.v BETWEEN 3 AND 6,
+                       C AS C.v BETWEEN 0 AND 2
+            )""",
+        "crossvar_run": """
+            SELECT k, CAST(e AS LONG) AS e, nb FROM bd_src
+            MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES LAST(C.ts) AS e, COUNT(B.v) AS nb
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B+ C)
+                DEFINE A AS A.v >= 7, B AS B.v BETWEEN 3 AND 6,
+                       C AS C.v BETWEEN 0 AND 2 AND C.v < A.v
+            )""",
+        "skip_to_on_run": """
+            SELECT k, CAST(e AS LONG) AS e FROM bd_src
+            MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES LAST(B.ts) AS e
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP TO LAST B
+                PATTERN (A B+)
+                DEFINE A AS A.v >= 7, B AS B.v BETWEEN 3 AND 6
+            )""",
+        "mixed_unbounded": """
+            SELECT k, CAST(e AS LONG) AS e FROM bd_src
+            MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES LAST(B.ts) AS e
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP TO NEXT ROW
+                PATTERN (A{1,2} B+ C?)
+                DEFINE A AS A.v >= 7, B AS B.v BETWEEN 3 AND 6,
+                       C AS C.v BETWEEN 0 AND 2
+            )""",
+    }
+    for name, stmt in cases.items():
+        df.createOrReplaceTempView("bd_src")
+        batch = Counter(tuple(r) for r in router.execute(stmt).collect())
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, q=stmt: eng.sql_stream(q, {"bd_src": s}),
+            output_mode="append",
+            n_files=4,
+            order_by="ts",
+        )
+        got = Counter(tuple(r) for r in streamed.collect())
+        assert got == batch and batch, (name, batch - got, got - batch)
+
+
+def test_break_decided_leg_cap_is_loud(spark, monkeypatch):
+    """A key whose predicates never ALL fail has no break rows: the
+    break-decided leg must hit the loud row cap, never grow state
+    silently (C.v <= 2 matches the would-be terminator, so every row
+    maps to some variable)."""
+    import datetime as dt
+
+    import pytest
+
+    from training_flink_sql_cc_src_spark import streaming
+    from training_flink_sql_cc_src_spark.engine import Engine
+
+    monkeypatch.setattr(
+        streaming.stateful, "TIME_WINDOW_ROW_CAP", 8
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k0", base + dt.timedelta(seconds=i), v)
+        for i, v in enumerate([8, 4, 5, 1] * 5)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v int")
+    eng = Engine(spark)
+    with pytest.raises(Exception, match="BREAK row"):
+        run_stream_over_batch(
+            spark,
+            df,
+            lambda s: eng.sql_stream(
+                """
+                SELECT k, CAST(e AS LONG) AS e FROM bd_cap
+                MATCH_RECOGNIZE (
+                    PARTITION BY k ORDER BY ts
+                    MEASURES LAST(C.ts) AS e
+                    ONE ROW PER MATCH
+                    AFTER MATCH SKIP PAST LAST ROW
+                    PATTERN (A B+ C?)
+                    DEFINE A AS A.v >= 7, B AS B.v BETWEEN 3 AND 6,
+                           C AS C.v <= 2
+                )
+                """,
+                {"bd_cap": s},
+            ),
+            output_mode="append",
+            n_files=2,
+            order_by="ts",
+        )
+
+
+def test_self_nav_defines_stream(spark):
+    """SELF-referencing FIRST/LAST match bindings in DEFINEs stream
+    (round 8): {v}.col OP FIRST/LAST({v}.col[, n]) rides the cross-check
+    mechanism — the defining variable's mapped-so-far rows INCLUDE the
+    current candidate row (Flink: LAST(B.v, 1) inside B's DEFINE is the
+    previous B row, the ascending-run idiom). Exercised on every leg:
+    break-decided (no WITHIN), row-bounded (quantifier + WITHIN),
+    time-bounded (run + WITHIN), ALL ROWS, and a foreign nav offset."""
+    import datetime as dt
+    import random
+    from collections import Counter
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    base = dt.datetime(2024, 1, 1)
+    rnd = random.Random(7)
+    rows = []
+    for k in range(4):
+        vals = [rnd.randint(0, 9) for _ in range(28)] + [-997] * 8
+        for i, v in enumerate(vals):
+            rows.append((f"k{k}", base + dt.timedelta(seconds=3 * i + k), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v int")
+    router = StatementRouter(spark)
+    eng = Engine(spark)
+    cases = {
+        "run_self_first": """
+            SELECT k, CAST(e AS LONG) AS e, nb FROM sn_src MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES LAST(B.ts) AS e, COUNT(B.v) AS nb
+                ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B+)
+                DEFINE A AS A.v >= 8,
+                       B AS B.v BETWEEN 1 AND 7 AND B.v >= FIRST(B.v)
+            )""",
+        "funnel_foreign_last1": """
+            SELECT k, CAST(e AS LONG) AS e FROM sn_src MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES LAST(C.ts) AS e
+                ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B+ C)
+                DEFINE A AS A.v >= 8, B AS B.v BETWEEN 1 AND 7,
+                       C AS C.v BETWEEN 1 AND 7 AND C.v > LAST(B.v, 1)
+            )""",
+        "quant_self_first_within": """
+            SELECT k, CAST(e AS LONG) AS e FROM sn_src MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES LAST(B.ts) AS e
+                ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+                PATTERN (A B{1,3})
+                WITHIN INTERVAL '30' SECOND
+                DEFINE A AS A.v >= 8,
+                       B AS B.v BETWEEN 1 AND 7 AND B.v >= FIRST(B.v)
+            )""",
+        "run_self_first_within": """
+            SELECT k, CAST(e AS LONG) AS e FROM sn_src MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES LAST(B.ts) AS e
+                ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B+)
+                WITHIN INTERVAL '15' SECOND
+                DEFINE A AS A.v >= 8,
+                       B AS B.v BETWEEN 1 AND 7 AND B.v >= FIRST(B.v)
+            )""",
+        "all_rows_self": """
+            SELECT k, v, cls FROM sn_src MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES CLASSIFIER() AS cls
+                ALL ROWS PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B+)
+                DEFINE A AS A.v >= 8,
+                       B AS B.v BETWEEN 1 AND 7 AND B.v >= FIRST(B.v)
+            )""",
+    }
+    for name, stmt in cases.items():
+        df.createOrReplaceTempView("sn_src")
+        batch = Counter(tuple(r) for r in router.execute(stmt).collect())
+        streamed = run_stream_over_batch(
+            spark,
+            df,
+            lambda s, q=stmt: eng.sql_stream(q, {"sn_src": s}),
+            output_mode="append",
+            n_files=4,
+            order_by="ts",
+        )
+        got = Counter(tuple(r) for r in streamed.collect())
+        assert got == batch and batch, (name, batch - got, got - batch)

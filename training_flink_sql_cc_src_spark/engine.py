@@ -86,12 +86,16 @@ class Engine:
         WITHIN, and ALL ROWS PER MATCH (WITH UNMATCHED ROWS,
         exclusions, CLASSIFIER/MATCH_NUMBER) — all route to the
         stateful per-key matchers (streaming/stateful.py) and the
-        outer query is rewritten over the matched stream. A WITHIN
-        bound additionally makes ANY pattern streamable — unbounded
-        quantifiers with arbitrary predicates, cross-variable DEFINEs
-        on runs, SKIP TO over runs, unbounded mixed with bounded,
-        ALL ROWS over runs — via the TIME-bounded window matcher
-        (state = WITHIN span x per-key rate, loud row cap). Flink's Window Top-N
+        outer query is rewritten over the matched stream. ANY other
+        pattern streams too — unbounded quantifiers with arbitrary
+        predicates, cross-variable DEFINEs on runs, SKIP TO over
+        runs, unbounded mixed with bounded, ALL ROWS over runs: with
+        a WITHIN bound via the TIME-bounded window matcher (state =
+        WITHIN span x per-key rate, loud row cap), and without one
+        via the BREAK-ROW-decided matcher (no match can span a row
+        matching no pattern variable, so the head decides at the
+        first such row; state = the break-free stretch — Flink CEP's
+        partial-match state — same loud cap). Flink's Window Top-N
         statement (nested ROW_NUMBER over a TUMBLE/HOP TVF aggregate,
         WHERE rn <= N) streams through ``_window_topn_stream`` — a
         chained windowed aggregation with an array_sort rank filter,
@@ -340,14 +344,19 @@ class Engine:
         matcher's keyed state; eq-literal statements needing payload
         measures reroute to the general leg automatically).
         The matched stream is registered as a view and the outer
-        statement rewritten to read it. Returns None when the statement
-        has no MATCH_RECOGNIZE; raises the instructive error for shapes
-        only the batch path lowers (cross-variable DEFINEs, PREV/NEXT
-        navigation, nested groups, WITHIN on a general-predicate run)."""
+        statement rewritten to read it. FIRST/LAST match-binding
+        navigation inside DEFINEs streams too, the defining variable's
+        own rows included ({v}.col OP FIRST|LAST(X.col[, n]) — round
+        8); only nav embedded in richer expressions stays batch-only.
+        Returns None when the statement has no MATCH_RECOGNIZE;
+        otherwise every shape streams on one of the legs (O(1) run
+        matchers, Lmax window, WITHIN horizon, break-row decided),
+        with instructive errors naming the rare batch-only forms."""
         from pyspark.sql import functions as F
 
         from .plans.match_recognize import (
             UnsupportedPatternError,
+            _NAV_DEF_RE,
             _NEXT_RE,
             _PREV_RE,
             _eq_literal,
@@ -371,10 +380,13 @@ class Engine:
                 "A B+ C funnel with row-local DEFINEs (arbitrary "
                 "single-row predicates), single- or multi-column "
                 "PARTITION BY, and "
-                "MEASURES of Var.<columns>; adding a WITHIN bound makes "
-                "ANY pattern streamable (the time-bounded window leg). "
-                "Otherwise run the statement in batch (Engine.sql) or "
-                "use streaming/stateful.py directly for custom state "
+                "MEASURES of Var.<columns>; a WITHIN bound streams ANY "
+                "pattern via the time-bounded window leg, and without "
+                "WITHIN the break-row-decided leg streams any pattern "
+                "whose predicates all fail on some rows (state bounded "
+                "by the break-free stretch, loud cap). Otherwise run "
+                "the statement in batch (Engine.sql) or use "
+                "streaming/stateful.py directly for custom state "
                 "machines"
             )
 
@@ -471,6 +483,9 @@ class Engine:
                     )
                 )
                 - {v}
+                # SELF FIRST/LAST bindings ride the same cross-check
+                # mechanism in the decision-window legs (round 8)
+                or _NAV_DEF_RE.search(spec.defines[v]) is not None
                 for v in dict.fromkeys(spec.pattern)
             )
             bounded_extra = (
@@ -659,23 +674,32 @@ class Engine:
             # state is the last WITHIN-span of rows per key
             # (O(rate x W), the state Flink's CEP operator keeps
             # for a WITHIN pattern); each start is decided when a
-            # later-than-horizon row arrives.
-            if spec.within_seconds is not None:
-                leg = (
-                    self._match_recognize_stream_all_rows
-                    if spec.all_rows
-                    else self._match_recognize_stream_bounded
-                )
-                try:
-                    return _expand_composite(
-                        leg(
-                            stmt, spec, sdf, key, ts_col, tiebreak,
-                            unsupported, time_bounded=True,
-                        )
+            # later-than-horizon row arrives. WITHOUT a WITHIN bound
+            # the same shapes stream through the BREAK-ROW-decided
+            # matcher: no match can span a row matching no pattern
+            # variable, so the head decides at the first such row —
+            # state is the rows between breaks (O(longest break-free
+            # stretch), exactly Flink CEP's partial-match state for
+            # an unbounded quantifier) with the same loud row cap.
+            leg = (
+                self._match_recognize_stream_all_rows
+                if spec.all_rows
+                else self._match_recognize_stream_bounded
+            )
+            mode = (
+                {"time_bounded": True}
+                if spec.within_seconds is not None
+                else {"break_decided": True}
+            )
+            try:
+                return _expand_composite(
+                    leg(
+                        stmt, spec, sdf, key, ts_col, tiebreak,
+                        unsupported, **mode,
                     )
-                except NotImplementedError:
-                    raise primary from None
-            raise
+                )
+            except NotImplementedError:
+                raise primary from None
 
 
     def _bounded_stream_prep(
@@ -796,13 +820,21 @@ class Engine:
                 foreign = (
                     set(_re.findall(r"\b(\w+)\s*\.", stripped)) - {v}
                 )
-                if foreign:
+                if foreign or (
+                    _NAV_DEF_RE.search(part)
+                    and not _PREV_RE.search(part)
+                    and not _NEXT_RE.search(part)
+                ):
+                    # cross-variable comparison — or SELF-navigation
+                    # (B.v OP FIRST/LAST(B.v[, n])): same mechanism,
+                    # the defining variable's mapped-so-far rows
+                    # include the current candidate row
                     cm = _CROSS_CMP_RE.match(part)
                     if cm is None:
                         raise unsupported(
                             f"DEFINE for {v}: cross-variable predicate "
                             f"{part!r} over a stream (SELF.col OP "
-                            "[FIRST/LAST(]OTHER.col[)] comparisons "
+                            "[FIRST/LAST(]X.col[, n]) comparisons "
                             "stream; richer forms need the batch NFA)"
                         )
                     if cm.group("sv") != v:
@@ -817,6 +849,18 @@ class Engine:
                             "being defined — that shape needs the "
                             "batch window plan"
                         )
+                    ov = cm.group("ov") or cm.group("ov2")
+                    if ov == v and cm.group("nav") is None:
+                        raise unsupported(
+                            f"DEFINE for {v}: self reference {part!r} "
+                            "must navigate via FIRST/LAST over a "
+                            "stream"
+                        )
+                    if ov not in uniq_vars:
+                        raise unsupported(
+                            f"DEFINE for {v}: {ov!r} is not a pattern "
+                            "variable"
+                        )
                     sc, oc = cm.group("sc"), (
                         cm.group("oc") or cm.group("oc2")
                     )
@@ -830,9 +874,10 @@ class Engine:
                         (
                             sc,
                             cm.group("op"),
-                            cm.group("ov") or cm.group("ov2"),
+                            ov,
                             oc,
                             (cm.group("nav") or "LAST").upper(),
+                            int(cm.group("n") or 0),
                         )
                     )
                     cross_cols |= {sc, oc}
@@ -897,7 +942,10 @@ class Engine:
                         "in a quantified/alternation/nested pattern "
                         "over a stream (match bindings need the batch "
                         "window plan)"
-                    )
+                    )  # unreachable for comparison forms (the cross
+                    # branch above intercepts every _NAV_DEF_RE part
+                    # without physical PREV/NEXT); kept for non-
+                    # comparison nav shapes arriving via future parses
                 self_parts.append(part)
             self_preds[v] = (
                 " AND ".join(self_parts) if self_parts else "TRUE"
@@ -993,7 +1041,7 @@ class Engine:
 
     def _match_recognize_stream_all_rows(
         self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported,
-        time_bounded: bool = False,
+        time_bounded: bool = False, break_decided: bool = False,
     ) -> str:
         """ALL ROWS PER MATCH over a stream, for any BOUNDED pattern
         (plain sequences included): the Lmax-window matcher carries
@@ -1012,18 +1060,9 @@ class Engine:
             ast, uniq_vars, field_types, flagged, var_flags,
             cross_checks, _cross_cols, prev_spec, next_spec,
         ) = self._bounded_stream_prep(
-            spec, sdf, ts_col, unsupported, time_bounded=time_bounded
+            spec, sdf, ts_col, unsupported,
+            time_bounded=time_bounded or break_decided,
         )
-        if (
-            next_spec is not None
-            and spec.within_seconds is not None
-            and not time_bounded
-        ):
-            raise unsupported(
-                "NEXT lookahead combined with WITHIN on the row-"
-                "bounded leg (the successor wait needs the time-"
-                "bounded window state)"
-            )
         patvars = set(uniq_vars)
         integral = ("tinyint", "smallint", "int", "bigint")
         out_types: dict[str, str] = {}
@@ -1087,6 +1126,7 @@ class Engine:
             prev_spec=prev_spec,
             next_spec=next_spec,
             time_bounded=time_bounded,
+            break_decided=break_decided,
         )
         view = f"__mr_stream_{abs(hash(stmt)) % 10_000_000}"
         matched.createOrReplaceTempView(view)
@@ -1096,7 +1136,7 @@ class Engine:
 
     def _match_recognize_stream_bounded(
         self, stmt, spec, sdf, key, ts_col, tiebreak, unsupported,
-        time_bounded: bool = False,
+        time_bounded: bool = False, break_decided: bool = False,
     ) -> str:
         """Bounded-pattern streaming MATCH_RECOGNIZE leg: quantifiers,
         alternation groups, quantified groups, nested groups, and
@@ -1121,21 +1161,14 @@ class Engine:
             ast, uniq_vars, field_types, flagged, var_flags,
             cross_checks, cross_cols, prev_spec, next_spec,
         ) = self._bounded_stream_prep(
-            spec, sdf, ts_col, unsupported, time_bounded=time_bounded
+            spec, sdf, ts_col, unsupported,
+            time_bounded=time_bounded or break_decided,
         )
-        if (
-            next_spec is not None
-            and spec.within_seconds is not None
-            and not time_bounded
-        ):
-            # fixed-slot state cannot buffer the horizon wait that
-            # NEXT-under-WITHIN needs; the sql_stream fallback retries
-            # this same leg with the time-bounded array state
-            raise unsupported(
-                "NEXT lookahead combined with WITHIN on the row-"
-                "bounded leg (the successor wait needs the time-"
-                "bounded window state)"
-            )
+        # NEXT under WITHIN stays on this leg: the within-lim is capped
+        # at max_len - 1 inside the matcher, so every consultable NEXT
+        # target has arrived by the max_len + max_next decision point
+        # and the fixed-slot state never overflows (the wait cannot
+        # stall past the length-decided window)
         patvars = set(uniq_vars)
         # aggregate measures (COUNT/SUM/AVG/MIN/MAX over a variable's
         # matched rows) compute exactly from the decision window
@@ -1211,6 +1244,7 @@ class Engine:
             prev_spec=prev_spec,
             next_spec=next_spec,
             time_bounded=time_bounded,
+            break_decided=break_decided,
         )
         pos_col = {v: f"{v}_last_ts" for v in uniq_vars}
         pay_col = {

@@ -255,7 +255,8 @@ class MatchRecognizeSpec:
 #: evaluated by the NFA matcher against the partial match's bindings
 _CROSS_CMP_RE = re.compile(
     r"^\s*(?P<sv>\w+)\.(?P<sc>\w+)\s*(?P<op><=|>=|<>|!=|<|>|=)\s*"
-    r"(?:(?P<nav>FIRST|LAST)\s*\(\s*(?P<ov>\w+)\.(?P<oc>\w+)\s*\)"
+    r"(?:(?P<nav>FIRST|LAST)\s*\(\s*(?P<ov>\w+)\.(?P<oc>\w+)\s*"
+    r"(?:,\s*(?P<n>\d+))?\s*\)"
     r"|(?P<ov2>\w+)\.(?P<oc2>\w+))\s*$",
     re.IGNORECASE,
 )
@@ -960,38 +961,38 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         # general unbounded pattern -> the per-key NFA matcher. DEFINEs
         # must be self-contained (current row + physical PREV/NEXT),
         # EXCEPT for top-level AND parts of the simple cross-variable
-        # comparison form SELF.col OP [FIRST|LAST(]OTHER.col[)], which
-        # the matcher evaluates against the partial match's bindings.
+        # comparison form SELF.col OP [FIRST|LAST(]X.col[, n]), which
+        # the matcher evaluates against the partial match's bindings —
+        # X may be the defining variable itself (its mapped-so-far rows
+        # INCLUDE the current candidate row, so LAST(B.v, 1) is the
+        # previous B row — the Flink ascending-run idiom).
         for v, p in defines.items():
             for part in _split_top_and(p):
                 p_stripped = _NEXT_RE.sub("", _PREV_RE.sub("", part))
                 foreign_d = (
                     set(re.findall(r"\b(\w+)\s*\.", p_stripped)) - {v}
                 )
-                if not foreign_d:
-                    if _NAV_DEF_RE.search(part):
-                        # FIRST/LAST over the DEFINING variable's own
-                        # run needs per-offset resolution the unbounded
-                        # matcher does not carry
-                        raise UnsupportedPatternError(
-                            f"DEFINE for {v}: FIRST/LAST navigation "
-                            "over the defining variable's own mapped "
-                            "rows is lowered only for bounded patterns"
-                        )
+                if not foreign_d and not _NAV_DEF_RE.search(part):
                     continue
                 cm = _CROSS_CMP_RE.match(part)
                 if (
                     cm is None
                     or cm.group("sv") != v
-                    or (cm.group("ov") or cm.group("ov2")) == v
                     or (cm.group("ov") or cm.group("ov2")) not in pattern
+                    or (
+                        # a SELF reference is resolvable only through
+                        # the nav form (plain B.x OP B.y is row-local
+                        # and never reaches here)
+                        (cm.group("ov") or cm.group("ov2")) == v
+                        and cm.group("nav") is None
+                    )
                 ):
                     raise UnsupportedPatternError(
                         f"DEFINE for {v} inside a general unbounded "
                         f"pattern: the part {part!r} is neither "
                         "self-contained (current row + PREV/NEXT) nor a "
                         "simple cross-variable comparison "
-                        f"({v}.col OP [FIRST|LAST(]OTHER.col[)]) — "
+                        f"({v}.col OP [FIRST|LAST(]X.col[, n]) — "
                         "richer cross-variable expressions are lowered "
                         "only for bounded patterns"
                     )
@@ -1971,19 +1972,28 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     texts: dict[str, str] = {}
     # simple cross-variable comparison parts are pulled OUT of the JVM
     # boolean and evaluated by the matcher against the partial match:
-    # var -> [(self_col, op, other_var, other_col, nav)]
-    cross_checks: dict[str, list[tuple[str, str, str, str, str]]] = {}
+    # var -> [(self_col, op, other_var, other_col, nav, offset)].
+    # SELF-navigation ({v}.col OP FIRST/LAST({v}.col[, n])) rides the
+    # same mechanism — the defining variable's mapped-so-far rows
+    # include the current candidate row (Flink: LAST(B.v, 1) inside
+    # B's DEFINE is the PREVIOUS B row, the ascending-run idiom).
+    cross_checks: dict[str, list[tuple[str, str, str, str, str, int]]] = {}
     for v in spec.pattern:
         self_parts: list[str] = []
         for part in _split_top_and(spec.defines[v]):
             stripped = _NEXT_RE.sub("", _PREV_RE.sub("", part))
-            if set(re.findall(r"\b(\w+)\s*\.", stripped)) - {v}:
+            foreign_p = set(re.findall(r"\b(\w+)\s*\.", stripped)) - {v}
+            if foreign_p or _NAV_DEF_RE.search(part):
                 cm = _CROSS_CMP_RE.match(part)
                 if (
                     cm is None
                     or cm.group("sv") != v
                     or (cm.group("ov") or cm.group("ov2"))
                     not in spec.pattern
+                    or (
+                        (cm.group("ov") or cm.group("ov2")) == v
+                        and cm.group("nav") is None
+                    )
                 ):
                     # e.g. DEFINE B AS A.x > C.y: the left side is
                     # qualified by a variable other than the one being
@@ -1993,9 +2003,10 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                     raise UnsupportedPatternError(
                         f"DEFINE for {v}: cross-variable predicate "
                         f"{part!r} — only {v}.col OP "
-                        "[FIRST|LAST(]OTHER.col[)] comparisons (left "
+                        "[FIRST|LAST(]X.col[, n]) comparisons (left "
                         "side qualified by the variable being defined, "
-                        "right side a pattern variable) are evaluated "
+                        "right side a pattern variable, the defining "
+                        "one included via FIRST/LAST) are evaluated "
                         "against the partial match"
                     )
                 cross_checks.setdefault(v, []).append(
@@ -2005,6 +2016,7 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                         cm.group("ov") or cm.group("ov2"),
                         cm.group("oc") or cm.group("oc2"),
                         (cm.group("nav") or "LAST").upper(),
+                        int(cm.group("n") or 0),
                     )
                 )
             else:
@@ -2014,11 +2026,11 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
         )
         needs |= nv
     cross_cols = sorted(
-        {c for checks in cross_checks.values() for c, _, _, oc, _ in checks}
+        {c for checks in cross_checks.values() for c, *_ in checks}
         | {
-            oc
+            ck[3]
             for checks in cross_checks.values()
-            for _, _, _, oc, _ in checks
+            for ck in checks
         }
     )
     if needs:
@@ -2151,13 +2163,18 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             }
 
             def cross_ok(v, j, acc):
-                # SELF.col OP OTHER.col against the partial match's
-                # bindings; an unmatched reference is NULL -> false
-                for sc, op, ov, oc, nav in cross_checks.get(v, ()):
+                # SELF.col OP [FIRST|LAST(]X.col[, n]) against the
+                # partial match's bindings; the defining variable's own
+                # rows INCLUDE the current candidate row (Flink:
+                # LAST(B.v, 1) in B's DEFINE = the previous B row); an
+                # unmatched / out-of-range reference is NULL -> false
+                for sc, op, ov, oc, nav, off in cross_checks.get(v, ()):
                     rows_o = [r for w, r in acc if w == ov]
-                    if not rows_o:
+                    if ov == v:
+                        rows_o = rows_o + [j]
+                    if len(rows_o) <= off:
                         return False
-                    ref = rows_o[0] if nav == "FIRST" else rows_o[-1]
+                    ref = rows_o[off] if nav == "FIRST" else rows_o[-1 - off]
                     a = pdf[sc].iloc[j]
                     b = pdf[oc].iloc[ref]
                     try:

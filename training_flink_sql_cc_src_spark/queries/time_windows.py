@@ -2589,6 +2589,80 @@ def pattern_match_recognize_crossvar_run(
 
 
 @register(
+    "pattern_match_recognize_self_nav",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER w AS rn,
+               COALESCE(value >= 90, FALSE) AS fa,
+               COALESCE(value < 90, FALSE) AS fb
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), starts AS (
+        SELECT s.user_id, s.rn, s.event_id AS start_event,
+               f.value AS vfirst
+        FROM ord s
+        JOIN ord f ON f.user_id = s.user_id AND f.rn = s.rn + 1
+        WHERE s.fa AND f.fb
+    ), ends AS (
+        SELECT st.user_id, st.rn, st.start_event,
+               COALESCE(
+                   (SELECT MIN(x.rn) FROM ord x
+                    WHERE x.user_id = st.user_id AND x.rn > st.rn
+                      AND NOT (x.fb AND x.value >= st.vfirst)) - 1,
+                   (SELECT MAX(x2.rn) FROM ord x2
+                    WHERE x2.user_id = st.user_id)
+               ) AS end_rn
+        FROM starts st
+    )
+    SELECT e.user_id, e.start_event,
+           CAST(e.end_rn - e.rn AS BIGINT) AS n_run,
+           le.event_id AS last_b_event
+    FROM ends e
+    JOIN ord le ON le.user_id = e.user_id AND le.rn = e.end_rn
+    """,
+    doc="SELF-navigating FIRST/LAST match binding inside a DEFINE over "
+    "an UNBOUNDED run — PATTERN (A B+), B AS B.value < 90 AND B.value "
+    ">= FIRST(B.value): every later run row must stay at or above the "
+    "run's FIRST mapped row (Flink semantics — the defining variable's "
+    "mapped-so-far rows INCLUDE the current candidate, so the first B "
+    "compares against itself, trivially true). Round 8: previously "
+    "'lowered only for bounded patterns'; now the simple-comparison "
+    "form rides the general NFA's cross-check mechanism (and STREAMS "
+    "through the break-decided/time-bounded window legs — "
+    "test_self_nav_defines_stream). With nothing after B+ the greedy "
+    "run is the maximal prefix, so the oracle derives each per-start "
+    "(SKIP TO NEXT ROW) end as the first row failing the "
+    "anchored-to-first predicate. 100 TB: one exchange on user_id; "
+    "per-key state = the partial match only.",
+)
+def pattern_match_recognize_self_nav(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_sn")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, start_event, n_run, last_b_event
+        FROM __mr_events_sn
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.event_id AS start_event,
+                     COUNT(B.*) AS n_run,
+                     LAST(B.event_id) AS last_b_event
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B+)
+            DEFINE A AS A.value >= 90,
+                   B AS B.value < 90 AND B.value >= FIRST(B.value)
+        ) AS m
+        """
+    )
+
+
+@register(
     "over_agg_sql",
     oracle=f"""
     SELECT event_id, user_id,

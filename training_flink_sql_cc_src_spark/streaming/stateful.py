@@ -974,13 +974,18 @@ def _match_bounded(
         return True
 
     def cross_ok(v, i, acc):
+        # the batch cross_ok, verbatim semantics: SELF refs include
+        # the current candidate row (LAST(B.v, 1) in B's own DEFINE =
+        # the previous B row); out-of-range / NULL operand -> FALSE
         if not cross_checks:
             return True
-        for sc, op, ov, oc, nav in cross_checks.get(v, ()):
+        for sc, op, ov, oc, nav, off in cross_checks.get(v, ()):
             rows_o = [r for w, r in acc if w == ov]
-            if not rows_o:
+            if ov == v:
+                rows_o = rows_o + [i]
+            if len(rows_o) <= off:
                 return False
-            ref = rows_o[0] if nav == "FIRST" else rows_o[-1]
+            ref = rows_o[off] if nav == "FIRST" else rows_o[-1 - off]
             a, b = val_at(i, sc), val_at(ref, oc)
             if a is None or b is None:
                 return False
@@ -1074,6 +1079,7 @@ def bounded_nfa_stream(
     prev_spec: tuple | None = None,
     next_spec: tuple | None = None,
     time_bounded: bool = False,
+    break_decided: bool = False,
 ) -> DataFrame:
     """Streaming matcher for ANY BOUNDED pattern — quantifiers A{n,m} /
     A? / A{n}, alternation groups (A|B), quantified groups (A|B){n,m},
@@ -1114,13 +1120,29 @@ def bounded_nfa_stream(
     the state Flink's CEP operator keeps for a WITHIN pattern, with a
     loud row cap (TIME_WINDOW_ROW_CAP) instead of silent growth.
     Trailing starts whose horizon never passes stay undecided at stream
-    end — the same terminator contract as the row-bounded leg."""
+    end — the same terminator contract as the row-bounded leg.
+
+    ``break_decided=True``: the BREAK-ROW variant for UNBOUNDED
+    patterns with NO WITHIN bound. Every matched row maps to some
+    pattern variable, so no match can span a row whose flag mask is 0
+    (a BREAK row — exclusions still map their rows): the head start is
+    decided as soon as a break row sits in the window (matches anchored
+    at the head are confined to the rows before it). State is the rows
+    between breaks — O(longest break-free stretch) per key, exactly the
+    partial-match state Flink CEP keeps for an unbounded quantifier,
+    with the same loud row cap. A key whose predicates never all fail
+    hits the cap instead of growing silently."""
     nchecks, ncols, max_next, ntypes = {}, [], 0, {}
     if next_spec is not None:
         nchecks, ncols, max_next, ntypes = next_spec
+    var_state = time_bounded or break_decided
+    if time_bounded and break_decided:
+        raise ValueError("time_bounded and break_decided are exclusive")
     if time_bounded:
         if within_seconds is None:
             raise ValueError("time_bounded needs within_seconds")
+        max_len, hist = 2, None
+    elif break_decided:
         max_len, hist = 2, None
     else:
         max_len = ast_max_len(ast)
@@ -1163,7 +1185,7 @@ def bounded_nfa_stream(
         ]
         + [f"{alias} {out_t}" for _, _, _, alias, out_t in aggs]
     )
-    if time_bounded:
+    if var_state:
         state_schema = "ms array<long>, ss array<timestamp>" + "".join(
             f", w_{c} array<{wtypes[c]}>" for c in pcols
         )
@@ -1192,6 +1214,18 @@ def bounded_nfa_stream(
                 and (window[-1][1] - window[0][1]).total_seconds()
                 > within_seconds
             )
+        if break_decided:
+            # the head start is decided once a BREAK row (flag mask 0)
+            # sits in the window — no match can span it, so matches
+            # anchored at the head are confined to the rows before the
+            # first break; NEXT conjuncts additionally wait for their
+            # targets (up to max_next rows past the last matchable row)
+            if window and window[0][0] == 0:
+                return True  # break at the head: no match anchors here
+            for j in range(1, len(window)):
+                if window[j][0] == 0:
+                    return len(window) >= j + max_next
+            return False
         return len(window) >= max_len + max_next
 
     def update(
@@ -1203,7 +1237,7 @@ def bounded_nfa_stream(
         vhist: list[dict] = []
         if state.exists:
             vals = state.get
-            if time_bounded:
+            if var_state:
                 ms = list(vals[0] or [])
                 ss = list(vals[1] or [])
                 pv_arrays = [
@@ -1271,6 +1305,10 @@ def bounded_nfa_stream(
                     )
                 )
                 while _decidable(window):
+                    if break_decided and window[0][0] == 0:
+                        # break row at the head: no match anchors here
+                        window = window[1:]
+                        continue
                     if within_seconds is None:
                         lim = len(window) - 1 - max_next
                     else:
@@ -1284,6 +1322,14 @@ def bounded_nfa_stream(
                             <= within_seconds
                         ):
                             lim += 1
+                        if not time_bounded:
+                            # bounded pattern: a head-anchored match
+                            # uses at most max_len rows, so NEXT
+                            # targets past that are never consulted —
+                            # without this cap a WITHIN span reaching
+                            # the window end stalls the decision
+                            # forever at stream end
+                            lim = min(lim, max_len - 1)
                     if max_next and len(window) - 1 - lim < max_next:
                         # NEXT targets for rows near the horizon have
                         # not arrived yet — wait for more successors
@@ -1342,14 +1388,22 @@ def bounded_nfa_stream(
                         window = window[_skip_drop(mp, skip_past, skip_to):]
                     else:
                         window = window[1:]
-        if time_bounded:
+        if var_state:
             if len(window) > TIME_WINDOW_ROW_CAP:
                 raise ValueError(
                     f"WITHIN window for key {key[0]!r} holds "
                     f"{len(window)} undecided rows (> "
-                    f"{TIME_WINDOW_ROW_CAP}): the per-key rate x WITHIN "
-                    "span outgrows the streaming state bound — shorten "
-                    "WITHIN or run the statement in batch"
+                    f"{TIME_WINDOW_ROW_CAP}): "
+                    + (
+                        "no BREAK row (a row matching no pattern "
+                        "variable) arrived to bound the partial-match "
+                        "state — add a WITHIN bound or run the "
+                        "statement in batch"
+                        if break_decided
+                        else "the per-key rate x WITHIN span outgrows "
+                        "the streaming state bound — shorten WITHIN or "
+                        "run the statement in batch"
+                    )
                 )
             flat = [
                 [m for m, _, _ in window],
@@ -1411,6 +1465,7 @@ def bounded_nfa_all_rows_stream(
     prev_spec: tuple | None = None,
     next_spec: tuple | None = None,
     time_bounded: bool = False,
+    break_decided: bool = False,
 ) -> DataFrame:
     """ALL ROWS PER MATCH for bounded patterns over a stream: the same
     Lmax-window decision procedure as ``bounded_nfa_stream``, but the
@@ -1431,6 +1486,9 @@ def bounded_nfa_all_rows_stream(
     nchecks, max_next = {}, 0
     if next_spec is not None:
         nchecks, _ncols, max_next, _ntypes = next_spec
+    var_state = time_bounded or break_decided
+    if time_bounded and break_decided:
+        raise ValueError("time_bounded and break_decided are exclusive")
     if time_bounded:
         # WITHIN-horizon variant (see bounded_nfa_stream): unbounded
         # quantifiers allowed, variable-length array state bounded by
@@ -1438,11 +1496,15 @@ def bounded_nfa_all_rows_stream(
         if within_seconds is None:
             raise ValueError("time_bounded needs within_seconds")
         max_len, hist = 2, None
+    elif break_decided:
+        # BREAK-ROW variant (see bounded_nfa_stream): unbounded
+        # quantifiers with NO WITHIN — the head decides at the first
+        # flag-mask-0 row; state = rows between breaks, loud cap
+        max_len, hist = 2, None
     else:
-        if max_next and within_seconds is not None:
-            raise ValueError(
-                "NEXT under WITHIN needs the time-bounded window state"
-            )
+        # NEXT under WITHIN is fine here: the within-lim caps at
+        # max_len - 1, so decisions fire at max_len + max_next rows
+        # and the fixed-slot state never overflows
         max_len = ast_max_len(ast)
         if max_len < 2:
             raise ValueError("bounded pattern must span at least 2 rows")
@@ -1463,7 +1525,7 @@ def bounded_nfa_all_rows_stream(
     )
     # per window row: mask, covered flag, then the full source row
     stride = 2 + len(src_cols)
-    if time_bounded:
+    if var_state:
         state_schema = (
             "mn long, ms array<long>, cs array<boolean>"
             + "".join(
@@ -1497,7 +1559,7 @@ def bounded_nfa_all_rows_stream(
         if state.exists:
             vals = state.get
             mn = vals[0] or 0
-            if time_bounded:
+            if var_state:
                 ms = list(vals[1] or [])
                 cs = list(vals[2] or [])
                 col_arrays = [
@@ -1621,15 +1683,32 @@ def bounded_nfa_all_rows_stream(
                         tuple(_scalar(src_vals[c][r]) for c in src_cols),
                     ]
                 )
-                while (
-                    len(window) >= 2
-                    and (
-                        window[-1][2][ts_idx] - window[0][2][ts_idx]
-                    ).total_seconds()
-                    > within_seconds
-                ) if time_bounded else (
-                    len(window) >= max_len + max_next
-                ):
+                def _dec() -> bool:
+                    if time_bounded:
+                        return (
+                            len(window) >= 2
+                            and (
+                                window[-1][2][ts_idx]
+                                - window[0][2][ts_idx]
+                            ).total_seconds()
+                            > within_seconds
+                        )
+                    if break_decided:
+                        if window and window[0][0] == 0:
+                            return True
+                        for j in range(1, len(window)):
+                            if window[j][0] == 0:
+                                return len(window) >= j + max_next
+                        return False
+                    return len(window) >= max_len + max_next
+
+                while _dec():
+                    if break_decided and window[0][0] == 0:
+                        # break row at the head: no match anchors here
+                        # (drop_head still emits it as unmatched when
+                        # WITH UNMATCHED ROWS asks)
+                        drop_head(1)
+                        continue
                     if within_seconds is None:
                         lim = len(window) - 1 - max_next
                     else:
@@ -1643,6 +1722,12 @@ def bounded_nfa_all_rows_stream(
                             <= within_seconds
                         ):
                             lim += 1
+                        if not time_bounded:
+                            # bounded pattern: cap at max_len rows so
+                            # a WITHIN span reaching the window end
+                            # cannot stall the max_next wait forever
+                            # at stream end (see bounded_nfa_stream)
+                            lim = min(lim, max_len - 1)
                     if max_next and len(window) - 1 - lim < max_next:
                         break  # successors not yet arrived
                     mp = _match_bounded(
@@ -1670,14 +1755,22 @@ def bounded_nfa_all_rows_stream(
                         drop_head(_skip_drop(mp, skip_past, skip_to))
                     else:
                         drop_head(1)
-        if time_bounded:
+        if var_state:
             if len(window) > TIME_WINDOW_ROW_CAP:
                 raise ValueError(
                     f"WITHIN window for key {key[0]!r} holds "
                     f"{len(window)} undecided rows (> "
-                    f"{TIME_WINDOW_ROW_CAP}): the per-key rate x WITHIN "
-                    "span outgrows the streaming state bound — shorten "
-                    "WITHIN or run the statement in batch"
+                    f"{TIME_WINDOW_ROW_CAP}): "
+                    + (
+                        "no BREAK row (a row matching no pattern "
+                        "variable) arrived to bound the partial-match "
+                        "state — add a WITHIN bound or run the "
+                        "statement in batch"
+                        if break_decided
+                        else "the per-key rate x WITHIN span outgrows "
+                        "the streaming state bound — shorten WITHIN "
+                        "or run the statement in batch"
+                    )
                 )
             flat = [
                 mn,
