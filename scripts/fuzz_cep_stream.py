@@ -440,6 +440,12 @@ def main(n_cases, seed):
         all_rows = kind == "bounded_ar" or (
             kind in ("bounded", "timebound") and rng.random() < 0.35
         )
+        # WITH UNMATCHED ROWS (round 8 in the grammar): unmatched rows
+        # emit when the window head DECIDES, so trailing TERM pads can
+        # stay pending at stream end while batch emits them — filter
+        # pads from BOTH sides (WHERE v <> TERM) for comparability;
+        # every real row's decision is flushed by the pads as usual
+        unmatched = all_rows and rng.random() < 0.3
         if all_rows:
             # ALL ROWS PER MATCH: per-matched-row emission with
             # CLASSIFIER / per-key MATCH_NUMBER / RUNNING-FINAL and
@@ -505,18 +511,24 @@ def main(n_cases, seed):
                 ).otherwise(F.upper("k")),
             )
             outer.insert(1, "k2")
+        rows_mode = (
+            "ALL ROWS PER MATCH WITH UNMATCHED ROWS"
+            if unmatched
+            else ("ALL ROWS PER MATCH" if all_rows else "ONE ROW PER MATCH")
+        )
         stmt = f"""
             SELECT {', '.join(outer)} FROM __fuzz_stream
             MATCH_RECOGNIZE (
                 PARTITION BY {pby}
                 ORDER BY ts
                 MEASURES {', '.join(meas)}
-                {'ALL ROWS PER MATCH' if all_rows else 'ONE ROW PER MATCH'}
+                {rows_mode}
                 AFTER MATCH SKIP {skip}
                 PATTERN ({pattern})
                 {within}
                 DEFINE {defines}
             )
+            {f'WHERE v <> {TERM}' if unmatched else ''}
         """
         tried += 1
         df.createOrReplaceTempView("__fuzz_stream")

@@ -589,3 +589,48 @@ def test_statement_set_multi_insert(router, spark):
     assert len(results) == 2
     got = {tuple(r) for r in spark.table("ss_c").collect()}
     assert got == {(1, "one"), (2, "two"), (3, "three")}
+
+
+def test_alter_add_and_drop_columns(spark):
+    """Flink schema evolution beyond the attested MODIFY retype:
+    ALTER TABLE ... ADD (col TYPE, ...) appends NULL-backfilled
+    physical columns (top-level comma split, so DECIMAL(10,2)
+    parses); ALTER ... DROP removes one — refusing PRIMARY KEY
+    columns exactly as Flink does."""
+    import pytest
+
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    router = StatementRouter(spark)
+    router.execute(
+        "CREATE TABLE ev_tbl (k INT, v STRING, "
+        "PRIMARY KEY (k) NOT ENFORCED)"
+    )
+    router.execute("INSERT INTO ev_tbl VALUES (1, 'one')")
+    router.execute(
+        "ALTER TABLE ev_tbl ADD (price DECIMAL(10,2), note STRING)"
+    )
+    rows = spark.table("ev_tbl").collect()
+    assert rows[0]["price"] is None and rows[0]["note"] is None
+    assert dict(spark.table("ev_tbl").dtypes)["price"] == "decimal(10,2)"
+    # new column is INSERT-able after the evolution
+    router.execute(
+        "INSERT INTO ev_tbl VALUES (2, 'two', 9.50, 'n')"
+    )
+    got = {
+        (r["k"], r["v"], str(r["price"]), r["note"])
+        for r in spark.table("ev_tbl").collect()
+    }
+    assert got == {(1, "one", "None", None), (2, "two", "9.50", "n")}
+    # single bare item (no parens)
+    router.execute("ALTER TABLE ev_tbl ADD flag BOOLEAN")
+    assert "flag" in spark.table("ev_tbl").columns
+    # DROP a plain column; PRIMARY KEY columns refuse
+    router.execute("ALTER TABLE ev_tbl DROP (note)")
+    assert "note" not in spark.table("ev_tbl").columns
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        router.execute("ALTER TABLE ev_tbl DROP k")
+    with pytest.raises(ValueError, match="unsupported item"):
+        router.execute("ALTER TABLE ev_tbl ADD (c2 AS k + 1)")
+    with pytest.raises(ValueError, match="exists"):
+        router.execute("ALTER TABLE ev_tbl ADD (v STRING)")

@@ -362,6 +362,18 @@ _ALTER_WATERMARK_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+WATERMARK\s+FOR\s+`?(\w+)`?\s+AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# Flink schema evolution beyond the attested MODIFY retype: ADD new
+# physical columns (parenthesized list or a single bare item) and DROP
+# a column — Confluent Flink `ALTER TABLE t ADD (c INT, ...)` / `DROP c`
+_ALTER_ADD_COLS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+(?:\(\s*(?P<items>.+?)\s*\)"
+    r"|(?P<item>`?\w+`?\s+[^(),]+?))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+\(?\s*`?(\w+)`?\s*\)?\s*$",
+    re.IGNORECASE,
+)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*((?:SELECT|VALUES)\b.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -680,6 +692,14 @@ class StatementRouter:
         m = _ALTER_MODIFY_COL_RE.match(sql)
         if m:
             return self._alter_column(m.group(1), m.group(2), m.group(3))
+        m = _ALTER_ADD_COLS_RE.match(sql)
+        if m:
+            return self._alter_add_columns(
+                m.group(1), m.group("items") or m.group("item")
+            )
+        m = _ALTER_DROP_COL_RE.match(sql)
+        if m:
+            return self._alter_drop_column(m.group(1), m.group(2))
         if re.match(r"^\s*CREATE\s+TABLE", sql, re.IGNORECASE):
             return self._create_table(sql)
         m = _INSERT_RE.match(sql)
@@ -820,6 +840,69 @@ class StatementRouter:
         )
         self._publish(df, table)
         meta = self.catalog.get_or_create(table)
+        meta.schema = df.schema
+
+    def _alter_add_columns(self, table: str, items: str) -> None:
+        """Flink ``ALTER TABLE t ADD (c TYPE, ...)``: append new
+        physical columns, NULL-backfilled on existing rows (the same
+        cast-at-read view republish as the S7/S8 MODIFY retype).
+        Computed columns / METADATA items raise — only plain physical
+        columns are lowered."""
+        table = self._resolve(table)
+        df = self.spark.table(table)
+        # split on top-level commas only (DECIMAL(10,2) has an inner one)
+        parts, depth, cur = [], 0, []
+        for ch in items:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur).strip())
+        for item in parts:
+            im = re.match(
+                r"^`?(\w+)`?\s+([A-Za-z].*?)\s*$", item, re.DOTALL
+            )
+            if im is None or re.search(r"\bAS\b", item, re.IGNORECASE):
+                raise ValueError(
+                    f"ALTER TABLE {table} ADD: unsupported item "
+                    f"{item!r} (plain physical `col TYPE` only — "
+                    "computed/METADATA columns are not lowered)"
+                )
+            col, ftype = im.group(1), im.group(2)
+            if col in df.columns:
+                raise ValueError(
+                    f"ALTER TABLE {table} ADD: column {col!r} exists"
+                )
+            df = df.withColumn(
+                col, F.lit(None).cast(_map_type(ftype))
+            )
+        self._publish(df, table)
+        meta = self.catalog.get_or_create(table)
+        meta.schema = df.schema
+
+    def _alter_drop_column(self, table: str, col: str) -> None:
+        """Flink ``ALTER TABLE t DROP c``: remove the column from the
+        published view and the catalog schema (primary-key columns
+        refuse, as Flink does)."""
+        table = self._resolve(table)
+        meta = self.catalog.get_or_create(table)
+        if meta.primary_key and col in meta.primary_key:
+            raise ValueError(
+                f"ALTER TABLE {table} DROP: {col!r} is a PRIMARY KEY "
+                "column (Flink rejects dropping key columns)"
+            )
+        df = self.spark.table(table)
+        if col not in df.columns:
+            raise ValueError(
+                f"ALTER TABLE {table} DROP: no column {col!r}"
+            )
+        df = df.drop(col)
+        self._publish(df, table)
         meta.schema = df.schema
 
     def _alter_watermark(self, table: str, col: str, expr: str) -> None:
