@@ -738,10 +738,13 @@ class Engine:
         uniq_vars = list(dict.fromkeys(spec.pattern))
         # DEFINEs split on top-level AND: row-local conjuncts compile to
         # the JVM flag; simple cross-variable comparisons (SELF.col OP
-        # [FIRST/LAST(]OTHER.col[)]) evaluate inside the matcher against
-        # the partial match's window bindings — the batch NFA's
-        # cross_ok, now streamable because the decision window holds
-        # every candidate row. Physical PREV/NEXT stay batch-only here.
+        # [FIRST/LAST(]X.col[, n]) — X may be the defining variable,
+        # whose mapped-so-far rows include the current candidate)
+        # evaluate inside the matcher against the partial match's
+        # window bindings — the batch NFA's cross_ok, streamable
+        # because the decision window holds every candidate row.
+        # Physical PREV/NEXT compile to the value-history / decision-
+        # window conjunct specs below (prev_checks / next_checks).
         cross_checks: dict[str, list[tuple]] = {}
         cross_cols: set[str] = set()
         self_preds: dict[str, str] = {}

@@ -251,8 +251,10 @@ class MatchRecognizeSpec:
 
 
 #: simple cross-variable comparison inside an unbounded pattern's
-#: DEFINE: SELF.col OP OTHER.col, optionally FIRST/LAST(OTHER.col) —
-#: evaluated by the NFA matcher against the partial match's bindings
+#: DEFINE: SELF.col OP X.col, optionally FIRST/LAST(X.col[, n]) — X may
+#: be the defining variable itself (self-navigation, round 8); the
+#: matchers evaluate it against the partial match's bindings, with the
+#: defining variable's mapped-so-far rows including the current row
 _CROSS_CMP_RE = re.compile(
     r"^\s*(?P<sv>\w+)\.(?P<sc>\w+)\s*(?P<op><=|>=|<>|!=|<|>|=)\s*"
     r"(?:(?P<nav>FIRST|LAST)\s*\(\s*(?P<ov>\w+)\.(?P<oc>\w+)\s*"
