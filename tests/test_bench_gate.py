@@ -25,7 +25,16 @@ from bench import _fp_comparable, best_prior, load_acks  # noqa: E402
 
 @pytest.fixture(scope="module")
 def r7():
-    parsed = json.loads((REPO / "BENCH_r07.json").read_text())["parsed"]
+    """Queries + fingerprint of the NEWEST committed bench artifact.
+
+    Hard-coding an older round broke once a newer round landed a faster
+    time for the same query: the old round's own number then tripped the
+    ratchet built from ALL committed artifacts (VERDICT r8 Wrong #1). The
+    newest artifact is by construction never slower than the best prior
+    beyond the gate's tolerance, so replaying it must always pass.
+    """
+    newest = sorted(REPO.glob("BENCH_r*.json"))[-1]
+    parsed = json.loads(newest.read_text())["parsed"]
     return parsed["queries"], parsed["corpus"]
 
 
