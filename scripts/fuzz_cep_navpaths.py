@@ -87,6 +87,16 @@ def main(n_cases, seed):
         outer = ["k"] + [
             f"CAST(t_{v.lower()} AS LONG) AS e_{v.lower()}" for v in vars_
         ] + ["agv"]
+        if rng.random() < 0.5:
+            # FIRST/LAST(V.col, n) MEASURE offsets (round 9): the
+            # variant-enumeration lowering picks the (n+1)-th occurrence
+            # per variant, the general NFA indexes the mapped-row list —
+            # two independent implementations cross-checked here
+            mv = rng.choice(vars_)
+            mnav = rng.choice(["FIRST", "LAST"])
+            moff = rng.choice([1, 1, 2])
+            meas.append(f"{mnav}({mv}.v, {moff}) AS moff_v")
+            outer.append("moff_v")
         rows = []
         import datetime as dt
 

@@ -299,9 +299,13 @@ def gen_case(rng):
         pvars = ["A", "B", "C", "D"][:length]
         pattern = " ".join(pvars)
         defines = []
-        over = 0  # NEXT offsets past the match window (round 8:
-        # reroutes to the bounded-window leg; decisions defer, so the
-        # TERM padding grows by the overshoot)
+        max_next = 0  # the matchers' decision gate is
+        # max_len + max_next ROWS with max_next the RAW largest NEXT
+        # offset (stateful.py _decidable — a conservative per-head
+        # wait, in-window lookahead included), so the TERM padding
+        # must grow by the raw offset, not just the past-window
+        # overshoot (round-9 fix: the overshoot model under-padded
+        # and a tail match could stay undecided, a false MISMATCH)
         for vi, v in enumerate(pvars):
             d = rand_local(rng, v)
             if rng.random() < 0.3:
@@ -313,7 +317,7 @@ def gen_case(rng):
                     import re as _re
                     m = _re.search(r"NEXT\(\w+\.\w+(?:, (\d+))?\)", nc)
                     n = int(m.group(1) or 1)
-                    over = max(over, max(0, vi + n - (length - 1)))
+                    max_next = max(max_next, n)
                     d += f" AND {nc}"
             defines.append(f"{v} AS {d}")
         skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
@@ -324,7 +328,7 @@ def gen_case(rng):
         )
         return (
             pattern, ", ".join(defines), pvars, skip, within,
-            1 + over, "seq",
+            1 + max_next, "seq",
         )
     if shape < 0.75:
         # A+ B run: A needs a required row-local atom (terminator)
@@ -462,6 +466,17 @@ def main(n_cases, seed):
                 fn = rng.choice(["COUNT", "SUM", "MIN", "MAX"])
                 meas.append(f"{fn}({av}.v) AS agv")
                 outer.append("agv")
+            if rng.random() < 0.4:
+                # FIRST/LAST logical offsets (round 9): RUNNING waits
+                # for the (n+1)-th mapped row, FINAL reads the whole
+                # match; offsets past the mapped count are NULL
+                nmode = rng.choice(["", "RUNNING ", "FINAL "])
+                nnav = rng.choice(["FIRST", "LAST"])
+                noffv = rng.choice([1, 1, 2])
+                meas.append(
+                    f"{nmode}{nnav}({av}.v, {noffv}) AS novf"
+                )
+                outer.append("novf")
         else:
             with_payload = rng.random() < 0.7
             meas = []
@@ -484,6 +499,17 @@ def main(n_cases, seed):
                 if with_payload:
                     meas.append(f"FIRST({fv}.v) AS fnav_v")
                     outer.append("fnav_v")
+            if rng.random() < 0.3:
+                # FIRST/LAST(V.col, n) logical offsets (round 9):
+                # decision-window legs index their mapped rows; an
+                # offset on an O(1) run matcher's run variable
+                # reroutes to the break-decided / WITHIN-horizon
+                # legs automatically; single-mapped vars -> NULL
+                nv = rng.choice(pvars)
+                nnav = rng.choice(["FIRST", "LAST"])
+                noffv = rng.choice([1, 1, 2, 3])
+                meas.append(f"{nnav}({nv}.v, {noffv}) AS noff_v")
+                outer.append("noff_v")
             if (
                 kind in ("bounded", "seq", "run", "timebound")
                 and "PREV" not in defines

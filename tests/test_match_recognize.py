@@ -2977,3 +2977,162 @@ def test_self_nav_define_on_runs(spark):
     # greedy B+ backtracks until C satisfies C.v < second B row's v (2):
     # B = i1..i8, C = i9 (v=1 < 2)
     assert got == [("k0", 1704067200 + 27)]
+
+
+def _nav_offset_df(spark):
+    """Per-key A-runs of length 4 / 2 / 1 followed by a B row — the
+    minimal fixture where FIRST/LAST(A.v, n) MEASURE offsets differ
+    per match and walk past the mapped count (NULL)."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+    for k, vs in {1: [1, 2, 3, 4, 90], 2: [5, 6, 90], 3: [7, 90]}.items():
+        for i, v in enumerate(vs):
+            rows.append((k, base + dt.timedelta(seconds=i), v))
+    return spark.createDataFrame(rows, "k int, ts timestamp, v int")
+
+
+def test_measure_nav_offsets_plus_disjoint(spark):
+    """FIRST/LAST(A.col, n) in MEASURES on the gaps-and-islands A+ B
+    lowering (disjoint DEFINEs): LAST steps back from the run end,
+    FIRST forward from the start, offsets past the mapped count are
+    NULL (SQL:2016), and B (one mapped row) is NULL at any offset."""
+    _nav_offset_df(spark).createOrReplaceTempView("__mr_navoff")
+    got = sorted(
+        tuple(r)
+        for r in StatementRouter(spark)
+        .execute(
+            """
+        SELECT * FROM __mr_navoff MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(A.v) AS l0, LAST(A.v, 1) AS l1,
+                     FIRST(A.v, 1) AS f1, LAST(A.v, 3) AS l3,
+                     FIRST(B.v, 1) AS boff
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.v < 50, B AS B.v >= 50
+        )"""
+        )
+        .collect()
+    )
+    assert got == [
+        (1, 4, 3, 2, 1, None),
+        (2, 6, 5, 6, None, None),
+        (3, 7, None, None, None, None),
+    ]
+
+
+def test_measure_nav_offsets_plus_overlap(spark):
+    """The same offsets on the OVERLAPPING-DEFINEs A+ B path (pandas
+    greedy matcher) — B's predicate overlaps A's domain."""
+    _nav_offset_df(spark).createOrReplaceTempView("__mr_navoff2")
+    got = sorted(
+        tuple(r)
+        for r in StatementRouter(spark)
+        .execute(
+            """
+        SELECT * FROM __mr_navoff2 MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(A.v, 1) AS l1, FIRST(A.v, 1) AS f1
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.v < 50, B AS B.v >= 5
+        )"""
+        )
+        .collect()
+    )
+    assert got == [(1, 3, 2), (2, 5, 6), (3, None, None)]
+
+
+def test_measure_nav_offsets_lead_chain_and_nfa(spark):
+    """Offsets on the bounded-quantifier LEAD-chain lowering (variant
+    enumeration picks the (n+1)-th occurrence per variant) and the
+    general-NFA lowering (mapped-row list indexing), including the
+    ALL ROWS RUNNING reading (NULL until the (n+1)-th row is mapped)."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+    for k, vs in {
+        1: [1, 2, 3, 90],
+        2: [5, 90],
+        3: [6, 7, 8, 9, 90],
+    }.items():
+        for i, v in enumerate(vs):
+            rows.append((k, base + dt.timedelta(seconds=i), v))
+    spark.createDataFrame(rows, "k int, ts timestamp, v int").createOrReplaceTempView(
+        "__mr_navoff3"
+    )
+    got = sorted(
+        tuple(r)
+        for r in StatementRouter(spark)
+        .execute(
+            """
+        SELECT * FROM __mr_navoff3 MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(A.v, 1) AS l1, FIRST(A.v, 1) AS f1,
+                     LAST(A.v, 2) AS l2
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A{1,3} B)
+            DEFINE A AS A.v < 50, B AS B.v >= 50
+        )"""
+        )
+        .collect()
+    )
+    # k3's run of 4: greedy at start 6 fails (no B after any variant),
+    # SKIP advances to 7 where A{3}=7,8,9 B=90 matches
+    assert got == [(1, 2, 2, 1), (2, None, None, None), (3, 8, 8, 7)]
+
+    rows2 = []
+    for k, vs in {1: [1, 10, 11, 12, 90], 2: [2, 13, 90]}.items():
+        for i, v in enumerate(vs):
+            rows2.append((k, base + dt.timedelta(seconds=i), v))
+    spark.createDataFrame(
+        rows2, "k int, ts timestamp, v int"
+    ).createOrReplaceTempView("__mr_navoff4")
+    got2 = sorted(
+        tuple(r)
+        for r in StatementRouter(spark)
+        .execute(
+            """
+        SELECT * FROM __mr_navoff4 MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(B.v, 1) AS l1, FIRST(B.v, 1) AS f1
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.v < 10, B AS B.v BETWEEN 10 AND 50,
+                   C AS C.v >= 50
+        )"""
+        )
+        .collect()
+    )
+    assert got2 == [(1, 11, 11), (2, None, None)]
+    got3 = sorted(
+        tuple(r)
+        for r in StatementRouter(spark)
+        .execute(
+            """
+        SELECT k, v, l1 FROM __mr_navoff4 MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(B.v, 1) AS l1
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.v < 10, B AS B.v BETWEEN 10 AND 50,
+                   C AS C.v >= 50
+        )"""
+        )
+        .collect()
+    )
+    assert got3 == sorted(
+        [
+            (1, 1, None), (1, 10, None), (1, 11, 10), (1, 12, 11),
+            (1, 90, 11),
+            (2, 2, None), (2, 13, None), (2, 90, None),
+        ]
+    )

@@ -3860,3 +3860,130 @@ def test_self_nav_defines_stream(spark):
         )
         got = Counter(tuple(r) for r in streamed.collect())
         assert got == batch and batch, (name, batch - got, got - batch)
+
+
+def _cep_navoff_df(spark):
+    """Runs with break rows (v=25 fails BOTH predicates) and terminator
+    pads so every start's decision window fills — the offset-measure
+    streaming fixture."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for key, vals in {
+        "a": [12, 15, 8, 25, 11, 14, 9, 25, 6, 25, 25, 25, 25],
+        "b": [10, 13, 2, 25, 16, 7, 25, 25, 25, 25],
+        "c": [1, 25, 3, 25, 25, 25],
+    }.items():
+        for i, v in enumerate(vals):
+            rows.append((key, base + dt.timedelta(seconds=i), v))
+    return spark.createDataFrame(rows, "k string, ts timestamp, v int")
+
+
+def _cep_navoff_parity(spark, df, stmt, view):
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df.createOrReplaceTempView(view)
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    eng = Engine(spark)
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {view: s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+
+
+def test_stream_measure_nav_offsets_bounded_leg(spark):
+    """FIRST/LAST(A.v, n) MEASURE offsets stream exactly on the
+    bounded decision-window leg (quantified pattern): the window holds
+    every mapped row, so offsets index it directly."""
+    _cep_navoff_parity(
+        spark,
+        _cep_navoff_df(spark),
+        """
+        SELECT k, l1, f1 FROM cep_navoff_b
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(A.v, 1) AS l1, FIRST(A.v, 1) AS f1
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A{1,3} B)
+            DEFINE A AS A.v BETWEEN 10 AND 20, B AS B.v BETWEEN 1 AND 9
+        )
+        """,
+        "cep_navoff_b",
+    )
+
+
+def test_stream_measure_nav_offsets_run_via_break_decided(spark):
+    """An offset on the RUN variable of A+ B: the O(1) run matcher
+    rejects loudly (its state keeps only first/last rows) and the
+    statement automatically retries through the break-row-decided leg,
+    whose bounded stretch holds the mapped rows — parity exact."""
+    _cep_navoff_parity(
+        spark,
+        _cep_navoff_df(spark),
+        """
+        SELECT k, l1, f1, CAST(b_ts AS LONG) AS be FROM cep_navoff_r
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(A.v, 1) AS l1, FIRST(A.v, 1) AS f1,
+                     B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.v BETWEEN 10 AND 20, B AS B.v BETWEEN 1 AND 9
+        )
+        """,
+        "cep_navoff_r",
+    )
+
+
+def test_stream_measure_nav_offsets_sequence_null(spark):
+    """On a plain sequence every variable maps exactly ONE row, so an
+    offset >= 1 measures NULL — emitted as a typed NULL literal on the
+    O(1) sequence leg, equal to batch."""
+    _cep_navoff_parity(
+        spark,
+        _cep_navoff_df(spark),
+        """
+        SELECT k, l1, v0 FROM cep_navoff_s
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(A.v, 1) AS l1, FIRST(B.v) AS v0
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.v >= 10, B AS B.v < 10
+        )
+        """,
+        "cep_navoff_s",
+    )
+
+
+def test_stream_measure_nav_offsets_all_rows(spark):
+    """ALL ROWS PER MATCH with RUNNING offset semantics (NULL until the
+    (n+1)-th mapped row) and a FINAL FIRST offset — the all-rows
+    decision-window leg equals the batch recompute."""
+    _cep_navoff_parity(
+        spark,
+        _cep_navoff_df(spark),
+        """
+        SELECT k, v, l1, f1 FROM cep_navoff_a
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(A.v, 1) AS l1, FINAL FIRST(A.v, 1) AS f1
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A{1,3} B)
+            DEFINE A AS A.v BETWEEN 10 AND 20, B AS B.v BETWEEN 1 AND 9
+        )
+        """,
+        "cep_navoff_a",
+    )

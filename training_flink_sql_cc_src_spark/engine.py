@@ -544,12 +544,15 @@ class Engine:
                     for var, col, _ in spec.measures
                     if var in set(spec.pattern)
                 )
-                # FIRST() navigation: the eq matchers' pos columns bind
-                # LAST rows — route to the general leg, which carries a
-                # first-row slot (or rejects loudly where it cannot)
+                # FIRST() navigation / FIRST-LAST logical offsets: the
+                # eq matchers' pos columns bind LAST rows — route to the
+                # general leg, which carries first-row slots and
+                # offset-aware payloads (or rejects loudly where it
+                # cannot)
                 or any(
                     spec.measure_nav.get(alias, "LAST").upper()
                     == "FIRST"
+                    or spec.measure_nav_offset.get(alias, 0) > 0
                     for _, _, alias in spec.measures
                 )
             ):
@@ -1117,6 +1120,7 @@ class Engine:
                 "modes": dict(spec.measure_modes),
                 "agg": dict(spec.measure_agg),
                 "nav": dict(spec.measure_nav),
+                "nav_offset": dict(spec.measure_nav_offset),
                 "excluded": set(spec.excluded),
                 "with_unmatched": spec.with_unmatched,
                 "out_types": out_types,
@@ -1206,14 +1210,18 @@ class Engine:
             agg_spec.append((fn, var, src_c, alias, out_t))
         agg_aliases = {a for _, _, _, a, _ in agg_spec}
         # FIRST()/LAST() measure navigation binds from the decision
-        # window: payload entries carry (var, col, nav); an A.ts with
-        # FIRST nav rides the payload path (pos_col is the LAST binding)
+        # window: payload entries carry (var, col, nav, offset); an A.ts
+        # with LAST nav and no offset rides the positional fast path
+        # (pos_col is the LAST binding), everything else — FIRST nav or
+        # any SQL:2016 logical offset — reads the decision window's
+        # mapped rows directly
         pay_needs = sorted(
             {
                 (
                     var,
                     col,
                     spec.measure_nav.get(alias, "LAST").lower(),
+                    spec.measure_nav_offset.get(alias, 0),
                 )
                 for var, col, alias in spec.measures
                 if var in patvars
@@ -1222,15 +1230,16 @@ class Engine:
                     col == ts_col
                     and spec.measure_nav.get(alias, "LAST").upper()
                     == "LAST"
+                    and spec.measure_nav_offset.get(alias, 0) == 0
                 )
             }
         )
-        for var, col, _ in pay_needs:
+        for var, col, _, _ in pay_needs:
             if col not in field_types:
                 raise unsupported(
                     f"measure {var}.{col}: unknown source column {col!r}"
                 )
-        pay_types = {c: field_types[c] for _, c, _ in pay_needs}
+        pay_types = {c: field_types[c] for _, c, _, _ in pay_needs}
         matched = bounded_nfa_stream(
             flagged, key, ts_col, var_flags, uniq_vars, ast,
             skip_past=spec.skip_past_last,
@@ -1251,18 +1260,20 @@ class Engine:
         )
         pos_col = {v: f"{v}_last_ts" for v in uniq_vars}
         pay_col = {
-            (var, col, nav.upper()): f"{var}_{col}_{nav}"
-            for var, col, nav in pay_needs
+            (var, col, nav.upper(), off): f"{var}_{col}_{nav}"
+            + (f"{off}" if off else "")
+            for var, col, nav, off in pay_needs
         }
         return self._mr_register_view(
             stmt, spec, matched, key, ts_col, pos_col, unsupported,
             pay_col=pay_col, agg_col={a: a for a in agg_aliases},
-            nav_aware=True,
+            nav_aware=True, offset_aware=True,
         )
 
     def _mr_register_view(
         self, stmt, spec, matched, key, ts_col, pos_col, unsupported,
         pay_col=None, agg_col=None, nav_aware=False,
+        offset_aware=False, single_row_vars=None, col_types=None,
     ) -> str:
         """Shared tail of the streaming MATCH_RECOGNIZE legs: project
         the MEASURES from the matcher's positional ts columns (and, on
@@ -1284,13 +1295,44 @@ class Engine:
                     "window)"
                 )
             nav = spec.measure_nav.get(alias, "LAST").upper()
+            noff = spec.measure_nav_offset.get(alias, 0)
+            if noff > 0 and not offset_aware:
+                # SQL:2016 logical offsets on a leg whose state does not
+                # carry per-offset payloads: a variable that maps exactly
+                # ONE row measures NULL at any offset >= 1 (exact); a run
+                # variable would need offset slots — reject loudly
+                if single_row_vars is not None and var in single_row_vars:
+                    cast_t = (col_types or {}).get(col, "string")
+                    select.append(
+                        F.expr(f"CAST(NULL AS {cast_t})").alias(alias)
+                    )
+                    continue
+                raise unsupported(
+                    f"measure {alias}: FIRST/LAST(Var.col, {noff}) on a "
+                    "run variable (this leg's O(1) state keeps only the "
+                    "run's first/last rows; bounded patterns and the "
+                    "batch path evaluate logical offsets exactly)"
+                )
             if (
                 var in pos_col
                 and col == ts_col
+                and noff == 0
                 and (nav == "LAST" or not nav_aware)
             ):
                 select.append(F.col(pos_col[var]).alias(alias))
-            elif pay_col is not None and (var, col, nav) in pay_col:
+            elif (
+                offset_aware
+                and pay_col is not None
+                and (var, col, nav, noff) in pay_col
+            ):
+                select.append(
+                    F.col(pay_col[(var, col, nav, noff)]).alias(alias)
+                )
+            elif (
+                not offset_aware
+                and pay_col is not None
+                and (var, col, nav) in pay_col
+            ):
                 select.append(F.col(pay_col[(var, col, nav)]).alias(alias))
             elif (
                 pay_col is not None
@@ -1624,6 +1666,16 @@ class Engine:
             )
             flag_cols.append(c)
         nav_aware = False
+        # SQL:2016 logical offsets: variables mapping exactly ONE row
+        # measure NULL at any offset >= 1 (handled in _mr_register_view);
+        # offsets on the RUN variable would need per-offset state slots —
+        # the register-view tail rejects those loudly for these O(1) legs
+        if funnel:
+            single_vars = {spec.pattern[0], spec.pattern[2]}
+        elif spec.plus is not None:
+            single_vars = {spec.plus[1]}
+        else:
+            single_vars = set(spec.pattern)  # plain sequence: all single
         if funnel:
             # nav-aware payload wiring: FIRST(B.col) reads the run's
             # first-row slot (FIRST(B.ts) rides the payload path — the
@@ -1791,6 +1843,8 @@ class Engine:
                 {a: a for _, _, _, a, _ in agg_spec} if agg_spec else None
             ),
             nav_aware=nav_aware,
+            single_row_vars=single_vars,
+            col_types=field_types,
         )
 
     def _over_agg_stream(

@@ -125,7 +125,8 @@ _CLAUSES_RE = re.compile(
 )
 _MEASURE_RE = re.compile(
     r"^(?:(?P<mode>RUNNING|FINAL)\s+)?"
-    r"(?:(?P<nav>FIRST|LAST)\s*\(\s*(?P<nvar>\w+)\.(?P<ncol>\w+)\s*\)"
+    r"(?:(?P<nav>FIRST|LAST)\s*\(\s*(?P<nvar>\w+)\.(?P<ncol>\w+)"
+    r"\s*(?:,\s*(?P<noff>\d+))?\s*\)"
     r"|(?P<var>\w+)\.(?P<col>\w+))"
     r"\s+AS\s+(?P<alias>\w+)$",
     re.IGNORECASE,
@@ -210,6 +211,12 @@ class MatchRecognizeSpec:
     # FIRST/LAST navigation per measure alias (default: LAST, the Flink
     # bare-Var.col behavior on multiply-mapped variables)
     measure_nav: dict[str, str] = dataclasses_field(default_factory=dict)
+    # FIRST/LAST logical offset per measure alias (SQL:2016
+    # FIRST(A.col, n) = the (n+1)-th mapped A row, LAST(A.col, n) = the
+    # n-th-from-last; offset past the mapped count yields NULL). Default 0.
+    measure_nav_offset: dict[str, int] = dataclasses_field(
+        default_factory=dict
+    )
     # AFTER MATCH SKIP PAST LAST ROW where per-start greedy matches may
     # OVERLAP (quantifiers, or non-disjoint DEFINEs): the lowering keeps
     # every start's greedy candidate, then a per-key sequential pass over
@@ -780,6 +787,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
     measures = []
     measure_modes: dict[str, str] = {}
     measure_nav: dict[str, str] = {}
+    measure_nav_offset: dict[str, int] = {}
     measure_agg: dict[str, str] = {}
     for item in _split_commas(m.group("measures")):
         cm = _CLASSIFIER_RE.match(item)
@@ -811,7 +819,8 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         if mm is None:
             raise UnsupportedPatternError(
                 f"MEASURES item {item!r} outside the subset (only "
-                "[RUNNING|FINAL] Var.col / FIRST(Var.col) / LAST(Var.col) "
+                "[RUNNING|FINAL] Var.col / FIRST(Var.col[, n]) / "
+                "LAST(Var.col[, n]) "
                 "AS alias, CLASSIFIER() AS alias, or MATCH_NUMBER() AS "
                 "alias, or [RUNNING|FINAL] COUNT/SUM/AVG/MIN/MAX"
                 "(Var.col) AS alias)"
@@ -829,6 +838,8 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             measure_modes[mm.group("alias")] = mm.group("mode").upper()
         if mm.group("nav"):
             measure_nav[mm.group("alias")] = mm.group("nav").upper()
+        if mm.group("noff"):
+            measure_nav_offset[mm.group("alias")] = int(mm.group("noff"))
 
     defines: dict[str, str] = {}
     for item in _split_commas(m.group("define")):
@@ -938,6 +949,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         plus=plus,
         with_unmatched=with_unmatched,
         measure_nav=measure_nav,
+        measure_nav_offset=measure_nav_offset,
         measure_agg=measure_agg,
         unbounded=unbounded if plus is None else {},
         pos_quants=pos_quants if plus is None else {},
@@ -1246,6 +1258,36 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
         .withColumn("__prev_a", F.lag("__a").over(w))
         .withColumn("__mr_s1", F.lead(F.struct(*cols)).over(w))
     )
+    # FIRST/LAST(A.col, n) logical offsets: the run's mapped rows are
+    # CONSECUTIVE physical rows start..end, so the (n+1)-th mapped row is
+    # LEAD(col, n) at the start and the n-from-last is LAG(col, n) at the
+    # end (broadcast via the end-info struct). Both ride the SAME window
+    # pass — no extra exchange; validity (offset < run length) is checked
+    # against the suffix run count at emission time.
+    first_offs = sorted(
+        {
+            (col_, spec.measure_nav_offset[alias_])
+            for var_, col_, alias_ in spec.measures
+            if var_ == a_var
+            and alias_ not in spec.measure_agg
+            and spec.measure_nav.get(alias_) == "FIRST"
+            and spec.measure_nav_offset.get(alias_, 0) > 0
+        }
+    )
+    last_offs = sorted(
+        {
+            (col_, spec.measure_nav_offset[alias_])
+            for var_, col_, alias_ in spec.measures
+            if var_ == a_var
+            and alias_ not in spec.measure_agg
+            and spec.measure_nav.get(alias_) != "FIRST"
+            and spec.measure_nav_offset.get(alias_, 0) > 0
+        }
+    )
+    for col_, n_ in first_offs:
+        out = out.withColumn(f"__mr_f{n_}_{col_}", F.lead(col_, n_).over(w))
+    for col_, n_ in last_offs:
+        out = out.withColumn(f"__mr_l{n_}_{col_}", F.lag(col_, n_).over(w))
     next_a = F.col("__mr_s1").isNotNull() & F.coalesce(
         F.expr(_pred_at_offset(spec.defines[a_var], a_var, 1, cols)),
         F.lit(False),
@@ -1279,6 +1321,12 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                 *[F.col(c) for c in cols],
                 F.col("__mr_s1").alias("__nx"),
                 F.col("__next_b").alias("__nb"),
+                # LAST(A.col, n): the run end's lag-n values, broadcast
+                # with the rest of the end info
+                *[
+                    F.col(f"__mr_l{n_}_{col_}").alias(f"__l{n_}_{col_}")
+                    for col_, n_ in last_offs
+                ],
             ),
         ),
         ignorenulls=True,
@@ -1290,7 +1338,7 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
         for var, col, alias in spec.measures
         if alias in spec.measure_agg and var == a_var
     ]
-    if min_run > 1 or run_aggs:
+    if min_run > 1 or run_aggs or first_offs or last_offs:
         # suffix frame over the island partition (same clustering as the
         # end-info window, no extra exchange): counts/sums of the run's
         # A-rows from this start to the run end
@@ -1299,7 +1347,7 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             .orderBy(*spec.order_by)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        if min_run > 1:
+        if min_run > 1 or first_offs or last_offs:
             out = out.withColumn(
                 "__mr_rem",
                 F.count(F.when(F.col("__a"), F.lit(1))).over(wi_rem),
@@ -1379,11 +1427,38 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                         F.col(f"__endinfo.__nx.{col}").alias(alias)
                     )
         elif var == a_var:
+            noff = spec.measure_nav_offset.get(alias, 0)
             if spec.measure_nav.get(alias) == "FIRST":
-                # FIRST(A.col): the match start — the current row itself
-                select.append(F.col(col).alias(alias))
-            else:  # bare A.col / LAST(A.col): the run END (Flink default)
+                if noff == 0:
+                    # FIRST(A.col): the match start — the current row
+                    select.append(F.col(col).alias(alias))
+                else:
+                    # FIRST(A.col, n): n rows after the start, NULL once
+                    # the offset walks past the run (SQL:2016)
+                    select.append(
+                        F.when(
+                            F.col("__mr_rem") > noff,
+                            F.col(f"__mr_f{noff}_{col}"),
+                        ).alias(alias)
+                    )
+            elif noff == 0:
+                # bare A.col / LAST(A.col): the run END (Flink default)
                 select.append(F.col(f"__endinfo.{col}").alias(alias))
+            else:
+                # LAST(A.col, n): n rows before the run end, same bound
+                select.append(
+                    F.when(
+                        F.col("__mr_rem") > noff,
+                        F.col(f"__endinfo.__l{noff}_{col}"),
+                    ).alias(alias)
+                )
+        elif spec.measure_nav_offset.get(alias, 0) > 0:
+            # B maps exactly one row: any logical offset >= 1 is NULL
+            select.append(
+                F.lit(None)
+                .cast(dict(df.dtypes).get(col, "string"))
+                .alias(alias)
+            )
         else:
             select.append(F.col(f"__endinfo.__nx.{col}").alias(alias))
     return matched.select(*select)
@@ -1488,6 +1563,7 @@ def _lower_plus_overlap(
     measures = list(spec.measures)
     measure_agg = dict(spec.measure_agg)
     measure_nav = dict(spec.measure_nav)
+    measure_nav_offset = dict(spec.measure_nav_offset)
     measure_modes = dict(spec.measure_modes)
     excl = set(spec.excluded)
     pby = list(spec.partition_by)
@@ -1668,19 +1744,24 @@ def _lower_plus_overlap(
                                 v = vals.max()
                                 v = None if pd.isna(v) else v
                         elif var == a_var:
-                            # last (or FIRST) A row at-or-before j; the
-                            # zero-run match has no A row at all
+                            # last (or FIRST) A row at-or-before j with
+                            # the SQL:2016 logical offset stepping inward
+                            # (NULL while fewer than noff+1 rows are
+                            # mapped); the zero-run match has no A row
                             last_a = k - 1 if (final or is_b) else j
-                            if last_a < i:
+                            noff = measure_nav_offset.get(alias, 0)
+                            if last_a - i < noff:
                                 v = None
                             elif measure_nav.get(alias) == "FIRST":
-                                v = pdf[col].iloc[i]
+                                v = pdf[col].iloc[i + noff]
                             else:
-                                v = pdf[col].iloc[last_a]
-                        else:  # B.col: NULL until the end row (RUNNING)
+                                v = pdf[col].iloc[last_a - noff]
+                        else:  # B.col: NULL until the end row (RUNNING);
+                            # B maps one row, so any offset >= 1 is NULL
                             v = (
                                 pdf[col].iloc[k]
                                 if (final or is_b)
+                                and measure_nav_offset.get(alias, 0) == 0
                                 else None
                             )
                         out_ar[alias].append(clean(v, alias))
@@ -1733,13 +1814,19 @@ def _lower_plus_overlap(
                         v = vals.max()
                         v = None if pd.isna(v) else v
                 elif var == a_var:
-                    if k == i:  # zero-A match (A* / A{0,}): no mapped row
-                        v = None
+                    noff = measure_nav_offset.get(alias, 0)
+                    if k - i <= noff:  # offset past the mapped A count
+                        v = None  # (incl. the zero-A match) -> NULL
+                    elif measure_nav.get(alias) == "FIRST":
+                        v = pdf[col].iloc[i + noff]
                     else:
-                        row = i if measure_nav.get(alias) == "FIRST" else k - 1
-                        v = pdf[col].iloc[row]
-                else:  # B maps exactly the end row
-                    v = pdf[col].iloc[k]
+                        v = pdf[col].iloc[k - 1 - noff]
+                else:  # B maps exactly the end row; offset >= 1 -> NULL
+                    v = (
+                        pdf[col].iloc[k]
+                        if measure_nav_offset.get(alias, 0) == 0
+                        else None
+                    )
                 try:
                     if v is not None and pd.isna(v):
                         v = None
@@ -2117,6 +2204,7 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     measures = list(spec.measures)
     measure_agg = dict(spec.measure_agg)
     measure_nav = dict(spec.measure_nav)
+    measure_nav_offset = dict(spec.measure_nav_offset)
     measure_modes = dict(spec.measure_modes)
     all_rows = spec.all_rows
     with_unmatched = spec.with_unmatched
@@ -2462,13 +2550,18 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                                 else:
                                     v = vals.max()
                                     v = None if pd.isna(v) else v
-                        elif not vrows:
-                            v = None  # variable not reached yet
+                        elif len(vrows) <= measure_nav_offset.get(
+                            alias, 0
+                        ):
+                            # variable not reached yet / logical offset
+                            # past the rows mapped so far (SQL:2016)
+                            v = None
                         else:
+                            noff = measure_nav_offset.get(alias, 0)
                             row = (
-                                vrows[0]
+                                vrows[noff]
                                 if measure_nav.get(alias) == "FIRST"
-                                else vrows[-1]
+                                else vrows[-1 - noff]
                             )
                             v = pdf[col].iloc[row]
                         out_ar[alias].append(clean(v, alias))
@@ -2526,14 +2619,17 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                             v = vals.max()
                             v = None if pd.isna(v) else v
                 else:
-                    idxs = rows_of.get(var)
-                    if not idxs:
-                        v = None  # variable mapped no row in this match
+                    idxs = rows_of.get(var) or []
+                    noff = measure_nav_offset.get(alias, 0)
+                    if len(idxs) <= noff:
+                        # variable mapped no row / offset past the
+                        # mapped count (SQL:2016) -> NULL
+                        v = None
                     else:
                         row = (
-                            idxs[0]
+                            idxs[noff]
                             if measure_nav.get(alias) == "FIRST"
-                            else idxs[-1]
+                            else idxs[-1 - noff]
                         )
                         v = pdf[col].iloc[row]
                 try:
@@ -2701,17 +2797,19 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         # ranks only the matched subset.
         matched = matched.withColumn("__mr_mn", F.row_number().over(w))
 
-    def ref_at(var: str, col: str, vs: list[str], nav: str = "LAST"):
+    def ref_at(
+        var: str, col: str, vs: list[str], nav: str = "LAST", off: int = 0
+    ):
         # Flink: bare Var.col on a multiply-mapped variable = LAST mapped
-        # row; FIRST(Var.col) = first mapped row. A variable that did not
+        # row; FIRST(Var.col) = first mapped row; FIRST/LAST(Var.col, n)
+        # step n mapped rows inward (SQL:2016 logical navigation) and
+        # yield NULL past the mapped count. A variable that did not
         # participate in this variant (the other alternative of an (X|Y)
         # group) measures as NULL
-        if var not in vs:
+        occ = [k for k, v in enumerate(vs) if v == var]
+        if off >= len(occ):
             return F.lit(None)
-        if nav == "FIRST":
-            k = vs.index(var)
-        else:
-            k = len(vs) - 1 - vs[::-1].index(var)
+        k = occ[off] if nav == "FIRST" else occ[len(occ) - 1 - off]
         return F.col(col) if k == 0 else F.col(f"__mr_s{k}.{col}")
 
     def per_variant(value_of):
@@ -2837,6 +2935,11 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
                 if var not in vs:
                     return F.lit(None)
                 offs = [k for k, v in enumerate(vs) if v == var]
+                noff = spec.measure_nav_offset.get(alias, 0)
+                if noff >= len(offs):
+                    # SQL:2016: a logical offset past the variable's
+                    # mapped count is NULL for the whole match
+                    return F.lit(None)
 
                 def at(k):
                     return F.col(col) if k == 0 else F.col(f"__mr_s{k}.{col}")
@@ -2844,20 +2947,27 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
                 nav = spec.measure_nav.get(alias, "LAST")
                 if spec.measure_modes.get(alias) == "FINAL":
                     # FINAL: the complete match's value on every row
-                    # (FIRST nav -> first mapped row, else last mapped)
-                    return at(offs[0] if nav == "FIRST" else offs[-1])
+                    # (FIRST nav -> (noff+1)-th mapped row, else
+                    # noff-from-last mapped row)
+                    return at(
+                        offs[noff] if nav == "FIRST" else offs[-1 - noff]
+                    )
                 # RUNNING (Flink default under ALL ROWS): NULL until the
-                # variable's row is reached. A multiply-mapped variable
-                # (quantifier) reads its LAST mapped row at-or-before the
-                # current offset — a descending when-chain over its
-                # offsets; FIRST nav pins the first mapped row once seen.
+                # variable's (noff+1)-th row is reached. A multiply-mapped
+                # variable (quantifier) reads its noff-from-LAST mapped
+                # row at-or-before the current offset — a descending
+                # when-chain over its offsets; FIRST nav pins the
+                # (noff+1)-th mapped row once seen.
                 if nav == "FIRST":
-                    return F.when(F.col("__mr_k") >= offs[0], at(offs[0]))
+                    return F.when(
+                        F.col("__mr_k") >= offs[noff], at(offs[noff])
+                    )
                 expr = None
-                for k in reversed(offs):
-                    c = F.col("__mr_k") >= k
+                for j in reversed(range(noff, len(offs))):
+                    c = F.col("__mr_k") >= offs[j]
+                    v = at(offs[j - noff])
                     expr = (
-                        F.when(c, at(k)) if expr is None else expr.when(c, at(k))
+                        F.when(c, v) if expr is None else expr.when(c, v)
                     )
                 return expr
 
@@ -2957,7 +3067,13 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
                 return _agg_over_refs(
                     fn, refs, len(offs) if col == "*" else None
                 )
-            return ref_at(var, col, vs, spec.measure_nav.get(alias, "LAST"))
+            return ref_at(
+                var,
+                col,
+                vs,
+                spec.measure_nav.get(alias, "LAST"),
+                spec.measure_nav_offset.get(alias, 0),
+            )
 
         select.append(per_variant(value_of).alias(alias))
     return matched.select(*select)

@@ -2709,3 +2709,80 @@ def over_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __over_agg_events
         """
     )
+
+
+@register(
+    "pattern_match_recognize_measure_nav",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER w AS rn,
+               COALESCE(value < 90, FALSE) AS fa,
+               COALESCE(value >= 90, FALSE) AS fb
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+        SELECT user_id, rn,
+               rn - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY rn) AS grp
+        FROM ord WHERE fa
+    ), runs AS (
+        SELECT user_id, grp, MIN(rn) AS srn, MAX(rn) AS ern,
+               COUNT(*) AS n_run
+        FROM isl GROUP BY user_id, grp
+    )
+    SELECT r.user_id,
+           f0.value AS f0, f1.value AS f1,
+           l1.value AS l1, l3.value AS l3,
+           CAST(r.n_run AS BIGINT) AS n_run,
+           b.event_id AS end_event
+    FROM runs r
+    JOIN ord b  ON b.user_id = r.user_id AND b.rn = r.ern + 1 AND b.fb
+    JOIN ord f0 ON f0.user_id = r.user_id AND f0.rn = r.srn
+    LEFT JOIN ord f1 ON f1.user_id = r.user_id
+                    AND f1.rn = r.srn + 1 AND f1.rn <= r.ern
+    LEFT JOIN ord l1 ON l1.user_id = r.user_id
+                    AND l1.rn = r.ern - 1 AND l1.rn >= r.srn
+    LEFT JOIN ord l3 ON l3.user_id = r.user_id
+                    AND l3.rn = r.ern - 3 AND l3.rn >= r.srn
+    """,
+    doc="FIRST/LAST logical-offset arguments in MEASURES (SQL:2016; "
+    "Flink 1.19 MATCH_RECOGNIZE measure navigation — the round-8 "
+    "README residual, closed in round 9): over each user's maximal "
+    "value<90 run followed by a value>=90 row, FIRST(A.value, 1) is "
+    "the second mapped row, LAST(A.value, 1)/LAST(A.value, 3) step "
+    "back from the run end, and an offset past the mapped count is "
+    "NULL. Lowered by the gaps-and-islands A+ B plan (one window "
+    "pass; the offsets ride extra LAG/LEAD columns on the SAME "
+    "exchange — no join, no NFA). Oracle: islands + per-offset "
+    "self-joins on the row-number frame. The same offsets stream "
+    "(tests/test_streaming_parity.py::test_stream_measure_nav_*). "
+    "100 TB: one shuffle on user_id, O(1) state per row.",
+)
+def pattern_match_recognize_measure_nav(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_mn")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, f0, f1, l1, l3, n_run, end_event
+        FROM __mr_events_mn
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.value) AS f0,
+                     FIRST(A.value, 1) AS f1,
+                     LAST(A.value, 1) AS l1,
+                     LAST(A.value, 3) AS l3,
+                     COUNT(A.*) AS n_run,
+                     B.event_id AS end_event
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.value < 90,
+                   B AS B.value >= 90
+        ) AS m
+        """
+    )

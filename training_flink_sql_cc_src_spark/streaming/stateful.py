@@ -1171,7 +1171,7 @@ def bounded_nfa_stream(
         **ntypes,
     }
     pcols = sorted(
-        {c for _, c, _ in pay_pairs}
+        {c for _, c, _, _ in pay_pairs}
         | agg_srcs
         | set(cross_cols)
         | set(ncols)
@@ -1180,8 +1180,8 @@ def bounded_nfa_stream(
     out_schema = f"{key_col} {key_type}, " + ", ".join(
         [f"{v}_last_ts timestamp" for v in pattern_vars]
         + [
-            f"{var}_{c}_{nav} {pay_types[c]}"
-            for var, c, nav in pay_pairs
+            f"{var}_{c}_{nav}{off or ''} {pay_types[c]}"
+            for var, c, nav, off in pay_pairs
         ]
         + [f"{alias} {out_t}" for _, _, _, alias, out_t in aggs]
     )
@@ -1350,13 +1350,15 @@ def bounded_nfa_stream(
                             row.append(
                                 window[idxs[-1]][1] if idxs else None
                             )
-                        for var, c, nav in pay_pairs:
-                            idxs = rows_of.get(var)
+                        for var, c, nav, noff in pay_pairs:
+                            idxs = rows_of.get(var) or []
                             row.append(
                                 window[
-                                    idxs[0] if nav == "first" else idxs[-1]
+                                    idxs[noff]
+                                    if nav == "first"
+                                    else idxs[-1 - noff]
                                 ][2][pcols.index(c)]
-                                if idxs
+                                if len(idxs) > noff
                                 else None
                             )
                         for fn, var, c, _, _ in aggs:
@@ -1427,8 +1429,8 @@ def bounded_nfa_stream(
             for ci, v in enumerate(pattern_vars):
                 data[f"{v}_last_ts"] = [row[ci] for row in out_rows]
             off = len(pattern_vars)
-            for j, (var, c, nav) in enumerate(pay_pairs):
-                data[f"{var}_{c}_{nav}"] = [
+            for j, (var, c, nav, noff) in enumerate(pay_pairs):
+                data[f"{var}_{c}_{nav}{noff or ''}"] = [
                     row[off + j] for row in out_rows
                 ]
             off += len(pay_pairs)
@@ -1516,6 +1518,7 @@ def bounded_nfa_all_rows_stream(
     modes = measure_spec.get("modes", {})
     agg = measure_spec.get("agg", {})
     nav = measure_spec.get("nav", {})
+    nav_offset = measure_spec.get("nav_offset", {})
     excluded = set(measure_spec.get("excluded", ()))
     with_unmatched = bool(measure_spec.get("with_unmatched", False))
     out_types = measure_spec["out_types"]  # alias -> sql type
@@ -1630,13 +1633,16 @@ def bounded_nfa_all_rows_stream(
                             v = min(nn)
                         else:
                             v = max(nn)
-                elif not vrows:
+                elif len(vrows) <= nav_offset.get(alias, 0):
+                    # not reached yet / SQL:2016 offset past the mapped
+                    # count -> NULL
                     v = None
                 else:
+                    noff = nav_offset.get(alias, 0)
                     j = (
-                        vrows[0]
+                        vrows[noff]
                         if nav.get(alias) == "FIRST"
-                        else vrows[-1]
+                        else vrows[-1 - noff]
                     )
                     v = window[j][2][src_cols.index(col)]
                 vals_out.append(v)
