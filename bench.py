@@ -79,6 +79,9 @@ HEADLINE = (
     "over_agg_sql",
     "pipeline_bpe_encode",
     "dedup_keep_best",
+    "pattern_match_recognize_measure_nav",
+    "dedup_containment_pairs",
+    "pipeline_vocab_oov_rate",
 )
 
 

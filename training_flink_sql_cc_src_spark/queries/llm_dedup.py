@@ -1042,3 +1042,91 @@ def dedup_duplicated_span_regions(
         F.max("region_tokens").alias("max_region_tokens"),
         F.sum("region_tokens").alias("dup_tokens"),
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_band,
+               list_distinct(string_split(text, ' ')) AS words,
+               len(list_distinct(string_split(text, ' '))) AS n_words
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+               / a.n_words AS containment
+    FROM w a JOIN w b
+      ON a.lang = b.lang
+     AND b.len_band BETWEEN a.len_band - 1 AND a.len_band + 1
+     AND a.doc_id <> b.doc_id
+    WHERE 5 * len(list_intersect(a.words, b.words)) >= 4 * a.n_words
+    """,
+    doc="ASYMMETRIC set-containment near-dup pairs C(A,B) = |A inter B| "
+    "/ |A| >= 0.8 (Broder 1997's containment measure — the "
+    "'A is a snippet of B' direction Jaccard misses when |B| >> |A|): "
+    "directed pairs within (lang, ADJACENT length band) blocks, since "
+    "a contained doc is typically shorter than its container. The "
+    "probe side explodes each doc to its three candidate bands so "
+    "candidate generation stays an EQUI join on (lang, band) — never "
+    "a lang-only join (4 langs = catastrophic skew at 100 TB) and "
+    "never all-pairs. Shares the memoized per-doc token sketch with "
+    "the Jaccard family (bitmask fast path: |A inter B| = "
+    "bit_count(a & b)); the >= 0.8 filter is the exact integer form "
+    "5*inter >= 4*|A|, and the emitted score is an exact int/int "
+    "division — hash-identical in both engines.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small_vocab, d = _token_sketch(spark, sf_dir)
+    probe_band = F.explode(
+        F.array(
+            F.col("len_band") - 1, F.col("len_band"), F.col("len_band") + 1
+        )
+    ).alias("band")
+    if small_vocab:
+        a = d.select(
+            F.col("doc_id").alias("id_a"),
+            "lang",
+            probe_band,
+            F.col("mask").alias("mask_a"),
+            F.col("n_words").alias("n_a"),
+        )
+        b = d.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("len_band").alias("band_b"),
+            F.col("mask").alias("mask_b"),
+        )
+        pairs = a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.band == b.band_b)
+            & (a.id_a != b.id_b),
+        )
+        inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    else:
+        a = d.select(
+            F.col("doc_id").alias("id_a"),
+            "lang",
+            probe_band,
+            F.col("words").alias("words_a"),
+            F.col("n_words").alias("n_a"),
+        )
+        b = d.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("len_band").alias("band_b"),
+            F.col("words").alias("words_b"),
+        )
+        pairs = a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.band == b.band_b)
+            & (a.id_a != b.id_b),
+        )
+        inter = F.size(F.array_intersect("words_a", "words_b"))
+    return (
+        pairs.filter(inter * 5 >= F.col("n_a") * 4)
+        .withColumn("containment", inter.cast("double") / F.col("n_a"))
+        .select("id_a", "id_b", "containment")
+    )

@@ -1178,3 +1178,91 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("keeper"),
         (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "pipeline_vocab_oov_rate",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, source,
+               unnest(string_split(text, ' ')) AS token,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS c FROM tok
+            GROUP BY token ORDER BY c DESC, token LIMIT 16
+        )
+    ), per_doc AS (
+        SELECT doc_id, lang, source, MAX(n_tok) AS n_tok,
+               SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                        THEN 1 ELSE 0 END) AS in_vocab
+        FROM tok GROUP BY doc_id, lang, source
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(
+               CAST(n_tok - in_vocab AS DOUBLE) / n_tok
+               AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_oov_rate,
+           CAST(SUM(CASE WHEN 2 * (n_tok - in_vocab) > n_tok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_majority_oov
+    FROM per_doc GROUP BY lang, source
+    """,
+    doc="Out-of-vocabulary rate against a corpus-derived vocabulary — "
+    "the coverage diagnostic run after tokenizer training (what share "
+    "of each source's tokens fall outside the kept vocabulary): "
+    "vocabulary = top-16 tokens by (global freq DESC, token), per-doc "
+    "OOV rate = (tokens - in-vocab tokens) / tokens (exact integer "
+    "division), rolled up per (lang, source) with the DECIMAL-routed "
+    "deterministic mean (dsum convention) and a majority-OOV doc "
+    "count (exact integer compare 2*oov > total). 100 TB plan: one "
+    "token-count shuffle for the vocabulary head "
+    "(TakeOrderedAndProject), vocabulary broadcast back, one map-side "
+    "explode + per-doc count, one rollup shuffle — the vocabulary is "
+    "a compile-time-bounded broadcast, never a corpus-sized join "
+    "side.",
+)
+def pipeline_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(16)
+        .select("token")
+    )
+    in_vocab = (
+        toks.join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("in_vocab"))
+    )
+    per_doc = (
+        d.select("doc_id", "lang", "source",
+                 F.size(F.split("text", " ")).alias("n_tok"))
+        .join(in_vocab, "doc_id", "left")
+        .withColumn("in_vocab", F.coalesce("in_vocab", F.lit(0)))
+        .withColumn(
+            "oov_rate",
+            (F.col("n_tok") - F.col("in_vocab")).cast("double")
+            / F.col("n_tok"),
+        )
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("oov_rate").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_oov_rate"),
+        F.sum(
+            F.when(
+                2 * (F.col("n_tok") - F.col("in_vocab")) > F.col("n_tok"),
+                1,
+            ).otherwise(0)
+        ).alias("n_majority_oov"),
+    )

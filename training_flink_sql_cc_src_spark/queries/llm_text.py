@@ -811,3 +811,67 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+@register(
+    "text_zipf_vocab_curve",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), freq AS (
+        SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+    ), tot AS (
+        SELECT SUM(freq) AS total FROM freq
+    ), ranked AS (
+        SELECT token, freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank,
+               SUM(freq) OVER (
+                   ORDER BY freq DESC, token
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_freq
+        FROM freq
+    )
+    SELECT rank, token, freq,
+           CAST(cum_freq AS DOUBLE) / total AS cum_share
+    FROM ranked, tot WHERE rank <= 20
+    """,
+    doc="Zipf frequency curve of the corpus vocabulary — the "
+    "rank/frequency/cumulative-coverage table a tokenizer-design or "
+    "corpus-diagnostics pass reads (Zipf 1949; the head of this curve "
+    "is what vocabulary truncation keeps): global token counts, rank "
+    "by (freq DESC, token) (deterministic tie-break), cumulative "
+    "coverage share as an exact-integer division (identical double in "
+    "both engines). 100 TB plan: ONE shuffle on token for the "
+    "partial-aggregated counts, TakeOrderedAndProject for the top-20 "
+    "head (no global sort), a 1-row total broadcast back, and the "
+    "20-row cumulative window on a single tiny partition.",
+)
+def text_zipf_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = freq.agg(F.sum("freq").alias("total"))
+    head = freq.orderBy(F.desc("freq"), "token").limit(20)
+    w = Window.orderBy(F.desc("freq"), "token").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        head.withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("freq"), "token"))
+        )
+        .withColumn("cum_freq", F.sum("freq").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            (F.col("cum_freq").cast("double") / F.col("total")).alias(
+                "cum_share"
+            ),
+        )
+    )
