@@ -1130,3 +1130,63 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("containment", inter.cast("double") / F.col("n_a"))
         .select("id_a", "id_b", "containment")
     )
+
+
+@register(
+    "pipeline_dedup_apply",
+    oracle="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, lang, n_chars // 100 AS len_band,
+               list_distinct(string_split(text, ' ')) AS words,
+               len(list_distinct(string_split(text, ' '))) AS n_words
+        FROM documents
+    ), edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM w a INNER JOIN w b
+          ON a.lang = b.lang AND a.len_band = b.len_band
+         AND a.doc_id < b.doc_id
+        WHERE 8 * len(list_intersect(a.words, b.words))
+              >= 3 * (a.n_words + b.n_words)
+    ), und AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges
+    ), reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT u.dst AS node, r.label
+        FROM reach r JOIN und u ON r.node = u.src
+        WHERE r.label < u.dst
+    ), comp AS (
+        SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ), ranked AS (
+        SELECT c.node, ROW_NUMBER() OVER (
+                   PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM comp c JOIN documents d ON c.node = d.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN ranked r ON r.node = d.doc_id
+    WHERE r.rn = 1
+    """,
+    doc="END-TO-END dedup application — the step that MATERIALIZES the "
+    "deduplicated corpus (pairs -> transitive closure -> keep-best "
+    "-> drop the rest), completing the near-dup story the same way "
+    "train->encode completes the tokenizer story: the keep-best "
+    "keepers (struct-max argmax per component, shared "
+    "large-star/small-star CC loop and memoized token sketch) SEMI "
+    "join back onto the corpus, so the output is the surviving "
+    "documents themselves, not a report about them. 100 TB: "
+    "everything upstream is the audited keep-best plan; the final "
+    "application is ONE semi join on doc_id (keepers are "
+    "component-count-sized, far below the corpus — AQE broadcasts "
+    "when they fit).",
+)
+def pipeline_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keepers = dedup_keep_best(spark, sf_dir).select(
+        F.col("keeper").alias("doc_id")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
