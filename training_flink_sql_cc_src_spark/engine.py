@@ -348,6 +348,11 @@ class Engine:
         navigation inside DEFINEs streams too, the defining variable's
         own rows included ({v}.col OP FIRST|LAST(X.col[, n]) — round
         8); only nav embedded in richer expressions stays batch-only.
+        FIRST/LAST(V.col, n) logical offsets in MEASURES stream on
+        every leg (round 9): the decision-window legs index their
+        mapped rows, single-row variables emit typed NULLs on the O(1)
+        legs, and an offset on a run matcher's run variable rejects
+        into the automatic break-decided / WITHIN-horizon retry below.
         Returns None when the statement has no MATCH_RECOGNIZE;
         otherwise every shape streams on one of the legs (O(1) run
         matchers, Lmax window, WITHIN horizon, break-row decided),
