@@ -501,10 +501,11 @@ def main(n_cases, seed):
                     outer.append("fnav_v")
             if rng.random() < 0.3:
                 # FIRST/LAST(V.col, n) logical offsets (round 9):
-                # decision-window legs index their mapped rows; an
-                # offset on an O(1) run matcher's run variable
-                # reroutes to the break-decided / WITHIN-horizon
-                # legs automatically; single-mapped vars -> NULL
+                # decision-window legs index their mapped rows; the
+                # A+ B run matcher keeps bounded last/first payload
+                # histories natively; a funnel B+ offset reroutes to
+                # the break-decided / WITHIN-horizon legs
+                # automatically; single-mapped vars -> NULL
                 nv = rng.choice(pvars)
                 nnav = rng.choice(["FIRST", "LAST"])
                 noffv = rng.choice([1, 1, 2, 3])

@@ -3921,15 +3921,18 @@ def test_stream_measure_nav_offsets_bounded_leg(spark):
     )
 
 
-def test_stream_measure_nav_offsets_run_via_break_decided(spark):
-    """An offset on the RUN variable of A+ B: the O(1) run matcher
-    rejects loudly (its state keeps only first/last rows) and the
-    statement automatically retries through the break-row-decided leg,
-    whose bounded stretch holds the mapped rows — parity exact."""
-    _cep_navoff_parity(
-        spark,
-        _cep_navoff_df(spark),
-        """
+def test_stream_measure_nav_offsets_run_native(spark):
+    """An offset on the RUN variable of A+ B rides the O(1) run
+    matcher NATIVELY (round 9): state keeps the last/first K+1 run-row
+    payload tuples, K the largest requested offset — a compile-time
+    bound. The fallback decision-window leg is trapped to prove the
+    run leg itself evaluated the offsets."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    df = _cep_navoff_df(spark)
+    df.createOrReplaceTempView("cep_navoff_r")
+    stmt = """
         SELECT k, l1, f1, CAST(b_ts AS LONG) AS be FROM cep_navoff_r
         MATCH_RECOGNIZE (
             PARTITION BY k ORDER BY ts
@@ -3940,8 +3943,101 @@ def test_stream_measure_nav_offsets_run_via_break_decided(spark):
             PATTERN (A+ B)
             DEFINE A AS A.v BETWEEN 10 AND 20, B AS B.v BETWEEN 1 AND 9
         )
+    """
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    eng = Engine(spark)
+
+    def _trap(*a, **kw):
+        raise AssertionError(
+            "fallback decision-window leg invoked — run-leg offsets "
+            "must evaluate natively"
+        )
+
+    eng._match_recognize_stream_bounded = _trap
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_navoff_r": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
+
+
+def test_stream_measure_nav_offsets_run_backtrack(spark):
+    """Run-leg offsets through the PEND BACKTRACK: overlapping
+    predicates (a row can satisfy both A and B) make the greedy run
+    die and re-emit from the remembered candidate — the pend snapshot
+    must carry the pre-pend payload HISTORY so LAST(A.v, n) reads the
+    backtracked match's own rows, offsets past its (shorter) length
+    NULL."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for key, vals in {
+        "a": [12, 15, 8, 11, 14, 13, 9, 16, 7, 12, 6, 5],
+        "b": [10, 10, 10, 5, 12, 2, 3, 11, 4, 5],
+        "c": [13, 12, 15, 14, 17, 16, 3, 5],
+    }.items():
+        for i, v in enumerate(vals):
+            rows.append((key, base + dt.timedelta(seconds=i), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v int")
+    _cep_navoff_parity(
+        spark,
+        df,
+        """
+        SELECT k, l0, l1, l2, f1, CAST(b_ts AS LONG) AS be
+        FROM cep_navoff_bt
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(A.v) AS l0, LAST(A.v, 1) AS l1,
+                     LAST(A.v, 2) AS l2, FIRST(A.v, 1) AS f1,
+                     B.ts AS b_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A+ B)
+            DEFINE A AS A.v >= 10, B AS B.v % 2 = 0
+        )
         """,
-        "cep_navoff_r",
+        "cep_navoff_bt",
+    )
+
+
+def test_stream_measure_nav_offsets_funnel_via_fallback(spark):
+    """An offset on the B+ run variable of the A B+ C funnel: the O(1)
+    funnel matcher rejects loudly and the statement automatically
+    retries through the break-row-decided leg, whose bounded stretch
+    holds the mapped rows — parity exact."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for key, vals in {
+        "a": [2, 12, 15, 11, 7, 25, 3, 13, 8, 25, 25],
+        "b": [1, 14, 6, 25, 2, 16, 12, 9, 25, 25],
+    }.items():
+        for i, v in enumerate(vals):
+            rows.append((key, base + dt.timedelta(seconds=i), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v int")
+    _cep_navoff_parity(
+        spark,
+        df,
+        """
+        SELECT k, l1, CAST(c_ts AS LONG) AS ce FROM cep_navoff_f
+        MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(B.v, 1) AS l1, C.ts AS c_ts
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.v BETWEEN 1 AND 5, B AS B.v BETWEEN 10 AND 20,
+                   C AS C.v BETWEEN 6 AND 9
+        )
+        """,
+        "cep_navoff_f",
     )
 
 

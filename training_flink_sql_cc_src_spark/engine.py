@@ -351,8 +351,10 @@ class Engine:
         FIRST/LAST(V.col, n) logical offsets in MEASURES stream on
         every leg (round 9): the decision-window legs index their
         mapped rows, single-row variables emit typed NULLs on the O(1)
-        legs, and an offset on a run matcher's run variable rejects
-        into the automatic break-decided / WITHIN-horizon retry below.
+        legs, the A+ B run matcher carries bounded last/first K+1
+        payload histories (K = largest offset, compile-time state
+        bound), and a funnel B+ offset rejects into the automatic
+        break-decided / WITHIN-horizon retry below.
         Returns None when the statement has no MATCH_RECOGNIZE;
         otherwise every shape streams on one of the legs (O(1) run
         matchers, Lmax window, WITHIN horizon, break-row decided),
@@ -1301,23 +1303,6 @@ class Engine:
                 )
             nav = spec.measure_nav.get(alias, "LAST").upper()
             noff = spec.measure_nav_offset.get(alias, 0)
-            if noff > 0 and not offset_aware:
-                # SQL:2016 logical offsets on a leg whose state does not
-                # carry per-offset payloads: a variable that maps exactly
-                # ONE row measures NULL at any offset >= 1 (exact); a run
-                # variable would need offset slots — reject loudly
-                if single_row_vars is not None and var in single_row_vars:
-                    cast_t = (col_types or {}).get(col, "string")
-                    select.append(
-                        F.expr(f"CAST(NULL AS {cast_t})").alias(alias)
-                    )
-                    continue
-                raise unsupported(
-                    f"measure {alias}: FIRST/LAST(Var.col, {noff}) on a "
-                    "run variable (this leg's O(1) state keeps only the "
-                    "run's first/last rows; bounded patterns and the "
-                    "batch path evaluate logical offsets exactly)"
-                )
             if (
                 var in pos_col
                 and col == ts_col
@@ -1335,6 +1320,7 @@ class Engine:
                 )
             elif (
                 not offset_aware
+                and noff == 0
                 and pay_col is not None
                 and (var, col, nav) in pay_col
             ):
@@ -1342,9 +1328,32 @@ class Engine:
             elif (
                 pay_col is not None
                 and not nav_aware
+                and noff == 0
                 and (var, col) in pay_col
             ):
                 select.append(F.col(pay_col[(var, col)]).alias(alias))
+            elif (
+                noff > 0
+                and single_row_vars is not None
+                and var in single_row_vars
+            ):
+                # SQL:2016: a variable that maps exactly ONE row measures
+                # NULL at any offset >= 1 — exact, emitted as a typed
+                # literal (no payload needed)
+                cast_t = (col_types or {}).get(col, "string")
+                select.append(
+                    F.expr(f"CAST(NULL AS {cast_t})").alias(alias)
+                )
+            elif noff > 0:
+                # a run-variable offset on a leg whose state does not
+                # carry per-offset histories — reject loudly; the
+                # break-decided / WITHIN-horizon retry evaluates it
+                raise unsupported(
+                    f"measure {alias}: FIRST/LAST(Var.col, {noff}) on a "
+                    "run variable (this leg's O(1) state keeps only the "
+                    "run's first/last rows; the decision-window legs and "
+                    "the batch path evaluate logical offsets exactly)"
+                )
             else:
                 raise unsupported(
                     f"measure {var}.{col} (this streaming leg carries "
@@ -1671,6 +1680,7 @@ class Engine:
             )
             flag_cols.append(c)
         nav_aware = False
+        offset_aware = False
         # SQL:2016 logical offsets: variables mapping exactly ONE row
         # measure NULL at any offset >= 1 (handled in _mr_register_view);
         # offsets on the RUN variable would need per-offset state slots —
@@ -1772,43 +1782,55 @@ class Engine:
                 )
             # nav-aware payload wiring: FIRST(A.col) reads the run's
             # first-row slot; FIRST(A.ts) is the emitted first_ts; B
-            # maps one row so FIRST == LAST == the end row
+            # maps one row so FIRST == LAST == the end row.
+            # FIRST/LAST(A.col, n) offsets (round 9) ride the matcher's
+            # bounded payload HISTORIES (last/first K+1 run rows, K the
+            # largest offset — compile-time state bound) as roles
+            # last{n}/first{n}; any offset on B is NULL by definition
+            # and emits as a typed literal (no payload).
             nav_aware = True
+            offset_aware = True
             plus_a, plus_b = spec.plus[0], spec.plus[1]
 
-            def _role_of(var: str, nav: str) -> str:
+            def _role_of(var: str, nav: str, off: int = 0) -> str:
                 if var == plus_b:
                     return "end"
-                return "first" if nav == "FIRST" else "last"
+                base = "first" if nav == "FIRST" else "last"
+                return f"{base}{off}" if off else base
 
             pay_sources = {
                 (
                     var,
                     col,
                     spec.measure_nav.get(alias, "LAST").upper(),
+                    spec.measure_nav_offset.get(alias, 0),
                 )
                 for var, col, alias in spec.measures
                 if var in patvars and alias not in spec.measure_agg
             }
             pay_pairs = sorted(
                 {
-                    (_role_of(var, nav), col)
-                    for var, col, nav in pay_sources
-                    if col != ts_col
+                    (_role_of(var, nav, off), col)
+                    for var, col, nav, off in pay_sources
+                    if not (var == plus_b and off > 0)
+                    and (col != ts_col or off > 0)
                 }
             )
             pay_col = {}
-            for var, col, nav in pay_sources:
-                if col == ts_col:
-                    pay_col[(var, col, nav)] = (
+            for var, col, nav, off in pay_sources:
+                if var == plus_b and off > 0:
+                    continue  # typed NULL literal via single_row_vars
+                if col == ts_col and off == 0:
+                    pay_col[(var, col, nav, 0)] = (
                         "first_ts"
                         if (var == plus_a and nav == "FIRST")
                         else ("last_ts" if var == plus_a else "end_ts")
                     )
                 else:
-                    pay_col[(var, col, nav)] = (
-                        f"{_role_of(var, nav)}_{col}"
+                    pay_col[(var, col, nav, off)] = (
+                        f"{_role_of(var, nav, off)}_{col}"
                     )
+                    pay_types.setdefault(col, field_types[col])
             matched = run_flags_stream(
                 flagged, key, ts_col, flag_cols[0], flag_cols[1],
                 tiebreak_col=tiebreak, prev_spec=prev_spec,
@@ -1848,6 +1870,7 @@ class Engine:
                 {a: a for _, _, _, a, _ in agg_spec} if agg_spec else None
             ),
             nav_aware=nav_aware,
+            offset_aware=offset_aware,
             single_row_vars=single_vars,
             col_types=field_types,
         )

@@ -12,6 +12,7 @@ model as a Flink keyed process function.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -597,21 +598,29 @@ def run_flags_stream(
     rejects that combination loudly. ``prev_spec`` adds physical
     PREV(col, n) comparison conjuncts per flag (run flag, then end
     flag), evaluated against the last max(n) rows kept in the same
-    state (see module note above). ``payload_spec`` =
-    ([(role, col), ...], {col: sql_type}) with role "last" (the run's
-    final A row — what an A.col measure reads under Flink's LAST-row
-    binding), "first" (the run's FIRST A row — FIRST(A.col) measure
-    navigation, held in an O(1) slot set at run start and untouched by
-    the pend backtrack, whose match keeps the same start row) or "end"
-    (the B row) carries MEASURE columns of those rows
-    through the O(1) state, emitted as ``{role}_{col}``. ``agg_spec`` =
+    state (see module note above).
+
+    ``payload_spec`` = ([(role, col), ...], {col: sql_type}) carries
+    MEASURE columns through bounded state, emitted as ``{role}_{col}``:
+    role "last" / "last{j}" reads the run's final A row / the j-th row
+    before it (SQL:2016 LAST(A.col, j) — round 9: the state keeps the
+    last K+1 run-row payload tuples where K is the largest offset
+    requested, a COMPILE-TIME bound, so state stays O(K) per key;
+    offsets past the run length emit NULL); "first" / "first{j}" reads
+    the run's first rows (the first K+1 payloads, frozen as they
+    arrive — the pend backtrack keeps the same start row, and entries
+    past the BACKTRACKED run length are gated off at emission); "end"
+    reads the single B row (any offset >= 1 on it is NULL by
+    definition — the engine emits that literal without a payload).
+    The pend snapshot copies the pre-pend history so the backtracked
+    match reads exactly its own rows. ``agg_spec`` =
     [(fn, role, col_or_None, alias, out_type), ...] adds AGGREGATE
     measures: role "run" aggregates over the run's rows through O(1)
     ACCUMULATORS (count/sum/min/max maintained incrementally, with a
     pend snapshot for the backtrack candidate — exactly how Flink CEP
     folds aggregates into partial-match state); role "end" reads the
     single B row. Emits (key, first_ts, last_ts, end_ts
-    [, last_*/end_*..., agg aliases...])."""
+    [, last_*/first_*/end_*..., agg aliases...])."""
     pay_pairs, pay_types = [], {}
     if payload_spec is not None:
         pay_pairs, pay_types = payload_spec
@@ -623,6 +632,17 @@ def run_flags_stream(
         {c for _, role, c, _, _ in aggs if role == "run" and c is not None}
     )
     pcols = sorted({c for _, c in pay_pairs} | end_agg_cols)
+
+    def _role(role: str) -> tuple[str, int]:
+        m = re.fullmatch(r"(last|first|end)(\d*)", role)
+        if m is None:
+            raise ValueError(f"run matcher payload role {role!r}")
+        return m.group(1), int(m.group(2) or 0)
+
+    roles = [(_role(role), c) for role, c in pay_pairs]
+    # K: largest logical offset any measure requests — the history
+    # depth kept in state (compile-time bound; 0 = classic single slots)
+    K = max((off for (_, off), _ in roles), default=0)
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, first_ts timestamp, last_ts timestamp, "
@@ -633,17 +653,24 @@ def run_flags_stream(
     state_schema = (
         "run_start timestamp, run_last timestamp, "
         "pend timestamp, pend_prev timestamp"
-        # payloads of the run_last / pend_prev / pend / FIRST-run rows
+        # payload histories: last K+1 run rows (rl), their pend snapshot
+        # (pp), first K+1 run rows (fs), and the pend row itself (pe)
         + "".join(
-            f", {tag}_{c} {pay_types[c]}"
-            for tag in ("rl", "pp", "pe", "fs")
+            f", {tag}{i}_{c} {pay_types[c]}"
+            for tag in ("rl", "pp", "fs")
+            for i in range(K + 1)
             for c in pcols
         )
+        + "".join(f", pe_{c} {pay_types[c]}" for c in pcols)
     )
     npay = len(pcols)
+    hist_w = npay * (K + 1)
     pay_state_off = 4
     n_ac = len(arun_cols)
     agg_state = bool(aggs)
+    len_state = agg_state or K > 0  # run lengths gate offset validity
+    if K > 0 and not agg_state:
+        state_schema += ", rlen long, p_rlen long"
     if agg_state:
         # run length + per-run-agg-col accumulators (count, sum, min,
         # max) and their pend snapshots
@@ -657,8 +684,9 @@ def run_flags_stream(
                 ("qmn", "double"), ("qmx", "double"),
             )
         )
-    agg_off = pay_state_off + 4 * npay
-    agg_width = (2 + 8 * n_ac) if agg_state else 0
+    agg_off = pay_state_off + 3 * hist_w + npay
+    len_width = 2 if len_state else 0
+    agg_width = len_width + (8 * n_ac if agg_state else 0)
     checks_per_flag, need_cols, max_prev = [], [], 0
     if prev_spec is not None:
         checks_per_flag, need_cols, max_prev, col_types = prev_spec
@@ -673,7 +701,28 @@ def run_flags_stream(
     ) -> Iterator[pd.DataFrame]:
         vhist: list[dict] = []
         none_pay = (None,) * npay
-        rl_pay = pp_pay = pe_pay = fs_pay = none_pay
+
+        def _load_hist(vals, off, n):
+            """History slots -> the first ``n`` payload tuples. The
+            length comes from the TRACKED run lengths, never from
+            None-sniffing — a payload row whose measured columns are
+            all legitimately NULL must keep its slot."""
+            return [
+                tuple(vals[off + i * npay : off + (i + 1) * npay])
+                for i in range(n)
+            ]
+
+        def _flat_hist(hist):
+            pad = [none_pay] * (K + 1 - len(hist))
+            flat: list = []
+            for tup in list(hist) + pad:
+                flat += list(tup)
+            return flat
+
+        rl_hist: list[tuple] = []
+        pp_hist: list[tuple] = []
+        fs_hist: list[tuple] = []
+        pe_pay = none_pay
         # run-aggregate accumulators: {col: [cnt, sum, min, max]} for
         # the live run and the pend snapshot, plus the run lengths
         rlen = p_rlen = 0
@@ -682,14 +731,27 @@ def run_flags_stream(
         if state.exists:
             vals = state.get
             run_start, run_last, pend, pend_prev = vals[:4]
-            if npay:
-                rl_pay = tuple(vals[4 : 4 + npay])
-                pp_pay = tuple(vals[4 + npay : 4 + 2 * npay])
-                pe_pay = tuple(vals[4 + 2 * npay : 4 + 3 * npay])
-                fs_pay = tuple(vals[4 + 3 * npay : 4 + 4 * npay])
-            if agg_state:
+            if len_state:
                 rlen = vals[agg_off] or 0
                 p_rlen = vals[agg_off + 1] or 0
+            else:
+                # K == 0, no aggregates: single-slot histories whose
+                # lengths follow from the run/pend liveness alone
+                rlen = 0 if run_start is None else 1
+                p_rlen = 0 if pend is None else 1
+            if npay:
+                n_live = 0 if run_start is None else min(rlen, K + 1)
+                n_pend = 0 if pend is None else min(p_rlen, K + 1)
+                rl_hist = _load_hist(vals, pay_state_off, n_live)
+                pp_hist = _load_hist(vals, pay_state_off + hist_w, n_pend)
+                fs_hist = _load_hist(
+                    vals, pay_state_off + 2 * hist_w, n_live
+                )
+                pe_pay = tuple(
+                    vals[pay_state_off + 3 * hist_w :
+                         pay_state_off + 3 * hist_w + npay]
+                )
+            if agg_state:
                 for i, c in enumerate(arun_cols):
                     base = agg_off + 2 + 8 * i
                     acc[c] = [
@@ -707,7 +769,8 @@ def run_flags_stream(
         else:
             run_start, run_last, pend, pend_prev = None, None, None, None
         firsts, lasts, ends = [], [], []
-        pays: list[tuple] = []  # per match: (last_pay, end_pay)
+        # per match: (last_hist, end_pay, first_hist, match_run_len)
+        pays: list[tuple] = []
         agg_outs: list[list] = []
 
         def _acc_add(c, v):
@@ -753,10 +816,11 @@ def run_flags_stream(
                 if run_start is None:
                     if a:
                         run_start = run_last = cur_ts
-                        rl_pay = fs_pay = cur_pay
+                        rl_hist = [cur_pay]
+                        fs_hist = [cur_pay]
                         pend = pend_prev = None
+                        rlen, p_rlen = 1, 0
                         if agg_state:
-                            rlen, p_rlen = 1, 0
                             acc = {
                                 c: [0, 0.0, None, None]
                                 for c in arun_cols
@@ -770,50 +834,56 @@ def run_flags_stream(
                 elif a:
                     if b:
                         pend, pend_prev = cur_ts, run_last
-                        pe_pay, pp_pay = cur_pay, rl_pay
+                        pe_pay = cur_pay
+                        # backtrack snapshot: run BEFORE this row
+                        pp_hist = list(rl_hist)
+                        p_rlen = rlen
                         if agg_state:
-                            # backtrack snapshot: run BEFORE this row
-                            p_rlen = rlen
                             pacc = {c: list(acc[c]) for c in arun_cols}
                     run_last = cur_ts
-                    rl_pay = cur_pay
+                    rl_hist = (rl_hist + [cur_pay])[-(K + 1):]
+                    if len(fs_hist) <= K:
+                        fs_hist.append(cur_pay)
+                    rlen += 1
                     if agg_state:
-                        rlen += 1
                         for c in arun_cols:
                             _acc_add(c, _scalar(arun_vals[c][r]))
                 elif b:
                     firsts.append(run_start)
                     lasts.append(run_last)
                     ends.append(cur_ts)
-                    pays.append((rl_pay, cur_pay, fs_pay))
+                    pays.append((rl_hist, cur_pay, fs_hist, rlen))
                     if agg_state:
                         agg_outs.append(_finalize(rlen, acc, cur_pay))
                     run_start = run_last = pend = pend_prev = None
-                    fs_pay = none_pay
+                    rl_hist, pp_hist, fs_hist = [], [], []
                     rlen = p_rlen = 0
                 else:
                     if pend is not None:
                         # the backtracked match starts at the SAME run
-                        # start row, so fs_pay carries over unchanged
+                        # start row, so fs_hist carries over; entries
+                        # past the backtracked length gate off via the
+                        # emitted match_run_len
                         firsts.append(run_start)
                         lasts.append(pend_prev)
                         ends.append(pend)
-                        pays.append((pp_pay, pe_pay, fs_pay))
+                        pays.append((pp_hist, pe_pay, fs_hist, p_rlen))
                         if agg_state:
                             agg_outs.append(
                                 _finalize(p_rlen, pacc, pe_pay)
                             )
                     run_start = run_last = pend = pend_prev = None
-                    fs_pay = none_pay
+                    rl_hist, pp_hist, fs_hist = [], [], []
                     rlen = p_rlen = 0
         st = [run_start, run_last, pend, pend_prev]
         if npay:
             st += (
-                list(rl_pay) + list(pp_pay) + list(pe_pay)
-                + list(fs_pay)
+                _flat_hist(rl_hist) + _flat_hist(pp_hist)
+                + _flat_hist(fs_hist) + list(pe_pay)
             )
-        if agg_state:
+        if len_state:
             st += [rlen, p_rlen]
+        if agg_state:
             for c in arun_cols:
                 st += list(acc[c]) + list(pacc[c])
         if max_prev:
@@ -826,10 +896,20 @@ def run_flags_stream(
                 "last_ts": lasts,
                 "end_ts": ends,
             }
-            for role, c in pay_pairs:
-                side = {"last": 0, "end": 1, "first": 2}[role]
+            for ((base, off), c), (role, _c2) in zip(roles, pay_pairs):
                 ci = pcols.index(c)
-                data[f"{role}_{c}"] = [p[side][ci] for p in pays]
+
+                def val(p, base=base, off=off, ci=ci):
+                    last_hist, end_pay, first_hist, mlen = p
+                    if base == "end":
+                        return end_pay[ci] if off == 0 else None
+                    if mlen <= off:
+                        return None  # offset past the mapped run rows
+                    if base == "first":
+                        return first_hist[off][ci]
+                    return last_hist[-1 - off][ci]
+
+                data[f"{role}_{c}"] = [val(p) for p in pays]
             for j, (_, _, _, alias, _) in enumerate(aggs):
                 data[alias] = pd.Series(
                     [row[j] for row in agg_outs], dtype=object
