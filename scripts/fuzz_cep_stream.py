@@ -502,10 +502,9 @@ def main(n_cases, seed):
             if rng.random() < 0.3:
                 # FIRST/LAST(V.col, n) logical offsets (round 9):
                 # decision-window legs index their mapped rows; the
-                # A+ B run matcher keeps bounded last/first payload
-                # histories natively; a funnel B+ offset reroutes to
-                # the break-decided / WITHIN-horizon legs
-                # automatically; single-mapped vars -> NULL
+                # A+ B and A B+ C run matchers keep bounded last/first
+                # payload histories natively (pend snapshots included);
+                # single-mapped vars -> NULL
                 nv = rng.choice(pvars)
                 nnav = rng.choice(["FIRST", "LAST"])
                 noffv = rng.choice([1, 1, 2, 3])

@@ -4006,39 +4006,66 @@ def test_stream_measure_nav_offsets_run_backtrack(spark):
     )
 
 
-def test_stream_measure_nav_offsets_funnel_via_fallback(spark):
-    """An offset on the B+ run variable of the A B+ C funnel: the O(1)
-    funnel matcher rejects loudly and the statement automatically
-    retries through the break-row-decided leg, whose bounded stretch
-    holds the mapped rows — parity exact."""
+def test_stream_measure_nav_offsets_funnel_native(spark):
+    """Offsets on the B+ run variable of the A B+ C funnel ride the
+    O(1) funnel matcher NATIVELY (round 9, same bounded payload
+    histories as the run leg, incl. the pend backtrack snapshot and a
+    timestamp-column offset); A/C offsets emit typed NULLs. The
+    fallback decision-window leg is trapped."""
     import datetime as dt
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
 
     base = dt.datetime(2024, 1, 1)
     rows = []
     for key, vals in {
         "a": [2, 12, 15, 11, 7, 25, 3, 13, 8, 25, 25],
         "b": [1, 14, 6, 25, 2, 16, 12, 9, 25, 25],
+        # B/C overlap on even 10..20 values -> pend backtrack
+        "c": [3, 13, 12, 15, 14, 17, 16, 5, 25, 25],
     }.items():
         for i, v in enumerate(vals):
             rows.append((key, base + dt.timedelta(seconds=i), v))
     df = spark.createDataFrame(rows, "k string, ts timestamp, v int")
-    _cep_navoff_parity(
-        spark,
-        df,
-        """
-        SELECT k, l1, CAST(c_ts AS LONG) AS ce FROM cep_navoff_f
+    df.createOrReplaceTempView("cep_navoff_f")
+    stmt = """
+        SELECT k, l1, f1, CAST(ft AS LONG) AS fte, av,
+               CAST(c_ts AS LONG) AS ce
+        FROM cep_navoff_f
         MATCH_RECOGNIZE (
             PARTITION BY k ORDER BY ts
-            MEASURES LAST(B.v, 1) AS l1, C.ts AS c_ts
+            MEASURES LAST(B.v, 1) AS l1, FIRST(B.v, 1) AS f1,
+                     LAST(B.ts, 1) AS ft, FIRST(A.v, 1) AS av,
+                     C.ts AS c_ts
             ONE ROW PER MATCH
             AFTER MATCH SKIP PAST LAST ROW
             PATTERN (A B+ C)
             DEFINE A AS A.v BETWEEN 1 AND 5, B AS B.v BETWEEN 10 AND 20,
                    C AS C.v BETWEEN 6 AND 9
+                      OR C.v % 2 = 0 AND C.v BETWEEN 10 AND 20
         )
-        """,
-        "cep_navoff_f",
+    """
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    eng = Engine(spark)
+
+    def _trap(*a, **kw):
+        raise AssertionError(
+            "fallback decision-window leg invoked — funnel offsets "
+            "must evaluate natively"
+        )
+
+    eng._match_recognize_stream_bounded = _trap
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_navoff_f": s}),
+        output_mode="append",
+        n_files=5,
+        order_by="ts",
     )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
 
 
 def test_stream_measure_nav_offsets_sequence_null(spark):

@@ -351,10 +351,9 @@ class Engine:
         FIRST/LAST(V.col, n) logical offsets in MEASURES stream on
         every leg (round 9): the decision-window legs index their
         mapped rows, single-row variables emit typed NULLs on the O(1)
-        legs, the A+ B run matcher carries bounded last/first K+1
-        payload histories (K = largest offset, compile-time state
-        bound), and a funnel B+ offset rejects into the automatic
-        break-decided / WITHIN-horizon retry below.
+        legs, and the A+ B and A B+ C run matchers carry bounded
+        last/first K+1 payload histories (K = largest offset, a
+        compile-time state bound, with pend-backtrack snapshots).
         Returns None when the statement has no MATCH_RECOGNIZE;
         otherwise every shape streams on one of the legs (O(1) run
         matchers, Lmax window, WITHIN horizon, break-row decided),
@@ -1697,38 +1696,46 @@ class Engine:
             # matcher emits only the LAST run ts as a position); A / C
             # map one row each, so FIRST == LAST there
             nav_aware = True
+            offset_aware = True
             fa_var, fb_var, fc_var = spec.pattern
 
-            def _role_of_f(var: str, nav: str) -> str:
+            def _role_of_f(var: str, nav: str, off: int = 0) -> str:
                 if var == fa_var:
                     return "start"
                 if var == fc_var:
                     return "end"
-                return "first" if nav == "FIRST" else "last"
+                base = "first" if nav == "FIRST" else "last"
+                return f"{base}{off}" if off else base
 
             pay_sources = {
                 (
                     var,
                     col,
                     spec.measure_nav.get(alias, "LAST").upper(),
+                    spec.measure_nav_offset.get(alias, 0),
                 )
                 for var, col, alias in spec.measures
                 if var in patvars and alias not in spec.measure_agg
             }
             pay_pairs = sorted(
                 {
-                    (_role_of_f(var, nav), col)
-                    for var, col, nav in pay_sources
-                    if col != ts_col
-                    or (var == fb_var and nav == "FIRST")
+                    (_role_of_f(var, nav, off), col)
+                    for var, col, nav, off in pay_sources
+                    if not (var != fb_var and off > 0)
+                    and (
+                        col != ts_col
+                        or (var == fb_var and (nav == "FIRST" or off > 0))
+                    )
                 }
             )
             pay_col = {}
-            for var, col, nav in pay_sources:
+            for var, col, nav, off in pay_sources:
+                if var != fb_var and off > 0:
+                    continue  # A / C map one row: typed NULL literal
                 if col == ts_col and not (
-                    var == fb_var and nav == "FIRST"
+                    var == fb_var and (nav == "FIRST" or off > 0)
                 ):
-                    pay_col[(var, col, nav)] = (
+                    pay_col[(var, col, nav, 0)] = (
                         "a_ts"
                         if var == fa_var
                         else (
@@ -1736,14 +1743,10 @@ class Engine:
                         )
                     )
                 else:
-                    pay_col[(var, col, nav)] = (
-                        f"{_role_of_f(var, nav)}_{col}"
+                    pay_col[(var, col, nav, off)] = (
+                        f"{_role_of_f(var, nav, off)}_{col}"
                     )
-            if any(
-                var == fb_var and nav == "FIRST" and col == ts_col
-                for var, col, nav in pay_sources
-            ):
-                pay_types.setdefault(ts_col, field_types[ts_col])
+                    pay_types.setdefault(col, field_types[col])
             matched = mid_run_flags_stream(
                 flagged, key, ts_col,
                 flag_cols[0], flag_cols[1], flag_cols[2],

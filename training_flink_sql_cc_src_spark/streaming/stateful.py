@@ -1940,10 +1940,14 @@ def mid_run_flags_stream(
     comparison conjuncts per flag (start, run, end), evaluated against
     the last max(n) rows kept in the same state. ``payload_spec`` =
     ([(role, col), ...], {col: sql_type}) with role "start" (the A
-    row), "last" (the run's final B row — Flink's LAST-row binding for
-    B.col measures) or "end" (the C row), emitted as ``{role}_{c}``.
-    Emits (key, a_ts, run_len, run_last_ts, end_ts [, start_*/last_*/
-    end_*...])."""
+    row), "last"/"last{j}" (the run's final B row / the j-th before it
+    — SQL:2016 LAST(B.col, j), read from the last K+1 run-row payload
+    history where K is the largest offset, a compile-time state bound,
+    with a pend snapshot so the backtracked candidate reads its own
+    rows; round 9), "first"/"first{j}" (the run's first rows, gated by
+    the emitted match's run length) or "end" (the C row), emitted as
+    ``{role}_{c}``. Emits (key, a_ts, run_len, run_last_ts, end_ts
+    [, start_*/last_*/first_*/end_*...])."""
     pay_pairs, pay_types = [], {}
     if payload_spec is not None:
         pay_pairs, pay_types = payload_spec
@@ -1957,6 +1961,17 @@ def mid_run_flags_stream(
         {c for _, role, c, _, _ in aggs if role == "run" and c is not None}
     )
     pcols = sorted({c for _, c in pay_pairs} | single_agg_cols)
+
+    def _role(role: str) -> tuple[str, int]:
+        m = re.fullmatch(r"(start|last|first|end)(\d*)", role)
+        if m is None:
+            raise ValueError(f"funnel matcher payload role {role!r}")
+        return m.group(1), int(m.group(2) or 0)
+
+    roles = [(_role(role), c) for role, c in pay_pairs]
+    # K: largest logical offset on the B+ run — the history depth kept
+    # in state (compile-time bound; 0 = classic single slots)
+    K = max((off for (_, off), _ in roles), default=0)
     key_type = stream_df.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, a_ts timestamp, run_len long, "
@@ -1967,14 +1982,19 @@ def mid_run_flags_stream(
     state_schema = (
         "phase int, a_ts timestamp, run_last timestamp, run_len long, "
         "pend timestamp, pend_run_last timestamp, pend_run_len long"
-        # payloads of the A row / run-last row / pend's run-last / pend
+        # payloads: A row (ap), last K+1 run rows (rl), their pend
+        # snapshot (pl), the pend row (pe), first K+1 run rows (fb)
+        + "".join(f", ap_{c} {pay_types[c]}" for c in pcols)
         + "".join(
-            f", {tag}_{c} {pay_types[c]}"
-            for tag in ("ap", "rl", "pl", "pe", "fb")
+            f", {tag}{i}_{c} {pay_types[c]}"
+            for tag in ("rl", "pl", "fb")
+            for i in range(K + 1)
             for c in pcols
         )
+        + "".join(f", pe_{c} {pay_types[c]}" for c in pcols)
     )
     npay = len(pcols)
+    hist_w = npay * (K + 1)
     base_off = 7
     n_ac = len(arun_cols)
     agg_state = bool(aggs)
@@ -1989,7 +2009,7 @@ def mid_run_flags_stream(
                 ("qmn", "double"), ("qmx", "double"),
             )
         )
-    agg_off = base_off + 5 * npay
+    agg_off = base_off + 2 * npay + 3 * hist_w
     agg_width = 8 * n_ac if agg_state else 0
     checks_per_flag, need_cols, max_prev = [], [], 0
     if prev_spec is not None:
@@ -2005,7 +2025,19 @@ def mid_run_flags_stream(
     ) -> Iterator[pd.DataFrame]:
         vhist: list[dict] = []
         none_pay = (None,) * npay
-        ap_pay = rl_pay = pl_pay = pe_pay = fb_pay = none_pay
+        ap_pay = pe_pay = none_pay
+        rl_hist: list[tuple] = []
+        pl_hist: list[tuple] = []
+        fb_hist: list[tuple] = []
+
+        def _load_hist(vals, off, n):
+            # lengths derive from the TRACKED run lengths, never from
+            # None-sniffing (an all-NULL payload row keeps its slot)
+            return [
+                tuple(vals[off + i * npay : off + (i + 1) * npay])
+                for i in range(n)
+            ]
+
         if state.exists:
             vals = state.get
             (
@@ -2014,10 +2046,19 @@ def mid_run_flags_stream(
             ) = vals[:7]
             if npay:
                 ap_pay = tuple(vals[7 : 7 + npay])
-                rl_pay = tuple(vals[7 + npay : 7 + 2 * npay])
-                pl_pay = tuple(vals[7 + 2 * npay : 7 + 3 * npay])
-                pe_pay = tuple(vals[7 + 3 * npay : 7 + 4 * npay])
-                fb_pay = tuple(vals[7 + 4 * npay : 7 + 5 * npay])
+                n_live = 0 if phase != 2 else min(run_len or 0, K + 1)
+                n_pend = (
+                    0 if pend is None else min(pend_run_len or 0, K + 1)
+                )
+                rl_hist = _load_hist(vals, 7 + npay, n_live)
+                pl_hist = _load_hist(vals, 7 + npay + hist_w, n_pend)
+                fb_hist = _load_hist(
+                    vals, 7 + npay + 2 * hist_w, n_live
+                )
+                pe_pay = tuple(
+                    vals[7 + npay + 3 * hist_w :
+                         7 + npay + 3 * hist_w + npay]
+                )
         else:
             phase, a_ts, run_last, run_len = 0, None, None, 0
             pend, pend_run_last, pend_run_len = None, None, 0
@@ -2050,7 +2091,8 @@ def mid_run_flags_stream(
             a[2] = v if a[2] is None else min(a[2], v)
             a[3] = v if a[3] is None else max(a[3], v)
         a_out, len_out, last_out, end_out = [], [], [], []
-        pays: list[tuple] = []  # per match: (start, last, end) payloads
+        # per match: (start_pay, last_hist, end_pay, first_hist, mlen)
+        pays: list[tuple] = []
         agg_outs: list[list] = []
         for pdf in batches:
             sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
@@ -2089,13 +2131,15 @@ def mid_run_flags_stream(
                             # snapshot BEFORE consuming it as B
                             pend = cur_ts
                             pend_run_last, pend_run_len = run_last, run_len
-                            pl_pay, pe_pay = rl_pay, cur_pay
+                            pl_hist, pe_pay = list(rl_hist), cur_pay
                             if agg_state:
                                 pacc = {
                                     c: list(acc[c]) for c in arun_cols
                                 }
                         run_last, run_len = cur_ts, run_len + 1
-                        rl_pay = cur_pay
+                        rl_hist = (rl_hist + [cur_pay])[-(K + 1):]
+                        if len(fb_hist) <= K:
+                            fb_hist.append(cur_pay)
                         if agg_state:
                             for c in arun_cols:
                                 _acc_add(c, _scalar(arun_vals[c][r]))
@@ -2105,7 +2149,9 @@ def mid_run_flags_stream(
                         len_out.append(run_len)
                         last_out.append(run_last)
                         end_out.append(cur_ts)
-                        pays.append((ap_pay, rl_pay, cur_pay, fb_pay))
+                        pays.append(
+                            (ap_pay, rl_hist, cur_pay, fb_hist, run_len)
+                        )
                         if agg_state:
                             agg_outs.append(
                                 _agg_finalize(
@@ -2119,7 +2165,7 @@ def mid_run_flags_stream(
                             }
                         phase, a_ts, run_last, run_len = 0, None, None, 0
                         pend, pend_run_last, pend_run_len = None, None, 0
-                        fb_pay = none_pay
+                        rl_hist, pl_hist, fb_hist = [], [], []
                         continue
                     if pend is not None:
                         a_out.append(a_ts)
@@ -2127,8 +2173,12 @@ def mid_run_flags_stream(
                         last_out.append(pend_run_last)
                         end_out.append(pend)
                         # the pend run started at the SAME first B
-                        # row, so fb_pay carries over unchanged
-                        pays.append((ap_pay, pl_pay, pe_pay, fb_pay))
+                        # row, so fb_hist carries over; entries past
+                        # the backtracked length gate off via mlen
+                        pays.append(
+                            (ap_pay, pl_hist, pe_pay, fb_hist,
+                             pend_run_len)
+                        )
                         if agg_state:
                             agg_outs.append(
                                 _agg_finalize(
@@ -2138,7 +2188,7 @@ def mid_run_flags_stream(
                             )
                     phase, a_ts, run_last, run_len = 0, None, None, 0
                     pend, pend_run_last, pend_run_len = None, None, 0
-                    fb_pay = none_pay
+                    rl_hist, pl_hist, fb_hist = [], [], []
                     if agg_state:
                         acc = {
                             c: [0, 0.0, None, None] for c in arun_cols
@@ -2150,7 +2200,8 @@ def mid_run_flags_stream(
                 if phase == 1:
                     if fb:
                         phase, run_last, run_len = 2, cur_ts, 1
-                        rl_pay = fb_pay = cur_pay
+                        rl_hist = [cur_pay]
+                        fb_hist = [cur_pay]
                         if agg_state:
                             acc = {
                                 c: [0, 0.0, None, None]
@@ -2168,9 +2219,17 @@ def mid_run_flags_stream(
         st = [phase, a_ts, run_last, run_len, pend, pend_run_last,
               pend_run_len]
         if npay:
+
+            def _flat_hist(hist):
+                pad = [none_pay] * (K + 1 - len(hist))
+                flat: list = []
+                for tup in list(hist) + pad:
+                    flat += list(tup)
+                return flat
+
             st += (
-                list(ap_pay) + list(rl_pay) + list(pl_pay)
-                + list(pe_pay) + list(fb_pay)
+                list(ap_pay) + _flat_hist(rl_hist) + _flat_hist(pl_hist)
+                + _flat_hist(fb_hist) + list(pe_pay)
             )
         if agg_state:
             for c in arun_cols:
@@ -2186,10 +2245,22 @@ def mid_run_flags_stream(
                 "run_last_ts": last_out,
                 "end_ts": end_out,
             }
-            for role, c in pay_pairs:
-                side = {"start": 0, "last": 1, "end": 2, "first": 3}[role]
+            for ((base, off), c), (role, _c2) in zip(roles, pay_pairs):
                 ci = pcols.index(c)
-                data[f"{role}_{c}"] = [p[side][ci] for p in pays]
+
+                def val(p, base=base, off=off, ci=ci):
+                    start_pay, last_hist, end_pay, first_hist, mlen = p
+                    if base == "start":
+                        return start_pay[ci] if off == 0 else None
+                    if base == "end":
+                        return end_pay[ci] if off == 0 else None
+                    if mlen <= off:
+                        return None  # offset past the mapped run rows
+                    if base == "first":
+                        return first_hist[off][ci]
+                    return last_hist[-1 - off][ci]
+
+                data[f"{role}_{c}"] = [val(p) for p in pays]
             for j, (_, _, _, alias, _) in enumerate(aggs):
                 data[alias] = pd.Series(
                     [row[j] for row in agg_outs], dtype=object
