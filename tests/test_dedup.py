@@ -91,3 +91,67 @@ def test_hamming64_matches_python(spark):
     df = spark.createDataFrame([(0b1011, 0b0011)], "a long, b long")
     got = df.select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0].h
     assert got == 1
+
+
+def _uf_min_labels(n_nodes: int, edge_list):
+    """Reference union-find: min node id per component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for x in range(n_nodes):
+        members.setdefault(find(x), []).append(x)
+    out = {}
+    for mem in members.values():
+        m = min(mem)
+        for x in mem:
+            out[x] = m
+    return out
+
+
+def test_star_contraction_components_match_union_find(spark):
+    """The large-star/small-star CC loop (round 9) equals a reference
+    union-find on adversarial shapes: a long PATH (the O(n)-rounds
+    killer for naive min-neighbor contraction — large-star's pointer
+    doubling must converge in O(log n)), the two-parent and 2-chain
+    star-forest-check counterexamples, duplicate/self-loop edges, an
+    empty edge list, and random graphs."""
+    import random
+
+    from training_flink_sql_cc_src_spark.queries.llm_dedup import (
+        min_label_components,
+    )
+
+    def run_case(n, edge_list):
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n)], "doc_id long"
+        )
+        if edge_list:
+            edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+        else:
+            edges = spark.createDataFrame([], "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["label"]
+            for r in min_label_components(edges, nodes).collect()
+        }
+        assert got == _uf_min_labels(n, edge_list)
+
+    run_case(64, [(i, i + 1) for i in range(63)])  # path
+    run_case(6, [(5, 1), (5, 3)])  # two-parent
+    run_case(6, [(5, 3), (3, 1)])  # 2-chain
+    run_case(5, [])  # no edges
+    run_case(6, [(1, 2), (2, 1), (1, 2), (4, 4)])  # dupes + self-loop
+    rng = random.Random(7)
+    for _ in range(4):
+        n = rng.randint(2, 100)
+        m = rng.randint(0, 2 * n)
+        run_case(n, [tuple(rng.sample(range(n), 2)) for _ in range(m)])
