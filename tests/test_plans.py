@@ -483,13 +483,18 @@ def test_over_agg_sql_single_window_exchange(spark, sf_med):
 
 
 def test_bpe_encode_map_only(spark, sf_med):
-    """BPE ENCODE is map-only over the corpus: the learned merges are
-    driver-side literals folded into the projection, so the returned
-    plan has ZERO Exchange and no Join — one scan, one projection
+    """BPE ENCODE over the corpus: the learned merges are driver-side
+    literals folded into the projection, so the plan has NO Join and
+    exactly ONE Exchange — the fan_out round-robin repartition that
+    partitions the compute-bound encode by COST instead of bytes
+    (round 9; the fixture scan byte-packs a 5k-row file into one task,
+    single-threading two merge folds per word). No key shuffle: the
+    one Exchange is RoundRobinPartitioning, never hash-on-a-column
     (the learn loop's aggregates run before the plan is built and are
     not part of it)."""
     plan = _plan(spark, "pipeline_bpe_encode", sf_med)
-    assert "Exchange" not in plan
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan.lower()
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
 

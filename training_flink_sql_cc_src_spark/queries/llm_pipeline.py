@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import dsum, t
+from ._util import dsum, fan_out, t
 from .llm_text import STOPWORDS, _STOP_SQL
 
 
@@ -1091,7 +1091,14 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr = _bpe_fold_merge(arr, x, y)
         return arr
 
-    docs = t(spark, sf_dir, "documents")
+    # fan_out: the encode expression is PER-ROW COMPUTE-BOUND (two
+    # merge folds over every word's character array), and the fixture
+    # scan byte-packs into one task — partition by COST, not bytes,
+    # the same rule every compute-heavy [C] stage here follows. The
+    # tiny round-robin shuffle (MBs) unlocks full-core parallelism
+    # (3.5 s -> ~0.4 s at sf0.1); on a real cluster the scan arrives
+    # pre-split and the encode itself stays map-only on top of it.
+    docs = fan_out(t(spark, sf_dir, "documents"))
     words = F.split("text", " ")
     return docs.select(
         "doc_id",
