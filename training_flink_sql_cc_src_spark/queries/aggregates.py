@@ -587,3 +587,44 @@ def agg_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS open_qty,
+           COUNT(DISTINCT l_suppkey)
+               FILTER (WHERE l_tax > 0.03) AS n_taxed_supp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="SQL-standard aggregate FILTER clause (agg(...) FILTER (WHERE "
+    "p) — Flink SQL supports it on grouped aggregations, and so do "
+    "Spark and DuckDB natively): per-aggregate predicates inside ONE "
+    "grouped pass, the idiomatic replacement for N self-joins or "
+    "CASE-WHEN pyramids. Statement runs verbatim through the SQL "
+    "front door; the filtered SUM routes through DECIMAL(38,6) (dsum "
+    "convention) and a filtered COUNT(DISTINCT) exercises the "
+    "Expand-based distinct path under a predicate. 100 TB: one "
+    "partial+final hash aggregate on the group key — the filters are "
+    "map-side row predicates, no extra shuffle, no join.",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("__agg_filt_li")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                    FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS open_qty,
+               COUNT(DISTINCT l_suppkey)
+                   FILTER (WHERE l_tax > 0.03) AS n_taxed_supp
+        FROM __agg_filt_li
+        GROUP BY l_returnflag
+        """
+    )
