@@ -158,3 +158,47 @@ def analytic_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nth_value("o_orderkey", 2).over(w_nth).alias("second_best"),
         )
     )
+
+
+@register(
+    "analytic_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(big_v IGNORE NULLS) OVER w AS last_big,
+           FIRST_VALUE(big_v IGNORE NULLS) OVER w AS first_big,
+           LAG(big_v, 1) OVER w AS prev_raw,
+           NTH_VALUE(big_v, 2 IGNORE NULLS) OVER w AS second_big
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN value > 50 THEN value END AS big_v
+        FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="IGNORE NULLS navigation (SQL:2011; Flink supports it on "
+    "FIRST_VALUE/LAST_VALUE/NTH_VALUE): the running 'latest non-NULL "
+    "observation' idiom — LAST_VALUE skips NULL gaps (the "
+    "fill-forward pattern), FIRST_VALUE/NTH_VALUE pin the first/"
+    "second qualifying row, while a plain LAG shows the RESPECT NULLS "
+    "default for contrast. One window exchange on user_id; the "
+    "ROWS running frame is a sequential per-key pass, identical in "
+    "both engines.",
+)
+def analytic_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    big = F.when(F.col("value") > 50, F.col("value"))
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.last(big, ignorenulls=True).over(w).alias("last_big"),
+        F.first(big, ignorenulls=True).over(w).alias("first_big"),
+        F.lag(big, 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_raw"),
+        F.nth_value(big, 2, ignoreNulls=True).over(w).alias("second_big"),
+    )

@@ -166,3 +166,33 @@ def pandas_grouped_zscore_rounded(
     return zscore_grouped(d, "lang", "n_chars").select(
         "doc_id", "lang", F.round("zscore", 6).alias("zscore_r")
     )
+
+
+@register(
+    "udtf_lateral_ordinality",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id, CAST(ord AS BIGINT) AS ord, toks[ord] AS tok
+    FROM w, UNNEST(generate_series(1, len(toks))) AS g(ord)
+    """,
+    doc="CROSS JOIN UNNEST ... WITH ORDINALITY (the Flink SQL "
+    "table-function join; SQL:2016 9075-2 ordinality columns) through "
+    "the SQL front door: LATERAL VIEW posexplode gives each token its "
+    "1-based position — the positional explode every sequence-labeling "
+    "or chunk-alignment pipeline needs (position-stable, unlike a "
+    "bare explode + window renumber which would add an exchange). "
+    "Map-only: the generator runs inside the projection, zero "
+    "shuffles; the oracle replays ordinality via generate_series "
+    "indexing (DuckDB has no WITH ORDINALITY yet).",
+)
+def udtf_lateral_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "documents").createOrReplaceTempView("__lat_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, CAST(pos + 1 AS BIGINT) AS ord, tok
+        FROM __lat_docs
+        LATERAL VIEW posexplode(split(text, ' ')) x AS pos, tok
+        """
+    )
