@@ -695,3 +695,41 @@ def scalar_json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("summary_json"),
         F.to_json("sources").alias("sources_json"),
     )
+
+
+@register(
+    "scalar_error_safe_parsing",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(split_part(text, ' ', 1) AS INTEGER) AS first_tok_int,
+           TRY_CAST(lang AS DOUBLE) AS lang_as_num,
+           COALESCE(array_to_string(
+               regexp_extract_all(text, '[a-z]+ing'), '|'), '')
+               AS ing_words,
+           len(regexp_extract_all(text, '[a-z]+ing')) AS n_ing
+    FROM documents
+    """,
+    doc="Error-safe parsing surface (Flink TRY_CAST semantics — NULL on "
+    "failure instead of a runtime error — plus regexp_extract_all): "
+    "TRY_CAST of a usually-non-numeric token and of the lang code "
+    "(always NULL, exercising the all-failure path), and extraction of "
+    "every '-ing' word as an array with its count. The dirty-input "
+    "idiom every ingest pipeline needs: a single malformed row must "
+    "not kill a 100 TB job. Map-only, whole-stage codegen; both "
+    "engines agree NULL-for-unparseable bit-for-bit.",
+)
+def scalar_error_safe_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+        .try_cast("int")
+        .alias("first_tok_int"),
+        F.col("lang").try_cast("double").alias("lang_as_num"),
+        F.array_join(
+            F.expr("regexp_extract_all(text, '[a-z]+ing')"), "|"
+        ).alias("ing_words"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]+ing')")
+        ).alias("n_ing"),
+    )
