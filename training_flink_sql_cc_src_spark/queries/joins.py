@@ -396,3 +396,75 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = range_bucket_join(p, e, "p_ts", "e_ts", lower_s=-600, upper_s=0)
     return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_errors"))
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, NULL AS purchase_id,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS click_epoch, 1 AS is_dim
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, event_id, NULL, 0
+        FROM events WHERE event_type = 'purchase'
+    ), w AS (
+        SELECT user_id, ts, purchase_id, is_dim,
+               LAST_VALUE(click_epoch IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, is_dim DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS next_click_epoch
+        FROM u
+    )
+    SELECT purchase_id, user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS purchase_epoch,
+           next_click_epoch
+    FROM w WHERE is_dim = 0
+    """,
+    doc="FORWARD as-of join — for each probe row the FIRST dim version "
+    "AT-OR-AFTER its timestamp (next-event attribution: 'which click "
+    "FOLLOWED this purchase'), the direction the backward as-of / "
+    "FOR SYSTEM_TIME AS OF cannot express: same union-tag + ONE keyed "
+    "window plan as the backward operator but scanned in DESCENDING "
+    "time order with a running LAST_VALUE IGNORE NULLS; the tie-break "
+    "(is_dim DESC under ts DESC) makes a version at exactly t visible "
+    "to a probe at t (inclusive >=, mirroring the backward join's "
+    "<=). One shuffle on the key, no per-row subquery — the identical "
+    "100 TB shape as asof_join.",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("ts").cast("long").alias("click_epoch"),
+        F.lit(1).alias("is_dim"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_epoch"),
+        F.lit(0).alias("is_dim"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        c.unionByName(p)
+        .withColumn(
+            "next_click_epoch",
+            F.last("click_epoch", ignorenulls=True).over(w),
+        )
+        .filter(F.col("is_dim") == 0)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").cast("long").alias("purchase_epoch"),
+            "next_click_epoch",
+        )
+    )
