@@ -4110,3 +4110,45 @@ def test_stream_measure_nav_offsets_all_rows(spark):
         """,
         "cep_navoff_a",
     )
+
+
+def test_window_tvf_offset_statements_stream(spark, sf_small):
+    """TUMBLE/HOP window-TVF statements WITH the optional OFFSET
+    argument (Flink 1.19; batch support landed round 8) run
+    CONTINUOUSLY through sql_stream too (round 9): the native-window
+    streaming lowering passes the offset as Spark's startTime, so the
+    shifted alignment grid matches the batch rewrite exactly."""
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+
+    ev = t(spark, sf_small, "events").select("ts", "event_type", "value")
+    for stmt in (
+        """
+        SELECT window_start, window_end, event_type, COUNT(*) AS n
+        FROM TABLE(TUMBLE(TABLE tvf_off_ev, DESCRIPTOR(ts),
+                          INTERVAL '1' HOUR, INTERVAL '20' MINUTE))
+        GROUP BY window_start, window_end, event_type
+        """,
+        """
+        SELECT window_start, window_end, COUNT(*) AS n
+        FROM TABLE(HOP(TABLE tvf_off_ev, DESCRIPTOR(ts),
+                       INTERVAL '30' MINUTE, INTERVAL '1' HOUR,
+                       INTERVAL '10' MINUTE))
+        GROUP BY window_start, window_end
+        """,
+    ):
+        ev.createOrReplaceTempView("tvf_off_ev")
+        batch = {
+            tuple(r) for r in StatementRouter(spark).execute(stmt).collect()
+        }
+        eng = Engine(spark)
+        streamed = run_stream_over_batch(
+            spark,
+            ev,
+            lambda s, stmt=stmt: eng.sql_stream(stmt, {"tvf_off_ev": s}),
+            output_mode="complete",
+            n_files=4,
+            order_by="ts",
+        )
+        got = {tuple(r) for r in streamed.collect()}
+        assert got == batch and batch

@@ -2047,11 +2047,20 @@ class Engine:
         ts_col = tvf.group("ts")
         durs = _durations(tvf.group("args"))
         if tvf.group("kind").upper() == "TUMBLE":
-            (size, _), = durs
-            win = F.window(ts_col, size)
+            if len(durs) == 2:  # optional OFFSET -> startTime (r9)
+                (size, _), (off, _) = durs
+                win = F.window(ts_col, size, size, off)
+            else:
+                (size, _), = durs
+                win = F.window(ts_col, size)
         else:
-            (slide, _), (size, _) = durs  # Flink arg order: slide, size
-            win = F.window(ts_col, size, slide)
+            # Flink arg order: slide, size [, offset]
+            if len(durs) == 3:
+                (slide, _), (size, _), (off, _) = durs
+                win = F.window(ts_col, size, slide, off)
+            else:
+                (slide, _), (size, _) = durs
+                win = F.window(ts_col, size, slide)
         src = self.spark.table(tvf.group("tbl"))
         cols = src.columns
         order = F.struct(*[F.col(c) for c in order_cols])

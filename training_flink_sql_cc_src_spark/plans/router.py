@@ -253,12 +253,21 @@ def rewrite_session_tvf_streaming(sql: str) -> str | None:
         sw = f"session_window(`{ts}`, '{gap}')"
         struct = "session_window"
     elif kind == "TUMBLE":
-        (size, _), = durs
-        sw = f"window(`{ts}`, '{size}')"
+        if len(durs) == 2:  # optional OFFSET -> native startTime (r9)
+            (size, _), (off, _) = durs
+            sw = f"window(`{ts}`, '{size}', '{size}', '{off}')"
+        else:
+            (size, _), = durs
+            sw = f"window(`{ts}`, '{size}')"
         struct = "window"
     elif kind == "HOP":
-        (slide, _), (size, _) = durs  # Flink arg order: slide, size
-        sw = f"window(`{ts}`, '{size}', '{slide}')"
+        # Flink arg order: slide, size [, offset]
+        if len(durs) == 3:
+            (slide, _), (size, _), (off, _) = durs
+            sw = f"window(`{ts}`, '{size}', '{slide}', '{off}')"
+        else:
+            (slide, _), (size, _) = durs
+            sw = f"window(`{ts}`, '{size}', '{slide}')"
         struct = "window"
     else:  # CUMULATE: the explode-based batch rewrite streams as-is
         # (update/complete modes; the expansion is stateless row fan-out)
