@@ -216,3 +216,48 @@ def test_initcap_overlay_unit(spark):
     ).collect()[0]
     assert r.ic == "Hello Spark World"
     assert r.ov == "aXYef"
+
+
+def test_regexp_extract_all_nonvacuous(spark, tmp_path):
+    """Regression (round-9 advice): Spark's regexp_extract_all defaults the
+    group index to 1, so a zero-group pattern throws REGEX_GROUP_INDEX the
+    moment a row actually matches — and no sf fixture document contains an
+    '-ing' word, an email, or an IP, so the committed oracle parity for
+    scalar_error_safe_parsing / pipeline_pii_redaction was vacuously green.
+    Pin the non-vacuous path on a synthetic documents table with matches,
+    including the full Spark-vs-DuckDB compare the driver runs."""
+    import pandas as pd
+    from oracle_harness import compare_one
+
+    from training_flink_sql_cc_src_spark.registry import _REGISTRY, _load_all
+
+    _load_all()
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "running and jumping while singing",
+                "contact me at a.user@example.com or 10.0.0.1",
+                "42 no matches here",
+            ],
+            "lang": ["en", "en", "de"],
+            "source": ["web", "web", "book"],
+            "n_chars": [33, 44, 18],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    e = _REGISTRY["scalar_error_safe_parsing"]
+    res = compare_one(spark, "scalar_error_safe_parsing", e.fn, e.oracle, str(tmp_path))
+    assert res.ok, res.detail
+    rows = {r.doc_id: r for r in e.fn(spark, str(tmp_path)).collect()}
+    assert rows[1].ing_words == "running|jumping|singing"
+    assert rows[1].n_ing == 3
+    assert rows[3].first_tok_int == 42 and rows[3].n_ing == 0
+
+    p = _REGISTRY["pipeline_pii_redaction"]
+    res2 = compare_one(spark, "pipeline_pii_redaction", p.fn, p.oracle, str(tmp_path))
+    assert res2.ok, res2.detail
+    rows2 = {r.doc_id: r for r in p.fn(spark, str(tmp_path)).collect()}
+    assert rows2[2].n_emails == 1 and rows2[2].n_ips == 1
+    assert "<EMAIL>" in rows2[2].redacted and "<IP>" in rows2[2].redacted

@@ -602,8 +602,10 @@ def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         red.alias("redacted"),
-        F.size(F.regexp_extract_all("text", F.lit(email))).cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(ip))).cast("long").alias("n_ips"),
+        # idx=0 (whole match) is required: Spark's default idx=1 raises
+        # REGEX_GROUP_INDEX on these zero-group patterns when a row matches.
+        F.size(F.regexp_extract_all("text", F.lit(email), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(ip), 0)).cast("long").alias("n_ips"),
     )
 
 

@@ -726,10 +726,13 @@ def scalar_error_safe_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("int")
         .alias("first_tok_int"),
         F.col("lang").try_cast("double").alias("lang_as_num"),
+        # Explicit group index 0 (whole match): Spark defaults idx=1 and
+        # raises REGEX_GROUP_INDEX on a zero-group pattern the moment a
+        # row actually matches; DuckDB defaults to group 0.
         F.array_join(
-            F.expr("regexp_extract_all(text, '[a-z]+ing')"), "|"
+            F.expr("regexp_extract_all(text, '[a-z]+ing', 0)"), "|"
         ).alias("ing_words"),
         F.size(
-            F.expr("regexp_extract_all(text, '[a-z]+ing')")
+            F.expr("regexp_extract_all(text, '[a-z]+ing', 0)")
         ).alias("n_ing"),
     )
