@@ -4152,3 +4152,151 @@ def test_window_tvf_offset_statements_stream(spark, sf_small):
         )
         got = {tuple(r) for r in streamed.collect()}
         assert got == batch and batch
+
+
+def test_temporal_prune_compaction_swap_is_crash_safe(spark, tmp_path):
+    """prune_version_history writes the compacted frame to a sibling tmp
+    dir and swaps it in with two atomic renames (round-9 advice: plain
+    mode-overwrite deletes-then-writes, leaving a truncated snapshot on
+    failure). _recover_snapshot completes a crash between the renames
+    from the complete tmp generation, or rolls back from gc."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from training_flink_sql_cc_src_spark.streaming.temporal import (
+        _recover_snapshot,
+        prune_version_history,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(seconds=30 * i), i)
+        for k in (1, 2)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, v int")
+    path = str(tmp_path / "snap")
+    df.write.parquet(path)
+    prune_version_history(spark, path, ["user_id"], "ts", 60.0)
+    # cutoff = 270 - 60 = 210 s: i in {7,8,9} recent (3/key) + one
+    # latest-pre-cutoff row (i=6) per key
+    assert spark.read.parquet(path).count() == 8
+    tmp, gc = path + ".__compact_tmp", path + ".__compact_gc"
+    assert not os.path.exists(tmp) and not os.path.exists(gc)
+
+    # crash between rename #1 and #2: live gone, complete tmp present ->
+    # recovery must complete the swap from the NEW generation
+    os.rename(path, gc)
+    shutil.copytree(gc, tmp)
+    _recover_snapshot(path)
+    assert spark.read.parquet(path).count() == 8
+    shutil.rmtree(gc)
+
+    # crash before the tmp write completed (no _SUCCESS): roll back gc
+    os.rename(path, gc)
+    os.makedirs(tmp)
+    _recover_snapshot(path)
+    assert spark.read.parquet(path).count() == 8
+
+
+def test_temporal_join_continuous_auto_prunes_from_catalog(spark, tmp_path):
+    """VERDICT r9 #5: temporal_join_stream_continuous prunes the version
+    history automatically for a dim whose PRIMARY KEY and WATERMARK are
+    registered in the catalog — pk/ts columns and the lookback all
+    derived from the catalog (watermark delays + the processing-lag
+    margin) — while the probe, which re-registers the snapshot per
+    micro-batch through its own foreachBatch, still equals the batch
+    join over the FULL history."""
+    import datetime as dt
+
+    from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
+    from training_flink_sql_cc_src_spark.streaming.temporal import (
+        DEFAULT_PRUNE_MARGIN_SECONDS,
+        derive_prune_lookback_seconds,
+        temporal_join_stream_continuous,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+    dim_rows = [
+        (k, base + dt.timedelta(seconds=30 * i), 100 * k + i)
+        for k in (1, 2, 3)
+        for i in range(30)
+    ]
+    probe_rows = [
+        (1000 + j, (j % 3) + 1, base + dt.timedelta(seconds=500 + 13 * j))
+        for j in range(28)
+    ]
+    dim = spark.createDataFrame(dim_rows, "user_id int, ts timestamp, v int")
+    probe = spark.createDataFrame(
+        probe_rows, "event_id int, user_id int, ts timestamp"
+    )
+    stmt = """
+        SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+               CAST(p.ts AS LONG) AS purchase_epoch, c.v AS clicked_v
+        FROM tjc_purchases p
+        LEFT JOIN tjc_clicks FOR SYSTEM_TIME AS OF p.ts AS c
+        ON p.user_id = c.user_id
+    """
+    probe.createOrReplaceTempView("tjc_purchases")
+    dim.createOrReplaceTempView("tjc_clicks")
+    r = StatementRouter(spark)
+    r.catalog.get_or_create("tjc_clicks").primary_key = ["user_id"]
+    r.execute("ALTER TABLE tjc_clicks MODIFY WATERMARK FOR `ts` AS `ts`")
+    batch = {tuple(x) for x in r.execute(stmt).collect()}
+
+    eng = Engine(spark)
+    eng.catalog.get_or_create("tjc_clicks").primary_key = ["user_id"]
+    eng.sql("ALTER TABLE tjc_clicks MODIFY WATERMARK FOR `ts` AS `ts`")
+    # zero-delay watermarks on both sides -> lookback == the margin
+    assert (
+        derive_prune_lookback_seconds(eng, "tjc_clicks", ["tjc_purchases"])
+        == DEFAULT_PRUNE_MARGIN_SECONDS
+    )
+    dim_stream = stream_from_batch(spark, dim, n_files=5, order_by="ts")
+    # probe files are released only AFTER the dim drain below, so each
+    # probe micro-batch (processing-time semantics: it joins the
+    # freshest snapshot) sees the complete version history — making the
+    # comparison against the full-history batch join deterministic
+    import os as _os
+
+    probe_spool = str(tmp_path / "probe_spool")
+    _os.makedirs(probe_spool)
+    probe_stream = (
+        spark.readStream.schema(probe.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(probe_spool)
+    )
+    probe_handle, dim_handle, out_path = temporal_join_stream_continuous(
+        eng,
+        stmt,
+        "tjc_purchases",
+        probe_stream,
+        "tjc_clicks",
+        dim_stream,
+        str(tmp_path),
+        prune_every=1,
+    )
+    try:
+        dim_handle.processAllAvailable()  # drain dim (pruning each batch)
+        probe.repartition(3).write.mode("append").parquet(probe_spool)
+        probe_handle.processAllAvailable()
+    finally:
+        probe_handle.stop()
+        dim_handle.stop()
+    got = {
+        tuple(x)
+        for x in spark.read.parquet(out_path)
+        .select("purchase_id", "user_id", "purchase_epoch", "clicked_v")
+        .collect()
+    }
+    assert got == batch and batch
+    # the snapshot was bounded WITHOUT any explicit prune argument:
+    # cutoff = max dim ts (870 s) - margin (600 s) = 270 s
+    snap = spark.read.parquet(str(tmp_path / "__temporal_tjc_clicks"))
+    cutoff = base + dt.timedelta(seconds=870 - DEFAULT_PRUNE_MARGIN_SECONDS)
+    n_recent = len([x for x in dim_rows if x[1] >= cutoff])
+    n_keys_with_old = len({x[0] for x in dim_rows if x[1] < cutoff})
+    assert snap.count() == n_recent + n_keys_with_old
+    assert snap.count() < len(dim_rows)
