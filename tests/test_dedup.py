@@ -155,3 +155,23 @@ def test_star_contraction_components_match_union_find(spark):
         n = rng.randint(2, 100)
         m = rng.randint(0, 2 * n)
         run_case(n, [tuple(rng.sample(range(n), 2)) for _ in range(m)])
+
+
+def test_star_contraction_long_chain_converges_or_raises(spark):
+    """VERDICT r9 #4: the round cap is a loud error, not a warning. A
+    pathological LONG PATH (the worst case for contraction depth) must
+    converge to one component well inside the 64-round bound — and the
+    only alternative outcome the code allows is a RuntimeError, never a
+    silent non-fixpoint return (there is no warn-and-return path left)."""
+    from training_flink_sql_cc_src_spark.queries.llm_dedup import (
+        min_label_components,
+    )
+
+    n = 2048  # pointer doubling: ~log2(2048)=11 large-star rounds
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = min_label_components(edges, nodes)
+    labels = {r.label for r in got.select("label").distinct().collect()}
+    assert labels == {0}
