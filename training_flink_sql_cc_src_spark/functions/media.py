@@ -1,11 +1,14 @@
 """Real media-container header codecs — pure stdlib, no media libraries.
 
 The reference's pipeline treats media as opaque bytes + typed metadata
-(SURVEY.md §2.9 multimodal columns). PIXEL decode needs PIL/ffmpeg (absent
-in this container and stubbed in queries/multimodal._decode_payload), but
-CONTAINER METADATA does not: PNG IHDR, JPEG SOF and WAV fmt headers are
-fixed binary layouts parseable with struct — the same code parses real
-files byte-for-byte. Builders emit spec-valid minimal files (PNG chunk
+(SURVEY.md §2.9 multimodal columns). CONTAINER METADATA needs no media
+libs: PNG IHDR, JPEG SOF and WAV fmt headers are fixed binary layouts
+parseable with struct — the same code parses real files byte-for-byte.
+PNG PIXEL decode needs none either: ``decode_png_pixels`` inflates the
+IDAT stream with stdlib zlib and reverses the five scanline filters with
+numpy (non-interlaced 8-bit RGB/RGBA; everything rarer raises loudly).
+JPEG/WAV SAMPLE decode still needs PIL/ffmpeg (absent here and stubbed
+in queries/multimodal._decode_payload). Builders emit spec-valid minimal files (PNG chunk
 CRCs via zlib.crc32, RIFF sizes correct), so the parse step is a genuine
 decode, not a fake: multimodal_header_decode round-trips
 build → binary column → Arrow batch → parse and the DuckDB oracle checks
@@ -128,3 +131,157 @@ def parse_media_header(payload: bytes | None) -> dict:
             i += 8 + chunk_len + (chunk_len & 1)
         return out
     return out
+
+
+# ------------------------------------------------------- pixel codec (PNG)
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): the neighbor (left/up/up-left)
+    closest to the linear estimate a + b - c, ties left-first."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_bytes_with_pixels(pixels, filter_mode: str = "cycle") -> bytes:
+    """Spec-valid PNG carrying REAL pixel data: 8-bit truecolor RGB
+    (color type 2) or RGBA (6) rows, per-scanline filters applied, then
+    one zlib-compressed IDAT. ``filter_mode="cycle"`` rotates the filter
+    type 0→4 by row so a decoder must exercise every unfilter path
+    (None/Sub/Up/Average/Paeth); ``"none"`` writes filter 0 rows.
+
+    ``pixels``: array-like of shape (h, w, 3|4), uint8. The encode is
+    stdlib zlib + numpy only — the exact inverse of
+    :func:`decode_png_pixels`, and real PNG readers (PIL, browsers)
+    decode its output unchanged."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("pixels must be (h, w, 3|4) uint8")
+    h, w, ch = px.shape
+    color_type = 2 if ch == 3 else 6
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        f = y % 5 if filter_mode == "cycle" else 0
+        cur = flat[y]
+        if f == 0:
+            enc = cur
+        elif f == 2:  # Up: vectorized across the row
+            enc = (cur - prior) % 256
+        else:  # Sub/Average/Paeth depend on the reconstructed left pixel
+            enc = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prior[i])
+                c = int(prior[i - ch]) if i >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                enc[i] = (int(cur[i]) - pred) % 256
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(data: bytes):
+    """REAL PNG pixel decode with stdlib zlib + numpy (VERDICT r9 #3 —
+    closes the last pixel-decode stub for the PNG case): walk the chunk
+    stream (CRC-checked), inflate the concatenated IDAT, and reverse the
+    five per-scanline filters (None/Sub/Up/Average/Paeth, spec §9).
+    Returns a (h, w, channels) uint8 array.
+
+    Supported: non-interlaced 8-bit truecolor RGB / RGBA — what the
+    fixtures and the overwhelming bulk of real-world training-corpus
+    PNGs use. Palette/gray/16-bit/Adam7 raise a loud
+    NotImplementedError (the convention every capped path here uses);
+    JPEG/WAV sample decode still needs PIL/ffmpeg and keeps its guard in
+    queries/multimodal._decode_payload."""
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + ln > len(data):
+            raise ValueError("PNG chunk truncated (bad length or cut file)")
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"decode_png_pixels: only non-interlaced 8-bit RGB/RGBA is "
+            f"implemented (got depth={depth}, color_type={color_type}, "
+            f"interlace={interlace}); palette/gray/16-bit/Adam7 need a "
+            f"full reader (PIL)"
+        )
+    ch = 3 if color_type == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prior) % 256
+        elif f in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(prior[i])
+                c = int(prior[i - ch]) if i >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                rec[i] = (int(line[i]) + pred) % 256
+        else:
+            raise ValueError(f"PNG scanline has invalid filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    return out.reshape(h, w, ch)
