@@ -175,3 +175,57 @@ def test_star_contraction_long_chain_converges_or_raises(spark):
     got = min_label_components(edges, nodes)
     labels = {r.label for r in got.select("label").distinct().collect()}
     assert labels == {0}
+
+
+def test_prefix_filtered_blocked_pairs_large_vocab(spark, tmp_path):
+    """The large-vocab (non-bitmask) branch of dedup_jaccard_blocked_pairs
+    / dedup_containment_pairs generates candidates with a LOSSLESS PPJoin
+    prefix join inside the block (the sf1 scaling fix) — results must
+    equal the quadratic DuckDB oracle exactly on a corpus whose
+    vocabulary exceeds the 64-word bitmask limit. The synthetic corpus
+    mixes exact dups, high-overlap near-dups, contained snippets, and
+    unrelated docs across two langs and several length bands."""
+    import random
+
+    import pandas as pd
+    from oracle_harness import compare_one
+
+    from training_flink_sql_cc_src_spark.queries import llm_dedup
+    from training_flink_sql_cc_src_spark.registry import _REGISTRY, _load_all
+
+    _load_all()
+    rnd = random.Random(11)
+    vocab = [f"tok{i}" for i in range(160)]  # > 64 -> hashed-array path
+    rows = []
+    doc_id = 0
+
+    def add(words, lang):
+        nonlocal doc_id
+        text = " ".join(words)
+        rows.append((doc_id, text, lang, f"src{doc_id % 5}", len(text)))
+        doc_id += 1
+
+    for base in range(40):
+        lang = "en" if base % 3 else "de"
+        words = rnd.sample(vocab, rnd.randint(8, 30))
+        add(words, lang)
+        if base % 4 == 0:  # exact dup
+            add(list(words), lang)
+        if base % 4 == 1:  # near-dup: drop one word, add another
+            mut = list(words[:-1]) + [rnd.choice(vocab)]
+            add(mut, lang)
+        if base % 4 == 2:  # contained snippet (~85% of the container)
+            k = max(1, int(len(words) * 0.85))
+            add(words[:k], lang)
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    # the sketch is memoized per (session, sf_dir) -> fresh dir, fresh entry
+    small_vocab, _ = llm_dedup._token_sketch(spark, str(tmp_path))
+    assert not small_vocab, "corpus must exercise the large-vocab branch"
+    for name in ("dedup_jaccard_blocked_pairs", "dedup_containment_pairs"):
+        e = _REGISTRY[name]
+        res = compare_one(spark, name, e.fn, e.oracle, str(tmp_path))
+        assert res.ok, f"{name}: {res.detail}"
+        assert res.spark_rows > 0, f"{name}: vacuous (no qualifying pairs)"

@@ -114,16 +114,32 @@ def _token_sketch(
             .persist()
         )
     else:
+        # Large-vocab path: hashed token arrays ordered RARE-FIRST by
+        # GLOBAL document frequency ((df, hash) is a total order). The
+        # order is free to consumers that intersect (order-insensitive)
+        # and makes the PPJoin prefix of a doc a plain slice(words, 1,
+        # plen) — which is what keeps the blocked pairwise queries
+        # sub-quadratic once blocks grow (see dedup_jaccard_blocked_pairs
+        # / dedup_containment_pairs prefix candidate generation).
+        tok = docs.select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 100).cast("long").alias("len_band"),
+            F.explode(
+                F.transform(words_col, lambda w: F.xxhash64(w))
+            ).alias("w"),
+        )
+        dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
         d = (
-            docs.select(
-                "doc_id",
-                "lang",
-                (F.col("n_chars") / 100).cast("long").alias("len_band"),
-                F.transform(words_col, lambda w: F.xxhash64(w)).alias(
-                    "words"
-                ),
+            tok.join(dfreq, "w")
+            .groupBy("doc_id", "lang", "len_band")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("df", "w"))),
+                    lambda s: s["w"],
+                ).alias("words"),
+                F.count(F.lit(1)).alias("n_words"),
             )
-            .withColumn("n_words", F.size("words"))
             .persist()
         )
     _TOKEN_SKETCH_CACHE[key] = (small_vocab, d)
@@ -162,14 +178,16 @@ def _token_sketch(
     "J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) — 5·min ≥ 3·max in exact integer "
     "arithmetic — before any array intersection is evaluated, which is "
     "result-identical and skips the expensive compare for most candidates. "
-    "PPJoin-style prefix-token blocking was evaluated for the dense-corpus "
-    "case and REJECTED on measurement (round 7, sf0.1): the driver corpus "
-    "has a 31-word vocabulary and 67% of blocked candidates are true "
-    "J>=0.6 pairs (391k of 585k), so the prefix self-join emits 4.5M "
-    "pre-distinct rows vs 588k direct candidates — 8x more shuffle for a "
-    "candidate floor already set by the answer size. On sparse-vocab "
-    "corpora (where prefixes discriminate) use dedup_jaccard_ppjoin, "
-    "which applies the full prefix+positional filter losslessly.",
+    "TWO candidate strategies, chosen by measured corpus shape (round 10, "
+    "sf1 scaling run): on a <=64-word vocabulary the flat block join + "
+    "bitmask wins (prefixes don't discriminate there — the round-7 "
+    "measurement showed the prefix self-join 8x worse on the dense 31-word "
+    "driver corpus); beyond 64 words, candidates come from a LOSSLESS "
+    "PPJoin prefix join INSIDE the block (rare-first global token order, "
+    "size-ratio + positional prunes, one array_intersect per surviving "
+    "pair) — the flat block join is quadratic in block size and measured "
+    "35x wall for 10x docs at sf1, the prefix path 8x (linear; SCALE.md "
+    "§6). Unblocked all-pairs variant: dedup_jaccard_ppjoin.",
 )
 def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     small_vocab, d = _token_sketch(spark, sf_dir)
@@ -198,28 +216,88 @@ def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
     else:
-        a = d.select(
-            F.col("doc_id").alias("id_a"),
-            F.col("lang"),
-            F.col("len_band"),
-            F.col("words").alias("words_a"),
-            F.col("n_words").alias("n_a"),
+        # Large-vocab path (sf1 scaling fix, SCALE.md §6): the full
+        # block cross-product is QUADRATIC in block size (measured 35x
+        # wall-time for 10x docs), so candidates come from a LOSSLESS
+        # PPJoin prefix join WITHIN the block instead — a J >= 3/5 pair
+        # must share a token inside each side's first
+        # n - ceil(3n/5) + 1 rare-first-ordered tokens (the sketch's
+        # arrays are globally df-ordered, so the prefix is a slice).
+        # Size-ratio and positional prunes run in the join condition;
+        # one array_intersect verifies each surviving distinct pair.
+        # On the <= 64-word dense corpus the bitmask path above stays —
+        # there prefixes don't discriminate and the flat block join
+        # measured 8x cheaper (round-7 note in the doc text).
+        plen = F.greatest(
+            F.col("n_words")
+            - F.floor((F.col("n_words") * 3 + 4) / 5).cast("int")
+            + 1,
+            F.lit(1),
         )
-        b = d.select(
+        pref = d.select(
+            "doc_id",
+            "lang",
+            "len_band",
+            F.col("n_words"),
+            F.posexplode(F.slice("words", F.lit(1), plen)).alias(
+                "r0", "w"
+            ),
+        )
+        pa = pref.select(
+            F.col("doc_id").alias("id_a"),
+            "lang",
+            "len_band",
+            F.col("n_words").alias("n_a"),
+            (F.col("r0") + 1).alias("r_a"),
+            "w",
+        )
+        pb = pref.select(
             F.col("doc_id").alias("id_b"),
             F.col("lang").alias("lang_b"),
             F.col("len_band").alias("len_band_b"),
+            F.col("n_words").alias("n_b"),
+            (F.col("r0") + 1).alias("r_b"),
+            F.col("w").alias("wb"),
+        )
+        alpha = F.floor(
+            ((F.col("n_a") + F.col("n_b")) * 3 + 7) / 8
+        )  # ceil(3(n_a+n_b)/8): the minimum overlap J >= 3/5 requires
+        cand = (
+            pa.join(
+                pb,
+                (F.col("w") == F.col("wb"))
+                & (F.col("lang") == F.col("lang_b")),
+            )
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("len_band") == F.col("len_band_b"))
+                & (
+                    F.least("n_a", "n_b") * 5
+                    >= F.greatest("n_a", "n_b") * 3
+                )
+                & (
+                    1
+                    + F.least(
+                        F.col("n_a") - F.col("r_a"),
+                        F.col("n_b") - F.col("r_b"),
+                    )
+                    >= alpha
+                )
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        av = d.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("words").alias("words_a"),
+            F.col("n_words").alias("n_a"),
+        )
+        bv = d.select(
+            F.col("doc_id").alias("id_b"),
             F.col("words").alias("words_b"),
             F.col("n_words").alias("n_b"),
         )
-        size_ok = F.least(a.n_a, b.n_b) * 5 >= F.greatest(a.n_a, b.n_b) * 3
-        pairs = a.join(
-            b,
-            (a.lang == b.lang_b)
-            & (a.len_band == b.len_band_b)
-            & (a.id_a < b.id_b)
-            & size_ok,
-        )
+        pairs = cand.join(av, "id_a").join(bv, "id_b")
         inter = F.size(F.array_intersect("words_a", "words_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     # Filter on the exact integer equivalent of J >= 0.6:
@@ -1094,10 +1172,15 @@ def dedup_duplicated_span_regions(
     "candidate generation stays an EQUI join on (lang, band) — never "
     "a lang-only join (4 langs = catastrophic skew at 100 TB) and "
     "never all-pairs. Shares the memoized per-doc token sketch with "
-    "the Jaccard family (bitmask fast path: |A inter B| = "
-    "bit_count(a & b)); the >= 0.8 filter is the exact integer form "
-    "5*inter >= 4*|A|, and the emitted score is an exact int/int "
-    "division — hash-identical in both engines.",
+    "the Jaccard family; on a <=64-word vocabulary |A inter B| is "
+    "bit_count(a & b) over the flat block join, beyond that it is the "
+    "MATCH COUNT of the in-block token co-occurrence join (exact: the "
+    "token arrays are distinct) — the flat join was the worst sf1 "
+    "scaler at 97x wall for 10x docs, the count join is linear and "
+    "pure whole-stage-codegen integers (SCALE.md §6). The >= 0.8 "
+    "filter is the exact integer form 5*inter >= 4*|A|, and the "
+    "emitted score is an exact int/int division — hash-identical in "
+    "both engines.",
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     small_vocab, d = _token_sketch(spark, sf_dir)
@@ -1128,26 +1211,50 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
     else:
-        a = d.select(
+        # Large-vocab path (sf1 scaling fix, SCALE.md §6 — this was the
+        # worst scaler at 97x wall-time for 10x docs as a flat block
+        # cross-product): |A∩B| is computed as the MATCH COUNT of the
+        # within-block token co-occurrence join — explode both sides'
+        # (already distinct) token arrays, equi-join on (lang, band,
+        # token) with the size prune n_b >= ceil(4·n_a/5) folded into
+        # the join, and count matches per directed pair. Exact and
+        # lossless (arrays hold distinct tokens, so each shared token
+        # matches exactly once); whole-stage-codegen integers end to
+        # end — no array_intersect per pair, no candidate distinct.
+        # Shuffle volume is sum(|A∩B|) over in-block pairs, within a
+        # constant of the output lower bound on near-dup-dense corpora
+        # (measured linear: 3.2x rows and 3.2x wall for 3.33x docs).
+        # On Zipf-heavy corpora where a stopword's in-block posting
+        # list alone is huge, bound candidates with rare-token prefixes
+        # instead (operators/ppjoin.py; dedup_jaccard_blocked_pairs'
+        # large-vocab branch shows the blocked form).
+        pa = d.select(
             F.col("doc_id").alias("id_a"),
             "lang",
             probe_band,
-            F.col("words").alias("words_a"),
             F.col("n_words").alias("n_a"),
+            F.explode("words").alias("w"),
         )
-        b = d.select(
+        pb = d.select(
             F.col("doc_id").alias("id_b"),
             F.col("lang").alias("lang_b"),
             F.col("len_band").alias("band_b"),
-            F.col("words").alias("words_b"),
+            F.col("n_words").alias("n_b"),
+            F.explode("words").alias("wb"),
         )
-        pairs = a.join(
-            b,
-            (a.lang == b.lang_b)
-            & (a.band == b.band_b)
-            & (a.id_a != b.id_b),
+        pairs = (
+            pa.join(
+                pb,
+                (F.col("lang") == F.col("lang_b"))
+                & (F.col("band") == F.col("band_b"))
+                & (F.col("id_a") != F.col("id_b"))
+                & (F.col("w") == F.col("wb"))
+                & (F.col("n_b") * 5 >= F.col("n_a") * 4),
+            )
+            .groupBy("id_a", "id_b", "n_a")
+            .agg(F.count(F.lit(1)).alias("__i"))
         )
-        inter = F.size(F.array_intersect("words_a", "words_b"))
+        inter = F.col("__i")
     return (
         pairs.filter(inter * 5 >= F.col("n_a") * 4)
         .withColumn("containment", inter.cast("double") / F.col("n_a"))
