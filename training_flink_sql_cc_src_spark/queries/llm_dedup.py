@@ -1242,9 +1242,16 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_words").alias("n_b"),
             F.explode("words").alias("wb"),
         )
+        # merge hint: once the persisted sketch's (tiny) stats are
+        # known, Catalyst broadcasts one side — but the broadcast frame
+        # explodes ~20x AFTER the broadcast, so every task rebuilds a
+        # million-row hash table (measured 5x slower in-session than
+        # the sort-merge plan the first, stats-blind run picks). Pin
+        # SMJ: the co-occurrence volume is the real cost either way.
         pairs = (
-            pa.join(
-                pb,
+            pa.hint("merge")
+            .join(
+                pb.hint("merge"),
                 (F.col("lang") == F.col("lang_b"))
                 & (F.col("band") == F.col("band_b"))
                 & (F.col("id_a") != F.col("id_b"))
