@@ -106,7 +106,18 @@ def load_acks() -> dict[str, str]:
 def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    elapsed = time.time() - t0
+    # release completed queries' localCheckpoint blocks promptly: the
+    # JVM ContextCleaner frees them only after Python GC drops the last
+    # DataFrame reference, and 40 queries of lingering blocks shrink
+    # execution memory for later sort/agg stages (measured as in-suite
+    # inflation on the sf1 scaling run). Deliberately outside the timed
+    # region — it is inter-query hygiene, not query cost. Memoized
+    # sketches stay persisted (they hold live module-level references).
+    import gc
+
+    gc.collect()
+    return elapsed
 
 
 def corpus_stats(spark, sf_dir: str) -> dict:
