@@ -220,25 +220,48 @@ def frame_sample(
 def resize_image(
     df: DataFrame, payload_col: str = "payload", out_w: int = 32, out_h: int = 32
 ) -> DataFrame:
-    """Resize stage (image → fixed raster): STUB — no PIL in this
-    container, so the output raster is a deterministic byte pattern of the
-    correct size (3 bytes/pixel RGB). Schema, batching and the
-    binary-in/binary-out Arrow path are the real plumbing.
+    """Resize stage (image → fixed raster): REAL for PNG payloads —
+    decode_png_pixels (stdlib zlib + scanline unfiltering) followed by
+    exact nearest-neighbor resampling (src index = (dst * src_dim) //
+    out_dim, pure numpy fancy indexing), emitting the raw raster bytes
+    (row-major, channels interleaved, RGB or RGBA). Non-PNG payloads
+    (JPEG/WAV/opaque bytes — their sample decode still needs PIL/ffmpeg)
+    keep the previous deterministic byte-pattern raster so the
+    binary-in/binary-out Arrow plumbing stays exercised end-to-end for
+    every media type. ``multimodal_resize_stats`` oracle-verifies the
+    real path's resampled pixels arithmetically.
     """
     out_schema = "doc_id long, out_w int, out_h int, raster binary"
     raster_len = out_w * out_h * 3
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            decode_png_pixels,
+        )
+
         for pdf in it:
+            rasters = []
+            for p in pdf[payload_col]:
+                try:
+                    px = decode_png_pixels(bytes(p))
+                    h, w, _ = px.shape
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    rasters.append(px[ys][:, xs].tobytes())
+                except (ValueError, NotImplementedError, TypeError):
+                    rasters.append(
+                        bytes((p * raster_len)[:raster_len])
+                        if p
+                        else b"\0" * raster_len
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "out_w": out_w,
                     "out_h": out_h,
-                    "raster": [
-                        bytes((p * raster_len)[:raster_len]) if p else b"\0" * raster_len
-                        for p in pdf[payload_col]
-                    ],
+                    "raster": rasters,
                 }
             )
 
@@ -461,4 +484,100 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "doc_id long, width long, height long, channel long, "
         "px_sum long, px_sq_sum long, px_mean double",
+    )
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle="""
+    SELECT d.doc_id AS doc_id,
+           c.c AS channel,
+           CAST(SUM((((x.x * (8 + d.doc_id % 16)) // 8)
+                     + 2 * ((y.y * (8 + (d.doc_id * 3) % 16)) // 8)
+                     + 7 * c.c + d.doc_id) % 256) AS BIGINT) AS px_sum,
+           CAST(SUM((((x.x * (8 + d.doc_id % 16)) // 8)
+                     + 2 * ((y.y * (8 + (d.doc_id * 3) % 16)) // 8)
+                     + 7 * c.c + d.doc_id) % 256) AS DOUBLE) / 64.0
+               AS px_mean
+    FROM documents d,
+         UNNEST(range(8)) AS x(x),
+         UNNEST(range(8)) AS y(y),
+         UNNEST(range(3)) AS c(c)
+    WHERE d.doc_id % 3 = 0
+    GROUP BY d.doc_id, c.c
+    """,
+    doc="REAL image resize over decoded PNG pixels (closes the resize "
+    "stub): per image-doc, encode the doc_id-derived raster as a real "
+    "filtered+zlib PNG, shuffle the binary column, then resize_image "
+    "decodes (stdlib unfilter pipeline) and resamples to 8x8 with exact "
+    "nearest-neighbor (src = (dst * src_dim) // 8). Per-channel integer "
+    "sums of the RESIZED raster come back out; the oracle recomputes "
+    "the same sums by applying the identical index arithmetic to the "
+    "pixel formula — a hash match proves decode + resample exact, "
+    "including the floor-division index map. Map-only per image, 3 "
+    "scalar rows out per image; swap the synthetic encode for stored "
+    "bytes at 100 TB and the decode/resample stage is unchanged.",
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            png_bytes_with_pixels,
+        )
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 16, 8 + (did * 3) % 16
+                xs = np.arange(w, dtype=np.int64)[None, :, None]
+                ys = np.arange(h, dtype=np.int64)[:, None, None]
+                cs = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((xs + 2 * ys + 7 * cs + did) % 256).astype("uint8")
+                payloads.append(png_bytes_with_pixels(px, "cycle"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
+        8, "doc_id"
+    )
+    resized = resize_image(built, out_w=8, out_h=8)
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, chans, sums, means = [], [], [], []
+            for did, raster in zip(pdf["doc_id"], pdf["raster"]):
+                px = (
+                    np.frombuffer(bytes(raster), dtype=np.uint8)
+                    .reshape(8, 8, 3)
+                    .astype(np.int64)
+                )
+                for c in range(3):
+                    s = int(px[:, :, c].sum())
+                    ids.append(int(did))
+                    chans.append(c)
+                    sums.append(s)
+                    means.append(s / 64.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "channel": chans,
+                    "px_sum": sums,
+                    "px_mean": means,
+                }
+            )
+
+    return resized.mapInPandas(
+        stats, "doc_id long, channel long, px_sum long, px_mean double"
     )
