@@ -3136,3 +3136,93 @@ def test_measure_nav_offsets_lead_chain_and_nfa(spark):
             (2, 2, None), (2, 13, None), (2, 90, None),
         ]
     )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    types=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "x"]),
+        min_size=5,
+        max_size=16,
+    ),
+    skip_past=st.booleans(),
+)
+def test_permute5_matches_python_reference(spark, types, skip_past):
+    """PERMUTE over FIVE variables (round 10 — above the old 4-variable
+    cap) lowers through the alternation AST + generator NFA; semantics
+    must equal the per-start first-permutation-in-lexicographic-order
+    reference under both AFTER MATCH modes, exactly like the 3-variable
+    LEAD-chain property test above."""
+    from itertools import permutations
+
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_permprop5")
+    skip = "SKIP PAST LAST ROW" if skip_past else "SKIP TO NEXT ROW"
+    got = StatementRouter(spark).execute(
+        f"""
+        SELECT a_seq, e_seq FROM __mr_permprop5
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, E.seq AS e_seq
+            ONE ROW PER MATCH
+            AFTER MATCH {skip}
+            PATTERN (PERMUTE (A, B, C, D, E))
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'b',
+                   C AS C.event_type = 'c',
+                   D AS D.event_type = 'd',
+                   E AS E.event_type = 'e'
+        )
+        """
+    ).collect()
+    n = len(types)
+    cands: dict[int, tuple[int, int]] = {}
+    for s in range(n - 4):
+        for perm in permutations("abcde"):
+            if all(types[s + i] == perm[i] for i in range(5)):
+                pos = {v: s + i for i, v in enumerate(perm)}
+                cands[s] = (pos["a"], pos["e"])
+                break
+    want = []
+    if skip_past:
+        last_end = -1
+        for s in sorted(cands):
+            if s > last_end:
+                want.append(cands[s])
+                last_end = s + 4
+        want.sort()
+    else:
+        want = sorted(cands.values())
+    assert sorted((r.a_seq, r.e_seq) for r in got) == want
+
+
+def test_permute7_raises_loudly(spark):
+    """PERMUTE over 7 variables (5040 alternatives) stays a loud,
+    instructive error — the backtracker would try every ordering per
+    candidate start."""
+    spark.createDataFrame(
+        [(1, 0, "a")], "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_permprop7")
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="720"):
+        StatementRouter(spark).execute(
+            """
+            SELECT a_seq FROM __mr_permprop7
+            MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY seq
+                MEASURES A.seq AS a_seq
+                PATTERN (PERMUTE (A, B, C, D, E, G, H))
+                DEFINE A AS A.event_type = 'a',
+                       B AS B.event_type = 'b',
+                       C AS C.event_type = 'c',
+                       D AS D.event_type = 'd',
+                       E AS E.event_type = 'e',
+                       G AS G.event_type = 'g',
+                       H AS H.event_type = 'h'
+            )
+            """
+        )

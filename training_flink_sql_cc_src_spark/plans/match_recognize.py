@@ -549,19 +549,37 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
         re.IGNORECASE,
     )
     if perm_m is not None:
-        # PERMUTE (A, B, ...): any order of the plain variables — the n!
-        # fixed-length variants (lexicographic preference, SQL:2016) ride
-        # the shared LEAD chain. Cap n at 4 (24 variants) to keep the
-        # when-chains plan-sized, mirroring the 64-variant expansion cap.
+        # PERMUTE (A, B, ...): any order of the plain variables, with
+        # lexicographic preference over the declaration (SQL:2016).
+        # n <= 4 (24 fixed-length variants) rides the shared LEAD chain
+        # (when-chains stay plan-sized, mirroring the 64-variant
+        # expansion cap). n = 5..6 (120/720 variants) exceeds that
+        # budget but the generator-backtracking NFA walks alternatives
+        # LAZILY in declaration order — exactly the required preference
+        # — so it lowers as the explicit alternation AST instead
+        # (round 10; the cap was 4 before). n >= 7 (5040+ alternatives)
+        # stays a loud error: the backtracker would try them all per
+        # candidate start.
         perm_vars = [v.strip() for v in perm_m.group("vars").split(",")]
-        if len(perm_vars) > 4:
+        if len(perm_vars) > 6:
             raise UnsupportedPatternError(
                 f"PERMUTE over {len(perm_vars)} variables expands to "
-                f"{len(perm_vars)}! variants — beyond the lowered bound "
-                "(4 variables / 24 variants)"
+                f"{len(perm_vars)}! orderings — beyond the lowered "
+                "bound (6 variables / 720 alternatives)"
             )
-        permute = True
-        pattern_text = " ".join(perm_vars)
+        if len(perm_vars) > 4:
+            from itertools import permutations as _permutations
+
+            pattern_text = (
+                "("
+                + " | ".join(
+                    " ".join(p) for p in _permutations(perm_vars)
+                )
+                + ")"
+            )
+        else:
+            permute = True
+            pattern_text = " ".join(perm_vars)
     pm = re.fullmatch(
         r"(?P<a>\w+)(?:(?P<star>[+*])|\{(?P<lo>\d+),\})\s+(?P<b>\w+)",
         pattern_text.strip(),
