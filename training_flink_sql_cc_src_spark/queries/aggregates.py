@@ -628,3 +628,38 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "agg_percentile_cont",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           quantile_cont(l_quantity, 0.25) AS q1,
+           quantile_cont(l_quantity, 0.5) AS median,
+           quantile_cont(l_quantity, 0.75) AS q3,
+           quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25)
+               AS iqr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Interpolated percentiles (PERCENTILE_CONT WITHIN GROUP): exact "
+    "linear interpolation at rank (n-1)*q — Spark's percentile() and "
+    "DuckDB's quantile_cont share the definition, and on this column "
+    "the arithmetic is EXACT in binary (integer-valued quantities, "
+    "quartile fractions are powers of two), so the pair hash-matches "
+    "where a general PERCENTILE_CONT would ULP-drift (see "
+    "agg_percentile_disc's note). Spark computes exact percentiles "
+    "with a single partial-aggregated pass; for sketch-based quantiles "
+    "at 100 TB see agg_quantile_sketch_merge.",
+)
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q3"),
+        (
+            F.expr("percentile(l_quantity, 0.75)")
+            - F.expr("percentile(l_quantity, 0.25)")
+        ).alias("iqr"),
+    )

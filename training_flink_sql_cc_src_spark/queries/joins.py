@@ -468,3 +468,107 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_click_epoch",
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS purchase_epoch, ts
+        FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT p.purchase_id, p.user_id, p.purchase_epoch,
+               (SELECT CAST(FLOOR(EPOCH(MAX(c.ts))) AS BIGINT)
+                FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts <= p.ts) AS back_epoch,
+               (SELECT CAST(FLOOR(EPOCH(MIN(c.ts))) AS BIGINT)
+                FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts > p.ts) AS fwd_epoch
+        FROM p
+    )
+    SELECT purchase_id, user_id, purchase_epoch,
+           CASE
+             WHEN back_epoch IS NOT NULL AND (fwd_epoch IS NULL OR
+                  purchase_epoch - back_epoch <= fwd_epoch - purchase_epoch)
+               THEN back_epoch
+             ELSE fwd_epoch
+           END AS nearest_click_epoch,
+           CASE
+             WHEN back_epoch IS NOT NULL AND (fwd_epoch IS NULL OR
+                  purchase_epoch - back_epoch <= fwd_epoch - purchase_epoch)
+               THEN 'backward'
+             WHEN fwd_epoch IS NOT NULL THEN 'forward'
+             ELSE NULL
+           END AS direction
+    FROM j
+    """,
+    doc="NEAREST-direction as-of join (pandas merge_asof "
+    "direction='nearest'; kdb wj's两-sided window analog): each "
+    "purchase pairs with the click minimizing |click.ts - purchase.ts| "
+    "in either direction, ties to the BACKWARD side (the conventional "
+    "merge_asof tie rule, documented). One union-tag pass computes "
+    "BOTH carries — last click at-or-before (ascending window) and "
+    "first click after (descending window) — over a single hash "
+    "exchange on the key (same partitioning, two sorts), then an "
+    "integer argmin picks the side. No range explosion, no per-row "
+    "subquery; linear at any scale like the backward/forward "
+    "variants.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("ts").cast("long").alias("click_epoch"),
+        F.lit(1).alias("is_dim"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_epoch"),
+        F.lit(0).alias("is_dim"),
+    )
+    # backward: clicks sort BEFORE a same-ts purchase (is_dim desc on an
+    # ascending scan) so ties land on the backward side, matching the
+    # oracle's c.ts <= p.ts / c.ts > p.ts split
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_dim").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    u = (
+        c.unionByName(p)
+        .withColumn(
+            "back_epoch", F.last("click_epoch", ignorenulls=True).over(wb)
+        )
+        .withColumn(
+            "fwd_epoch", F.last("click_epoch", ignorenulls=True).over(wf)
+        )
+        .filter(F.col("is_dim") == 0)
+    )
+    pe = F.col("ts").cast("long")
+    back_wins = F.col("back_epoch").isNotNull() & (
+        F.col("fwd_epoch").isNull()
+        | (pe - F.col("back_epoch") <= F.col("fwd_epoch") - pe)
+    )
+    return u.select(
+        "purchase_id",
+        "user_id",
+        pe.alias("purchase_epoch"),
+        F.when(back_wins, F.col("back_epoch"))
+        .otherwise(F.col("fwd_epoch"))
+        .alias("nearest_click_epoch"),
+        F.when(back_wins, F.lit("backward"))
+        .when(F.col("fwd_epoch").isNotNull(), F.lit("forward"))
+        .alias("direction"),
+    )
