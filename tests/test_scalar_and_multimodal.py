@@ -312,3 +312,32 @@ def test_png_pixel_codec_roundtrip_and_guards():
         bad = bytearray(data)
         bad[-9] ^= 0xFF  # a byte inside the IEND/IDAT CRC region
         decode_png_pixels(bytes(bad))
+
+
+def test_wav_sample_codec_roundtrip_and_guards():
+    """decode_wav_samples reverses wav_bytes_with_samples bit-exactly
+    (mono and stereo, odd frame counts), rejects truncated RIFF chunks,
+    and raises the loud NotImplementedError for non-16-bit-PCM codecs."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_wav_samples,
+        wav_bytes_with_samples,
+    )
+
+    rng = np.random.default_rng(5)
+    for n, ch, sr in [(64, 1, 8000), (33, 2, 44100), (1, 2, 16000)]:
+        s = rng.integers(-32768, 32768, size=(n, ch)).astype("<i2")
+        sr2, back = decode_wav_samples(wav_bytes_with_samples(sr, s))
+        assert sr2 == sr and back.shape == s.shape and (back == s).all()
+    with pytest.raises(ValueError):
+        decode_wav_samples(b"RIFFxxxxWAVE" + b"data" + struct.pack("<I", 999))
+    # non-PCM codec id: loud guard, not silence
+    good = wav_bytes_with_samples(8000, np.zeros((4, 1), dtype="<i2"))
+    bad = bytearray(good)
+    bad[20:22] = struct.pack("<H", 3)  # IEEE float codec id
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(bytes(bad))

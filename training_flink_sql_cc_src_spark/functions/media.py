@@ -7,8 +7,11 @@ parseable with struct — the same code parses real files byte-for-byte.
 PNG PIXEL decode needs none either: ``decode_png_pixels`` inflates the
 IDAT stream with stdlib zlib and reverses the five scanline filters with
 numpy (non-interlaced 8-bit RGB/RGBA; everything rarer raises loudly).
-JPEG/WAV SAMPLE decode still needs PIL/ffmpeg (absent here and stubbed
-in queries/multimodal._decode_payload). Builders emit spec-valid minimal files (PNG chunk
+WAV PCM SAMPLE decode is stdlib as well (``decode_wav_samples``:
+RIFF chunk walk + int16 frombuffer; 16-bit PCM, the canonical WAV).
+Only JPEG pixel decode and compressed audio still need PIL/ffmpeg
+(absent here and stubbed in queries/multimodal._decode_payload).
+Builders emit spec-valid minimal files (PNG chunk
 CRCs via zlib.crc32, RIFF sizes correct), so the parse step is a genuine
 decode, not a fake: multimodal_header_decode round-trips
 build → binary column → Arrow batch → parse and the DuckDB oracle checks
@@ -285,3 +288,70 @@ def decode_png_pixels(data: bytes):
         out[y] = rec.astype(np.uint8)
         prior = rec
     return out.reshape(h, w, ch)
+
+
+# ------------------------------------------------------ sample codec (WAV)
+def wav_bytes_with_samples(sample_rate: int, samples) -> bytes:
+    """Spec-valid PCM WAV carrying REAL sample data: ``samples`` is an
+    (n_frames, channels) int16 array, written interleaved little-endian
+    — the standard canonical WAV layout any reader decodes. Stdlib
+    struct + numpy only; exact inverse of :func:`decode_wav_samples`."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim != 2:
+        raise ValueError("samples must be (n_frames, channels) int16")
+    channels = s.shape[1]
+    bits = 16
+    block_align = channels * bits // 8
+    data = s.tobytes()  # row-major == frame-interleaved
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(data: bytes):
+    """REAL WAV PCM sample decode with stdlib struct + numpy: walk the
+    RIFF chunk list, parse the fmt chunk, and return
+    (sample_rate, (n_frames, channels) int16 array) from the data
+    chunk. Supported: uncompressed PCM, 16-bit — the canonical WAV
+    everywhere. Other codecs (float/ADPCM/mp3-in-RIFF) raise the loud
+    NotImplementedError convention (they need ffmpeg/librosa)."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt_parsed = None
+    raw = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + ln > len(data):
+            raise ValueError("WAV chunk truncated (bad length or cut file)")
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt_parsed = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            raw = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt_parsed is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    codec, channels, sample_rate, _brate, _balign, bits = fmt_parsed
+    if codec != 1 or bits != 16:
+        raise NotImplementedError(
+            f"decode_wav_samples: only 16-bit PCM is implemented (got "
+            f"codec={codec}, bits={bits}); compressed audio needs "
+            "ffmpeg/librosa"
+        )
+    arr = np.frombuffer(raw[: len(raw) - len(raw) % (2 * channels)], "<i2")
+    return sample_rate, arr.reshape(-1, channels)

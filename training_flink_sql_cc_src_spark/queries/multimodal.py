@@ -581,3 +581,107 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(
         stats, "doc_id long, channel long, px_sum long, px_mean double"
     )
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+    SELECT d.doc_id AS doc_id,
+           c.c AS channel,
+           8000 + (d.doc_id % 8) * 1000 AS sample_rate,
+           64 + d.doc_id % 64 AS n_frames,
+           CAST(SUM(((d.doc_id * 7 + i.i * 3 + c.c * 11) % 4096) - 2048)
+                AS BIGINT) AS s_sum,
+           CAST(SUM((((d.doc_id * 7 + i.i * 3 + c.c * 11) % 4096) - 2048)
+                    * (((d.doc_id * 7 + i.i * 3 + c.c * 11) % 4096) - 2048))
+                AS BIGINT) AS s_sq_sum
+    FROM documents d,
+         UNNEST(range(64 + d.doc_id % 64)) AS i(i),
+         UNNEST(range(1 + d.doc_id % 2)) AS c(c)
+    WHERE d.doc_id % 3 = 1
+    GROUP BY d.doc_id, c.c
+    """,
+    doc="REAL WAV PCM sample decode (closes the audio half of the "
+    "sample-decode stub): per audio-doc, a 16-bit PCM WAV with "
+    "doc_id-derived interleaved samples is built "
+    "(functions/media.wav_bytes_with_samples), shuffled as a binary "
+    "column, then decode_wav_samples walks the RIFF chunks and "
+    "recovers the (frames, channels) int16 matrix inside an "
+    "Arrow-batched mapInPandas stage; per-channel exact integer sums / "
+    "sum-of-squares (the energy stats an audio-quality filter needs) "
+    "come off the recovered samples and the oracle recomputes them "
+    "arithmetically — a hash match proves the byte-level sample round "
+    "trip. Compressed audio still raises the loud ffmpeg guard. "
+    "Map-only per clip, <= 2 scalar rows out per clip.",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            wav_bytes_with_samples,
+        )
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 64
+                ch = 1 + did % 2
+                sr = 8000 + (did % 8) * 1000
+                ii = np.arange(n, dtype=np.int64)[:, None]
+                cc = np.arange(ch, dtype=np.int64)[None, :]
+                s = ((did * 7 + ii * 3 + cc * 11) % 4096) - 2048
+                payloads.append(wav_bytes_with_samples(sr, s.astype("<i2")))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
+        8, "doc_id"
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            decode_wav_samples,
+        )
+
+        for pdf in it:
+            ids, chans, srs, nfs, sums, sqs = [], [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, s = decode_wav_samples(bytes(payload))
+                s64 = s.astype(np.int64)
+                n, ch = s.shape
+                for c in range(ch):
+                    col = s64[:, c]
+                    ids.append(int(did))
+                    chans.append(c)
+                    srs.append(sr)
+                    nfs.append(n)
+                    sums.append(int(col.sum()))
+                    sqs.append(int((col * col).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "channel": chans,
+                    "sample_rate": srs,
+                    "n_frames": nfs,
+                    "s_sum": sums,
+                    "s_sq_sum": sqs,
+                }
+            )
+
+    return built.mapInPandas(
+        stats,
+        "doc_id long, channel long, sample_rate long, n_frames long, "
+        "s_sum long, s_sq_sum long",
+    )
