@@ -2786,3 +2786,71 @@ def pattern_match_recognize_measure_nav(
         ) AS m
         """
     )
+
+
+@register(
+    "pattern_match_recognize_permute5",
+    oracle="""
+    WITH ord AS (
+        SELECT user_id, event_id, event_type,
+               [event_type, LEAD(event_type, 1) OVER w,
+                LEAD(event_type, 2) OVER w, LEAD(event_type, 3) OVER w,
+                LEAD(event_type, 4) OVER w] AS types,
+               [event_id, LEAD(event_id, 1) OVER w,
+                LEAD(event_id, 2) OVER w, LEAD(event_id, 3) OVER w,
+                LEAD(event_id, 4) OVER w] AS ids
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           ids[list_position(types, 'view')] AS view_event,
+           ids[list_position(types, 'click')] AS click_event,
+           ids[list_position(types, 'purchase')] AS purchase_event,
+           ids[list_position(types, 'signup')] AS signup_event,
+           ids[list_position(types, 'error')] AS error_event
+    FROM ord
+    WHERE list_sort(types)
+          = ['click', 'error', 'purchase', 'signup', 'view']
+    """,
+    doc="PERMUTE over FIVE variables — all five event types in ANY "
+    "order across five consecutive rows ('the user who did everything, "
+    "in whatever order'). 5! = 120 orderings exceed the LEAD-chain "
+    "when-chain budget, so this lowers through the alternation AST + "
+    "generator NFA (round 10 — the cap was 4 variables before), which "
+    "walks alternatives lazily in declaration order, i.e. SQL:2016's "
+    "lexicographic preference exactly. Disjoint one-type-per-variable "
+    "predicates mean exactly one ordering can bind each window, so the "
+    "oracle checks the sorted type quintuple and assigns ids by type. "
+    "SKIP TO NEXT ROW keeps every candidate start (SQL-expressible "
+    "overlap semantics). One window exchange + per-key linear NFA scan.",
+)
+def pattern_match_recognize_permute5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_pm5")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, view_event, click_event, purchase_event,
+               signup_event, error_event
+        FROM __mr_events_pm5
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES V.event_id AS view_event,
+                     C.event_id AS click_event,
+                     P.event_id AS purchase_event,
+                     S.event_id AS signup_event,
+                     E.event_id AS error_event
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (PERMUTE (C, E, P, S, V))
+            DEFINE V AS V.event_type = 'view',
+                   C AS C.event_type = 'click',
+                   P AS P.event_type = 'purchase',
+                   S AS S.event_type = 'signup',
+                   E AS E.event_type = 'error'
+        ) AS m
+        """
+    )
