@@ -224,7 +224,16 @@ def test_prefix_filtered_blocked_pairs_large_vocab(spark, tmp_path):
     # the sketch is memoized per (session, sf_dir) -> fresh dir, fresh entry
     small_vocab, _ = llm_dedup._token_sketch(spark, str(tmp_path))
     assert not small_vocab, "corpus must exercise the large-vocab branch"
-    for name in ("dedup_jaccard_blocked_pairs", "dedup_containment_pairs"):
+    for name in (
+        "dedup_jaccard_blocked_pairs",
+        "dedup_containment_pairs",
+        # downstream consumers of the blocked-pairs edge list — the
+        # prefix-path rewrite must hold through CC, keep-best, and the
+        # pipeline apply step too
+        "dedup_connected_components",
+        "dedup_keep_best",
+        "pipeline_dedup_apply",
+    ):
         e = _REGISTRY[name]
         res = compare_one(spark, name, e.fn, e.oracle, str(tmp_path))
         assert res.ok, f"{name}: {res.detail}"
