@@ -82,6 +82,9 @@ HEADLINE = (
     "pattern_match_recognize_measure_nav",
     "dedup_containment_pairs",
     "pipeline_vocab_oov_rate",
+    "multimodal_pixel_stats",
+    "join_asof_nearest",
+    "pattern_match_recognize_permute5",
 )
 
 
