@@ -12,6 +12,7 @@ model as a Flink keyed process function.
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Iterator
 
@@ -1138,8 +1139,11 @@ def _match_bounded(
 #: time-bounded window safety valve: a key whose undecided window
 #: exceeds this many rows raises loudly instead of growing state
 #: silently (the analog of Flink's state-size alerts for a WITHIN
-#: span x rate that outgrows the executor)
-TIME_WINDOW_ROW_CAP = 4096
+#: span x rate that outgrows the executor). Deployments whose genuine
+#: break-free stretches exceed the default raise it via
+#: SPARK_GRAFT_CEP_ROW_CAP (sized to rows-per-key that fit executor
+#: memory) instead of editing code — the error message names the knob.
+TIME_WINDOW_ROW_CAP = int(os.environ.get("SPARK_GRAFT_CEP_ROW_CAP", "4096"))
 
 
 def bounded_nfa_stream(
@@ -1479,12 +1483,14 @@ def bounded_nfa_stream(
                     + (
                         "no BREAK row (a row matching no pattern "
                         "variable) arrived to bound the partial-match "
-                        "state — add a WITHIN bound or run the "
+                        "state — add a WITHIN bound, raise "
+                        "SPARK_GRAFT_CEP_ROW_CAP, or run the "
                         "statement in batch"
                         if break_decided
                         else "the per-key rate x WITHIN span outgrows "
-                        "the streaming state bound — shorten WITHIN or "
-                        "run the statement in batch"
+                        "the streaming state bound — shorten WITHIN, "
+                        "raise SPARK_GRAFT_CEP_ROW_CAP, or run the "
+                        "statement in batch"
                     )
                 )
             flat = [
@@ -1850,12 +1856,14 @@ def bounded_nfa_all_rows_stream(
                     + (
                         "no BREAK row (a row matching no pattern "
                         "variable) arrived to bound the partial-match "
-                        "state — add a WITHIN bound or run the "
+                        "state — add a WITHIN bound, raise "
+                        "SPARK_GRAFT_CEP_ROW_CAP, or run the "
                         "statement in batch"
                         if break_decided
                         else "the per-key rate x WITHIN span outgrows "
-                        "the streaming state bound — shorten WITHIN "
-                        "or run the statement in batch"
+                        "the streaming state bound — shorten WITHIN, "
+                        "raise SPARK_GRAFT_CEP_ROW_CAP, or run the "
+                        "statement in batch"
                     )
                 )
             flat = [
