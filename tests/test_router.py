@@ -439,17 +439,19 @@ def test_match_recognize_adjacent_subset_lowers(router):
 
 
 def test_match_recognize_guard(router):
-    # unbounded quantifiers, quantified alternation groups, PERMUTE, and
-    # nested groups all lower now; an over-wide PERMUTE (5! variants)
-    # stays outside the expansion cap with the instructive error
+    # unbounded quantifiers, quantified alternation groups, nested
+    # groups, and PERMUTE up to 6 variables all lower now (5-6 through
+    # the alternation NFA, round 10); an over-wide PERMUTE (7! = 5040
+    # orderings) stays outside the cap with the instructive error
     with pytest.raises(NotImplementedError, match="pattern_funnel"):
         router.execute(
             "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id "
             "ORDER BY ts MEASURES A.ts AS a_ts "
-            "PATTERN (PERMUTE (A, B, C, D, E)) DEFINE "
+            "PATTERN (PERMUTE (A, B, C, D, E, G, H)) DEFINE "
             "A AS A.event_type = 'view', B AS B.event_type = 'purchase', "
             "C AS C.event_type = 'error', D AS D.event_type = 'click', "
-            "E AS E.event_type = 'signup')"
+            "E AS E.event_type = 'signup', G AS G.event_type = 'view', "
+            "H AS H.event_type = 'click')"
         )
 
 
