@@ -157,3 +157,23 @@ def test_vectorized_udfs_null_safe(spark):
     }
     assert got[1] is None and got[2] is None
     assert len(got[0]) == 2 and len(got[3]) == 2
+
+
+def test_ann_ivfpq_recall_floor(spark, sf_small):
+    """IVF-PQ (coarse cells + residual PQ + exact rerank): the composed
+    index recovers a recall floor on unclustered random embeddings with
+    2-of-16 probed cells, and every hit belongs to a real query. The
+    pipeline's EXACTNESS under exhaustive probing is separately
+    hash-verified against the brute-force oracle
+    (sim_ann_ivfpq_exhaustive)."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_topk_bruteforce"](spark, sf_small).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_ann_ivfpq"](spark, sf_small).collect()
+    }
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.1, f"recall {recall}"
+    assert {q for q, _ in ann} <= set(range(8))

@@ -941,3 +941,188 @@ def pipeline_cluster_balanced_sample(
             "cluster_id", "vec_id", F.col("srn").cast("long").alias("srn")
         )
     )
+
+
+def _ivfpq_topk(
+    spark: SparkSession, sf_dir: str, n_probes: int, refine_k: int
+) -> DataFrame:
+    """IVF-PQ composition (Jegou et al. 2011 §IV, PAPERS.md — the
+    canonical billion-scale ANN index): a 16-cell coarse quantizer
+    routes each vector to one inverted list, and PQ encodes the
+    RESIDUAL x - c(x) (residuals concentrate near the origin, so the
+    same code budget quantizes them far more finely than raw vectors).
+    Approximate inner product decomposes exactly as
+    q.x = q.c(x) + q.r(x): the first term is one scalar per
+    (query, probed cell) computed driver-side, the second is 8 LUT
+    lookups against the query's residual tables. Each corpus vector
+    lives in exactly ONE cell, so multi-probe candidate generation
+    emits each (query, vector) pair at most once — no dedup stage at
+    all (unlike LSH banding). Candidates shuffle as narrow scalar rows;
+    the top refine_k rerank exactly against the full vectors."""
+    import numpy as np
+
+    e = t(spark, sf_dir, "embeddings")
+    n_cells = 16
+    seed_rows = e.sample(fraction=0.2, seed=42).limit(n_cells).collect()
+    if len(seed_rows) < n_cells:  # tiny fixture fallback
+        seed_rows = e.limit(n_cells).collect()
+    seed_rows.sort(key=lambda r: r.vec_id)
+    cents = [(i, list(r.embedding)) for i, r in enumerate(seed_rows)]
+    cmat = np.asarray([c for _, c in cents], dtype=np.float64)
+
+    # residual codebooks: the PQ seed sample's residuals vs the SAME
+    # coarse centroids, computed driver-side (bounded: K_CODES rows)
+    pq_seed = e.sample(fraction=0.2, seed=7).limit(K_CODES).collect()
+    if len(pq_seed) < K_CODES:
+        pq_seed = e.limit(K_CODES).collect()
+    pq_seed.sort(key=lambda r: r.vec_id)
+
+    class _Row:
+        def __init__(self, emb):
+            self.embedding = emb
+
+    res_seed = []
+    for r in pq_seed:
+        x = np.asarray(list(r.embedding), dtype=np.float64)
+        cell = int((cmat @ x).argmax())
+        res_seed.append(_Row((x - cmat[cell]).tolist()))
+    books = _pq_codebooks(res_seed)
+    dim_sub = len(books[0][0])
+
+    cent_lit = F.lit([[float(x) for x in c] for _, c in cents])
+    assigned = e.withColumn(
+        "cell", _argmax_cell(F.col("embedding"), cents)
+    )
+    residual = F.zip_with(
+        F.col("embedding"),
+        F.element_at(cent_lit, F.col("cell") + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    encoded = assigned.select(
+        "vec_id",
+        "cell",
+        _pq_encode(residual, books).alias("codes"),
+        norm_col(F.col("embedding")).alias("v_norm"),
+    )
+
+    # per (query, probed cell): the q.c scalar + the query's residual
+    # LUT — n_probes rows per query, broadcast
+    q_rows = e.filter(F.col("vec_id") < N_QUERY).collect()
+    probe_rows = []
+    for r in q_rows:
+        q = np.asarray(list(r.embedding), dtype=np.float64)
+        qn = float(np.sqrt((q * q).sum()))
+        lut = [
+            [
+                float(
+                    np.dot(q[m * dim_sub : (m + 1) * dim_sub], code)
+                )
+                for code in books[m]
+            ]
+            for m in range(M_SUB)
+        ]
+        qc_all = cmat @ q
+        order = np.argsort(-qc_all, kind="stable")[:n_probes]
+        for cell in order:
+            probe_rows.append(
+                (int(r.vec_id), int(cell), float(qc_all[cell]), lut, qn)
+            )
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id long, cell int, qc double, "
+        "lut array<array<double>>, q_norm double",
+    )
+
+    approx_ip = F.col("qc") + F.aggregate(
+        F.zip_with(
+            F.col("lut"),
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (approx_ip / (F.col("q_norm") * F.col("v_norm"))).alias(
+                "approx"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vec_id")
+    )
+    cands = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= refine_k)
+        .select("query_id", "vec_id")
+    )
+    qv = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_col(F.col("embedding")).alias("q_norm"),
+    )
+    exact = (
+        e.join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos_sim",
+            dot_col(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * norm_col(F.col("embedding"))),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "sim_ann_ivfpq",
+    oracle=None,  # centroid/codebook choice is engine-side; recall vs
+    # brute force asserted in tests/test_similarity.py
+    doc="Approximate nearest neighbors via IVF-PQ — the coarse "
+    "quantizer + residual product quantization COMPOSITION that "
+    "billion-scale indexes actually deploy (Jegou 2011 §IV, FAISS "
+    "IVFPQ): 16 inverted lists route the scan to 2 probed cells per "
+    "query (1/8 of the corpus), residual PQ codes (8 x 4-bit + one "
+    "norm) cut the scanned bytes ~16x, and q.x decomposes exactly "
+    "into the driver-computed q.centroid scalar plus 8 residual-LUT "
+    "lookups. One cell per vector means multi-probe candidates need "
+    "no dedup; the ADC top-20 per query rerank exactly. Deterministic "
+    "end to end (seeded samples, stable argsort, tie-broken ranks).",
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfpq_topk(spark, sf_dir, n_probes=2, refine_k=REFINE * TOP_K)
+
+
+@register(
+    "sim_ann_ivfpq_exhaustive",
+    oracle=_BRUTE_ORACLE,
+    doc="IVF-PQ with exhaustive probing (all 16 cells) AND an "
+    "exhaustive rerank window — the exact-subset oracle for the "
+    "composed pipeline: every vector is a candidate exactly once "
+    "(one cell each), so the exact rerank must reproduce brute-force "
+    "top-k bit-for-bit. A green hash verifies coarse assignment, "
+    "residual computation (JVM zip_with against the broadcast "
+    "centroid literal), Arrow-batched residual encoding, the "
+    "qc + LUT decomposition plumbing, and the rerank joins; the "
+    "recall/probe trade of the real 2-probe index stays covered by "
+    "the recall-floor test. Runs the same _ivfpq_topk code as "
+    "sim_ann_ivfpq.",
+)
+def sim_ann_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfpq_topk(spark, sf_dir, n_probes=16, refine_k=1_000_000_000)
