@@ -10,6 +10,7 @@ the band join only shuffles (band, bucket) keys.
 
 from __future__ import annotations
 
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -49,7 +50,15 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKEN_SKETCH_CACHE: dict[tuple[int, str], tuple[bool, DataFrame]] = {}
+#: sf_dir -> (owner session weakref, small_vocab, persisted sketch frame).
+#: The owner is held by WEAK reference and checked by identity against
+#: the requesting session: keying on id(spark) (pre-r11) could alias a
+#: NEW session allocated at a dead session's address (CPython reuses
+#: object ids after GC), resurrecting exactly the stale-persisted-frame
+#: failure the cache key exists to prevent (ADVICE r10). A weakref to a
+#: dead session returns None, which never compares identical to a live
+#: session, so dead entries can only be evicted, never hit.
+_TOKEN_SKETCH_CACHE: dict[str, tuple[object, bool, DataFrame]] = {}
 
 
 def _token_sketch(
@@ -63,22 +72,21 @@ def _token_sketch(
     (session, sf_dir) — the parquet is immutable but a persisted frame
     belongs to ONE SparkSession: a hit keyed on sf_dir alone would hand
     a dead session's DataFrame to a new session and fail every
-    dependent query (ADVICE r9). An entry for the same sf_dir under a
-    different session is evicted and unpersisted (best-effort — the old
-    session may already be stopped). Tokenizing once per session is
-    exactly the materialized sketch table a real curation pipeline
-    keeps beside the corpus at 100 TB."""
-    key = (id(spark), sf_dir)
-    if key in _TOKEN_SKETCH_CACHE:
-        return _TOKEN_SKETCH_CACHE[key]
-    for stale in [
-        k
-        for k in _TOKEN_SKETCH_CACHE
-        if k[1] == sf_dir and k[0] != id(spark)
-    ]:
-        _, old = _TOKEN_SKETCH_CACHE.pop(stale)
+    dependent query (ADVICE r9); session identity is tracked via
+    weakref so a recycled object id can never alias a dead session
+    (ADVICE r10). An entry for the same sf_dir under a different
+    session is evicted and unpersisted (best-effort — the old session
+    may already be stopped). Tokenizing once per session is exactly the
+    materialized sketch table a real curation pipeline keeps beside the
+    corpus at 100 TB."""
+    entry = _TOKEN_SKETCH_CACHE.get(sf_dir)
+    if entry is not None:
+        owner_ref, small_vocab, d = entry
+        if owner_ref() is spark:
+            return small_vocab, d
+        _TOKEN_SKETCH_CACHE.pop(sf_dir, None)
         try:
-            old.unpersist()
+            d.unpersist()
         except Exception:
             pass  # owning session already stopped
     docs = fan_out(t(spark, sf_dir, "documents"))
@@ -142,8 +150,12 @@ def _token_sketch(
             )
             .persist()
         )
-    _TOKEN_SKETCH_CACHE[key] = (small_vocab, d)
-    return _TOKEN_SKETCH_CACHE[key]
+    try:
+        owner_ref = weakref.ref(spark)
+    except TypeError:  # session type not weakref-able: degrade to a
+        owner_ref = lambda s=spark: s  # strong ref (leaks one session)
+    _TOKEN_SKETCH_CACHE[sf_dir] = (owner_ref, small_vocab, d)
+    return small_vocab, d
 
 
 @register(
@@ -1173,14 +1185,18 @@ def dedup_duplicated_span_regions(
     "a lang-only join (4 langs = catastrophic skew at 100 TB) and "
     "never all-pairs. Shares the memoized per-doc token sketch with "
     "the Jaccard family; on a <=64-word vocabulary |A inter B| is "
-    "bit_count(a & b) over the flat block join, beyond that it is the "
-    "MATCH COUNT of the in-block token co-occurrence join (exact: the "
-    "token arrays are distinct) — the flat join was the worst sf1 "
-    "scaler at 97x wall for 10x docs, the count join is linear and "
-    "pure whole-stage-codegen integers (SCALE.md §6). The >= 0.8 "
-    "filter is the exact integer form 5*inter >= 4*|A|, and the "
-    "emitted score is an exact int/int division — hash-identical in "
-    "both engines.",
+    "bit_count(a & b) over the flat block join, beyond that candidates "
+    "come from the LOSSLESS containment prefix filter over the rare-"
+    "first df-ordered arrays (probe side explodes only each A's first "
+    "n_a - ceil(4 n_a/5) + 1 rarest tokens; build side posts all "
+    "tokens with positions; size + positional prunes in the join) and "
+    "one array_intersect verifies each surviving pair — the round-10 "
+    "token co-occurrence plan was exact but Zipf-fragile: a stopword's "
+    "in-block posting list alone made it quadratic (VERDICT r10 #1); "
+    "prefixes keep stopwords out of the probe side entirely. The "
+    ">= 0.8 filter is the exact integer form 5*inter >= 4*|A|, and "
+    "the emitted score is an exact int/int division — hash-identical "
+    "in both engines.",
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     small_vocab, d = _token_sketch(spark, sf_dir)
@@ -1211,57 +1227,91 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
     else:
-        # Large-vocab path (sf1 scaling fix, SCALE.md §6 — this was the
-        # worst scaler at 97x wall-time for 10x docs as a flat block
-        # cross-product): |A∩B| is computed as the MATCH COUNT of the
-        # within-block token co-occurrence join — explode both sides'
-        # (already distinct) token arrays, equi-join on (lang, band,
-        # token) with the size prune n_b >= ceil(4·n_a/5) folded into
-        # the join, and count matches per directed pair. Exact and
-        # lossless (arrays hold distinct tokens, so each shared token
-        # matches exactly once); whole-stage-codegen integers end to
-        # end — no array_intersect per pair, no candidate distinct.
-        # Shuffle volume is sum(|A∩B|) over in-block pairs, within a
-        # constant of the output lower bound on near-dup-dense corpora
-        # (measured linear: 3.2x rows and 3.2x wall for 3.33x docs).
-        # On Zipf-heavy corpora where a stopword's in-block posting
-        # list alone is huge, bound candidates with rare-token prefixes
-        # instead (operators/ppjoin.py; dedup_jaccard_blocked_pairs'
-        # large-vocab branch shows the blocked form).
+        # Large-vocab path (VERDICT r10 #1 — the round-10 token
+        # CO-OCCURRENCE plan was exact and volume-linear on the flat
+        # fixture but Zipf-fragile: one common token in a block of
+        # postings contributes |posting|² join rows, so a stopword-heavy
+        # corpus blows it up quadratically). Candidates now come from
+        # the containment PREFIX FILTER over the sketch's rare-first
+        # df-ordered arrays instead — the same lossless PPJoin move
+        # dedup_jaccard_blocked_pairs' branch uses, specialized to the
+        # asymmetric measure: C(A,B) = |A∩B|/|A| >= 4/5 needs overlap
+        # alpha = ceil(4·n_a/5), so A must share a token with B inside
+        # A's first n_a - alpha + 1 RAREST tokens (else all shared
+        # tokens sit among A's last alpha-1 tokens — contradiction).
+        # The probe side therefore explodes only A-prefixes (rare
+        # tokens, short posting lists — a stopword enters the join only
+        # through the rare docs whose prefix it reaches); the build
+        # side posts ALL tokens with positions, because any B token can
+        # be the shared rare one (containment puts no lower bound on
+        # B's token ranks). Positional prune per matched row:
+        # overlap <= 1 + min(n_a - r_a, n_b - r_b) must reach alpha —
+        # lossless because a qualifying pair's FIRST shared token (by
+        # the global order) always lands in A's prefix and always
+        # passes the prune. One array_intersect verifies each
+        # surviving distinct pair exactly.
+        alpha = F.floor((F.col("n_a") * 4 + 4) / 5)  # ceil(4·n_a/5)
+        plen = F.greatest(
+            F.col("n_words")
+            - F.floor((F.col("n_words") * 4 + 4) / 5).cast("int")
+            + 1,
+            F.lit(1),
+        )
         pa = d.select(
             F.col("doc_id").alias("id_a"),
             "lang",
             probe_band,
             F.col("n_words").alias("n_a"),
-            F.explode("words").alias("w"),
-        )
+            F.posexplode(F.slice("words", F.lit(1), plen)).alias(
+                "r0", "w"
+            ),
+        ).withColumn("r_a", F.col("r0") + 1)
         pb = d.select(
             F.col("doc_id").alias("id_b"),
             F.col("lang").alias("lang_b"),
             F.col("len_band").alias("band_b"),
             F.col("n_words").alias("n_b"),
-            F.explode("words").alias("wb"),
-        )
+            F.posexplode("words").alias("rb0", "wb"),
+        ).withColumn("r_b", F.col("rb0") + 1)
         # merge hint: once the persisted sketch's (tiny) stats are
         # known, Catalyst broadcasts one side — but the broadcast frame
-        # explodes ~20x AFTER the broadcast, so every task rebuilds a
+        # explodes AFTER the broadcast, so every task rebuilds a
         # million-row hash table (measured 5x slower in-session than
-        # the sort-merge plan the first, stats-blind run picks). Pin
-        # SMJ: the co-occurrence volume is the real cost either way.
-        pairs = (
+        # the stats-blind SMJ plan; SCALE.md §6). Pin SMJ.
+        cand = (
             pa.hint("merge")
             .join(
                 pb.hint("merge"),
                 (F.col("lang") == F.col("lang_b"))
                 & (F.col("band") == F.col("band_b"))
-                & (F.col("id_a") != F.col("id_b"))
-                & (F.col("w") == F.col("wb"))
-                & (F.col("n_b") * 5 >= F.col("n_a") * 4),
+                & (F.col("w") == F.col("wb")),
             )
-            .groupBy("id_a", "id_b", "n_a")
-            .agg(F.count(F.lit(1)).alias("__i"))
+            .filter(
+                (F.col("id_a") != F.col("id_b"))
+                & (F.col("n_b") * 5 >= F.col("n_a") * 4)
+                & (
+                    1
+                    + F.least(
+                        F.col("n_a") - F.col("r_a"),
+                        F.col("n_b") - F.col("r_b"),
+                    )
+                    >= alpha
+                )
+            )
+            .select("id_a", "id_b")
+            .distinct()
         )
-        inter = F.col("__i")
+        av = d.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("words").alias("words_a"),
+            F.col("n_words").alias("n_a"),
+        )
+        bv = d.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("words").alias("words_b"),
+        )
+        pairs = cand.join(av, "id_a").join(bv, "id_b")
+        inter = F.size(F.array_intersect("words_a", "words_b"))
     return (
         pairs.filter(inter * 5 >= F.col("n_a") * 4)
         .withColumn("containment", inter.cast("double") / F.col("n_a"))

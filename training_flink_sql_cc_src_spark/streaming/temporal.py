@@ -41,7 +41,9 @@ from __future__ import annotations
 import datetime
 import os
 import shutil
+import threading
 import time
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -54,20 +56,50 @@ from pyspark.sql import functions as F
 DEFAULT_PRUNE_MARGIN_SECONDS = 600.0
 
 _DELAY_UNIT_SECONDS = {
+    "microsecond": 1e-6,
     "millisecond": 0.001,
     "second": 1.0,
     "minute": 60.0,
     "hour": 3600.0,
     "day": 86400.0,
+    "week": 604800.0,
 }
 
 
-def _delay_to_seconds(delay: str) -> float:
-    """Parse a Spark withWatermark delay string ("5 seconds", "2 minutes",
-    "0 seconds") into seconds."""
-    n, unit = delay.split(None, 1)
-    key = unit.strip().lower().rstrip("s")
-    return float(n) * _DELAY_UNIT_SECONDS[key]
+def _delay_to_seconds(delay: str) -> float | None:
+    """Parse a Spark withWatermark delay string into seconds. Accepts
+    everything Spark's CalendarInterval parser does for watermark delays:
+    single units ("5 seconds"), week/microsecond units, an optional
+    leading INTERVAL keyword, and compound forms ("1 minute 30 seconds").
+    Returns None (caller degrades to no auto-pruning) on forms it cannot
+    interpret rather than raising — a validly registered dim must never
+    crash temporal-join setup over its delay string (ADVICE r10)."""
+    toks = delay.replace(",", " ").split()
+    if toks and toks[0].lower() == "interval":
+        toks = toks[1:]
+    if not toks or len(toks) % 2:
+        warnings.warn(
+            f"unrecognized watermark delay {delay!r}; auto-pruning disabled"
+        )
+        return None
+    total = 0.0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        key = unit.strip().lower().rstrip("s")
+        if key not in _DELAY_UNIT_SECONDS:
+            warnings.warn(
+                f"unrecognized watermark delay unit {unit!r} in "
+                f"{delay!r}; auto-pruning disabled"
+            )
+            return None
+        try:
+            total += float(n) * _DELAY_UNIT_SECONDS[key]
+        except ValueError:
+            warnings.warn(
+                f"unrecognized watermark delay value {n!r} in "
+                f"{delay!r}; auto-pruning disabled"
+            )
+            return None
+    return total
 
 
 def derive_prune_lookback_seconds(
@@ -87,12 +119,37 @@ def derive_prune_lookback_seconds(
     if dim_meta is None or not dim_meta.watermark_col:
         return None
     total = _delay_to_seconds(dim_meta.watermark_delay)
+    if total is None:
+        return None
     probe_delays = [0.0]
     for name in probe_names:
         meta = engine.catalog.get(resolve(name))
         if meta is not None and meta.watermark_col:
-            probe_delays.append(_delay_to_seconds(meta.watermark_delay))
+            d = _delay_to_seconds(meta.watermark_delay)
+            if d is None:
+                # an unparseable PROBE delay makes any derived lookback
+                # potentially too small (unsafe pruning) — disable
+                return None
+            probe_delays.append(d)
     return total + max(probe_delays) + DEFAULT_PRUNE_MARGIN_SECONDS
+
+
+#: Per-snapshot-path locks serializing the compaction swap
+#: (:func:`prune_version_history`'s two renames) against
+#: :func:`_recover_snapshot`. Both the dim sink's foreachBatch and the
+#: probe's foreachBatch run as Python callbacks in the SAME driver
+#: process, so an in-process lock is the correct scope: without it a
+#: probe batch observing the one-instant window between rename #1
+#: (live -> gc) and rename #2 (tmp -> live) would "steal" the swap by
+#: renaming tmp -> live itself, and the pruner's own rename #2 then
+#: raises FileNotFoundError inside the LIVE dim stream (ADVICE r10).
+_SWAP_LOCKS: dict[str, threading.Lock] = {}
+_SWAP_LOCKS_GUARD = threading.Lock()
+
+
+def _swap_lock(path: str) -> threading.Lock:
+    with _SWAP_LOCKS_GUARD:
+        return _SWAP_LOCKS.setdefault(os.path.abspath(path), threading.Lock())
 
 
 def _recover_snapshot(path: str) -> None:
@@ -100,14 +157,19 @@ def _recover_snapshot(path: str) -> None:
     :func:`prune_version_history`: if the live dir is missing, a crash
     hit between the two renames — complete the swap from the tmp dir
     (which is always fully written before rename #1, `_SUCCESS` marker
-    checked), else roll back to the pre-compaction generation."""
-    tmp, gc = path + ".__compact_tmp", path + ".__compact_gc"
-    if os.path.exists(path):
-        return
-    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-        os.rename(tmp, path)
-    elif os.path.exists(gc):
-        os.rename(gc, path)
+    checked), else roll back to the pre-compaction generation. Holds the
+    per-path swap lock so it can never run concurrently with a LIVE
+    (non-crashed) compaction's rename pair: if the pruner is mid-swap,
+    this blocks until rename #2 lands, then sees the live dir and
+    no-ops."""
+    with _swap_lock(path):
+        tmp, gc = path + ".__compact_tmp", path + ".__compact_gc"
+        if os.path.exists(path):
+            return
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, path)
+        elif os.path.exists(gc):
+            os.rename(gc, path)
 
 
 def prune_version_history(
@@ -172,10 +234,14 @@ def prune_version_history(
     kept = recent.unionByName(last_old)
     tmp, gc = path + ".__compact_tmp", path + ".__compact_gc"
     kept.write.mode("overwrite").parquet(tmp)  # reads live, writes tmp
-    if os.path.exists(gc):
-        shutil.rmtree(gc)
-    os.rename(path, gc)
-    os.rename(tmp, path)
+    # the rename pair is the only window where the live dir is absent;
+    # hold the swap lock across it so a concurrent _recover_snapshot
+    # (probe foreachBatch, same driver process) cannot steal the swap
+    with _swap_lock(path):
+        if os.path.exists(gc):
+            shutil.rmtree(gc)
+        os.rename(path, gc)
+        os.rename(tmp, path)
     spark.catalog.refreshByPath(path)
     shutil.rmtree(gc, ignore_errors=True)
 
@@ -402,7 +468,13 @@ def temporal_join_stream_continuous(
         batch_df.createOrReplaceTempView(probe_name)
         for attempt in (0, 1):
             try:
-                _recover_snapshot(path)
+                # crash recovery only on the RETRY, and only once a
+                # fresh listing still finds the live dir missing — a
+                # first-attempt miss is usually the pruner mid-swap
+                # (its rename pair holds the swap lock, which
+                # _recover_snapshot would then wait on and no-op)
+                if attempt and not os.path.exists(path):
+                    _recover_snapshot(path)
                 session.catalog.refreshByPath(path)
                 session.read.parquet(path).createOrReplaceTempView(dim_name)
                 session.sql(rewritten).write.mode("overwrite").parquet(
