@@ -33,6 +33,11 @@ from training_flink_sql_cc_src_spark.session import get_spark
 
 VARS = ["A", "B", "C", "D"]
 CHARS = {"A": "a", "B": "b", "C": "c", "D": "d"}
+# wider variable pool for PERMUTE (the matched-set automaton lowers up
+# to 8); the sequential grammar keeps the 4-variable pool so quantified
+# shapes stay within the LEAD-chain caps
+PERM_VARS = ["A", "B", "C", "D", "E", "G", "H"]
+PERM_CHARS = dict(CHARS, E="e", G="g", H="h")
 
 
 def rand_pattern(rng, depth=0):
@@ -101,16 +106,21 @@ def rand_pattern(rng, depth=0):
 
 
 def permute_pattern(rng):
-    """PATTERN (PERMUTE (X, Y[, Z])): reference is the alternation of all
-    orderings with listed-order (lexicographic) preference — exactly what
-    itertools.permutations + first-alternative regex preference gives."""
-    k = rng.randint(2, 3)
-    vs = rng.sample(VARS, k)
+    """PATTERN (PERMUTE (X, Y[, ...])): reference is the alternation of
+    all orderings with listed-order (lexicographic) preference — exactly
+    what itertools.permutations + first-alternative regex preference
+    gives. k <= 4 exercises the LEAD-chain lowering, k >= 5 the
+    matched-set automaton node (round 11; reference regex stays the
+    explicit k! alternation, so the automaton is cross-checked against
+    the factorial semantics it replaced)."""
+    k = rng.choice([2, 2, 3, 3, 4, 5, 5, 6, 7])
+    vs = rng.sample(PERM_VARS, k)
     pat_e = "PERMUTE (" + ", ".join(vs) + ")"
     pat_r = (
         "(?:"
         + "|".join(
-            "".join(CHARS[v] for v in p) for p in itertools.permutations(vs)
+            "".join(PERM_CHARS[v] for v in p)
+            for p in itertools.permutations(vs)
         )
         + ")"
     )
@@ -137,20 +147,28 @@ def main(n_cases, seed):
         if len(set(used)) != len(used) or not min_len_ok(pat_r):
             continue
         defines = ", ".join(
-            f"{v} AS {v}.et = '{CHARS[v]}'" for v in sorted(set(used))
+            f"{v} AS {v}.et = '{PERM_CHARS[v]}'" for v in sorted(set(used))
         )
-        alphabet = [CHARS[v] for v in used] + ["x"]
+        alphabet = [PERM_CHARS[v] for v in used] + ["x"]
         # ~30% of cases: THREE partitions incl. a NULL key (a NULL
         # partition key is its own group — the round-8 null-safe
         # skip-filter join contract), each with independent data
         multi = rng.random() < 0.3
         keys = [1, None, 2] if multi else [1]
-        key_types = {
-            k: "".join(
-                rng.choice(alphabet) for _ in range(rng.randint(3, 14))
-            )
-            for k in keys
-        }
+        def _key_string():
+            n = rng.randint(max(3, len(used)), 14 + 2 * len(used))
+            chars = [rng.choice(alphabet) for _ in range(n)]
+            if len(used) >= 5 and rng.random() < 0.7:
+                # wide PERMUTE: a random-ordered full variable window,
+                # spliced in so the matched-set automaton actually fires
+                # (uniform draws almost never produce a 5-7 permutation)
+                perm = [PERM_CHARS[v] for v in used]
+                rng.shuffle(perm)
+                at = rng.randint(0, max(0, n - len(perm)))
+                chars[at:at + len(perm)] = perm
+            return "".join(chars)
+
+        key_types = {k: _key_string() for k in keys}
         tried += 1
         # skip mode: NEXT ROW / PAST LAST ROW / TO FIRST|LAST <var>
         sk = rng.random()

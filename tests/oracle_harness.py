@@ -38,7 +38,15 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # Spark-written scale fixtures are parquet DIRECTORIES
+            # (scripts/gen_scale.py) — glob the part files so parity
+            # can run on them too (Zipf-corpus checks, VERDICT r10 #1)
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS "
+                f"SELECT * FROM '{path}/*.parquet'"
+            )
+        elif os.path.exists(path):
             con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{path}'")
     return con
 

@@ -3148,11 +3148,12 @@ def test_measure_nav_offsets_lead_chain_and_nfa(spark):
     skip_past=st.booleans(),
 )
 def test_permute5_matches_python_reference(spark, types, skip_past):
-    """PERMUTE over FIVE variables (round 10 — above the old 4-variable
-    cap) lowers through the alternation AST + generator NFA; semantics
-    must equal the per-start first-permutation-in-lexicographic-order
-    reference under both AFTER MATCH modes, exactly like the 3-variable
-    LEAD-chain property test above."""
+    """PERMUTE over FIVE variables (above the 4-variable LEAD-chain
+    cap) lowers through the matched-set automaton node (round 11 — was
+    the 120-branch alternation in round 10); semantics must equal the
+    per-start first-permutation-in-lexicographic-order reference under
+    both AFTER MATCH modes, exactly like the 3-variable LEAD-chain
+    property test above."""
     from itertools import permutations
 
     rows = [(1, i, t) for i, t in enumerate(types)]
@@ -3199,30 +3200,93 @@ def test_permute5_matches_python_reference(spark, types, skip_past):
     assert sorted((r.a_seq, r.e_seq) for r in got) == want
 
 
-def test_permute7_raises_loudly(spark):
-    """PERMUTE over 7 variables (5040 alternatives) stays a loud,
-    instructive error — the backtracker would try every ordering per
-    candidate start."""
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    types=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "g", "h", "x"]),
+        min_size=7,
+        max_size=18,
+    ),
+    skip_past=st.booleans(),
+)
+def test_permute7_matches_python_reference(spark, types, skip_past):
+    """PERMUTE over SEVEN variables — a loud error through round 10
+    (5040 alternation branches); the matched-set automaton (2^7 = 128
+    states, VERDICT r10 #2) lowers it exactly. Reference: per-start
+    first permutation in lexicographic order, both AFTER MATCH modes."""
+    from itertools import permutations
+
+    rows = [(1, i, t) for i, t in enumerate(types)]
+    spark.createDataFrame(
+        rows, "user_id int, seq int, event_type string"
+    ).createOrReplaceTempView("__mr_permprop7")
+    skip = "SKIP PAST LAST ROW" if skip_past else "SKIP TO NEXT ROW"
+    got = StatementRouter(spark).execute(
+        f"""
+        SELECT a_seq, h_seq FROM __mr_permprop7
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq, H.seq AS h_seq
+            ONE ROW PER MATCH
+            AFTER MATCH {skip}
+            PATTERN (PERMUTE (A, B, C, D, E, G, H))
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'b',
+                   C AS C.event_type = 'c',
+                   D AS D.event_type = 'd',
+                   E AS E.event_type = 'e',
+                   G AS G.event_type = 'g',
+                   H AS H.event_type = 'h'
+        )
+        """
+    ).collect()
+    n = len(types)
+    cands: dict[int, tuple[int, int]] = {}
+    for s in range(n - 6):
+        for perm in permutations("abcdegh"):
+            if all(types[s + i] == perm[i] for i in range(7)):
+                pos = {v: s + i for i, v in enumerate(perm)}
+                cands[s] = (pos["a"], pos["h"])
+                break
+    want = []
+    if skip_past:
+        last_end = -1
+        for s in sorted(cands):
+            if s > last_end:
+                want.append(cands[s])
+                last_end = s + 6
+        want.sort()
+    else:
+        want = sorted(cands.values())
+    assert sorted((r.a_seq, r.h_seq) for r in got) == want
+
+
+def test_permute9_raises_loudly(spark):
+    """PERMUTE over 9 variables stays a loud, instructive error — past
+    the matched-set automaton's 8-variable / 256-state bound."""
     spark.createDataFrame(
         [(1, 0, "a")], "user_id int, seq int, event_type string"
-    ).createOrReplaceTempView("__mr_permprop7")
+    ).createOrReplaceTempView("__mr_permprop9")
     import pytest
 
-    with pytest.raises(NotImplementedError, match="720"):
+    with pytest.raises(NotImplementedError, match="256"):
         StatementRouter(spark).execute(
             """
-            SELECT a_seq FROM __mr_permprop7
+            SELECT a_seq FROM __mr_permprop9
             MATCH_RECOGNIZE (
                 PARTITION BY user_id ORDER BY seq
                 MEASURES A.seq AS a_seq
-                PATTERN (PERMUTE (A, B, C, D, E, G, H))
+                PATTERN (PERMUTE (A, B, C, D, E, G, H, J, K))
                 DEFINE A AS A.event_type = 'a',
                        B AS B.event_type = 'b',
                        C AS C.event_type = 'c',
                        D AS D.event_type = 'd',
                        E AS E.event_type = 'e',
                        G AS G.event_type = 'g',
-                       H AS H.event_type = 'h'
+                       H AS H.event_type = 'h',
+                       J AS J.event_type = 'j',
+                       K AS K.event_type = 'k'
             )
             """
         )

@@ -440,18 +440,20 @@ def test_match_recognize_adjacent_subset_lowers(router):
 
 def test_match_recognize_guard(router):
     # unbounded quantifiers, quantified alternation groups, nested
-    # groups, and PERMUTE up to 6 variables all lower now (5-6 through
-    # the alternation NFA, round 10); an over-wide PERMUTE (7! = 5040
-    # orderings) stays outside the cap with the instructive error
+    # groups, and PERMUTE up to 8 variables all lower now (5-8 through
+    # the matched-set automaton, round 11); an over-wide PERMUTE
+    # (9 variables, 512 matched-set states) stays outside the cap with
+    # the instructive error
     with pytest.raises(NotImplementedError, match="pattern_funnel"):
         router.execute(
             "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id "
             "ORDER BY ts MEASURES A.ts AS a_ts "
-            "PATTERN (PERMUTE (A, B, C, D, E, G, H)) DEFINE "
+            "PATTERN (PERMUTE (A, B, C, D, E, G, H, J, K)) DEFINE "
             "A AS A.event_type = 'view', B AS B.event_type = 'purchase', "
             "C AS C.event_type = 'error', D AS D.event_type = 'click', "
             "E AS E.event_type = 'signup', G AS G.event_type = 'view', "
-            "H AS H.event_type = 'click')"
+            "H AS H.event_type = 'click', J AS J.event_type = 'view', "
+            "K AS K.event_type = 'click')"
         )
 
 

@@ -1590,6 +1590,19 @@ def test_bounded_pattern_stream_matches_batch(spark):
         ("(PERMUTE (A, B))",
          "A AS A.v BETWEEN 10 AND 13, B AS B.v BETWEEN 8 AND 16",
          "PAST LAST ROW", ""),
+        # PERMUTE 5: the matched-set automaton node (round 11) on the
+        # stream leg — overlapping BETWEEN ranges so ordering choice
+        # matters; predicates all FAIL on the -1000 terminator pads
+        ("(PERMUTE (A, B, C, D, E))",
+         "A AS A.v BETWEEN 10 AND 16, B AS B.v BETWEEN 8 AND 15, "
+         "C AS C.v BETWEEN 6 AND 13, D AS D.v BETWEEN 9 AND 16, "
+         "E AS E.v BETWEEN 7 AND 14",
+         "PAST LAST ROW", ""),
+        ("(PERMUTE (A, B, C, D, E))",
+         "A AS A.v BETWEEN 10 AND 16, B AS B.v BETWEEN 8 AND 15, "
+         "C AS C.v BETWEEN 6 AND 13, D AS D.v BETWEEN 9 AND 16, "
+         "E AS E.v BETWEEN 7 AND 14",
+         "TO NEXT ROW", ""),
         # WITHIN bound on an optional shape
         ("(A B? C)", "A AS A.v >= 10, B AS B.v >= 8, C AS C.v BETWEEN 0 AND 9",
          "PAST LAST ROW", "WITHIN INTERVAL '2' SECOND"),

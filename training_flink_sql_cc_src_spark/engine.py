@@ -446,7 +446,7 @@ class Engine:
                 kind = node[0]
                 if kind == "var":
                     return True
-                if kind in ("seq", "alt"):
+                if kind in ("seq", "alt", "permute"):
                     return all(_ast_all_bounded(c) for c in node[1])
                 return node[3] is not None and _ast_all_bounded(node[1])
 

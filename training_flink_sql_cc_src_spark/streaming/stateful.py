@@ -933,7 +933,7 @@ def ast_max_len(node) -> int:
     kind = node[0]
     if kind == "var":
         return 1
-    if kind == "seq":
+    if kind in ("seq", "permute"):
         return sum(ast_max_len(c) for c in node[1])
     if kind == "alt":
         return max(ast_max_len(c) for c in node[1])
@@ -1105,6 +1105,38 @@ def _match_bounded(
         if kind == "alt":
             for child in node[1]:
                 yield from gen(child, i, acc)
+            return
+        if kind == "permute":
+            # matched-set automaton — the batch generator's permute
+            # branch, kept identical (plans/match_recognize
+            # match_from_ast): declaration-order successor expansion =
+            # lexicographic preference; dead-(row, mask) memo sound
+            # only without cross-variable checks
+            children = node[1]
+            full = (1 << len(children)) - 1
+            dead = set()
+            use_memo = not cross_checks
+
+            def p_gen(j, mask, acc2):
+                if mask == full:
+                    yield []
+                    return
+                if use_memo and (j, mask) in dead:
+                    return
+                produced = False
+                for bi, ch in enumerate(children):
+                    if mask & (1 << bi):
+                        continue
+                    for head in gen(ch, j, acc2):
+                        for rest in p_gen(
+                            j + len(head), mask | (1 << bi), acc2 + head
+                        ):
+                            produced = True
+                            yield head + rest
+                if use_memo and not produced:
+                    dead.add((j, mask))
+
+            yield from p_gen(i, 0, acc)
             return
         _, child, lo, hi, lazy = node
 
