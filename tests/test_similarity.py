@@ -177,3 +177,23 @@ def test_ann_ivfpq_recall_floor(spark, sf_small):
     recall = len(bf & ann) / len(bf)
     assert recall >= 0.1, f"recall {recall}"
     assert {q for q, _ in ann} <= set(range(8))
+
+
+def test_oracle_paired_recall_queries_nonvacuous(spark, sf_small):
+    """The four SQL-expressible recall@k siblings (VERDICT r10 #3 —
+    queries/llm_ann_recall.py) emit one row per query vector with
+    recall in [0, 1], and each family retrieves SOMETHING (total
+    recall > 0) — the hash-match itself is covered by the oracle
+    parity suite; this pins that the matched relation is not the
+    all-zero one."""
+    for name in (
+        "sim_ann_ivf_recall",
+        "sim_ann_lsh_recall",
+        "sim_ann_pq_recall",
+        "sim_ann_ivfpq_recall",
+    ):
+        rows = QUERIES[name](spark, sf_small).collect()
+        assert {r.query_id for r in rows} == set(range(8)), name
+        vals = [r.recall_at_k for r in rows]
+        assert all(0.0 <= v <= 1.0 for v in vals), (name, vals)
+        assert sum(vals) > 0, f"{name}: vacuous (zero total recall)"

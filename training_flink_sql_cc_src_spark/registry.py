@@ -377,6 +377,7 @@ def _load_all() -> None:
         attested,
         composite,
         joins,
+        llm_ann_recall,
         llm_dedup,
         llm_pipeline,
         llm_similarity,
