@@ -51,10 +51,23 @@ def _gate(tmp_path, queries, corpus):
     )
 
 
-def test_no_embedded_acks_remain():
-    """The fingerprint reset obsoletes data-regeneration acks — the
-    checked-in ack file must be empty (zero carried acks)."""
-    assert load_acks() == {}
+#: The only acks the checked-in config may carry: the round-11 cache-
+#: hygiene accounting change (VERDICT r10 #5 — bench.py unpersists the
+#: memoized token sketch after every query's timing block, so the two
+#: sketch-sharing dedup queries now pay their own sketch build; their
+#: warm-cache best-priors predate the accounting change and stay the
+#: minimum for as long as the corpus fingerprint is unchanged). Any ack
+#: outside this set is rot and must fail here.
+_ALLOWED_ACKS = {"dedup_jaccard_blocked_pairs", "dedup_containment_pairs"}
+
+
+def test_no_undocumented_acks_remain():
+    """Acks must be the documented cache-hygiene set at most — nothing
+    carried beyond it, and each must say WHY (non-trivial reason)."""
+    acks = load_acks()
+    assert set(acks) <= _ALLOWED_ACKS, acks
+    for name, why in acks.items():
+        assert "cache hygiene" in why and "VERDICT r10" in why, (name, why)
 
 
 def test_fingerprint_keyed_priors(r7):
@@ -88,15 +101,33 @@ def test_gate_passes_on_current_shape(tmp_path, r7):
 
 
 @pytest.mark.parametrize(
-    "victim", ["q21_waiting_supplier", "dedup_jaccard_blocked_pairs"]
+    "victim", ["q21_waiting_supplier", "dedup_minhash_lsh"]
 )
 def test_gate_trips_on_plan_pessimization(tmp_path, r7, victim):
     """3x slowdown on UNCHANGED data must fail the gate — for both a
     TPC-H query and a corpus-bound one (the reset must not blind the
-    ratchet on the same corpus)."""
+    ratchet on the same corpus). The corpus-bound victim is one WITHOUT
+    a cache-hygiene ack, so the gate's FAIL path is what's exercised."""
     queries, fp = r7
     r = _gate(tmp_path, {**queries, victim: queries[victim] * 3}, fp)
     assert r.returncode == 1 and f"FAIL {victim}" in r.stderr
+
+
+def test_gate_acks_the_cache_hygiene_queries(tmp_path, r7):
+    """The two sketch-sharing queries regress vs their warm-cache
+    best-priors by design (accounting change); the gate must surface
+    them as ACK — visible, reasoned — never as silent passes or FAILs."""
+    queries, fp = r7
+    slow = {
+        **queries,
+        "dedup_jaccard_blocked_pairs": queries[
+            "dedup_jaccard_blocked_pairs"
+        ]
+        * 3,
+    }
+    r = _gate(tmp_path, slow, fp)
+    assert r.returncode == 0, r.stderr
+    assert "ACK dedup_jaccard_blocked_pairs" in r.stderr
 
 
 def test_gate_resets_corpus_bound_on_regeneration(tmp_path, r7):
