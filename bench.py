@@ -37,6 +37,13 @@ from training_flink_sql_cc_src_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SWEEPS = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "3"))
+#: Comma-separated subset of HEADLINE for targeted scale runs (e.g. the
+#: top-5 heaviest at a large fixture, VERDICT r10 #6). Unset for the
+#: driver's full-suite contract; names outside HEADLINE are rejected so
+#: a typo can't silently bench nothing.
+ONLY = [
+    s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+]
 
 #: Headline queries: the attested flagship join, the heavy agg, each window
 #: kind, the hard custom operators (as-of, cumulate), and the [C] pipeline
@@ -252,14 +259,20 @@ def best_prior(current_fp: dict | None = None) -> dict[str, float]:
 def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else -1.0
+    headline = HEADLINE
+    if ONLY:
+        unknown = [n for n in ONLY if n not in HEADLINE]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY not in HEADLINE: {unknown}")
+        headline = tuple(ONLY)
     spark = get_spark("spark-graft-bench")
     queries = all_queries()
     corpus = corpus_stats(spark, SF_DIR)
     # warm-up: JVM + codegen + parquet footer caches
     run_one(spark, queries["s6_orders_enriched_join"], SF_DIR)
-    per_query: dict[str, float] = {n: float("inf") for n in HEADLINE}
+    per_query: dict[str, float] = {n: float("inf") for n in headline}
     for _sweep in range(SWEEPS):
-        for name in HEADLINE:
+        for name in headline:
             per_query[name] = min(
                 per_query[name], run_one(spark, queries[name], SF_DIR)
             )
@@ -269,7 +282,7 @@ def main() -> None:
     for _retry in range(2):
         flagged = [
             n
-            for n in HEADLINE
+            for n in headline
             if prior.get(n, 0) > 0.2 and per_query[n] > 1.5 * prior[n]
         ]
         if not flagged:

@@ -239,7 +239,7 @@ def main(n_cases, seed):
             spans.setdefault((r.user_id, r.mn), []).append(r.seq)
         got = sorted(tuple(sorted(v)) for v in spans.values())
         rx = pyre.compile(pat_r)
-        excl_chars = {CHARS[v] for v in excl}
+        excl_chars = {PERM_CHARS[v] for v in excl}
 
         def expected_for(ktypes: str):
             """Per-partition reference: (kept spans, want_err)."""
@@ -268,7 +268,7 @@ def main(n_cases, seed):
                     vpos = [
                         j
                         for j in range(st, e + 1)
-                        if ktypes[j] == CHARS[tvar]
+                        if ktypes[j] == PERM_CHARS[tvar]
                     ]
                     if not vpos:
                         # target unmatched: resume past the end

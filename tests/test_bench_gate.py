@@ -70,6 +70,25 @@ def test_no_undocumented_acks_remain():
         assert "cache hygiene" in why and "VERDICT r10" in why, (name, why)
 
 
+def test_bench_only_rejects_unknown_names():
+    """SPARK_GRAFT_BENCH_ONLY (targeted scale runs, VERDICT r10 #6) must
+    reject names outside HEADLINE before Spark even starts — a typo'd
+    subset must not silently bench nothing."""
+    import os
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_BENCH_ONLY": "no_such_query"},
+        timeout=60,
+    )
+    assert r.returncode != 0
+    assert "no_such_query" in (r.stderr + r.stdout)
+
+
 def test_fingerprint_keyed_priors(r7):
     """With the current fingerprint, corpus-bound priors come only from
     fingerprint-matching rounds; TPC-H priors keep full history."""
