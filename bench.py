@@ -92,6 +92,7 @@ HEADLINE = (
     "multimodal_pixel_stats",
     "join_asof_nearest",
     "pattern_match_recognize_permute5",
+    "multimodal_jpeg_pixel_stats",
 )
 
 

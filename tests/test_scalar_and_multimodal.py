@@ -341,3 +341,101 @@ def test_wav_sample_codec_roundtrip_and_guards():
     bad[20:22] = struct.pack("<H", 3)  # IEEE float codec id
     with pytest.raises(NotImplementedError):
         decode_wav_samples(bytes(bad))
+
+
+def test_jpeg_pixel_codec_exact_on_block_constant():
+    """Baseline-JPEG codec (functions/media): block-constant grayscale
+    at quality 100 (all-ones quant) must reconstruct BIT-EXACTLY — the
+    invariant multimodal_jpeg_pixel_stats' DuckDB oracle relies on
+    (DC-only blocks: F00 = 8*(v-128) integral, AC all zero)."""
+    import numpy as np
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_jpeg_pixels,
+        jpeg_bytes_with_pixels,
+        parse_media_header,
+    )
+
+    for did in (0, 7, 41, 255):
+        bw, bh = 2 + did % 3, 2 + (did * 5) % 3
+        v = (
+            17 * np.arange(bw)[None, :] + 29 * np.arange(bh)[:, None] + did
+        ) % 256
+        px = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        data = jpeg_bytes_with_pixels(px, quality=100)
+        assert np.array_equal(decode_jpeg_pixels(data), px)
+        meta = parse_media_header(data)
+        assert (meta["container"], meta["width"], meta["height"]) == (
+            "jpeg",
+            bw * 8,
+            bh * 8,
+        )
+
+
+def test_jpeg_pixel_codec_bounded_error_and_restarts():
+    """Lossy shapes: random gray at q100 is within rounding error;
+    noise RGB at q90 and a smooth gradient at q95 stay inside small
+    bounds; DRI/RSTn restart-marker encoding decodes identically to
+    the unrestarted stream (predictor resets exercised)."""
+    import numpy as np
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_jpeg_pixels,
+        jpeg_bytes_with_pixels,
+    )
+
+    rng = np.random.RandomState(42)
+    gray = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    out = decode_jpeg_pixels(jpeg_bytes_with_pixels(gray, quality=100))
+    assert int(np.abs(out.astype(int) - gray.astype(int)).max()) <= 2
+
+    rgb = rng.randint(0, 256, (17, 19, 3)).astype(np.uint8)
+    out = decode_jpeg_pixels(jpeg_bytes_with_pixels(rgb, quality=90))
+    assert out.shape == rgb.shape
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 48
+
+    xs = np.linspace(0, 255, 32)[None, :, None]
+    ys = np.linspace(0, 255, 24)[:, None, None]
+    cs = np.array([0.0, 0.5, 1.0])[None, None, :]
+    smooth = np.clip(xs * 0.5 + ys * 0.4 + cs * 30, 0, 255).astype(np.uint8)
+    out = decode_jpeg_pixels(jpeg_bytes_with_pixels(smooth, quality=95))
+    assert int(np.abs(out.astype(int) - smooth.astype(int)).max()) <= 6
+
+    with_rst = decode_jpeg_pixels(
+        jpeg_bytes_with_pixels(gray, quality=85, restart_interval=2)
+    )
+    without = decode_jpeg_pixels(jpeg_bytes_with_pixels(gray, quality=85))
+    assert np.array_equal(with_rst, without)
+
+
+def test_jpeg_decode_guards_progressive_and_subsampled():
+    """Unsupported shapes raise the loud NotImplementedError convention:
+    progressive SOF2, and 4:2:0-subsampled SOF0 components."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_jpeg_pixels,
+        jpeg_bytes_with_pixels,
+    )
+
+    gray = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(jpeg_bytes_with_pixels(gray, quality=100))
+    sof_at = bytes(data).find(b"\xff\xc0")
+    assert sof_at > 0
+    progressive = bytes(data[:sof_at]) + b"\xff\xc2" + bytes(data[sof_at + 2:])
+    with _pytest.raises(NotImplementedError, match="SOF0"):
+        decode_jpeg_pixels(progressive)
+
+    # flip the single component's sampling byte 0x11 -> 0x22 (2x2)
+    comp_at = sof_at + 4 + 6  # marker+len + (depth,h,w,ncomp)
+    subsampled = bytearray(data)
+    assert subsampled[comp_at + 1] == 0x11
+    subsampled[comp_at + 1] = 0x22
+    with _pytest.raises(NotImplementedError, match="4:4:4"):
+        decode_jpeg_pixels(bytes(subsampled))
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_pixels(b"not a jpeg")

@@ -9,8 +9,12 @@ IDAT stream with stdlib zlib and reverses the five scanline filters with
 numpy (non-interlaced 8-bit RGB/RGBA; everything rarer raises loudly).
 WAV PCM SAMPLE decode is stdlib as well (``decode_wav_samples``:
 RIFF chunk walk + int16 frombuffer; 16-bit PCM, the canonical WAV).
-Only JPEG pixel decode and compressed audio still need PIL/ffmpeg
-(absent here and stubbed in queries/multimodal._decode_payload).
+JPEG pixel decode is REAL too (``jpeg_bytes_with_pixels`` /
+``decode_jpeg_pixels``: baseline T.81 with float DCT, Annex K tables
+via DQT/DHT, Huffman entropy coding, byte stuffing, RSTn restarts —
+grayscale and 4:4:4; progressive/subsampled raise loudly).
+Only compressed audio (mp3/ogg/ADPCM) still needs ffmpeg/librosa
+(absent here and guarded in queries/multimodal._decode_payload).
 Builders emit spec-valid minimal files (PNG chunk
 CRCs via zlib.crc32, RIFF sizes correct), so the parse step is a genuine
 decode, not a fake: multimodal_header_decode round-trips
@@ -355,3 +359,486 @@ def decode_wav_samples(data: bytes):
         )
     arr = np.frombuffer(raw[: len(raw) - len(raw) % (2 * channels)], "<i2")
     return sample_rate, arr.reshape(-1, channels)
+
+
+# ----------------------------------------------------- pixel codec (JPEG)
+# REAL baseline JPEG (ITU-T T.81) entropy codec — pure numpy + stdlib, no
+# codec libraries. The tables below are the PUBLIC Annex K defaults:
+# K.1 luminance quantization, K.3 DC / K.5 AC luminance Huffman specs.
+# Both codecs speak through the FILE (DQT/DHT segments are written and
+# re-read), so the decoder reads any baseline JPEG that sticks to 4:4:4
+# or grayscale — progressive (SOF2) and subsampled chroma raise the loud
+# NotImplementedError convention used by every capped path here.
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: Annex K Table K.1 (luminance), zigzag-ORDER-agnostic (row-major here).
+_JPEG_Q_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+#: Annex K Table K.3: DC luminance Huffman spec (BITS, HUFFVAL).
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+
+#: Annex K Table K.5: AC luminance Huffman spec.
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+# every (run 0..15, size 1..10) pair plus EOB and ZRL must be encodable
+assert len(_JPEG_AC_VALS) == sum(_JPEG_AC_BITS) == 162
+assert set(_JPEG_AC_VALS) == (
+    {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 Annex C."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _jpeg_quant_table(quality: int):
+    """libjpeg quality scaling of the Annex K luminance table;
+    quality=100 gives the all-ones table (numerically lossless for
+    DC-only blocks)."""
+    import numpy as np
+
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (np.array(_JPEG_Q_LUMA, dtype=np.int64) * scale + 50) // 100
+    return np.clip(q, 1, 255).reshape(8, 8)
+
+
+def _jpeg_size_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_align(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # 1-fill padding
+
+
+def _jpeg_encode_block(zz, dc_pred, dc_codes, ac_codes, w) -> int:
+    """Huffman-encode one zigzagged quantized block; returns new DC."""
+    dc = int(zz[0])
+    diff = dc - dc_pred
+    s = _jpeg_size_cat(diff)
+    if s > 11:
+        raise ValueError("JPEG DC difference out of baseline range")
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zc, zl = ac_codes[0xF0]  # ZRL
+            w.write(zc, zl)
+            run -= 16
+        s = _jpeg_size_cat(v)
+        if s > 10:
+            raise ValueError("JPEG AC coefficient out of baseline range")
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]  # EOB
+        w.write(ec, el)
+    return dc
+
+
+def jpeg_bytes_with_pixels(
+    pixels, quality: int = 100, restart_interval: int = 0
+) -> bytes:
+    """Spec-valid BASELINE JPEG carrying real entropy-coded pixel data:
+    level shift, 8x8 float DCT, quantization (Annex K table scaled by
+    ``quality``; 100 -> all-ones), zigzag, differential DC + run-length
+    AC Huffman coding with the Annex K luminance tables, byte stuffing,
+    optional DRI/RSTn restart markers. ``pixels`` is (h, w) uint8
+    grayscale or (h, w, 3) uint8 RGB (written 4:4:4 via the JFIF YCbCr
+    transform). Real JPEG readers decode the output unchanged; the
+    exact inverse path is :func:`decode_jpeg_pixels`."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB uint8")
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    q = _jpeg_quant_table(quality)
+    m = _jpeg_dct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    bh, bw = -(-h // 8), -(-w // 8)
+    blocks_per_plane = []
+    for plane in planes:
+        p = np.clip(np.rint(plane), 0, 255)
+        p = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+        blk = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,byxz,vz->byuv", m, blk, m)
+        qd = np.rint(coef / q).astype(np.int64)
+        blocks_per_plane.append(qd.reshape(bh, bw, 64)[:, :, :])
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _JpegBitWriter()
+    preds = [0] * len(planes)
+    mcu = 0
+    rst = 0
+    body = bytearray()
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.pad_align()
+                body += wtr.out
+                wtr = _JpegBitWriter()
+                body += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            for ci, blocks in enumerate(blocks_per_plane):
+                # reorder row-major coeffs into the zigzag sequence
+                flat = blocks[by, bx].reshape(64)[zz]
+                preds[ci] = _jpeg_encode_block(
+                    flat, preds[ci], dc_codes, ac_codes, wtr
+                )
+            mcu += 1
+    wtr.pad_align()
+    body += wtr.out
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    ncomp = len(planes)
+    dqt = seg(0xDB, bytes([0]) + bytes(int(q.reshape(64)[i]) for i in zz))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, ncomp)
+        + b"".join(struct.pack("BBB", i + 1, 0x11, 0) for i in range(ncomp)),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(
+        0xDA,
+        bytes([ncomp])
+        + b"".join(struct.pack("BB", i + 1, 0x00) for i in range(ncomp))
+        + bytes((0, 63, 0)),
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos + bytes(body)
+        + b"\xff\xd9"
+    )
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing and RSTn
+    detection (T.81 F.2.2.5): a marker inside the scan is surfaced to
+    the caller via :meth:`at_restart` / :meth:`consume_restart`."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.pending_marker = None
+
+    def _fill(self) -> None:
+        if self.pending_marker is not None:
+            raise ValueError("JPEG scan data ended at a marker mid-block")
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG scan data truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                # a real marker: un-consume and record it
+                self.pos -= 1
+                self.pending_marker = nxt
+                raise ValueError("JPEG scan data ended at a marker mid-block")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def peek_marker(self):
+        """At an MCU boundary: is the stream sitting on a marker?"""
+        p = self.pos
+        while p + 1 < len(self.data) and self.data[p] == 0xFF:
+            if self.data[p + 1] == 0x00:
+                return None
+            return self.data[p + 1]
+        return None
+
+    def consume_restart(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.pending_marker = None
+        self.pos += 2  # FF Dn
+
+
+def _jpeg_decode_huffman(reader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bits(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code (corrupt scan)")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(data: bytes):
+    """REAL baseline-JPEG pixel decode with numpy + stdlib (closes the
+    JPEG half of the round-10 'missing' item the way round 10 closed
+    PNG): walk the marker segments, rebuild the quant + Huffman tables
+    FROM the file (DQT/DHT), entropy-decode the interleaved scan
+    (byte unstuffing, RSTn restart handling, differential DC,
+    run-length AC), dequantize, un-zigzag, IDCT, and color-convert.
+    Returns (h, w) uint8 for grayscale or (h, w, 3) uint8 RGB (JFIF
+    YCbCr inverse) for 3-component 4:4:4 scans.
+
+    Supported: baseline sequential (SOF0), 8-bit, grayscale or 4:4:4 —
+    the shapes :func:`jpeg_bytes_with_pixels` emits. Progressive
+    (SOF2), arithmetic coding, 12-bit, and subsampled chroma raise the
+    loud NotImplementedError convention (they need a full codec
+    library, absent in this container)."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"decode_jpeg_pixels: only baseline sequential (SOF0) is "
+                f"implemented (got SOF marker 0x{marker:02X}); progressive/"
+                f"lossless/arithmetic JPEG needs a codec library"
+            )
+        if marker == 0xC0:
+            depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if depth != 8:
+                raise NotImplementedError(
+                    "decode_jpeg_pixels: only 8-bit precision is implemented"
+                )
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack("BBB", body[6 + 3 * i : 9 + 3 * i])
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        f"decode_jpeg_pixels: only 4:4:4 / grayscale is "
+                        f"implemented (component {cid} has sampling "
+                        f"0x{hv:02X}); subsampled chroma needs a codec "
+                        "library"
+                    )
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker == 0xDB:
+            b = 0
+            while b < len(body):
+                prec_id = body[b]
+                if prec_id >> 4 != 0:
+                    raise NotImplementedError(
+                        "decode_jpeg_pixels: 16-bit quant tables unsupported"
+                    )
+                zz = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    zz[_JPEG_ZIGZAG[k]] = body[b + 1 + k]
+                qtables[prec_id & 0x0F] = zz.reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc_th = body[b]
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(tc_th >> 4, tc_th & 0x0F)] = table
+                b += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, td_ta = struct.unpack("BB", body[1 + 2 * i : 3 + 2 * i])
+                scan_comps.append((cs, td_ta >> 4, td_ta & 0x0F))
+            scan = (scan_comps, pos + 2 + seg_len)
+            break
+        pos += 2 + seg_len
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, comps = sof
+    scan_comps, scan_pos = scan
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "decode_jpeg_pixels: only single interleaved scans are supported"
+        )
+    m = _jpeg_dct_matrix()
+    bh, bw = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    qs = [qtables[tq] for _, tq in comps]
+    dcs = [htables[(0, td)] for _, td, _ in scan_comps]
+    acs = [htables[(1, ta)] for _, _, ta in scan_comps]
+    reader = _JpegBitReader(data, scan_pos)
+    preds = [0] * len(comps)
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                mk = reader.peek_marker()
+                if mk is None or not 0xD0 <= mk <= 0xD7:
+                    raise ValueError("JPEG expected RST marker, none found")
+                reader.consume_restart()
+                preds = [0] * len(comps)
+            for ci in range(len(comps)):
+                zz = np.zeros(64, dtype=np.int64)
+                s = _jpeg_decode_huffman(reader, dcs[ci])
+                if s:
+                    preds[ci] += _jpeg_extend(reader.read_bits(s), s)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_decode_huffman(reader, acs[ci])
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    s = rs & 0x0F
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflows block")
+                    zz[k] = _jpeg_extend(reader.read_bits(s), s)
+                    k += 1
+                blk = np.zeros(64, dtype=np.int64)
+                blk[list(_JPEG_ZIGZAG)] = zz
+                coef = blk.reshape(8, 8) * qs[ci]
+                pix = m.T @ coef @ m + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+            mcu += 1
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

@@ -8,11 +8,15 @@ IHDR / JPEG SOF / WAV fmt headers with pure stdlib (CRC-checked), and
 ``multimodal_header_decode`` oracle-verifies the byte-level
 encode→shuffle→decode round trip. PNG PIXEL decode is REAL as well —
 stdlib zlib + numpy unfiltering (``decode_png_pixels``), oracle-verified
-end-to-end by ``multimodal_pixel_stats``. Only JPEG/WAV SAMPLE decode
-(PIL/librosa/ffmpeg — absent in this container) remains a deterministic
-fake behind ``_decode_payload`` (clearly marked; a real decoder drops in
-without touching the Spark plumbing — schema, batch iteration,
-partitioning are all real and tested).
+end-to-end by ``multimodal_pixel_stats`` — and so is baseline-JPEG
+PIXEL decode (``decode_jpeg_pixels``: marker walk, file-carried
+DQT/DHT, Huffman entropy decode, IDCT — oracle-verified end-to-end by
+``multimodal_jpeg_pixel_stats``). WAV PCM samples decode with stdlib
+struct (``multimodal_audio_stats``). Only COMPRESSED audio decode
+(mp3/ogg — ffmpeg/librosa, absent in this container) remains a
+deterministic fake behind ``_decode_payload`` (clearly marked; a real
+decoder drops in without touching the Spark plumbing — schema, batch
+iteration, partitioning are all real and tested).
 
 Scale notes: the doc⋈embedding join is keyed 1:1 (same id domain) — at
 100 TB both sides bucket/shuffle on the id once; binary payloads stay
@@ -684,4 +688,121 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "doc_id long, channel long, sample_rate long, n_frames long, "
         "s_sum long, s_sq_sum long",
+    )
+
+
+@register(
+    "multimodal_jpeg_pixel_stats",
+    oracle="""
+    SELECT d.doc_id AS doc_id,
+           8 * (2 + d.doc_id % 3) AS width,
+           8 * (2 + (d.doc_id * 5) % 3) AS height,
+           CAST(SUM(64 * ((17 * bx.bx + 29 * yy.yy + d.doc_id) % 256))
+                AS BIGINT) AS px_sum,
+           CAST(SUM(64 * ((17 * bx.bx + 29 * yy.yy + d.doc_id) % 256)
+                       * ((17 * bx.bx + 29 * yy.yy + d.doc_id) % 256))
+                AS BIGINT) AS px_sq_sum,
+           CAST(SUM(64 * ((17 * bx.bx + 29 * yy.yy + d.doc_id) % 256))
+                AS DOUBLE)
+               / (64 * (2 + d.doc_id % 3) * (2 + (d.doc_id * 5) % 3))
+               AS px_mean
+    FROM documents d,
+         UNNEST(range(2 + d.doc_id % 3)) AS bx(bx),
+         UNNEST(range(2 + (d.doc_id * 5) % 3)) AS yy(yy)
+    WHERE d.doc_id % 3 = 2
+    GROUP BY d.doc_id
+    """,
+    doc="REAL baseline-JPEG pixel decode (closes the JPEG half of the "
+    "round-10 'missing' item the way round 10 closed PNG): per "
+    "image-doc, a grayscale raster whose 8x8 blocks are constant "
+    "v = (17*bx + 29*by + doc_id) mod 256 is ENCODED as a real "
+    "entropy-coded baseline JPEG — float DCT, all-ones quant table "
+    "(quality 100), zigzag, differential-DC + run-length-AC Huffman "
+    "with the Annex K tables, byte stuffing "
+    "(functions/media.jpeg_bytes_with_pixels) — shuffled as a binary "
+    "column, then DECODED back by the full marker-walking Huffman/"
+    "IDCT pipeline (decode_jpeg_pixels reads DQT/DHT from the file, "
+    "exactly as for a wild JPEG). Block-constant rasters quantized at "
+    "Q=1 reconstruct BIT-EXACTLY (DC-only blocks: F00 = 8*(v-128) is "
+    "integral, every AC is 0), so the DuckDB oracle recomputes the "
+    "decoded sums arithmetically and the driver hash verifies the "
+    "whole encode->shuffle->entropy-decode round trip. Lossy shapes "
+    "(non-constant blocks, q<100) are covered by bounded-error and "
+    "two-path property tests in tests/test_scalar_and_multimodal.py; "
+    "progressive/subsampled files raise the loud guard. 100 TB: "
+    "map-only per-image work, one scalar row out per image; a real "
+    "corpus swaps the synthetic encode for its stored bytes and keeps "
+    "the decode stage unchanged.",
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            jpeg_bytes_with_pixels,
+        )
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = 2 + did % 3, 2 + (did * 5) % 3
+                v = (
+                    17 * np.arange(bw, dtype=np.int64)[None, :]
+                    + 29 * np.arange(bh, dtype=np.int64)[:, None]
+                    + did
+                ) % 256
+                px = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(
+                    "uint8"
+                )
+                payloads.append(jpeg_bytes_with_pixels(px, quality=100))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
+        8, "doc_id"
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            decode_jpeg_pixels,
+        )
+
+        for pdf in it:
+            ids, ws, hs, sums, sqs, means = [], [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_jpeg_pixels(bytes(payload)).astype(np.int64)
+                h, w = px.shape
+                s = int(px.sum())
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sums.append(s)
+                sqs.append(int((px * px).sum()))
+                means.append(float(s) / (w * h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "px_sum": sums,
+                    "px_sq_sum": sqs,
+                    "px_mean": means,
+                }
+            )
+
+    return built.mapInPandas(
+        stats,
+        "doc_id long, width long, height long, "
+        "px_sum long, px_sq_sum long, px_mean double",
     )
