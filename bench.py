@@ -93,6 +93,7 @@ HEADLINE = (
     "join_asof_nearest",
     "pattern_match_recognize_permute5",
     "multimodal_jpeg_pixel_stats",
+    "multimodal_mulaw_audio_stats",
 )
 
 

@@ -439,3 +439,45 @@ def test_jpeg_decode_guards_progressive_and_subsampled():
 
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg_pixels(b"not a jpeg")
+
+
+def test_mulaw_codec_spec_properties():
+    """G.711 mu-law: expand->compress round-trips every code except the
+    spec's duplicate zero (0x7F 'negative zero' canonicalizes to 0xFF);
+    expansion peaks at +/-32124; compression error is bounded by the
+    top segment's step; the codec-7 WAV container decodes through
+    decode_wav_samples."""
+    import numpy as np
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_wav_samples,
+        mulaw_compress,
+        mulaw_expand,
+        parse_media_header,
+        wav_bytes_mulaw,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    samples = mulaw_expand(codes)
+    assert int(samples.max()) == 32124 and int(samples.min()) == -32124
+    back = mulaw_compress(samples)
+    mismatch = np.where(back != codes)[0]
+    assert mismatch.tolist() == [0x7F] and back[0x7F] == 0xFF
+    assert mulaw_expand(np.array([0x7F, 0xFF], np.uint8)).tolist() == [0, 0]
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(-32768, 32768, 5000).astype(np.int16)
+    err = np.abs(
+        x.astype(int) - mulaw_expand(mulaw_compress(x)).astype(int)
+    )
+    assert int(err.max()) <= 1024  # half the widest segment step + clip
+
+    wav = wav_bytes_mulaw(8000, codes)
+    sr, out = decode_wav_samples(wav)
+    assert sr == 8000 and np.array_equal(out.reshape(-1), samples)
+    meta = parse_media_header(wav)
+    assert (meta["container"], meta["sample_rate"], meta["bit_depth"]) == (
+        "wav",
+        8000,
+        8,
+    )

@@ -324,11 +324,13 @@ def wav_bytes_with_samples(sample_rate: int, samples) -> bytes:
 
 
 def decode_wav_samples(data: bytes):
-    """REAL WAV PCM sample decode with stdlib struct + numpy: walk the
-    RIFF chunk list, parse the fmt chunk, and return
+    """REAL WAV sample decode with stdlib struct + numpy: walk the RIFF
+    chunk list, parse the fmt chunk, and return
     (sample_rate, (n_frames, channels) int16 array) from the data
-    chunk. Supported: uncompressed PCM, 16-bit — the canonical WAV
-    everywhere. Other codecs (float/ADPCM/mp3-in-RIFF) raise the loud
+    chunk. Supported: uncompressed 16-bit PCM (codec 1 — the canonical
+    WAV everywhere) and COMPRESSED G.711 mu-law (codec 7, 8-bit — the
+    telephony standard; expanded via :func:`mulaw_expand`, 2:1
+    compression). Other codecs (float/ADPCM/mp3-in-RIFF) raise the loud
     NotImplementedError convention (they need ffmpeg/librosa)."""
     import numpy as np
 
@@ -351,14 +353,69 @@ def decode_wav_samples(data: bytes):
     if fmt_parsed is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     codec, channels, sample_rate, _brate, _balign, bits = fmt_parsed
+    if codec == 7 and bits == 8:
+        codes = np.frombuffer(
+            raw[: len(raw) - len(raw) % channels], np.uint8
+        )
+        return sample_rate, mulaw_expand(codes).reshape(-1, channels)
     if codec != 1 or bits != 16:
         raise NotImplementedError(
-            f"decode_wav_samples: only 16-bit PCM is implemented (got "
-            f"codec={codec}, bits={bits}); compressed audio needs "
-            "ffmpeg/librosa"
+            f"decode_wav_samples: only 16-bit PCM and 8-bit G.711 mu-law "
+            f"are implemented (got codec={codec}, bits={bits}); other "
+            "compressed audio needs ffmpeg/librosa"
         )
     arr = np.frombuffer(raw[: len(raw) - len(raw) % (2 * channels)], "<i2")
     return sample_rate, arr.reshape(-1, channels)
+
+
+# --------------------------------------------- compressed audio (G.711 u-law)
+def mulaw_expand(codes):
+    """REAL G.711 mu-law expansion (the telephony compressed-audio
+    standard): 8-bit log-PCM code -> int16 linear sample, the exact
+    integer bit arithmetic of the spec (complement, 3-bit exponent,
+    4-bit mantissa, +132 bias). Vectorized numpy; decode(encode(x))
+    equals the spec tables bit-for-bit."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int64) & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def mulaw_compress(samples):
+    """G.711 mu-law compression: int16 linear -> 8-bit code (segment
+    search + mantissa extraction, the spec's integer algorithm).
+    Exact inverse pair property: mulaw_expand(mulaw_compress(x))
+    round-trips every code value, and |x - expand(compress(x))| is
+    bounded by the segment step size."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    sign = (x < 0).astype(np.int64)
+    mag = np.clip(np.abs(x), 0, 32635) + 0x84
+    # exponent = position of the highest set bit above bit 7
+    exp = np.zeros_like(mag)
+    for e in range(7, 0, -1):
+        exp = np.where((mag >> (e + 7)) & 1, np.maximum(exp, e), exp)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~((sign << 7) | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def wav_bytes_mulaw(sample_rate: int, codes) -> bytes:
+    """Spec-valid G.711 mu-law WAV (fmt codec 7, 8-bit, mono): the
+    compressed-audio container real telephony corpora use. ``codes``
+    is a uint8 array of mu-law bytes written verbatim as the data
+    chunk; :func:`decode_wav_samples` expands them back to int16."""
+    import numpy as np
+
+    c = np.asarray(codes, dtype=np.uint8)
+    data = c.tobytes()
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ----------------------------------------------------- pixel codec (JPEG)

@@ -806,3 +806,102 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, "
         "px_sum long, px_sq_sum long, px_mean double",
     )
+
+
+@register(
+    "multimodal_mulaw_audio_stats",
+    oracle="""
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(64 + doc_id % 64 AS BIGINT) AS n_frames,
+           CAST(SUM(s) AS BIGINT) AS s_sum,
+           CAST(SUM(s * s) AS BIGINT) AS s_sq_sum
+    FROM (
+        SELECT d.doc_id AS doc_id,
+               255 - ((d.doc_id * 7 + i.i * 13) % 256) AS u,
+               ((u % 16) * 8 + 132)
+                   * CAST(POW(2, (u // 16) % 8) AS BIGINT) AS t,
+               CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS s
+        FROM documents d, UNNEST(range(64 + d.doc_id % 64)) AS i(i)
+        WHERE d.doc_id % 3 = 1
+    )
+    GROUP BY doc_id
+    """,
+    doc="REAL COMPRESSED-audio decode (narrows the last multimodal "
+    "guard to entropy-coded formats): per audio-doc, a G.711 mu-law "
+    "WAV (fmt codec 7, 8-bit log-PCM — the telephony compression "
+    "standard, 2:1) is built from doc_id-derived code bytes "
+    "(functions/media.wav_bytes_mulaw), shuffled as a binary column, "
+    "then EXPANDED back to int16 linear samples by the spec's exact "
+    "integer bit arithmetic (mulaw_expand: complement, 3-bit exponent, "
+    "4-bit mantissa, +132 bias) inside an Arrow-batched mapInPandas "
+    "stage. The expansion is a pure per-sample integer formula, so the "
+    "DuckDB oracle recomputes it in SQL and the driver hash verifies "
+    "the compressed-container round trip end-to-end. mp3/ogg (entropy "
+    "coded) keep the loud ffmpeg guard. 100 TB: map-only per-clip "
+    "work, one scalar row out per clip.",
+)
+def multimodal_mulaw_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            wav_bytes_mulaw,
+        )
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 64
+                codes = (did * 7 + 13 * np.arange(n, dtype=np.int64)) % 256
+                payloads.append(
+                    wav_bytes_mulaw(8000, codes.astype("uint8"))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
+        8, "doc_id"
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            decode_wav_samples,
+        )
+
+        for pdf in it:
+            ids, srs, nfs, sums, sqs = [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, samples = decode_wav_samples(bytes(payload))
+                col = samples[:, 0].astype(np.int64)
+                ids.append(int(did))
+                srs.append(sr)
+                nfs.append(len(col))
+                sums.append(int(col.sum()))
+                sqs.append(int((col * col).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": srs,
+                    "n_frames": nfs,
+                    "s_sum": sums,
+                    "s_sq_sum": sqs,
+                }
+            )
+
+    return built.mapInPandas(
+        stats,
+        "doc_id long, sample_rate long, n_frames long, "
+        "s_sum long, s_sq_sum long",
+    )
