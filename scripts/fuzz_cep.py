@@ -105,6 +105,29 @@ def rand_pattern(rng, depth=0):
     return " ".join(terms), "".join(regexes), used, excluded
 
 
+def wide_pattern(rng):
+    """Bounded pattern whose alternation-choice x quantifier-length
+    product exceeds the 64-variant / 12-row LEAD-chain budget — the
+    round-11 re-route through the generator NFA (previously a loud
+    UnsupportedPatternError). Counts >= 5 per quantified position force
+    the product over the cap; a required tail variable keeps min_len
+    >= 1. The reference regex is the same bounded expression, so the
+    NFA's greedy/reluctant preference is cross-checked exactly."""
+    k = rng.choice([2, 2, 3])
+    vs = rng.sample(VARS, k + 1)
+    terms, regexes = [], []
+    for v in vs[:-1]:
+        lo = rng.randint(0, 2)
+        hi = rng.randint(lo + 4, 8)
+        lazy = "?" if rng.random() < 0.3 else ""
+        terms.append("%s{%d,%d}%s" % (v, lo, hi, lazy))
+        regexes.append("%s{%d,%d}%s" % (CHARS[v], lo, hi, lazy))
+    tail = vs[-1]
+    terms.append(tail)
+    regexes.append(CHARS[tail])
+    return " ".join(terms), "".join(regexes), vs, set()
+
+
 def permute_pattern(rng):
     """PATTERN (PERMUTE (X, Y[, ...])): reference is the alternation of
     all orderings with listed-order (lexicographic) preference — exactly
@@ -140,8 +163,11 @@ def main(n_cases, seed):
     failures = 0
     tried = 0
     while tried < n_cases:
-        if rng.random() < 0.12:
+        roll = rng.random()
+        if roll < 0.12:
             pat_e, pat_r, used, excl = permute_pattern(rng)
+        elif roll < 0.22:
+            pat_e, pat_r, used, excl = wide_pattern(rng)
         else:
             pat_e, pat_r, used, excl = rand_pattern(rng)
         if len(set(used)) != len(used) or not min_len_ok(pat_r):

@@ -481,3 +481,32 @@ def test_mulaw_codec_spec_properties():
         8000,
         8,
     )
+
+
+def test_mp4_box_walk_roundtrip_and_guards():
+    """ISO BMFF codec: build -> box-walk round trip recovers
+    timescale/duration and the 16.16 fixed-point track dimensions;
+    non-BMFF payloads come back container='unknown'; a corrupt box
+    size raises rather than walking out of bounds."""
+    import pytest as _pytest
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        mp4_bytes,
+        parse_mp4_metadata,
+    )
+
+    for ts, dur, w, h in [(90000, 123456, 1920, 1080), (1000, 1, 16, 16)]:
+        meta = parse_mp4_metadata(mp4_bytes(ts, dur, w, h))
+        assert meta == {
+            "container": "mp4",
+            "timescale": ts,
+            "duration": dur,
+            "width": w,
+            "height": h,
+        }
+    assert parse_mp4_metadata(b"garbage")["container"] == "unknown"
+    assert parse_mp4_metadata(None)["container"] == "unknown"
+    data = bytearray(mp4_bytes(1000, 10, 32, 32))
+    data[0:4] = (2**31).to_bytes(4, "big")  # ftyp box size out of bounds
+    with _pytest.raises(ValueError, match="out of bounds"):
+        parse_mp4_metadata(bytes(data))

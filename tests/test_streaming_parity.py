@@ -1544,7 +1544,12 @@ def _cep_bounded_df(spark):
         "b": [10, 10, 10, 5, 12, 2, 3, 11, 4],
         "c": [1, 3, 5, 7, 9, 2, 4, 6],
     }.items():
-        for i, v in enumerate(vals + [-1000] * 4):
+        # all-fail terminator pads decide every pending head: the
+        # bounded-window leg only decides a start once Lmax rows from
+        # it exist, and the widest case below (A{0,8} B{0,8} C) has
+        # Lmax = 17 — shorter pads left its heads forever-pending
+        # (appending all-fail rows can never create or change a match)
+        for i, v in enumerate(vals + [-1000] * 20):
             rows.append((key, base + dt.timedelta(seconds=i), v))
     return spark.createDataFrame(rows, "k string, ts timestamp, v int")
 
@@ -1606,6 +1611,18 @@ def test_bounded_pattern_stream_matches_batch(spark):
         # WITHIN bound on an optional shape
         ("(A B? C)", "A AS A.v >= 10, B AS B.v >= 8, C AS C.v BETWEEN 0 AND 9",
          "PAST LAST ROW", "WITHIN INTERVAL '2' SECOND"),
+        # 81-variant / 17-row bounded expansion: past the LEAD-chain
+        # budget, re-routed through the NFA AST (round 11 — was a loud
+        # UnsupportedPatternError); overlapping predicates so greedy
+        # repetition choice matters on both legs
+        ("(A{0,8} B{0,8} C)",
+         "A AS A.v >= 8, B AS B.v BETWEEN 5 AND 14, "
+         "C AS C.v BETWEEN 0 AND 9",
+         "PAST LAST ROW", ""),
+        ("(A{0,8}? B{0,8} C)",
+         "A AS A.v >= 8, B AS B.v BETWEEN 5 AND 14, "
+         "C AS C.v BETWEEN 0 AND 9",
+         "TO NEXT ROW", ""),
     ]
     for pat, defines, skip, within in cases:
         stmt = f"""

@@ -899,3 +899,104 @@ def decode_jpeg_pixels(data: bytes):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------- video container (ISO BMFF/MP4)
+def mp4_bytes(
+    timescale: int, duration: int, width: int, height: int
+) -> bytes:
+    """Minimal spec-valid ISO BMFF (MP4) file: ftyp + moov(mvhd, trak(
+    tkhd)). mvhd carries the movie timescale/duration, tkhd the track's
+    16.16 fixed-point presentation width/height — the metadata a
+    training pipeline indexes video by. Box sizes are real, so any BMFF
+    reader walks the output unchanged."""
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0, flags 0
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3B", 0, 0, 0, 7)  # version 0, flags enabled
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4  # reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">hhh", 0, 0, 0)  # layer, alt group, volume
+        + b"\x00" * 2  # reserved
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def parse_mp4_metadata(payload: bytes | None) -> dict:
+    """REAL ISO BMFF box walk (pure struct): top-level boxes, descend
+    into moov for mvhd (timescale, duration) and the first trak/tkhd
+    (16.16 fixed-point width/height). Reads any BMFF file's metadata —
+    sample decode (the mdat codecs) is ffmpeg territory and out of
+    scope. Returns Nones for absent boxes rather than raising; a
+    non-BMFF payload returns container='unknown'."""
+    out = {
+        "container": "unknown",
+        "timescale": None,
+        "duration": None,
+        "width": None,
+        "height": None,
+    }
+    if not payload or len(payload) < 12 or payload[4:8] != b"ftyp":
+        return out
+    out["container"] = "mp4"
+
+    def walk(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            if size < 8 or pos + size > end:
+                raise ValueError("BMFF box size out of bounds")
+            yield tag, pos + 8, pos + size
+            pos += size
+
+    for tag, b0, b1 in walk(payload, 0, len(payload)):
+        if tag != b"moov":
+            continue
+        for t2, c0, c1 in walk(payload, b0, b1):
+            if t2 == b"mvhd":
+                ver = payload[c0]
+                if ver == 0:
+                    ts, dur = struct.unpack(
+                        ">II", payload[c0 + 12 : c0 + 20]
+                    )
+                else:  # version 1: 64-bit times
+                    ts, = struct.unpack(">I", payload[c0 + 20 : c0 + 24])
+                    dur, = struct.unpack(">Q", payload[c0 + 24 : c0 + 32])
+                out["timescale"], out["duration"] = ts, dur
+            elif t2 == b"trak" and out["width"] is None:
+                for t3, d0, d1 in walk(payload, c0, c1):
+                    if t3 == b"tkhd":
+                        # width/height sit after version+flags(4),
+                        # times+track+reserved+duration (20 for v0 /
+                        # 32 for v1 with 64-bit times), reserved(8),
+                        # layer/group/volume/reserved(8), matrix(36)
+                        ver = payload[d0]
+                        off = d0 + (76 if ver == 0 else 88)
+                        w, h = struct.unpack(
+                            ">II", payload[off : off + 8]
+                        )
+                        out["width"], out["height"] = w >> 16, h >> 16
+    return out

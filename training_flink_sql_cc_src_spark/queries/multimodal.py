@@ -905,3 +905,84 @@ def multimodal_mulaw_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate long, n_frames long, "
         "s_sum long, s_sq_sum long",
     )
+
+
+@register(
+    "multimodal_video_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(1000 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+           CAST(1000 + (doc_id * 37) % 100000 AS BIGINT) AS duration,
+           CAST(320 + 16 * (doc_id % 20) AS BIGINT) AS width,
+           CAST(240 + 16 * ((doc_id * 3) % 20) AS BIGINT) AS height,
+           CAST(1000 + (doc_id * 37) % 100000 AS DOUBLE)
+               / (1000 * (1 + doc_id % 4)) AS duration_sec
+    FROM documents
+    """,
+    doc="REAL video-container metadata decode (the video leg of "
+    "SURVEY.md §2.9 multimodal columns): per doc, a spec-valid ISO "
+    "BMFF/MP4 file (ftyp + moov(mvhd, trak(tkhd)), real box sizes) is "
+    "built with doc_id-derived movie timescale/duration and 16.16 "
+    "fixed-point track dimensions (functions/media.mp4_bytes), "
+    "shuffled as a binary column, then PARSED back by the recursive "
+    "box walk (parse_mp4_metadata — the same walk reads any BMFF "
+    "file's metadata; mdat sample decode is ffmpeg territory and "
+    "stays out of scope) in an Arrow-batched mapInPandas stage. The "
+    "oracle recomputes the encoded metadata arithmetically, so the "
+    "driver hash verifies the build->shuffle->box-walk round trip. "
+    "100 TB: map-only per-clip work, one row out per clip.",
+)
+def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = fan_out(t(spark, sf_dir, "documents").select("doc_id"))
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from training_flink_sql_cc_src_spark.functions.media import (
+            mp4_bytes,
+        )
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payloads.append(
+                    mp4_bytes(
+                        1000 * (1 + did % 4),
+                        1000 + (did * 37) % 100000,
+                        320 + 16 * (did % 20),
+                        240 + 16 * ((did * 3) % 20),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
+        8, "doc_id"
+    )
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from training_flink_sql_cc_src_spark.functions.media import (
+            parse_mp4_metadata,
+        )
+
+        for pdf in it:
+            metas = [parse_mp4_metadata(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "timescale": [m["timescale"] for m in metas],
+                    "duration": [m["duration"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "duration_sec": [
+                        float(m["duration"]) / m["timescale"] for m in metas
+                    ],
+                }
+            )
+
+    return built.mapInPandas(
+        parse,
+        "doc_id long, timescale long, duration long, width long, "
+        "height long, duration_sec double",
+    )
