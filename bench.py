@@ -94,6 +94,7 @@ HEADLINE = (
     "pattern_match_recognize_permute5",
     "multimodal_jpeg_pixel_stats",
     "multimodal_mulaw_audio_stats",
+    "multimodal_video_metadata",
 )
 
 
