@@ -510,3 +510,43 @@ def test_mp4_box_walk_roundtrip_and_guards():
     data[0:4] = (2**31).to_bytes(4, "big")  # ftyp box size out of bounds
     with _pytest.raises(ValueError, match="out of bounds"):
         parse_mp4_metadata(bytes(data))
+
+
+def test_adpcm_codec_blocks_and_guards():
+    """IMA ADPCM: the block walk emits each block's header predictor as
+    a sample then one sample per nibble; multi-block continuation
+    headers carry the running state; the fact chunk truncates pad
+    nibbles; stereo and bad header state raise loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        _adpcm_step_nibble,
+        decode_wav_samples,
+        wav_bytes_adpcm,
+    )
+
+    nibs = [(3 * j) % 16 for j in range(51)]  # odd count -> pad nibble
+    p0, i0 = -12345, 40
+
+    def ref(nib_per_block):
+        out, p, i = [], p0, i0
+        for b0 in range(0, len(nibs), nib_per_block):
+            out.append(p)
+            for n in nibs[b0 : b0 + nib_per_block]:
+                p, i = _adpcm_step_nibble(p, i, n)
+                out.append(p)
+        return out
+
+    sr, one = decode_wav_samples(wav_bytes_adpcm(8000, nibs, p0, i0))
+    assert sr == 8000 and one[:, 0].tolist() == ref(10**9)
+
+    _, multi = decode_wav_samples(
+        wav_bytes_adpcm(8000, nibs, p0, i0, block_align=16)
+    )
+    assert multi[:, 0].tolist() == ref((16 - 4) * 2)
+
+    with _pytest.raises(ValueError, match="block_align"):
+        wav_bytes_adpcm(8000, nibs, p0, i0, block_align=7)
+    with _pytest.raises(ValueError, match="header state"):
+        wav_bytes_adpcm(8000, nibs, 0, 89)

@@ -13,8 +13,10 @@ JPEG pixel decode is REAL too (``jpeg_bytes_with_pixels`` /
 ``decode_jpeg_pixels``: baseline T.81 with float DCT, Annex K tables
 via DQT/DHT, Huffman entropy coding, byte stuffing, RSTn restarts —
 grayscale and 4:4:4; progressive/subsampled raise loudly).
-Only compressed audio (mp3/ogg/ADPCM) still needs ffmpeg/librosa
-(absent here and guarded in queries/multimodal._decode_payload).
+COMPRESSED audio decodes too: G.711 mu-law (codec 7, exact integer
+expansion) and IMA ADPCM (codec 17, the block-structured predictive
+state machine). Only entropy-coded audio (mp3/ogg) still needs
+ffmpeg/librosa (absent here; loud guards).
 Builders emit spec-valid minimal files (PNG chunk
 CRCs via zlib.crc32, RIFF sizes correct), so the parse step is a genuine
 decode, not a fake: multimodal_header_decode round-trips
@@ -339,6 +341,7 @@ def decode_wav_samples(data: bytes):
     pos = 12
     fmt_parsed = None
     raw = None
+    fact_samples = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -349,20 +352,28 @@ def decode_wav_samples(data: bytes):
             fmt_parsed = struct.unpack("<HHIIHH", body[:16])
         elif tag == b"data":
             raw = body
+        elif tag == b"fact" and ln >= 4:
+            (fact_samples,) = struct.unpack("<I", body[:4])
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt_parsed is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
-    codec, channels, sample_rate, _brate, _balign, bits = fmt_parsed
+    codec, channels, sample_rate, _brate, balign, bits = fmt_parsed
     if codec == 7 and bits == 8:
         codes = np.frombuffer(
             raw[: len(raw) - len(raw) % channels], np.uint8
         )
         return sample_rate, mulaw_expand(codes).reshape(-1, channels)
+    if codec == 17 and bits == 4:
+        if channels != 1:
+            raise NotImplementedError(
+                "decode_wav_samples: IMA ADPCM is implemented for mono"
+            )
+        return sample_rate, _adpcm_decode_blocks(raw, balign, fact_samples)
     if codec != 1 or bits != 16:
         raise NotImplementedError(
-            f"decode_wav_samples: only 16-bit PCM and 8-bit G.711 mu-law "
-            f"are implemented (got codec={codec}, bits={bits}); other "
-            "compressed audio needs ffmpeg/librosa"
+            f"decode_wav_samples: only 16-bit PCM, 8-bit G.711 mu-law, "
+            f"and 4-bit IMA ADPCM are implemented (got codec={codec}, "
+            f"bits={bits}); other compressed audio needs ffmpeg/librosa"
         )
     arr = np.frombuffer(raw[: len(raw) - len(raw) % (2 * channels)], "<i2")
     return sample_rate, arr.reshape(-1, channels)
@@ -1000,3 +1011,125 @@ def parse_mp4_metadata(payload: bytes | None) -> dict:
                         )
                         out["width"], out["height"] = w >> 16, h >> 16
     return out
+
+
+# ------------------------------------------- compressed audio (IMA ADPCM)
+#: IMA/DVI ADPCM step-size table (89 entries) and 4-bit index
+#: adjustment table — public constants from the IMA ADPCM spec.
+_ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+_ADPCM_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _adpcm_step_nibble(pred: int, idx: int, n: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (predictor, index) -> next, the
+    canonical bit-test difference formula (diff starts at step/8 and
+    adds step, step/2, step/4 for bits 2/1/0; bit 3 is the sign)."""
+    step = _ADPCM_STEPS[idx]
+    diff = step >> 3
+    if n & 4:
+        diff += step
+    if n & 2:
+        diff += step >> 1
+    if n & 1:
+        diff += step >> 2
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX[n & 7]))
+    return pred, idx
+
+
+def wav_bytes_adpcm(
+    sample_rate: int,
+    nibbles,
+    predictor0: int,
+    index0: int,
+    block_align: int | None = None,
+) -> bytes:
+    """Spec-valid IMA ADPCM WAV (fmt codec 17, 4-bit, mono): the
+    block-structured predictive compressed-audio format (4:1 vs
+    int16). Each data block opens with a 4-byte state header
+    (int16 predictor — emitted as that block's first sample — plus the
+    step index); nibble pairs follow low-nibble-first. Multi-block
+    files stamp continuation headers by running the decode recurrence
+    (exactly what a standard encoder does), and a fact chunk records
+    the true total sample count so trailing pad nibbles are not
+    samples. Decoded back by :func:`decode_wav_samples`."""
+    import numpy as np
+
+    nibs = [int(n) & 0xF for n in nibbles]
+    if block_align is None:
+        db = (len(nibs) + 1) // 2
+        db += db % 2  # keep block_align even (word-aligned blocks)
+        block_align = 4 + db
+    if block_align < 6 or block_align % 2:
+        raise ValueError("ADPCM block_align must be an even value >= 6")
+    nib_per_block = (block_align - 4) * 2
+    pred, idx = int(predictor0), int(index0)
+    if not -32768 <= pred <= 32767 or not 0 <= idx <= 88:
+        raise ValueError("ADPCM header state out of range")
+    blocks = []
+    total_samples = 0
+    for b0 in range(0, len(nibs), nib_per_block):
+        chunk = nibs[b0 : b0 + nib_per_block]
+        hdr = struct.pack("<hBB", pred, idx, 0)
+        total_samples += 1 + len(chunk)
+        for n in chunk:
+            pred, idx = _adpcm_step_nibble(pred, idx, n)
+        padded = chunk + [0] * (nib_per_block - len(chunk))
+        data = bytes(
+            (padded[i] | (padded[i + 1] << 4))
+            for i in range(0, nib_per_block, 2)
+        )
+        blocks.append(hdr + data)
+    body_data = b"".join(blocks)
+    samples_per_block = nib_per_block + 1
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        17,  # IMA ADPCM
+        1,
+        sample_rate,
+        (sample_rate * block_align + samples_per_block - 1)
+        // samples_per_block,
+        block_align,
+        4,  # bits per (compressed) sample
+        2,  # cbSize
+        samples_per_block,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, total_samples)
+    body += b"data" + struct.pack("<I", len(body_data)) + body_data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _adpcm_decode_blocks(
+    raw: bytes, block_align: int, total_samples: int | None
+):
+    """Walk IMA ADPCM data blocks: per block, emit the header predictor
+    then one decoded sample per nibble (low nibble first), truncated to
+    the fact-chunk sample count."""
+    import numpy as np
+
+    out = []
+    for b0 in range(0, len(raw) - len(raw) % block_align, block_align):
+        pred, idx, _res = struct.unpack(
+            "<hBB", raw[b0 : b0 + 4]
+        )
+        if idx > 88:
+            raise ValueError("ADPCM block header index out of range")
+        out.append(pred)
+        for byte in raw[b0 + 4 : b0 + block_align]:
+            for n in (byte & 0xF, byte >> 4):
+                pred, idx = _adpcm_step_nibble(pred, idx, n)
+                out.append(pred)
+    if total_samples is not None:
+        out = out[:total_samples]
+    return np.asarray(out, dtype=np.int16).reshape(-1, 1)

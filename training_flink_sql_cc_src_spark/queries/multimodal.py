@@ -986,3 +986,131 @@ def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, timescale long, duration long, width long, "
         "height long, duration_sec double",
     )
+
+
+@register(
+    "multimodal_adpcm_audio_stats",
+    oracle="""
+    WITH RECURSIVE dec AS (
+        SELECT d.doc_id AS doc_id, CAST(-1 AS BIGINT) AS i,
+               CAST(((d.doc_id * 97) % 65536) - 32768 AS BIGINT) AS pred,
+               CAST(d.doc_id % 89 AS BIGINT) AS idx
+        FROM documents d
+        WHERE d.doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, i, pred, idx FROM (
+            SELECT doc_id,
+                   i + 1 AS i,
+                   GREATEST(-32768, LEAST(32767,
+                       pred + CASE WHEN nib >= 8 THEN -diff
+                                   ELSE diff END)) AS pred,
+                   GREATEST(0, LEAST(88,
+                       idx + list_value(-1,-1,-1,-1,2,4,6,8)[(nib % 8) + 1]
+                   )) AS idx
+            FROM (
+                SELECT doc_id, i, pred, idx,
+                       (doc_id * 3 + (i + 1) * 7) % 16 AS nib,
+                       list_value(7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767)[idx + 1] AS step,
+                       step // 8
+                         + CASE WHEN (nib // 4) % 2 = 1 THEN step
+                                ELSE 0 END
+                         + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2
+                                ELSE 0 END
+                         + CASE WHEN nib % 2 = 1 THEN step // 4
+                                ELSE 0 END AS diff
+                FROM dec
+                WHERE i + 1 < 63 + doc_id % 64
+            )
+        )
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+           CAST(SUM(pred) AS BIGINT) AS s_sum,
+           CAST(SUM(pred * pred) AS BIGINT) AS s_sq_sum
+    FROM dec
+    GROUP BY doc_id
+    """,
+    doc="REAL STATEFUL compressed-audio decode — IMA ADPCM (WAV codec "
+    "17, 4-bit predictive, 4:1): per audio-doc, a spec-valid "
+    "block-structured ADPCM file (4-byte predictor/step-index block "
+    "header, nibble pairs, fact chunk with the true sample count) is "
+    "built from doc_id-derived nibbles (functions/media."
+    "wav_bytes_adpcm), shuffled as a binary column, then decoded by "
+    "the real block walk + bit-test difference recurrence "
+    "(_adpcm_decode_blocks) in an Arrow-batched mapInPandas stage. "
+    "The decode is a per-sample integer STATE MACHINE (predictor + "
+    "step index), which DuckDB reproduces with a RECURSIVE CTE over "
+    "the public step/index tables — the driver hash therefore "
+    "verifies a genuinely sequential decode end-to-end, not just a "
+    "per-sample formula. Multi-block continuation headers are "
+    "pytest-pinned; mp3/ogg (entropy coded) keep the loud guard. "
+    "100 TB: map-only per-clip work, one scalar row out per clip.",
+)
+def multimodal_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from training_flink_sql_cc_src_spark.functions.media import (
+            wav_bytes_adpcm,
+        )
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_nib = 63 + did % 64
+                nibs = [(did * 3 + j * 7) % 16 for j in range(n_nib)]
+                payloads.append(
+                    wav_bytes_adpcm(
+                        8000,
+                        nibs,
+                        ((did * 97) % 65536) - 32768,
+                        did % 89,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
+        8, "doc_id"
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            decode_wav_samples,
+        )
+
+        for pdf in it:
+            ids, srs, nfs, sums, sqs = [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, samples = decode_wav_samples(bytes(payload))
+                col = samples[:, 0].astype(np.int64)
+                ids.append(int(did))
+                srs.append(sr)
+                nfs.append(len(col))
+                sums.append(int(col.sum()))
+                sqs.append(int((col * col).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": srs,
+                    "n_samples": nfs,
+                    "s_sum": sums,
+                    "s_sq_sum": sqs,
+                }
+            )
+
+    return built.mapInPandas(
+        stats,
+        "doc_id long, sample_rate long, n_samples long, "
+        "s_sum long, s_sq_sum long",
+    )
