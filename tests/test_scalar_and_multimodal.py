@@ -550,3 +550,31 @@ def test_adpcm_codec_blocks_and_guards():
         wav_bytes_adpcm(8000, nibs, p0, i0, block_align=7)
     with _pytest.raises(ValueError, match="header state"):
         wav_bytes_adpcm(8000, nibs, 0, 89)
+
+
+def test_png_gray_and_palette_roundtrip():
+    """PNG decode extensions (round 11): grayscale (color type 0)
+    round-trips as (h, w, 1); palette (type 3) unfilters the index
+    stream then maps through the CRC-checked PLTE; out-of-range
+    palette indices and missing PLTE raise loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_png_pixels,
+        png_bytes_palette,
+        png_bytes_with_pixels,
+    )
+
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 256, (13, 17)).astype(np.uint8)
+    out = decode_png_pixels(png_bytes_with_pixels(g, "cycle"))
+    assert out.shape == (13, 17, 1) and np.array_equal(out[:, :, 0], g)
+
+    pal = rng.randint(0, 256, (64, 3)).astype(np.uint8)
+    idx = rng.randint(0, 64, (11, 19)).astype(np.uint8)
+    out2 = decode_png_pixels(png_bytes_palette(idx, pal, "cycle"))
+    assert np.array_equal(out2, pal[idx])
+
+    with _pytest.raises(ValueError, match="out of range"):
+        png_bytes_palette(np.full((4, 4), 63, np.uint8), pal[:32])

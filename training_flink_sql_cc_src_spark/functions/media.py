@@ -6,7 +6,8 @@ libs: PNG IHDR, JPEG SOF and WAV fmt headers are fixed binary layouts
 parseable with struct — the same code parses real files byte-for-byte.
 PNG PIXEL decode needs none either: ``decode_png_pixels`` inflates the
 IDAT stream with stdlib zlib and reverses the five scanline filters with
-numpy (non-interlaced 8-bit RGB/RGBA; everything rarer raises loudly).
+numpy (non-interlaced 8-bit gray/RGB/RGBA/palette-with-PLTE; 16-bit and
+Adam7 raise loudly).
 WAV PCM SAMPLE decode is stdlib as well (``decode_wav_samples``:
 RIFF chunk walk + int16 frombuffer; 16-bit PCM, the canonical WAV).
 JPEG pixel decode is REAL too (``jpeg_bytes_with_pixels`` /
@@ -165,8 +166,9 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def png_bytes_with_pixels(pixels, filter_mode: str = "cycle") -> bytes:
-    """Spec-valid PNG carrying REAL pixel data: 8-bit truecolor RGB
-    (color type 2) or RGBA (6) rows, per-scanline filters applied, then
+    """Spec-valid PNG carrying REAL pixel data: 8-bit grayscale
+    (color type 0), truecolor RGB (2) or RGBA (6) rows, per-scanline
+    filters applied, then
     one zlib-compressed IDAT. ``filter_mode="cycle"`` rotates the filter
     type 0→4 by row so a decoder must exercise every unfilter path
     (None/Sub/Up/Average/Paeth); ``"none"`` writes filter 0 rows.
@@ -178,10 +180,12 @@ def png_bytes_with_pixels(pixels, filter_mode: str = "cycle") -> bytes:
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 3 or px.shape[2] not in (3, 4):
-        raise ValueError("pixels must be (h, w, 3|4) uint8")
+    if px.ndim == 2:  # grayscale, color type 0
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3, 4):
+        raise ValueError("pixels must be (h, w[, 1|3|4]) uint8")
     h, w, ch = px.shape
-    color_type = 2 if ch == 3 else 6
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
     stride = w * ch
     flat = px.reshape(h, stride).astype(np.int32)
     prior = np.zeros(stride, dtype=np.int32)
@@ -224,17 +228,18 @@ def decode_png_pixels(data: bytes):
     five per-scanline filters (None/Sub/Up/Average/Paeth, spec §9).
     Returns a (h, w, channels) uint8 array.
 
-    Supported: non-interlaced 8-bit truecolor RGB / RGBA — what the
-    fixtures and the overwhelming bulk of real-world training-corpus
-    PNGs use. Palette/gray/16-bit/Adam7 raise a loud
-    NotImplementedError (the convention every capped path here uses);
-    JPEG/WAV sample decode still needs PIL/ffmpeg and keeps its guard in
-    queries/multimodal._decode_payload."""
+    Supported: non-interlaced 8-bit grayscale (color type 0, returns
+    (h, w, 1)), truecolor RGB / RGBA (2 / 6), and palette (3 — indices
+    unfiltered as a 1-byte stream then mapped through the CRC-checked
+    PLTE, returning RGB) — the four shapes that cover the overwhelming
+    bulk of real-world training-corpus PNGs. 16-bit / sub-byte depths
+    and Adam7 interlace raise a loud NotImplementedError (the
+    convention every capped path here uses)."""
     import numpy as np
 
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 12 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         if pos + 12 + ln > len(data):
@@ -246,6 +251,10 @@ def decode_png_pixels(data: bytes):
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -254,14 +263,16 @@ def decode_png_pixels(data: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or color_type not in (2, 6) or interlace != 0:
+    if depth != 8 or color_type not in (0, 2, 3, 6) or interlace != 0:
         raise NotImplementedError(
-            f"decode_png_pixels: only non-interlaced 8-bit RGB/RGBA is "
-            f"implemented (got depth={depth}, color_type={color_type}, "
-            f"interlace={interlace}); palette/gray/16-bit/Adam7 need a "
-            f"full reader (PIL)"
+            f"decode_png_pixels: only non-interlaced 8-bit gray/RGB/RGBA/"
+            f"palette is implemented (got depth={depth}, "
+            f"color_type={color_type}, interlace={interlace}); "
+            f"16-bit/sub-byte/Adam7 need a full reader (PIL)"
         )
-    ch = 3 if color_type == 2 else 4
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     stride = w * ch
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
@@ -293,6 +304,11 @@ def decode_png_pixels(data: bytes):
             raise ValueError(f"PNG scanline has invalid filter type {f}")
         out[y] = rec.astype(np.uint8)
         prior = rec
+    if color_type == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of PLTE range")
+        return plte[idx]  # (h, w, 3) RGB via palette lookup
     return out.reshape(h, w, ch)
 
 
@@ -1133,3 +1149,28 @@ def _adpcm_decode_blocks(
     if total_samples is not None:
         out = out[:total_samples]
     return np.asarray(out, dtype=np.int16).reshape(-1, 1)
+
+
+def png_bytes_palette(indices, palette, filter_mode: str = "cycle") -> bytes:
+    """Spec-valid PALETTE PNG (color type 3): ``indices`` is an (h, w)
+    uint8 index raster, ``palette`` an (n, 3) uint8 RGB table written
+    as the PLTE chunk (CRC'd like every chunk). The index stream is
+    filtered per scanline exactly like a 1-channel image; the decoder
+    maps it back through PLTE. Real PNG readers render the output
+    unchanged."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("indices must be (h, w), palette (n, 3) uint8")
+    if int(idx.max()) >= len(pal):
+        raise ValueError("palette index out of range")
+    # reuse the gray encoder's filtered IDAT, then rewrite IHDR color
+    # type to 3 and splice the PLTE chunk in after IHDR
+    gray = png_bytes_with_pixels(idx, filter_mode)
+    ihdr_body = bytearray(gray[16:29])
+    ihdr_body[9] = 3  # color type byte inside IHDR
+    ihdr = _png_chunk(b"IHDR", bytes(ihdr_body))
+    plte = _png_chunk(b"PLTE", pal.tobytes())
+    return _PNG_SIG + ihdr + plte + gray[33:]

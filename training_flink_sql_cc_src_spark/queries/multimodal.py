@@ -1114,3 +1114,115 @@ def multimodal_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate long, n_samples long, "
         "s_sum long, s_sq_sum long",
     )
+
+
+@register(
+    "multimodal_png_palette_stats",
+    oracle="""
+    SELECT doc_id,
+           channel,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM(v) AS DOUBLE)
+               / ((8 + doc_id % 16) * (8 + (doc_id * 5) % 16)) AS px_mean
+    FROM (
+        SELECT d.doc_id AS doc_id, c.c AS channel,
+               CASE c.c
+                   WHEN 0 THEN (((x.x + 3 * y.y + d.doc_id) % 64) * 37
+                                + d.doc_id) % 256
+                   WHEN 1 THEN (((x.x + 3 * y.y + d.doc_id) % 64) * 59
+                                + d.doc_id * 3) % 256
+                   ELSE (((x.x + 3 * y.y + d.doc_id) % 64) * 83
+                         + d.doc_id * 7) % 256
+               END AS v
+        FROM documents d,
+             UNNEST(range(8 + d.doc_id % 16)) AS x(x),
+             UNNEST(range(8 + (d.doc_id * 5) % 16)) AS y(y),
+             UNNEST(range(3)) AS c(c)
+        WHERE d.doc_id % 3 = 1
+    )
+    GROUP BY doc_id, channel
+    """,
+    doc="REAL palette-PNG pixel decode (round 11 — narrows the PNG "
+    "guard to 16-bit/sub-byte/Adam7): per image-doc, a color-type-3 "
+    "PNG is built with a doc_id-derived 64-entry PLTE and index "
+    "raster (functions/media.png_bytes_palette — the index stream is "
+    "scanline-filtered across all five filter types exactly like a "
+    "1-channel image), shuffled as a binary column, then DECODED by "
+    "the chunk walk + unfilter + PLTE lookup (decode_png_pixels) in "
+    "an Arrow-batched mapInPandas stage. Per-channel sums of the "
+    "looked-up RGB raster come back out; the oracle recomputes the "
+    "palette arithmetic per pixel, so the driver hash verifies "
+    "filter/compress/unfilter AND the palette indirection bit-exact. "
+    "100 TB: map-only per-image work, 3 scalar rows out per image.",
+)
+def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            png_bytes_palette,
+        )
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 16, 8 + (did * 5) % 16
+                pal = np.stack(
+                    [
+                        (np.arange(64) * 37 + did) % 256,
+                        (np.arange(64) * 59 + did * 3) % 256,
+                        (np.arange(64) * 83 + did * 7) % 256,
+                    ],
+                    axis=1,
+                ).astype("uint8")
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                idx = ((xs + 3 * ys + did) % 64).astype("uint8")
+                payloads.append(png_bytes_palette(idx, pal, "cycle"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
+        8, "doc_id"
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            decode_png_pixels,
+        )
+
+        for pdf in it:
+            ids, chans, sums, means = [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png_pixels(bytes(payload)).astype(np.int64)
+                h, w, _ = px.shape
+                for c in range(3):
+                    s = int(px[:, :, c].sum())
+                    ids.append(int(did))
+                    chans.append(c)
+                    sums.append(s)
+                    means.append(float(s) / (w * h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "channel": chans,
+                    "px_sum": sums,
+                    "px_mean": means,
+                }
+            )
+
+    return built.mapInPandas(
+        stats,
+        "doc_id long, channel long, px_sum long, px_mean double",
+    )
