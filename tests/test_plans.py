@@ -529,3 +529,17 @@ def test_keep_best_partial_aggregation_no_window(spark, sf_med):
     assert plan.count("SortAggregate") >= 2
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan.replace("WindowGroupLimit", "")
+
+
+def test_fuzzy_name_join_is_blocked_not_cartesian(spark):
+    """dedup_fuzzy_name_pairs: candidates must come from a hash join on
+    the (brand, size) blocking key with the Levenshtein threshold as a
+    join-level predicate — never a cartesian/nested-loop product."""
+    from training_flink_sql_cc_src_spark.registry import all_queries
+
+    df = all_queries()["dedup_fuzzy_name_pairs"](
+        spark, "/root/testdata/sf0.01"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -1393,3 +1393,56 @@ def pipeline_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keepers, "doc_id", "left_semi")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "dedup_fuzzy_name_pairs",
+    oracle="""
+    SELECT p1.p_partkey AS a,
+           p2.p_partkey AS b,
+           p1.p_name AS name_a,
+           p2.p_name AS name_b,
+           CAST(levenshtein(p1.p_name, p2.p_name) AS BIGINT) AS edit_dist
+    FROM part p1
+    JOIN part p2
+      ON p1.p_brand = p2.p_brand
+     AND p1.p_size = p2.p_size
+     AND p1.p_partkey < p2.p_partkey
+    WHERE levenshtein(p1.p_name, p2.p_name) <= 4
+    """,
+    doc="Fuzzy-match entity resolution (blocked edit-distance join — "
+    "the metadata-dedup counterpart of the document near-dup family): "
+    "candidate pairs come from an equi join on the (brand, size) "
+    "blocking key, never a cross product; each surviving pair is "
+    "verified with Levenshtein distance <= 4. Spark's levenshtein and "
+    "DuckDB's agree exactly (standard unit-cost edit distance), so "
+    "the pair set is hash-verified end-to-end. 100 TB: work scales "
+    "with sum of block-pair counts (plan-shape-pinned hash join on "
+    "the block key); skewed blocks would salt exactly like the "
+    "document blocking keys in this family.",
+)
+def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p1 = t(spark, sf_dir, "part").alias("p1")
+    p2 = t(spark, sf_dir, "part").alias("p2")
+    return (
+        p1.join(
+            p2,
+            (F.col("p1.p_brand") == F.col("p2.p_brand"))
+            & (F.col("p1.p_size") == F.col("p2.p_size"))
+            & (F.col("p1.p_partkey") < F.col("p2.p_partkey")),
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("p1.p_name"), F.col("p2.p_name")).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("edit_dist") <= 4)
+        .select(
+            F.col("p1.p_partkey").alias("a"),
+            F.col("p2.p_partkey").alias("b"),
+            F.col("p1.p_name").alias("name_a"),
+            F.col("p2.p_name").alias("name_b"),
+            "edit_dist",
+        )
+    )
