@@ -578,3 +578,61 @@ def test_png_gray_and_palette_roundtrip():
 
     with _pytest.raises(ValueError, match="out of range"):
         png_bytes_palette(np.full((4, 4), 63, np.uint8), pal[:32])
+
+
+def test_decoders_read_wild_third_party_files():
+    """The PNG/JPEG decoders must read REAL files produced by other
+    encoders (libjpeg/libpng), not just this repo's own builders. The
+    container ships IPython/Jupyter test images; skip gracefully where
+    they're absent. IPython's 2x2.jpg and 2x2.png encode the same
+    uniform gray raster, so the two decoders must agree pixel-exactly
+    (a uniform block survives JPEG quantization exactly)."""
+    import glob
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        parse_media_header,
+    )
+
+    roots = [
+        os.path.dirname(os.path.dirname(os.__file__)),  # site lib root
+        "/usr/share",
+    ]
+    jpgs, pngs = [], []
+    for root in roots:
+        jpgs += glob.glob(
+            os.path.join(root, "**", "IPython", "**", "2x2.jpg"),
+            recursive=True,
+        )
+        pngs += glob.glob(
+            os.path.join(root, "**", "IPython", "**", "2x2.png"),
+            recursive=True,
+        )
+    # any real PNG is better than none: fall back to idlelib icons
+    if not pngs:
+        for root in roots:
+            pngs += glob.glob(
+                os.path.join(root, "**", "idlelib", "Icons", "idle_16.png"),
+                recursive=True,
+            )
+    if not jpgs and not pngs:
+        _pytest.skip("no third-party image files present in this env")
+    for f in pngs[:1]:
+        data = open(f, "rb").read()
+        assert parse_media_header(data)["container"] == "png"
+        px = decode_png_pixels(data)
+        assert px.dtype == np.uint8 and px.ndim == 3
+    if jpgs:
+        jd = open(jpgs[0], "rb").read()
+        assert parse_media_header(jd)["container"] == "jpeg"
+        jpx = decode_jpeg_pixels(jd)
+        assert jpx.shape == (2, 2)
+        sibling = os.path.join(os.path.dirname(jpgs[0]), "2x2.png")
+        if os.path.exists(sibling):
+            ppx = decode_png_pixels(open(sibling, "rb").read())
+            assert np.array_equal(jpx, ppx[:, :, 0])
