@@ -663,3 +663,167 @@ def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("percentile(l_quantity, 0.25)")
         ).alias("iqr"),
     )
+
+
+@register(
+    "agg_approx_count_distinct_bound",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Driver-checkable ACCURACY CONTRACT for approx_count_distinct "
+    "(companion to the rows-only agg_approx_count_distinct): per "
+    "group, the engine computes both the HLL++ estimate (rsd=0.01) "
+    "and the exact distinct, and emits within_bound = "
+    "|approx - exact| <= 0.05 * exact (five standard errors). The "
+    "oracle pins the group set, the EXACT distinct values, and the "
+    "bound verdict — so a sketch accuracy regression hash-mismatches "
+    "at the driver instead of living only in pytest. The estimate "
+    "itself stays out of the hash (engine-specific by construction).",
+)
+def agg_approx_count_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__approx"),
+        )
+        .select(
+            "returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("__approx") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "agg_hll_sketch_bound",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(DISTINCT c_custkey) AS exact_distinct,
+           TRUE AS within_bound
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="Driver-checkable ACCURACY CONTRACT for the mergeable HLL "
+    "sketch pattern (companion to the rows-only "
+    "agg_hll_mergeable_sketch): per segment, the one-pass "
+    "hll_sketch_agg estimate must sit within 5% of the exact "
+    "distinct (default lgConfigK=12 gives ~1.6% standard error), "
+    "and the sketch-MERGED global estimate within 5% of the exact "
+    "global — both folded into within_bound. The oracle pins the "
+    "segment set, exact values, and the verdict; register layouts "
+    "and estimates stay engine-internal.",
+)
+def agg_hll_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    per_seg = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch"),
+        F.count_distinct("c_custkey").alias("exact_distinct"),
+    )
+    merged = per_seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("g_est"),
+    )
+    g_exact = c.agg(F.count_distinct("c_custkey").alias("g_exact"))
+    return (
+        per_seg.select(
+            "segment",
+            "exact_distinct",
+            F.hll_sketch_estimate("sketch").alias("__est"),
+        )
+        .join(F.broadcast(merged))
+        .join(F.broadcast(g_exact))
+        .select(
+            "segment",
+            "exact_distinct",
+            (
+                (
+                    F.abs(F.col("__est") - F.col("exact_distinct"))
+                    <= 0.05 * F.col("exact_distinct")
+                )
+                & (
+                    F.abs(F.col("g_est") - F.col("g_exact"))
+                    <= 0.05 * F.col("g_exact")
+                )
+            ).alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "agg_heavy_hitters_bound",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_items, TRUE AS all_within_bound
+    """,
+    doc="Driver-checkable ACCURACY CONTRACT for the mergeable "
+    "heavy-hitters sketch (companion to the rows-only "
+    "agg_heavy_hitters_merge): every item the sketch returns must "
+    "satisfy the Misra-Gries sandwich "
+    "est <= true_count <= est + max_missed against exact counts, and "
+    "the query must return exactly 10 items — folded into one "
+    "(n_items, all_within_bound) verdict row the driver hashes. The "
+    "top-10 SET itself is legitimately sketch-dependent (per-segment "
+    "truncation + ties), so set membership stays in the rows-only "
+    "sibling; a sandwich violation here hash-mismatches at the "
+    "driver instead of living only in pytest.",
+)
+def agg_heavy_hitters_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import all_queries
+
+    sk = all_queries()["agg_heavy_hitters_merge"](spark, sf_dir)
+    ev = t(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        sk.join(exact, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.bool_and(
+                (F.col("est") <= F.col("true_count"))
+                & (F.col("true_count") <= F.col("est") + F.col("max_missed"))
+            ).alias("all_within_bound"),
+        )
+    )
+
+
+@register(
+    "agg_quantile_sketch_bound",
+    oracle="""
+    SELECT lang, TRUE AS within_band
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Driver-checkable ACCURACY CONTRACT for the mergeable quantile "
+    "sketch (companion to the rows-only agg_quantile_sketch_merge): "
+    "the sketch-merged per-lang median must land inside the EXACT "
+    "p40-p60 value band of the raw data (sketch rank error is 1/K = "
+    "~3% of mass; the 10%-each-side band absorbs per-segment "
+    "percentile_approx error on tiny segments — the same band the "
+    "pytest property test pins). The oracle fixes the lang group set "
+    "and the verdict; sketch points stay engine-internal.",
+)
+def agg_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import all_queries
+
+    med = all_queries()["agg_quantile_sketch_merge"](spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    bands = d.groupBy("lang").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.4)).alias("__lo"),
+        F.percentile(F.col("n_chars"), F.lit(0.6)).alias("__hi"),
+    )
+    return (
+        med.join(bands, "lang")
+        .select(
+            "lang",
+            (
+                (F.col("__lo") <= F.col("q50"))
+                & (F.col("q50") <= F.col("__hi"))
+            ).alias("within_band"),
+        )
+    )
