@@ -222,7 +222,9 @@ def _fp_comparable(a: dict | None, b: dict | None) -> bool:
     return 0.9 <= pa / pb <= 1.1
 
 
-def best_prior(current_fp: dict | None = None) -> dict[str, float]:
+def best_prior(
+    current_fp: dict | None = None, sf: float | None = None
+) -> dict[str, float]:
     """Per-query MINIMUM across every recorded BENCH_r*.json — the
     best-known time is the ratchet reference. Comparing only to the
     newest record would let one contended round (r2's 14.7 s
@@ -232,10 +234,21 @@ def best_prior(current_fp: dict | None = None) -> dict[str, float]:
     corpus-bound queries only take priors from records whose embedded
     fingerprint matches it — a data regeneration then RESETS those
     ratchets instead of producing carried acknowledgements, while the
-    TPC-H ratchets (sf-determined tables) keep their full history."""
+    TPC-H ratchets (sf-determined tables) keep their full history.
+
+    When ``sf`` is given, records taken at a DIFFERENT scale factor are
+    skipped entirely: the sidecar can be written by an sf0.01 smoke run,
+    and its (smaller-data, faster) TPC-H times must not tighten the
+    sf0.1 ratchet into phantom regressions."""
     best: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    # the repo-owned sidecar (newest local run) participates in the
+    # ratchet too: min() only ever tightens, and it is the only record
+    # guaranteed parseable even when a driver round's stdout capture
+    # truncated (BENCH_r11 parsed:null)
+    records += glob.glob(os.path.join(here, "BENCH_SIDECAR.json"))
+    for path in records:
         try:
             with open(path) as fh:
                 doc = json.load(fh)
@@ -246,6 +259,9 @@ def best_prior(current_fp: dict | None = None) -> dict[str, float]:
         parsed = (
             doc if doc.get("queries") else (doc.get("parsed") or {})
         )
+        rec_sf = parsed.get("sf")
+        if sf is not None and rec_sf is not None and rec_sf != sf:
+            continue
         prior = parsed.get("queries") or {}
         fp_ok = current_fp is None or _fp_comparable(
             parsed.get("corpus"), current_fp
@@ -281,7 +297,7 @@ def main() -> None:
             )
     # contention self-heal: a regression that survives interleaved sweeps
     # gets two more interleaved samples before we believe it
-    prior = best_prior(corpus)
+    prior = best_prior(corpus, sf)
     for _retry in range(2):
         flagged = [
             n
@@ -305,10 +321,41 @@ def main() -> None:
         "sf": sf,
         "corpus": corpus,
     }
+    # Stdout carries ack NAMES only (the reviewed prose lives in
+    # scripts/bench_acks.json, which scripts/bench_gate.py reads
+    # directly): round 11 inlined the multi-sentence ack paragraphs into
+    # the single stdout JSON line, the line outgrew the driver's
+    # tail-capture window, and BENCH_r11.json landed with parsed:null
+    # (VERDICT r11 Wrong #1). The metric line must stay compact.
     acks = load_acks()
     if acks:
-        out["acks"] = acks
+        out["acks"] = sorted(acks)
     print(json.dumps(out))
+    if not ONLY:  # targeted scale subsets must not clobber the record
+        _write_sidecar(out, acks)
+
+
+def _write_sidecar(out: dict, acks: dict) -> None:
+    """Repo-owned copy of the full bench record (BENCH_SIDECAR.json):
+    even if the driver's stdout tail-capture truncates the metric line
+    again, the round's numbers survive in a committed artifact —
+    best_prior() and the tests/test_bench_gate.py fixture read it as the
+    newest record. Full ack prose is restored here (stdout carries names
+    only)."""
+    doc = dict(out)
+    if acks:
+        doc["acks"] = acks
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"
+    )
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=1)
+            fh.write("\n")
+        os.replace(tmp, path)
+    except OSError as exc:  # read-only checkout: stdout still has the line
+        print(f"bench: sidecar not written: {exc}", file=sys.stderr)
 
 
 def _warn_regressions(per_query: dict[str, float], prior: dict[str, float]) -> None:

@@ -68,7 +68,7 @@ def main() -> int:
     # corpus-bound ratchets only compare against rounds with the SAME
     # corpus fingerprint (data regenerations reset them — no more
     # carried acks); TPC-H ratchets keep their full history
-    prior = best_prior(parsed.get("corpus"))
+    prior = best_prior(parsed.get("corpus"), parsed.get("sf"))
     # acknowledged regressions come from the CHECKED-IN reviewed config
     # (scripts/bench_acks.json) or the --ack flag — never from the bench
     # artifact itself, so the run under test cannot self-acknowledge a

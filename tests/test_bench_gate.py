@@ -25,21 +25,37 @@ from bench import _fp_comparable, best_prior, load_acks  # noqa: E402
 
 @pytest.fixture(scope="module")
 def r7():
-    """Queries + fingerprint of the NEWEST committed bench artifact.
+    """Queries + fingerprint of the NEWEST PARSEABLE bench record.
 
     Hard-coding an older round broke once a newer round landed a faster
     time for the same query: the old round's own number then tripped the
     ratchet built from ALL committed artifacts (VERDICT r8 Wrong #1). The
-    newest artifact is by construction never slower than the best prior
-    beyond the gate's tolerance, so replaying it must always pass.
+    newest parseable record is by construction never slower than the best
+    prior beyond the gate's tolerance, so replaying it must always pass.
+
+    Newest-first with null-skip (VERDICT r11 Wrong #1): BENCH_r11.json
+    landed with parsed:null (driver stdout tail truncation), and blindly
+    subscripting it errored six gate tests. The repo-owned
+    BENCH_SIDECAR.json — written by every local bench run and part of
+    best_prior() — is preferred when present, then driver artifacts
+    newest-first, skipping any whose parsed is null.
     """
-    newest = sorted(REPO.glob("BENCH_r*.json"))[-1]
-    parsed = json.loads(newest.read_text())["parsed"]
-    return parsed["queries"], parsed["corpus"]
+    candidates = [REPO / "BENCH_SIDECAR.json"] + sorted(
+        REPO.glob("BENCH_r*.json"), reverse=True
+    )
+    for path in candidates:
+        try:
+            doc = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        parsed = doc if doc.get("queries") else doc.get("parsed")
+        if parsed and parsed.get("queries") and parsed.get("corpus"):
+            return parsed["queries"], parsed["corpus"], parsed.get("sf")
+    pytest.skip("no parseable bench record committed")
 
 
-def _gate(tmp_path, queries, corpus):
-    doc = {"queries": queries, "corpus": corpus}
+def _gate(tmp_path, queries, corpus, sf=0.1):
+    doc = {"queries": queries, "corpus": corpus, "sf": sf}
     p = tmp_path / "bench.json"
     p.write_text(json.dumps(doc))
     return subprocess.run(
@@ -92,8 +108,8 @@ def test_bench_only_rejects_unknown_names():
 def test_fingerprint_keyed_priors(r7):
     """With the current fingerprint, corpus-bound priors come only from
     fingerprint-matching rounds; TPC-H priors keep full history."""
-    queries, fp = r7
-    p_all, p_fp = best_prior(), best_prior(fp)
+    queries, fp, sf = r7
+    p_all, p_fp = best_prior(sf=sf), best_prior(fp, sf)
     # TPC-H ratchet unchanged by the fingerprint
     assert p_all["q21_waiting_supplier"] == p_fp["q21_waiting_supplier"]
     # corpus-bound prior never tighter than the fingerprint-matched best
@@ -114,8 +130,8 @@ def test_fp_comparable_tolerance():
 
 
 def test_gate_passes_on_current_shape(tmp_path, r7):
-    queries, fp = r7
-    r = _gate(tmp_path, queries, fp)
+    queries, fp, sf = r7
+    r = _gate(tmp_path, queries, fp, sf)
     assert r.returncode == 0, r.stderr
 
 
@@ -127,8 +143,8 @@ def test_gate_trips_on_plan_pessimization(tmp_path, r7, victim):
     TPC-H query and a corpus-bound one (the reset must not blind the
     ratchet on the same corpus). The corpus-bound victim is one WITHOUT
     a cache-hygiene ack, so the gate's FAIL path is what's exercised."""
-    queries, fp = r7
-    r = _gate(tmp_path, {**queries, victim: queries[victim] * 3}, fp)
+    queries, fp, sf = r7
+    r = _gate(tmp_path, {**queries, victim: queries[victim] * 3}, fp, sf)
     assert r.returncode == 1 and f"FAIL {victim}" in r.stderr
 
 
@@ -136,7 +152,7 @@ def test_gate_acks_the_cache_hygiene_queries(tmp_path, r7):
     """The two sketch-sharing queries regress vs their warm-cache
     best-priors by design (accounting change); the gate must surface
     them as ACK — visible, reasoned — never as silent passes or FAILs."""
-    queries, fp = r7
+    queries, fp, sf = r7
     slow = {
         **queries,
         "dedup_jaccard_blocked_pairs": queries[
@@ -144,7 +160,7 @@ def test_gate_acks_the_cache_hygiene_queries(tmp_path, r7):
         ]
         * 3,
     }
-    r = _gate(tmp_path, slow, fp)
+    r = _gate(tmp_path, slow, fp, sf)
     assert r.returncode == 0, r.stderr
     assert "ACK dedup_jaccard_blocked_pairs" in r.stderr
 
@@ -152,7 +168,7 @@ def test_gate_acks_the_cache_hygiene_queries(tmp_path, r7):
 def test_gate_resets_corpus_bound_on_regeneration(tmp_path, r7):
     """The same slow corpus-bound time under a DIFFERENT fingerprint is
     a data regeneration, not a regression — gate passes, no ack needed."""
-    queries, _ = r7
+    queries, _, sf = r7
     slow = {
         **queries,
         "dedup_jaccard_blocked_pairs": queries[
@@ -161,5 +177,5 @@ def test_gate_resets_corpus_bound_on_regeneration(tmp_path, r7):
         * 3,
     }
     alien = {"n_docs": 9999, "vocab_size": 7, "block_candidate_pairs": 1}
-    r = _gate(tmp_path, slow, alien)
+    r = _gate(tmp_path, slow, alien, sf)
     assert r.returncode == 0, r.stderr
