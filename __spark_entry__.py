@@ -12,7 +12,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from training_flink_sql_cc_src_spark.registry import all_oracles, all_queries
+from training_flink_sql_cc_src_spark.registry import (
+    driver_oracles,
+    driver_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,10 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    """One entry per implemented operator from SURVEY.md §2 (fold-suite
+    members are attested through their fold's row; see
+    registry.driver_queries for the rotation arithmetic)."""
+    return driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each oracle-matched query."""
-    return all_oracles()
+    return driver_oracles()

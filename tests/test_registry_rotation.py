@@ -32,11 +32,38 @@ def test_loader_ingests_committed_artifacts():
         assert loaded.get(name, 0) >= rnd, (name, loaded.get(name))
 
 
+def test_driver_count_keeps_headroom():
+    """Rotation headroom (VERDICT r11 #3): the driver-facing registry
+    must stay <= 200 names so the ~50-slot/round recheck cycle is
+    <= 4 rounds — oldest evidence >= current-3, one full round of slack
+    under the repo's current-4 staleness guard. Growth beyond 200 means
+    folding more near-duplicate shapes (queries/folds.py), not loosening
+    this bound."""
+    dq = registry.driver_queries()
+    assert len(dq) <= 200, (
+        f"driver-facing registry at {len(dq)} names: fold more shapes "
+        "before adding entries (see queries/folds.py)"
+    )
+    # fold members really are excluded from the driver contract...
+    assert "pattern_match_recognize_plus" not in dq
+    assert "scalar_string" not in dq
+    # ...but stay first-class for bench/tests
+    aq = registry.all_queries()
+    assert "pattern_match_recognize_plus" in aq and "scalar_string" in aq
+    # and every fold member keeps full-fidelity attestation via its fold
+    from training_flink_sql_cc_src_spark.queries.folds import SPECS
+
+    for fold_name, members in SPECS.items():
+        assert fold_name in dq
+        for m in members:
+            assert m in aq and not registry._REGISTRY[m].driver
+
+
 def test_driver_order_frontloads_oldest_evidence():
     """The first driver slots (~50) must be filled by names with NO driver
     evidence, then the OLDEST-evidence verified names — never the names
     the latest round just checked."""
-    names = list(registry.all_queries())
+    names = list(registry.driver_queries())
     lg = registry._DRIVER_LAST_GREEN
     newest_round = max(lg.values())
     head = names[:50]

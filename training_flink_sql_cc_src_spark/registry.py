@@ -31,19 +31,44 @@ class Entry:
     fn: SparkQuery
     oracle: str | None
     doc: str = ""
+    #: Part of the driver-facing contract (__spark_entry__.queries()).
+    #: False for fold-suite MEMBERS (queries/folds.py): they stay
+    #: registered — bench, scale runs, and tests/test_oracle_parity.py
+    #: exercise them individually via all_queries() — but the driver
+    #: attests them through their fold's single hash-checked row, which
+    #: keeps the ~50-slot/round rotation cycle within its staleness
+    #: guard (VERDICT r11 #3; arithmetic at driver_queries()).
+    driver: bool = True
 
 
 _REGISTRY: dict[str, Entry] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    driver: bool = True,
+):
     """Decorator: register a (spark_fn, oracle_sql) pair under ``name``."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
-        _REGISTRY[name] = Entry(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        _REGISTRY[name] = Entry(
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            driver=driver,
+        )
         return fn
 
     return deco
+
+
+def hide_from_driver(names) -> None:
+    """Mark registered entries as fold members: still first-class for
+    bench/tests, no longer individual rows in the driver rotation."""
+    for name in names:
+        _REGISTRY[name].driver = False
 
 
 # Round of the most recent green driver row per registry name (hash-match,
@@ -350,6 +375,8 @@ def _driver_order(names) -> list[str]:
 
 
 def all_queries() -> dict[str, SparkQuery]:
+    """EVERY registered query, fold members included (bench, scale runs,
+    tests/test_oracle_parity.py)."""
     _load_all()
     return {k: _REGISTRY[k].fn for k in _driver_order(_REGISTRY)}
 
@@ -359,6 +386,41 @@ def all_oracles() -> dict[str, str]:
     return {
         k: _REGISTRY[k].oracle
         for k in _driver_order(_REGISTRY)
+        if _REGISTRY[k].oracle is not None
+    }
+
+
+def driver_queries() -> dict[str, SparkQuery]:
+    """The driver-facing contract (__spark_entry__.queries()): fold
+    members excluded — each is attested through its fold's single
+    hash-checked row instead of an individual rotation slot.
+
+    Rotation headroom (VERDICT r11 #3): the driver records ~50 rows per
+    round, and evidence older than current-4 rounds is stale by the
+    repo's own guard. 236 individual names = 4.7-round cycle (saturated).
+    With the queries/folds.py suites folding 49 near-duplicate shapes
+    into 7 suite rows, the driver-facing count stays <= 200, i.e. a
+    <= 4-round full recheck -> oldest evidence >= current-3, one full
+    round of slack under the guard even as new operators land.
+    tests/test_registry_rotation.py::test_driver_count_keeps_headroom
+    enforces the <= 200 bound structurally.
+    """
+    _load_all()
+    return {
+        k: _REGISTRY[k].fn
+        for k in _driver_order(
+            [n for n in _REGISTRY if _REGISTRY[n].driver]
+        )
+    }
+
+
+def driver_oracles() -> dict[str, str]:
+    _load_all()
+    return {
+        k: _REGISTRY[k].oracle
+        for k in _driver_order(
+            [n for n in _REGISTRY if _REGISTRY[n].driver]
+        )
         if _REGISTRY[k].oracle is not None
     }
 
@@ -389,5 +451,9 @@ def _load_all() -> None:
         tpch_more,
         udf_surface,
     )
+
+    # folds must import AFTER the member modules above: building each
+    # fold's oracle reads the members' registered oracle SQL
+    from .queries import folds  # noqa: F401
 
     _LOADED = True
