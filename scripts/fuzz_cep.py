@@ -113,15 +113,26 @@ def wide_pattern(rng):
     the product over the cap; a required tail variable keeps min_len
     >= 1. The reference regex is the same bounded expression, so the
     NFA's greedy/reluctant preference is cross-checked exactly."""
-    k = rng.choice([2, 2, 3])
-    vs = rng.sample(VARS, k + 1)
-    terms, regexes = [], []
-    for v in vs[:-1]:
-        lo = rng.randint(0, 2)
-        hi = rng.randint(lo + 4, 8)
-        lazy = "?" if rng.random() < 0.3 else ""
-        terms.append("%s{%d,%d}%s" % (v, lo, hi, lazy))
-        regexes.append("%s{%d,%d}%s" % (CHARS[v], lo, hi, lazy))
+    while True:
+        k = rng.choice([2, 2, 3])
+        vs = rng.sample(VARS, k + 1)
+        terms, regexes = [], []
+        n_variants, max_len = 1, 1  # required tail contributes 1 row
+        for v in vs[:-1]:
+            lo = rng.randint(0, 2)
+            hi = rng.randint(lo + 4, 8)
+            lazy = "?" if rng.random() < 0.3 else ""
+            terms.append("%s{%d,%d}%s" % (v, lo, hi, lazy))
+            regexes.append("%s{%d,%d}%s" % (CHARS[v], lo, hi, lazy))
+            n_variants *= hi - lo + 1
+            max_len += hi
+        # ADVICE r11: k=2 draws like A{0,4} B{0,4} C give 25 variants /
+        # 9 rows and stay on the LEAD-chain path, so part of the "wide"
+        # slice never reached the NFA re-route it exists to test.
+        # Regenerate until the product really exceeds the 64-variant /
+        # 12-row LEAD budget (the engine's cap in plans/match_recognize).
+        if n_variants > 64 or max_len > 12:
+            break
     tail = vs[-1]
     terms.append(tail)
     regexes.append(CHARS[tail])

@@ -512,6 +512,59 @@ def test_mp4_box_walk_roundtrip_and_guards():
         parse_mp4_metadata(bytes(data))
 
 
+def test_mp4_special_box_sizes():
+    """ISO 14496-12 §4.2 (ADVICE r11): size==1 boxes carry a 64-bit
+    largesize after the tag (common for big mdat), size==0 boxes extend
+    to the end of the enclosing container — both must parse, not raise.
+    """
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        mp4_bytes,
+        parse_mp4_metadata,
+    )
+
+    base = mp4_bytes(90000, 4242, 640, 480)
+    payload = b"\x00" * 24
+    # 64-bit largesize mdat between ftyp and moov
+    large_mdat = (
+        _struct.pack(">I", 1) + b"mdat"
+        + _struct.pack(">Q", 16 + len(payload)) + payload
+    )
+    ftyp_len = int.from_bytes(base[0:4], "big")
+    ftyp, moov = base[:ftyp_len], base[ftyp_len:]
+    meta = parse_mp4_metadata(ftyp + large_mdat + moov)
+    assert (meta["timescale"], meta["duration"]) == (90000, 4242)
+    assert (meta["width"], meta["height"]) == (640, 480)
+    # size==0 trailing mdat extends to end-of-file
+    tail_mdat = _struct.pack(">I", 0) + b"mdat" + payload
+    meta = parse_mp4_metadata(base + tail_mdat)
+    assert (meta["timescale"], meta["duration"]) == (90000, 4242)
+    # truncated largesize must still raise loudly
+    with _pytest.raises(ValueError, match="largesize"):
+        parse_mp4_metadata(ftyp + _struct.pack(">I", 1) + b"mdat")
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2 (ADVICE r11): 0xFF fill bytes between segments and
+    length-less standalone markers (TEM 0x01) are legal in wild JPEGs
+    and must not desynchronize the marker walk."""
+    import numpy as np
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_jpeg_pixels,
+        jpeg_bytes_with_pixels,
+    )
+
+    px = np.full((8, 8), 99, dtype=np.uint8)
+    data = jpeg_bytes_with_pixels(px, quality=100)
+    # inject fill bytes + a TEM marker right after SOI
+    wild = data[:2] + b"\xff\xff\xff" + b"\xff\x01" + data[2:]
+    assert np.array_equal(decode_jpeg_pixels(wild), decode_jpeg_pixels(data))
+
+
 def test_adpcm_codec_blocks_and_guards():
     """IMA ADPCM: the block walk emits each block's header predictor as
     a sample then one sample per nibble; multi-block continuation

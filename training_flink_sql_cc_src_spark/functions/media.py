@@ -439,7 +439,10 @@ def wav_bytes_mulaw(sample_rate: int, codes) -> bytes:
 
     c = np.asarray(codes, dtype=np.uint8)
     data = c.tobytes()
-    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    # trailing cbSize=0 word: WAVE requires the extension-size field for
+    # any non-PCM codec (the ADPCM builder already carries it); strict
+    # readers reject a 16-byte codec-7 fmt chunk (ADVICE r11)
+    fmt = struct.pack("<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -792,12 +795,23 @@ def decode_jpeg_pixels(data: bytes):
     sof = None
     restart_interval = 0
     scan = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker stream desynchronized")
+        # T.81 B.1.1.2 (ADVICE r11): any number of 0xFF fill bytes may
+        # pad the space between segments; skip them before reading the
+        # marker so wild JPEGs don't desynchronize the walk.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with no length field
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("JPEG segment header truncated")
         (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seg_len]
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -994,9 +1008,23 @@ def parse_mp4_metadata(payload: bytes | None) -> dict:
         while pos + 8 <= end:
             (size,) = struct.unpack(">I", data[pos : pos + 4])
             tag = data[pos + 4 : pos + 8]
+            body = pos + 8
+            # ISO 14496-12 §4.2 special sizes (ADVICE r11): size==1
+            # carries a 64-bit largesize after the tag (common for
+            # >4 GiB mdat), size==0 means the box extends to the end of
+            # the enclosing container — both legal in wild MP4s.
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("BMFF largesize truncated")
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                body = pos + 16
+                if size < 16:
+                    raise ValueError("BMFF largesize out of bounds")
+            elif size == 0:
+                size = end - pos
             if size < 8 or pos + size > end:
                 raise ValueError("BMFF box size out of bounds")
-            yield tag, pos + 8, pos + size
+            yield tag, body, pos + size
             pos += size
 
     for tag, b0, b1 in walk(payload, 0, len(payload)):
