@@ -95,6 +95,7 @@ HEADLINE = (
     "multimodal_jpeg_pixel_stats",
     "multimodal_mulaw_audio_stats",
     "multimodal_video_metadata",
+    "multimodal_jpeg420_pixel_stats",
 )
 
 

@@ -408,11 +408,11 @@ def test_jpeg_pixel_codec_bounded_error_and_restarts():
     assert np.array_equal(with_rst, without)
 
 
-def test_jpeg_decode_guards_progressive_and_subsampled():
+def test_jpeg_decode_guards_progressive_and_wild_factors():
     """Unsupported shapes raise the loud NotImplementedError convention:
-    progressive SOF2, and 4:2:0-subsampled SOF0 components."""
-    import struct as _struct
-
+    progressive SOF2, and sampling factors beyond 2x2. Grayscale with a
+    declared 2x2 factor must DECODE (T.81 A.2.2: single-component scans
+    are non-interleaved — one block per MCU regardless of factors)."""
     import numpy as np
     import pytest as _pytest
 
@@ -429,16 +429,128 @@ def test_jpeg_decode_guards_progressive_and_subsampled():
     with _pytest.raises(NotImplementedError, match="SOF0"):
         decode_jpeg_pixels(progressive)
 
-    # flip the single component's sampling byte 0x11 -> 0x22 (2x2)
+    # a declared 2x2 factor on the SINGLE grayscale component decodes
+    # identically (non-interleaved scan ignores the factors)
     comp_at = sof_at + 4 + 6  # marker+len + (depth,h,w,ncomp)
-    subsampled = bytearray(data)
-    assert subsampled[comp_at + 1] == 0x11
-    subsampled[comp_at + 1] = 0x22
-    with _pytest.raises(NotImplementedError, match="4:4:4"):
-        decode_jpeg_pixels(bytes(subsampled))
+    declared22 = bytearray(data)
+    assert declared22[comp_at + 1] == 0x11
+    declared22[comp_at + 1] = 0x22
+    assert np.array_equal(
+        decode_jpeg_pixels(bytes(declared22)), decode_jpeg_pixels(bytes(data))
+    )
+
+    # factors beyond 2x2 stay a loud guard (rare, need a codec library)
+    wild = bytearray(jpeg_bytes_with_pixels(
+        np.zeros((8, 8, 3), dtype=np.uint8), quality=100
+    ))
+    sof_rgb = bytes(wild).find(b"\xff\xc0")
+    wild[sof_rgb + 4 + 6 + 1] = 0x33
+    with _pytest.raises(NotImplementedError, match="factors"):
+        decode_jpeg_pixels(bytes(wild))
 
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg_pixels(b"not a jpeg")
+
+
+def test_jpeg_420_roundtrip_properties():
+    """4:2:0 chroma-subsampled encode -> decode (VERDICT r11 Next #4):
+    macroblock-constant color at Q=1 round-trips within the JFIF YCbCr
+    integer rounding (<=1/channel); gradients at q90 stay within the
+    chroma-decimation error bound; restart markers are layout-agnostic;
+    odd (non-multiple-of-16) dimensions crop correctly."""
+    import numpy as np
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_jpeg_pixels,
+        jpeg_bytes_with_pixels,
+    )
+
+    rng = np.random.RandomState(7)
+    # macroblock-constant: every 16x16 tile one color -> DC-only blocks
+    for shape in [(16, 16), (32, 48), (48, 32)]:
+        mb = rng.randint(0, 256, (shape[0] // 16, shape[1] // 16, 3))
+        px = np.kron(mb, np.ones((16, 16, 1), dtype=np.int64)).astype(
+            np.uint8
+        )
+        out = decode_jpeg_pixels(
+            jpeg_bytes_with_pixels(px, quality=100, subsampling="420")
+        )
+        assert out.shape == px.shape
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+    # odd dims: encoder pads to the MCU grid, decoder crops back
+    for shape in [(17, 19), (33, 31), (8, 8)]:
+        px = np.full((*shape, 3), (120, 64, 200), dtype=np.uint8)
+        out = decode_jpeg_pixels(
+            jpeg_bytes_with_pixels(px, quality=100, subsampling="420")
+        )
+        assert out.shape == px.shape
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+    # smooth gradient, lossy quality: bounded error
+    grad = np.clip(
+        np.arange(32)[None, :, None] * 4
+        + np.arange(24)[:, None, None] * 3
+        + rng.randint(0, 8, (24, 32, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    out = decode_jpeg_pixels(
+        jpeg_bytes_with_pixels(grad, quality=90, subsampling="420")
+    )
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 40
+    # restart markers must not perturb the 4:2:0 MCU walk
+    a = decode_jpeg_pixels(
+        jpeg_bytes_with_pixels(
+            grad, quality=85, subsampling="420", restart_interval=2
+        )
+    )
+    b = decode_jpeg_pixels(
+        jpeg_bytes_with_pixels(grad, quality=85, subsampling="420")
+    )
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_420_decodes_real_third_party_files():
+    """Real libjpeg-encoded 4:2:0 photos shipped with Spark's mllib test
+    data (kittens) must decode: correct SOF dimensions, and natural-
+    image structure (adjacent-pixel differences far smaller than a
+    shuffled baseline) — a desynchronized MCU walk produces noise and
+    fails the structure check."""
+    import glob
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_jpeg_pixels,
+    )
+
+    kittens = sorted(
+        glob.glob("/opt/spark*/data/mllib/images/origin/kittens/*.jpg")
+    )
+    if not kittens:
+        _pytest.skip("Spark mllib sample images not present")
+    checked = 0
+    for path in kittens[:3]:
+        data = open(path, "rb").read()
+        sof = data.find(b"\xff\xc0")
+        # SOF0: marker(2) len(2) depth(1) h(2) w(2) ncomp(1), then per
+        # component (cid, hv, tq) — hv of component 1 sits at sof+11
+        if sof < 0 or data[sof + 11] != 0x22:
+            continue  # not a baseline 4:2:0 file
+        px = decode_jpeg_pixels(data).astype(np.int64)
+        h = int.from_bytes(data[sof + 5 : sof + 7], "big")
+        w = int.from_bytes(data[sof + 7 : sof + 9], "big")
+        assert px.shape == (h, w, 3), (os.path.basename(path), px.shape)
+        lum = px.mean(axis=2)
+        adj = np.abs(np.diff(lum, axis=1)).mean()
+        rng = np.random.RandomState(0)
+        shuffled = lum.reshape(-1).copy()
+        rng.shuffle(shuffled)
+        base = np.abs(np.diff(shuffled)).mean()
+        assert adj < base / 3, (os.path.basename(path), adj, base)
+        checked += 1
+    assert checked >= 2, "expected at least two real 4:2:0 files"
 
 
 def test_mulaw_codec_spec_properties():

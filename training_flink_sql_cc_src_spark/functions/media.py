@@ -607,22 +607,28 @@ def _jpeg_encode_block(zz, dc_pred, dc_codes, ac_codes, w) -> int:
 
 
 def jpeg_bytes_with_pixels(
-    pixels, quality: int = 100, restart_interval: int = 0
+    pixels, quality: int = 100, restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Spec-valid BASELINE JPEG carrying real entropy-coded pixel data:
     level shift, 8x8 float DCT, quantization (Annex K table scaled by
     ``quality``; 100 -> all-ones), zigzag, differential DC + run-length
     AC Huffman coding with the Annex K luminance tables, byte stuffing,
     optional DRI/RSTn restart markers. ``pixels`` is (h, w) uint8
-    grayscale or (h, w, 3) uint8 RGB (written 4:4:4 via the JFIF YCbCr
-    transform). Real JPEG readers decode the output unchanged; the
-    exact inverse path is :func:`decode_jpeg_pixels`."""
+    grayscale or (h, w, 3) uint8 RGB (JFIF YCbCr transform).
+    ``subsampling`` picks the chroma layout for RGB input: "444"
+    (every component 1x1) or "420" (Y 2x2 with Cb/Cr 2:1-decimated in
+    both axes by 2x2 box average — the dominant wild-JPEG layout,
+    VERDICT r11 Next #4). Real JPEG readers decode the output
+    unchanged; the exact inverse path is :func:`decode_jpeg_pixels`."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w = px.shape[:2]
     if gray:
         planes = [px.astype(np.float64)]
@@ -633,18 +639,37 @@ def jpeg_bytes_with_pixels(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+    sub420 = subsampling == "420" and not gray
+    #: per-component (H, V) sampling factors
+    factors = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    # MCU grid over the full-resolution image
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     q = _jpeg_quant_table(quality)
     m = _jpeg_dct_matrix()
     zz = np.array(_JPEG_ZIGZAG)
-    bh, bw = -(-h // 8), -(-w // 8)
     blocks_per_plane = []
-    for plane in planes:
+    for plane, (fh, fv) in zip(planes, factors):
         p = np.clip(np.rint(plane), 0, 255)
-        p = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
-        blk = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        # pad full-res to the MCU grid first so decimation sees edge
+        # replication, not zeros
+        p = np.pad(
+            p,
+            ((0, mcuy * 8 * vmax - h), (0, mcux * 8 * hmax - w)),
+            mode="edge",
+        )
+        if (fh, fv) != (hmax, vmax):
+            ry, rx = vmax // fv, hmax // fh
+            p = p.reshape(p.shape[0] // ry, ry, p.shape[1] // rx, rx).mean(
+                axis=(1, 3)
+            )
+        p = p - 128.0
+        bh_p, bw_p = p.shape[0] // 8, p.shape[1] // 8
+        blk = p.reshape(bh_p, 8, bw_p, 8).transpose(0, 2, 1, 3)
         coef = np.einsum("ux,byxz,vz->byuv", m, blk, m)
         qd = np.rint(coef / q).astype(np.int64)
-        blocks_per_plane.append(qd.reshape(bh, bw, 64)[:, :, :])
+        blocks_per_plane.append(qd.reshape(bh_p, bw_p, 64))
     dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     wtr = _JpegBitWriter()
@@ -652,8 +677,8 @@ def jpeg_bytes_with_pixels(
     mcu = 0
     rst = 0
     body = bytearray()
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 wtr.pad_align()
                 body += wtr.out
@@ -662,11 +687,16 @@ def jpeg_bytes_with_pixels(
                 rst = (rst + 1) % 8
                 preds = [0] * len(planes)
             for ci, blocks in enumerate(blocks_per_plane):
-                # reorder row-major coeffs into the zigzag sequence
-                flat = blocks[by, bx].reshape(64)[zz]
-                preds[ci] = _jpeg_encode_block(
-                    flat, preds[ci], dc_codes, ac_codes, wtr
-                )
+                fh, fv = factors[ci]
+                for vy in range(fv):
+                    for vx in range(fh):
+                        # reorder row-major coeffs into zigzag sequence
+                        flat = blocks[my * fv + vy, mx * fh + vx].reshape(
+                            64
+                        )[zz]
+                        preds[ci] = _jpeg_encode_block(
+                            flat, preds[ci], dc_codes, ac_codes, wtr
+                        )
             mcu += 1
     wtr.pad_align()
     body += wtr.out
@@ -679,7 +709,12 @@ def jpeg_bytes_with_pixels(
     sof = seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, ncomp)
-        + b"".join(struct.pack("BBB", i + 1, 0x11, 0) for i in range(ncomp)),
+        + b"".join(
+            struct.pack(
+                "BBB", i + 1, (factors[i][0] << 4) | factors[i][1], 0
+            )
+            for i in range(ncomp)
+        ),
     )
     dht = seg(
         0xC4,
@@ -780,11 +815,13 @@ def decode_jpeg_pixels(data: bytes):
     Returns (h, w) uint8 for grayscale or (h, w, 3) uint8 RGB (JFIF
     YCbCr inverse) for 3-component 4:4:4 scans.
 
-    Supported: baseline sequential (SOF0), 8-bit, grayscale or 4:4:4 —
-    the shapes :func:`jpeg_bytes_with_pixels` emits. Progressive
-    (SOF2), arithmetic coding, 12-bit, and subsampled chroma raise the
-    loud NotImplementedError convention (they need a full codec
-    library, absent in this container)."""
+    Supported: baseline sequential (SOF0), 8-bit, grayscale, 4:4:4, and
+    subsampled layouts with factors up to 2x2 — 4:2:0 (the dominant
+    wild-JPEG layout), 4:2:2, 4:4:0 — via a sampling-aware MCU loop
+    with nearest-neighbor chroma upsample (round 12; VERDICT r11 Next
+    #4). Progressive (SOF2), arithmetic coding, 12-bit, and factors >2
+    raise the loud NotImplementedError convention (they need a full
+    codec library, absent in this container)."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -830,14 +867,19 @@ def decode_jpeg_pixels(data: bytes):
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack("BBB", body[6 + 3 * i : 9 + 3 * i])
-                if hv != 0x11:
+                fh, fv = hv >> 4, hv & 0x0F
+                if ncomp == 1:
+                    # T.81 A.2.2: a single-component scan is
+                    # non-interleaved — one block per MCU regardless of
+                    # the declared factors
+                    fh = fv = 1
+                if not (1 <= fh <= 2 and 1 <= fv <= 2):
                     raise NotImplementedError(
-                        f"decode_jpeg_pixels: only 4:4:4 / grayscale is "
-                        f"implemented (component {cid} has sampling "
-                        f"0x{hv:02X}); subsampled chroma needs a codec "
-                        "library"
+                        f"decode_jpeg_pixels: sampling factors up to 2x2 "
+                        f"are implemented (component {cid} has sampling "
+                        f"0x{hv:02X})"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, fh, fv, tq))
             sof = (h, w, comps)
         elif marker == 0xDB:
             b = 0
@@ -889,49 +931,71 @@ def decode_jpeg_pixels(data: bytes):
             "decode_jpeg_pixels: only single interleaved scans are supported"
         )
     m = _jpeg_dct_matrix()
-    bh, bw = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
-    qs = [qtables[tq] for _, tq in comps]
+    hmax = max(fh for _, fh, _, _ in comps)
+    vmax = max(fv for _, _, fv, _ in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * fv, mcux * 8 * fh), dtype=np.float64)
+        for _, fh, fv, _ in comps
+    ]
+    qs = [qtables[tq] for _, _, _, tq in comps]
     dcs = [htables[(0, td)] for _, td, _ in scan_comps]
     acs = [htables[(1, ta)] for _, _, ta in scan_comps]
     reader = _JpegBitReader(data, scan_pos)
     preds = [0] * len(comps)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 mk = reader.peek_marker()
                 if mk is None or not 0xD0 <= mk <= 0xD7:
                     raise ValueError("JPEG expected RST marker, none found")
                 reader.consume_restart()
                 preds = [0] * len(comps)
-            for ci in range(len(comps)):
-                zz = np.zeros(64, dtype=np.int64)
-                s = _jpeg_decode_huffman(reader, dcs[ci])
-                if s:
-                    preds[ci] += _jpeg_extend(reader.read_bits(s), s)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = _jpeg_decode_huffman(reader, acs[ci])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    s = rs & 0x0F
-                    if k > 63:
-                        raise ValueError("JPEG AC run overflows block")
-                    zz[k] = _jpeg_extend(reader.read_bits(s), s)
-                    k += 1
-                blk = np.zeros(64, dtype=np.int64)
-                blk[list(_JPEG_ZIGZAG)] = zz
-                coef = blk.reshape(8, 8) * qs[ci]
-                pix = m.T @ coef @ m + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+            for ci, (_cid, fh, fv, _tq) in enumerate(comps):
+                for vy in range(fv):
+                    for vx in range(fh):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _jpeg_decode_huffman(reader, dcs[ci])
+                        if s:
+                            preds[ci] += _jpeg_extend(
+                                reader.read_bits(s), s
+                            )
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_huffman(reader, acs[ci])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            s = rs & 0x0F
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC run overflows block"
+                                )
+                            zz[k] = _jpeg_extend(reader.read_bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.int64)
+                        blk[list(_JPEG_ZIGZAG)] = zz
+                        coef = blk.reshape(8, 8) * qs[ci]
+                        pix = m.T @ coef @ m + 128.0
+                        y0 = (my * fv + vy) * 8
+                        x0 = (mx * fh + vx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu += 1
-    planes = [p[:h, :w] for p in planes]
+    # bring every component back to full resolution: nearest-neighbor
+    # (sample replication) chroma upsample — T.81 leaves the filter to
+    # the decoder; replication is the deterministic choice that makes
+    # encode->decode exact on DC-constant fixtures
+    up = []
+    for p, (_cid, fh, fv, _tq) in zip(planes, comps):
+        if (fh, fv) != (hmax, vmax):
+            p = p.repeat(vmax // fv, axis=0).repeat(hmax // fh, axis=1)
+        up.append(p[:h, :w])
+    planes = up
     if len(planes) == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

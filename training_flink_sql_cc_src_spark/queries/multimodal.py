@@ -809,6 +809,152 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg420_pixel_stats",
+    oracle="""
+    WITH g AS (
+      SELECT d.doc_id AS did, i.i AS i, j.j AS j,
+             2 + d.doc_id % 2 AS mbw, 2 + (d.doc_id * 3) % 2 AS mbh
+      FROM documents d,
+           UNNEST(range(2 + d.doc_id % 2)) AS i(i),
+           UNNEST(range(2 + (d.doc_id * 3) % 2)) AS j(j)
+      WHERE d.doc_id % 5 = 1
+    ), c AS (
+      SELECT did, mbw, mbh,
+         CAST((31*i + 17*j + did) % 256 AS DOUBLE) AS r,
+         CAST((13*i + 41*j + 2*did) % 256 AS DOUBLE) AS g,
+         CAST((7*i + 23*j + 5*did) % 256 AS DOUBLE) AS b
+      FROM g
+    ), y AS (
+      SELECT did, mbw, mbh,
+         least(255.0, greatest(0.0,
+             round_even(0.299*r + 0.587*g + 0.114*b, 0))) AS y,
+         least(255.0, greatest(0.0,
+             round_even(-0.168736*r - 0.331264*g + 0.5*b + 128.0, 0))) AS cb,
+         least(255.0, greatest(0.0,
+             round_even(0.5*r - 0.418688*g - 0.081312*b + 128.0, 0))) AS cr
+      FROM c
+    ), px AS (
+      SELECT did, mbw, mbh,
+         least(255.0, greatest(0.0,
+             round_even(y + 1.402*(cr - 128.0), 0))) AS r2,
+         least(255.0, greatest(0.0,
+             round_even(y - 0.344136*(cb - 128.0)
+                          - 0.714136*(cr - 128.0), 0))) AS g2,
+         least(255.0, greatest(0.0,
+             round_even(y + 1.772*(cb - 128.0), 0))) AS b2
+      FROM y
+    )
+    SELECT did AS doc_id,
+           16 * MAX(mbw) AS width,
+           16 * MAX(mbh) AS height,
+           CAST(SUM(256 * r2) AS BIGINT) AS r_sum,
+           CAST(SUM(256 * g2) AS BIGINT) AS g_sum,
+           CAST(SUM(256 * b2) AS BIGINT) AS b_sum
+    FROM px GROUP BY did
+    """,
+    doc="REAL 4:2:0 baseline-JPEG decode, bit-exact end-to-end (VERDICT "
+    "r11 Next #4 — 4:2:0 is the dominant wild-JPEG layout): per "
+    "image-doc, an RGB raster whose 16x16 MACROBLOCKS are color-"
+    "constant is encoded as a real chroma-subsampled baseline JPEG "
+    "(Y 2x2 / Cb,Cr 1x1 sampling, 2x2 box-average chroma decimation, "
+    "interleaved 6-block MCUs — functions/media.jpeg_bytes_with_pixels "
+    "subsampling='420'), shuffled as a binary column, then DECODED by "
+    "the sampling-aware MCU walk + nearest-neighbor chroma upsample "
+    "(decode_jpeg_pixels). Macroblock-constant color at Q=1 makes every "
+    "Y/Cb/Cr block DC-only and the decimation an identity, so the whole "
+    "pipeline is exact up to the JFIF YCbCr integer rounding — which "
+    "the DuckDB oracle reproduces digit-for-digit with round_even "
+    "(numpy rint is half-even) over the same macroblock grid, and the "
+    "driver hash checks per-channel pixel SUMS. Lossy/wild shapes "
+    "(gradients, real kitten photos from Spark's mllib test data) are "
+    "covered by property tests. 100 TB: map-only per-image work, one "
+    "scalar row per image.",
+)
+def multimodal_jpeg420_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ensure_package_shipped(spark)
+    d = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 1)
+        .select("doc_id")
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            jpeg_bytes_with_pixels,
+        )
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mbw, mbh = 2 + did % 2, 2 + (did * 3) % 2
+                i = np.arange(mbw, dtype=np.int64)[None, :]
+                j = np.arange(mbh, dtype=np.int64)[:, None]
+                mb = np.stack(
+                    [
+                        (31 * i + 17 * j + did) % 256,
+                        (13 * i + 41 * j + 2 * did) % 256,
+                        (7 * i + 23 * j + 5 * did) % 256,
+                    ],
+                    axis=2,
+                )
+                px = np.kron(
+                    mb, np.ones((16, 16, 1), dtype=np.int64)
+                ).astype("uint8")
+                payloads.append(
+                    jpeg_bytes_with_pixels(
+                        px, quality=100, subsampling="420"
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
+        8, "doc_id"
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from training_flink_sql_cc_src_spark.functions.media import (
+            decode_jpeg_pixels,
+        )
+
+        for pdf in it:
+            ids, ws, hs, rs, gs, bs = [], [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_jpeg_pixels(bytes(payload)).astype(np.int64)
+                h, w, _ = px.shape
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                rs.append(int(px[:, :, 0].sum()))
+                gs.append(int(px[:, :, 1].sum()))
+                bs.append(int(px[:, :, 2].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "r_sum": rs,
+                    "g_sum": gs,
+                    "b_sum": bs,
+                }
+            )
+
+    return built.mapInPandas(
+        stats,
+        "doc_id long, width long, height long, "
+        "r_sum long, g_sum long, b_sum long",
+    )
+
+
+@register(
     "multimodal_mulaw_audio_stats",
     oracle="""
     SELECT doc_id,
