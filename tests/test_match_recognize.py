@@ -921,8 +921,9 @@ def test_unsupported_raises_instructive_router_error(spark):
             )
             """
         )
-    # simple cross comparisons now lower in unbounded patterns; RICHER
-    # cross expressions stay rejected with the instructive error
+    # simple cross comparisons (r9) and rich arithmetic expressions
+    # (r12) now lower in unbounded patterns; AGGREGATES inside DEFINE
+    # stay rejected with the instructive error
     with pytest.raises(NotImplementedError, match="self-contained"):
         StatementRouter(spark).execute(
             """
@@ -932,7 +933,7 @@ def test_unsupported_raises_instructive_router_error(spark):
                 ORDER BY ts
                 MEASURES A.ts AS a_ts
                 PATTERN (A B+ C)
-                DEFINE A AS A.event_type = 'x', B AS B.ts > A.ts + 10,
+                DEFINE A AS A.event_type = 'x', B AS B.ts > AVG(A.ts),
                        C AS C.event_type = 'z'
             )
             """
@@ -2789,38 +2790,57 @@ def test_cross_ref_to_untaken_alternation_branch_is_null(spark):
     assert sorted((r[1], r[2]) for r in got) == [(0, 1), (4, 5)]
 
 
-def test_cross_define_foreign_left_qualifier_rejected(spark):
-    """DEFINE B AS A.v < C.v — the LEFT side of the cross comparison is
-    qualified by a variable other than the one being defined. Evaluating
-    it as current-row.v silently diverges from Flink (it navigates A's
-    mapped rows), so every lowering must reject it loudly (ADVICE r7:
-    the NFA and the streaming prep both let it through)."""
+def test_cross_define_foreign_left_qualifier_navigates_mapped_rows(spark):
+    """DEFINE C AS A.v > B.v — BOTH sides reference OTHER variables.
+    Until round 11 this was rejected (the simple-comparison path would
+    have misread A.v as current-row.v); the round-12 rich compiler
+    navigates both references over the partial match's mapped rows —
+    the Flink semantics — so the pattern now lowers and must produce
+    the correct match. Fixture: a(10) b(5) b(8) c(1); greedy B+ maps
+    both b rows, and C (the c row) passes because LAST(A.v)=10 >
+    LAST(B.v)=8."""
     spark.createDataFrame(
         [(1, i, t, float(v)) for i, (t, v) in enumerate(
             [("a", 10), ("b", 5), ("b", 8), ("c", 1)]
         )],
         "user_id int, seq int, et string, v double",
     ).createOrReplaceTempView("__mr_badsv")
-    with pytest.raises(
-        (UnsupportedPatternError, NotImplementedError),
-        match="cross-variable",
-    ):
-        StatementRouter(spark).execute(
-            """
-            SELECT a_seq FROM __mr_badsv
-            MATCH_RECOGNIZE (
-                PARTITION BY user_id
-                ORDER BY seq
-                MEASURES A.seq AS a_seq
-                ONE ROW PER MATCH
-                AFTER MATCH SKIP TO NEXT ROW
-                PATTERN (A B+ C)
-                DEFINE A AS A.et = 'a',
-                       B AS B.et = 'b',
-                       C AS A.v > B.v
-            )
-            """
-        ).collect()
+    got = StatementRouter(spark).execute(
+        """
+        SELECT a_seq FROM __mr_badsv
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.et = 'a',
+                   B AS B.et = 'b',
+                   C AS A.v > B.v
+        )
+        """
+    ).collect()
+    assert sorted(r.a_seq for r in got) == [0]
+    # flipping the comparison must kill the match (LAST(A.v)=10 is
+    # never below LAST(B.v)) — proves the refs really navigate
+    got2 = StatementRouter(spark).execute(
+        """
+        SELECT a_seq FROM __mr_badsv
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY seq
+            MEASURES A.seq AS a_seq
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.et = 'a',
+                   B AS B.et = 'b',
+                   C AS A.v < B.v - 1
+        )
+        """
+    ).collect()
+    assert got2 == []
 
 
 def test_null_partition_key_matches(spark):
@@ -3354,3 +3374,127 @@ def test_wide_bounded_pattern_reroutes_to_nfa(
     else:
         want = list(per_start.values())
     assert sorted(r.c_seq for r in got) == sorted(want)
+
+
+# ---------------------------------------------------------------- round 12
+def test_rich_cross_define_compile_subset():
+    """compile_rich_cross accepts arithmetic/boolean expressions over
+    partial-match references and rejects everything else loudly."""
+    from training_flink_sql_cc_src_spark.plans.match_recognize import (
+        compile_rich_cross,
+        eval_rich_cross,
+    )
+
+    ok = compile_rich_cross(
+        "B.value > FIRST(A.value) * 0.5 + 1", "B", ["A", "B"]
+    )
+    assert ok is not None
+    # numeric literal 0.5 must not parse as a variable reference
+    assert all(r[0] in ("CUR", "FIRST", "LAST") for r in ok[1])
+    two = compile_rich_cross(
+        "C.value < (A.value + LAST(B.value)) / 2", "C", ["A", "B", "C"]
+    )
+    assert two is not None and len(two[1]) == 3
+    # rejections: aggregates, unknown vars, function calls, injection
+    for bad in (
+        "B.value > AVG(A.value)",
+        "B.value > Z.value",
+        "B.value > abs(A.value)",
+        "__import__('os').system('true')",
+        "B.value > (lambda: 1)()",
+    ):
+        assert compile_rich_cross(bad, "B", ["A", "B"]) is None, bad
+    # NULL / unmatched-reference semantics -> FALSE
+    vals = {0: {"v": 10.0}, 1: {"v": None}}
+    va = lambda i, c: vals[i][c]  # noqa: E731
+    code = compile_rich_cross("B.v > A.v + 1", "B", ["A", "B"])
+    assert eval_rich_cross([code], "B", 1, [("A", 0)], va) is False
+    assert eval_rich_cross([code], "B", 0, [], va) is False  # no A yet
+
+
+def _rich_fuzz_frame(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(12)
+    rows = []
+    types = ["view", "click", "purchase", "error"]
+    for i in range(240):
+        rows.append(
+            (
+                int(i % 8),
+                int(i),
+                f"2024-01-01 {i // 60 % 24:02d}:{i % 60:02d}:00",
+                types[int(rng.randint(4))],
+                float(np.round(rng.uniform(0, 100), 2)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "user_id int, event_id int, ts_s string, event_type string, value double"
+    ).selectExpr(
+        "user_id", "event_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+        "event_type", "value"
+    )
+
+
+def test_rich_cross_differential_lead_vs_nfa(spark, monkeypatch):
+    """Differential fuzz (VERDICT r11 Next #6): the SAME bounded pattern
+    with RICH cross-variable DEFINEs must produce identical matches on
+    the LEAD-chain lowering (rich support since round 6) and on the
+    generator NFA (rich support new this round), forced via
+    SPARK_GRAFT_CEP_FORCE_NFA=1. Templates cover arithmetic on foreign
+    FIRST/LAST refs, expressions combining two foreign refs, and
+    mixed self-contained + rich conjuncts."""
+    _rich_fuzz_frame(spark).createOrReplaceTempView("__rich_fuzz_ev")
+    cases = [
+        # (pattern, defines)
+        (
+            "PATTERN (A B{1,3} C)",
+            "DEFINE A AS A.event_type = 'view', "
+            "B AS B.value > FIRST(A.value) * 0.5 + 1, "
+            "C AS C.value < (A.value + LAST(B.value)) / 2",
+        ),
+        (
+            "PATTERN (A B{1,2} C)",
+            "DEFINE A AS A.event_type = 'click', "
+            "B AS B.value + LAST(A.value) > 60, "
+            "C AS C.event_type = 'purchase' AND "
+            "C.value * 2 < FIRST(B.value) + 50",
+        ),
+        (
+            "PATTERN (A B C{1,2})",
+            "DEFINE A AS A.value > 20, "
+            "B AS B.value < A.value - 5, "
+            "C AS C.value > (FIRST(A.value) + FIRST(B.value)) / 2 - 10",
+        ),
+        (
+            "PATTERN (A B{2,3})",
+            "DEFINE A AS A.event_type = 'view', "
+            "B AS B.value * 2 > LAST(A.value) - 10",
+        ),
+    ]
+    sql_t = """
+        SELECT user_id, CAST(a_ts AS LONG) AS a_epoch, n_b
+        FROM __rich_fuzz_ev
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, COUNT(B.*) AS n_b
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            {pattern}
+            {defines}
+        ) AS m
+    """
+    for pattern, defines in cases:
+        sql = sql_t.format(pattern=pattern, defines=defines)
+        monkeypatch.delenv("SPARK_GRAFT_CEP_FORCE_NFA", raising=False)
+        lead = sorted(
+            tuple(r) for r in StatementRouter(spark).execute(sql).collect()
+        )
+        monkeypatch.setenv("SPARK_GRAFT_CEP_FORCE_NFA", "1")
+        nfa = sorted(
+            tuple(r) for r in StatementRouter(spark).execute(sql).collect()
+        )
+        monkeypatch.delenv("SPARK_GRAFT_CEP_FORCE_NFA", raising=False)
+        assert lead == nfa, (pattern, defines, lead[:3], nfa[:3])
+        assert lead, f"vacuous case (no matches): {pattern}"

@@ -830,7 +830,7 @@ class Engine:
             for part in _split_top_and(spec.defines[v]):
                 stripped = _NEXT_RE.sub("", _PREV_RE.sub("", part))
                 foreign = (
-                    set(_re.findall(r"\b(\w+)\s*\.", stripped)) - {v}
+                    set(_re.findall(r"\b([A-Za-z_]\w*)\s*\.", stripped)) - {v}
                 )
                 if foreign or (
                     _NAV_DEF_RE.search(part)
@@ -1546,7 +1546,7 @@ class Engine:
                 checks.append((lhs, cm.group("op"), rhs))
             local = " AND ".join(local_parts) if local_parts else "TRUE"
             foreign = sorted(
-                set(_re.findall(r"\b(\w+)\s*\.", local)) - {v}
+                set(_re.findall(r"\b([A-Za-z_]\w*)\s*\.", local)) - {v}
             )
             if foreign:
                 raise unsupported(

@@ -95,6 +95,7 @@ story is identical to every other keyed window here.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 from dataclasses import field as dataclasses_field
@@ -270,6 +271,153 @@ _CROSS_CMP_RE = re.compile(
     r"|(?P<ov2>\w+)\.(?P<oc2>\w+))\s*$",
     re.IGNORECASE,
 )
+
+
+#: rich cross-variable DEFINE parts (round 12, VERDICT r11 Next #6):
+#: any boolean expression over current-row refs (SELF.col), partial-
+#: match refs (X.col = LAST(X.col), FIRST/LAST(X.col[, n])), numeric /
+#: string literals, arithmetic (+ - * / %), comparisons and AND/OR/NOT
+#: — compiled once into a restricted Python expression the NFA
+#: matchers evaluate against the partial match's bindings. NULL or an
+#: unmatched reference makes the part FALSE (the cross_ok contract).
+_RICH_NAV_RE = re.compile(
+    r"\b(?P<nav>FIRST|LAST)\s*\(\s*(?P<v>[A-Za-z_]\w*)\."
+    r"(?P<c>[A-Za-z_]\w*)\s*(?:,\s*(?P<n>\d+))?\s*\)",
+    re.IGNORECASE,
+)
+#: identifier.identifier only — a numeric literal like 0.5 must stay a
+#: literal, not parse as a variable reference
+_RICH_REF_RE = re.compile(
+    r"\b(?P<v>[A-Za-z_]\w*)\.(?P<c>[A-Za-z_]\w*)\b"
+)
+_RICH_STR_RE = re.compile(r"'[^']*'")
+_RICH_KEYWORDS = {
+    "and": "and", "or": "or", "not": "not",
+    "true": "True", "false": "False",
+}
+
+
+def compile_rich_cross(
+    part: str, var: str, pattern_vars, columns=None
+):
+    """Compile one rich cross-variable DEFINE part into
+    ``(code, refs)`` for :func:`eval_rich_cross`, or None when the part
+    is outside the expression subset (caller raises its own loud
+    error). ``refs`` entries are ("CUR", col) for SELF.col or
+    (nav, other_var, col, offset) resolved against the partial match —
+    the same navigation semantics as the simple-comparison fast path
+    (a plain foreign X.col is LAST(X.col); the defining variable's
+    mapped-so-far rows include the current candidate row)."""
+    refs: list[tuple] = []
+    vars_set = set(pattern_vars)
+
+    def _take_nav(mm: re.Match) -> str:
+        ov = mm.group("v")
+        if ov not in vars_set:
+            return "\x00"  # poison -> validation failure below
+        if columns is not None and mm.group("c") not in columns:
+            return "\x00"
+        refs.append(
+            (
+                mm.group("nav").upper(),
+                ov,
+                mm.group("c"),
+                int(mm.group("n") or 0),
+            )
+        )
+        return f" __ref{len(refs) - 1}__ "
+
+    def _take_ref(mm: re.Match) -> str:
+        ov = mm.group("v")
+        if ov not in vars_set:
+            return "\x00"
+        if columns is not None and mm.group("c") not in columns:
+            return "\x00"
+        if ov == var:
+            refs.append(("CUR", mm.group("c")))
+        else:
+            refs.append(("LAST", ov, mm.group("c"), 0))
+        return f" __ref{len(refs) - 1}__ "
+
+    expr = _RICH_NAV_RE.sub(_take_nav, part)
+    expr = _RICH_REF_RE.sub(_take_ref, expr)
+    if "\x00" in expr:
+        return None
+    # string literals out of the way before keyword/token validation
+    strings: list[str] = []
+
+    def _take_str(mm: re.Match) -> str:
+        strings.append(mm.group(0))
+        return f" __str{len(strings) - 1}__ "
+
+    expr = _RICH_STR_RE.sub(_take_str, expr)
+    def _kw(mm: re.Match) -> str:
+        tok = mm.group(0)
+        if re.fullmatch(r"__(?:ref|str)\d+__", tok):
+            return tok  # our own placeholders pass through
+        return _RICH_KEYWORDS.get(tok.lower(), "\x00")
+
+    expr = re.sub(r"\b[A-Za-z_]\w*\b", _kw, expr)
+    if "\x00" in expr:
+        return None
+    # SQL -> Python operator spelling
+    expr = expr.replace("<>", "!=")
+    expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
+    for i, s in enumerate(strings):
+        expr = expr.replace(f"__str{i}__", s)
+    for i in range(len(refs)):
+        expr = expr.replace(f"__ref{i}__", f"_r{i}")
+    # residue whitelist: refs, literals, arithmetic, comparisons, parens
+    expr = expr.strip()
+    if not re.fullmatch(
+        r"[\s\d\.\+\-\*/%<>=!()_a-zA-Z0-9']*", expr
+    ) or not expr:
+        return None
+    try:
+        code = compile(expr, "<rich-cross-define>", "eval")
+    except SyntaxError:
+        return None
+    return code, tuple(refs)
+
+
+def eval_rich_cross(checks, var, j, acc, val_at) -> bool:
+    """Evaluate a variable's compiled rich parts at candidate row ``j``
+    against partial match ``acc`` (list of (var, row)). ``val_at(i,
+    col)`` reads a value (None/NaN = SQL NULL). FALSE on any NULL,
+    unmatched reference, or runtime type/arithmetic error — matching
+    the simple-comparison cross_ok contract."""
+    import pandas as _pd
+
+    for code, refs in checks:
+        env = {}
+        ok = True
+        for i, ref in enumerate(refs):
+            if ref[0] == "CUR":
+                val = val_at(j, ref[1])
+            else:
+                nav, ov, oc, off = ref
+                rows_o = [r for w, r in acc if w == ov]
+                if ov == var:
+                    rows_o = rows_o + [j]
+                if len(rows_o) <= off:
+                    ok = False
+                    break
+                r = rows_o[off] if nav == "FIRST" else rows_o[-1 - off]
+                val = val_at(r, oc)
+            if val is None or (
+                not isinstance(val, str) and _pd.isna(val)
+            ):
+                ok = False
+                break
+            env[f"_r{i}"] = val
+        if not ok:
+            return False
+        try:
+            if not bool(eval(code, {"__builtins__": {}}, env)):
+                return False
+        except (TypeError, ZeroDivisionError, ArithmeticError):
+            return False
+    return True
 
 
 def _split_top_and(pred: str) -> list[str]:
@@ -795,7 +943,16 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                 "(every position optional) — at least one position must "
                 "be required"
             )
-        if n_variants > 64 or max_len > 12:
+        # SPARK_GRAFT_CEP_FORCE_NFA=1 (tests only): route EVERY bounded
+        # flat pattern through the generator NFA so the two lowerings
+        # can be differentially fuzzed on identical inputs — the
+        # LEAD-chain and the NFA must agree everywhere both apply
+        # (tests/test_match_recognize.py rich-cross differential fuzz).
+        if (
+            n_variants > 64
+            or max_len > 12
+            or os.environ.get("SPARK_GRAFT_CEP_FORCE_NFA") == "1"
+        ):
             # Beyond the LEAD-chain plan-size budget (the when-chain
             # unions one fixed-length variant per alternation-choice x
             # quantifier-length combination), the pattern re-routes
@@ -912,7 +1069,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                     f"{nav_name}({var}.col) or {nav_name}({var}.col, n)"
                 )
         stripped = _NEXT_RE.sub("", _PREV_RE.sub("", pred))
-        foreign = set(re.findall(r"\b(\w+)\s*\.", stripped)) - {var}
+        foreign = set(re.findall(r"\b([A-Za-z_]\w*)\s*\.", stripped)) - {var}
         unknown = foreign - set(pattern)
         if unknown:
             raise UnsupportedPatternError(
@@ -1025,7 +1182,7 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             for part in _split_top_and(p):
                 p_stripped = _NEXT_RE.sub("", _PREV_RE.sub("", part))
                 foreign_d = (
-                    set(re.findall(r"\b(\w+)\s*\.", p_stripped)) - {v}
+                    set(re.findall(r"\b([A-Za-z_]\w*)\s*\.", p_stripped)) - {v}
                 )
                 if not foreign_d and not _NAV_DEF_RE.search(part):
                     continue
@@ -1041,15 +1198,18 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                         (cm.group("ov") or cm.group("ov2")) == v
                         and cm.group("nav") is None
                     )
-                ):
+                ) and compile_rich_cross(part, v, pattern) is None:
+                    # neither the simple-comparison fast path nor a
+                    # compilable rich expression (round 12) — reject
                     raise UnsupportedPatternError(
                         f"DEFINE for {v} inside a general unbounded "
                         f"pattern: the part {part!r} is neither "
-                        "self-contained (current row + PREV/NEXT) nor a "
-                        "simple cross-variable comparison "
-                        f"({v}.col OP [FIRST|LAST(]X.col[, n]) — "
-                        "richer cross-variable expressions are lowered "
-                        "only for bounded patterns"
+                        "self-contained (current row + PREV/NEXT), nor "
+                        "a simple cross-variable comparison "
+                        f"({v}.col OP [FIRST|LAST(]X.col[, n]), nor an "
+                        "arithmetic/boolean expression over current-row "
+                        "and FIRST/LAST partial-match references "
+                        "(aggregates inside DEFINE are not implemented)"
                     )
     if plus is not None:
         # overlapping DEFINEs (a row may satisfy both variables) switch
@@ -2108,11 +2268,14 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     # include the current candidate row (Flink: LAST(B.v, 1) inside
     # B's DEFINE is the PREVIOUS B row, the ascending-run idiom).
     cross_checks: dict[str, list[tuple[str, str, str, str, str, int]]] = {}
+    # richer cross-variable parts (arithmetic over partial-match refs,
+    # round 12): var -> [(code, refs)] for eval_rich_cross
+    rich_checks: dict[str, list[tuple]] = {}
     for v in spec.pattern:
         self_parts: list[str] = []
         for part in _split_top_and(spec.defines[v]):
             stripped = _NEXT_RE.sub("", _PREV_RE.sub("", part))
-            foreign_p = set(re.findall(r"\b(\w+)\s*\.", stripped)) - {v}
+            foreign_p = set(re.findall(r"\b([A-Za-z_]\w*)\s*\.", stripped)) - {v}
             if foreign_p or _NAV_DEF_RE.search(part):
                 cm = _CROSS_CMP_RE.match(part)
                 if (
@@ -2125,42 +2288,56 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                         and cm.group("nav") is None
                     )
                 ):
-                    # e.g. DEFINE B AS A.x > C.y: the left side is
-                    # qualified by a variable other than the one being
-                    # defined — evaluating it as current-row.x would
-                    # silently diverge from Flink (it navigates A's
-                    # mapped rows), so reject loudly
-                    raise UnsupportedPatternError(
-                        f"DEFINE for {v}: cross-variable predicate "
-                        f"{part!r} — only {v}.col OP "
-                        "[FIRST|LAST(]X.col[, n]) comparisons (left "
-                        "side qualified by the variable being defined, "
-                        "right side a pattern variable, the defining "
-                        "one included via FIRST/LAST) are evaluated "
-                        "against the partial match"
+                    # beyond the simple-comparison fast path: compile
+                    # the part as a rich expression over the partial
+                    # match (VERDICT r11 Next #6) — e.g. DEFINE C AS
+                    # C.value < (A.value + LAST(B.value)) / 2. Parts
+                    # outside the expression subset (aggregates,
+                    # unknown functions) still reject loudly.
+                    compiled = compile_rich_cross(
+                        part, v, spec.pattern, cols
                     )
-                cross_checks.setdefault(v, []).append(
-                    (
-                        cm.group("sc"),
-                        cm.group("op"),
-                        cm.group("ov") or cm.group("ov2"),
-                        cm.group("oc") or cm.group("oc2"),
-                        (cm.group("nav") or "LAST").upper(),
-                        int(cm.group("n") or 0),
+                    if compiled is None:
+                        raise UnsupportedPatternError(
+                            f"DEFINE for {v}: cross-variable predicate "
+                            f"{part!r} is outside the supported forms — "
+                            f"either {v}.col OP [FIRST|LAST(]X.col[, n]) "
+                            "or an arithmetic/boolean expression over "
+                            "current-row and FIRST/LAST partial-match "
+                            "references (aggregates inside DEFINE are "
+                            "not implemented)"
+                        )
+                    rich_checks.setdefault(v, []).append(compiled)
+                else:
+                    cross_checks.setdefault(v, []).append(
+                        (
+                            cm.group("sc"),
+                            cm.group("op"),
+                            cm.group("ov") or cm.group("ov2"),
+                            cm.group("oc") or cm.group("oc2"),
+                            (cm.group("nav") or "LAST").upper(),
+                            int(cm.group("n") or 0),
+                        )
                     )
-                )
             else:
                 self_parts.append(part)
         texts[v], nv = _rewrite_nav_physical(
             " AND ".join(self_parts) if self_parts else "TRUE", v
         )
         needs |= nv
+    has_cross = bool(cross_checks) or bool(rich_checks)
     cross_cols = sorted(
         {c for checks in cross_checks.values() for c, *_ in checks}
         | {
             ck[3]
             for checks in cross_checks.values()
             for ck in checks
+        }
+        | {
+            ref[1] if ref[0] == "CUR" else ref[2]
+            for checks in rich_checks.values()
+            for _code, refs in checks
+            for ref in refs
         }
     )
     if needs:
@@ -2263,7 +2440,7 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     # enumerates per-repetition alternative choices (ADVICE r6).
     if (
         pattern_ast is None
-        and cross_checks
+        and has_cross
         and any(len(alts) > 1 for alts, _, _, _ in pos_spec)
     ):
         pattern_ast = _pos_spec_to_ast(pos_spec)
@@ -2285,13 +2462,16 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
         }
         if within is not None:
             ts = pdf[ts0].to_numpy()
-        if cross_checks:
+        if has_cross:
             import operator as _o
 
             _OPS = {
                 "<": _o.lt, "<=": _o.le, ">": _o.gt, ">=": _o.ge,
                 "=": _o.eq, "<>": _o.ne, "!=": _o.ne,
             }
+
+            def _val_at(i, c):
+                return pdf[c].iloc[i]
 
             def cross_ok(v, j, acc):
                 # SELF.col OP [FIRST|LAST(]X.col[, n]) against the
@@ -2313,6 +2493,11 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                             return False
                     except TypeError:
                         return False
+                # rich expression parts (round 12): compiled arithmetic
+                # over the same partial-match navigation
+                rich = rich_checks.get(v)
+                if rich and not eval_rich_cross(rich, v, j, acc, _val_at):
+                    return False
                 return True
         else:
 
@@ -2382,7 +2567,7 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                     children = node[1]
                     full = (1 << len(children)) - 1
                     dead: set[tuple[int, int]] = set()
-                    use_memo = not cross_checks
+                    use_memo = not has_cross
 
                     def p_gen(j, mask, acc2):
                         if mask == full:
@@ -2474,7 +2659,7 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             # memo is disabled entirely when any are present
             memo = (
                 None
-                if cross_checks
+                if has_cross
                 else (shared_memo if shared_memo is not None else {})
             )
 

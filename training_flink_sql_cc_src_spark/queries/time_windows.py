@@ -2245,6 +2245,97 @@ def pattern_match_recognize_mid_plus(
 
 
 @register(
+    "pattern_match_recognize_rich_crossvar",
+    oracle=f"""
+    WITH RECURSIVE ord AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), ext AS (
+        SELECT a.user_id, a.rn AS s, a.value AS a_val, a.ts AS a_ts,
+               1 AS k
+        FROM ord a JOIN ord r
+          ON r.user_id = a.user_id AND r.rn = a.rn + 1
+        WHERE a.event_type = 'view' AND r.value > a.value * 0.5 + 1
+        UNION ALL
+        SELECT e.user_id, e.s, e.a_val, e.a_ts, e.k + 1
+        FROM ext e JOIN ord r
+          ON r.user_id = e.user_id AND r.rn = e.s + e.k + 1
+        WHERE r.value > e.a_val * 0.5 + 1
+    ), cand AS (
+        SELECT e.user_id, e.s, e.a_ts, e.a_val, e.k,
+               b.value AS last_b, c.ts AS c_ts, c.value AS c_val
+        FROM ext e
+        JOIN ord b ON b.user_id = e.user_id AND b.rn = e.s + e.k
+        JOIN ord c ON c.user_id = e.user_id AND c.rn = e.s + e.k + 1
+        WHERE c.event_type = 'purchase'
+          AND c.value < (e.a_val + b.value) / 2
+    ), best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, s
+                                     ORDER BY k DESC) AS pref
+        FROM cand
+    )
+    SELECT user_id,
+           {EPOCH_SQL.format(x='a_ts')} AS a_epoch,
+           a_val AS a_value,
+           CAST(k AS BIGINT) AS n_b,
+           last_b AS last_b_value,
+           {EPOCH_SQL.format(x='c_ts')} AS c_epoch,
+           c_val AS c_value
+    FROM best WHERE pref = 1
+    """,
+    doc="RICH cross-variable DEFINEs inside an NFA-routed pattern "
+    "(VERDICT r11 Next #6 — closes the last DEFINE gap): PATTERN "
+    "(A B+ C) with B AS B.value > FIRST(A.value) * 0.5 + 1 "
+    "(arithmetic over a foreign partial-match reference) and C AS "
+    "C.value < (A.value + LAST(B.value)) / 2 (an expression combining "
+    "TWO foreign references) — neither fits the simple-comparison "
+    "fast path, and the unbounded B+ keeps the pattern outside the "
+    "bounded LEAD lowering that previously had exclusive rich-DEFINE "
+    "support. plans/match_recognize.compile_rich_cross compiles each "
+    "part once into a restricted expression (refs + literals + "
+    "arithmetic only, NULL/unmatched-ref = FALSE) that the generator "
+    "backtracker evaluates against the partial match's bindings at "
+    "every candidate row; greedy preference still takes the LONGEST "
+    "B-run whose following C passes. The DuckDB oracle replays the "
+    "semantics with a recursive CTE (consecutive B-run extension per "
+    "start, then the longest run whose successor row satisfies C). "
+    "Streaming keeps its loud documented cap for rich parts (the "
+    "engine's cross-variable subset streams; richer forms route to "
+    "this batch plan). 100 TB: one shuffle on user_id, per-key "
+    "Arrow-batched matching, no driver state.",
+)
+def pattern_match_recognize_rich_crossvar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_rxv")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, CAST(a_ts AS LONG) AS a_epoch, a_value, n_b,
+               last_b_value, CAST(c_ts AS LONG) AS c_epoch, c_value
+        FROM __mr_events_rxv
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, A.value AS a_value,
+                     COUNT(B.*) AS n_b, LAST(B.value) AS last_b_value,
+                     C.ts AS c_ts, C.value AS c_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.value > FIRST(A.value) * 0.5 + 1,
+                   C AS C.event_type = 'purchase'
+                        AND C.value < (A.value + LAST(B.value)) / 2
+        ) AS m
+        """
+    )
+
+
+@register(
     "pattern_match_recognize_group_quant",
     oracle="""
     WITH ord AS (
