@@ -763,13 +763,43 @@ def min_label_components(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        cnt = S.count()  # materializes the checkpoint
         E = S
-        # check convergence EVERY round: the star-forest probe is one
-        # action on the by-now-shrunken list (~0.3 s) while waiting for a
-        # count plateau always burns one full extra round re-deriving an
-        # identical edge list (~0.6 s) before the probe runs anyway
-        if cnt == 0 or _is_star_forest(E):
+        # ONE driver action per round (round 12; was count + a separate
+        # two-branch probe = 2 actions, and per-action job overhead
+        # dominates the by-now-shrunken list): per node, count child
+        # appearances (c) and parent appearances (p) in one grouped
+        # pass — a star-forest violation is a node with two parents
+        # (c >= 2) or one that is both child and parent (c >= 1 and
+        # p >= 1); the same job materializes the checkpoint and returns
+        # the edge count.
+        probe = (
+            S.select(
+                F.col("hi").alias("node"),
+                F.lit(1).alias("c"),
+                F.lit(0).alias("p"),
+            )
+            .unionByName(
+                S.select(
+                    F.col("lo").alias("node"),
+                    F.lit(0).alias("c"),
+                    F.lit(1).alias("p"),
+                )
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"), F.sum("p").alias("p"))
+            .agg(
+                F.sum("c").alias("n_edges"),
+                F.sum(
+                    F.when(
+                        (F.col("c") >= 2)
+                        | ((F.col("c") >= 1) & (F.col("p") >= 1)),
+                        1,
+                    ).otherwise(0)
+                ).alias("violations"),
+            )
+            .collect()[0]
+        )
+        if (probe.n_edges or 0) == 0 or probe.violations == 0:
             converged = True
             break
     if not converged:
