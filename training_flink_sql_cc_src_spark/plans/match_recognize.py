@@ -964,15 +964,27 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             # #3); the only residual narrowing is that rich
             # cross-variable DEFINEs (beyond the simple comparison form)
             # are still bounded-lowering-only and keep their own error.
-            pos_spec = []
-            for alts in positions:
-                v = alts[0]
-                if len(alts) == 1 and v in quants:
-                    lo, hi = quants[v]
-                    pos_spec.append((alts, lo, hi, v in lazy_vars))
-                else:
-                    pos_spec.append((alts, 1, 1, False))
-            pattern_ast = _pos_spec_to_ast(pos_spec)
+            if permute:
+                # PERMUTE (k <= 4) reaching here only via the force
+                # knob: the flat `positions` list is declaration order
+                # only — a seq AST would DROP the permutation
+                # semantics. Build the same matched-set automaton node
+                # the k >= 5 path uses.
+                pattern_ast = (
+                    "permute",
+                    tuple(("var", v) for v in pattern),
+                )
+                permute = False
+            else:
+                pos_spec = []
+                for alts in positions:
+                    v = alts[0]
+                    if len(alts) == 1 and v in quants:
+                        lo, hi = quants[v]
+                        pos_spec.append((alts, lo, hi, v in lazy_vars))
+                    else:
+                        pos_spec.append((alts, 1, 1, False))
+                pattern_ast = _pos_spec_to_ast(pos_spec)
             quants = {}
             lazy_vars = set()
             quant = None
