@@ -812,13 +812,24 @@ def test_stream_match_recognize_general_leg_guards(spark, sf_small):
         ),
         {"events_mr_guard": ev},
     ) is not None
-    # ... but only through comparisons — richer nav forms stay loud
+    # rich arithmetic over bindings streams too (round 12 — compiled
+    # by compile_rich_cross, evaluated in the decision window); parity
+    # pinned in test_bounded_pattern_stream_cross_variable_defines
+    assert eng.sql_stream(
+        tmpl.format(
+            key="user_id",
+            da="A.event_type = 'view'",
+            db="B.event_id > LAST(B.event_id, 1) + 1",
+        ),
+        {"events_mr_guard": ev},
+    ) is not None
+    # aggregates inside DEFINE stay loud on every leg
     with pytest.raises(NotImplementedError, match="cross-variable"):
         eng.sql_stream(
             tmpl.format(
                 key="user_id",
                 da="A.event_type = 'view'",
-                db="B.event_id > LAST(B.event_id, 1) + 1",
+                db="B.event_id > AVG(A.event_id)",
             ),
             {"events_mr_guard": ev},
         )
@@ -1848,6 +1859,18 @@ def test_bounded_pattern_stream_cross_variable_defines(spark):
         ("(A (B|C){1,2} D)",
          "A AS A.v >= 8, B AS B.v >= 9, C AS C.v BETWEEN 5 AND 12, "
          "D AS D.v < C.v"),
+        # RICH expressions (round 12): arithmetic over a foreign ref
+        ("(A B{1,2} C)",
+         "A AS A.v >= 8, B AS B.v >= 5, "
+         "C AS C.v < FIRST(A.v) * 0.5 + 10"),
+        # ... and combining TWO foreign references
+        ("(A B{1,2} C)",
+         "A AS A.v >= 8, B AS B.v >= 5, "
+         "C AS C.v < (A.v + LAST(B.v)) / 2"),
+        # left side qualified by ANOTHER variable: both refs navigate
+        # mapped rows (the Flink semantics, round 12)
+        ("(A B C)",
+         "A AS A.v >= 8, B AS B.v >= 5, C AS A.v > B.v - 3"),
     ]
     for pat, defines in cases:
         stmt = f"""
@@ -3243,6 +3266,9 @@ def test_time_bounded_leg_unbounded_patterns_stream(spark):
         # cross-variable DEFINE on an unbounded run (was: batch-only)
         ("A+ B", "A AS A.v >= 3, B AS B.v > FIRST(A.v)",
          "FIRST(A.ts) AS m1, B.ts AS m2", "PAST LAST ROW"),
+        # RICH cross expression on a run under WITHIN (round 12)
+        ("A+ B", "A AS A.v >= 3, B AS B.v > FIRST(A.v) * 0.5 + 1",
+         "FIRST(A.ts) AS m1, B.ts AS m2", "PAST LAST ROW"),
         # SKIP TO LAST over a run shape
         ("A B+", "A AS A.v >= 5, B AS B.v BETWEEN 1 AND 4",
          "A.ts AS m1, COUNT(B.v) AS m2", "TO LAST B"),
@@ -3738,6 +3764,23 @@ def test_break_decided_leg_unbounded_no_within(spark):
                 PATTERN (A{1,2} B+ C?)
                 DEFINE A AS A.v >= 7, B AS B.v BETWEEN 3 AND 6,
                        C AS C.v BETWEEN 0 AND 2
+            )""",
+        # RICH cross expressions on an unbounded run (round 12): the
+        # break-decided leg's _match_bounded evaluates the compiled
+        # expression against the buffered window's partial match. C
+        # keeps a row-local conjunct so break rows still exist (the
+        # leg decides heads at all-flags-false rows).
+        "rich_crossvar_run": """
+            SELECT k, CAST(e AS LONG) AS e, nb FROM bd_src
+            MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES LAST(C.ts) AS e, COUNT(B.v) AS nb
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A B+ C)
+                DEFINE A AS A.v >= 7, B AS B.v BETWEEN 3 AND 6,
+                       C AS C.v BETWEEN 0 AND 2
+                            AND C.v < (A.v + LAST(B.v)) / 2 - 1
             )""",
     }
     for name, stmt in cases.items():

@@ -842,57 +842,71 @@ class Engine:
                     # the defining variable's mapped-so-far rows
                     # include the current candidate row
                     cm = _CROSS_CMP_RE.match(part)
-                    if cm is None:
-                        raise unsupported(
-                            f"DEFINE for {v}: cross-variable predicate "
-                            f"{part!r} over a stream (SELF.col OP "
-                            "[FIRST/LAST(]X.col[, n]) comparisons "
-                            "stream; richer forms need the batch NFA)"
+                    simple = (
+                        cm is not None
+                        and cm.group("sv") == v
+                        and (cm.group("ov") or cm.group("ov2"))
+                        in uniq_vars
+                        and not (
+                            (cm.group("ov") or cm.group("ov2")) == v
+                            and cm.group("nav") is None
                         )
-                    if cm.group("sv") != v:
-                        # DEFINE B AS A.x > C.y — the left side is
-                        # qualified by a variable other than the one
-                        # being defined; evaluating it as current-row.x
-                        # would silently diverge from Flink
-                        raise unsupported(
-                            f"DEFINE for {v}: cross-variable predicate "
-                            f"{part!r} qualifies its left side by "
-                            f"{cm.group('sv')!r}, not the variable "
-                            "being defined — that shape needs the "
-                            "batch window plan"
-                        )
-                    ov = cm.group("ov") or cm.group("ov2")
-                    if ov == v and cm.group("nav") is None:
-                        raise unsupported(
-                            f"DEFINE for {v}: self reference {part!r} "
-                            "must navigate via FIRST/LAST over a "
-                            "stream"
-                        )
-                    if ov not in uniq_vars:
-                        raise unsupported(
-                            f"DEFINE for {v}: {ov!r} is not a pattern "
-                            "variable"
-                        )
-                    sc, oc = cm.group("sc"), (
-                        cm.group("oc") or cm.group("oc2")
                     )
-                    for c in (sc, oc):
-                        if c not in field_types:
-                            raise unsupported(
-                                f"DEFINE for {v}: unknown column {c!r} "
-                                "in a cross-variable comparison"
+                    if simple:
+                        ov = cm.group("ov") or cm.group("ov2")
+                        sc, oc = cm.group("sc"), (
+                            cm.group("oc") or cm.group("oc2")
+                        )
+                        for c in (sc, oc):
+                            if c not in field_types:
+                                raise unsupported(
+                                    f"DEFINE for {v}: unknown column "
+                                    f"{c!r} in a cross-variable "
+                                    "comparison"
+                                )
+                        cross_checks.setdefault(v, []).append(
+                            (
+                                sc,
+                                cm.group("op"),
+                                ov,
+                                oc,
+                                (cm.group("nav") or "LAST").upper(),
+                                int(cm.group("n") or 0),
                             )
-                    cross_checks.setdefault(v, []).append(
-                        (
-                            sc,
-                            cm.group("op"),
-                            ov,
-                            oc,
-                            (cm.group("nav") or "LAST").upper(),
-                            int(cm.group("n") or 0),
                         )
+                        cross_cols |= {sc, oc}
+                        continue
+                    # rich expression part (round 12): compiled once,
+                    # evaluated by the decision-window matcher against
+                    # the partial match — same compile + semantics as
+                    # the batch NFA (plans.match_recognize); parts
+                    # outside the expression subset (aggregates,
+                    # PREV/NEXT mixed with bindings) stay loud
+                    from .plans.match_recognize import (
+                        compile_rich_cross,
                     )
-                    cross_cols |= {sc, oc}
+
+                    compiled = compile_rich_cross(
+                        part, v, uniq_vars, field_types
+                    )
+                    if compiled is None:
+                        raise unsupported(
+                            f"DEFINE for {v}: cross-variable predicate "
+                            f"{part!r} over a stream — supported forms "
+                            "are the simple comparison (SELF.col OP "
+                            "[FIRST/LAST(]X.col[, n])) and arithmetic/"
+                            "boolean expressions over current-row and "
+                            "FIRST/LAST partial-match references; "
+                            "aggregates inside DEFINE need the batch "
+                            "plan"
+                        )
+                    code, refs = compiled
+                    cross_checks.setdefault(v, []).append(
+                        ("__rich__", code, refs)
+                    )
+                    cross_cols |= {
+                        r[1] if r[0] == "CUR" else r[2] for r in refs
+                    }
                     continue
                 if _PREV_RE.search(part) or _NEXT_RE.search(part):
                     if _NAV_DEF_RE.search(part):

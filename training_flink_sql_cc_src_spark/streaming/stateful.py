@@ -1060,7 +1060,20 @@ def _match_bounded(
         # the previous B row); out-of-range / NULL operand -> FALSE
         if not cross_checks:
             return True
-        for sc, op, ov, oc, nav, off in cross_checks.get(v, ()):
+        for chk in cross_checks.get(v, ()):
+            if chk[0] == "__rich__":
+                # rich expression part (round 12): compiled by
+                # plans.match_recognize.compile_rich_cross, evaluated
+                # against the decision window's partial match exactly
+                # like the batch NFA
+                from ..plans.match_recognize import eval_rich_cross
+
+                if not eval_rich_cross(
+                    [(chk[1], chk[2])], v, i, acc, val_at
+                ):
+                    return False
+                continue
+            sc, op, ov, oc, nav, off = chk
             rows_o = [r for w, r in acc if w == ov]
             if ov == v:
                 rows_o = rows_o + [i]
