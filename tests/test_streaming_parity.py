@@ -1254,20 +1254,20 @@ def test_general_funnel_stream_guards(spark):
             ) is not None
 
 
-def test_cross_define_foreign_left_qualifier_rejected_on_stream(spark):
+def test_cross_define_foreign_left_qualifier_streams_with_parity(spark):
     """DEFINE C AS A.v > B.v — left side qualified by a variable other
-    than the one being defined. The batch window leg navigates A's
-    mapped row correctly; the streaming prep cannot, and used to
-    SILENTLY evaluate it as current-row.v (ADVICE r7) — it must reject
-    loudly and name the batch path instead."""
-    import pytest
-
+    than the one being defined. Pre-round-12 streaming had to reject
+    this loudly (the simple-comparison path would have misread A.v as
+    current-row.v, ADVICE r7); the rich compiler now navigates BOTH
+    references over the partial match's mapped rows, so the shape
+    streams and must match the batch lowering exactly."""
     from training_flink_sql_cc_src_spark.engine import Engine
+    from training_flink_sql_cc_src_spark.plans.router import StatementRouter
 
     df = _cep_funnel_df(spark)
     eng = Engine(spark)
     stmt = """
-        SELECT k, a_ts FROM cep_badsv
+        SELECT k, CAST(a_ts AS LONG) AS ae FROM cep_badsv
         MATCH_RECOGNIZE (
             PARTITION BY k
             ORDER BY ts
@@ -1278,10 +1278,18 @@ def test_cross_define_foreign_left_qualifier_rejected_on_stream(spark):
             DEFINE A AS A.v >= 10, B AS B.v % 2 = 1, C AS A.v > B.v
         )
     """
-    with pytest.raises(
-        NotImplementedError, match="not the variable being defined"
-    ):
-        eng.sql_stream(stmt, {"cep_badsv": df})
+    df.createOrReplaceTempView("cep_badsv")
+    batch = {tuple(r) for r in StatementRouter(spark).execute(stmt).collect()}
+    streamed = run_stream_over_batch(
+        spark,
+        df,
+        lambda s: eng.sql_stream(stmt, {"cep_badsv": s}),
+        output_mode="append",
+        n_files=4,
+        order_by="ts",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == batch and batch
 
 
 def _over_agg_df(spark):
