@@ -343,7 +343,10 @@ def main() -> None:
     if acks:
         out["acks"] = sorted(acks)
     print(json.dumps(out))
-    if not ONLY:  # targeted scale subsets must not clobber the record
+    # the sidecar is the ROUND record (driver contract: full suite at
+    # sf0.1) — targeted subsets and scale-fixture runs must not
+    # clobber it (their artifacts live under scale_runs/)
+    if not ONLY and sf == 0.1:
         _write_sidecar(out, acks)
 
 
