@@ -30,8 +30,10 @@ from training_flink_sql_cc_src_spark.functions.media import (  # noqa: E402
 )
 
 
-def _sim420(px: np.ndarray) -> np.ndarray:
-    """Reference for the 4:2:0 DECIMATION itself: JFIF YCbCr with the
+def _sim420(px: np.ndarray, rx: int = 2, ry: int = 2) -> np.ndarray:
+    """Reference for the chroma DECIMATION itself (rx horizontal /
+    ry vertical ratios: 2,2 = 4:2:0; 2,1 = 4:2:2; 1,2 = 4:4:0): JFIF
+    YCbCr with the
     encoder's integer rounding, 2x2 box-averaged chroma, nearest
     (replication) upsample, inverse transform. Comparing decode output
     against THIS isolates codec error (DCT/quant/entropy/MCU walk)
@@ -49,12 +51,12 @@ def _sim420(px: np.ndarray) -> np.ndarray:
         np.rint(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255
     )
     h, w = y.shape
-    hh, ww = h + (h % 2), w + (w % 2)
+    hh, ww = h + (h % ry if ry > 1 else 0), w + (w % rx if rx > 1 else 0)
 
     def down_up(p):
         p = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
-        small = p.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
-        return small.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        small = p.reshape(hh // ry, ry, ww // rx, rx).mean(axis=(1, 3))
+        return small.repeat(ry, axis=0).repeat(rx, axis=1)[:h, :w]
 
     cbu, cru = down_up(cb), down_up(cr)
     r2 = np.clip(np.rint(y + 1.402 * (cru - 128.0)), 0, 255)
@@ -73,7 +75,7 @@ def main(n_cases: int = 500, seed: int = 99) -> int:
     rng = np.random.RandomState(seed)
     failures = 0
     for case in range(n_cases):
-        sub = rng.choice(["444", "420"])
+        sub = rng.choice(["444", "420", "422", "440"])
         gray = rng.random() < 0.25
         kind = rng.choice(["mb_const", "gradient", "noise", "flat"])
         h = int(rng.randint(8, 70))
@@ -118,9 +120,10 @@ def main(n_cases: int = 500, seed: int = 99) -> int:
             )
             out = decode_jpeg_pixels(data)
             assert out.shape == px.shape, (out.shape, px.shape)
+            ratios = {"420": (2, 2), "422": (2, 1), "440": (1, 2)}
             ref = (
-                _sim420(px)
-                if (sub == "420" and not gray)
+                _sim420(px, *ratios[sub])
+                if (sub in ratios and not gray)
                 else px
             )
             err = int(

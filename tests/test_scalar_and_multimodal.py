@@ -509,6 +509,33 @@ def test_jpeg_420_roundtrip_properties():
     assert np.array_equal(a, b)
 
 
+def test_jpeg_422_and_440_roundtrip():
+    """The encoder's factor-driven MCU loop also emits 4:2:2 (Y 2x1)
+    and 4:4:0 (Y 1x2); the decoder's per-component grids bring chroma
+    back by single-axis replication. Macroblock-constant color at Q=1
+    round-trips within the YCbCr integer rounding on both layouts."""
+    import numpy as np
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_jpeg_pixels,
+        jpeg_bytes_with_pixels,
+    )
+
+    rng = np.random.RandomState(11)
+    for sub in ("422", "440"):
+        for shape in [(16, 32), (17, 19), (33, 31)]:
+            mh, mw = -(-shape[0] // 16), -(-shape[1] // 16)
+            mb = rng.randint(0, 256, (mh, mw, 3))
+            px = np.kron(mb, np.ones((16, 16, 1), dtype=np.int64))[
+                : shape[0], : shape[1]
+            ].astype(np.uint8)
+            out = decode_jpeg_pixels(
+                jpeg_bytes_with_pixels(px, quality=100, subsampling=sub)
+            )
+            assert out.shape == px.shape
+            assert np.abs(out.astype(int) - px.astype(int)).max() <= 1, sub
+
+
 def test_jpeg_420_decodes_real_third_party_files():
     """Real libjpeg-encoded 4:2:0 photos shipped with Spark's mllib test
     data (kittens) must decode: correct SOF dimensions, and natural-

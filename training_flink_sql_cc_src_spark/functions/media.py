@@ -617,18 +617,19 @@ def jpeg_bytes_with_pixels(
     optional DRI/RSTn restart markers. ``pixels`` is (h, w) uint8
     grayscale or (h, w, 3) uint8 RGB (JFIF YCbCr transform).
     ``subsampling`` picks the chroma layout for RGB input: "444"
-    (every component 1x1) or "420" (Y 2x2 with Cb/Cr 2:1-decimated in
-    both axes by 2x2 box average — the dominant wild-JPEG layout,
-    VERDICT r11 Next #4). Real JPEG readers decode the output
-    unchanged; the exact inverse path is :func:`decode_jpeg_pixels`."""
+    (every component 1x1), "420" (Y 2x2, Cb/Cr box-decimated 2:1 in
+    both axes — the dominant wild-JPEG layout, VERDICT r11 Next #4),
+    "422" (Y 2x1, horizontal decimation), or "440" (Y 1x2, vertical).
+    Real JPEG readers decode the output unchanged; the exact inverse
+    path is :func:`decode_jpeg_pixels`."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB uint8")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422", "440"):
+        raise ValueError("subsampling must be '444', '420', '422' or '440'")
     h, w = px.shape[:2]
     if gray:
         planes = [px.astype(np.float64)]
@@ -639,9 +640,14 @@ def jpeg_bytes_with_pixels(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-    sub420 = subsampling == "420" and not gray
-    #: per-component (H, V) sampling factors
-    factors = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * len(planes)
+    #: per-component (H, V) sampling factors — the MCU/decimation code
+    #: below is factor-driven, so every layout rides the same loop
+    _Y_FACTOR = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    factors = (
+        [(1, 1)] * len(planes)
+        if gray or subsampling == "444"
+        else [_Y_FACTOR[subsampling], (1, 1), (1, 1)]
+    )
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     # MCU grid over the full-resolution image

@@ -36,6 +36,11 @@ from pyspark.sql import functions as F
 from .. import registry
 from ..registry import register
 
+# the fold oracles are built FROM the members' registered oracle SQL,
+# so the member modules are a hard import dependency (this also makes
+# importing queries.folds directly — e.g. from a test — order-safe)
+from . import scalar_fns, time_windows  # noqa: F401  (self-register)
+
 #: NULL sentinel: a code point that never appears in fixture data, so a
 #: NULL can never collide with a real value under concat_ws.
 _NULL = "\u2400"
