@@ -921,9 +921,9 @@ def test_unsupported_raises_instructive_router_error(spark):
             )
             """
         )
-    # simple cross comparisons (r9) and rich arithmetic expressions
-    # (r12) now lower in unbounded patterns; AGGREGATES inside DEFINE
-    # stay rejected with the instructive error
+    # simple cross comparisons (r9), rich arithmetic (r12), and
+    # aggregates over mapped rows (r12) all lower now; UNKNOWN
+    # functions stay rejected with the instructive error
     with pytest.raises(NotImplementedError, match="self-contained"):
         StatementRouter(spark).execute(
             """
@@ -933,7 +933,7 @@ def test_unsupported_raises_instructive_router_error(spark):
                 ORDER BY ts
                 MEASURES A.ts AS a_ts
                 PATTERN (A B+ C)
-                DEFINE A AS A.event_type = 'x', B AS B.ts > AVG(A.ts),
+                DEFINE A AS A.event_type = 'x', B AS B.ts > SQRT(A.ts),
                        C AS C.event_type = 'z'
             )
             """
@@ -3395,11 +3395,16 @@ def test_rich_cross_define_compile_subset():
         "C.value < (A.value + LAST(B.value)) / 2", "C", ["A", "B", "C"]
     )
     assert two is not None and len(two[1]) == 3
-    # rejections: aggregates, unknown vars, function calls, injection
+    # aggregates over mapped rows compile too (round 12)
+    agg = compile_rich_cross(
+        "B.value * COUNT(A.*) < SUM(A.value)", "B", ["A", "B"]
+    )
+    assert agg is not None and ("AGG", "COUNT", "A", "*") in agg[1]
+    # rejections: unknown vars/functions, non-COUNT star, injection
     for bad in (
-        "B.value > AVG(A.value)",
         "B.value > Z.value",
         "B.value > abs(A.value)",
+        "B.value > SUM(A.*)",
         "__import__('os').system('true')",
         "B.value > (lambda: 1)()",
     ):

@@ -823,13 +823,13 @@ def test_stream_match_recognize_general_leg_guards(spark, sf_small):
         ),
         {"events_mr_guard": ev},
     ) is not None
-    # aggregates inside DEFINE stay loud on every leg
+    # unknown functions inside DEFINE stay loud on every leg
     with pytest.raises(NotImplementedError, match="cross-variable"):
         eng.sql_stream(
             tmpl.format(
                 key="user_id",
                 da="A.event_type = 'view'",
-                db="B.event_id > AVG(A.event_id)",
+                db="B.event_id > SQRT(A.event_id)",
             ),
             {"events_mr_guard": ev},
         )
@@ -1879,6 +1879,11 @@ def test_bounded_pattern_stream_cross_variable_defines(spark):
         # mapped rows (the Flink semantics, round 12)
         ("(A B C)",
          "A AS A.v >= 8, B AS B.v >= 5, C AS A.v > B.v - 3"),
+        # AGGREGATES inside DEFINE (round 12): the closing row must
+        # undercut the running average of the buffered run
+        ("(A B{1,2} C)",
+         "A AS A.v >= 8, B AS B.v >= 4, "
+         "C AS C.v * COUNT(B.*) < SUM(B.v)"),
     ]
     for pat, defines in cases:
         stmt = f"""

@@ -732,6 +732,7 @@ class Engine:
         from pyspark.sql import functions as F
 
         from .plans.match_recognize import (
+            _AGG_DEF_RE,
             _CROSS_CMP_RE,
             _NAV_DEF_RE,
             _NEXT_RE,
@@ -832,7 +833,7 @@ class Engine:
                 foreign = (
                     set(_re.findall(r"\b([A-Za-z_]\w*)\s*\.", stripped)) - {v}
                 )
-                if foreign or (
+                if foreign or _AGG_DEF_RE.search(part) or (
                     _NAV_DEF_RE.search(part)
                     and not _PREV_RE.search(part)
                     and not _NEXT_RE.search(part)
@@ -895,18 +896,17 @@ class Engine:
                             f"{part!r} over a stream — supported forms "
                             "are the simple comparison (SELF.col OP "
                             "[FIRST/LAST(]X.col[, n])) and arithmetic/"
-                            "boolean expressions over current-row and "
-                            "FIRST/LAST partial-match references; "
-                            "aggregates inside DEFINE need the batch "
-                            "plan"
+                            "boolean expressions over current-row refs, "
+                            "FIRST/LAST partial-match refs, and "
+                            "COUNT/SUM/AVG/MIN/MAX over mapped rows"
                         )
                     code, refs = compiled
                     cross_checks.setdefault(v, []).append(
                         ("__rich__", code, refs)
                     )
-                    cross_cols |= {
-                        r[1] if r[0] == "CUR" else r[2] for r in refs
-                    }
+                    from .plans.match_recognize import rich_ref_columns
+
+                    cross_cols |= rich_ref_columns(refs)
                     continue
                 if _PREV_RE.search(part) or _NEXT_RE.search(part):
                     if _NAV_DEF_RE.search(part):

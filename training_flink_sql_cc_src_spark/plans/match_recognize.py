@@ -285,6 +285,17 @@ _RICH_NAV_RE = re.compile(
     r"(?P<c>[A-Za-z_]\w*)\s*(?:,\s*(?P<n>\d+))?\s*\)",
     re.IGNORECASE,
 )
+#: aggregates over a variable's mapped rows inside DEFINE (round 12,
+#: SQL:2016 / Flink running semantics): COUNT(X.*) counts mapped rows,
+#: COUNT/SUM/AVG/MIN/MAX(X.col) aggregate the column NULL-skipping;
+#: the defining variable's own rows include the current candidate
+_RICH_AGG_RE = re.compile(
+    r"\b(?P<fn>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<v>[A-Za-z_]\w*)\."
+    r"(?P<c>\*|[A-Za-z_]\w*)\s*\)",
+    re.IGNORECASE,
+)
+#: cheap detector: does a DEFINE part contain any aggregate call?
+_AGG_DEF_RE = re.compile(r"\b(?:COUNT|SUM|AVG|MIN|MAX)\s*\(", re.IGNORECASE)
 #: identifier.identifier only — a numeric literal like 0.5 must stay a
 #: literal, not parse as a variable reference
 _RICH_REF_RE = re.compile(
@@ -310,6 +321,19 @@ def compile_rich_cross(
     mapped-so-far rows include the current candidate row)."""
     refs: list[tuple] = []
     vars_set = set(pattern_vars)
+
+    def _take_agg(mm: re.Match) -> str:
+        ov, oc = mm.group("v"), mm.group("c")
+        fn = mm.group("fn").upper()
+        if ov not in vars_set:
+            return "\x00"
+        if oc == "*":
+            if fn != "COUNT":
+                return "\x00"  # SUM(X.*) is not SQL
+        elif columns is not None and oc not in columns:
+            return "\x00"
+        refs.append(("AGG", fn, ov, oc))
+        return f" __ref{len(refs) - 1}__ "
 
     def _take_nav(mm: re.Match) -> str:
         ov = mm.group("v")
@@ -339,7 +363,8 @@ def compile_rich_cross(
             refs.append(("LAST", ov, mm.group("c"), 0))
         return f" __ref{len(refs) - 1}__ "
 
-    expr = _RICH_NAV_RE.sub(_take_nav, part)
+    expr = _RICH_AGG_RE.sub(_take_agg, part)
+    expr = _RICH_NAV_RE.sub(_take_nav, expr)
     expr = _RICH_REF_RE.sub(_take_ref, expr)
     if "\x00" in expr:
         return None
@@ -380,6 +405,21 @@ def compile_rich_cross(
     return code, tuple(refs)
 
 
+def rich_ref_columns(refs) -> set[str]:
+    """Source columns a compiled rich part reads (for projections):
+    ("CUR", col) / (nav, var, col, off) / ("AGG", fn, var, col|*)."""
+    cols: set[str] = set()
+    for ref in refs:
+        if ref[0] == "CUR":
+            cols.add(ref[1])
+        elif ref[0] == "AGG":
+            if ref[3] != "*":
+                cols.add(ref[3])
+        else:
+            cols.add(ref[2])
+    return cols
+
+
 def eval_rich_cross(checks, var, j, acc, val_at) -> bool:
     """Evaluate a variable's compiled rich parts at candidate row ``j``
     against partial match ``acc`` (list of (var, row)). ``val_at(i,
@@ -388,12 +428,46 @@ def eval_rich_cross(checks, var, j, acc, val_at) -> bool:
     the simple-comparison cross_ok contract."""
     import pandas as _pd
 
+    def _null(x) -> bool:
+        return x is None or (not isinstance(x, str) and _pd.isna(x))
+
     for code, refs in checks:
         env = {}
         ok = True
         for i, ref in enumerate(refs):
             if ref[0] == "CUR":
                 val = val_at(j, ref[1])
+            elif ref[0] == "AGG":
+                _, fn, ov, oc = ref
+                rows_o = [r for w, r in acc if w == ov]
+                if ov == var:
+                    rows_o = rows_o + [j]
+                if oc == "*":
+                    val = len(rows_o)
+                else:
+                    vals = [
+                        x
+                        for x in (val_at(r, oc) for r in rows_o)
+                        if not _null(x)
+                    ]
+                    if fn == "COUNT":
+                        val = len(vals)
+                    elif not vals:
+                        val = None  # SQL: empty aggregate is NULL
+                    elif fn == "SUM":
+                        s = vals[0]
+                        for x in vals[1:]:  # mapped-row order, so the
+                            s = s + x  # oracle can replay the fold
+                        val = s
+                    elif fn == "AVG":
+                        s = vals[0]
+                        for x in vals[1:]:
+                            s = s + x
+                        val = s / len(vals)
+                    elif fn == "MIN":
+                        val = min(vals)
+                    else:
+                        val = max(vals)
             else:
                 nav, ov, oc, off = ref
                 rows_o = [r for w, r in acc if w == ov]
@@ -404,9 +478,7 @@ def eval_rich_cross(checks, var, j, acc, val_at) -> bool:
                     break
                 r = rows_o[off] if nav == "FIRST" else rows_o[-1 - off]
                 val = val_at(r, oc)
-            if val is None or (
-                not isinstance(val, str) and _pd.isna(val)
-            ):
+            if _null(val):
                 ok = False
                 break
             env[f"_r{i}"] = val
@@ -1140,6 +1212,35 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
             col = dm.group(1).strip().strip("`")
         order_by.append(col)
 
+    # Aggregates inside DEFINE (round 12, Flink parity): COUNT/SUM/AVG/
+    # MIN/MAX over a variable's mapped rows evaluate ONLY in the NFA
+    # matchers (compile_rich_cross "AGG" refs against the partial
+    # match) — the LEAD chain and the closed-form run lowerings cannot.
+    # Re-route: the A+ B run shape becomes an unbounded run at position
+    # 0, PERMUTE becomes its matched-set automaton node, and a plain
+    # bounded pattern becomes its generator AST.
+    if pattern_ast is None and any(
+        _AGG_DEF_RE.search(p) for p in defines.values()
+    ):
+        if plus is not None:
+            unbounded = {plus[0]: plus[2]}
+            plus = None
+        if permute:
+            pattern_ast = ("permute", tuple(("var", v) for v in pattern))
+            permute = False
+        elif not unbounded and not pos_quants:
+            agg_pos_spec = []
+            for alts in positions:
+                v0 = alts[0]
+                if len(alts) == 1 and v0 in quants:
+                    lo, hi = quants[v0]
+                    agg_pos_spec.append((alts, lo, hi, v0 in lazy_vars))
+                else:
+                    agg_pos_spec.append((alts, 1, 1, False))
+            pattern_ast = _pos_spec_to_ast(agg_pos_spec)
+            quants = {}
+            lazy_vars = set()
+            quant = None
     spec = MatchRecognizeSpec(
         table=head.group("tbl"),
         partition_by=[c.strip().strip("`") for c in m.group("pby").split(",")],
@@ -1196,7 +1297,11 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                 foreign_d = (
                     set(re.findall(r"\b([A-Za-z_]\w*)\s*\.", p_stripped)) - {v}
                 )
-                if not foreign_d and not _NAV_DEF_RE.search(part):
+                if (
+                    not foreign_d
+                    and not _NAV_DEF_RE.search(part)
+                    and not _AGG_DEF_RE.search(part)
+                ):
                     continue
                 cm = _CROSS_CMP_RE.match(part)
                 if (
@@ -1220,8 +1325,8 @@ def parse_match_recognize(sql: str) -> MatchRecognizeSpec | None:
                         "a simple cross-variable comparison "
                         f"({v}.col OP [FIRST|LAST(]X.col[, n]), nor an "
                         "arithmetic/boolean expression over current-row "
-                        "and FIRST/LAST partial-match references "
-                        "(aggregates inside DEFINE are not implemented)"
+                        "refs, FIRST/LAST partial-match refs, and "
+                        "COUNT/SUM/AVG/MIN/MAX over mapped rows"
                     )
     if plus is not None:
         # overlapping DEFINEs (a row may satisfy both variables) switch
@@ -2288,7 +2393,7 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
         for part in _split_top_and(spec.defines[v]):
             stripped = _NEXT_RE.sub("", _PREV_RE.sub("", part))
             foreign_p = set(re.findall(r"\b([A-Za-z_]\w*)\s*\.", stripped)) - {v}
-            if foreign_p or _NAV_DEF_RE.search(part):
+            if foreign_p or _NAV_DEF_RE.search(part) or _AGG_DEF_RE.search(part):
                 cm = _CROSS_CMP_RE.match(part)
                 if (
                     cm is None
@@ -2315,9 +2420,9 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
                             f"{part!r} is outside the supported forms — "
                             f"either {v}.col OP [FIRST|LAST(]X.col[, n]) "
                             "or an arithmetic/boolean expression over "
-                            "current-row and FIRST/LAST partial-match "
-                            "references (aggregates inside DEFINE are "
-                            "not implemented)"
+                            "current-row refs, FIRST/LAST partial-match "
+                            "refs, and COUNT/SUM/AVG/MIN/MAX aggregates "
+                            "over mapped rows"
                         )
                     rich_checks.setdefault(v, []).append(compiled)
                 else:
@@ -2346,10 +2451,10 @@ def _lower_nfa(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
             for ck in checks
         }
         | {
-            ref[1] if ref[0] == "CUR" else ref[2]
+            c
             for checks in rich_checks.values()
             for _code, refs in checks
-            for ref in refs
+            for c in rich_ref_columns(refs)
         }
     )
     if needs:

@@ -2336,6 +2336,83 @@ def pattern_match_recognize_rich_crossvar(
 
 
 @register(
+    "pattern_match_recognize_agg_define",
+    oracle=f"""
+    WITH RECURSIVE ord AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), ext AS (
+        SELECT a.user_id, a.rn AS s, a.ts AS a_ts, 1 AS k,
+               r.value AS sum_b
+        FROM ord a JOIN ord r
+          ON r.user_id = a.user_id AND r.rn = a.rn + 1
+        WHERE a.event_type = 'view' AND r.event_type <> 'purchase'
+        UNION ALL
+        SELECT e.user_id, e.s, e.a_ts, e.k + 1, e.sum_b + r.value
+        FROM ext e JOIN ord r
+          ON r.user_id = e.user_id AND r.rn = e.s + e.k + 1
+        WHERE r.event_type <> 'purchase'
+    )
+    SELECT e.user_id,
+           {EPOCH_SQL.format(x='e.a_ts')} AS a_epoch,
+           CAST(e.k AS BIGINT) AS n_b,
+           c.value AS c_value
+    FROM ext e JOIN ord c
+      ON c.user_id = e.user_id AND c.rn = e.s + e.k + 1
+    WHERE c.event_type = 'purchase' AND c.value * e.k < e.sum_b
+    """,
+    doc="AGGREGATES INSIDE DEFINE (round 12, Flink/SQL:2016 parity — "
+    "closes a README Known limit): PATTERN (A B+ C) with C AS "
+    "C.event_type = 'purchase' AND C.value * COUNT(B.*) < SUM(B.value) "
+    "— the closing row must be cheaper than the running AVERAGE of the "
+    "buffered run, the canonical price-drop CEP idiom. "
+    "compile_rich_cross parses COUNT/SUM/AVG/MIN/MAX(X.col|X.*) as "
+    "'AGG' refs the matchers evaluate over the partial match's mapped "
+    "rows (NULL-skipping, empty aggregate = SQL NULL = FALSE; the "
+    "defining variable's rows include the current candidate — running "
+    "semantics). Patterns whose fast paths cannot evaluate aggregates "
+    "re-route structurally: A+ B becomes an unbounded run, PERMUTE its "
+    "matched-set node, bounded LEAD chains their generator AST. The "
+    "engine folds SUM left-to-right in mapped-row order, so the "
+    "recursive-CTE oracle's carried sum replays the exact IEEE add "
+    "sequence and the driver hash covers the double, not just the "
+    "verdict for the predicate; the SUM measure itself stays out of "
+    "the hashed columns (the measure machinery sums pairwise — 1-ULP "
+    "drift vs any SQL fold, the same reason LN/ROUND stay out of "
+    "oracle pairs; tests pin it separately). Streams on the "
+    "decision-window legs via the same "
+    "compiled refs. 100 TB: one shuffle on user_id, per-key matching.",
+)
+def pattern_match_recognize_agg_define(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_aggd")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, CAST(a_ts AS LONG) AS a_epoch, n_b, c_value
+        FROM __mr_events_aggd
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.ts AS a_ts, COUNT(B.*) AS n_b,
+                     C.value AS c_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B+ C)
+            DEFINE A AS A.event_type = 'view',
+                   B AS B.event_type <> 'purchase',
+                   C AS C.event_type = 'purchase'
+                        AND C.value * COUNT(B.*) < SUM(B.value)
+        ) AS m
+        """
+    )
+
+
+@register(
     "pattern_match_recognize_group_quant",
     oracle="""
     WITH ord AS (
