@@ -25,20 +25,22 @@ from bench import _fp_comparable, best_prior, load_acks  # noqa: E402
 
 @pytest.fixture(scope="module")
 def r7():
-    """Queries + fingerprint of the NEWEST PARSEABLE bench record.
+    """Best-prior values + fingerprint for gate-MECHANICS tests.
 
-    Hard-coding an older round broke once a newer round landed a faster
-    time for the same query: the old round's own number then tripped the
-    ratchet built from ALL committed artifacts (VERDICT r8 Wrong #1). The
-    newest parseable record is by construction never slower than the best
-    prior beyond the gate's tolerance, so replaying it must always pass.
+    These are meta-tests of the gate's pass/fail/ack/reset machinery,
+    not the ratchet itself (the ratchet is exercised by running
+    scripts/bench_gate.py at round close). Earlier versions replayed
+    the newest bench record's own timings, which passed only while
+    that record was itself ratchet-clean — the round-12 driver run
+    (four sub-second queries 1.5-1.9x over best-prior on a loaded
+    host) reddened three mechanics tests that had nothing to do with
+    the regression (VERDICT r12 Wrong #1). Replaying best_prior()
+    values instead passes BY CONSTRUCTION (a prior can never beat
+    itself by >1.5x), while the 3x pessimization tests still trip.
 
-    Newest-first with null-skip (VERDICT r11 Wrong #1): BENCH_r11.json
-    landed with parsed:null (driver stdout tail truncation), and blindly
-    subscripting it errored six gate tests. The repo-owned
-    BENCH_SIDECAR.json — written by every local bench run and part of
-    best_prior() — is preferred when present, then driver artifacts
-    newest-first, skipping any whose parsed is null.
+    The fingerprint/sf still come from the newest parseable record
+    (newest-first with null-skip, VERDICT r11 Wrong #1) so the
+    corpus-bound ratchets key to the live corpus.
     """
     candidates = [REPO / "BENCH_SIDECAR.json"] + sorted(
         REPO.glob("BENCH_r*.json"), reverse=True
@@ -50,7 +52,20 @@ def r7():
             continue
         parsed = doc if doc.get("queries") else doc.get("parsed")
         if parsed and parsed.get("queries") and parsed.get("corpus"):
-            return parsed["queries"], parsed["corpus"], parsed.get("sf")
+            fp, sf = parsed["corpus"], parsed.get("sf")
+            priors = best_prior(fp, sf)
+            queries = {
+                name: priors[name]
+                for name in parsed["queries"]
+                if name in priors
+            }
+            # mechanics tests poke these names specifically
+            assert {
+                "q21_waiting_supplier",
+                "dedup_minhash_lsh",
+                "dedup_jaccard_blocked_pairs",
+            } <= set(queries)
+            return queries, fp, sf
     pytest.skip("no parseable bench record committed")
 
 

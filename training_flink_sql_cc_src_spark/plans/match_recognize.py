@@ -95,6 +95,7 @@ story is identical to every other keyed window here.
 
 from __future__ import annotations
 
+import ast
 import os
 import re
 from dataclasses import dataclass
@@ -301,11 +302,86 @@ _AGG_DEF_RE = re.compile(r"\b(?:COUNT|SUM|AVG|MIN|MAX)\s*\(", re.IGNORECASE)
 _RICH_REF_RE = re.compile(
     r"\b(?P<v>[A-Za-z_]\w*)\.(?P<c>[A-Za-z_]\w*)\b"
 )
-_RICH_STR_RE = re.compile(r"'[^']*'")
+#: SQL string literal with doubled-quote escaping: 'it''s' is ONE
+#: token (the string it's), not two adjacent literals — matching the
+#: two halves separately turned 'x''y' into Python implicit
+#: concatenation 'xy' (ADVICE r12)
+_RICH_STR_RE = re.compile(r"'(?:[^']|'')*'")
 _RICH_KEYWORDS = {
     "and": "and", "or": "or", "not": "not",
     "true": "True", "false": "False",
 }
+
+#: Python AST shapes a compiled rich DEFINE part may contain. This is
+#: the loud-rejection contract at the syntax-tree level: anything the
+#: SQL expression grammar can't produce — '**' (ast.Pow), '//'
+#: (ast.FloorDiv), chained comparisons (a < b < c), bitwise ops,
+#: subscripts, calls — is rejected instead of silently evaluating
+#: under Python semantics (ADVICE r12).
+_RICH_BINOPS = (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Mod)
+_RICH_CMPOPS = (ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE)
+_RICH_UNARY = (ast.Not, ast.USub, ast.UAdd)
+
+
+def _rich_ast_ok(tree: "ast.Expression") -> bool:
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Expression, ast.Load, ast.Name)):
+            continue  # Name ids are already keyword-validated upstream
+        if isinstance(node, ast.Constant):
+            if isinstance(node.value, (bool, int, float, str)):
+                continue
+            return False
+        if isinstance(node, ast.BoolOp):
+            continue
+        if isinstance(node, (ast.And, ast.Or)):
+            continue
+        if isinstance(node, ast.UnaryOp) and isinstance(
+            node.op, _RICH_UNARY
+        ):
+            continue
+        if isinstance(node, _RICH_UNARY):
+            continue
+        if isinstance(node, ast.BinOp) and isinstance(
+            node.op, _RICH_BINOPS
+        ):
+            continue
+        if isinstance(node, _RICH_BINOPS):
+            continue
+        if isinstance(node, ast.Compare):
+            if len(node.ops) != 1:
+                return False  # chained comparison: not SQL
+            continue
+        if isinstance(node, _RICH_CMPOPS):
+            continue
+        return False
+    return True
+
+
+class _SqlModRewriter(ast.NodeTransformer):
+    """Rewrite ``a % b`` to ``_sqlmod(a, b)``: SQL/Flink/Spark MOD is
+    dividend-sign (-7 % 3 = -1) while Python's ``%`` is divisor-sign
+    (-7 % 3 = 2) — without this the NFA/streaming legs diverged from
+    the LEAD-chain lowering and the DuckDB oracle on negative operands
+    (ADVICE r12)."""
+
+    def visit_BinOp(self, node):
+        self.generic_visit(node)
+        if isinstance(node.op, ast.Mod):
+            return ast.copy_location(
+                ast.Call(
+                    func=ast.Name(id="_sqlmod", ctx=ast.Load()),
+                    args=[node.left, node.right],
+                    keywords=[],
+                ),
+                node,
+            )
+        return node
+
+
+def _sqlmod(a, b):
+    """Dividend-sign remainder (SQL MOD / Java %% semantics)."""
+    r = abs(a) % abs(b)
+    return r if a >= 0 else -r
 
 
 def compile_rich_cross(
@@ -363,19 +439,25 @@ def compile_rich_cross(
             refs.append(("LAST", ov, mm.group("c"), 0))
         return f" __ref{len(refs) - 1}__ "
 
-    expr = _RICH_AGG_RE.sub(_take_agg, part)
+    # string literals FIRST: a literal containing var.col-shaped text
+    # (e.g. B.name = 'A.value') must never be compiled into a partial-
+    # match reference by the AGG/NAV/ref substitutions (ADVICE r12)
+    strings: list[str] = []
+
+    def _take_str(mm: re.Match) -> str:
+        # SQL '' escape -> the actual character; restored via repr()
+        strings.append(mm.group(0)[1:-1].replace("''", "'"))
+        return f" __str{len(strings) - 1}__ "
+
+    expr = _RICH_STR_RE.sub(_take_str, part)
+    if "'" in expr:
+        return None  # unterminated literal
+    expr = _RICH_AGG_RE.sub(_take_agg, expr)
     expr = _RICH_NAV_RE.sub(_take_nav, expr)
     expr = _RICH_REF_RE.sub(_take_ref, expr)
     if "\x00" in expr:
         return None
-    # string literals out of the way before keyword/token validation
-    strings: list[str] = []
 
-    def _take_str(mm: re.Match) -> str:
-        strings.append(mm.group(0))
-        return f" __str{len(strings) - 1}__ "
-
-    expr = _RICH_STR_RE.sub(_take_str, expr)
     def _kw(mm: re.Match) -> str:
         tok = mm.group(0)
         if re.fullmatch(r"__(?:ref|str)\d+__", tok):
@@ -389,18 +471,26 @@ def compile_rich_cross(
     expr = expr.replace("<>", "!=")
     expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
     for i, s in enumerate(strings):
-        expr = expr.replace(f"__str{i}__", s)
+        expr = expr.replace(f"__str{i}__", repr(s))
     for i in range(len(refs)):
         expr = expr.replace(f"__ref{i}__", f"_r{i}")
-    # residue whitelist: refs, literals, arithmetic, comparisons, parens
     expr = expr.strip()
-    if not re.fullmatch(
-        r"[\s\d\.\+\-\*/%<>=!()_a-zA-Z0-9']*", expr
-    ) or not expr:
+    if not expr:
         return None
+    # AST whitelist (the loud-rejection contract): only boolean/
+    # arithmetic/single-comparison shapes the SQL grammar produces;
+    # '**', '//', chained comparisons, bitwise, calls -> None
     try:
-        code = compile(expr, "<rich-cross-define>", "eval")
-    except SyntaxError:
+        tree = ast.parse(expr, mode="eval")
+    except (SyntaxError, ValueError):
+        return None
+    if not _rich_ast_ok(tree):
+        return None
+    tree = _SqlModRewriter().visit(tree)
+    ast.fix_missing_locations(tree)
+    try:
+        code = compile(tree, "<rich-cross-define>", "eval")
+    except (SyntaxError, ValueError):
         return None
     return code, tuple(refs)
 
@@ -485,7 +575,9 @@ def eval_rich_cross(checks, var, j, acc, val_at) -> bool:
         if not ok:
             return False
         try:
-            if not bool(eval(code, {"__builtins__": {}}, env)):
+            if not bool(
+                eval(code, {"__builtins__": {}, "_sqlmod": _sqlmod}, env)
+            ):
                 return False
         except (TypeError, ZeroDivisionError, ArithmeticError):
             return False
