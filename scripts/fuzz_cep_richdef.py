@@ -57,12 +57,19 @@ def _rich_part(rng, v, others):
     x = rng.choice(others)
     c = rng.choice([0.25, 0.5, 1, 2])
     k = rng.randrange(-20, 80)
-    form = rng.randrange(3)
+    form = rng.randrange(4)
     if form == 0:
         nav = rng.choice(["FIRST", "LAST"])
         return f"{v}.value {op} {nav}({x}.value) * {c} + {k}"
     if form == 1:
         return f"{v}.value + LAST({x}.value) {op} {k}"
+    if form == 2:
+        # % with a frequently-NEGATIVE dividend: SQL MOD is
+        # dividend-sign (-7 % 3 = -1) while Python's is divisor-sign
+        # (-7 % 3 = 2); the NFA leg must match the LEAD chain's
+        # Spark-SQL semantics (ADVICE r12)
+        m = rng.choice([3, 5, 7])
+        return f"({v}.value - {k}) % {m} {op} LAST({x}.value) % {m} - 1"
     y = rng.choice(others)
     return (
         f"{v}.value {op} (FIRST({x}.value) + LAST({y}.value)) / 2 + {k}"

@@ -81,6 +81,15 @@ def test_corpus_rewrite_invalidates(spark, corpus_dir, store):
     assert len(rows) == 1, "stale artifact served after corpus rewrite"
 
 
+def _backdate_metas(store_root):
+    """Age every artifact past the eviction grace window."""
+    old = 1_000_000_000  # 1970-ish, far older than any grace period
+    for name in os.listdir(store_root):
+        meta = os.path.join(store_root, name, sketch_store._META)
+        if os.path.exists(meta):
+            os.utime(meta, ns=(old, old))
+
+
 def test_store_is_bounded(spark, corpus_dir, store):
     docs = os.path.join(corpus_dir, "documents.parquet")
     small, d = llm_dedup._token_sketch(spark, corpus_dir)
@@ -89,5 +98,56 @@ def test_store_is_bounded(spark, corpus_dir, store):
         # unique fingerprint per save: rewrite the meta key by bumping
         # the docs mtime so each save lands under a new artifact dir
         os.utime(docs, ns=(1_000_000_000 * i, 1_000_000_000 * i))
+        # eviction respects a grace window for recently-touched
+        # artifacts (ADVICE r12) — age them so the bound is testable
+        _backdate_metas(store)
+    sketch_store._evict(store)
     entries = [n for n in os.listdir(store) if not n.startswith(".tmp-")]
     assert len(entries) <= sketch_store._MAX_ENTRIES
+
+
+def test_eviction_spares_recently_read_artifacts(spark, corpus_dir, store):
+    """A just-loaded artifact must survive eviction even when over
+    quota: load() touches the meta, and _evict honors the grace window,
+    so a cross-process save cannot rmtree an artifact out from under a
+    caller whose lazy scan has not materialized yet (ADVICE r12)."""
+    docs = os.path.join(corpus_dir, "documents.parquet")
+    small, d = llm_dedup._token_sketch(spark, corpus_dir)
+    live_key = sketch_store.corpus_fingerprint(docs)
+    assert sketch_store.load(spark, docs) is not None  # touches meta
+    # flood the store with aged artifacts so live_key is over quota
+    for i in range(sketch_store._MAX_ENTRIES + 3):
+        os.utime(docs, ns=(1_000_000_000 * i, 1_000_000_000 * i))
+        sketch_store.save(d, docs, small)
+    for name in os.listdir(store):
+        if name == live_key or name.startswith(".tmp-"):
+            continue
+        meta = os.path.join(store, name, sketch_store._META)
+        if os.path.exists(meta):
+            now = os.stat(meta).st_mtime_ns
+            aged = now - sketch_store._EVICT_GRACE_NS - 10**9
+            os.utime(meta, ns=(aged, aged))
+    sketch_store._evict(store)
+    assert os.path.isdir(os.path.join(store, live_key)), (
+        "recently-read artifact evicted inside the grace window"
+    )
+
+
+def test_format_version_mismatch_invalidates(spark, corpus_dir, store):
+    """A code change to the sketch derivation (FORMAT_VERSION bump)
+    must reject artifacts written under the old derivation even when
+    the corpus data is unchanged (ADVICE r12)."""
+    import json
+
+    _sketch_rows(spark, corpus_dir)  # lands an artifact
+    docs = os.path.join(corpus_dir, "documents.parquet")
+    key = sketch_store.corpus_fingerprint(docs)
+    meta_path = os.path.join(store, key, sketch_store._META)
+    meta = json.loads(open(meta_path).read())
+    assert meta["format_version"] == sketch_store.FORMAT_VERSION
+    meta["format_version"] = sketch_store.FORMAT_VERSION - 1
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    assert sketch_store.load(spark, docs) is None, (
+        "stale-format artifact served after a derivation change"
+    )

@@ -47,6 +47,21 @@ _LOCK = threading.Lock()
 _MAX_ENTRIES = 8
 _META = "_sketch_meta.json"
 
+#: Sketch DERIVATION version, written into every artifact's meta and
+#: required to match on load. The corpus fingerprint only detects DATA
+#: changes; this detects CODE changes — bump it whenever
+#: ``queries/llm_dedup._token_sketch`` changes its tokenization,
+#: hashing, or small-vocab threshold, or stale-format artifacts would
+#: silently keep serving wrong sketches (ADVICE r12).
+FORMAT_VERSION = 1
+
+#: Grace period before an over-quota artifact may be evicted: load()
+#: touches the meta mtime, so any artifact read within this window is
+#: never rmtree'd out from under a caller whose lazy parquet scan has
+#: not materialized yet (the in-process _LOCK cannot cover a
+#: cross-process save()+_evict(), ADVICE r12).
+_EVICT_GRACE_NS = 15 * 60 * 1_000_000_000
+
 
 def store_root() -> str | None:
     """Store directory, or None when disabled via env."""
@@ -106,6 +121,8 @@ def load(
         return None
     if meta.get("fingerprint") != key:
         return None
+    if meta.get("format_version") != FORMAT_VERSION:
+        return None  # sketch derivation changed since this was written
     # touch for LRU eviction order
     try:
         os.utime(meta_path)
@@ -131,7 +148,12 @@ def save(sketch: DataFrame, docs_path: str, small_vocab: bool) -> bool:
         sketch.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
         with open(os.path.join(tmp, _META), "w") as fh:
             json.dump(
-                {"fingerprint": key, "small_vocab": bool(small_vocab)}, fh
+                {
+                    "fingerprint": key,
+                    "small_vocab": bool(small_vocab),
+                    "format_version": FORMAT_VERSION,
+                },
+                fh,
             )
         with _LOCK:
             if os.path.exists(final):  # concurrent writer won the race
@@ -146,7 +168,12 @@ def save(sketch: DataFrame, docs_path: str, small_vocab: bool) -> bool:
 
 
 def _evict(root: str) -> None:
-    """Keep the newest _MAX_ENTRIES artifacts (by meta mtime)."""
+    """Keep the newest _MAX_ENTRIES artifacts (by meta mtime), but
+    never one touched within the grace window: load() utimes the meta,
+    so a recently-read artifact stays on disk long enough for its
+    caller's lazy scan to materialize even across processes."""
+    import time
+
     entries = []
     try:
         names = os.listdir(root)
@@ -161,5 +188,8 @@ def _evict(root: str) -> None:
         except OSError:
             continue
     entries.sort(reverse=True)
-    for _mtime, name in entries[_MAX_ENTRIES:]:
+    cutoff = time.time_ns() - _EVICT_GRACE_NS
+    for mtime, name in entries[_MAX_ENTRIES:]:
+        if mtime >= cutoff:
+            continue
         shutil.rmtree(os.path.join(root, name), ignore_errors=True)

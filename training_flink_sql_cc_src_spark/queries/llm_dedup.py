@@ -86,7 +86,12 @@ def _token_sketch(
     maintained table beside the corpus, not a per-job derivation. A
     cold process/session pays one parquet scan instead of the
     vocabulary-probe + df-sort pipeline below (VERDICT r11 Wrong #2:
-    that rebuild tripled every dedup query's cold cost)."""
+    that rebuild tripled every dedup query's cold cost).
+
+    MAINTENANCE CONTRACT: any change to this function's derivation —
+    tokenization regex, hashing, the small-vocab threshold, output
+    columns — must bump ``sketch_store.FORMAT_VERSION``, or stored
+    artifacts written under the old derivation keep being served."""
     entry = _TOKEN_SKETCH_CACHE.get(sf_dir)
     if entry is not None:
         owner_ref, small_vocab, d = entry
