@@ -275,13 +275,15 @@ def test_match_recognize_plus_single_exchange_no_join(spark, sf_med):
 
 def test_match_recognize_overlap_single_exchange_arrow(spark, sf_med):
     """The overlapping-DEFINE A+ B matcher is ONE shuffle on the
-    partition key feeding an Arrow-batched FlatMapGroupsInPandas (the
-    Flink keyed-CEP plan shape); predicates are evaluated JVM-side
-    before the exchange, and nothing joins or pairs."""
+    partition key feeding a group-aware Arrow-batched MapInPandas
+    (round 13: one Python round-trip per ~10k-row batch instead of one
+    per key — FlatMapGroupsInPandas cost scaled with key cardinality,
+    3.3 s of pure IPC over sf1z's 15k keys); predicates are evaluated
+    JVM-side before the exchange, and nothing joins or pairs."""
     import re
 
     plan = _plan(spark, "pattern_match_recognize_overlap", sf_med)
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan
     assert "CartesianProduct" not in plan

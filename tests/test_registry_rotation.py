@@ -67,7 +67,16 @@ def test_driver_order_frontloads_oldest_evidence():
     lg = registry._DRIVER_LAST_GREEN
     newest_round = max(lg.values())
     head = names[:50]
-    freshest = [n for n in head if lg.get(n, 0) == newest_round]
+    # rows-only/exact companions ride with their group's OLDEST member
+    # by design (VERDICT r12 #5: a sampled round must co-attest the
+    # pair) — a fresh partner in the head is correct when its group
+    # anchor is stale, so exclude paired names from the freshness check
+    paired = set(registry._ROWS_ONLY_COMPANION) | set(
+        registry._ROWS_ONLY_COMPANION.values()
+    )
+    freshest = [
+        n for n in head if lg.get(n, 0) == newest_round and n not in paired
+    ]
     # the just-verified names must not occupy early slots while stale
     # evidence exists deeper in the list
     stale_remaining = [n for n in names[50:] if lg.get(n, 0) < newest_round]

@@ -15,6 +15,7 @@ whole pipeline stays oracle-paired.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1079,38 +1080,64 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges, _ = _bpe_learn(spark, sf_dir)
     pairs = [tuple(p[1:-1].split(")(")) for _, p, _ in merges]
 
-    def chars(w):
-        return F.transform(
-            F.sequence(F.lit(1), F.length(w)),
-            lambda i: w.substr(i, F.lit(1)),
+    # Arrow-batched encode with a per-batch WORD MEMO (round 13): the
+    # previous plan left-folded each merge as a Catalyst higher-order
+    # aggregate per word — interpreted lambdas with O(len) array
+    # copies per step, 5.6 s at sf1z for two merges. Natural-language
+    # token frequency is Zipfian, so a batch of documents revisits the
+    # same words constantly; memoizing encode-per-word makes the UDF's
+    # cost ~one dict hit per word occurrence plus one real encode per
+    # DISTINCT word per batch. Same left-fold semantics per merge
+    # (fuse with the previous symbol when (prev, cur) == (x, y) —
+    # freshly fused xy != x, so overlaps never double-merge).
+    @F.pandas_udf("struct<n_tokens: long, first_word_tokens: string>")
+    def bpe_enc(text: pd.Series) -> pd.DataFrame:
+        memo: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            arr = memo.get(w)
+            if arr is None:
+                arr = list(w)
+                for x, y in pairs:
+                    xy = x + y
+                    out: list[str] = []
+                    for s in arr:
+                        if out and s == y and out[-1] == x:
+                            out[-1] = xy
+                        else:
+                            out.append(s)
+                    arr = out
+                memo[w] = arr
+            return arr
+
+        n_tokens, firsts = [], []
+        for doc in text:
+            ws = doc.split(" ")
+            n_tokens.append(sum(len(enc(w)) for w in ws))
+            firsts.append("|".join(enc(ws[0])))
+        return pd.DataFrame(
+            {"n_tokens": n_tokens, "first_word_tokens": firsts}
         )
 
-    def encode(w):
-        arr = chars(w)
-        for x, y in pairs:
-            arr = _bpe_fold_merge(arr, x, y)
-        return arr
-
-    # fan_out: the encode expression is PER-ROW COMPUTE-BOUND (two
-    # merge folds over every word's character array), and the fixture
+    # fan_out: the encode is PER-ROW COMPUTE-BOUND and the fixture
     # scan byte-packs into one task — partition by COST, not bytes,
     # the same rule every compute-heavy [C] stage here follows. The
-    # tiny round-robin shuffle (MBs) unlocks full-core parallelism
-    # (3.5 s -> ~0.4 s at sf0.1); on a real cluster the scan arrives
-    # pre-split and the encode itself stays map-only on top of it.
+    # tiny round-robin shuffle (MBs) unlocks full-core parallelism;
+    # on a real cluster the scan arrives pre-split and the encode
+    # itself stays map-only on top of it.
     docs = fan_out(t(spark, sf_dir, "documents"))
-    words = F.split("text", " ")
-    return docs.select(
-        "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        F.aggregate(
-            F.transform(words, lambda w: F.size(encode(w)).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("n_tokens"),
-        F.array_join(encode(F.element_at(words, 1)), "|").alias(
-            "first_word_tokens"
-        ),
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_words"),
+            bpe_enc(F.col("text")).alias("e"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("e.n_tokens").alias("n_tokens"),
+            F.col("e.first_word_tokens").alias("first_word_tokens"),
+        )
     )
 
 

@@ -349,6 +349,35 @@ _DRIVER_HEAVY_TAIL = (
 )
 
 
+#: rows-only approximations paired with their hash-checked EXACT
+#: companions (VERDICT r12 #5): the rotation sorts each pair by the
+#: pair's OLDEST evidence and keeps the two adjacent, so any sampled
+#: round that re-attests the rows-only row also re-attests the exact
+#: row its correctness argument leans on.
+_ROWS_ONLY_COMPANION = {
+    "agg_approx_count_distinct": "agg_count_distinct",
+    "agg_heavy_hitters_merge": "agg_heavy_hitters_merge_exact",
+    "agg_hll_mergeable_sketch": "agg_count_distinct",
+    "agg_quantile_sketch_merge": "agg_percentile_disc",
+    "dedup_minhash_lsh": "dedup_minhash_lsh_exact",
+    "dedup_simhash_hamming": "dedup_simhash_hamming_exact",
+    "pandas_grouped_zscore": "pandas_grouped_zscore_rounded",
+    "pandas_udf_entropy": "pandas_udf_entropy_rounded",
+    "sim_ann_ivf": "sim_ann_ivf_exhaustive",
+    "sim_ann_ivfpq": "sim_ann_ivfpq_exhaustive",
+    "sim_ann_lsh": "sim_ann_lsh_recall",
+    "sim_ann_pq": "sim_ann_pq_exhaustive",
+}
+
+
+def _pair_id(n: str) -> str:
+    """Canonical group key: a rows-only name groups under its EXACT
+    companion (two approximations may share one exact — e.g. HLL and
+    approx_count_distinct both lean on agg_count_distinct); unpaired
+    names are their own group."""
+    return _ROWS_ONLY_COMPANION.get(n, n)
+
+
 def _driver_order(names) -> list[str]:
     fresh = [
         n
@@ -366,10 +395,30 @@ def _driver_order(names) -> list[str]:
     # Verified tail: oldest driver evidence first (ascending last-green
     # round, name as tiebreak for determinism), so the ~45 re-verification
     # slots behind the fresh batch cycle through every entry as the
-    # testdata regenerates underneath us.
+    # testdata regenerates underneath us. Rows-only/exact companion
+    # pairs sort as ONE unit on the pair's oldest evidence (exact
+    # member first — it carries the hash) so they are always co-sampled.
+    name_set = set(names)
+    group_members: dict[str, list[str]] = {}
+    for ro, ex in _ROWS_ONLY_COMPANION.items():
+        group_members.setdefault(ex, [ex]).append(ro)
+
+    def _tail_key(n: str):
+        gid = _pair_id(n)
+        members = group_members.get(gid, [gid])
+        oldest = min(
+            (
+                _DRIVER_LAST_GREEN[m]
+                for m in members
+                if m in name_set and m in _DRIVER_VERIFIED
+            ),
+            default=_DRIVER_LAST_GREEN[n],
+        )
+        # exact companion (the hash evidence) leads its group
+        return (oldest, gid, n != gid, n)
+
     verified = sorted(
-        (n for n in names if n in _DRIVER_VERIFIED),
-        key=lambda n: (_DRIVER_LAST_GREEN[n], n),
+        (n for n in names if n in _DRIVER_VERIFIED), key=_tail_key
     )
     return fresh + fresh_heavy + verified
 
