@@ -156,15 +156,37 @@ def save(sketch: DataFrame, docs_path: str, small_vocab: bool) -> bool:
                 fh,
             )
         with _LOCK:
-            if os.path.exists(final):  # concurrent writer won the race
-                shutil.rmtree(tmp, ignore_errors=True)
-                return True
+            if os.path.exists(final):
+                if _meta_valid(final, key):
+                    # concurrent writer won the race with a GOOD artifact
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    return True
+                # stale-format/corrupt artifact squatting on the slot:
+                # without this, a FORMAT_VERSION bump left the old
+                # artifact in place forever — load() rejected it and
+                # every query re-derived (round 13: jaccard/containment
+                # 0.4 -> 1.4 s until the slot was reclaimed)
+                shutil.rmtree(final, ignore_errors=True)
             os.replace(tmp, final)
             _evict(root)
         return True
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
         return False
+
+
+def _meta_valid(art: str, key: str) -> bool:
+    """True when an on-disk artifact's meta matches the current corpus
+    fingerprint AND sketch format version (what load() will accept)."""
+    try:
+        with open(os.path.join(art, _META)) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    return (
+        meta.get("fingerprint") == key
+        and meta.get("format_version") == FORMAT_VERSION
+    )
 
 
 def _evict(root: str) -> None:
