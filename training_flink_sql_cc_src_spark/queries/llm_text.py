@@ -779,7 +779,19 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    tf = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the LM-statistics branch (cb -> cu) and the final
+    # per-doc scoring join, but Catalyst does not dedupe common
+    # subplans (0 ReusedExchange in the executed plan — the
+    # explode+aggregate pass ran twice, 4 corpus scans total).
+    # Materialize it once: at 100 TB the per-doc bigram counts are the
+    # natural intermediate table of any two-pass LM scoring job (build
+    # global stats, then score), and ContextCleaner releases the
+    # blocks when the query's last reference drops (bench's gc hook).
+    tf = (
+        big.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
     cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
     voc = d.select(
