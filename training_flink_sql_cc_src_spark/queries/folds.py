@@ -84,6 +84,7 @@ SPECS: dict[str, dict[str, list[tuple[str, str]]]] = {
         "pattern_match_recognize_vshape": [("user_id", "str"), ("start_epoch", "str"), ("start_value", "f6"), ("bottom_value", "f6"), ("end_value", "f6"), ("n_down", "str"), ("n_up", "str")],
         "pattern_match_recognize_agg": [("user_id", "str"), ("n_clicks", "str"), ("min_click_value", "f6"), ("max_click_value", "f6"), ("purchase_epoch", "str")],
         "pattern_match_recognize_self_nav": [("user_id", "str"), ("start_event", "str"), ("n_run", "str"), ("last_b_event", "str")],
+        "pattern_match_recognize_mod_define": [("user_id", "str"), ("a_event", "str"), ("a_value", "f6"), ("b_event", "str"), ("b_value", "f6")],
     },
     "scalar_fold_core": {
         "scalar_string": [("custkey", "str"), ("tag", "str"), ("name_prefix", "str"), ("name_id_str", "str"), ("name_len", "str"), ("short_name", "str"), ("trimmed", "str"), ("digits", "str"), ("is_customer", "str")],

@@ -1713,6 +1713,60 @@ def pattern_match_recognize_crossvar(
     )
 
 
+@register(
+    "pattern_match_recognize_mod_define",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               LEAD(event_id) OVER w AS n_id,
+               LEAD(value) OVER w AS n_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           event_id AS a_event, value AS a_value,
+           n_id AS b_event, n_value AS b_value
+    FROM seq
+    WHERE event_type = 'view' AND n_id IS NOT NULL
+      AND mod(n_value - 60, 7) > mod(value - 60, 7)
+    """,
+    doc="MATCH_RECOGNIZE with SQL MOD (%) inside a cross-variable "
+    "DEFINE on frequently-NEGATIVE dividends — pins the dividend-sign "
+    "remainder contract across ALL legs (ADVICE r12): the LEAD-chain "
+    "lowering evaluates % in Spark SQL (Java semantics, fmod), the "
+    "generator-NFA route compiles it to the _sqlmod helper "
+    "(plans/match_recognize._SqlModRewriter), and the DuckDB oracle "
+    "replays mod() (DuckDB's %%/mod are dividend-sign; its fmod is "
+    "FLOORED — the opposite naming of C). value < 60 makes the "
+    "dividend negative, where "
+    "Python's divisor-sign %% would flip comparisons and change the "
+    "match set — a hash mismatch here means the legs diverged.",
+)
+def pattern_match_recognize_mod_define(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.router import StatementRouter
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("__mr_events_mod")
+    return StatementRouter(spark).execute(
+        """
+        SELECT user_id, a_event, a_value, b_event, b_value
+        FROM __mr_events_mod
+        MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES A.event_id AS a_event, A.value AS a_value,
+                     B.event_id AS b_event, B.value AS b_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'view',
+                   B AS (B.value - 60) % 7 > (A.value - 60) % 7
+        ) AS m
+        """
+    )
+
+
 def _vshape_oracle() -> str:
     """DuckDB replay of PATTERN (S D{1,3} U{1,3}) greedy matching: LEAD
     chains of down/up flags, variants tested in Flink preference order
