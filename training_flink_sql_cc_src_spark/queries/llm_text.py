@@ -11,7 +11,7 @@ are map-only over the scan plus one small rollup shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -161,6 +161,81 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.length("text").cast("string"), F.lit(":"), F.substring("text", 1, 16)
             )
         ).alias("shape_key"),
+    )
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, s,
+               md5(substr(text, CAST(s AS INTEGER), 8)) AS h,
+               len(text) - 7 AS n_g
+        FROM documents,
+             UNNEST(range(1, GREATEST(len(text) - 6, 1))) AS t(s)
+        WHERE len(text) >= 8
+    ), w AS (
+        SELECT doc_id, s, n_g,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS wmin
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(MAX(n_g) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+           MIN(wmin) AS min_fp,
+           MAX(wmin) AS max_fp
+    FROM w
+    WHERE s + 3 <= n_g
+    GROUP BY doc_id
+    """,
+    doc="WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken "
+    "2003 — the MOSS rolling-hash fingerprinting; 'document "
+    "fingerprinting (rolling hash)' in the training-pipeline operator "
+    "list): per document, hash every character 8-gram, slide a "
+    "4-hash window, keep each window's MINIMUM — the winnowing "
+    "guarantee picks at least one fingerprint per w consecutive "
+    "grams, density <= 2/(w+1), so two documents sharing any run of "
+    ">= k+w-1 characters share a fingerprint. Hashes are md5 hex "
+    "(engine-independent, unlike xxhash64), window-min compares "
+    "lexicographically — identical in both engines, so the whole "
+    "relation is hash-matched. Plan: map-side gram explode (same "
+    "shape as the Lee-et-al span dedup), ONE shuffle on doc_id for "
+    "the ordered window, aggregate on the same partitioning. The "
+    "full-window filter applies AFTER the window so trailing grams "
+    "still participate in earlier windows.",
+)
+def text_winnow_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    g = d.select(
+        "doc_id",
+        (F.length("text") - F.lit(7)).alias("n_g"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(7))
+        ).alias("s"),
+        "text",
+    ).select(
+        "doc_id",
+        "n_g",
+        "s",
+        F.md5(F.expr("substring(text, s, 8)")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    sel = g.withColumn("wmin", F.min("h").over(w)).filter(
+        F.col("s") + 3 <= F.col("n_g")
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("n_g").cast("long").alias("n_grams"),
+        F.count_distinct("wmin").cast("long").alias("n_fingerprints"),
+        F.min("wmin").alias("min_fp"),
+        F.max("wmin").alias("max_fp"),
     )
 
 
