@@ -240,6 +240,98 @@ def text_winnow_fingerprints(
 
 
 @register(
+    "dedup_winnow_pairs",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, s,
+               md5(substr(text, CAST(s AS INTEGER), 8)) AS h,
+               len(text) - 7 AS n_g
+        FROM documents,
+             UNNEST(range(1, GREATEST(len(text) - 6, 1))) AS t(s)
+        WHERE len(text) >= 8
+    ), w AS (
+        SELECT doc_id, s, n_g,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS wmin
+        FROM g
+    ), fp AS (
+        SELECT DISTINCT doc_id, substr(wmin, 1, 16) AS wmin
+        FROM w WHERE s + 3 <= n_g
+    ), rare AS (
+        SELECT wmin FROM fp GROUP BY wmin
+        HAVING COUNT(*) BETWEEN 2 AND 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a
+    JOIN rare r ON a.wmin = r.wmin
+    JOIN fp b ON b.wmin = a.wmin AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+    doc="MOSS-style near-duplicate PAIRS from winnowing fingerprints "
+    "(Schleimer et al. 2003 §4's matching step): documents sharing "
+    ">= 3 selected fingerprints — i.e. >= 3 distinct common character "
+    "runs the winnowing guarantee certifies. Fingerprints appearing "
+    "in > 50 documents are suppressed BEFORE the pair join (the "
+    "paper's own boilerplate/common-code move), which bounds every "
+    "posting list: the join is posting-list-quadratic only within the "
+    "cap, never corpus-quadratic — the same Zipf defense as the "
+    "rare-token prefix plans. One shuffle per aggregation level, "
+    "join keyed on the fingerprint hash.",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    g = d.select(
+        "doc_id",
+        (F.length("text") - F.lit(7)).alias("n_g"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(7))
+        ).alias("s"),
+        "text",
+    ).select(
+        "doc_id",
+        "n_g",
+        "s",
+        F.md5(F.expr("substring(text, s, 8)")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    # 64-bit truncation halves the shuffle/join key width (applied
+    # AFTER window-min so the selection is the full-hash selection,
+    # identically in the oracle); fp feeds THREE consumers (df filter
+    # + both pair-join sides) — materialize once, as bigram tf does
+    fp = (
+        g.withColumn("wmin", F.min("h").over(w))
+        .filter(F.col("s") + 3 <= F.col("n_g"))
+        .select("doc_id", F.substring("wmin", 1, 16).alias("wmin"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rare = (
+        fp.groupBy("wmin")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("wmin")
+    )
+    fa = fp.join(rare, "wmin").select(
+        F.col("doc_id").alias("id_a"), "wmin"
+    )
+    fb = fp.select(F.col("doc_id").alias("id_b"), "wmin")
+    return (
+        fa.join(fb, "wmin")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+@register(
     "text_lang_source_rollup",
     oracle=f"""
     SELECT lang, source,
