@@ -96,6 +96,7 @@ HEADLINE = (
     "multimodal_mulaw_audio_stats",
     "multimodal_video_metadata",
     "multimodal_jpeg420_pixel_stats",
+    "dedup_winnow_pairs",
 )
 
 
