@@ -99,3 +99,67 @@ def test_green_predicate_matches_updater_script():
     ]
     for row, want in rows:
         assert registry._driver_row_green(row) is want, row
+
+
+def test_composition_changed_fold_sorts_fresh():
+    """VERDICT r13 #1: a fold whose member set or specs changed since its
+    last green driver row must be treated as NEVER-VERIFIED — its hash
+    evidence no longer covers its current definition. Pin the mechanism
+    by feeding _composition_stale_folds synthetic attested maps."""
+    from training_flink_sql_cc_src_spark.queries import folds
+
+    a_fold = next(iter(folds.SPECS))
+    current = {f: folds.spec_hash(f) for f in folds.SPECS}
+
+    # attested == current composition -> nothing stale
+    assert registry._composition_stale_folds(dict(current)) == set()
+
+    # one fold's attested hash differs (composition changed) -> stale
+    tampered = dict(current)
+    tampered[a_fold] = "0" * 64
+    assert registry._composition_stale_folds(tampered) == {a_fold}
+
+    # fold missing from the attested file -> conservatively stale
+    missing = dict(current)
+    del missing[a_fold]
+    assert registry._composition_stale_folds(missing) == {a_fold}
+
+
+def test_stale_fold_fronts_driver_order(monkeypatch):
+    """A composition-stale fold must leave the verified tail and join the
+    fresh batch of _driver_order, even though it has a last-green round."""
+    from training_flink_sql_cc_src_spark.queries import folds
+
+    a_fold = next(iter(folds.SPECS))
+    names = list(registry.driver_queries())
+    assert a_fold in names
+
+    monkeypatch.setattr(
+        registry, "_composition_stale_folds", lambda attested=None: {a_fold}
+    )
+    order = registry._driver_order(names)
+    n_unverified = sum(1 for n in order if n not in registry._DRIVER_VERIFIED)
+    # the stale fold sits in the fresh batch (before every verified name),
+    # not at its last-green rotation position
+    assert order.index(a_fold) <= n_unverified + len(folds.SPECS)
+    fresh_cut = order.index(a_fold)
+    assert all(
+        n not in registry._DRIVER_VERIFIED
+        or n in registry._DRIVER_HEAVY_TAIL
+        or n == a_fold
+        for n in order[: fresh_cut + 1]
+    )
+
+
+def test_fold_attested_file_covers_all_folds():
+    """FOLD_ATTESTED.json (the refresh script's output) must have an entry
+    for every fold; a fold absent from it counts as stale every round,
+    burning a fresh-batch slot forever."""
+    from training_flink_sql_cc_src_spark.queries import folds
+
+    attested = registry._load_fold_attested()
+    for fold in folds.SPECS:
+        assert fold in attested, (
+            f"{fold} missing from FOLD_ATTESTED.json — run "
+            "scripts/refresh_fold_attested.py at round open"
+        )

@@ -116,6 +116,23 @@ SPECS: dict[str, dict[str, list[tuple[str, str]]]] = {
 }
 
 
+def spec_hash(fold_name: str) -> str:
+    """Canonical hash of a fold's member composition (member names +
+    column/kind specs). The driver rotation compares this against the
+    composition recorded at the fold's last green driver row
+    (FOLD_ATTESTED.json): a fold whose members or specs changed since
+    that row is treated as NEVER-VERIFIED and fronts the next round's
+    sample. This closes the r13 staleness hole where a brand-new member
+    (pattern_match_recognize_mod_define) rode the fold's pre-existing
+    r12 evidence and would not have been oracle-checked for ~3 rounds.
+    """
+    import hashlib
+    import json
+
+    payload = json.dumps(SPECS[fold_name], sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
 def _spark_repr(df: DataFrame, member: str, spec) -> DataFrame:
     want = [c for c, _k in spec]
     if df.columns != want:

@@ -330,6 +330,48 @@ def _load_driver_last_green() -> dict[str, int]:
 _DRIVER_LAST_GREEN = _load_driver_last_green()
 _DRIVER_VERIFIED = frozenset(_DRIVER_LAST_GREEN)
 
+
+def _load_fold_attested() -> dict[str, str]:
+    """fold name -> member-spec hash attested by its last green driver
+    row (committed FOLD_ATTESTED.json; refreshed at round open by
+    scripts/refresh_fold_attested.py). Missing/unreadable file -> empty
+    dict, i.e. every fold conservatively counts as composition-changed."""
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "FOLD_ATTESTED.json"
+    try:
+        with open(path) as fh:
+            doc = _json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(doc, dict):
+        return {}
+    return {
+        k: v["spec_hash"]
+        for k, v in doc.items()
+        if isinstance(v, dict) and isinstance(v.get("spec_hash"), str)
+    }
+
+
+def _composition_stale_folds(attested: dict[str, str] | None = None) -> set[str]:
+    """Folds whose CURRENT member composition differs from the one their
+    last green driver row attested (VERDICT r13 #1: a fold's hash row
+    only covers the member set it hashed — adding/changing a member must
+    void the fold's evidence, or the new shape rides stale green for up
+    to 3 rounds). Returns fold names to treat as never-verified in
+    _driver_order."""
+    try:
+        from .queries import folds
+    except Exception:  # pragma: no cover - folds import is load-bearing
+        return set()
+    if attested is None:
+        attested = _load_fold_attested()
+    return {
+        fold
+        for fold in folds.SPECS
+        if attested.get(fold) != folds.spec_hash(fold)
+    }
+
 # Heaviest cold plans (persist in the pipeline, wide literal expression
 # trees in the similarity family). Within the FRESH (never-driver-checked)
 # batch they run last so a per-query stall cannot starve smaller checks;
@@ -379,10 +421,15 @@ def _pair_id(n: str) -> str:
 
 
 def _driver_order(names) -> list[str]:
+    # a fold whose member composition changed since its last green row
+    # is FRESH, not verified — its hash evidence no longer covers its
+    # current definition (VERDICT r13 #1)
+    stale_folds = _composition_stale_folds()
     fresh = [
         n
         for n in names
-        if n not in _DRIVER_VERIFIED and n not in _DRIVER_HEAVY_TAIL
+        if (n not in _DRIVER_VERIFIED or n in stale_folds)
+        and n not in _DRIVER_HEAVY_TAIL
     ]
     # oracle-paired entries first within the fresh batch: a green
     # hash-match row is stronger evidence than a rows-only row, so if the
@@ -418,7 +465,12 @@ def _driver_order(names) -> list[str]:
         return (oldest, gid, n != gid, n)
 
     verified = sorted(
-        (n for n in names if n in _DRIVER_VERIFIED), key=_tail_key
+        (
+            n
+            for n in names
+            if n in _DRIVER_VERIFIED and n not in stale_folds
+        ),
+        key=_tail_key,
     )
     return fresh + fresh_heavy + verified
 
