@@ -11,14 +11,33 @@ are map-only over the scan plus one small rollup shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ._util import DAVG_SQL, DSUM_SQL, davg, dsum, t
+from ._util import DAVG_SQL, DSUM_SQL, davg, dsum, fan_out, t
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 _STOP_SQL = "', '".join(STOPWORDS)
+
+# Winnowing parameters (Schleimer, Wilkerson, Aiken 2003), shared by the
+# Spark plans AND the DuckDB oracle templates below so a shape change can
+# never silently diverge engine and oracle (VERDICT r13 task 7). The
+# winnowing guarantee: any substring match of length >= t = k + w - 1
+# (= 11 chars here) shares at least one selected fingerprint; selection
+# density <= 2 / (w + 1).
+K_WINNOW = 8  # character-gram size k
+W_WINNOW = 4  # selection window size w (in grams)
+WINNOW_T = K_WINNOW + W_WINNOW - 1  # shortest guaranteed-detected match
+#: fingerprints appearing in more than this many documents are suppressed
+#: before the pair join (MOSS's boilerplate move) — bounds every posting
+#: list so the join is cap-quadratic, never corpus-quadratic
+WINNOW_DF_CAP = 50
+#: near-duplicate pair threshold: >= this many shared fingerprints
+WINNOW_MIN_SHARED = 3
+#: md5-hex prefix kept per fingerprint AFTER selection (halves the
+#: shuffle/join key width; selection itself compares full hashes)
+WINNOW_FP_HEX = 16
 
 
 @register(
@@ -164,20 +183,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: gram hashes per document as a JVM array expression: g[i] = md5 of the
+#: k-gram starting at 1-based character i. Map-side only — the r13 plan
+#: exploded every gram (~n_chars rows/doc of 32-char MD5 strings) and
+#: paid a full shuffle (Window.partitionBy(doc_id)) for a window-min
+#: that never crosses a document; at 100 TB that shuffles ~30x the
+#: corpus bytes for a per-row-local computation (VERDICT r13 #3).
+_GRAMS_EXPR = (
+    f"transform(sequence(1, length(text) - {K_WINNOW - 1}),"
+    f" i -> md5(substring(text, i, {K_WINNOW})))"
+)
+
+
+def _with_grams(body: str) -> str:
+    """Let-binding idiom: evaluate the gram-hash array ONCE per row and
+    expose it to ``body`` as the lambda variable ``g``.
+
+    Why not a plain withColumn("grams", ...): Catalyst's CollapseProject
+    inlines a single-use projection into its consumer, and a lambda body
+    re-evaluates every subexpression per element — so
+    ``transform(seq, i -> array_min(slice(grams, i, w)))`` with ``grams``
+    inlined recomputes ALL n gram hashes for EACH of the n window
+    positions: O(n^2) md5 calls per document (measured: minutes at sf0.1
+    vs sub-second with the binding). Wrapping the array in
+    ``transform(array(<grams>), g -> body)`` makes ``g`` a
+    NamedLambdaVariable — bound once, referenced cheaply — restoring the
+    O(n) evaluation no matter how the optimizer collapses projections.
+    """
+    return f"element_at(transform(array({_GRAMS_EXPR}), g -> {body}), 1)"
+
+
+#: winnowing selection: wmins[i] = min of the w consecutive gram hashes
+#: starting at i, complete windows only (i <= n_g - w + 1), matching the
+#: oracle's s + w-1 <= n_g filter; the len(text) >= t pre-filter
+#: guarantees the sequence() bound >= 1.
+_WMINS_EXPR = _with_grams(
+    f"transform(sequence(1, size(g) - {W_WINNOW - 1}),"
+    f" i -> array_min(slice(g, i, {W_WINNOW})))"
+)
+
+
 @register(
     "text_winnow_fingerprints",
-    oracle="""
+    oracle=f"""
     WITH g AS (
         SELECT doc_id, s,
-               md5(substr(text, CAST(s AS INTEGER), 8)) AS h,
-               len(text) - 7 AS n_g
+               md5(substr(text, CAST(s AS INTEGER), {K_WINNOW})) AS h,
+               len(text) - {K_WINNOW - 1} AS n_g
         FROM documents,
-             UNNEST(range(1, GREATEST(len(text) - 6, 1))) AS t(s)
-        WHERE len(text) >= 8
+             UNNEST(range(1, GREATEST(len(text) - {K_WINNOW - 2}, 1))) AS t(s)
+        WHERE len(text) >= {K_WINNOW}
     ), w AS (
         SELECT doc_id, s, n_g,
                MIN(h) OVER (PARTITION BY doc_id ORDER BY s
-                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                            ROWS BETWEEN CURRENT ROW AND {W_WINNOW - 1} FOLLOWING)
                    AS wmin
         FROM g
     )
@@ -187,80 +246,77 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(wmin) AS min_fp,
            MAX(wmin) AS max_fp
     FROM w
-    WHERE s + 3 <= n_g
+    WHERE s + {W_WINNOW - 1} <= n_g
     GROUP BY doc_id
     """,
     doc="WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken "
     "2003 — the MOSS rolling-hash fingerprinting; 'document "
     "fingerprinting (rolling hash)' in the training-pipeline operator "
-    "list): per document, hash every character 8-gram, slide a "
-    "4-hash window, keep each window's MINIMUM — the winnowing "
+    "list): per document, hash every character k-gram, slide a "
+    "w-hash window, keep each window's MINIMUM — the winnowing "
     "guarantee picks at least one fingerprint per w consecutive "
     "grams, density <= 2/(w+1), so two documents sharing any run of "
     ">= k+w-1 characters share a fingerprint. Hashes are md5 hex "
     "(engine-independent, unlike xxhash64), window-min compares "
     "lexicographically — identical in both engines, so the whole "
-    "relation is hash-matched. Plan: map-side gram explode (same "
-    "shape as the Lee-et-al span dedup), ONE shuffle on doc_id for "
-    "the ordered window, aggregate on the same partitioning. The "
-    "full-window filter applies AFTER the window so trailing grams "
-    "still participate in earlier windows.",
+    "relation is hash-matched. Plan (replanned r14, VERDICT r13 #3): "
+    "grams and window minima are JVM array expressions "
+    "(transform/slice/array_min) evaluated per document row — ZERO "
+    "shuffle, the query is a pure map over the scan; the r13 plan's "
+    "explode + Window.partitionBy(doc_id) shuffled ~30x the corpus "
+    "bytes to compute the same per-document-local minima.",
 )
 def text_winnow_fingerprints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
-    g = d.select(
+    d = fan_out(
+        t(spark, sf_dir, "documents").filter(F.length("text") >= WINNOW_T)
+    )
+    # one more let-binding over the wmins array so the three aggregates
+    # share ONE evaluation (3 collapsed copies would be 3x the md5 work)
+    stats = (
+        f"element_at(transform(array({_WMINS_EXPR}), w -> named_struct("
+        "'n_fingerprints', size(array_distinct(w)),"
+        " 'min_fp', array_min(w),"
+        " 'max_fp', array_max(w))), 1)"
+    )
+    return d.select(
         "doc_id",
-        (F.length("text") - F.lit(7)).alias("n_g"),
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - F.lit(7))
-        ).alias("s"),
-        "text",
+        (F.length("text") - F.lit(K_WINNOW - 1))
+        .cast("long")
+        .alias("n_grams"),
+        F.expr(stats).alias("st"),
     ).select(
         "doc_id",
-        "n_g",
-        "s",
-        F.md5(F.expr("substring(text, s, 8)")).alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.currentRow, 3)
-    )
-    sel = g.withColumn("wmin", F.min("h").over(w)).filter(
-        F.col("s") + 3 <= F.col("n_g")
-    )
-    return sel.groupBy("doc_id").agg(
-        F.max("n_g").cast("long").alias("n_grams"),
-        F.count_distinct("wmin").cast("long").alias("n_fingerprints"),
-        F.min("wmin").alias("min_fp"),
-        F.max("wmin").alias("max_fp"),
+        "n_grams",
+        F.col("st.n_fingerprints").cast("long").alias("n_fingerprints"),
+        F.col("st.min_fp").alias("min_fp"),
+        F.col("st.max_fp").alias("max_fp"),
     )
 
 
 @register(
     "dedup_winnow_pairs",
-    oracle="""
+    oracle=f"""
     WITH g AS (
         SELECT doc_id, s,
-               md5(substr(text, CAST(s AS INTEGER), 8)) AS h,
-               len(text) - 7 AS n_g
+               md5(substr(text, CAST(s AS INTEGER), {K_WINNOW})) AS h,
+               len(text) - {K_WINNOW - 1} AS n_g
         FROM documents,
-             UNNEST(range(1, GREATEST(len(text) - 6, 1))) AS t(s)
-        WHERE len(text) >= 8
+             UNNEST(range(1, GREATEST(len(text) - {K_WINNOW - 2}, 1))) AS t(s)
+        WHERE len(text) >= {K_WINNOW}
     ), w AS (
         SELECT doc_id, s, n_g,
                MIN(h) OVER (PARTITION BY doc_id ORDER BY s
-                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                            ROWS BETWEEN CURRENT ROW AND {W_WINNOW - 1} FOLLOWING)
                    AS wmin
         FROM g
     ), fp AS (
-        SELECT DISTINCT doc_id, substr(wmin, 1, 16) AS wmin
-        FROM w WHERE s + 3 <= n_g
+        SELECT DISTINCT doc_id, substr(wmin, 1, {WINNOW_FP_HEX}) AS wmin
+        FROM w WHERE s + {W_WINNOW - 1} <= n_g
     ), rare AS (
         SELECT wmin FROM fp GROUP BY wmin
-        HAVING COUNT(*) BETWEEN 2 AND 50
+        HAVING COUNT(*) BETWEEN 2 AND {WINNOW_DF_CAP}
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -268,7 +324,7 @@ def text_winnow_fingerprints(
     JOIN rare r ON a.wmin = r.wmin
     JOIN fp b ON b.wmin = a.wmin AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
-    HAVING COUNT(*) >= 3
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
     """,
     doc="MOSS-style near-duplicate PAIRS from winnowing fingerprints "
     "(Schleimer et al. 2003 §4's matching step): documents sharing "
@@ -278,38 +334,31 @@ def text_winnow_fingerprints(
     "paper's own boilerplate/common-code move), which bounds every "
     "posting list: the join is posting-list-quadratic only within the "
     "cap, never corpus-quadratic — the same Zipf defense as the "
-    "rare-token prefix plans. One shuffle per aggregation level, "
-    "join keyed on the fingerprint hash.",
+    "rare-token prefix plans. Fingerprint SELECTION is map-side JVM "
+    "array expressions (replanned r14, see text_winnow_fingerprints): "
+    "only the ~2/(w+1)-density selected fingerprints are exploded "
+    "into the posting join — the exploded-gram shuffle is gone; the "
+    "remaining shuffles are the posting-list aggregation and the "
+    "capped pair join, both on the small fp relation.",
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
-    g = d.select(
-        "doc_id",
-        (F.length("text") - F.lit(7)).alias("n_g"),
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - F.lit(7))
-        ).alias("s"),
-        "text",
-    ).select(
-        "doc_id",
-        "n_g",
-        "s",
-        F.md5(F.expr("substring(text, s, 8)")).alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.currentRow, 3)
+    d = fan_out(
+        t(spark, sf_dir, "documents").filter(F.length("text") >= WINNOW_T)
     )
     # 64-bit truncation halves the shuffle/join key width (applied
     # AFTER window-min so the selection is the full-hash selection,
-    # identically in the oracle); fp feeds THREE consumers (df filter
-    # + both pair-join sides) — materialize once, as bigram tf does
+    # identically in the oracle); per-document distinct INSIDE the array
+    # (array_distinct == the old global DISTINCT since doc_id is in the
+    # key) so only selected fingerprints are ever exploded. fp feeds
+    # THREE consumers (df filter + both pair-join sides) — materialize
+    # once, as bigram tf does.
+    fps = _with_grams(
+        f"array_distinct(transform(sequence(1, size(g) - {W_WINNOW - 1}),"
+        f" i -> substring(array_min(slice(g, i, {W_WINNOW})),"
+        f" 1, {WINNOW_FP_HEX})))"
+    )
     fp = (
-        g.withColumn("wmin", F.min("h").over(w))
-        .filter(F.col("s") + 3 <= F.col("n_g"))
-        .select("doc_id", F.substring("wmin", 1, 16).alias("wmin"))
-        .distinct()
+        d.select("doc_id", F.explode(F.expr(fps)).alias("wmin"))
         .localCheckpoint(eager=False)
     )
     rare = (
