@@ -157,6 +157,34 @@ def test_star_contraction_components_match_union_find(spark):
         run_case(n, [tuple(rng.sample(range(n), 2)) for _ in range(m)])
 
 
+def test_star_contraction_string_ids_driver_finish(spark):
+    """ADVICE r13: the driver union-find finish must build its star-
+    forest DataFrame from the EDGE LIST's schema, not a hardcoded
+    long/long — string doc ids work in the distributed rounds and must
+    keep working when the shrinking edge list hits the driver-finish
+    threshold (which any small graph does immediately)."""
+    from training_flink_sql_cc_src_spark.queries.llm_dedup import (
+        min_label_components,
+    )
+
+    names = [f"doc-{i:03d}" for i in range(12)]
+    nodes = spark.createDataFrame([(n,) for n in names], "doc_id string")
+    # two components: a chain over the first 5, a pair at the end
+    edge_list = [(names[i], names[i + 1]) for i in range(4)] + [
+        (names[10], names[11])
+    ]
+    edges = spark.createDataFrame(edge_list, "id_a string, id_b string")
+    got = {
+        r["doc_id"]: r["label"]
+        for r in min_label_components(edges, nodes).collect()
+    }
+    want = {n: n for n in names}
+    for i in range(5):
+        want[names[i]] = names[0]
+    want[names[11]] = names[10]
+    assert got == want
+
+
 def test_star_contraction_long_chain_converges_or_raises(spark):
     """VERDICT r9 #4: the round cap is a loud error, not a warning. A
     pathological LONG PATH (the worst case for contraction depth) must

@@ -3417,6 +3417,35 @@ def test_rich_cross_define_compile_subset():
     assert eval_rich_cross([code], "B", 0, [], va) is False  # no A yet
 
 
+def test_rich_cross_define_placeholder_shaped_literals():
+    """ADVICE r13: a string literal whose CONTENT is placeholder-shaped
+    ('__ref0__' / '__str0__') must survive compilation verbatim — the
+    old chained str.replace restore rewrote text inside already-restored
+    literals, silently changing the comparison value."""
+    from training_flink_sql_cc_src_spark.plans.match_recognize import (
+        compile_rich_cross,
+        eval_rich_cross,
+    )
+
+    code = compile_rich_cross("B.name = '__ref0__'", "B", ["A", "B"])
+    assert code is not None
+    vals = {0: {"name": "__ref0__"}, 1: {"name": "x"}}
+    va = lambda i, c: vals[i][c]  # noqa: E731
+    assert eval_rich_cross([code], "B", 0, [], va) is True
+    assert eval_rich_cross([code], "B", 1, [], va) is False
+
+    # two literals, the second containing the FIRST's placeholder text:
+    # restoring __str0__ first used to re-substitute inside it
+    code2 = compile_rich_cross(
+        "B.name = '__str1__' OR B.name = 'z'", "B", ["A", "B"]
+    )
+    assert code2 is not None
+    vals2 = {0: {"name": "__str1__"}, 1: {"name": "__ref0__"}}
+    va2 = lambda i, c: vals2[i][c]  # noqa: E731
+    assert eval_rich_cross([code2], "B", 0, [], va2) is True
+    assert eval_rich_cross([code2], "B", 1, [], va2) is False
+
+
 def _rich_fuzz_frame(spark):
     import numpy as np
 
@@ -3503,3 +3532,51 @@ def test_rich_cross_differential_lead_vs_nfa(spark, monkeypatch):
         monkeypatch.delenv("SPARK_GRAFT_CEP_FORCE_NFA", raising=False)
         assert lead == nfa, (pattern, defines, lead[:3], nfa[:3])
         assert lead, f"vacuous case (no matches): {pattern}"
+
+
+def test_grouped_apply_float_key_null_vs_nan(spark):
+    """ADVICE r13: with a FLOATING partition key, SQL NULL and NaN both
+    become pandas NaN after Arrow conversion — _grouped_apply must keep
+    them distinct groups (as Spark groupBy does) via the is-null
+    indicator, not merge adjacent NULL-key and NaN-key runs."""
+    import pandas as pd
+
+    from training_flink_sql_cc_src_spark.plans.match_recognize import (
+        _grouped_apply,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = (
+        [(None, i) for i in range(3)]
+        + [(float("nan"), i) for i in range(4)]
+        + [(1.5, i) for i in range(2)]
+    )
+    src = spark.createDataFrame(rows, "k double, v long")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_null = bool(pdf["k"].isna().all())  # NaN also isna — count rows
+        return pd.DataFrame({"n": [len(pdf)]})
+
+    schema = StructType([StructField("n", LongType())])
+    got = sorted(
+        r["n"]
+        for r in _grouped_apply(src, ["k"], per_group, schema).collect()
+    )
+    # three distinct groups: NULL(3), NaN(4), 1.5(2) — a NULL/NaN merge
+    # would collapse this to [2, 7]
+    assert got == [2, 3, 4]
+
+    # integer keys take the no-indicator fast path and still group
+    src2 = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0)], "k long, v long"
+    )
+    got2 = sorted(
+        r["n"]
+        for r in _grouped_apply(src2, ["k"], per_group, schema).collect()
+    )
+    assert got2 == [1, 2]

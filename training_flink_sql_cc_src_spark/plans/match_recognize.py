@@ -470,10 +470,19 @@ def compile_rich_cross(
     # SQL -> Python operator spelling
     expr = expr.replace("<>", "!=")
     expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
-    for i, s in enumerate(strings):
-        expr = expr.replace(f"__str{i}__", repr(s))
-    for i in range(len(refs)):
-        expr = expr.replace(f"__ref{i}__", f"_r{i}")
+    # single-pass restore (ADVICE r13): chained str.replace would
+    # rewrite placeholder-shaped text INSIDE a restored string literal
+    # (e.g. a literal containing '__ref0__'), silently changing the
+    # comparison value — one re.sub touches each placeholder site once
+    expr = re.sub(
+        r"__(ref|str)(\d+)__",
+        lambda mm: (
+            f"_r{mm.group(2)}"
+            if mm.group(1) == "ref"
+            else repr(strings[int(mm.group(2))])
+        ),
+        expr,
+    )
     expr = expr.strip()
     if not expr:
         return None
@@ -2299,12 +2308,32 @@ def _grouped_apply(src, pby, fn, schema):
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.types import DoubleType, FloatType
+
     names = [f.name for f in schema.fields]
 
+    # FLOATING partition keys (ADVICE r13): after Arrow conversion both
+    # SQL NULL and float NaN become pandas NaN, so the isna-based group
+    # comparison below would merge adjacent NULL-key and NaN-key runs —
+    # while Spark's groupBy keeps NULL and NaN distinct. Carry an
+    # explicit is-null indicator per float key through the repartition/
+    # sort and fold it into the grouping comparison; non-float keys
+    # (every current caller) skip this entirely.
+    float_keys = [
+        c
+        for c in pby
+        if isinstance(src.schema[c].dataType, (FloatType, DoubleType))
+    ]
+    if float_keys:
+        src = src.withColumns(
+            {f"__mr_knull_{c}": F.col(c).isNull() for c in float_keys}
+        )
+    key_cols = list(pby) + [f"__mr_knull_{c}" for c in float_keys]
+
     def _gids(pdf: pd.DataFrame) -> np.ndarray:
-        prev = pdf[list(pby)].shift()
+        prev = pdf[key_cols].shift()
         neq = None
-        for c in pby:
+        for c in key_cols:
             ne = (pdf[c] != prev[c]) & ~(pdf[c].isna() & prev[c].isna())
             neq = ne if neq is None else (neq | ne)
         return neq.to_numpy(dtype=bool).cumsum()

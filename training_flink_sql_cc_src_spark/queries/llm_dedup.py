@@ -851,9 +851,13 @@ def min_label_components(
                 for n in {x for row in rows for x in (row.hi, row.lo)}
                 if _find(n) != n
             ]
-            E = edges.sparkSession.createDataFrame(
-                star, "hi long, lo long"
-            )
+            # schema derived from the edge list, not hardcoded: the
+            # operator is generic over id_col's type (string doc ids
+            # work in the distributed rounds), and this branch only
+            # triggers once the list fits the driver threshold — a
+            # hardcoded long/long would make non-long ids fail in a
+            # data-size-dependent way (ADVICE r13)
+            E = edges.sparkSession.createDataFrame(star, E.schema)
             converged = True
             break
     if not converged:
