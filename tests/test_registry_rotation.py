@@ -74,8 +74,16 @@ def test_driver_order_frontloads_oldest_evidence():
     paired = set(registry._ROWS_ONLY_COMPANION) | set(
         registry._ROWS_ONLY_COMPANION.values()
     )
+    # definition-stale entries (changed since their last green row)
+    # legitimately front the order regardless of evidence age — their
+    # evidence no longer covers their current definition (r14)
+    stale = registry._stale_entries(names)
     freshest = [
-        n for n in head if lg.get(n, 0) == newest_round and n not in paired
+        n
+        for n in head
+        if lg.get(n, 0) == newest_round
+        and n not in paired
+        and n not in stale
     ]
     # the just-verified names must not occupy early slots while stale
     # evidence exists deeper in the list
@@ -101,33 +109,50 @@ def test_green_predicate_matches_updater_script():
         assert registry._driver_row_green(row) is want, row
 
 
-def test_composition_changed_fold_sorts_fresh():
-    """VERDICT r13 #1: a fold whose member set or specs changed since its
-    last green driver row must be treated as NEVER-VERIFIED — its hash
-    evidence no longer covers its current definition. Pin the mechanism
-    by feeding _composition_stale_folds synthetic attested maps."""
+def test_changed_entry_sorts_fresh():
+    """VERDICT r13 #1 (generalized r14): an entry whose definition —
+    fold member set/specs/sources, or a regular entry's oracle +
+    implementation source — changed since its last green driver row
+    must be treated as NEVER-VERIFIED; its evidence no longer covers
+    its current definition. Pin the mechanism by feeding
+    _stale_entries synthetic attested maps."""
     from training_flink_sql_cc_src_spark.queries import folds
 
-    a_fold = next(iter(folds.SPECS))
-    current = {f: folds.spec_hash(f) for f in folds.SPECS}
+    names = [n for n in registry.driver_queries() if n in registry._DRIVER_VERIFIED]
+    a_fold = next(n for n in names if n in folds.SPECS)
+    a_plain = next(n for n in names if n not in folds.SPECS)
+    current = {n: registry.entry_spec_hash(n) for n in names}
 
-    # attested == current composition -> nothing stale
-    assert registry._composition_stale_folds(dict(current)) == set()
+    # attested == current definitions -> nothing stale
+    assert registry._stale_entries(names, dict(current)) == set()
 
-    # one fold's attested hash differs (composition changed) -> stale
+    # changed fold AND changed plain entry -> both stale
     tampered = dict(current)
     tampered[a_fold] = "0" * 64
-    assert registry._composition_stale_folds(tampered) == {a_fold}
+    tampered[a_plain] = "0" * 64
+    assert registry._stale_entries(names, tampered) == {a_fold, a_plain}
 
-    # fold missing from the attested file -> conservatively stale
+    # entry missing from the attested file -> conservatively stale
     missing = dict(current)
-    del missing[a_fold]
-    assert registry._composition_stale_folds(missing) == {a_fold}
+    del missing[a_plain]
+    assert registry._stale_entries(names, missing) == {a_plain}
+
+    # fold hash reacts to member composition, entry hash to oracle text
+    assert registry.entry_spec_hash(a_fold) == folds.spec_hash(a_fold)
+    e = registry._REGISTRY[a_plain]
+    h0 = registry.entry_spec_hash(a_plain)
+    old_oracle = e.oracle
+    try:
+        e.oracle = (old_oracle or "") + " -- changed"
+        assert registry.entry_spec_hash(a_plain) != h0
+    finally:
+        e.oracle = old_oracle
 
 
-def test_stale_fold_fronts_driver_order(monkeypatch):
-    """A composition-stale fold must leave the verified tail and join the
-    fresh batch of _driver_order, even though it has a last-green round."""
+def test_stale_entry_fronts_driver_order(monkeypatch):
+    """A definition-stale entry must leave the verified tail and join
+    the fresh batch of _driver_order, even though it has a last-green
+    round."""
     from training_flink_sql_cc_src_spark.queries import folds
 
     a_fold = next(iter(folds.SPECS))
@@ -135,13 +160,9 @@ def test_stale_fold_fronts_driver_order(monkeypatch):
     assert a_fold in names
 
     monkeypatch.setattr(
-        registry, "_composition_stale_folds", lambda attested=None: {a_fold}
+        registry, "_stale_entries", lambda names, attested=None: {a_fold}
     )
     order = registry._driver_order(names)
-    n_unverified = sum(1 for n in order if n not in registry._DRIVER_VERIFIED)
-    # the stale fold sits in the fresh batch (before every verified name),
-    # not at its last-green rotation position
-    assert order.index(a_fold) <= n_unverified + len(folds.SPECS)
     fresh_cut = order.index(a_fold)
     assert all(
         n not in registry._DRIVER_VERIFIED
@@ -151,15 +172,25 @@ def test_stale_fold_fronts_driver_order(monkeypatch):
     )
 
 
-def test_fold_attested_file_covers_all_folds():
-    """FOLD_ATTESTED.json (the refresh script's output) must have an entry
-    for every fold; a fold absent from it counts as stale every round,
-    burning a fresh-batch slot forever."""
-    from training_flink_sql_cc_src_spark.queries import folds
-
-    attested = registry._load_fold_attested()
-    for fold in folds.SPECS:
-        assert fold in attested, (
-            f"{fold} missing from FOLD_ATTESTED.json — run "
-            "scripts/refresh_fold_attested.py at round open"
-        )
+def test_attested_file_is_current():
+    """DRIVER_ATTESTED.json entries must be registered driver-facing
+    names (the refresh script prunes departures), and names carrying a
+    stale-by-hash marker must be exactly the definitions changed since
+    their last green row — i.e. the file should never drift so far that
+    the fresh batch starves the re-verification tail."""
+    attested = registry._load_attested()
+    assert attested, "DRIVER_ATTESTED.json missing or empty"
+    driver_names = set(registry.driver_queries())
+    unknown = set(attested) - driver_names
+    assert not unknown, (
+        f"stale names in DRIVER_ATTESTED.json: {sorted(unknown)[:5]} — "
+        "run scripts/refresh_attested.py"
+    )
+    stale = registry._stale_entries(driver_names, attested)
+    # a healthy round has a handful of changed entries, not dozens: the
+    # driver records ~50 rows, and the re-verification tail needs most
+    assert len(stale) <= 25, (
+        f"{len(stale)} driver-verified entries have no evidence for "
+        f"their current definition: {sorted(stale)[:10]} ... — commit "
+        "the round artifact and run scripts/refresh_attested.py"
+    )

@@ -117,20 +117,33 @@ SPECS: dict[str, dict[str, list[tuple[str, str]]]] = {
 
 
 def spec_hash(fold_name: str) -> str:
-    """Canonical hash of a fold's member composition (member names +
-    column/kind specs). The driver rotation compares this against the
-    composition recorded at the fold's last green driver row
-    (FOLD_ATTESTED.json): a fold whose members or specs changed since
-    that row is treated as NEVER-VERIFIED and fronts the next round's
-    sample. This closes the r13 staleness hole where a brand-new member
-    (pattern_match_recognize_mod_define) rode the fold's pre-existing
-    r12 evidence and would not have been oracle-checked for ~3 rounds.
+    """Canonical hash of a fold's member composition: member names +
+    column/kind specs + each member's oracle SQL and implementation
+    source. The driver rotation compares this against the composition
+    recorded at the fold's last green driver row (DRIVER_ATTESTED.json):
+    a fold whose members, specs, oracles, or member implementations
+    changed since that row is treated as NEVER-VERIFIED and fronts the
+    next round's sample. This closes the r13 staleness hole where a
+    brand-new member (pattern_match_recognize_mod_define) rode the
+    fold's pre-existing r12 evidence and would not have been
+    oracle-checked for ~3 rounds — and its member-source component
+    extends the same guarantee to reimplemented members.
     """
     import hashlib
+    import inspect
     import json
 
-    payload = json.dumps(SPECS[fold_name], sort_keys=True)
-    return hashlib.sha256(payload.encode()).hexdigest()
+    parts = [json.dumps(SPECS[fold_name], sort_keys=True)]
+    for member in SPECS[fold_name]:
+        e = registry._REGISTRY[member]
+        try:
+            src = inspect.getsource(e.fn)
+        except (OSError, TypeError):
+            src = f"{e.fn.__module__}.{e.fn.__qualname__}"
+        parts.append(member)
+        parts.append(e.oracle or "")
+        parts.append(src)
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 
 def _spark_repr(df: DataFrame, member: str, spec) -> DataFrame:

@@ -331,14 +331,14 @@ _DRIVER_LAST_GREEN = _load_driver_last_green()
 _DRIVER_VERIFIED = frozenset(_DRIVER_LAST_GREEN)
 
 
-def _load_fold_attested() -> dict[str, str]:
-    """fold name -> member-spec hash attested by its last green driver
-    row (committed FOLD_ATTESTED.json; refreshed at round open by
-    scripts/refresh_fold_attested.py). Missing/unreadable file -> empty
-    dict, i.e. every fold conservatively counts as composition-changed."""
+def _load_attested() -> dict[str, str]:
+    """registry name -> spec hash attested by its last green driver row
+    (committed DRIVER_ATTESTED.json; refreshed at round open by
+    scripts/refresh_attested.py). Missing/unreadable file -> empty dict,
+    i.e. every entry conservatively counts as changed-since-evidence."""
     from pathlib import Path
 
-    path = Path(__file__).resolve().parent.parent / "FOLD_ATTESTED.json"
+    path = Path(__file__).resolve().parent.parent / "DRIVER_ATTESTED.json"
     try:
         with open(path) as fh:
             doc = _json.load(fh)
@@ -353,23 +353,48 @@ def _load_fold_attested() -> dict[str, str]:
     }
 
 
-def _composition_stale_folds(attested: dict[str, str] | None = None) -> set[str]:
-    """Folds whose CURRENT member composition differs from the one their
-    last green driver row attested (VERDICT r13 #1: a fold's hash row
-    only covers the member set it hashed — adding/changing a member must
-    void the fold's evidence, or the new shape rides stale green for up
-    to 3 rounds). Returns fold names to treat as never-verified in
-    _driver_order."""
+def entry_spec_hash(name: str) -> str:
+    """Canonical hash of WHAT a driver row for ``name`` attests: for a
+    fold suite, its member composition + member oracles/sources
+    (queries.folds.spec_hash); for a regular entry, its oracle SQL +
+    implementation source. Conservative by design — a docstring-only
+    edit re-fronts the entry for one round, which costs one rotation
+    slot; a semantic change riding stale evidence costs a correctness
+    hole (VERDICT r13 #1)."""
+    import hashlib
+    import inspect
+
     try:
         from .queries import folds
     except Exception:  # pragma: no cover - folds import is load-bearing
-        return set()
+        folds = None
+    if folds is not None and name in folds.SPECS:
+        return folds.spec_hash(name)
+    e = _REGISTRY[name]
+    try:
+        src = inspect.getsource(e.fn)
+    except (OSError, TypeError):
+        src = f"{e.fn.__module__}.{e.fn.__qualname__}"
+    payload = "\x00".join((name, e.oracle or "", src))
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def _stale_entries(names, attested: dict[str, str] | None = None) -> set[str]:
+    """Driver-facing entries whose CURRENT definition differs from the
+    one their last green driver row attested (VERDICT r13 #1,
+    generalized past folds in r14: ANY changed query — new fold member,
+    replanned implementation, edited oracle — must void its evidence,
+    or the new definition rides stale green for up to 3 rounds).
+    Returns names to treat as never-verified in _driver_order. A name
+    absent from DRIVER_ATTESTED.json counts as stale, which is a no-op
+    for truly-fresh names (they are already unverified) and
+    conservative for everything else."""
     if attested is None:
-        attested = _load_fold_attested()
+        attested = _load_attested()
     return {
-        fold
-        for fold in folds.SPECS
-        if attested.get(fold) != folds.spec_hash(fold)
+        n
+        for n in names
+        if n in _DRIVER_VERIFIED and attested.get(n) != entry_spec_hash(n)
     }
 
 # Heaviest cold plans (persist in the pipeline, wide literal expression
@@ -421,14 +446,14 @@ def _pair_id(n: str) -> str:
 
 
 def _driver_order(names) -> list[str]:
-    # a fold whose member composition changed since its last green row
-    # is FRESH, not verified — its hash evidence no longer covers its
-    # current definition (VERDICT r13 #1)
-    stale_folds = _composition_stale_folds()
+    # an entry whose definition changed since its last green row is
+    # FRESH, not verified — its evidence no longer covers its current
+    # definition (VERDICT r13 #1; generalized to all entries in r14)
+    stale = _stale_entries(names)
     fresh = [
         n
         for n in names
-        if (n not in _DRIVER_VERIFIED or n in stale_folds)
+        if (n not in _DRIVER_VERIFIED or n in stale)
         and n not in _DRIVER_HEAVY_TAIL
     ]
     # oracle-paired entries first within the fresh batch: a green
@@ -437,7 +462,9 @@ def _driver_order(names) -> list[str]:
     oracled = {k for k in _REGISTRY if _REGISTRY[k].oracle is not None}
     fresh.sort(key=lambda n: n not in oracled)
     fresh_heavy = [
-        n for n in _DRIVER_HEAVY_TAIL if n in names and n not in _DRIVER_VERIFIED
+        n
+        for n in _DRIVER_HEAVY_TAIL
+        if n in names and (n not in _DRIVER_VERIFIED or n in stale)
     ]
     # Verified tail: oldest driver evidence first (ascending last-green
     # round, name as tiebreak for determinism), so the ~45 re-verification
@@ -465,11 +492,7 @@ def _driver_order(names) -> list[str]:
         return (oldest, gid, n != gid, n)
 
     verified = sorted(
-        (
-            n
-            for n in names
-            if n in _DRIVER_VERIFIED and n not in stale_folds
-        ),
+        (n for n in names if n in _DRIVER_VERIFIED and n not in stale),
         key=_tail_key,
     )
     return fresh + fresh_heavy + verified
