@@ -354,9 +354,14 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once, as bigram tf does.
     fps = _with_grams(
         f"array_distinct(transform(sequence(1, size(g) - {W_WINNOW - 1}),"
-        f" i -> substring(array_min(slice(g, i, {W_WINNOW})),"
-        f" 1, {WINNOW_FP_HEX})))"
+        f" i -> unhex(substring(array_min(slice(g, i, {W_WINNOW})),"
+        f" 1, {WINNOW_FP_HEX}))))"
     )
+    # unhex: the 16-hex truncation becomes an 8-byte binary key — a
+    # BIJECTIVE engine-side transform (pair counts are identical; the
+    # fingerprint value never reaches the output), halving the bytes of
+    # the posting-list aggregation + pair-join shuffles, the dominant
+    # cost at sf1z where shared Zipf stopwords make posting lists dense
     fp = (
         d.select("doc_id", F.explode(F.expr(fps)).alias("wmin"))
         .localCheckpoint(eager=False)
