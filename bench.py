@@ -97,6 +97,8 @@ HEADLINE = (
     "multimodal_video_metadata",
     "multimodal_jpeg420_pixel_stats",
     "dedup_winnow_pairs",
+    "text_winnow_fingerprints",
+    "pipeline_bpe_train",
 )
 
 
