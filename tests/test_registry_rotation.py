@@ -194,3 +194,27 @@ def test_attested_file_is_current():
         f"their current definition: {sorted(stale)[:10]} ... — commit "
         "the round artifact and run scripts/refresh_attested.py"
     )
+
+
+def test_stale_exact_pulls_rows_only_partner():
+    """A stale exact companion must pull its rows-only partner into the
+    same round's fresh sample (VERDICT r12 #5 co-sampling contract),
+    and vice versa."""
+    names = [
+        n
+        for n in registry.driver_queries()
+        if n in registry._DRIVER_VERIFIED
+    ]
+    ro, ex = next(
+        (ro, ex)
+        for ro, ex in registry._ROWS_ONLY_COMPANION.items()
+        if ro in names and ex in names
+    )
+    current = {n: registry.entry_spec_hash(n) for n in names}
+    tampered = dict(current)
+    tampered[ex] = "0" * 64
+    stale = registry._stale_entries(names, tampered)
+    assert {ro, ex} <= stale
+    tampered2 = dict(current)
+    tampered2[ro] = "0" * 64
+    assert {ro, ex} <= registry._stale_entries(names, tampered2)

@@ -391,11 +391,20 @@ def _stale_entries(names, attested: dict[str, str] | None = None) -> set[str]:
     conservative for everything else."""
     if attested is None:
         attested = _load_attested()
-    return {
+    name_set = set(names)
+    stale = {
         n
         for n in names
         if n in _DRIVER_VERIFIED and attested.get(n) != entry_spec_hash(n)
     }
+    # closure over rows-only/exact companion pairs: a rows-only row's
+    # correctness leans on its exact companion being green ON THE SAME
+    # DATA (VERDICT r12 #5), so a stale member pulls its partner into
+    # the same round's sample rather than leaving it in the tail
+    for ro, ex in _ROWS_ONLY_COMPANION.items():
+        if (ro in stale) != (ex in stale):
+            stale |= {n for n in (ro, ex) if n in name_set and n in _DRIVER_VERIFIED}
+    return stale
 
 # Heaviest cold plans (persist in the pipeline, wide literal expression
 # trees in the similarity family). Within the FRESH (never-driver-checked)
