@@ -1,0 +1,116 @@
+"""Property tests for the winnowing fingerprint engine (Schleimer et al.
+2003) against an independent pure-Python reference.
+
+The oracle parity gate checks the fixture corpus (ASCII, long docs);
+these cases pin the boundary semantics the fixtures never exercise:
+texts at the t = k+w-1 inclusion threshold, all-identical characters
+(every gram hash equal — window min is a tie), multi-byte unicode
+(Spark length()/substring() count CODE POINTS and md5 hashes UTF-8
+bytes — the reference must agree), and the winnowing density guarantee
+itself.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+from training_flink_sql_cc_src_spark.queries.llm_text import (
+    K_WINNOW,
+    W_WINNOW,
+    WINNOW_T,
+)
+
+
+def _ref_winnow(text: str) -> dict | None:
+    """Pure-Python reference: md5 every k-gram (UTF-8 bytes of the
+    code-point slice), take each w-window's lexicographic MIN hex,
+    aggregate like text_winnow_fingerprints."""
+    if len(text) < WINNOW_T:
+        return None
+    grams = [
+        hashlib.md5(
+            text[i : i + K_WINNOW].encode("utf-8")
+        ).hexdigest()
+        for i in range(len(text) - K_WINNOW + 1)
+    ]
+    wmins = [
+        min(grams[i : i + W_WINNOW])
+        for i in range(len(grams) - W_WINNOW + 1)
+    ]
+    return {
+        "n_grams": len(grams),
+        "n_fingerprints": len(set(wmins)),
+        "min_fp": min(wmins),
+        "max_fp": max(wmins),
+    }
+
+
+CASES = [
+    "a" * WINNOW_T,                      # exact threshold, all ties
+    "a" * (WINNOW_T - 1),                # one below threshold -> excluded
+    "a" * 50,                            # long all-identical
+    "abcdefghijk",                       # exactly t distinct chars
+    "abababababababab",                  # period-2 repetition
+    "the quick brown fox jumps over the lazy dog",
+    "naïve café – déjà vu façade…",      # multi-byte latin + punctuation
+    "日本語のテキストで指紋を計算する",      # CJK (3-byte UTF-8 code points)
+    "mixed ascii and 中文 characters here",
+    "🙂🙃🙂🙃🙂🙃🙂🙃🙂🙃🙂",               # astral plane (surrogates in UTF-16)
+]
+
+
+def _rand_cases(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    alpha = "abcdefgh é中"
+    out = []
+    for _ in range(n):
+        ln = rng.randint(WINNOW_T - 2, 40)
+        out.append("".join(rng.choice(alpha) for _ in range(ln)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def winnow_rows(spark, tmp_path_factory):
+    texts = CASES + _rand_cases(40, seed=1414)
+    tmp = tmp_path_factory.mktemp("winnowprop")
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+    from training_flink_sql_cc_src_spark.registry import all_queries
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in all_queries()["text_winnow_fingerprints"](
+            spark, str(tmp)
+        ).collect()
+    }
+    return texts, got
+
+
+def test_engine_matches_reference(winnow_rows):
+    texts, got = winnow_rows
+    for i, text in enumerate(texts):
+        want = _ref_winnow(text)
+        if want is None:
+            assert i not in got, (i, text)
+            continue
+        row = got[i]
+        for k, v in want.items():
+            assert row[k] == v, (text, k, row[k], v)
+
+
+def test_density_guarantee(winnow_rows):
+    """Winnowing guarantee (Schleimer §3): at least one fingerprint per
+    window, at most one new fingerprint per window — so
+    1 <= n_fingerprints <= n_windows = n_grams - w + 1."""
+    texts, got = winnow_rows
+    for i, text in enumerate(texts):
+        if len(text) < WINNOW_T:
+            continue
+        row = got[i]
+        n_windows = row["n_grams"] - W_WINNOW + 1
+        assert 1 <= row["n_fingerprints"] <= n_windows, (text, row)
