@@ -124,3 +124,39 @@ def test_selection_raises_loudly_when_pool_exhausted():
     if lp.N_BPE_MERGES > 1:
         with pytest.raises(RuntimeError, match="disjoint merges"):
             lp._select_bpe_batch(cands)
+
+
+def test_fold_merge_matches_classic_on_adversarial_words(spark):
+    """The JVM left-fold merge (_bpe_fold_merge) is claimed provably
+    identical to the classic non-overlapping left-to-right merge; pin
+    it on the adversarial shapes — self-merge runs ('aaaa' + (a,a)
+    must give [aa, aa], never re-merge the fresh aa), period-2
+    alternation, merge-at-word-edges, and no-op words."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("aaaa", ("a", "a")),
+        ("aaaaa", ("a", "a")),
+        ("ababab", ("a", "b")),
+        ("ababab", ("b", "a")),
+        ("ab", ("a", "b")),
+        ("ba", ("a", "b")),
+        ("xaay", ("a", "a")),
+        ("aabb", ("a", "b")),
+        ("zzz", ("a", "b")),
+    ]
+    rows = [(i, w) for i, (w, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, w string").select(
+        "i",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda j: F.col("w").substr(j, F.lit(1)),
+        ).alias("syms"),
+    )
+    for i, (w, (x, y)) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(lp._bpe_fold_merge("syms", x, y).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert tuple(got) == _apply_merge(tuple(w), x, y), (w, x, y, got)
