@@ -142,6 +142,18 @@ def run_one(spark, fn, sf_dir: str) -> float:
     import gc
 
     gc.collect()
+    # Python gc releases the py4j handles, but the JVM-side RDD objects
+    # only become collectable after a JVM GC cycle — and with a large
+    # heap, full GCs are rare, so ContextCleaner's weak-reference queue
+    # never sees them and checkpoint/shuffle blocks accumulate until
+    # they throttle later queries (sf3z full suite measured
+    # text_winnow_fingerprints 43 s in-suite vs 0.4 s isolated purely
+    # from this pressure). An explicit JVM System.gc() here — still
+    # outside the timed region — lets the cleaner actually drain.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     return elapsed
 
 
