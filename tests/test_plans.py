@@ -550,11 +550,12 @@ def test_fuzzy_name_join_is_blocked_not_cartesian(spark):
 def test_winnow_fingerprints_map_side(spark, sf_med):
     """Winnowing fingerprint SELECTION is per-document-local and must
     stay map-side (VERDICT r13 #3): gram hashes and window minima are
-    JVM array expressions over the scan, so the plan has NO window
-    operator, NO per-gram Generate/explode, NO Join, and the only
-    Exchange is the fan_out round-robin repartition (compute-cost
-    partitioning of a single-row-group fixture scan — on a pre-split
-    cluster scan the stage is a pure map)."""
+    computed per row inside one Arrow-batched MapInPandas over the
+    scan, so the plan has NO window operator, NO per-gram
+    Generate/explode, NO Join, and the only Exchange is the fan_out
+    round-robin repartition (compute-cost partitioning of a
+    single-row-group fixture scan — on a pre-split cluster scan the
+    stage is a pure map)."""
     import re
 
     plan = _plan(spark, "text_winnow_fingerprints", sf_med)
@@ -562,23 +563,22 @@ def test_winnow_fingerprints_map_side(spark, sf_med):
     assert "Generate" not in plan  # no explode anywhere
     assert "Join" not in plan
     assert "hashpartitioning" not in plan.lower()
+    assert "MapInPandas" in plan
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange == 1 and "RoundRobinPartitioning" in plan, plan[:1500]
 
 
 def test_winnow_pairs_explodes_only_selected_fingerprints(spark, sf_med):
     """dedup_winnow_pairs: fingerprint selection happens INSIDE the
-    materialized fp relation (its explode ships only the per-document
-    array of SELECTED fingerprints, density <= 2/(w+1) after
-    array_distinct) — the downstream plan over the checkpoint must have
-    no Window operator and shuffle only on the fingerprint key; the
-    r13 plan's full-gram explode + doc_id window shuffle (~30x corpus
-    bytes) must not reappear. The selection expressions themselves are
-    pinned at the source level: the let-binding (transform over a
-    1-element array) is what keeps gram hashing O(n) per document —
-    without it CollapseProject inlines the gram array into the
-    selection lambda and re-evaluates all n hashes per window position
-    (O(n^2) md5, measured minutes at sf0.1)."""
+    materialized fp relation (the Arrow-batched selector emits only
+    per-document-distinct SELECTED fingerprints, density <= 2/(w+1),
+    already packed to binary(8)) — the downstream plan over the
+    checkpoint must have no Window operator and shuffle only on the
+    fingerprint/pair keys; the r13 plan's full-gram explode + doc_id
+    window shuffle (~30x corpus bytes) must not reappear. The two
+    queries share the one selection helper (_winnow_wmins), whose
+    md5/window-min semantics tests/test_winnow_property.py pins against
+    a pure-Python reference."""
     from training_flink_sql_cc_src_spark.queries import llm_text as lt
 
     plan = _plan(spark, "dedup_winnow_pairs", sf_med)
@@ -588,8 +588,5 @@ def test_winnow_pairs_explodes_only_selected_fingerprints(spark, sf_med):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "wmin" in line or "id_" in line, line
-    # source-level pin of the let-binding idiom (see _with_grams)
-    assert lt._WMINS_EXPR.startswith("element_at(transform(array(")
-    assert lt._GRAMS_EXPR in lt._WMINS_EXPR
-    # the fingerprints query inlines the same selection; its plan test
-    # above proves the selection subtree is map-side (no Generate/Window)
+    # both queries route through the shared selection helper
+    assert callable(lt._winnow_wmins)

