@@ -12,6 +12,7 @@ itself.
 
 from __future__ import annotations
 
+import collections
 import hashlib
 import random
 
@@ -114,3 +115,80 @@ def test_density_guarantee(winnow_rows):
         row = got[i]
         n_windows = row["n_grams"] - W_WINNOW + 1
         assert 1 <= row["n_fingerprints"] <= n_windows, (text, row)
+
+
+def test_pairs_engine_matches_reference(spark, tmp_path):
+    """End-to-end dedup_winnow_pairs against a pure-Python reference on
+    an engineered corpus: near-dup families sharing long runs (must
+    pair), unrelated docs (must not), a fingerprint shared by MORE than
+    WINNOW_DF_CAP documents (must be suppressed before the join), and
+    unicode content — pinning truncation, binary packing, the df cap,
+    and the min-shared threshold together."""
+    from training_flink_sql_cc_src_spark.queries.llm_text import (
+        WINNOW_DF_CAP,
+        WINNOW_FP_HEX,
+        WINNOW_MIN_SHARED,
+    )
+    from training_flink_sql_cc_src_spark.queries.llm_text import (
+        _winnow_wmins,
+    )
+    from training_flink_sql_cc_src_spark.registry import all_queries
+
+    rng = random.Random(99)
+    alpha = "abcdefghij é中 "
+    base = "".join(rng.choice(alpha) for _ in range(120))
+    texts = []
+    # family A: 5 docs sharing base with small unique suffixes -> pairs
+    for i in range(5):
+        texts.append(base + f" uniq{i:02d} " + "".join(rng.choice(alpha) for _ in range(20)))
+    # unrelated docs
+    for i in range(10):
+        texts.append("".join(rng.choice(alpha) for _ in range(80)))
+    # boilerplate shared by > WINNOW_DF_CAP docs: a long common chunk
+    # in many docs, each otherwise unique — the cap must suppress its
+    # fingerprints (docs pair only if they ALSO share >= 3 rare ones)
+    boiler = "".join(rng.choice(alpha) for _ in range(60))
+    for i in range(WINNOW_DF_CAP + 5):
+        texts.append(
+            boiler + " " + "".join(rng.choice(alpha) for _ in range(40))
+        )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    tmp = tmp_path / "winnowpairs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp / "documents.parquet")
+    )
+
+    # pure-Python reference of the registered pipeline
+    fps = {
+        i: {w[:WINNOW_FP_HEX] for w in _winnow_wmins(t)}
+        for i, t in rows
+        if len(t) >= 8 + 4 - 1
+    }
+    df_count: collections.Counter[str] = collections.Counter()
+    for s in fps.values():
+        df_count.update(s)
+    rare = {h for h, c in df_count.items() if 2 <= c <= WINNOW_DF_CAP}
+    want = {}
+    ids = sorted(fps)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared = fps[a] & fps[b] & rare
+            if len(shared) >= WINNOW_MIN_SHARED:
+                want[(a, b)] = len(shared)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in all_queries()["dedup_winnow_pairs"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want
+    # the corpus exercises all three regimes
+    fam_a_pairs = [p for p in want if p[0] < 5 and p[1] < 5]
+    assert len(fam_a_pairs) == 10  # all C(5,2) family-A pairs found
+    boiler_ids = set(range(15, 15 + WINNOW_DF_CAP + 5))
+    assert not any(
+        a in boiler_ids and b in boiler_ids for a, b in want
+    ), "boilerplate-only sharing must be suppressed by the df cap"
