@@ -21,8 +21,18 @@ working tree equals the tree the driver judged, so "current spec hash"
 is exactly the definition the green row attested.
 
 Usage:
-    python scripts/refresh_attested.py          # newest artifact
+    python scripts/refresh_attested.py              # newest artifact
     python scripts/refresh_attested.py CORRECTNESS_r15.json
+    python scripts/refresh_attested.py --rehash-all # hash-algorithm migration
+
+--rehash-all recomputes the stored spec hash for EVERY already-attested
+name under the current entry_spec_hash algorithm, keeping each name's
+attested round. It is ONLY sound at round open, before any query or
+helper edit, when the working tree still equals the tree the driver
+judged — at that moment the current definitions ARE the attested
+definitions, and only the hashing algorithm changed underneath them
+(e.g. the r15 closure extension that folds shared-helper sources in).
+Running it after an edit would launder the edit into green evidence.
 """
 
 from __future__ import annotations
@@ -40,10 +50,28 @@ def main() -> int:
     from training_flink_sql_cc_src_spark import registry
     from training_flink_sql_cc_src_spark.registry import _driver_row_green
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--rehash-all":
+        path = REPO / "DRIVER_ATTESTED.json"
+        attested = json.loads(path.read_text()) if path.exists() else {}
+        driver_names = set(registry.driver_queries())
+        changed = []
+        for name in sorted(set(attested) & driver_names):
+            new = registry.entry_spec_hash(name)
+            if attested[name].get("spec_hash") != new:
+                changed.append(name)
+                attested[name]["spec_hash"] = new
+        path.write_text(json.dumps(attested, indent=1, sort_keys=True) + "\n")
+        print(f"rehash-all: {len(changed)} hash(es) migrated of {len(attested)}")
+        return 0
     if len(sys.argv) > 1:
         artifact = Path(sys.argv[1])
     else:
-        artifacts = sorted(REPO.glob("CORRECTNESS_r*.json"))
+        # numeric round sort (r14 ADVICE): lexicographic filename sort
+        # picks CORRECTNESS_r100 over _r99 once rounds hit three digits
+        artifacts = sorted(
+            REPO.glob("CORRECTNESS_r*.json"),
+            key=lambda p: int(re.search(r"_r(\d+)", p.name).group(1)),
+        )
         if not artifacts:
             print("no CORRECTNESS_r*.json at repo root", file=sys.stderr)
             return 1

@@ -590,3 +590,50 @@ def test_winnow_pairs_explodes_only_selected_fingerprints(spark, sf_med):
             assert "wmin" in line or "id_" in line, line
     # both queries route through the shared selection helper
     assert callable(lt._winnow_wmins)
+
+
+def test_fan_out_conditional(spark, sf_med):
+    """fan_out (queries/_util.py, VERDICT r14 #1): the round-robin
+    exchange exists ONLY for materially under-parallel inputs. A plan
+    that already has >= min_fill x defaultParallelism partitions — the
+    structural situation of EVERY corpus-scale scan on a real cluster,
+    where splits outnumber cores — must pass through IDENTITY, with no
+    exchange inserted; the old unconditional form shuffled the whole
+    corpus before each fanned-out [C] stage."""
+    from training_flink_sql_cc_src_spark.queries._util import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, numPartitions=2 * par)
+    assert fan_out(wide) is wide  # identity: not even a new plan node
+
+    narrow = spark.range(0, 10_000, 1, numPartitions=2)
+    fanned = fan_out(narrow)
+    assert fanned is not narrow
+    assert fanned.rdd.getNumPartitions() == par
+
+
+def test_fan_out_corpus_scale_scan_has_no_roundrobin(spark, sf_med):
+    """Cluster-conditions simulation for the [C] family: shrink
+    maxPartitionBytes so the documents scan arrives with more splits
+    than cores (exactly how a 100 TB scan lands on a 1000-executor
+    cluster), then assert a fan_out-wrapped compute stage inserts NO
+    round-robin exchange — scan parallelism is used as-is."""
+    from training_flink_sql_cc_src_spark.queries._util import fan_out, t
+
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "8k")
+        docs = t(spark, sf_med, "documents").select("doc_id", "text")
+        par = spark.sparkContext.defaultParallelism
+        n_in = docs.rdd.getNumPartitions()
+        assert n_in >= par, f"fixture scan only {n_in} splits; test setup broken"
+        fanned = fan_out(docs)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = fanned._jdf.queryExecution().explainString(mode)
+        assert "RoundRobinPartitioning" not in plan, plan[:1200]
+        assert "Exchange" not in plan, plan[:1200]
+    finally:
+        spark.conf.set(key, old)

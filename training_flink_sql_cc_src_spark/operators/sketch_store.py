@@ -133,6 +133,80 @@ def load(
     )
 
 
+def load_kind(
+    spark: SparkSession, docs_path: str, kind: str, version: int = 1
+) -> DataFrame | None:
+    """Generic variant of load() for NON-token maintenance artifacts
+    (e.g. the winnowing fingerprint table, kind='winnow_fp'): one
+    artifact slot per (kind, corpus fingerprint). The token sketch
+    keeps its original unprefixed slot for artifact compatibility;
+    kinds never collide with it because kind dirs are
+    '<kind>-<fingerprint>'. ``version`` is the kind's derivation
+    version — same contract as FORMAT_VERSION: bump it when the
+    deriving code changes, or stale artifacts keep serving."""
+    root = store_root()
+    key = corpus_fingerprint(docs_path)
+    if root is None or key is None:
+        return None
+    art = os.path.join(root, f"{kind}-{key}")
+    meta_path = os.path.join(art, _META)
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if (
+        meta.get("fingerprint") != key
+        or meta.get("kind") != kind
+        or meta.get("kind_version") != version
+    ):
+        return None
+    try:
+        os.utime(meta_path)  # LRU touch, same as load()
+    except OSError:
+        pass
+    return spark.read.parquet(os.path.join(art, "data"))
+
+
+def save_kind(
+    df: DataFrame, docs_path: str, kind: str, version: int = 1
+) -> bool:
+    """Materialize a kind artifact atomically (see save())."""
+    root = store_root()
+    key = corpus_fingerprint(docs_path)
+    if root is None or key is None:
+        return False
+    meta = {"fingerprint": key, "kind": kind, "kind_version": version}
+    final = os.path.join(root, f"{kind}-{key}")
+    tmp = os.path.join(root, f".tmp-{key[:8]}-{uuid.uuid4().hex[:8]}")
+    try:
+        os.makedirs(root, exist_ok=True)
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        with open(os.path.join(tmp, _META), "w") as fh:
+            json.dump(meta, fh)
+        with _LOCK:
+            if os.path.exists(final):
+                if _kind_meta_valid(final, meta):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    return True
+                shutil.rmtree(final, ignore_errors=True)
+            os.replace(tmp, final)
+            _evict(root)
+        return True
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+
+
+def _kind_meta_valid(art: str, want: dict) -> bool:
+    try:
+        with open(os.path.join(art, _META)) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    return all(meta.get(k) == v for k, v in want.items())
+
+
 def save(sketch: DataFrame, docs_path: str, small_vocab: bool) -> bool:
     """Materialize the sketch atomically; True when the artifact landed
     (False: store disabled, unstatable corpus, or lost a write race —

@@ -130,19 +130,18 @@ def spec_hash(fold_name: str) -> str:
     extends the same guarantee to reimplemented members.
     """
     import hashlib
-    import inspect
     import json
 
     parts = [json.dumps(SPECS[fold_name], sort_keys=True)]
     for member in SPECS[fold_name]:
         e = registry._REGISTRY[member]
-        try:
-            src = inspect.getsource(e.fn)
-        except (OSError, TypeError):
-            src = f"{e.fn.__module__}.{e.fn.__qualname__}"
         parts.append(member)
         parts.append(e.oracle or "")
-        parts.append(src)
+        # full package-local helper closure, same rationale as
+        # registry.entry_spec_hash: a member's behavior includes the
+        # shared helpers it calls, so a helper replan voids the fold's
+        # evidence too (r15 generalization of the r13 staleness fix)
+        parts.append(registry.spec_closure_sources(e.fn))
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 

@@ -309,6 +309,31 @@ def text_winnow_fingerprints(
     )
 
 
+def _winnow_fp_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, wmin binary(8)) — one row per SELECTED winnowing
+    fingerprint of each document. Selection runs in the same
+    Arrow-batched helper as text_winnow_fingerprints (_winnow_wmins —
+    see its docstring for why Python beats the interpreted-HOF JVM path
+    10x here): per-document distinct (== the oracle's global DISTINCT
+    since doc_id is in the key), 16-hex truncation applied AFTER
+    window-min so the selection compares full hashes identically to the
+    oracle, and the truncated hex packed to 8-byte binary — a BIJECTIVE
+    transform (pair counts identical; the fingerprint never reaches the
+    output) halving the bytes of every downstream shuffle. Callers must
+    pre-filter length >= WINNOW_T."""
+
+    def selected(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for h in {w[:WINNOW_FP_HEX] for w in _winnow_wmins(text)}:
+                    ids.append(doc_id)
+                    fps.append(bytes.fromhex(h))
+            yield pd.DataFrame({"doc_id": ids, "wmin": fps})
+
+    return docs.mapInPandas(selected, "doc_id long, wmin binary")
+
+
 @register(
     "dedup_winnow_pairs",
     oracle=f"""
@@ -363,34 +388,13 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
 
-    # Selection runs in the same Arrow-batched helper as
-    # text_winnow_fingerprints (_winnow_wmins — see its docstring for
-    # why Python beats the interpreted-HOF JVM path 10x here), emitting
-    # one (doc_id, wmin) row per SELECTED fingerprint: per-document
-    # distinct (== the oracle's global DISTINCT since doc_id is in the
-    # key), 16-hex truncation applied AFTER window-min so the selection
-    # compares full hashes identically to the oracle, and the truncated
-    # hex packed to 8-byte binary — a BIJECTIVE transform (pair counts
-    # identical; the fingerprint never reaches the output) halving the
-    # bytes of the posting-list aggregation + pair-join shuffles. fp
-    # feeds THREE consumers (df filter + both pair-join sides) —
+    # fp feeds THREE consumers (df filter + both pair-join sides) —
     # materialize once, as bigram tf does.
-    def selected(batches):
-        for pdf in batches:
-            ids, fps = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for h in {w[:WINNOW_FP_HEX] for w in _winnow_wmins(text)}:
-                    ids.append(doc_id)
-                    fps.append(bytes.fromhex(h))
-            yield pd.DataFrame({"doc_id": ids, "wmin": fps})
-
-    fp = d.mapInPandas(
-        selected, "doc_id long, wmin binary"
-    ).localCheckpoint(eager=False)
+    fp = _winnow_fp_frame(d).localCheckpoint(eager=False)
     rare = (
         fp.groupBy("wmin")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
         .select("wmin")
     )
     fa = fp.join(rare, "wmin").select(
@@ -402,7 +406,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= 3)
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
 
 

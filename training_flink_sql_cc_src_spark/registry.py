@@ -353,16 +353,87 @@ def _load_attested() -> dict[str, str]:
     }
 
 
+#: memo for spec_closure_sources keyed on the function object — sources
+#: cannot change within one interpreter session (inspect reads the file
+#: once at import), so the cache is sound and keeps the per-round
+#: _stale_entries pass over ~200 entries cheap.
+_CLOSURE_CACHE: dict[int, str] = {}
+
+#: traversal bound for the helper closure. Deep enough for every real
+#: chain in the package (entry fn -> private module helper -> _util
+#: helper -> fixtures loader is depth 4); the cap only exists so a
+#: pathological reference cycle cannot make hashing unbounded.
+_CLOSURE_MAX_FNS = 96
+
+
+def spec_closure_sources(fn) -> str:
+    """Concatenated source of ``fn`` plus every package-local function it
+    references, transitively (BFS, deterministic order, bounded).
+
+    Why a closure and not just ``inspect.getsource(fn)``: driver evidence
+    attests the BEHAVIOR of an entry, and that behavior lives partly in
+    shared helpers — ``_util.fan_out`` (plan shape), ``_util.dsum``
+    (aggregation determinism), ``sources.fixtures.load_fixture`` (what
+    the scan even reads). Hashing only the entry function's own text let
+    a helper edit ride every caller's stale green evidence — exactly the
+    r13 staleness hole, one level down (found in r15 while replanning
+    fan_out: 28 call sites, zero of which would have re-fronted).
+
+    Resolution is by the function's own global namespace (``__globals__``)
+    so only names the entry can actually call are followed; functions
+    outside this package (pyspark, stdlib) are skipped — their versions
+    are environment, not definition. Order is BFS with sorted referenced
+    names, so the hash is deterministic across interpreter runs.
+    """
+    import inspect
+    import re
+    from collections import deque
+
+    def _src(f) -> str:
+        try:
+            return inspect.getsource(f)
+        except (OSError, TypeError):
+            return f"{f.__module__}.{getattr(f, '__qualname__', repr(f))}"
+
+    pkg = __name__.rsplit(".", 1)[0]
+    cached = _CLOSURE_CACHE.get(id(fn))
+    if cached is not None:
+        return cached
+    seen: dict[str, str] = {}
+    queue = deque([fn])
+    while queue and len(seen) < _CLOSURE_MAX_FNS:
+        f = queue.popleft()
+        key = f"{f.__module__}.{f.__qualname__}"
+        if key in seen:
+            continue
+        src = _src(f)
+        seen[key] = src
+        g = getattr(f, "__globals__", None) or {}
+        for ref in sorted(set(re.findall(r"[A-Za-z_]\w*", src))):
+            obj = g.get(ref)
+            if (
+                obj is not None
+                and inspect.isfunction(obj)
+                and (obj.__module__ or "").startswith(pkg)
+            ):
+                queue.append(obj)
+    out = "\x00".join(f"{k}\x01{seen[k]}" for k in sorted(seen))
+    _CLOSURE_CACHE[id(fn)] = out
+    return out
+
+
 def entry_spec_hash(name: str) -> str:
     """Canonical hash of WHAT a driver row for ``name`` attests: for a
     fold suite, its member composition + member oracles/sources
     (queries.folds.spec_hash); for a regular entry, its oracle SQL +
-    implementation source. Conservative by design — a docstring-only
-    edit re-fronts the entry for one round, which costs one rotation
-    slot; a semantic change riding stale evidence costs a correctness
-    hole (VERDICT r13 #1)."""
+    implementation source INCLUDING every package-local helper the
+    implementation reaches (spec_closure_sources — so a replanned shared
+    helper voids its callers' evidence, not just edits to the entry fn
+    itself). Conservative by design — a docstring-only edit re-fronts
+    the entry for one round, which costs one rotation slot; a semantic
+    change riding stale evidence costs a correctness hole (VERDICT
+    r13 #1)."""
     import hashlib
-    import inspect
 
     try:
         from .queries import folds
@@ -371,11 +442,7 @@ def entry_spec_hash(name: str) -> str:
     if folds is not None and name in folds.SPECS:
         return folds.spec_hash(name)
     e = _REGISTRY[name]
-    try:
-        src = inspect.getsource(e.fn)
-    except (OSError, TypeError):
-        src = f"{e.fn.__module__}.{e.fn.__qualname__}"
-    payload = "\x00".join((name, e.oracle or "", src))
+    payload = "\x00\x00".join((name, e.oracle or "", spec_closure_sources(e.fn)))
     return hashlib.sha256(payload.encode()).hexdigest()
 
 
@@ -400,11 +467,25 @@ def _stale_entries(names, attested: dict[str, str] | None = None) -> set[str]:
     # closure over rows-only/exact companion pairs: a rows-only row's
     # correctness leans on its exact companion being green ON THE SAME
     # DATA (VERDICT r12 #5), so a stale member pulls its partner into
-    # the same round's sample rather than leaving it in the tail
-    for ro, ex in _ROWS_ONLY_COMPANION.items():
-        if (ro in stale) != (ex in stale):
-            stale |= {n for n in (ro, ex) if n in name_set and n in _DRIVER_VERIFIED}
-    return stale
+    # the same round's sample rather than leaving it in the tail.
+    # Iterated to a FIXPOINT (r14 ADVICE): one exact companion can serve
+    # several rows-only partners (agg_count_distinct serves both
+    # agg_approx_count_distinct and agg_hll_mergeable_sketch), and a
+    # single dict pass was order-dependent — a stale partner listed
+    # later pulled the exact in, but siblings iterated earlier were
+    # never revisited, so co-sampling was only partially honored.
+    while True:
+        added = set()
+        for ro, ex in _ROWS_ONLY_COMPANION.items():
+            if (ro in stale) != (ex in stale):
+                added |= {
+                    n
+                    for n in (ro, ex)
+                    if n in name_set and n in _DRIVER_VERIFIED and n not in stale
+                }
+        if not added:
+            return stale
+        stale |= added
 
 # Heaviest cold plans (persist in the pipeline, wide literal expression
 # trees in the similarity family). Within the FRESH (never-driver-checked)
