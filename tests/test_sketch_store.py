@@ -151,3 +151,59 @@ def test_format_version_mismatch_invalidates(spark, corpus_dir, store):
     assert sketch_store.load(spark, docs) is None, (
         "stale-format artifact served after a derivation change"
     )
+
+
+def test_kind_artifacts_round_trip_and_isolate(spark, corpus_dir, store):
+    """load_kind/save_kind (r15, the winnow fingerprint table's slot):
+    a kind artifact round-trips, a version bump invalidates it, and it
+    never collides with the token sketch's unprefixed slot for the
+    same corpus."""
+    docs_path = os.path.join(corpus_dir, "documents.parquet")
+    df = spark.createDataFrame(
+        [(1, b"\x01\x02"), (2, b"\x03\x04")], "doc_id long, wmin binary"
+    )
+    assert sketch_store.load_kind(spark, docs_path, "winnow_fp", 1) is None
+    assert sketch_store.save_kind(df, docs_path, "winnow_fp", 1)
+    back = sketch_store.load_kind(spark, docs_path, "winnow_fp", 1)
+    assert back is not None
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, bytearray(b"\x01\x02")),
+        (2, bytearray(b"\x03\x04")),
+    ]
+    # derivation version bump -> artifact rejected
+    assert sketch_store.load_kind(spark, docs_path, "winnow_fp", 2) is None
+    # other kinds don't see it
+    assert sketch_store.load_kind(spark, docs_path, "other_kind", 1) is None
+    # the token slot for the same corpus is untouched
+    key = sketch_store.corpus_fingerprint(docs_path)
+    assert not os.path.isdir(os.path.join(store, key))
+    assert os.path.isdir(os.path.join(store, f"winnow_fp-{key}"))
+
+
+def test_incremental_winnow_dedup_flags_cross_split_dupes(spark, tmp_path):
+    """pipeline_incremental_winnow_dedup on a hand-built corpus: an odd
+    (new-batch) document that copies an even (stored-corpus) document's
+    text must report >= 1 duplicate partner; an odd document with
+    unique text reports 0; even documents never appear in the output."""
+    from training_flink_sql_cc_src_spark.queries import llm_text
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "zq xv kj wp completely different content with no overlap here"
+    rows = [
+        (0, shared, "en", len(shared)),          # stored corpus
+        (2, "another stored corpus document entirely", "en", 40),
+        (1, shared, "en", len(shared)),          # new batch: dup of 0
+        (3, uniq, "en", len(uniq)),              # new batch: unique
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["doc_id"]: r["n_dup_partners"]
+        for r in llm_text.pipeline_incremental_winnow_dedup(spark, d).collect()
+    }
+    assert set(out) == {1, 3}, out
+    assert out[1] >= 1
+    assert out[3] == 0

@@ -11,11 +11,14 @@ are map-only over the scan plus one small rollup shuffle.
 
 from __future__ import annotations
 
+import os as _os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import sketch_store
 from ..registry import register
 from ._util import DAVG_SQL, DSUM_SQL, davg, dsum, fan_out, t
 
@@ -407,6 +410,144 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+#: sketch_store artifact kind + derivation version for the stored corpus
+#: winnowing fingerprint table. Same maintenance contract as the token
+#: sketch's FORMAT_VERSION: bump the version whenever _winnow_fp_frame /
+#: _winnow_wmins (k, w, truncation, packing) or the corpus split
+#: predicate changes, or stored artifacts keep serving the old shape.
+WINNOW_STORE_KIND = "winnow_fp"
+WINNOW_STORE_VERSION = 1
+
+
+def _corpus_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, wmin) winnowing fingerprints of the HISTORICAL corpus
+    (even doc_ids), served from the versioned on-disk sketch store
+    (operators/sketch_store, kind='winnow_fp') — the maintained-table
+    lifecycle: fingerprint the corpus ONCE when it changes, then every
+    daily incremental batch reads the artifact back as one parquet
+    scan. Cold derivation (store miss / disabled) computes the frame
+    with the same Arrow-batched selector the pair query uses and
+    materializes it for the next caller; freshness is file-fingerprint
+    keyed, so a driver data regeneration re-derives automatically."""
+    docs_path = _os.path.join(sf_dir, "documents.parquet")
+    stored = sketch_store.load_kind(
+        spark, docs_path, WINNOW_STORE_KIND, WINNOW_STORE_VERSION
+    )
+    if stored is not None:
+        return stored
+    corp = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 2 == 0) & (F.length("text") >= WINNOW_T))
+        .select("doc_id", "text")
+    )
+    fp = _winnow_fp_frame(corp)
+    if sketch_store.save_kind(
+        fp, docs_path, WINNOW_STORE_KIND, WINNOW_STORE_VERSION
+    ):
+        reread = sketch_store.load_kind(
+            spark, docs_path, WINNOW_STORE_KIND, WINNOW_STORE_VERSION
+        )
+        if reread is not None:
+            return reread
+    # store disabled/unwritable: hold the derived frame so its two
+    # consumers (df filter + pair join) do not re-fingerprint the corpus
+    return fp.localCheckpoint(eager=False)
+
+
+@register(
+    "pipeline_incremental_winnow_dedup",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, s,
+               md5(substr(text, CAST(s AS INTEGER), {K_WINNOW})) AS h,
+               len(text) - {K_WINNOW - 1} AS n_g
+        FROM documents,
+             UNNEST(range(1, GREATEST(len(text) - {K_WINNOW - 2}, 1))) AS t(s)
+        WHERE len(text) >= {K_WINNOW}
+    ), w AS (
+        SELECT doc_id, s, n_g,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN CURRENT ROW AND {W_WINNOW - 1} FOLLOWING)
+                   AS wmin
+        FROM g
+    ), fp AS (
+        SELECT DISTINCT doc_id, substr(wmin, 1, {WINNOW_FP_HEX}) AS wmin
+        FROM w WHERE s + {W_WINNOW - 1} <= n_g
+    ), corp AS (
+        SELECT doc_id, wmin FROM fp WHERE doc_id % 2 = 0
+    ), newb AS (
+        SELECT doc_id, wmin FROM fp WHERE doc_id % 2 = 1
+    ), rare AS (
+        SELECT wmin FROM corp GROUP BY wmin
+        HAVING COUNT(*) <= {WINNOW_DF_CAP}
+    ), pairs AS (
+        SELECT n.doc_id AS doc_id, c.doc_id AS id_old
+        FROM newb n
+        JOIN rare r ON n.wmin = r.wmin
+        JOIN corp c ON c.wmin = n.wmin
+        GROUP BY n.doc_id, c.doc_id
+        HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT i.doc_id, CAST(COUNT(p.id_old) AS BIGINT) AS n_dup_partners
+    FROM (SELECT DISTINCT doc_id FROM newb) i
+    LEFT JOIN pairs p ON p.doc_id = i.doc_id
+    GROUP BY i.doc_id
+    """,
+    doc="INCREMENTAL winnowing dedup — the daily-ingest shape of "
+    "dedup_winnow_pairs (Schleimer et al. 2003 matching step, "
+    "incrementalized): a NEW batch (odd doc_ids) is fingerprinted with "
+    "the shared Arrow-batched selector and checked against the STORED "
+    "fingerprint table of the historical corpus (even doc_ids, served "
+    "from the versioned sketch store — the corpus is never "
+    "re-fingerprinted, only its (doc_id, wmin) artifact is scanned). "
+    "Common-fingerprint suppression uses CORPUS document frequency "
+    "(<= WINNOW_DF_CAP, the MOSS boilerplate move) so every posting "
+    "list the new batch joins into is bounded; a new document is a "
+    "near-duplicate of a stored one when they share >= "
+    "WINNOW_MIN_SHARED selected fingerprints. Output is the full "
+    "new-batch audit relation (doc_id, n_dup_partners) — survivors "
+    "carry 0, so both the keep-list and the drop-list are one filter "
+    "away. At 100 TB: new-batch fingerprints are tiny vs the corpus, "
+    "the join shuffles on wmin where the stored table is bucketed in "
+    "production, and the df cap bounds per-fingerprint fan-out at 50 "
+    "corpus partners regardless of corpus size.",
+)
+def pipeline_incremental_winnow_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    corp_fp = _corpus_winnow_fp(spark, sf_dir)
+    newd = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 2 == 1) & (F.length("text") >= WINNOW_T))
+        .select("doc_id", "text")
+    )
+    # two consumers (pair join + the keep-all id list) — select once
+    new_fp = _winnow_fp_frame(newd).localCheckpoint(eager=False)
+    rare = (
+        corp_fp.groupBy("wmin")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("wmin")
+    )
+    pairs = (
+        new_fp.join(rare, "wmin")
+        .join(
+            corp_fp.select(F.col("doc_id").alias("id_old"), "wmin"), "wmin"
+        )
+        .groupBy("doc_id", "id_old")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .select("doc_id", "id_old")
+    )
+    return (
+        new_fp.select("doc_id")
+        .distinct()
+        .join(pairs, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.count("id_old").cast("long").alias("n_dup_partners"))
     )
 
 
