@@ -348,6 +348,20 @@ def main() -> None:
         "sf": sf,
         "corpus": corpus,
     }
+    # Non-headline deployment VARIANTS, timed with the same cold-cache
+    # protocol but kept OUT of "queries" (they are not oracle-paired and
+    # must not enter the ratchet): winnow_pairs_fast is the uint64
+    # rolling-hash production twin of dedup_winnow_pairs (VERDICT r14
+    # plan-audit note) — the sidecar records the md5-vs-fast delta.
+    if not ONLY:
+        from training_flink_sql_cc_src_spark.queries.llm_text import (
+            winnow_pairs_fast,
+        )
+
+        fast = min(
+            run_one(spark, winnow_pairs_fast, SF_DIR) for _ in range(SWEEPS)
+        )
+        out["variants"] = {"winnow_pairs_fast": round(fast, 3)}
     # Stdout carries ack NAMES only (the reviewed prose lives in
     # scripts/bench_acks.json, which scripts/bench_gate.py reads
     # directly): round 11 inlined the multi-sentence ack paragraphs into

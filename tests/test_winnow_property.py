@@ -192,3 +192,79 @@ def test_pairs_engine_matches_reference(spark, tmp_path):
     assert not any(
         a in boiler_ids and b in boiler_ids for a, b in want
     ), "boilerplate-only sharing must be suppressed by the df cap"
+
+
+def test_fast_variant_same_pairs_on_collision_free_corpus(spark, tmp_path):
+    """winnow_pairs_fast (the uint64 rolling-hash deployment variant)
+    must produce the IDENTICAL pair set as the registered md5 engine on
+    a corpus where both hashes are collision-free and every true match
+    is an exact copy: families are built over per-family marker
+    characters so no 8-gram ever crosses families, hence the only
+    correct pairs are the within-family copy pairs — a result that
+    cannot depend on the hash choice (winnowing selects at least one
+    fingerprint per window, and identical texts have identical
+    fingerprint sets under ANY hash). n_shared is hash-dependent
+    (selection density varies slightly), so only the pair KEYS are
+    compared."""
+    from training_flink_sql_cc_src_spark.queries.llm_text import (
+        winnow_pairs_fast,
+    )
+    from training_flink_sql_cc_src_spark.registry import all_queries
+
+    texts = []
+    fam_letters = "abcdefgh"
+    for fam, ch in enumerate(fam_letters):
+        body = "".join(f"{ch}{i % 10}{ch}{(i + 3) % 10}" for i in range(30))
+        for _copy in range(3):
+            texts.append(body)
+    for j, ch in enumerate("qrstuvwxyz"):  # singletons: no pairs
+        texts.append("".join(f"{ch}{i % 7}" for i in range(40)))
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    tmp = tmp_path / "winnowfast"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp / "documents.parquet")
+    )
+
+    md5_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in all_queries()["dedup_winnow_pairs"](spark, str(tmp)).collect()
+    }
+    fast_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_pairs_fast(spark, str(tmp)).collect()
+    }
+    n_fam = len(fam_letters)
+    want = {
+        (3 * f + a, 3 * f + b)
+        for f in range(n_fam)
+        for a in range(3)
+        for b in range(a + 1, 3)
+    }
+    assert md5_pairs == want
+    assert fast_pairs == want
+
+
+def test_fast_selector_density_and_determinism():
+    """The uint64 selector keeps the winnowing density guarantee
+    (<= 2/(w+1) expected, >= 1 fingerprint per complete window) and is
+    deterministic across calls — the properties the production variant
+    actually relies on."""
+    import numpy as np
+
+    from training_flink_sql_cc_src_spark.queries.llm_text import (
+        _winnow_wmins_u64,
+    )
+
+    rng = random.Random(2718)
+    alpha = "abcdefgh é中 "
+    for _ in range(30):
+        text = "".join(rng.choice(alpha) for _ in range(rng.randint(WINNOW_T, 400)))
+        w1 = _winnow_wmins_u64(text)
+        w2 = _winnow_wmins_u64(text)
+        assert (w1 == w2).all()
+        n_windows = len(text) - K_WINNOW + 1 - (W_WINNOW - 1)
+        assert len(w1) == n_windows
+        # every window contributed its min -> gaps between consecutive
+        # DISTINCT selections are <= w positions (the winnowing bound)
+        assert np.unique(w1).size >= max(1, n_windows // (K_WINNOW * W_WINNOW))
