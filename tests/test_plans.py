@@ -637,3 +637,38 @@ def test_fan_out_corpus_scale_scan_has_no_roundrobin(spark, sf_med):
         assert "Exchange" not in plan, plan[:1200]
     finally:
         spark.conf.set(key, old)
+
+
+def test_kmeans_update_single_udf_eval_below_explode(spark, sf_med):
+    """The k-means update stage must evaluate the assignment UDF ONCE,
+    on the un-exploded vectors (guide §4.4): before r15 the pushed
+    isNotNull(cluster_id) filter made Catalyst duplicate the
+    ArrowEvalPython, and the duplicate sat ABOVE the 64-way posexplode
+    — every vector crossed the Python boundary and paid the matmul 64
+    extra times. Pin: exactly one ArrowEvalPython in the tree, and the
+    Generate (posexplode) sits above it, never below."""
+    plan = _plan(spark, "cluster_kmeans_update", sf_med)
+    tree = plan.split("\n\n")[0]  # numbered-tree section only
+    arrow_lines = [
+        i for i, l in enumerate(tree.splitlines()) if "ArrowEvalPython" in l
+    ]
+    gen_lines = [
+        i for i, l in enumerate(tree.splitlines()) if "Generate" in l
+    ]
+    assert len(arrow_lines) == 1, tree
+    assert len(gen_lines) == 1, tree
+    # formatted tree prints top-down: the Generate line must come BEFORE
+    # (above) the ArrowEvalPython line
+    assert gen_lines[0] < arrow_lines[0], tree
+
+
+def test_tfidf_single_corpus_tokenize(spark, sf_med):
+    """TF-IDF must tokenize the corpus once: the (doc,term) tf table is
+    checkpointed and feeds both the df aggregation and the scoring join
+    (r15 — the unshared branches each re-ran scan+explode+aggregate).
+    The only remaining parquet scans are the tf build and the 1-row
+    corpus count; neither Generate (explode) appears twice."""
+    plan = _plan(spark, "text_tfidf_topk", sf_med)
+    tree = plan.split("\n\n")[0]
+    n_gen = sum("Generate" in l for l in tree.splitlines())
+    assert n_gen <= 1, tree

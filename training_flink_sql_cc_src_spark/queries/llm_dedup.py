@@ -693,6 +693,37 @@ def _is_star_forest(E: DataFrame) -> bool:
 _DRIVER_FINISH_EDGES = 100_000
 
 
+def _uf_star(rows) -> list[tuple]:
+    """Driver-side union-find finish over a bounded edge-row list
+    (<= _DRIVER_FINISH_EDGES rows): min-root union keeps the
+    label = component-minimum invariant of the distributed rounds.
+    Returns the star-forest edge list [(node, root)] for non-root
+    nodes — shared by the pre-loop early finish and the in-loop
+    finish of min_label_components."""
+    parent: dict = {}
+
+    def _find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = _find(row.hi), _find(row.lo)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [
+        (n, _find(n))
+        for n in {x for row in rows for x in (row.hi, row.lo)}
+        if _find(n) != n
+    ]
+
+
 def min_label_components(
     edges: DataFrame, nodes: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -736,6 +767,31 @@ def min_label_components(
         )
         .localCheckpoint(eager=True)
     )
+    # Early driver finish (r15, guide §2.4 — remove shuffles outright):
+    # when the INITIAL edge list already fits the constant driver bound,
+    # the distributed large/small-star rounds buy nothing — one round is
+    # ~6 shuffle stages + a driver action chasing a list the union-find
+    # below finishes in milliseconds (A/B: keep_best 68 -> 50 CPU-s).
+    # ONE bounded probe job decides: collect at most bound+1 rows off
+    # the already-materialized checkpoint — if they all fit, they ARE
+    # the edge list (no second job); if not, the constant-size head is
+    # discarded and the contraction path below is unchanged. Never an
+    # unbounded collect.
+    head = E.limit(_DRIVER_FINISH_EDGES + 1).collect()
+    if len(head) <= _DRIVER_FINISH_EDGES:
+        star = _uf_star(head)
+        E = edges.sparkSession.createDataFrame(star, E.schema)
+        roots = E.select(
+            F.col("hi").alias(id_col), F.col("lo").alias("__root")
+        )
+        return (
+            nodes.select(id_col)
+            .join(roots, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("__root"), F.col(id_col)).alias("label"),
+            )
+        )
     converged = False
     # Kiveris Theorem 3: O(log^2 n) rounds worst case — dense graphs
     # take 1-2, a pure path takes O(log n) (large-star doubles pointer
@@ -828,29 +884,7 @@ def min_label_components(
             # local algorithm when the contracted graph fits on one
             # machine. Min-root union keeps the label = component
             # minimum invariant the distributed rounds guarantee.
-            rows = E.collect()
-            parent: dict = {}
-
-            def _find(x):
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != r:
-                    parent[x], x = r, parent[x]
-                return r
-
-            for row in rows:
-                ra, rb = _find(row.hi), _find(row.lo)
-                if ra != rb:
-                    if ra < rb:
-                        parent[rb] = ra
-                    else:
-                        parent[ra] = rb
-            star = [
-                (n, _find(n))
-                for n in {x for row in rows for x in (row.hi, row.lo)}
-                if _find(n) != n
-            ]
+            star = _uf_star(E.collect())
             # schema derived from the edge list, not hardcoded: the
             # operator is generic over id_col's type (string doc ids
             # work in the distributed rounds), and this branch only

@@ -729,7 +729,18 @@ def _argmax_cosine(emb, centroids: list[tuple[int, list[float]]]):
     argmax_c dot(v, c/|c|) == argmax_c cos(v, c) (|v| is constant per
     row). Ties resolve to the SMALLEST centroid id (ids sorted
     ascending; numpy argmax takes the first maximum) — the oracle's
-    (cos DESC, cid ASC) order. NULL/ragged embeddings → NULL id."""
+    (cos DESC, cid ASC) order. NULL/ragged embeddings → NULL id.
+
+    Marked non-deterministic (it is pure — this is purely an optimizer
+    fence, guide §4.4): every caller filters on the returned id
+    (isNotNull), and Catalyst answers a filter over a UDF-computed
+    column by pushing the filter DOWN and re-evaluating the UDF above
+    it — two ArrowEvalPython nodes per call site. In
+    _kmeans_update_stats the duplicate landed ABOVE the 64-way
+    posexplode, so every vector crossed the Python boundary and paid
+    the matmul 64 extra times (measured: the one-pass update stage ran
+    ~5x slower; see OPTIMIZATION_r15.md). The fence keeps ONE
+    evaluation below the filter and the explode."""
     cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
     cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     ids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
@@ -746,7 +757,7 @@ def _argmax_cosine(emb, centroids: list[tuple[int, list[float]]]):
         res[~valid] = pd.NA
         return res
 
-    return assign(emb)
+    return assign.asNondeterministic()(emb)
 
 
 def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,10 +885,20 @@ def _kmeans_update_stats(e: DataFrame, cents) -> DataFrame:
     against the given centroids: map-side argmax assignment (no join —
     the embedding rides the same row), posexplode, one K x 64-cell
     aggregate with map-side partials."""
-    comps = e.select(
+    # assignment FIRST (one Arrow hop on n rows), posexplode SECOND: a
+    # single select would put the Python eval above the Generate — 64x
+    # the rows across the boundary and 64 matmuls per vector. The
+    # nondeterministic fence on _argmax_cosine keeps CollapseProject
+    # from inlining the UDF back into the Generate's projection, and
+    # the isNotNull filter evaluates between the two (guide §4.4 —
+    # plan pinned in tests/test_plans.py::test_kmeans_update_single_udf_eval).
+    assigned = e.select(
         _argmax_cosine(F.col("embedding"), cents).alias("cluster_id"),
-        F.posexplode("embedding").alias("pos", "comp"),
+        "embedding",
     ).filter(F.col("cluster_id").isNotNull())
+    comps = assigned.select(
+        "cluster_id", F.posexplode("embedding").alias("pos", "comp")
+    )
     return comps.groupBy(
         "cluster_id", (F.col("pos") + 1).alias("dim_pos")
     ).agg(

@@ -848,11 +848,18 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q22 scalar-subquery trick) — fuses into the single job instead of
     # a separate driver-side d.count() action
     n = d.agg(F.count("*").cast("double").alias("__n_docs"))
+    # tf feeds BOTH the df aggregation and the final scoring join, but
+    # Catalyst prunes the two branches differently (the df branch drops
+    # the count), so the common exchange is not reused and the
+    # scan+explode+aggregate pass ran twice (r15 plan audit: 2 corpus
+    # text scans -> 1). Materialize it once — the (doc,term) tf table
+    # is the natural intermediate of any TF-IDF job at 100 TB too.
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
@@ -1281,12 +1288,19 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
-    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    # cu = SUM(cb) per context w1, attached as a WINDOW sum instead of a
+    # separate aggregate + equi join (r15): the join plan computed the
+    # cb subtree twice (the cu branch prunes w2, defeating exchange
+    # reuse) and paid an extra shuffle for the join; one window over
+    # hashpartitioning(w1) produces the identical exact long sum on
+    # every cb row in a single pass.
+    from pyspark.sql import Window as _W
+
     voc = d.select(
         F.explode(F.split("text", " ")).alias("tk")
     ).agg(F.count_distinct("tk").alias("v"))
     lp = (
-        cb.join(cu, "w1")
+        cb.withColumn("cu", F.sum("cb").over(_W.partitionBy("w1")))
         .crossJoin(F.broadcast(voc))
         .select(
             "w1",
