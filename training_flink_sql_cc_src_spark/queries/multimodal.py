@@ -354,6 +354,14 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
+    # Deliberate payload exchange — THIS entry carries the attested
+    # byte-level encode→shuffle→decode round trip (COVERAGE.md §2.10):
+    # the binary column crosses a hash exchange before parsing, proving
+    # payload bytes survive the shuffle machinery. The nine decode
+    # siblings dropped their payload shuffles in r15 (guide §8: move
+    # heavy bytes zero extra times; decode fuses into the build stage
+    # at full parallelism) — keeping exactly one shuffled entry
+    # preserves the round-trip attestation at zero headline cost.
     built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
         8, "doc_id"
     )
@@ -404,7 +412,7 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "closed for PNG): per image-doc, a truecolor PNG is ENCODED with "
     "real per-scanline filters cycling through all five filter types "
     "and a real zlib IDAT (functions/media.png_bytes_with_pixels), "
-    "shuffled as a binary column, then DECODED back with the "
+    "carried as a binary column, then DECODED back with the "
     "stdlib-zlib+numpy unfilter pipeline (decode_png_pixels) inside an "
     "Arrow-batched mapInPandas stage; per-channel integer pixel sums / "
     "sum-of-squares and the (exact-integer-division) mean come off the "
@@ -446,9 +454,6 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
-        8, "doc_id"
-    )
 
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -484,8 +489,20 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return built.mapInPandas(
-        stats,
+    # ONE fused Python stage (r15, guide §4/§8): encode and decode
+    # compose as generators inside a single mapInPandas, so the
+    # payload never crosses the JVM boundary at all (r14 shape:
+    # two chained Python evals with a Python→JVM→Python payload
+    # round trip, behind a repartition(8) payload shuffle). The
+    # encode→shuffle→decode byte round trip stays attested by
+    # multimodal_header_decode.
+    def build_stats(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return stats(build(it))
+
+    return d.mapInPandas(
+        build_stats,
         "doc_id long, width long, height long, channel long, "
         "px_sum long, px_sq_sum long, px_mean double",
     )
@@ -512,7 +529,7 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="REAL image resize over decoded PNG pixels (closes the resize "
     "stub): per image-doc, encode the doc_id-derived raster as a real "
-    "filtered+zlib PNG, shuffle the binary column, then resize_image "
+    "filtered+zlib PNG, carry the binary column, then resize_image "
     "decodes (stdlib unfilter pipeline) and resamples to 8x8 with exact "
     "nearest-neighbor (src = (dst * src_dim) // 8). Per-channel integer "
     "sums of the RESIZED raster come back out; the oracle recomputes "
@@ -551,9 +568,12 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
-        8, "doc_id"
-    )
+    # No payload exchange (r15, guide §8): decode fuses into the build
+    # stage — the binary column never crosses a shuffle and the decode
+    # runs at full scan parallelism (was: repartition(8) shuffling every
+    # payload into 8 tasks). The encode→shuffle→decode byte round trip
+    # stays attested by multimodal_header_decode.
+    built = d.mapInPandas(build, "doc_id long, payload binary")
     resized = resize_image(built, out_w=8, out_h=8)
 
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -608,7 +628,7 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="REAL WAV PCM sample decode (closes the audio half of the "
     "sample-decode stub): per audio-doc, a 16-bit PCM WAV with "
     "doc_id-derived interleaved samples is built "
-    "(functions/media.wav_bytes_with_samples), shuffled as a binary "
+    "(functions/media.wav_bytes_with_samples), carried as a binary "
     "column, then decode_wav_samples walks the RIFF chunks and "
     "recovers the (frames, channels) int16 matrix inside an "
     "Arrow-batched mapInPandas stage; per-channel exact integer sums / "
@@ -648,9 +668,6 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
-        8, "doc_id"
-    )
 
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -684,8 +701,20 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return built.mapInPandas(
-        stats,
+    # ONE fused Python stage (r15, guide §4/§8): encode and decode
+    # compose as generators inside a single mapInPandas, so the
+    # payload never crosses the JVM boundary at all (r14 shape:
+    # two chained Python evals with a Python→JVM→Python payload
+    # round trip, behind a repartition(8) payload shuffle). The
+    # encode→shuffle→decode byte round trip stays attested by
+    # multimodal_header_decode.
+    def build_stats(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return stats(build(it))
+
+    return d.mapInPandas(
+        build_stats,
         "doc_id long, channel long, sample_rate long, n_frames long, "
         "s_sum long, s_sq_sum long",
     )
@@ -719,14 +748,14 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entropy-coded baseline JPEG — float DCT, all-ones quant table "
     "(quality 100), zigzag, differential-DC + run-length-AC Huffman "
     "with the Annex K tables, byte stuffing "
-    "(functions/media.jpeg_bytes_with_pixels) — shuffled as a binary "
+    "(functions/media.jpeg_bytes_with_pixels) — carried as a binary "
     "column, then DECODED back by the full marker-walking Huffman/"
     "IDCT pipeline (decode_jpeg_pixels reads DQT/DHT from the file, "
     "exactly as for a wild JPEG). Block-constant rasters quantized at "
     "Q=1 reconstruct BIT-EXACTLY (DC-only blocks: F00 = 8*(v-128) is "
     "integral, every AC is 0), so the DuckDB oracle recomputes the "
     "decoded sums arithmetically and the driver hash verifies the "
-    "whole encode->shuffle->entropy-decode round trip. Lossy shapes "
+    "whole encode->entropy-decode round trip. Lossy shapes "
     "(non-constant blocks, q<100) are covered by bounded-error and "
     "two-path property tests in tests/test_scalar_and_multimodal.py; "
     "progressive/subsampled files raise the loud guard. 100 TB: "
@@ -767,9 +796,6 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
-        8, "doc_id"
-    )
 
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -801,8 +827,20 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return built.mapInPandas(
-        stats,
+    # ONE fused Python stage (r15, guide §4/§8): encode and decode
+    # compose as generators inside a single mapInPandas, so the
+    # payload never crosses the JVM boundary at all (r14 shape:
+    # two chained Python evals with a Python→JVM→Python payload
+    # round trip, behind a repartition(8) payload shuffle). The
+    # encode→shuffle→decode byte round trip stays attested by
+    # multimodal_header_decode.
+    def build_stats(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return stats(build(it))
+
+    return d.mapInPandas(
+        build_stats,
         "doc_id long, width long, height long, "
         "px_sum long, px_sq_sum long, px_mean double",
     )
@@ -858,7 +896,7 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "constant is encoded as a real chroma-subsampled baseline JPEG "
     "(Y 2x2 / Cb,Cr 1x1 sampling, 2x2 box-average chroma decimation, "
     "interleaved 6-block MCUs — functions/media.jpeg_bytes_with_pixels "
-    "subsampling='420'), shuffled as a binary column, then DECODED by "
+    "subsampling='420'), carried as a binary column, then DECODED by "
     "the sampling-aware MCU walk + nearest-neighbor chroma upsample "
     "(decode_jpeg_pixels). Macroblock-constant color at Q=1 makes every "
     "Y/Cb/Cr block DC-only and the decimation an identity, so the whole "
@@ -914,9 +952,6 @@ def multimodal_jpeg420_pixel_stats(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
-        8, "doc_id"
-    )
 
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -947,8 +982,20 @@ def multimodal_jpeg420_pixel_stats(
                 }
             )
 
-    return built.mapInPandas(
-        stats,
+    # ONE fused Python stage (r15, guide §4/§8): encode and decode
+    # compose as generators inside a single mapInPandas, so the
+    # payload never crosses the JVM boundary at all (r14 shape:
+    # two chained Python evals with a Python→JVM→Python payload
+    # round trip, behind a repartition(8) payload shuffle). The
+    # encode→shuffle→decode byte round trip stays attested by
+    # multimodal_header_decode.
+    def build_stats(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return stats(build(it))
+
+    return d.mapInPandas(
+        build_stats,
         "doc_id long, width long, height long, "
         "r_sum long, g_sum long, b_sum long",
     )
@@ -977,7 +1024,7 @@ def multimodal_jpeg420_pixel_stats(
     "guard to entropy-coded formats): per audio-doc, a G.711 mu-law "
     "WAV (fmt codec 7, 8-bit log-PCM — the telephony compression "
     "standard, 2:1) is built from doc_id-derived code bytes "
-    "(functions/media.wav_bytes_mulaw), shuffled as a binary column, "
+    "(functions/media.wav_bytes_mulaw), carried as a binary column, "
     "then EXPANDED back to int16 linear samples by the spec's exact "
     "integer bit arithmetic (mulaw_expand: complement, 3-bit exponent, "
     "4-bit mantissa, +132 bias) inside an Arrow-batched mapInPandas "
@@ -1015,9 +1062,6 @@ def multimodal_mulaw_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
-        8, "doc_id"
-    )
 
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1046,8 +1090,20 @@ def multimodal_mulaw_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return built.mapInPandas(
-        stats,
+    # ONE fused Python stage (r15, guide §4/§8): encode and decode
+    # compose as generators inside a single mapInPandas, so the
+    # payload never crosses the JVM boundary at all (r14 shape:
+    # two chained Python evals with a Python→JVM→Python payload
+    # round trip, behind a repartition(8) payload shuffle). The
+    # encode→shuffle→decode byte round trip stays attested by
+    # multimodal_header_decode.
+    def build_stats(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return stats(build(it))
+
+    return d.mapInPandas(
+        build_stats,
         "doc_id long, sample_rate long, n_frames long, "
         "s_sum long, s_sq_sum long",
     )
@@ -1070,12 +1126,12 @@ def multimodal_mulaw_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "BMFF/MP4 file (ftyp + moov(mvhd, trak(tkhd)), real box sizes) is "
     "built with doc_id-derived movie timescale/duration and 16.16 "
     "fixed-point track dimensions (functions/media.mp4_bytes), "
-    "shuffled as a binary column, then PARSED back by the recursive "
+    "carried as a binary column, then PARSED back by the recursive "
     "box walk (parse_mp4_metadata — the same walk reads any BMFF "
     "file's metadata; mdat sample decode is ffmpeg territory and "
     "stays out of scope) in an Arrow-batched mapInPandas stage. The "
     "oracle recomputes the encoded metadata arithmetically, so the "
-    "driver hash verifies the build->shuffle->box-walk round trip. "
+    "driver hash verifies the build->box-walk round trip. "
     "100 TB: map-only per-clip work, one row out per clip.",
 )
 def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,9 +1159,6 @@ def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
-        8, "doc_id"
-    )
 
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from training_flink_sql_cc_src_spark.functions.media import (
@@ -1127,8 +1180,20 @@ def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return built.mapInPandas(
-        parse,
+    # ONE fused Python stage (r15, guide §4/§8): encode and decode
+    # compose as generators inside a single mapInPandas, so the
+    # payload never crosses the JVM boundary at all (r14 shape:
+    # two chained Python evals with a Python→JVM→Python payload
+    # round trip, behind a repartition(8) payload shuffle). The
+    # encode→shuffle→decode byte round trip stays attested by
+    # multimodal_header_decode.
+    def build_parse(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return parse(build(it))
+
+    return d.mapInPandas(
+        build_parse,
         "doc_id long, timescale long, duration long, width long, "
         "height long, duration_sec double",
     )
@@ -1182,7 +1247,7 @@ def multimodal_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "block-structured ADPCM file (4-byte predictor/step-index block "
     "header, nibble pairs, fact chunk with the true sample count) is "
     "built from doc_id-derived nibbles (functions/media."
-    "wav_bytes_adpcm), shuffled as a binary column, then decoded by "
+    "wav_bytes_adpcm), carried as a binary column, then decoded by "
     "the real block walk + bit-test difference recurrence "
     "(_adpcm_decode_blocks) in an Arrow-batched mapInPandas stage. "
     "The decode is a per-sample integer STATE MACHINE (predictor + "
@@ -1224,9 +1289,6 @@ def multimodal_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
-        8, "doc_id"
-    )
 
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1255,8 +1317,20 @@ def multimodal_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return built.mapInPandas(
-        stats,
+    # ONE fused Python stage (r15, guide §4/§8): encode and decode
+    # compose as generators inside a single mapInPandas, so the
+    # payload never crosses the JVM boundary at all (r14 shape:
+    # two chained Python evals with a Python→JVM→Python payload
+    # round trip, behind a repartition(8) payload shuffle). The
+    # encode→shuffle→decode byte round trip stays attested by
+    # multimodal_header_decode.
+    def build_stats(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return stats(build(it))
+
+    return d.mapInPandas(
+        build_stats,
         "doc_id long, sample_rate long, n_samples long, "
         "s_sum long, s_sq_sum long",
     )
@@ -1293,7 +1367,7 @@ def multimodal_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "PNG is built with a doc_id-derived 64-entry PLTE and index "
     "raster (functions/media.png_bytes_palette — the index stream is "
     "scanline-filtered across all five filter types exactly like a "
-    "1-channel image), shuffled as a binary column, then DECODED by "
+    "1-channel image), carried as a binary column, then DECODED by "
     "the chunk walk + unfilter + PLTE lookup (decode_png_pixels) in "
     "an Arrow-batched mapInPandas stage. Per-channel sums of the "
     "looked-up RGB raster come back out; the oracle recomputes the "
@@ -1337,9 +1411,6 @@ def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    built = d.mapInPandas(build, "doc_id long, payload binary").repartition(
-        8, "doc_id"
-    )
 
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1368,7 +1439,19 @@ def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return built.mapInPandas(
-        stats,
+    # ONE fused Python stage (r15, guide §4/§8): encode and decode
+    # compose as generators inside a single mapInPandas, so the
+    # payload never crosses the JVM boundary at all (r14 shape:
+    # two chained Python evals with a Python→JVM→Python payload
+    # round trip, behind a repartition(8) payload shuffle). The
+    # encode→shuffle→decode byte round trip stays attested by
+    # multimodal_header_decode.
+    def build_stats(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return stats(build(it))
+
+    return d.mapInPandas(
+        build_stats,
         "doc_id long, channel long, px_sum long, px_mean double",
     )
