@@ -65,8 +65,16 @@ def main() -> None:
         out[name] = round(best, 3)
         print(json.dumps({name: out[name]}), flush=True)
         spark.sparkContext.setJobDescription(None)
-    with open(os.path.join(PLANS_DIR, f"profile_{tag}.json"), "w") as fh:
-        json.dump(out, fh, indent=1, sort_keys=True)
+    # merge into the existing summary (repeated partial captures must
+    # not drop earlier queries' numbers)
+    spath = os.path.join(PLANS_DIR, f"profile_{tag}.json")
+    merged = {}
+    if os.path.exists(spath):
+        with open(spath) as fh:
+            merged = json.load(fh)
+    merged.update(out)
+    with open(spath, "w") as fh:
+        json.dump(merged, fh, indent=1, sort_keys=True)
     print(json.dumps({"total_min_sum": round(sum(out.values()), 3)}))
 
 

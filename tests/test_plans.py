@@ -672,3 +672,55 @@ def test_tfidf_single_corpus_tokenize(spark, sf_med):
     tree = plan.split("\n\n")[0]
     n_gen = sum("Generate" in l for l in tree.splitlines())
     assert n_gen <= 1, tree
+
+
+def test_multimodal_decode_single_python_stage(spark, sf_med):
+    """The multimodal decode queries run encode+decode as ONE fused
+    mapInPandas (r15, guide §4/§8): the synthetic binary payload never
+    crosses the JVM boundary, no exchange ever carries it, and the
+    local-mode per-task Python-eval overhead is paid once per task
+    instead of twice. Pin: exactly one MapInPandas node and exactly one
+    Exchange (the row-fan-out BELOW it, which moves only doc_id longs).
+    multimodal_header_decode intentionally keeps the two-stage payload
+    shuffle — it carries the family's encode→shuffle→decode byte
+    round-trip attestation."""
+    for name in ("multimodal_pixel_stats", "multimodal_video_metadata"):
+        plan = _plan(spark, name, sf_med)
+        tree = plan.split("\n\n")[0]
+        lines = tree.splitlines()
+        mip = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+        exch = [i for i, l in enumerate(lines) if "Exchange" in l]
+        assert len(mip) == 1, tree
+        assert len(exch) == 1, tree
+        # formatted tree prints top-down: the Exchange must sit BELOW
+        # (after) the MapInPandas — it fans out doc_ids, not payloads
+        assert exch[0] > mip[0], tree
+
+
+def test_vocab_oov_single_scoring_pass(spark, sf_med):
+    """pipeline_vocab_oov_rate derives per-doc token totals and vocab
+    hits from the SAME per-doc aggregate over the tokenized corpus
+    (r15): two corpus scans total (vocabulary pass + scoring pass) —
+    the r14 shape paid a third scan for a separate size(split)
+    projection plus a per-doc join to stitch it back."""
+    plan = _plan(spark, "pipeline_vocab_oov_rate", sf_med)
+    tree = plan.split("\n\n")[0]
+    n_scans = sum("Scan parquet" in l for l in tree.splitlines())
+    assert n_scans == 2, tree
+
+
+def test_match_recognize_input_narrowed(spark, sf_med):
+    """The MATCH_RECOGNIZE window lowerings project the input to
+    partition/order/DEFINE/measure columns before the shuffle (r15,
+    guide §2.3): the LEAD and end-info structs ride the partition
+    exchange and every window sort, so an unused payload column would
+    cross the wire once and the sorts four times. The events fixture's
+    `props` string is referenced by none of the headline patterns —
+    it must not appear anywhere in their plans."""
+    for name in (
+        "pattern_match_recognize_plus",
+        "pattern_match_recognize_measure_nav",
+        "pattern_match_recognize_permute5",
+    ):
+        plan = _plan(spark, name, sf_med)
+        assert "props" not in plan, name

@@ -1647,6 +1647,37 @@ def _pred_at_offset(
     return "".join(parts)
 
 
+def _narrow_src(df: DataFrame, spec: MatchRecognizeSpec) -> DataFrame:
+    """Project the MATCH_RECOGNIZE input to the columns the lowering can
+    reference (guide §2.3 — project before the exchange): partition and
+    order keys, every identifier a DEFINE text mentions, and measured
+    columns. The window lowerings pack every kept column into the LEAD /
+    end-info structs, which ride the partition shuffle and EVERY window
+    sort — before r15 an unused payload column (at 100 TB: the widest
+    one) crossed the wire once and the in-memory sorts four times per
+    query. Token-scanning the raw DEFINE texts over-approximates: a
+    quoted literal that happens to equal a column name keeps that column
+    (harmless), and a needed column is never dropped. ALL ROWS PER MATCH
+    (and WITH UNMATCHED ROWS) emits every input column, so those shapes
+    keep the full row."""
+    if spec.all_rows or spec.with_unmatched:
+        return df
+    avail = set(df.columns)
+    needed = set(spec.partition_by) | set(spec.order_by)
+    for pred in spec.defines.values():
+        needed |= {
+            tok
+            for tok in re.findall(r"[A-Za-z_]\w*", pred or "")
+            if tok in avail
+        }
+    for _var, col, _alias in spec.measures:
+        if col and col != "*" and col in avail:
+            needed.add(col)
+    if needed >= avail:
+        return df
+    return df.select(*[c for c in df.columns if c in needed])
+
+
 def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     """PATTERN (A+ B) via gaps-and-islands — the exact lowering of the
     unbounded maximal-run shape for provably-disjoint DEFINEs.
@@ -1666,7 +1697,7 @@ def _lower_plus(spark: SparkSession, spec: MatchRecognizeSpec) -> DataFrame:
     hash partitioning, so Spark inserts NO second exchange — one shuffle
     total, state O(1) per row, no join, no NFA."""
     a_var, b_var, min_run = spec.plus
-    df = spark.table(spec.table)
+    df = _narrow_src(spark.table(spec.table), spec)
     cols = df.columns
     w = Window.partitionBy(*spec.partition_by).orderBy(*spec.order_by)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1918,7 +1949,7 @@ def _lower_plus_overlap(
     from pyspark.sql import types as T
 
     a_var, b_var, min_run = spec.plus
-    df = spark.table(spec.table)
+    df = _narrow_src(spark.table(spec.table), spec)
     cols = df.columns
     a_text, need_a = _rewrite_nav_physical(spec.defines[a_var], a_var)
     b_text, need_b = _rewrite_nav_physical(spec.defines[b_var], b_var)
@@ -3263,7 +3294,7 @@ def lower_match_recognize(spark: SparkSession, spec: MatchRecognizeSpec) -> Data
         if spec.plus_overlap:
             return _lower_plus_overlap(spark, spec)
         return _lower_plus(spark, spec)
-    df = spark.table(spec.table)
+    df = _narrow_src(spark.table(spec.table), spec)
     cols = df.columns
     w = Window.partitionBy(*spec.partition_by).orderBy(*spec.order_by)
 

@@ -475,6 +475,11 @@ def stratified_sample_threshold(
             F.col("s.__coin").alias("__cut"),
             (F.col("s.k") - (F.col("s.cum") - F.col("s.cnt"))).alias("__need"),
         )
+        # One row per stratum (bounded by |strata|); materialized so the
+        # histogram pass runs ONCE (r15, guide §2.4) — the below/tie
+        # union branches each re-planned the whole hist subtree (two
+        # extra aggregate exchanges + a redundant corpus scan pair).
+        .localCheckpoint(eager=False)
     )
 
     dd = d.join(F.broadcast(cuts), stratum_col)
@@ -1359,7 +1364,6 @@ def pipeline_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        F.size(F.split("text", " ")).alias("n_tok"),
         F.explode(F.split("text", " ")).alias("token"),
     )
     vocab = (
@@ -1369,16 +1373,23 @@ def pipeline_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(16)
         .select("token")
     )
-    in_vocab = (
-        toks.join(F.broadcast(vocab), "token", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("in_vocab"))
-    )
+    # ONE scoring pass (r15, guide §2.4): n_tok == the doc's token-row
+    # count (explode emits exactly size(split(text,' ')) rows, empties
+    # included), so counting rows and counting vocabulary hits in the
+    # SAME per-doc aggregate replaces the r14 shape's third corpus scan
+    # (a separate size(split) projection), its semi-join pre-aggregate,
+    # and the per-doc left join that stitched the two back together.
+    # The vocabulary attaches as a broadcast left join against 16
+    # distinct tokens (multiplicity 1 — row count is unchanged).
     per_doc = (
-        d.select("doc_id", "lang", "source",
-                 F.size(F.split("text", " ")).alias("n_tok"))
-        .join(in_vocab, "doc_id", "left")
-        .withColumn("in_vocab", F.coalesce("in_vocab", F.lit(0)))
+        toks.join(
+            F.broadcast(vocab.withColumn("__v", F.lit(1))), "token", "left"
+        )
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.coalesce(F.col("__v"), F.lit(0))).alias("in_vocab"),
+        )
         .withColumn(
             "oov_rate",
             (F.col("n_tok") - F.col("in_vocab")).cast("double")
