@@ -139,6 +139,11 @@ def run_one(spark, fn, sf_dir: str) -> float:
     )
 
     release_token_sketch_cache()
+    from training_flink_sql_cc_src_spark.operators.transient import (
+        release_transient_caches,
+    )
+
+    release_transient_caches()
     import gc
 
     gc.collect()
@@ -152,6 +157,25 @@ def run_one(spark, fn, sf_dir: str) -> float:
     # outside the timed region — lets the cleaner actually drain.
     try:
         spark.sparkContext._jvm.System.gc()
+        # The ContextCleaner drains ASYNCHRONOUSLY: System.gc() only
+        # enqueues the weak references, and eviction of the previous
+        # query's checkpoint blocks can still be in flight when the next
+        # timed query starts — at sf3z that contention measured
+        # dedup_containment_pairs 63.8 s in-suite vs ~49 s fresh
+        # (VERDICT r14 Wrong #4). Poll the block manager (bounded, still
+        # outside the timed region) until the storage is actually empty.
+        # Python gc finalizes the py4j proxies, but the detach commands
+        # that make the JVM-side Datasets collectable travel the gateway
+        # asynchronously — a single System.gc() can run BEFORE they
+        # land, leaving the blocks pinned with no further GC scheduled.
+        # Re-issue the gc periodically while polling.
+        jsc = spark.sparkContext._jsc.sc()
+        for i in range(40):  # <= 2 s
+            if len(jsc.getRDDStorageInfo()) == 0:
+                break
+            if i % 8 == 7:
+                spark.sparkContext._jvm.System.gc()
+            time.sleep(0.05)
     except Exception:
         pass
     return elapsed

@@ -126,7 +126,19 @@ def lsh_band_pairs(
     persistence of the sketch — not the text — is the right trade.
     """
     if cache_sig:
-        df = df.select(id_col, sig_col).persist()
+        # persist() + transient registry (r15): a bare persist pins the
+        # plan in the session CacheManager forever (the signature cache
+        # outlived every later query of the 50-query suite — measured
+        # via the block-manager probe), so the handle is registered for
+        # explicit release at the caller's query boundary
+        # (operators/transient.py; bench.py's hygiene calls it). The
+        # cache itself stays: the planner-recognized InMemoryRelation is
+        # what lets both self-join branches share one signature
+        # computation — a lazy localCheckpoint in its place measured
+        # 25x the CPU.
+        from .transient import register_transient
+
+        df = register_transient(df.select(id_col, sig_col).persist())
     banded = df.select(
         F.col(id_col),
         F.col(sig_col),

@@ -40,9 +40,20 @@ def ppjoin_pairs(
     Returns (id_a, id_b, jaccard). The input is persisted (it is read by
     the frequency pass, the prefix pass, and twice at verification).
     """
-    d = d.select(
-        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__toks")
-    ).withColumn("__n", F.size("__toks")).persist()
+    # persist() + transient registry (r15): the persisted frame is what
+    # the four consumers (frequency pass, prefix pass, two verification
+    # reads) share — but a bare persist pins it in the session
+    # CacheManager forever, so the handle registers for explicit
+    # release at the caller's query boundary (operators/transient.py;
+    # bench.py's hygiene calls it). A lazy localCheckpoint in its place
+    # measured 5x the CPU (the planner loses the shared relation).
+    from .transient import register_transient
+
+    d = register_transient(
+        d.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .persist()
+    )
     freq = (
         d.select(F.explode("__toks").alias("tok"))
         .groupBy("tok")
