@@ -110,7 +110,10 @@ HEADLINE = (
 #: numbers. Use ONLY for regressions whose cause is understood and
 #: documented; remove entries once the best-prior window catches up.
 def load_acks() -> dict[str, str]:
-    path = os.path.join(
+    # SPARK_GRAFT_BENCH_ACKS overrides the config path — used by the
+    # gate-mechanics tests to prove the gate still trips with an empty
+    # config, independent of whatever acks are currently reviewed in.
+    path = os.environ.get("SPARK_GRAFT_BENCH_ACKS") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_acks.json"
     )
     try:

@@ -662,18 +662,6 @@ def test_kmeans_update_single_udf_eval_below_explode(spark, sf_med):
     assert gen_lines[0] < arrow_lines[0], tree
 
 
-def test_tfidf_single_corpus_tokenize(spark, sf_med):
-    """TF-IDF must tokenize the corpus once: the (doc,term) tf table is
-    checkpointed and feeds both the df aggregation and the scoring join
-    (r15 — the unshared branches each re-ran scan+explode+aggregate).
-    The only remaining parquet scans are the tf build and the 1-row
-    corpus count; neither Generate (explode) appears twice."""
-    plan = _plan(spark, "text_tfidf_topk", sf_med)
-    tree = plan.split("\n\n")[0]
-    n_gen = sum("Generate" in l for l in tree.splitlines())
-    assert n_gen <= 1, tree
-
-
 def test_multimodal_decode_single_python_stage(spark, sf_med):
     """The multimodal decode queries run encode+decode as ONE fused
     mapInPandas (r15, guide §4/§8): the synthetic binary payload never

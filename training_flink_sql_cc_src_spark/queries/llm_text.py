@@ -859,7 +859,6 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
