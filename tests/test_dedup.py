@@ -185,6 +185,49 @@ def test_star_contraction_string_ids_driver_finish(spark):
     assert got == want
 
 
+def test_star_contraction_distributed_loop_path(spark, monkeypatch):
+    """The DISTRIBUTED large/small-star loop must stay correct on its
+    own: with the r15 driver-finish bound raised to 1M edges, every
+    small fixture takes the driver union-find path, so this test pins
+    the loop by forcing the bound to (near) zero — the contraction
+    rounds then run for real (the in-loop driver finish is disabled
+    too) until the star-forest probe converges. Same adversarial
+    shapes as the union-find equivalence test: path (pointer-doubling
+    depth), two-parent, 2-chain, dupes/self-loops, random graphs."""
+    import random
+
+    from training_flink_sql_cc_src_spark.queries import llm_dedup
+    from training_flink_sql_cc_src_spark.queries.llm_dedup import (
+        min_label_components,
+    )
+
+    monkeypatch.setattr(llm_dedup, "_DRIVER_FINISH_EDGES", 0)
+
+    def run_case(n, edge_list):
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n)], "doc_id long"
+        )
+        if edge_list:
+            edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+        else:
+            edges = spark.createDataFrame([], "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["label"]
+            for r in min_label_components(edges, nodes).collect()
+        }
+        assert got == _uf_min_labels(n, edge_list)
+
+    run_case(64, [(i, i + 1) for i in range(63)])  # path
+    run_case(6, [(5, 1), (5, 3)])  # two-parent
+    run_case(6, [(5, 3), (3, 1)])  # 2-chain
+    run_case(6, [(1, 2), (2, 1), (1, 2), (4, 4)])  # dupes + self-loop
+    rng = random.Random(23)
+    for _ in range(2):
+        n = rng.randint(2, 60)
+        m = rng.randint(0, 2 * n)
+        run_case(n, [tuple(rng.sample(range(n), 2)) for _ in range(m)])
+
+
 def test_star_contraction_long_chain_converges_or_raises(spark):
     """VERDICT r9 #4: the round cap is a loud error, not a warning. A
     pathological LONG PATH (the worst case for contraction depth) must

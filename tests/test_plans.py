@@ -712,3 +712,16 @@ def test_match_recognize_input_narrowed(spark, sf_med):
     ):
         plan = _plan(spark, name, sf_med)
         assert "props" not in plan, name
+
+
+def test_minhash_dedup_shuffle_carries_no_signatures(spark, sf_med):
+    """lsh_band_pairs (r15, guide §2.3): the candidate-pair dedup
+    aggregates on (id_a, id_b) AFTER the signature agreement count is
+    projected down to one integer — the dedup exchange moves
+    ~24-byte rows, never the two 32-long signature arrays (which the
+    pre-r15 plan shipped through the distinct as sig_a/sig_b). n_agree
+    is a pure function of the id pair, so whichever banded duplicate
+    survives the distinct carries the identical value."""
+    plan = _plan(spark, "dedup_minhash_lsh", sf_med)
+    assert "n_agree" in plan
+    assert "sig_a" not in plan and "sig_b" not in plan, plan[:1500]

@@ -156,6 +156,25 @@ def lsh_band_pairs(
     ).select(id_col, sig_col, "bb.band", "bb.bucket")
     left = banded.alias("a")
     right = banded.alias("b")
+    # Signature agreement is counted PER CANDIDATE ROW, before the
+    # pair-dedup (guide §2.3 — shuffle keys and metadata, not payloads):
+    # n_agree is a pure function of (id_a, id_b), so every banded
+    # duplicate of a pair carries the identical value and dropDuplicates
+    # keeps the same result whichever row survives — but the dedup
+    # exchange now moves ~24 bytes/row instead of the two full
+    # signatures (2 x num_hashes longs, ~20x for the default 32). The
+    # recompute trade is num_hashes long compares per extra candidate
+    # row — noise next to the shuffle write+fetch it replaces.
+    n_agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col(f"a.{sig_col}"),
+                F.col(f"b.{sig_col}"),
+                lambda x, y: x == y,
+            ),
+            lambda v: v,
+        )
+    )
     pairs = (
         left.join(
             right,
@@ -166,8 +185,8 @@ def lsh_band_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{sig_col}").alias("sig_a"),
-            F.col(f"b.{sig_col}").alias("sig_b"),
+            n_agree.alias("n_agree"),
+            F.size(F.col(f"a.{sig_col}")).alias("n_sig"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -175,15 +194,13 @@ def lsh_band_pairs(
 
 
 def minhash_jaccard_estimate(pairs: DataFrame) -> DataFrame:
-    """Estimated Jaccard from signature agreement fraction."""
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda v: v,
-        )
-    )
+    """Estimated Jaccard from the signature agreement fraction counted
+    inside ``lsh_band_pairs`` (n_agree of n_sig hashes) — same integer
+    division the sig-array formulation computed, evaluated before the
+    pair-dedup so the signatures never ride the dedup shuffle."""
     return pairs.withColumn(
-        "jaccard_est", agree.cast("double") / F.size("sig_a").cast("double")
+        "jaccard_est",
+        F.col("n_agree").cast("double") / F.col("n_sig").cast("double"),
     )
 
 

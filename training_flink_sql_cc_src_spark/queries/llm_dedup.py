@@ -687,19 +687,34 @@ def _is_star_forest(E: DataFrame) -> bool:
 
 #: edge-count threshold below which min_label_components finishes with
 #: a driver-side union-find instead of more distributed rounds — a
-#: CONSTANT bound (~few MB of long pairs), not data-proportional, so
-#: the "no unbounded collect" audit line holds (cf. Kiveris 2014 §6:
-#: switch to a local algorithm once the contracted graph fits).
-_DRIVER_FINISH_EDGES = 100_000
+#: CONSTANT bound (~16 MB of long pairs Arrow-framed), not
+#: data-proportional, so the "no unbounded collect" audit line holds
+#: (cf. Kiveris 2014 §6: switch to a local algorithm once the
+#: contracted graph fits). Sized so that one single-machine
+#: O(E alpha(E)) pass replaces a distributed large/small-star round
+#: (~6 shuffle stages + a driver action) whenever the list fits: the
+#: round-15 measurement had ONE such round cost 5.3 s wall on a
+#: 391k-edge list the union-find below finishes in ~0.3 s.
+_DRIVER_FINISH_EDGES = 1_000_000
 
 
-def _uf_star(rows) -> list[tuple]:
-    """Driver-side union-find finish over a bounded edge-row list
-    (<= _DRIVER_FINISH_EDGES rows): min-root union keeps the
-    label = component-minimum invariant of the distributed rounds.
-    Returns the star-forest edge list [(node, root)] for non-root
-    nodes — shared by the pre-loop early finish and the in-loop
-    finish of min_label_components."""
+def _collect_edge_arrays(E: DataFrame) -> tuple[list, list]:
+    """Driver collect of the BOUNDED (<= _DRIVER_FINISH_EDGES rows)
+    edge list as two column lists via one Arrow transfer —
+    ``DataFrame.toArrow`` skips the per-row pickle path of
+    ``collect()`` (measured ~4x on the 391k-row sf0.1 list) and the
+    columnar frame is exactly what ``_uf_star`` consumes."""
+    tbl = E.toArrow()
+    return (tbl.column("hi").to_pylist(), tbl.column("lo").to_pylist())
+
+
+def _uf_star(his, los) -> list[tuple]:
+    """Driver-side union-find finish over a bounded edge list given as
+    two parallel column lists (<= _DRIVER_FINISH_EDGES entries):
+    min-root union keeps the label = component-minimum invariant of
+    the distributed rounds. Returns the star-forest edge list
+    [(node, root)] for non-root nodes — shared by the pre-loop early
+    finish and the in-loop finish of min_label_components."""
     parent: dict = {}
 
     def _find(x):
@@ -710,8 +725,8 @@ def _uf_star(rows) -> list[tuple]:
             parent[x], x = r, parent[x]
         return r
 
-    for row in rows:
-        ra, rb = _find(row.hi), _find(row.lo)
+    for hi, lo in zip(his, los):
+        ra, rb = _find(hi), _find(lo)
         if ra != rb:
             if ra < rb:
                 parent[rb] = ra
@@ -719,7 +734,7 @@ def _uf_star(rows) -> list[tuple]:
                 parent[ra] = rb
     return [
         (n, _find(n))
-        for n in {x for row in rows for x in (row.hi, row.lo)}
+        for n in set(his).union(los)
         if _find(n) != n
     ]
 
@@ -765,21 +780,22 @@ def min_label_components(
             F.greatest("id_a", "id_b").alias("hi"),
             F.least("id_a", "id_b").alias("lo"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Early driver finish (r15, guide §2.4 — remove shuffles outright):
     # when the INITIAL edge list already fits the constant driver bound,
     # the distributed large/small-star rounds buy nothing — one round is
     # ~6 shuffle stages + a driver action chasing a list the union-find
-    # below finishes in milliseconds (A/B: keep_best 68 -> 50 CPU-s).
-    # ONE bounded probe job decides: collect at most bound+1 rows off
-    # the already-materialized checkpoint — if they all fit, they ARE
-    # the edge list (no second job); if not, the constant-size head is
-    # discarded and the contraction path below is unchanged. Never an
-    # unbounded collect.
-    head = E.limit(_DRIVER_FINISH_EDGES + 1).collect()
-    if len(head) <= _DRIVER_FINISH_EDGES:
-        star = _uf_star(head)
+    # below finishes in a fraction of the time (measured 5.3 s for the
+    # round vs 0.3 s union-find on the 391k-edge sf0.1 list). The probe
+    # is a COUNT on the lazily-checkpointed list — the count both
+    # materializes the checkpoint (one job, where eager=True + a probe
+    # was two) and decides the path with no row transfer at all; only a
+    # list already under the constant bound is ever collected, and then
+    # as one Arrow frame, not pickled rows. Never an unbounded collect.
+    n_edges = E.count()
+    if n_edges <= _DRIVER_FINISH_EDGES:
+        star = _uf_star(*_collect_edge_arrays(E))
         E = edges.sparkSession.createDataFrame(star, E.schema)
         roots = E.select(
             F.col("hi").alias(id_col), F.col("lo").alias("__root")
@@ -884,7 +900,7 @@ def min_label_components(
             # local algorithm when the contracted graph fits on one
             # machine. Min-root union keeps the label = component
             # minimum invariant the distributed rounds guarantee.
-            star = _uf_star(E.collect())
+            star = _uf_star(*_collect_edge_arrays(E))
             # schema derived from the edge list, not hardcoded: the
             # operator is generic over id_col's type (string doc ids
             # work in the distributed rounds), and this branch only
