@@ -194,6 +194,20 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: paid a full shuffle (Window.partitionBy(doc_id)) for a window-min
 #: that never crosses a document; at 100 TB that shuffles ~30x the
 #: corpus bytes for a per-row-local computation (VERDICT r13 #3).
+#: per-worker memo of md5 hex by k-gram text (r15, guide §4.5 "heavy
+#: state once per task" applied to a pure function): character k-grams
+#: repeat Zipf-style across positions and documents, so most lookups
+#: hit; a hit replaces an md5 + hexdigest + bytes-encode with one dict
+#: probe. Values are a pure function of the key, so memoization cannot
+#: change any result. Bounded: cleared when it reaches ~1M entries
+#: (~150 MB worst case), far below the worker memory the Arrow batches
+#: already need. Lives at module level so a reused worker process
+#: (spark.python.worker.reuse, default on) keeps it across tasks —
+#: this module is importable on executors (ensure_package_shipped).
+_GRAM_MD5_MEMO: dict[str, str] = {}
+_GRAM_MD5_MEMO_MAX = 1 << 20
+
+
 def _winnow_wmins(text: str) -> list[str]:
     """Window minima for one document: md5-hex every k-gram (code-point
     slice, UTF-8 bytes — exactly Spark substring+md5 and DuckDB
@@ -215,11 +229,18 @@ def _winnow_wmins(text: str) -> list[str]:
     window min)."""
     from hashlib import md5 as _md5
 
+    memo = _GRAM_MD5_MEMO
+    if len(memo) >= _GRAM_MD5_MEMO_MAX:
+        memo.clear()
     n = len(text) - (K_WINNOW - 1)
-    grams = [
-        _md5(text[i : i + K_WINNOW].encode("utf-8")).hexdigest()
-        for i in range(n)
-    ]
+    grams = []
+    for i in range(n):
+        g = text[i : i + K_WINNOW]
+        h = memo.get(g)
+        if h is None:
+            h = _md5(g.encode("utf-8")).hexdigest()
+            memo[g] = h
+        grams.append(h)
     return [
         min(grams[i : i + W_WINNOW])
         for i in range(n - (W_WINNOW - 1))

@@ -221,6 +221,50 @@ def frame_sample(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def resize_batches(
+    it: Iterator[pd.DataFrame],
+    payload_col: str = "payload",
+    out_w: int = 32,
+    out_h: int = 32,
+) -> Iterator[pd.DataFrame]:
+    """Batch generator behind ``resize_image`` — factored out (r15) so
+    call sites that already run a Python stage can COMPOSE the resize
+    into it instead of paying a second mapInPandas eval per task (the
+    local-mode per-task boundary overhead measured in
+    OPTIMIZATION_r15.md item 5); the DataFrame-level operator below
+    stays the reusable library entry point."""
+    import numpy as np
+
+    from training_flink_sql_cc_src_spark.functions.media import (
+        decode_png_pixels,
+    )
+
+    raster_len = out_w * out_h * 3
+    for pdf in it:
+        rasters = []
+        for p in pdf[payload_col]:
+            try:
+                px = decode_png_pixels(bytes(p))
+                h, w, _ = px.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                rasters.append(px[ys][:, xs].tobytes())
+            except (ValueError, NotImplementedError, TypeError):
+                rasters.append(
+                    bytes((p * raster_len)[:raster_len])
+                    if p
+                    else b"\0" * raster_len
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "out_w": out_w,
+                "out_h": out_h,
+                "raster": rasters,
+            }
+        )
+
+
 def resize_image(
     df: DataFrame, payload_col: str = "payload", out_w: int = 32, out_h: int = 32
 ) -> DataFrame:
@@ -236,38 +280,9 @@ def resize_image(
     real path's resampled pixels arithmetically.
     """
     out_schema = "doc_id long, out_w int, out_h int, raster binary"
-    raster_len = out_w * out_h * 3
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from training_flink_sql_cc_src_spark.functions.media import (
-            decode_png_pixels,
-        )
-
-        for pdf in it:
-            rasters = []
-            for p in pdf[payload_col]:
-                try:
-                    px = decode_png_pixels(bytes(p))
-                    h, w, _ = px.shape
-                    ys = (np.arange(out_h) * h) // out_h
-                    xs = (np.arange(out_w) * w) // out_w
-                    rasters.append(px[ys][:, xs].tobytes())
-                except (ValueError, NotImplementedError, TypeError):
-                    rasters.append(
-                        bytes((p * raster_len)[:raster_len])
-                        if p
-                        else b"\0" * raster_len
-                    )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "out_w": out_w,
-                    "out_h": out_h,
-                    "raster": rasters,
-                }
-            )
+        return resize_batches(it, payload_col, out_w, out_h)
 
     return df.mapInPandas(batches, schema=out_schema)
 
@@ -568,14 +583,6 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    # No payload exchange (r15, guide §8): decode fuses into the build
-    # stage — the binary column never crosses a shuffle and the decode
-    # runs at full scan parallelism (was: repartition(8) shuffling every
-    # payload into 8 tasks). The encode→shuffle→decode byte round trip
-    # stays attested by multimodal_header_decode.
-    built = d.mapInPandas(build, "doc_id long, payload binary")
-    resized = resize_image(built, out_w=8, out_h=8)
-
     def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -602,8 +609,24 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return resized.mapInPandas(
-        stats, "doc_id long, channel long, px_sum long, px_mean double"
+    # ONE fused Python stage (r15, guide §8 + §4): encode, decode+resize
+    # (the shared resize_batches generator — same code path the
+    # resize_image library operator runs), and the per-channel stats
+    # compose as generators, so the payload and the raster never cross
+    # the JVM boundary and the per-task Python-eval overhead is paid
+    # once, not three times (the chained shape measured 4.5 s isolated
+    # vs ~0.6 s for the family's already-fused entries, nearly all
+    # stage-boundary overhead at this data size). The
+    # encode→shuffle→decode byte round trip stays attested by
+    # multimodal_header_decode.
+    def build_resize_stats(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        return stats(resize_batches(build(it), "payload", 8, 8))
+
+    return d.mapInPandas(
+        build_resize_stats,
+        "doc_id long, channel long, px_sum long, px_mean double",
     )
 
 
