@@ -1284,13 +1284,20 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= 2
     )
+    # arrays_zip, not zip_with (r16-prep measured in r15, guide §1.2
+    # step 2 "per-task work"): zip_with is a HigherOrderFunction —
+    # CodegenFallback, interpreted per element with a lambda-variable
+    # binding per token — while ArraysZip is an ordinary codegen
+    # expression. Identical output: both slices have equal length
+    # size(w)-1, so the padding semantics never differ, and the struct
+    # fields are named by the aliases. This explode runs over EVERY
+    # corpus token — the hottest expression of the whole query.
     big = toks.select(
         "doc_id",
         F.explode(
-            F.zip_with(
-                F.slice("w", 1, F.size("w") - 1),
-                F.slice("w", 2, F.size("w") - 1),
-                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1).alias("w1"),
+                F.slice("w", 2, F.size("w") - 1).alias("w2"),
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
