@@ -53,7 +53,7 @@ _META = "_sketch_meta.json"
 #: ``queries/llm_dedup._token_sketch`` changes its tokenization,
 #: hashing, or small-vocab threshold, or stale-format artifacts would
 #: silently keep serving wrong sketches (ADVICE r12).
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # r16: large-vocab sketch carries m0..m7 + cc mask cols
 
 #: Grace period before an over-quota artifact may be evicted: load()
 #: touches the meta mtime, so any artifact read within this window is

@@ -69,8 +69,9 @@ def _token_sketch(
     """The per-document word-set sketch the Jaccard family shares:
     (small_vocab, d) where ``d`` is the PERSISTED per-doc frame —
     (doc_id, lang, len_band, mask, n_words) on the <=64-word bitmask
-    fast path, (doc_id, lang, len_band, words, n_words) with xxhash64
-    token ids on the unbounded-vocabulary path. Memoized per
+    fast path, (doc_id, lang, len_band, words, n_words, m0..m7, cc)
+    with xxhash64 token ids plus the 512-bit token-set mask and its
+    collision count on the unbounded-vocabulary path. Memoized per
     (session, sf_dir) — the parquet is immutable but a persisted frame
     belongs to ONE SparkSession: a hit keyed on sf_dir alone would hand
     a dead session's DataFrame to a new session and fail every
@@ -162,6 +163,14 @@ def _token_sketch(
             ).alias("w"),
         )
         dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+        # r16: the per-doc 512-bit token-set mask (m0..m7 + collision
+        # count cc) is part of the sketch — computed here as codegen
+        # bit_or aggregates in the SAME grouped pass that builds the
+        # arrays (an in-query HOF rebuild measured +45% CPU on the
+        # jaccard query because both posting sides re-derived it), and
+        # materialized with the store so cold queries get it for one
+        # scan. Consumers: the _mask_inter_bound candidate prune in the
+        # blocked-jaccard / containment prefix joins.
         d = (
             tok.join(dfreq, "w")
             .groupBy("doc_id", "lang", "len_band")
@@ -171,6 +180,22 @@ def _token_sketch(
                     lambda s: s["w"],
                 ).alias("words"),
                 F.count(F.lit(1)).alias("n_words"),
+                *[
+                    F.expr(
+                        "bit_or(CASE WHEN (shiftrightunsigned(w, 6) & "
+                        f"{_MASK_LONGS - 1}) = {i} "
+                        "THEN shiftleft(1L, int(w & 63)) ELSE 0L END)"
+                    ).alias(f"m{i}")
+                    for i in range(_MASK_LONGS)
+                ],
+            )
+            .withColumn(
+                "cc",
+                F.col("n_words")
+                - sum(
+                    F.bit_count(F.col(f"m{i}"))
+                    for i in range(_MASK_LONGS)
+                ),
             )
             .persist()
         )
@@ -179,6 +204,36 @@ def _token_sketch(
     sketch_store.save(d, docs_path, small_vocab)
     _TOKEN_SKETCH_CACHE[sf_dir] = (_owner_ref(spark), small_vocab, d)
     return small_vocab, d
+
+
+#: width (in 64-bit longs) of the per-doc token-set bit mask the
+#: large-vocab pairwise branches use as a candidate prune (r16). 8 longs
+#: = 512 bits: wide enough that an ~80-distinct-token doc keeps most
+#: tokens on distinct bits (collision correction stays small, so the
+#: bound stays sharp), narrow enough that posting rows stay cheap to
+#: sort/shuffle — k=4 measured 36 s, k=8 22.7 s, k=16 65.8 s end-to-end
+#: on the sf3z containment query (OPTIMIZATION_r16.md).
+_MASK_LONGS = 8
+
+
+def _mask_inter_bound():
+    """LOSSLESS upper bound on |A ∩ B| from the per-doc masks riding the
+    matched posting row (r16, guide §2.3/§3 candidate pruning — pure
+    codegen bit ops, evaluated BEFORE the pair-dedup exchange):
+
+        |A ∩ B| <= Σ_i bit_count(ma_i & mb_i)
+                   + min(n_a - popcount(ma), n_b - popcount(mb))
+
+    Every shared token sets one common bit, so bits(A∩B) ⊆ ma & mb; the
+    only undercount is shared tokens COLLIDING within a doc's mask, and
+    a doc loses exactly n - popcount(mask) tokens to collisions in
+    total — adding the smaller side's loss restores a valid bound. The
+    per-doc loss terms ride the rows precomputed as cc_a / cc_b."""
+    bits = None
+    for i in range(_MASK_LONGS):
+        t = F.bit_count(F.col(f"ma{i}").bitwiseAND(F.col(f"mb{i}")))
+        bits = t if bits is None else bits + t
+    return bits + F.least("cc_a", "cc_b")
 
 
 def _owner_ref(spark: SparkSession):
@@ -292,11 +347,22 @@ def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1,
             F.lit(1),
         )
+        # r16: the same per-doc 512-bit mask prune the containment
+        # branch uses (see _mask_inter_bound) — the lossless |A∩B|
+        # upper bound rides the prefix posting rows and prunes matched
+        # rows before the pair-dedup exchange and the verification
+        # joins (sf3z: candidate pairs 18.25M -> 4.59M, true pairs
+        # 4.20M — precision 23% -> 92%). The mask columns come from the
+        # persisted sketch itself (one codegen grouped pass at sketch
+        # build; an in-query HOF rebuild measured +45% CPU because both
+        # posting sides re-derived it).
         pref = d.select(
             "doc_id",
             "lang",
             "len_band",
             F.col("n_words"),
+            "cc",
+            *[F.col(f"m{i}") for i in range(_MASK_LONGS)],
             F.posexplode(F.slice("words", F.lit(1), plen)).alias(
                 "r0", "w"
             ),
@@ -306,6 +372,8 @@ def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "len_band",
             F.col("n_words").alias("n_a"),
+            F.col("cc").alias("cc_a"),
+            *[F.col(f"m{i}").alias(f"ma{i}") for i in range(_MASK_LONGS)],
             (F.col("r0") + 1).alias("r_a"),
             "w",
         )
@@ -314,6 +382,8 @@ def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("lang_b"),
             F.col("len_band").alias("len_band_b"),
             F.col("n_words").alias("n_b"),
+            F.col("cc").alias("cc_b"),
+            *[F.col(f"m{i}").alias(f"mb{i}") for i in range(_MASK_LONGS)],
             (F.col("r0") + 1).alias("r_b"),
             F.col("w").alias("wb"),
         )
@@ -341,6 +411,7 @@ def dedup_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     >= alpha
                 )
+                & (_mask_inter_bound() >= alpha)
             )
             .select("id_a", "id_b")
             .distinct()
@@ -1436,22 +1507,65 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1,
             F.lit(1),
         )
+        # r16 (guide §3 candidate pruning): per-doc 512-bit token-set
+        # masks ride the posting rows; the lossless |A∩B| upper bound
+        # (_mask_inter_bound) then prunes matched rows BEFORE the
+        # pair-dedup exchange — at sf3z it cut the dedup aggregate's
+        # input 179.8M -> 48.5M rows and the verification joins' input
+        # 90.3M -> 12.8M candidate pairs (7x; true positives 10.7M, so
+        # precision rose 12% -> 83%), taking the query from 73 s to
+        # ~18 s with bit-identical output (OPTIMIZATION_r16.md). The
+        # mask columns (m0..m7, cc) come precomputed from the sketch.
         pa = d.select(
             F.col("doc_id").alias("id_a"),
             "lang",
             probe_band,
             F.col("n_words").alias("n_a"),
+            F.col("cc").alias("cc_a"),
+            *[F.col(f"m{i}").alias(f"ma{i}") for i in range(_MASK_LONGS)],
             F.posexplode(F.slice("words", F.lit(1), plen)).alias(
                 "r0", "w"
             ),
         ).withColumn("r_a", F.col("r0") + 1)
-        pb = d.select(
-            F.col("doc_id").alias("id_b"),
-            F.col("lang").alias("lang_b"),
-            F.col("len_band").alias("band_b"),
-            F.col("n_words").alias("n_b"),
-            F.posexplode("words").alias("rb0", "wb"),
-        ).withColumn("r_b", F.col("rb0") + 1)
+        # build-side positional pre-prune (r16, guide §2.3 — shuffle
+        # fewer bytes): a B posting at r_b can only pass the positional
+        # filter when n_b - r_b >= alpha - 1, and alpha >=
+        # ceil(0.8 * min n_a over the block's probe docs) — so rows
+        # beyond that rank are dropped BEFORE the posting shuffle
+        # (halved the build side at sf3z with zero effect on matches,
+        # which the row filter would have discarded anyway).
+        blk_min = (
+            d.select("lang", probe_band, F.col("n_words").alias("n_a"))
+            .groupBy("lang", "band")
+            .agg(F.min("n_a").alias("min_n_a"))
+            .select(
+                F.col("lang").alias("lang_b"),
+                F.col("band").alias("band_b"),
+                "min_n_a",
+            )
+        )
+        pb = (
+            d.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("lang").alias("lang_b"),
+                F.col("len_band").alias("band_b"),
+                F.col("n_words").alias("n_b"),
+                F.col("cc").alias("cc_b"),
+                *[
+                    F.col(f"m{i}").alias(f"mb{i}")
+                    for i in range(_MASK_LONGS)
+                ],
+                F.posexplode("words").alias("rb0", "wb"),
+            )
+            .withColumn("r_b", F.col("rb0") + 1)
+            .join(F.broadcast(blk_min), ["lang_b", "band_b"])
+            .filter(
+                F.col("r_b")
+                <= F.col("n_b")
+                - F.floor((F.col("min_n_a") * 4 + 4) / 5)
+                + 1
+            )
+        )
         # merge hint: once the persisted sketch's (tiny) stats are
         # known, Catalyst broadcasts one side — but the broadcast frame
         # explodes AFTER the broadcast, so every task rebuilds a
@@ -1476,6 +1590,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     >= alpha
                 )
+                & (_mask_inter_bound() >= alpha)
             )
             .select("id_a", "id_b")
             .distinct()
