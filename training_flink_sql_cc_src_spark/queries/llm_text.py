@@ -334,17 +334,21 @@ def text_winnow_fingerprints(
 
 
 def _winnow_fp_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, wmin binary(8)) — one row per SELECTED winnowing
+    """(doc_id, wmin long) — one row per SELECTED winnowing
     fingerprint of each document. Selection runs in the same
     Arrow-batched helper as text_winnow_fingerprints (_winnow_wmins —
     see its docstring for why Python beats the interpreted-HOF JVM path
     10x here): per-document distinct (== the oracle's global DISTINCT
     since doc_id is in the key), 16-hex truncation applied AFTER
     window-min so the selection compares full hashes identically to the
-    oracle, and the truncated hex packed to 8-byte binary — a BIJECTIVE
-    transform (pair counts identical; the fingerprint never reaches the
-    output) halving the bytes of every downstream shuffle. Callers must
-    pre-filter length >= WINNOW_T."""
+    oracle, and the truncated hex bit-cast to a SIGNED 64-bit long — a
+    BIJECTIVE transform (pair counts identical; the fingerprint never
+    reaches the output), so every downstream join/aggregate keys on a
+    fixed-width primitive instead of a variable-length binary (r16,
+    guide §2.3 narrower types: an UnsafeRow binary(8) costs
+    length + padded bytes ≈ 2x the long, and long equality is a
+    codegen primitive compare). Callers must pre-filter length >=
+    WINNOW_T."""
 
     def selected(batches):
         for pdf in batches:
@@ -352,10 +356,12 @@ def _winnow_fp_frame(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 for h in {w[:WINNOW_FP_HEX] for w in _winnow_wmins(text)}:
                     ids.append(doc_id)
-                    fps.append(bytes.fromhex(h))
+                    fps.append(
+                        int.from_bytes(bytes.fromhex(h), "big", signed=True)
+                    )
             yield pd.DataFrame({"doc_id": ids, "wmin": fps})
 
-    return docs.mapInPandas(selected, "doc_id long, wmin binary")
+    return docs.mapInPandas(selected, "doc_id long, wmin long")
 
 
 @register(
@@ -400,7 +406,7 @@ def _winnow_fp_frame(docs: DataFrame) -> DataFrame:
     "rare-token prefix plans. Fingerprint SELECTION is map-side "
     "(replanned r14, see text_winnow_fingerprints — Arrow-batched "
     "_winnow_wmins): only the ~2/(w+1)-density selected fingerprints, "
-    "truncated and packed to binary(8), ever leave the map stage — "
+    "truncated and bit-cast to signed longs, ever leave the map stage — "
     "the exploded-gram shuffle is gone; the remaining shuffles are "
     "the posting-list aggregation and the capped pair join, both on "
     "the small fp relation.",
@@ -541,7 +547,7 @@ def winnow_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: _winnow_wmins (k, w, truncation, packing) or the corpus split
 #: predicate changes, or stored artifacts keep serving the old shape.
 WINNOW_STORE_KIND = "winnow_fp"
-WINNOW_STORE_VERSION = 1
+WINNOW_STORE_VERSION = 2  # r16: wmin binary(8) -> signed long bit-cast
 
 
 def _corpus_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
