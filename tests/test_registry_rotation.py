@@ -155,6 +155,43 @@ def test_changed_entry_sorts_fresh():
         e.oracle = old_oracle
 
 
+def test_constant_edit_changes_spec_hash_and_fronts(monkeypatch):
+    """VERDICT r15 Wrong #2: a module-level CONSTANT edit
+    (_DRIVER_FINISH_EDGES, WINNOW_DF_CAP, ...) is behavior-bearing but
+    used to change no hashed source — the entry kept riding stale green
+    evidence. The closure now hashes referenced constants' assignment
+    source text, so (a) editing a constant changes entry_spec_hash, and
+    (b) _stale_entries fronts the entry against an attested map taken
+    before the edit."""
+    from training_flink_sql_cc_src_spark.queries import folds
+
+    name = "dedup_winnow_pairs"  # references WINNOW_DF_CAP et al.
+    assert name not in folds.SPECS
+    mod = "training_flink_sql_cc_src_spark.queries.llm_text"
+    # the constant's assignment text must be in the closure already
+    closure = registry.spec_closure_sources(registry._REGISTRY[name].fn)
+    assert f"{mod}::WINNOW_DF_CAP" in closure
+
+    h0 = registry.entry_spec_hash(name)
+    attested = {name: {"spec_hash": h0, "round": 1}}
+    # simulate `WINNOW_DF_CAP = 50` -> `= 51` via the per-module source
+    # cache (equivalent to the file edit without touching the file)
+    consts = dict(registry._module_const_sources(mod))
+    consts["WINNOW_DF_CAP"] = "WINNOW_DF_CAP = 51"
+    monkeypatch.setitem(registry._MODULE_CONST_SRC, mod, consts)
+    registry._CLOSURE_CACHE.clear()
+    try:
+        h1 = registry.entry_spec_hash(name)
+        assert h1 != h0, "constant edit must change the spec hash"
+        if name in registry._DRIVER_VERIFIED:
+            stale = registry._stale_entries(
+                [name], {name: h0}
+            )
+            assert name in stale
+    finally:
+        registry._CLOSURE_CACHE.clear()
+
+
 def test_stale_entry_fronts_driver_order(monkeypatch):
     """A definition-stale entry must leave the verified tail and join
     the fresh batch of _driver_order, even though it has a last-green

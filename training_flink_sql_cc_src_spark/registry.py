@@ -362,13 +362,65 @@ _CLOSURE_CACHE: dict[int, str] = {}
 #: traversal bound for the helper closure. Deep enough for every real
 #: chain in the package (entry fn -> private module helper -> _util
 #: helper -> fixtures loader is depth 4); the cap only exists so a
-#: pathological reference cycle cannot make hashing unbounded.
-_CLOSURE_MAX_FNS = 96
+#: pathological reference cycle cannot make hashing unbounded. r16:
+#: referenced module-level constants enter ``seen`` too, so the bound
+#: grew with them (they are leaves — each costs one slot, no traversal).
+_CLOSURE_MAX_FNS = 256
+
+
+#: per-module map of top-level constant assignments: module name ->
+#: {name: assignment source text}. Parsed once per module via ast (the
+#: assignment TEXT, not the runtime value — env-derived constants like
+#: session.DEFAULT_SF_DIR evaluate differently per driver invocation,
+#: and hashing their values would flap every entry's spec hash between
+#: SF runs; the text is stable and still changes whenever a constant
+#: is EDITED, which is the r15 audit hole being closed).
+_MODULE_CONST_SRC: dict[str, dict[str, str]] = {}
+
+
+def _module_const_sources(module_name: str) -> dict[str, str]:
+    cached = _MODULE_CONST_SRC.get(module_name)
+    if cached is not None:
+        return cached
+    import ast
+    import inspect
+    import sys
+
+    out: dict[str, str] = {}
+    mod = sys.modules.get(module_name)
+    try:
+        src = inspect.getsource(mod)
+        tree = ast.parse(src)
+    except (OSError, TypeError, SyntaxError, ValueError):
+        _MODULE_CONST_SRC[module_name] = out
+        return out
+    for node in tree.body:
+        names: list[str] = []
+        if isinstance(node, ast.Assign):
+            names = [
+                t.id for t in node.targets if isinstance(t, ast.Name)
+            ]
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            names = [node.target.id]
+        if not names:
+            continue
+        seg = ast.get_source_segment(src, node) or ""
+        for n in names:
+            out[n] = seg
+    _MODULE_CONST_SRC[module_name] = out
+    return out
 
 
 def spec_closure_sources(fn) -> str:
     """Concatenated source of ``fn`` plus every package-local function it
-    references, transitively (BFS, deterministic order, bounded).
+    references, transitively (BFS, deterministic order, bounded) — and,
+    since r16, the ASSIGNMENT SOURCE of every module-level constant a
+    visited function references (VERDICT r15 Wrong #2: a
+    behavior-bearing constant edit — _DRIVER_FINISH_EDGES, WINNOW_DF_CAP
+    — changed results or plan paths without changing any hashed source,
+    so the entry did not re-front the driver sample).
 
     Why a closure and not just ``inspect.getsource(fn)``: driver evidence
     attests the BEHAVIOR of an entry, and that behavior lives partly in
@@ -409,6 +461,10 @@ def spec_closure_sources(fn) -> str:
         src = _src(f)
         seen[key] = src
         g = getattr(f, "__globals__", None) or {}
+        fmod = f.__module__ or ""
+        consts = (
+            _module_const_sources(fmod) if fmod.startswith(pkg) else {}
+        )
         for ref in sorted(set(re.findall(r"[A-Za-z_]\w*", src))):
             obj = g.get(ref)
             if (
@@ -417,6 +473,13 @@ def spec_closure_sources(fn) -> str:
                 and (obj.__module__ or "").startswith(pkg)
             ):
                 queue.append(obj)
+            elif ref in consts and not (
+                inspect.isfunction(obj)
+                or inspect.isclass(obj)
+                or inspect.ismodule(obj)
+            ):
+                # module-level constant assignment: hash its TEXT
+                seen.setdefault(f"{fmod}::{ref}", consts[ref])
     out = "\x00".join(f"{k}\x01{seen[k]}" for k in sorted(seen))
     _CLOSURE_CACHE[id(fn)] = out
     return out
