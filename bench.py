@@ -37,6 +37,13 @@ from training_flink_sql_cc_src_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SWEEPS = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEPS", "3"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: the core count the ratchet's records are comparable at. The driver
+#: also runs the bench at a LOWER count to measure scaling; those runs
+#: must neither write the sidecar nor tighten best_prior (ADVICE r15:
+#: an 8-core run clobbered BENCH_SIDECAR and its faster times would
+#: have produced phantom >1.5x flags on later 32-core runs).
+DEFAULT_CPUS = 32
 #: Comma-separated subset of HEADLINE for targeted scale runs (e.g. the
 #: top-5 heaviest at a large fixture, VERDICT r10 #6). Unset for the
 #: driver's full-suite contract; names outside HEADLINE are rejected so
@@ -266,7 +273,9 @@ def _fp_comparable(a: dict | None, b: dict | None) -> bool:
 
 
 def best_prior(
-    current_fp: dict | None = None, sf: float | None = None
+    current_fp: dict | None = None,
+    sf: float | None = None,
+    cpus: int = DEFAULT_CPUS,
 ) -> dict[str, float]:
     """Per-query MINIMUM across every recorded BENCH_r*.json — the
     best-known time is the ratchet reference. Comparing only to the
@@ -282,7 +291,13 @@ def best_prior(
     When ``sf`` is given, records taken at a DIFFERENT scale factor are
     skipped entirely: the sidecar can be written by an sf0.01 smoke run,
     and its (smaller-data, faster) TPC-H times must not tighten the
-    sf0.1 ratchet into phantom regressions."""
+    sf0.1 ratchet into phantom regressions.
+
+    Core-count guard (ADVICE r15): records carrying a cpus field that
+    differs from ``cpus`` are skipped — the driver's low-core scaling
+    probes (BENCH_r*_c8.json) time the same queries on different
+    hardware widths and are not ratchet-comparable. Records without the
+    field predate r16 and were all taken at DEFAULT_CPUS."""
     best: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
@@ -304,6 +319,9 @@ def best_prior(
         )
         rec_sf = parsed.get("sf")
         if sf is not None and rec_sf is not None and rec_sf != sf:
+            continue
+        rec_cpus = doc.get("cpus") or parsed.get("cpus") or DEFAULT_CPUS
+        if rec_cpus != cpus:
             continue
         prior = parsed.get("queries") or {}
         fp_ok = current_fp is None or _fp_comparable(
@@ -351,7 +369,7 @@ def main() -> None:
             )
     # contention self-heal: a regression that survives interleaved sweeps
     # gets two more interleaved samples before we believe it
-    prior = best_prior(corpus, sf)
+    prior = best_prior(corpus, sf, CPUS)
     for _retry in range(2):
         flagged = [
             n
@@ -373,6 +391,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "cpus": CPUS,
         "corpus": corpus,
     }
     # Non-headline deployment VARIANTS, timed with the same cold-cache
@@ -400,9 +419,11 @@ def main() -> None:
         out["acks"] = sorted(acks)
     print(json.dumps(out))
     # the sidecar is the ROUND record (driver contract: full suite at
-    # sf0.1) — targeted subsets and scale-fixture runs must not
-    # clobber it (their artifacts live under scale_runs/)
-    if not ONLY and sf == 0.1:
+    # sf0.1 on the default core count) — targeted subsets, scale-fixture
+    # runs, and low-core scaling probes must not clobber it (their
+    # artifacts live under scale_runs/; ADVICE r15: the r15 sidecar was
+    # overwritten by an 8-core probe whose faster times would min-ratchet)
+    if not ONLY and sf == 0.1 and CPUS == DEFAULT_CPUS:
         _write_sidecar(out, acks)
 
 

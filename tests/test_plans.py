@@ -685,6 +685,52 @@ def test_multimodal_decode_single_python_stage(spark, sf_med):
         assert exch[0] > mip[0], tree
 
 
+def test_header_decode_attestation_shuffle_is_cores_aware(spark, sf_med):
+    """multimodal_header_decode keeps ONE deliberate payload exchange
+    (the byte round-trip attestation) — but its width must derive from
+    defaultParallelism, not the pre-r16 constant 8 that would run the
+    decode stage at parallelism 8 on any cluster (VERDICT r15 Wrong #5)."""
+    plan = _plan(spark, "multimodal_header_decode", sf_med)
+    par = spark.sparkContext.defaultParallelism
+    hash_exch = [
+        l for l in plan.splitlines() if "hashpartitioning(doc_id" in l
+    ]
+    assert len(hash_exch) == 1, plan
+    assert f", {par})" in hash_exch[0], hash_exch[0]
+
+
+def test_pairwise_mask_prune_in_candidate_join(spark, tmp_path):
+    """The large-vocab prefix joins carry the 512-bit mask bound (r16):
+    the candidate SMJ's join/filter condition must contain the
+    bit_count(ma & mb) sum for BOTH containment and blocked jaccard —
+    a silent drop of the prune would revert the sf3z verification
+    blowup without failing any correctness test."""
+    import random
+
+    import pandas as pd
+
+    from training_flink_sql_cc_src_spark.registry import _REGISTRY, _load_all
+
+    _load_all()
+    rnd = random.Random(7)
+    vocab = [f"tok{i}" for i in range(160)]  # > 64 -> large-vocab path
+    rows = []
+    for i in range(60):
+        words = rnd.sample(vocab, rnd.randint(8, 30))
+        text = " ".join(words)
+        rows.append((i, text, "en" if i % 2 else "de", "s0", len(text)))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    for name in ("dedup_containment_pairs", "dedup_jaccard_blocked_pairs"):
+        df = _REGISTRY[name].fn(spark, str(tmp_path))
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert "bit_count" in plan, f"{name}: mask prune missing\n{plan[:1500]}"
+
+
 def test_vocab_oov_single_scoring_pass(spark, sf_med):
     """pipeline_vocab_oov_rate derives per-doc token totals and vocab
     hits from the SAME per-doc aggregate over the tokenized corpus
