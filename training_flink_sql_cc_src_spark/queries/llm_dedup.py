@@ -180,23 +180,9 @@ def _token_sketch(
                     lambda s: s["w"],
                 ).alias("words"),
                 F.count(F.lit(1)).alias("n_words"),
-                *[
-                    F.expr(
-                        "bit_or(CASE WHEN (shiftrightunsigned(w, 6) & "
-                        f"{_MASK_LONGS - 1}) = {i} "
-                        "THEN shiftleft(1L, int(w & 63)) ELSE 0L END)"
-                    ).alias(f"m{i}")
-                    for i in range(_MASK_LONGS)
-                ],
+                *_mask_bitor_agg_exprs("w"),
             )
-            .withColumn(
-                "cc",
-                F.col("n_words")
-                - sum(
-                    F.bit_count(F.col(f"m{i}"))
-                    for i in range(_MASK_LONGS)
-                ),
-            )
+            .withColumn("cc", F.col("n_words") - _mask_popcount())
             .persist()
         )
     # Materialize for every later cold query/process (best-effort: the
@@ -206,34 +192,15 @@ def _token_sketch(
     return small_vocab, d
 
 
-#: width (in 64-bit longs) of the per-doc token-set bit mask the
-#: large-vocab pairwise branches use as a candidate prune (r16). 8 longs
-#: = 512 bits: wide enough that an ~80-distinct-token doc keeps most
-#: tokens on distinct bits (collision correction stays small, so the
-#: bound stays sharp), narrow enough that posting rows stay cheap to
-#: sort/shuffle — k=4 measured 36 s, k=8 22.7 s, k=16 65.8 s end-to-end
-#: on the sf3z containment query (OPTIMIZATION_r16.md).
-_MASK_LONGS = 8
-
-
-def _mask_inter_bound():
-    """LOSSLESS upper bound on |A ∩ B| from the per-doc masks riding the
-    matched posting row (r16, guide §2.3/§3 candidate pruning — pure
-    codegen bit ops, evaluated BEFORE the pair-dedup exchange):
-
-        |A ∩ B| <= Σ_i bit_count(ma_i & mb_i)
-                   + min(n_a - popcount(ma), n_b - popcount(mb))
-
-    Every shared token sets one common bit, so bits(A∩B) ⊆ ma & mb; the
-    only undercount is shared tokens COLLIDING within a doc's mask, and
-    a doc loses exactly n - popcount(mask) tokens to collisions in
-    total — adding the smaller side's loss restores a valid bound. The
-    per-doc loss terms ride the rows precomputed as cc_a / cc_b."""
-    bits = None
-    for i in range(_MASK_LONGS):
-        t = F.bit_count(F.col(f"ma{i}").bitwiseAND(F.col(f"mb{i}")))
-        bits = t if bits is None else bits + t
-    return bits + F.least("cc_a", "cc_b")
+#: per-doc token-set mask for large-vocab candidate pruning — width
+#: choice, bound math and the lossless-ness argument live in
+#: operators/tokenmask (shared with operators/ppjoin).
+from ..operators.tokenmask import MASK_LONGS as _MASK_LONGS  # noqa: E402
+from ..operators.tokenmask import (  # noqa: E402
+    mask_bitor_agg_exprs as _mask_bitor_agg_exprs,
+)
+from ..operators.tokenmask import mask_inter_bound as _mask_inter_bound  # noqa: E402
+from ..operators.tokenmask import mask_popcount as _mask_popcount  # noqa: E402
 
 
 def _owner_ref(spark: SparkSession):
